@@ -1,0 +1,202 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/**
+ * Canonical (format-agnostic) table model — the "OneTable model" of the
+ * reference, re-expressed as Scala case classes that are bijective with
+ * Spark's `StructType` so the rest of the engine can stay in DataFrame
+ * land.
+ *
+ * Reference shapes (see SURVEY.md §1.1):
+ *  - table:    reference `api/.../model/OneTable.java:38-53`
+ *  - snapshot: reference `api/.../model/OneSnapshot.java:42-53`
+ *  - schema:   reference `api/.../model/schema/OneSchema.java:43-85`
+ *  - file:     reference `api/.../model/storage/OneDataFile.java:39-55`
+ *  - stats:    reference `api/.../model/stat/ColumnStat.java:33-40`
+ *
+ * Design departure from the reference: data-file manifests are not Java
+ * collections on the driver but `Dataset[InternalDataFile]`, so file-set
+ * algebra (diffs, grouping, stats rollup) runs distributed and survives
+ * 100 TB-scale tables with millions of files.
+ */
+
+/** Layout of data files on storage (ref `DataLayoutStrategy.java:29-33`). */
+sealed trait LayoutStrategy
+object LayoutStrategy {
+  case object HiveStylePartition extends LayoutStrategy
+  case object DirHierarchyPartitionValues extends LayoutStrategy
+  case object Flat extends LayoutStrategy
+}
+
+/** Data file format (ref `FileFormat.java:26-30`). */
+sealed abstract class DataFileFormat(val name: String)
+object DataFileFormat {
+  case object Parquet extends DataFileFormat("parquet")
+  case object Orc extends DataFileFormat("orc")
+  case object Avro extends DataFileFormat("avro")
+  def fromName(s: String): DataFileFormat = s.toLowerCase match {
+    case "parquet" => Parquet
+    case "orc"     => Orc
+    case "avro"    => Avro
+    case other     => throw new IllegalArgumentException(s"unknown file format: $other")
+  }
+}
+
+/** Table formats we translate between (ref `TableFormat.java:26-37`). */
+sealed abstract class TableFormat(val name: String)
+object TableFormat {
+  case object Delta extends TableFormat("delta")
+  case object Iceberg extends TableFormat("iceberg")
+  case object Hudi extends TableFormat("hudi")
+  val all: Seq[TableFormat] = Seq(Delta, Iceberg, Hudi)
+  def fromName(s: String): TableFormat = s.toLowerCase match {
+    case "delta"   => Delta
+    case "iceberg" => Iceberg
+    case "hudi"    => Hudi
+    case other     => throw new IllegalArgumentException(s"unknown table format: $other")
+  }
+}
+
+/**
+ * Partition transform (ref `PartitionTransformType.java:28-38`): how a
+ * partition value is derived from a source column. All five are
+ * expressible with built-in Spark functions (SURVEY.md §2.7).
+ */
+sealed abstract class PartitionTransform(val name: String) {
+  def isTimeBased: Boolean = this != PartitionTransform.Identity
+}
+object PartitionTransform {
+  case object Year extends PartitionTransform("year")
+  case object Month extends PartitionTransform("month")
+  case object Day extends PartitionTransform("day")
+  case object Hour extends PartitionTransform("hour")
+  case object Identity extends PartitionTransform("identity") { override def isTimeBased = false }
+
+  def fromName(s: String): PartitionTransform = s.toLowerCase match {
+    case "year"              => Year
+    case "month"             => Month
+    case "day"               => Day
+    case "hour"              => Hour
+    case "identity" | "value" => Identity
+    case other               => throw new IllegalArgumentException(s"unknown transform: $other")
+  }
+
+  /** UTC serialization formats per granularity (ref `DeltaPartitionExtractor.java:250-281`). */
+  def pathFormat(t: PartitionTransform): String = t match {
+    case Year  => "yyyy"
+    case Month => "yyyy-MM"
+    case Day   => "yyyy-MM-dd"
+    case Hour  => "yyyy-MM-dd-HH"
+    case Identity => ""
+  }
+}
+
+/** A partition field: source column + transform (ref `OnePartitionField.java:34-49`). */
+final case class InternalPartitionField(
+    sourceField: String,
+    transform: PartitionTransform,
+    /** Name of the materialized partition column (for generated columns). */
+    partitionName: Option[String] = None) {
+  def outputName: String = partitionName.getOrElse(
+    if (transform == PartitionTransform.Identity) sourceField
+    else s"graft_partition_${transform.name}_$sourceField")
+}
+
+/**
+ * Per-column, per-file statistics (ref `ColumnStat.java:33-40` +
+ * `Range.java:58-77`). Min/max are canonicalized to strings with a typed
+ * tag so a single encoder-friendly shape covers all scalar types; dates
+ * are epoch-days, timestamps epoch-micros (ref Range javadoc
+ * `api/.../stat/Range.java:31-56`).
+ */
+final case class ColumnStatRow(
+    column: String,
+    minValue: Option[String],
+    maxValue: Option[String],
+    numNulls: Long,
+    numValues: Long,
+    totalSize: Long)
+
+/**
+ * A single data file in a snapshot (ref `OneDataFile.java:39-55`). Rows of
+ * the distributed manifest `Dataset[InternalDataFile]`.
+ */
+final case class InternalDataFile(
+    physicalPath: String,
+    fileFormat: String = DataFileFormat.Parquet.name,
+    /** partition column name -> serialized value (hive-style string). */
+    partitionValues: Map[String, String] = Map.empty,
+    fileSizeBytes: Long = 0L,
+    recordCount: Long = 0L,
+    columnStats: Seq[ColumnStatRow] = Seq.empty,
+    lastModified: Long = 0L)
+
+/** Point-in-time table definition (ref `OneTable.java:38-53`). */
+final case class InternalTable(
+    name: String,
+    basePath: String,
+    schema: StructType,
+    partitionFields: Seq[InternalPartitionField] = Seq.empty,
+    layout: LayoutStrategy = LayoutStrategy.HiveStylePartition,
+    recordKeyFields: Seq[String] = Seq.empty,
+    latestCommitTimeMillis: Long = 0L)
+
+/**
+ * A committed, queryable snapshot: version + table def + file manifest
+ * (ref `OneSnapshot.java:42-53`). The manifest is left as a DataFrame-able
+ * Seq here only at metadata scale; readers hand out Datasets.
+ */
+final case class SnapshotInfo(
+    version: Long,
+    timestampMillis: Long,
+    table: InternalTable)
+
+/**
+ * One commit's worth of change: files added and removed (ref
+ * `TableChange.java:31-39` / `OneDataFilesDiff.java:36-70`). The natural
+ * unit of incremental sync — a CDF-style micro-batch.
+ */
+final case class TableChange(
+    version: Long,
+    timestampMillis: Long,
+    filesAdded: Seq[InternalDataFile],
+    filesRemoved: Seq[InternalDataFile],
+    schemaChanged: Boolean = false)
+
+/** Result of one sync to one target (ref `SyncResult.java:33-67`). */
+sealed trait SyncStatus
+object SyncStatus {
+  case object Success extends SyncStatus
+  case object Aborted extends SyncStatus
+  final case class Error(message: String, canRetry: Boolean) extends SyncStatus
+}
+final case class SyncResult(
+    target: String,
+    mode: String, // "FULL" | "INCREMENTAL"
+    status: SyncStatus,
+    syncedVersion: Long,
+    durationMillis: Long)
+
+/**
+ * Sync watermark persisted in the *target* table's commit metadata, so a
+ * crash can never desynchronize state from data (ref
+ * `OneTableMetadata.java:36-63`).
+ */
+final case class SyncMetadata(
+    lastInstantSynced: Long,
+    instantsToConsiderForNextSync: Seq[Long] = Seq.empty) {
+  def serialize: String =
+    s"$lastInstantSynced;${instantsToConsiderForNextSync.sorted.mkString(",")}"
+}
+object SyncMetadata {
+  val LastSyncedKey = "graft.lastInstantSynced"
+  val PendingKey = "graft.instantsToConsiderForNextSync"
+  def deserialize(s: String): SyncMetadata = {
+    val parts = s.split(";", -1)
+    val pending =
+      if (parts.length < 2 || parts(1).isEmpty) Seq.empty[Long]
+      else parts(1).split(",").map(_.toLong).toSeq
+    SyncMetadata(parts(0).toLong, pending)
+  }
+}
