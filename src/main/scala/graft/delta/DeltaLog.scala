@@ -1,0 +1,180 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Native `_delta_log` reader/writer (no Delta runtime — SURVEY.md §7).
+ *
+ * Write side: one JSON file per commit named `%020d.json`, created with
+ * put-if-absent semantics (`FileSystem.create(overwrite = false)`), the
+ * same optimistic-concurrency primitive Delta's own commit protocol
+ * relies on. The reference commits through `OptimisticTransaction`
+ * (ref `core/.../delta/DeltaClient.java:248-264`); we speak the log
+ * format directly.
+ *
+ * Read side: log replay is the classic "last action per path wins"
+ * reconciliation (ref `DeltaDataFileExtractor.java:54-114` delegates to
+ * DeltaLog.snapshot; here it's a window over a DataFrame of raw
+ * actions, so a 100 TB table with millions of add entries replays as a
+ * distributed job, not a driver loop).
+ */
+final class DeltaLog(val tablePath: String, spark: SparkSession) {
+
+  private val logPath = new Path(tablePath, "_delta_log")
+  private def fs: FileSystem =
+    logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def version(fileName: String): Long = fileName.stripSuffix(".json").toLong
+  private def commitFile(v: Long): Path = new Path(logPath, f"$v%020d.json")
+
+  /** Sorted list of committed versions. */
+  def listVersions(): Seq[Long] = {
+    if (!fs.exists(logPath)) return Seq.empty
+    fs.listStatus(logPath).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(version)
+      .sorted
+  }
+
+  def latestVersion(): Option[Long] = listVersions().lastOption
+
+  /** Driver-side read of a single commit's actions (metadata-sized). */
+  def readActions(v: Long): Seq[DeltaAction] = {
+    val in = fs.open(commitFile(v))
+    try {
+      val content = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+      content.split("\n").filter(_.nonEmpty).toSeq
+        .flatMap(DeltaActionCodec.fromJsonLine)
+    } finally in.close()
+  }
+
+  /**
+   * Atomically commit actions as the given version. Returns false if the
+   * version already exists (lost the race / stale reader).
+   */
+  def commit(v: Long, actions: Seq[DeltaAction]): Boolean = {
+    fs.mkdirs(logPath)
+    val target = commitFile(v)
+    val out =
+      try fs.create(target, /*overwrite=*/ false)
+      catch { case _: java.io.IOException => return false }
+    try {
+      val body = actions.map(DeltaActionCodec.toJsonLine).mkString("", "\n", "\n")
+      out.write(body.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    true
+  }
+
+  /** Latest metadata + protocol at or before `asOf`. */
+  def metadataAt(asOf: Option[Long]): (DeltaMetadata, Long) = {
+    val versions = listVersions()
+    require(versions.nonEmpty, s"not a Delta table (no _delta_log): $tablePath")
+    val upTo = asOf.map(a => versions.filter(_ <= a)).getOrElse(versions)
+    require(upTo.nonEmpty, s"no commit at or before version ${asOf.get} in $tablePath")
+    var meta: Option[DeltaMetadata] = None
+    // scan newest-to-oldest until a metaData action is found
+    upTo.reverse.iterator
+      .map(v => readActions(v).collectFirst { case m: DeltaMetadata => m })
+      .collectFirst { case Some(m) => m }
+      .foreach(m => meta = Some(m))
+    (meta.getOrElse(throw new IllegalStateException(s"no metaData action in $tablePath")),
+      upTo.last)
+  }
+
+  /** Commit timestamps (from commitInfo, fallback file mtime) per version. */
+  def commitTimestamps(): Seq[(Long, Long)] =
+    listVersions().map { v =>
+      val ts = readActions(v).collectFirst { case c: CommitInfo => c.timestamp }
+        .getOrElse(fs.getFileStatus(commitFile(v)).getModificationTime)
+      (v, ts)
+    }
+
+  /** Spark schema used to parse raw log lines distributed. */
+  private val actionSchema: StructType = StructType(Seq(
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType))))))
+
+  /**
+   * Raw add/remove actions of all commits ≤ `asOf` as a DataFrame with a
+   * `version` column — the input to distributed replay.
+   */
+  def actionsDF(asOf: Option[Long]): DataFrame = {
+    val versions = asOf.map(a => listVersions().filter(_ <= a)).getOrElse(listVersions())
+    require(versions.nonEmpty, s"not a Delta table: $tablePath")
+    val paths = versions.map(v => commitFile(v).toString)
+    spark.read.text(paths: _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast(LongType))
+      .withColumn("action", from_json(col("value"), actionSchema))
+      .select(col("version"), col("action.add").as("add"), col("action.remove").as("remove"))
+      .filter(col("add").isNotNull || col("remove").isNotNull)
+  }
+
+  /**
+   * Live files at `asOf` (default: latest): per path, the newest action
+   * wins; the file is live iff that action is an add. One shuffle on
+   * path, no driver-side state.
+   */
+  def snapshotFilesDF(asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val acts = actionsDF(asOf)
+      .select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("version"),
+        col("add").isNotNull.as("isAdd"),
+        col("add.partitionValues").as("partitionValues"),
+        col("add.size").as("size"),
+        col("add.modificationTime").as("modificationTime"),
+        col("add.stats").as("stats"))
+    val w = Window.partitionBy(col("path"))
+      .orderBy(col("version").desc, col("isAdd").asc)
+    acts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("isAdd"))
+      .drop("rn", "isAdd")
+  }
+
+  /**
+   * Per-commit change feed for versions in (from, to] — the incremental
+   * sync source (ref `DeltaSourceClient.getTableChangeForCommit`,
+   * `core/.../delta/DeltaSourceClient.java:106-143`).
+   */
+  def changesDF(fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val versions = listVersions().filter(v => v > fromExclusive && v <= toInclusive)
+    require(versions.nonEmpty, s"no commits in ($fromExclusive, $toInclusive] of $tablePath")
+    val paths = versions.map(v => commitFile(v).toString)
+    spark.read.text(paths: _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast(LongType))
+      .withColumn("action", from_json(col("value"), actionSchema))
+      .select(
+        col("version"),
+        col("action.add").isNotNull.as("added"),
+        coalesce(col("action.add.path"), col("action.remove.path")).as("path"),
+        col("action.add.partitionValues").as("partitionValues"),
+        col("action.add.size").as("size"),
+        col("action.add.stats").as("stats"))
+      .filter(col("path").isNotNull)
+  }
+}
+
+object DeltaLog {
+  def forTable(spark: SparkSession, tablePath: String): DeltaLog =
+    new DeltaLog(tablePath, spark)
+}

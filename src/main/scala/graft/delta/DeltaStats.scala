@@ -1,0 +1,63 @@
+package graft.delta
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.types._
+
+import graft.stats.FileFooterStats
+
+/**
+ * Delta `add.stats` JSON emission: `{"numRecords":N,"minValues":{...},
+ * "maxValues":{...},"nullCount":{...}}`, typed per the table schema.
+ * Mirrors the reference's stats serialization incl. the scalar-only rule
+ * (ref `core/.../delta/DeltaStatsExtractor.java:60-74,83-174` — nested
+ * map/array/struct fields carry no stats) and the canonical value forms
+ * of `DeltaValueConverter.convertToDeltaColumnStatValue` (timestamps as
+ * ISO-8601 UTC, dates as yyyy-MM-dd).
+ */
+object DeltaStats {
+  private val mapper = new ObjectMapper()
+  private val tsFormat =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX").withZone(ZoneOffset.UTC)
+
+  private def isScalar(dt: DataType): Boolean = dt match {
+    case _: StructType | _: ArrayType | _: MapType | BinaryType => false
+    case _ => true
+  }
+
+  def toJson(st: FileFooterStats, dataSchema: StructType): String = {
+    val root = mapper.createObjectNode()
+    root.put("numRecords", st.recordCount)
+    val minN = root.putObject("minValues")
+    val maxN = root.putObject("maxValues")
+    val nullN = root.putObject("nullCount")
+    val byName = st.columns.map(c => c.column -> c).toMap
+    dataSchema.fields.filter(f => isScalar(f.dataType)).foreach { f =>
+      byName.get(f.name).foreach { c =>
+        if (c.numNulls >= 0) nullN.put(f.name, c.numNulls)
+        def emit(node: com.fasterxml.jackson.databind.node.ObjectNode, v: String): Unit =
+          f.dataType match {
+            case LongType | IntegerType | ShortType | ByteType => node.put(f.name, v.toLong)
+            case DoubleType => node.put(f.name, v.toDouble)
+            case FloatType  => node.put(f.name, v.toFloat)
+            case BooleanType => node.put(f.name, v.toBoolean)
+            case _: DecimalType => node.put(f.name, new java.math.BigDecimal(v))
+            case TimestampType | TimestampNTZType =>
+              // canonical epoch-micros -> ISO-8601 UTC
+              val micros = v.toLong
+              node.put(f.name, tsFormat.format(
+                Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+                  Math.floorMod(micros, 1000000L) * 1000L)))
+            case DateType =>
+              node.put(f.name, LocalDate.ofEpochDay(v.toLong).toString)
+            case _ => node.put(f.name, v)
+          }
+        c.minValue.foreach(emit(minN, _))
+        c.maxValue.foreach(emit(maxN, _))
+      }
+    }
+    mapper.writeValueAsString(root)
+  }
+}

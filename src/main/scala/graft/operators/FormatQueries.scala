@@ -1,0 +1,149 @@
+package graft.operators
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.delta.DeltaTable
+import graft.sources.Tables
+
+/**
+ * Format-layer verification: every query routes through our native Delta
+ * codec (convert → log → snapshot replay → read) and must produce rows
+ * identical to DuckDB reading the original parquet — the engine analog
+ * of the reference's cross-format equality ITs
+ * (ref `ITOneTableClient.java:748-813`).
+ */
+object FormatQueries {
+
+  /** Per-sfDir fixture tables, built once per JVM. */
+  private object Fixtures {
+    private val built = scala.collection.mutable.Map[String, String]()
+
+    def dir(spark: SparkSession, sfDir: String): String = synchronized {
+      built.getOrElseUpdate(sfDir, {
+        val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_delta", name).toString
+        // clean rebuild per JVM so reruns aren't corrupted by stale logs
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+
+        // 1. metadata-only conversion of lineitem.parquet (no data rewrite)
+        DeltaTable.convertFromParquet(
+          spark, s"$sfDir/lineitem.parquet", s"$root/converted_lineitem")
+
+        // 2. two-commit orders table: v0 = even orderkeys, v1 += odd
+        val o = Tables.orders(spark, sfDir)
+        val t2 = DeltaTable.create(
+          spark, s"$root/orders_2commit", o.filter(col("o_orderkey") % 2 === 0))
+        t2.append(o.filter(col("o_orderkey") % 2 === 1), Seq.empty)
+
+        // 3. lineitem partitioned by l_returnflag (hive-style layout)
+        DeltaTable.create(
+          spark, s"$root/lineitem_part",
+          Tables.lineitem(spark, sfDir), Seq("l_returnflag"))
+
+        // 4. unpartitioned lineitem range-clustered by l_orderkey so the
+        //    log's min/max stats give disjoint per-file key ranges —
+        //    the layout that makes stats skipping effective at scale
+        DeltaTable.create(
+          spark, s"$root/lineitem_ranged",
+          Tables.lineitem(spark, sfDir).repartitionByRange(8, col("l_orderkey")))
+
+        root
+      })
+    }
+
+    def table(spark: SparkSession, sfDir: String, name: String): DeltaTable =
+      DeltaTable.forPath(spark, s"${dir(spark, sfDir)}/$name")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "f01_delta_convert_read",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "converted_lineitem").toDF()
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"))
+          .orderBy(col("l_returnflag")),
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    QueryDef.sql(
+      "f02_delta_write_read",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "lineitem_part").toDF()
+          .groupBy(col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .cast(DecimalType(38, 2)).as("sum_price"))
+          .orderBy(col("l_linestatus")),
+      """SELECT l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    QueryDef.sql(
+      "f03_delta_time_travel",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_2commit").toDF(versionAsOf = Some(0L))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DecimalType(38, 2)).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    QueryDef.sql(
+      "f04_delta_incremental_changes",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_2commit").changesAsDF(0L, 1L)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey")),
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""".stripMargin),
+
+    QueryDef.sql(
+      "f05_delta_partition_prune",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "lineitem_part").scan
+          .partitionIn("l_returnflag", Set("A"))
+          .toDF()
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"))
+          .orderBy(col("l_linestatus")),
+      """SELECT l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    QueryDef.sql(
+      "f06_delta_stats_skipping",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "lineitem_ranged")
+        // file skipping drops range-files that can't contain the keys;
+        // the row-level filter still applies on what's left
+        t.scan.range("l_orderkey", Some(1000L), Some(2000L)).toDF()
+          .filter(col("l_orderkey") >= 1000 && col("l_orderkey") <= 2000)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("l_returnflag"))
+      },
+      """SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  )
+}

@@ -1,0 +1,101 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class DeltaTableSpec extends SparkTestBase {
+
+  test("create + read returns identical rows") {
+    val dir = tmpDir("delta_create")
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    DeltaTable.create(spark, s"$dir/t", src)
+    val back = DeltaTable.forPath(spark, s"$dir/t").toDF()
+    assert(back.count() == src.count())
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
+  test("append produces a new version; time travel sees the old one") {
+    val dir = tmpDir("delta_tt")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    val t = DeltaTable.create(spark, s"$dir/t", src.filter(col("o_orderkey") % 2 === 0))
+    t.append(src.filter(col("o_orderkey") % 2 === 1), Seq.empty)
+    assert(t.latestVersion == 1L)
+    val v0 = t.toDF(versionAsOf = Some(0L))
+    assert(v0.filter(col("o_orderkey") % 2 === 1).count() == 0)
+    assert(t.toDF().count() == src.count())
+  }
+
+  test("overwrite keeps old files readable via time travel") {
+    val dir = tmpDir("delta_ow")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = DeltaTable.create(spark, s"$dir/t", src)
+    t.overwrite(src.limit(2), Seq.empty)
+    assert(t.toDF().count() == 2)
+    assert(t.toDF(versionAsOf = Some(0L)).count() == src.count())
+  }
+
+  test("changesAsDF returns only rows added in the version range") {
+    val dir = tmpDir("delta_cdf")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    val t = DeltaTable.create(spark, s"$dir/t", src.filter(col("o_orderkey") % 2 === 0))
+    t.append(src.filter(col("o_orderkey") % 2 === 1), Seq.empty)
+    val changes = t.changesAsDF(0L, 1L)
+    assert(changes.count() == src.filter(col("o_orderkey") % 2 === 1).count())
+    assert(changes.filter(col("o_orderkey") % 2 === 0).count() == 0)
+  }
+
+  test("partition pruning reduces the file manifest") {
+    val dir = tmpDir("delta_prune")
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val t = DeltaTable.create(spark, s"$dir/t", src, Seq("l_returnflag"))
+    val all = t.scan.files().count()
+    val pruned = t.scan.partitionIn("l_returnflag", Set("A")).files().count()
+    assert(pruned < all, s"expected pruning: $pruned < $all")
+    val rows = t.scan.partitionIn("l_returnflag", Set("A")).toDF()
+    assert(rows.count() == src.filter(col("l_returnflag") === "A").count())
+  }
+
+  test("min/max stats skipping drops files outside the key range") {
+    val dir = tmpDir("delta_skip")
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .repartitionByRange(8, col("l_orderkey"))
+    val t = DeltaTable.create(spark, s"$dir/t", src)
+    val all = t.scan.files().count()
+    val skipped = t.scan.range("l_orderkey", Some(1L), Some(100L)).files().count()
+    assert(all == 8L, s"expected 8 range files, got $all")
+    assert(skipped < all, s"expected skipping: $skipped < $all")
+    val rows = t.scan.range("l_orderkey", Some(1L), Some(100L)).toDF()
+      .filter(col("l_orderkey").between(1, 100))
+    val expected = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_orderkey").between(1, 100))
+    assert(rows.count() == expected.count())
+  }
+
+  test("convertFromParquet is metadata-only and row-identical") {
+    val dir = tmpDir("delta_convert")
+    val t = DeltaTable.convertFromParquet(spark, s"$sf0001/supplier.parquet", s"$dir/t")
+    val src = spark.read.parquet(s"$sf0001/supplier.parquet")
+    val back = t.toDF()
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+    // no parquet was copied under the table root
+    assert(DeltaTable.listDataFiles(spark, s"$dir/t").isEmpty)
+  }
+
+  test("commit is put-if-absent: second commit of same version fails") {
+    val dir = tmpDir("delta_race")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = DeltaTable.create(spark, s"$dir/t", src)
+    assert(!t.log.commit(0L, Seq(CommitInfo(1L, "X", Map.empty))))
+    assert(t.log.commit(1L, Seq(CommitInfo(1L, "X", Map.empty))))
+  }
+
+  test("timestampAsOf resolves to the right version") {
+    val dir = tmpDir("delta_ts")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = DeltaTable.create(spark, s"$dir/t", src)
+    val ts0 = t.log.commitTimestamps().head._2
+    t.append(src.limit(1), Seq.empty)
+    assert(t.versionForTimestamp(ts0) == 0L)
+    assert(t.versionForTimestamp(System.currentTimeMillis() + 10000) == 1L)
+  }
+}
