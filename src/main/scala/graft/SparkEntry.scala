@@ -9,7 +9,9 @@ import graft.operators._
 object SparkEntry {
 
   /** All verifiable operators, each a (Spark impl, optional DuckDB oracle). */
-  def allDefs: Seq[QueryDef] = Relational.defs ++ FormatQueries.defs
+  def allDefs: Seq[QueryDef] =
+    Relational.defs ++ FormatQueries.defs ++ Dedup.defs ++
+      Similarity.defs ++ TextOps.defs ++ Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/**
+ * Multimodal-column plumbing: media payloads ride as opaque `binary`
+ * columns with a typed metadata struct; decode / feature-extraction
+ * runs batched per partition (the Scala analog of `mapInPandas` — an
+ * iterator-to-iterator transform that never materializes a partition).
+ *
+ * The actual media decode is STUBBED (no image/audio libs in this
+ * container): `fakeDecodeFeatures` derives a deterministic byte-histogram
+ * "feature vector" from the payload. The Spark-side mechanics — schema,
+ * binary encoding, per-partition batch shape, feature output — are real
+ * and oracle-checked where SQL-expressible.
+ */
+object Multimodal {
+
+  /** documents.text re-encoded as a binary payload + metadata struct —
+    * the shape an image/audio column would have. */
+  def binaryTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("text").cast(BinaryType).as("content"),
+        struct(
+          lit("text/plain").as("mime"),
+          length(col("text")).cast(LongType).as("byte_len"),
+          col("source").as("origin")).as("meta"))
+
+  private val featureDim = 16
+
+  /**
+   * STUB decode: a real pipeline would decode image/audio here (e.g.
+   * JPEG → pixels → CNN features). Deterministic stand-in: 16-bin byte
+   * histogram, L1-normalized. Runs per-partition, batched, no driver
+   * round-trip — swap the inner function for a real decoder and the
+   * distribution shape is unchanged.
+   */
+  def extractFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("byte_len", LongType),
+      StructField("features", ArrayType(FloatType))))
+    val src = binaryTable(spark, dir)
+    val rows = src.select(col("doc_id"), col("content")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val hist = new Array[Float](featureDim)
+        var i = 0
+        while (i < bytes.length) {
+          hist((bytes(i) & 0xff) / (256 / featureDim)) += 1f
+          i += 1
+        }
+        val n = math.max(1, bytes.length).toFloat
+        Row(id, bytes.length.toLong, hist.map(_ / n).toSeq)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql(
+      "m01_binary_metadata",
+      (spark, dir) =>
+        binaryTable(spark, dir)
+          .select(
+            col("doc_id"),
+            col("meta.byte_len").as("byte_len"),
+            col("meta.mime").as("mime"),
+            length(col("content")).cast(LongType).as("payload_len"))
+          .orderBy(col("doc_id")),
+      """SELECT doc_id,
+        |  CAST(LENGTH(text) AS BIGINT) AS byte_len,
+        |  'text/plain' AS mime,
+        |  CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS payload_len
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    QueryDef.rowsOnly(
+      "m02_feature_extract",
+      (spark, dir) =>
+        extractFeatures(spark, dir)
+          .select(col("doc_id"), col("byte_len"),
+            size(col("features")).cast(LongType).as("feature_dim"),
+            round(expr("aggregate(features, cast(0.0 AS DOUBLE), (a, x) -> a + cast(x AS DOUBLE))"), 4)
+              .as("l1_norm"))
+          .orderBy(col("doc_id")))
+  )
+}
