@@ -71,10 +71,10 @@ object FormatQueries {
           .groupBy(col("l_returnflag"))
           .agg(
             count(lit(1)).as("cnt"),
-            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"))
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
           .orderBy(col("l_returnflag")),
       """SELECT l_returnflag, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     QueryDef.sql(
@@ -85,10 +85,10 @@ object FormatQueries {
           .agg(
             count(lit(1)).as("cnt"),
             sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-              .cast(DecimalType(38, 2)).as("sum_price"))
+              .cast(DoubleType).as("sum_price"))
           .orderBy(col("l_linestatus")),
       """SELECT l_linestatus, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
 
     QueryDef.sql(
@@ -99,10 +99,10 @@ object FormatQueries {
           .agg(
             count(lit(1)).as("cnt"),
             sum(col("o_totalprice").cast(DecimalType(18, 2)))
-              .cast(DecimalType(38, 2)).as("sum_price"))
+              .cast(DoubleType).as("sum_price"))
           .orderBy(col("o_orderstatus")),
       """SELECT o_orderstatus, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 2 = 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
@@ -123,10 +123,10 @@ object FormatQueries {
           .toDF()
           .groupBy(col("l_linestatus"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"))
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
           .orderBy(col("l_linestatus")),
       """SELECT l_linestatus, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'A'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
 

@@ -17,8 +17,18 @@ import graft.sources.Tables
 object Relational {
 
   private def dec(c: Column, s: Int = 2): Column = c.cast(DecimalType(18, s))
-  /** Order-independent exact sum of a money-ish double column. */
-  private def dsum(c: Column, s: Int = 2): Column = sum(dec(c, s)).cast(DecimalType(38, s))
+
+  /**
+   * Order-independent exact sum of a money-ish double column. The sum is
+   * computed in DECIMAL (exact, shuffle-order-independent) and the FINAL
+   * value cast to DOUBLE: a decimal→double cast is a single correctly-
+   * rounded operation in both Spark (BigDecimal.doubleValue) and DuckDB
+   * (unscaled/10^s, unscaled < 2^53 here), so the two engines produce
+   * bit-identical doubles — while decimal *output* columns hash-mismatch
+   * in the driver's compare whenever the printed scale differs from the
+   * float repr (e.g. 1524135.00 vs 1524135.0).
+   */
+  private def dsum(c: Column, s: Int = 2): Column = sum(dec(c, s)).cast(DoubleType)
   /** Deterministic avg: exact decimal sum, then one double division. */
   private def davg(c: Column, cnt: Column, s: Int = 2): Column =
     sum(dec(c, s)).cast(DoubleType) / cnt
@@ -36,15 +46,15 @@ object Relational {
             dsum(col("l_quantity")).as("sum_qty"),
             dsum(col("l_extendedprice")).as("sum_base_price"),
             sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-              .cast(DecimalType(38, 4)).as("sum_disc_price"),
+              .cast(DoubleType).as("sum_disc_price"),
             davg(col("l_quantity"), count(lit(1))).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
@@ -78,12 +88,12 @@ object Relational {
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
           .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-            .cast(DecimalType(38, 4)).as("revenue"))
+            .cast(DoubleType).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
       },
       """SELECT l_orderkey, o_orderdate,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -131,7 +141,7 @@ object Relational {
           .orderBy(col("p_brand"))
       },
       """SELECT p_brand,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS cnt
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
@@ -155,11 +165,11 @@ object Relational {
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("n_name"))
           .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-            .cast(DecimalType(38, 4)).as("revenue"))
+            .cast(DoubleType).as("revenue"))
           .orderBy(col("n_name"))
       },
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -195,12 +205,12 @@ object Relational {
         val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.events(spark, dir)
           .select(col("event_id"), col("user_id"), col("value"))
-          .withColumn("running_value", sum(dec(col("value"))).over(run).cast(DecimalType(38, 2)))
+          .withColumn("running_value", sum(dec(col("value"))).over(run).cast(DoubleType))
           .withColumn("prev_event", lag(col("event_id"), 1).over(byUser))
           .orderBy(col("event_id"))
       },
       """SELECT event_id, user_id, value,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
         |  LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event
         |FROM events ORDER BY event_id""".stripMargin),
 
@@ -213,7 +223,7 @@ object Relational {
           .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
@@ -226,7 +236,7 @@ object Relational {
           .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
           .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
 
@@ -448,11 +458,11 @@ object Relational {
         val avgPrice = stats.getDouble(0)
         o.groupBy(col("o_custkey"))
           .agg(dsum(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
-          .filter(col("n_orders") >= 3 && col("total_spend").cast(DoubleType) > lit(avgPrice) * 3)
+          .filter(col("n_orders") >= 3 && col("total_spend") > lit(avgPrice) * 3)
           .orderBy(col("o_custkey"))
       },
       """SELECT o_custkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
         |  COUNT(*) AS n_orders
         |FROM orders
         |GROUP BY o_custkey
@@ -505,7 +515,7 @@ object Relational {
           .orderBy(col("hour"), col("event_type")),
       """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)
   )
 }
