@@ -33,12 +33,19 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     (DataType.fromJson(meta.schemaString).asInstanceOf[StructType], meta.partitionColumns)
   }
 
-  /** Resolve timestampAsOf → version: latest commit with ts <= given. */
+  /** Resolve timestampAsOf → version: latest commit with ts <= given.
+    * Ties on timestamp (two commits in the same millisecond) resolve to
+    * the higher version — the state visible at that instant. */
   def versionForTimestamp(tsMillis: Long): Long = {
     val candidates = log.commitTimestamps().filter(_._2 <= tsMillis)
     require(candidates.nonEmpty, s"no commit at or before timestamp $tsMillis")
-    candidates.maxBy(_._2)._1
+    candidates.maxBy(c => (c._2, c._1))._1
   }
+
+  /** Base path partition columns resolve against: the original source
+    * dir for metadata-only converted tables, else the table root. */
+  private[delta] def readBasePath(asOf: Option[Long]): String =
+    log.metadataAt(asOf)._1.configuration.getOrElse("graft.converted.from", tablePath)
 
   def scan: DeltaScanBuilder = new DeltaScanBuilder(spark, this, None)
   def scanAsOf(version: Long): DeltaScanBuilder = new DeltaScanBuilder(spark, this, Some(version))
@@ -61,7 +68,8 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       .filter(col("added"))
       .select("path").collect().map(_.getString(0))
     val (schema, partCols) = schemaAt(Some(toInclusive))
-    DeltaTable.readFiles(spark, tablePath, changed.toSeq, schema, partCols)
+    DeltaTable.readFiles(
+      spark, tablePath, readBasePath(Some(toInclusive)), changed.toSeq, schema, partCols)
   }
 
   // ---------------------------------------------------------------- writes
@@ -75,20 +83,41 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
   def overwrite(df: DataFrame, partitionColumns: Seq[String]): Long =
     write(df, partitionColumns, overwrite = true)
 
+  /**
+   * Physical write: stage into a per-write hidden directory, move the
+   * produced files into the table layout, then commit exactly those
+   * files. Deriving the adds from the staging dir (not a before/after
+   * listing of the table root) means a commit can only ever claim files
+   * THIS writer produced — two concurrent appends each commit their own
+   * files and the optimistic log race stays the sole arbiter.
+   */
   private def write(df: DataFrame, partitionColumns: Seq[String], overwrite: Boolean): Long = {
-    val before = DeltaTable.listDataFiles(spark, tablePath).toSet
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(hconf)
+    val staging = new Path(tablePath, s".staging-${UUID.randomUUID()}")
     val writer = df.write.mode("append")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
-      .parquet(tablePath)
-    val after = DeltaTable.listDataFiles(spark, tablePath)
-    val newFiles = after.filterNot(before.contains)
+      .parquet(staging.toString)
+    // relocate staged files (hive-style partition dirs preserved); Spark
+    // part-file names embed the job UUID so collisions cannot occur
+    val stagedFiles = DeltaTable.walkParquet(fs, staging)
+    val stagingBase = staging.toUri.getPath.stripSuffix("/") + "/"
+    val newFiles = stagedFiles.map { f =>
+      val rel = f.toUri.getPath.stripPrefix(stagingBase)
+      val dest = new Path(root, rel)
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(f, dest), s"failed to place $rel into $tablePath")
+      dest.toString
+    }
+    fs.delete(staging, true)
     val stats = ParquetFooterStats.collect(spark, newFiles)
 
     val dataSchema = StructType(df.schema.filterNot(f => partitionColumns.contains(f.name)))
     val adds = stats.map { st =>
       val rel = DeltaTable.relativize(tablePath, st.path)
       AddFile(
-        path = rel,
+        path = DeltaTable.encodeLogPath(rel),
         partitionValues = DeltaTable.partitionValuesFromPath(rel, partitionColumns),
         size = st.fileSizeBytes,
         modificationTime = st.modificationTime,
@@ -151,7 +180,11 @@ object DeltaTable {
    * actions point at the source files (absolute paths) — no data is
    * rewritten, exactly the reference's sync contract (ref README.md:1-16:
    * "without rewriting any data files"). Schema from footers via Spark
-   * inference; per-file stats from parquet footers.
+   * inference; per-file stats from parquet footers. Hive-style `k=v`
+   * directories become real partition columns with per-file partition
+   * values (the reference extracts these per file —
+   * `core/.../hudi/HudiPartitionValuesExtractor.java:47-173`); without
+   * this, every partition column would read back NULL.
    */
   def convertFromParquet(
       spark: SparkSession,
@@ -161,22 +194,31 @@ object DeltaTable {
     require(t.log.latestVersion().isEmpty, s"table already exists: $tablePath")
     val files = ParquetFooterStats.listParquetFiles(spark, sourceLocation)
     val schema = spark.read.parquet(sourceLocation).schema
+    // partition columns = hive `k=v` dir keys present in the source
+    // layout, in schema order (Spark's inference appends them there)
+    val srcBase = new Path(sourceLocation).toUri.getPath.stripSuffix("/") + "/"
+    val relOf = (p: String) => new Path(p).toUri.getPath.stripPrefix(srcBase)
+    val hiveKeys: Set[String] = files.headOption
+      .map(f => partitionValuesFromPath(relOf(f), schema.fieldNames.toSeq).keySet)
+      .getOrElse(Set.empty)
+    val partCols = schema.fieldNames.toSeq.filter(hiveKeys.contains)
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
     val stats = ParquetFooterStats.collect(spark, files)
     val adds = stats.map { st =>
       AddFile(
         path = new Path(st.path).toUri.toString,
-        partitionValues = Map.empty,
+        partitionValues = partitionValuesFromPath(relOf(st.path), partCols),
         size = st.fileSizeBytes,
         modificationTime = st.modificationTime,
         dataChange = true,
-        stats = Some(DeltaStats.toJson(st, schema)))
+        stats = Some(DeltaStats.toJson(st, dataSchema)))
     }
     val actions: Seq[DeltaAction] = Seq(
       Protocol(),
       DeltaMetadata(
         id = UUID.randomUUID().toString,
         schemaString = schema.json,
-        partitionColumns = Seq.empty,
+        partitionColumns = partCols,
         configuration = Map("graft.converted.from" -> sourceLocation),
         createdTime = System.currentTimeMillis())) ++ adds :+
       CommitInfo(System.currentTimeMillis(), "CONVERT", Map("source" -> sourceLocation))
@@ -186,25 +228,35 @@ object DeltaTable {
 
   // ------------------------------------------------------------- utilities
 
-  private[delta] def listDataFiles(spark: SparkSession, tablePath: String): Seq[String] = {
-    val p = new Path(tablePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Seq.empty
-    def walk(dir: Path): Seq[String] =
-      fs.listStatus(dir).toSeq.flatMap { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
-        else if (st.isDirectory) walk(st.getPath)
-        else if (name.endsWith(".parquet")) Seq(st.getPath.toUri.getPath)
-        else Seq.empty
-      }
-    walk(p)
+  /** All parquet files under `dir` (fully-qualified Paths, so scheme and
+    * authority survive for s3a/abfs/hdfs tables). */
+  private[delta] def walkParquet(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] = {
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+      else if (st.isDirectory) walkParquet(fs, st.getPath)
+      else if (name.endsWith(".parquet")) Seq(st.getPath)
+      else Seq.empty
+    }
   }
 
   private[delta] def relativize(tablePath: String, absolute: String): String = {
     val base = new Path(tablePath).toUri.getPath.stripSuffix("/") + "/"
     val abs = new Path(absolute).toUri.getPath
     if (abs.startsWith(base)) abs.substring(base.length) else abs
+  }
+
+  /** Percent-encode a relative path for the log, per the Delta protocol
+    * (add/remove paths are URL-encoded); '/' is preserved. */
+  private[delta] def encodeLogPath(rel: String): String =
+    new java.net.URI(null, null, rel, null).toASCIIString
+
+  /** Inverse of [[encodeLogPath]]; absolute URIs decode the same way. */
+  private[delta] def decodeLogPath(encoded: String): String = {
+    val uri = new java.net.URI(encoded)
+    if (uri.getScheme != null) encoded // keep absolute URIs intact for Path(URI)
+    else uri.getPath
   }
 
   /** Parse hive-style `k=v` dirs out of a relative path (ref partition
@@ -223,11 +275,14 @@ object DeltaTable {
     }.toMap
   }
 
-  /** Read a set of snapshot files as a DataFrame, reattaching partition
-    * columns from hive-style paths when the table is partitioned. */
+  /** Read a set of snapshot files (log-encoded paths) as a DataFrame,
+    * reattaching partition columns from hive-style paths when the table
+    * is partitioned. `basePath` is the root partition directories
+    * resolve against — the source dir for converted tables. */
   private[delta] def readFiles(
       spark: SparkSession,
       tablePath: String,
+      basePath: String,
       files: Seq[String],
       schema: StructType,
       partitionColumns: Seq[String]): DataFrame = {
@@ -235,12 +290,12 @@ object DeltaTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    val absolute = files.map { f =>
-      if (f.startsWith("/") || f.contains("://")) f
+    val absolute = files.map(decodeLogPath).map { f =>
+      if (f.startsWith("/") || f.contains(":/")) f
       else new Path(tablePath, f).toString
     }
     if (partitionColumns.nonEmpty)
-      spark.read.option("basePath", tablePath).schema(schema).parquet(absolute: _*)
+      spark.read.option("basePath", basePath).schema(schema).parquet(absolute: _*)
     else {
       val dataSchema = StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
       spark.read.schema(dataSchema).parquet(absolute: _*)
@@ -312,6 +367,7 @@ final class DeltaScanBuilder(
   def toDF(): DataFrame = {
     val (schema, partCols) = table.schemaAt(asOfVersion)
     val pruned = files().select("path").collect().map(_.getString(0)).toSeq
-    DeltaTable.readFiles(spark, table.tablePath, pruned, schema, partCols)
+    DeltaTable.readFiles(
+      spark, table.tablePath, table.readBasePath(asOfVersion), pruned, schema, partCols)
   }
 }

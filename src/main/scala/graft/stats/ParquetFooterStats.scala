@@ -132,7 +132,8 @@ object ParquetFooterStats {
     }
   }
 
-  /** The file list of a directory-or-file parquet dataset. */
+  /** The file list of a directory-or-file parquet dataset. Paths stay
+    * fully qualified so scheme/authority survive for remote filesystems. */
   def listParquetFiles(spark: SparkSession, location: String): Seq[String] = {
     val p = new Path(location)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -141,12 +142,12 @@ object ParquetFooterStats {
         val name = st.getPath.getName
         if (name.startsWith("_") || name.startsWith(".")) Seq.empty
         else if (st.isDirectory) walk(st.getPath)
-        else if (name.endsWith(".parquet")) Seq(st.getPath.toUri.getPath)
+        else if (name.endsWith(".parquet")) Seq(st.getPath.toString)
         else Seq.empty
       }
     }
     val st = fs.getFileStatus(p)
-    if (st.isDirectory) walk(p) else Seq(p.toUri.getPath)
+    if (st.isDirectory) walk(p) else Seq(fs.makeQualified(p).toString)
   }
 
   /** Stats as a DataFrame for distributed stat algebra / inspection. */

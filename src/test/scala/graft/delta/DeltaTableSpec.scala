@@ -78,7 +78,26 @@ class DeltaTableSpec extends SparkTestBase {
     val back = t.toDF()
     assert(back.except(src).isEmpty && src.except(back).isEmpty)
     // no parquet was copied under the table root
-    assert(DeltaTable.listDataFiles(spark, s"$dir/t").isEmpty)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/t")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(DeltaTable.walkParquet(fs, root).isEmpty)
+  }
+
+  test("convertFromParquet records hive partition columns and values") {
+    val dir = tmpDir("delta_convert_part")
+    // build a hive-partitioned source layout
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .write.partitionBy("l_returnflag").parquet(s"$dir/src")
+    val t = DeltaTable.convertFromParquet(spark, s"$dir/src", s"$dir/t")
+    val (_, partCols) = t.schemaAt()
+    assert(partCols == Seq("l_returnflag"))
+    val back = t.toDF()
+    val src = spark.read.parquet(s"$dir/src")
+    assert(back.filter(col("l_returnflag").isNull).count() == 0)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+    // partition values present in the manifest enable log-level pruning
+    val pruned = t.scan.partitionIn("l_returnflag", Set("A")).toDF()
+    assert(pruned.count() == src.filter(col("l_returnflag") === "A").count())
   }
 
   test("commit is put-if-absent: second commit of same version fails") {
