@@ -92,25 +92,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
    * files and the optimistic log race stays the sole arbiter.
    */
   private def write(df: DataFrame, partitionColumns: Seq[String], overwrite: Boolean): Long = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(tablePath)
-    val fs = root.getFileSystem(hconf)
-    val staging = new Path(tablePath, s".staging-${UUID.randomUUID()}")
-    val writer = df.write.mode("append")
-    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
-      .parquet(staging.toString)
-    // relocate staged files (hive-style partition dirs preserved); Spark
-    // part-file names embed the job UUID so collisions cannot occur
-    val stagedFiles = DeltaTable.walkParquet(fs, staging)
-    val stagingBase = staging.toUri.getPath.stripSuffix("/") + "/"
-    val newFiles = stagedFiles.map { f =>
-      val rel = f.toUri.getPath.stripPrefix(stagingBase)
-      val dest = new Path(root, rel)
-      fs.mkdirs(dest.getParent)
-      require(fs.rename(f, dest), s"failed to place $rel into $tablePath")
-      dest.toString
-    }
-    fs.delete(staging, true)
+    val newFiles = graft.util.StagedWrites.writeAndPlace(df, tablePath, partitionColumns)
     val stats = ParquetFooterStats.collect(spark, newFiles)
 
     val dataSchema = StructType(df.schema.filterNot(f => partitionColumns.contains(f.name)))

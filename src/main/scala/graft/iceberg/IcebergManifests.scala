@@ -1,0 +1,312 @@
+package graft.iceberg
+
+import java.nio.ByteBuffer
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Transport form of one manifest entry (one data file). Bounds are
+  * keyed by Iceberg field id, encoded per spec Appendix D. */
+final case class ManifestEntry(
+    status: Int, // 0=EXISTING 1=ADDED 2=DELETED
+    snapshotId: Long,
+    sequenceNumber: Long,
+    filePath: String,
+    fileFormat: String,
+    partitionValues: Map[String, String], // canonical strings by partition field name
+    recordCount: Long,
+    fileSizeBytes: Long,
+    valueCounts: Map[Int, Long],
+    nullCounts: Map[Int, Long],
+    lowerBounds: Map[Int, Array[Byte]],
+    upperBounds: Map[Int, Array[Byte]])
+
+object ManifestEntry {
+  val StatusExisting = 0
+  val StatusAdded = 1
+  val StatusDeleted = 2
+}
+
+/** Transport form of one manifest-list entry (one manifest file). */
+final case class ManifestFileInfo(
+    manifestPath: String,
+    manifestLength: Long,
+    sequenceNumber: Long,
+    minSequenceNumber: Long,
+    addedSnapshotId: Long,
+    addedFilesCount: Int,
+    existingFilesCount: Int,
+    deletedFilesCount: Int,
+    addedRowsCount: Long,
+    existingRowsCount: Long,
+    deletedRowsCount: Long)
+
+/**
+ * Avro codec for Iceberg v2 manifests and manifest lists, written from
+ * the public spec (field ids carried as the `field-id` Avro property;
+ * int-keyed stat maps as key/value record arrays). The reference goes
+ * through Iceberg's `ManifestFiles`/`DataFiles` builders (ref
+ * `core/.../iceberg/IcebergDataFileUpdatesSync.java:96-110`); here the
+ * wire format is produced directly with the Avro library.
+ */
+object IcebergManifests {
+
+  // ------------------------------------------------------ schema builders
+
+  private def field(name: String, schema: Schema, id: Int, nullable: Boolean = false): Schema.Field = {
+    val s = if (nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), schema) else schema
+    val f = new Schema.Field(name, s, null,
+      if (nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    f.addProp("field-id", id: Integer)
+    f
+  }
+
+  private def primitive(t: Schema.Type): Schema = Schema.create(t)
+
+  /** array<record{key,value}> with the iceberg `map` logical-type marker. */
+  private def kvMap(recName: String, keyId: Int, valueId: Int, valueType: Schema.Type): Schema = {
+    val rec = Schema.createRecord(recName, null, null, false, Seq(
+      field("key", primitive(Schema.Type.INT), keyId),
+      field("value", primitive(valueType), valueId)).asJava)
+    val arr = Schema.createArray(rec)
+    arr.addProp("logicalType", "map")
+    arr
+  }
+
+  /** Spark type → avro schema for a partition struct member. */
+  private def partitionAvroType(dt: DataType): Schema = dt match {
+    case IntegerType | ShortType | ByteType => primitive(Schema.Type.INT)
+    case LongType => primitive(Schema.Type.LONG)
+    case DateType =>
+      org.apache.avro.LogicalTypes.date().addToSchema(primitive(Schema.Type.INT))
+    case TimestampType | TimestampNTZType =>
+      org.apache.avro.LogicalTypes.timestampMicros().addToSchema(primitive(Schema.Type.LONG))
+    case DoubleType => primitive(Schema.Type.DOUBLE)
+    case FloatType => primitive(Schema.Type.FLOAT)
+    case _ => primitive(Schema.Type.STRING) // strings + everything else hive-serialized
+  }
+
+  /** Partition fields as (name, sourceSparkType, partitionFieldId). */
+  def entrySchema(partitionFields: Seq[(String, DataType, Int)]): Schema = {
+    val partRec = Schema.createRecord("r102", null, null, false,
+      partitionFields.map { case (name, dt, id) =>
+        field(name, partitionAvroType(dt), id, nullable = true)
+      }.asJava)
+    val dataFile = Schema.createRecord("r2", null, null, false, Seq(
+      field("content", primitive(Schema.Type.INT), 134),
+      field("file_path", primitive(Schema.Type.STRING), 100),
+      field("file_format", primitive(Schema.Type.STRING), 101),
+      field("partition", partRec, 102),
+      field("record_count", primitive(Schema.Type.LONG), 103),
+      field("file_size_in_bytes", primitive(Schema.Type.LONG), 104),
+      field("value_counts", kvMap("k119_v120", 119, 120, Schema.Type.LONG), 109, nullable = true),
+      field("null_value_counts", kvMap("k121_v122", 121, 122, Schema.Type.LONG), 110, nullable = true),
+      field("lower_bounds", kvMap("k126_v127", 126, 127, Schema.Type.BYTES), 125, nullable = true),
+      field("upper_bounds", kvMap("k129_v130", 129, 130, Schema.Type.BYTES), 128, nullable = true)).asJava)
+    Schema.createRecord("manifest_entry", null, null, false, Seq(
+      field("status", primitive(Schema.Type.INT), 0),
+      field("snapshot_id", primitive(Schema.Type.LONG), 1, nullable = true),
+      field("sequence_number", primitive(Schema.Type.LONG), 3, nullable = true),
+      field("file_sequence_number", primitive(Schema.Type.LONG), 4, nullable = true),
+      field("data_file", dataFile, 2)).asJava)
+  }
+
+  val manifestListSchema: Schema =
+    Schema.createRecord("manifest_file", null, null, false, Seq(
+      field("manifest_path", primitive(Schema.Type.STRING), 500),
+      field("manifest_length", primitive(Schema.Type.LONG), 501),
+      field("partition_spec_id", primitive(Schema.Type.INT), 502),
+      field("content", primitive(Schema.Type.INT), 517),
+      field("sequence_number", primitive(Schema.Type.LONG), 515),
+      field("min_sequence_number", primitive(Schema.Type.LONG), 516),
+      field("added_snapshot_id", primitive(Schema.Type.LONG), 503),
+      field("added_files_count", primitive(Schema.Type.INT), 504),
+      field("existing_files_count", primitive(Schema.Type.INT), 505),
+      field("deleted_files_count", primitive(Schema.Type.INT), 506),
+      field("added_rows_count", primitive(Schema.Type.LONG), 512),
+      field("existing_rows_count", primitive(Schema.Type.LONG), 513),
+      field("deleted_rows_count", primitive(Schema.Type.LONG), 514)).asJava)
+
+  // --------------------------------------------------------------- write
+
+  private def kvRecords(schema: Schema, m: Map[Int, AnyRef]): GenericData.Array[GenericRecord] = {
+    val elem = schema.getElementType
+    val arr = new GenericData.Array[GenericRecord](m.size, schema)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(elem)
+      r.put("key", k)
+      r.put("value", v)
+      arr.add(r)
+    }
+    arr
+  }
+
+  private def unionBranch(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION) s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  private def partitionAvroValue(avroType: Schema, canonical: String): AnyRef = {
+    val t = unionBranch(avroType)
+    t.getType match {
+      case Schema.Type.INT => Integer.valueOf(canonical.toInt)
+      case Schema.Type.LONG => java.lang.Long.valueOf(canonical.toLong)
+      case Schema.Type.DOUBLE => java.lang.Double.valueOf(canonical.toDouble)
+      case Schema.Type.FLOAT => java.lang.Float.valueOf(canonical.toFloat)
+      case _ => canonical
+    }
+  }
+
+  /** Write one manifest file; returns its byte length. */
+  def writeManifest(
+      conf: Configuration,
+      path: Path,
+      schema: Schema,
+      entries: Seq[ManifestEntry]): Long = {
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(path, true)
+    val dataFileSchema = unionBranch(schema.getField("data_file").schema())
+    val partSchema = unionBranch(dataFileSchema.getField("partition").schema())
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    // iceberg readers expect these header properties
+    writer.setMeta("format-version", "2")
+    writer.setMeta("content", "data")
+    writer.create(schema, out)
+    try {
+      entries.foreach { e =>
+        val rec = new GenericData.Record(schema)
+        rec.put("status", e.status)
+        rec.put("snapshot_id", e.snapshotId)
+        rec.put("sequence_number", e.sequenceNumber)
+        rec.put("file_sequence_number", e.sequenceNumber)
+        val df = new GenericData.Record(dataFileSchema)
+        df.put("content", 0)
+        df.put("file_path", e.filePath)
+        df.put("file_format", e.fileFormat.toUpperCase)
+        val part = new GenericData.Record(partSchema)
+        partSchema.getFields.asScala.foreach { pf =>
+          e.partitionValues.get(pf.name()) match {
+            case Some(v) if v != null => part.put(pf.name(), partitionAvroValue(pf.schema(), v))
+            case _ => part.put(pf.name(), null)
+          }
+        }
+        df.put("partition", part)
+        df.put("record_count", e.recordCount)
+        df.put("file_size_in_bytes", e.fileSizeBytes)
+        df.put("value_counts", kvRecords(
+          unionBranch(dataFileSchema.getField("value_counts").schema()),
+          e.valueCounts.view.mapValues(java.lang.Long.valueOf(_): AnyRef).toMap))
+        df.put("null_value_counts", kvRecords(
+          unionBranch(dataFileSchema.getField("null_value_counts").schema()),
+          e.nullCounts.view.mapValues(java.lang.Long.valueOf(_): AnyRef).toMap))
+        df.put("lower_bounds", kvRecords(
+          unionBranch(dataFileSchema.getField("lower_bounds").schema()),
+          e.lowerBounds.view.mapValues(ByteBuffer.wrap(_): AnyRef).toMap))
+        df.put("upper_bounds", kvRecords(
+          unionBranch(dataFileSchema.getField("upper_bounds").schema()),
+          e.upperBounds.view.mapValues(ByteBuffer.wrap(_): AnyRef).toMap))
+        rec.put("data_file", df)
+        writer.append(rec)
+      }
+    } finally writer.close()
+    fs.getFileStatus(path).getLen
+  }
+
+  def writeManifestList(
+      conf: Configuration,
+      path: Path,
+      manifests: Seq[ManifestFileInfo]): Unit = {
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(path, true)
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestListSchema))
+    writer.setMeta("format-version", "2")
+    writer.create(manifestListSchema, out)
+    try manifests.foreach { m =>
+      val rec = new GenericData.Record(manifestListSchema)
+      rec.put("manifest_path", m.manifestPath)
+      rec.put("manifest_length", m.manifestLength)
+      rec.put("partition_spec_id", 0)
+      rec.put("content", 0)
+      rec.put("sequence_number", m.sequenceNumber)
+      rec.put("min_sequence_number", m.minSequenceNumber)
+      rec.put("added_snapshot_id", m.addedSnapshotId)
+      rec.put("added_files_count", m.addedFilesCount)
+      rec.put("existing_files_count", m.existingFilesCount)
+      rec.put("deleted_files_count", m.deletedFilesCount)
+      rec.put("added_rows_count", m.addedRowsCount)
+      rec.put("existing_rows_count", m.existingRowsCount)
+      rec.put("deleted_rows_count", m.deletedRowsCount)
+      writer.append(rec)
+    } finally writer.close()
+  }
+
+  // ---------------------------------------------------------------- read
+
+  private def readAvro(conf: Configuration, path: Path): Seq[GenericRecord] = {
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    try stream.iterator().asScala.toVector finally { stream.close(); in.close() }
+  }
+
+  private def kvToMap(v: AnyRef): Map[Int, AnyRef] = v match {
+    case null => Map.empty
+    case arr: java.util.Collection[_] =>
+      arr.asScala.map { r0 =>
+        val r = r0.asInstanceOf[GenericRecord]
+        r.get("key").asInstanceOf[Number].intValue() -> r.get("value")
+      }.toMap
+    case _ => Map.empty
+  }
+
+  private def bytesOf(v: AnyRef): Array[Byte] = v match {
+    case b: ByteBuffer =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case a: Array[Byte] => a
+  }
+
+  def readManifest(conf: Configuration, path: Path): Seq[ManifestEntry] =
+    readAvro(conf, path).map { rec =>
+      val df = rec.get("data_file").asInstanceOf[GenericRecord]
+      val part = df.get("partition").asInstanceOf[GenericRecord]
+      val partValues = part.getSchema.getFields.asScala.map { f =>
+        val v = part.get(f.name())
+        f.name() -> (if (v == null) null else v.toString)
+      }.toMap
+      ManifestEntry(
+        status = rec.get("status").asInstanceOf[Number].intValue(),
+        snapshotId = Option(rec.get("snapshot_id")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+        sequenceNumber = Option(rec.get("sequence_number")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+        filePath = df.get("file_path").toString,
+        fileFormat = df.get("file_format").toString.toLowerCase,
+        partitionValues = partValues,
+        recordCount = df.get("record_count").asInstanceOf[Number].longValue(),
+        fileSizeBytes = df.get("file_size_in_bytes").asInstanceOf[Number].longValue(),
+        valueCounts = kvToMap(df.get("value_counts")).view.mapValues(_.asInstanceOf[Number].longValue()).toMap,
+        nullCounts = kvToMap(df.get("null_value_counts")).view.mapValues(_.asInstanceOf[Number].longValue()).toMap,
+        lowerBounds = kvToMap(df.get("lower_bounds")).view.mapValues(bytesOf).toMap,
+        upperBounds = kvToMap(df.get("upper_bounds")).view.mapValues(bytesOf).toMap)
+    }
+
+  def readManifestList(conf: Configuration, path: Path): Seq[ManifestFileInfo] =
+    readAvro(conf, path).map { rec =>
+      ManifestFileInfo(
+        manifestPath = rec.get("manifest_path").toString,
+        manifestLength = rec.get("manifest_length").asInstanceOf[Number].longValue(),
+        sequenceNumber = rec.get("sequence_number").asInstanceOf[Number].longValue(),
+        minSequenceNumber = rec.get("min_sequence_number").asInstanceOf[Number].longValue(),
+        addedSnapshotId = rec.get("added_snapshot_id").asInstanceOf[Number].longValue(),
+        addedFilesCount = rec.get("added_files_count").asInstanceOf[Number].intValue(),
+        existingFilesCount = rec.get("existing_files_count").asInstanceOf[Number].intValue(),
+        deletedFilesCount = rec.get("deleted_files_count").asInstanceOf[Number].intValue(),
+        addedRowsCount = rec.get("added_rows_count").asInstanceOf[Number].longValue(),
+        existingRowsCount = rec.get("existing_rows_count").asInstanceOf[Number].longValue(),
+        deletedRowsCount = rec.get("deleted_rows_count").asInstanceOf[Number].longValue())
+    }
+}

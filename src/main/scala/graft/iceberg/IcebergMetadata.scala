@@ -1,0 +1,247 @@
+package graft.iceberg
+
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.types.StructType
+
+import scala.jdk.CollectionConverters._
+
+/** One committed Iceberg snapshot (spec: `snapshots` array entry). */
+final case class IcebergSnapshot(
+    snapshotId: Long,
+    parentId: Option[Long],
+    sequenceNumber: Long,
+    timestampMs: Long,
+    manifestList: String,
+    schemaId: Int,
+    operation: String, // append | overwrite | replace
+    summary: Map[String, String] = Map.empty)
+
+/** One partition-spec field (spec: `partition-specs[].fields[]`). */
+final case class IcebergPartitionFieldSpec(
+    name: String,
+    transform: String, // identity | year | month | day | hour
+    sourceId: Int,
+    fieldId: Int)
+
+/**
+ * Iceberg table metadata (format v2) — the `metadata/vN.metadata.json`
+ * document. The reference manipulates this through the Iceberg library
+ * (ref `core/.../iceberg/IcebergClient.java:135-237`); with no Iceberg
+ * runtime on the classpath (SURVEY.md §7) the codec speaks the public
+ * spec directly.
+ */
+final case class IcebergTableMetadata(
+    tableUuid: String,
+    location: String,
+    lastSequenceNumber: Long,
+    lastUpdatedMs: Long,
+    lastColumnId: Int,
+    currentSchemaId: Int,
+    schema: StructType, // id-stamped (IcebergSchemas.FieldIdKey)
+    partitionSpec: Seq[IcebergPartitionFieldSpec],
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[IcebergSnapshot],
+    snapshotLog: Seq[(Long, Long)]) { // (timestampMs, snapshotId)
+
+  def snapshot(id: Long): IcebergSnapshot =
+    snapshots.find(_.snapshotId == id)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $id"))
+
+  def currentSnapshot: Option[IcebergSnapshot] = currentSnapshotId.map(snapshot)
+
+  /** Latest snapshot with timestamp <= ts; ties resolve to the newer
+    * snapshot (same rule as Delta timestampAsOf). */
+  def snapshotForTimestamp(tsMillis: Long): IcebergSnapshot = {
+    val c = snapshots.filter(_.timestampMs <= tsMillis)
+    require(c.nonEmpty, s"no snapshot at or before $tsMillis")
+    c.maxBy(s => (s.timestampMs, s.sequenceNumber))
+  }
+}
+
+object IcebergMetadataCodec {
+  private val mapper = new ObjectMapper()
+
+  def toJson(m: IcebergTableMetadata): String = {
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", m.tableUuid)
+    root.put("location", m.location)
+    root.put("last-sequence-number", m.lastSequenceNumber)
+    root.put("last-updated-ms", m.lastUpdatedMs)
+    root.put("last-column-id", m.lastColumnId)
+    root.put("current-schema-id", m.currentSchemaId)
+    val schemas = root.putArray("schemas")
+    schemas.add(IcebergSchemas.toJson(m.schema, m.currentSchemaId))
+    root.put("default-spec-id", 0)
+    val specs = root.putArray("partition-specs")
+    val spec = specs.addObject()
+    spec.put("spec-id", 0)
+    val sf = spec.putArray("fields")
+    m.partitionSpec.foreach { f =>
+      val n = sf.addObject()
+      n.put("name", f.name)
+      n.put("transform", f.transform)
+      n.put("source-id", f.sourceId)
+      n.put("field-id", f.fieldId)
+    }
+    root.put("last-partition-id",
+      (999 +: m.partitionSpec.map(_.fieldId)).max)
+    root.put("default-sort-order-id", 0)
+    val orders = root.putArray("sort-orders")
+    val order = orders.addObject()
+    order.put("order-id", 0)
+    order.putArray("fields")
+    val props = root.putObject("properties")
+    m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    m.currentSnapshotId.foreach(root.put("current-snapshot-id", _))
+    val snaps = root.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val n = snaps.addObject()
+      n.put("snapshot-id", s.snapshotId)
+      s.parentId.foreach(n.put("parent-snapshot-id", _))
+      n.put("sequence-number", s.sequenceNumber)
+      n.put("timestamp-ms", s.timestampMs)
+      n.put("manifest-list", s.manifestList)
+      n.put("schema-id", s.schemaId)
+      val sm = n.putObject("summary")
+      sm.put("operation", s.operation)
+      s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
+    }
+    val slog = root.putArray("snapshot-log")
+    m.snapshotLog.foreach { case (ts, id) =>
+      val n = slog.addObject()
+      n.put("timestamp-ms", ts)
+      n.put("snapshot-id", id)
+    }
+    root.putArray("metadata-log")
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def fromJson(json: String): IcebergTableMetadata = {
+    val root = mapper.readTree(json)
+    val currentSchemaId = root.get("current-schema-id").asInt()
+    val schemaNode = root.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == currentSchemaId)
+      .getOrElse(throw new IllegalArgumentException("current schema not found"))
+    val specNode = root.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == root.get("default-spec-id").asInt())
+      .getOrElse(throw new IllegalArgumentException("default spec not found"))
+    IcebergTableMetadata(
+      tableUuid = root.get("table-uuid").asText(),
+      location = root.get("location").asText(),
+      lastSequenceNumber = root.get("last-sequence-number").asLong(),
+      lastUpdatedMs = root.get("last-updated-ms").asLong(),
+      lastColumnId = root.get("last-column-id").asInt(),
+      currentSchemaId = currentSchemaId,
+      schema = IcebergSchemas.fromJson(schemaNode),
+      partitionSpec = specNode.get("fields").elements().asScala.map { f =>
+        IcebergPartitionFieldSpec(
+          f.get("name").asText(),
+          f.get("transform").asText(),
+          f.get("source-id").asInt(),
+          f.get("field-id").asInt())
+      }.toSeq,
+      properties = Option(root.get("properties")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+      currentSnapshotId =
+        Option(root.get("current-snapshot-id")).filterNot(_.isNull).map(_.asLong()),
+      snapshots = Option(root.get("snapshots")).map(_.elements().asScala.map { s =>
+        IcebergSnapshot(
+          snapshotId = s.get("snapshot-id").asLong(),
+          parentId = Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong()),
+          sequenceNumber = s.get("sequence-number").asLong(),
+          timestampMs = s.get("timestamp-ms").asLong(),
+          manifestList = s.get("manifest-list").asText(),
+          schemaId = s.get("schema-id").asInt(),
+          operation = Option(s.get("summary")).map(_.get("operation").asText()).getOrElse(""),
+          summary = Option(s.get("summary")).map(_.properties().asScala
+            .filter(_.getKey != "operation")
+            .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
+      }.toSeq).getOrElse(Seq.empty),
+      snapshotLog = Option(root.get("snapshot-log")).map(_.elements().asScala.map { e =>
+        (e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong())
+      }.toSeq).getOrElse(Seq.empty))
+  }
+}
+
+/**
+ * Versioned metadata-file log under `<table>/metadata/` with the
+ * HadoopTables layout: `vN.metadata.json` + `version-hint.text`. The
+ * commit point is the put-if-absent creation of `vN.metadata.json`
+ * (temp file + no-overwrite rename, same protocol as our Delta log);
+ * the hint file is a non-authoritative pointer for fast lookup.
+ */
+final class IcebergMetadataLog(val tablePath: String, sc: SparkContext) {
+
+  val metadataDir = new Path(tablePath, "metadata")
+  private def fs: FileSystem = metadataDir.getFileSystem(sc.hadoopConfiguration)
+  private def versionFile(v: Long): Path = new Path(metadataDir, s"v$v.metadata.json")
+  private val hintFile = new Path(metadataDir, "version-hint.text")
+
+  def listVersions(): Seq[Long] = {
+    if (!fs.exists(metadataDir)) return Seq.empty
+    fs.listStatus(metadataDir).toSeq
+      .map(_.getPath.getName)
+      .flatMap { n =>
+        val m = "v(\\d+)\\.metadata\\.json".r.findFirstMatchIn(n)
+        m.map(_.group(1).toLong)
+      }
+      .sorted
+  }
+
+  def latestVersion(): Option[Long] = {
+    // fast path via hint, verified; fallback to listing
+    val hinted =
+      try {
+        if (fs.exists(hintFile)) {
+          val in = fs.open(hintFile)
+          val s = try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+          finally in.close()
+          val v = s.trim.toLong
+          if (fs.exists(versionFile(v)) && !fs.exists(versionFile(v + 1))) Some(v) else None
+        } else None
+      } catch { case _: Exception => None }
+    hinted.orElse(listVersions().lastOption)
+  }
+
+  def read(v: Long): IcebergTableMetadata = {
+    val in = fs.open(versionFile(v))
+    val s = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+    IcebergMetadataCodec.fromJson(s)
+  }
+
+  def readLatest(): Option[(Long, IcebergTableMetadata)] =
+    latestVersion().map(v => (v, read(v)))
+
+  /** Put-if-absent commit of version `v`; false = lost the race. */
+  def commit(v: Long, metadata: IcebergTableMetadata): Boolean = {
+    fs.mkdirs(metadataDir)
+    val target = versionFile(v)
+    if (fs.exists(target)) return false
+    val tmp = new Path(metadataDir, s".tmp_${java.util.UUID.randomUUID()}_v$v.json")
+    val out = fs.create(tmp, true)
+    try out.write(IcebergMetadataCodec.toJson(metadata).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        metadataDir.toUri, sc.hadoopConfiguration)
+      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+      val hint = fs.create(hintFile, true)
+      try hint.write(v.toString.getBytes(StandardCharsets.UTF_8)) finally hint.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        false
+    }
+  }
+}

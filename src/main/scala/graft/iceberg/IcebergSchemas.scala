@@ -1,0 +1,235 @@
+package graft.iceberg
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * Iceberg schema JSON codec + single-value binary codec, implemented
+ * from the public Iceberg table spec (format v2). The engine's analog of
+ * the reference's `IcebergSchemaExtractor` (ref
+ * `core/.../iceberg/IcebergSchemaExtractor.java:132-369`) and
+ * `IcebergColumnStatsConverter` value encoding (ref
+ * `core/.../iceberg/IcebergColumnStatsConverter.java:90-134` which
+ * delegates to Iceberg's `Conversions.fromByteBuffer`; here the codec is
+ * written out, spec Appendix D "Single-value serialization").
+ *
+ * Field ids: assigned when absent with the reference's rule — top-level
+ * fields first, then nested fields, via a single counter
+ * (ref `IcebergSchemaExtractor.java:144-166`). Ids are carried in
+ * `StructField.metadata` under [[IcebergSchemas.FieldIdKey]] so the
+ * assignment is stable across round-trips.
+ */
+object IcebergSchemas {
+
+  val FieldIdKey = "graft.iceberg.field.id"
+
+  private val mapper = new ObjectMapper()
+
+  // --------------------------------------------------- field-id assignment
+
+  /** Stamp every field (incl. nested) with a stable iceberg field id:
+    * top level first, then nested, one counter — reference rule. */
+  def assignFieldIds(schema: StructType): StructType = {
+    var next = 0
+    def nextId(): Int = { next += 1; next }
+    // top-level pass
+    val top = schema.fields.map { f =>
+      val id = fieldId(f).getOrElse(nextId())
+      (f, id)
+    }
+    def nested(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        val withIds = s.fields.map { f =>
+          val id = fieldId(f).getOrElse(nextId())
+          f.copy(metadata = withFieldId(f.metadata, id), dataType = nested(f.dataType))
+        }
+        StructType(withIds)
+      case a: ArrayType => a.copy(elementType = nested(a.elementType))
+      case m: MapType => m.copy(valueType = nested(m.valueType))
+      case other => other
+    }
+    StructType(top.map { case (f, id) =>
+      f.copy(metadata = withFieldId(f.metadata, id), dataType = nested(f.dataType))
+    })
+  }
+
+  def fieldId(f: StructField): Option[Int] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey).toInt) else None
+
+  private def withFieldId(m: Metadata, id: Int): Metadata =
+    new MetadataBuilder().withMetadata(m).putLong(FieldIdKey, id.toLong).build()
+
+  /** Highest id used anywhere in an id-stamped schema. */
+  def lastColumnId(schema: StructType): Int = {
+    def walk(dt: DataType): Int = dt match {
+      case s: StructType =>
+        (0 +: s.fields.toSeq.map(f => math.max(fieldId(f).getOrElse(0), walk(f.dataType)))).max
+      case a: ArrayType => walk(a.elementType)
+      case m: MapType => walk(m.valueType)
+      case _ => 0
+    }
+    walk(schema)
+  }
+
+  // ------------------------------------------------------------- to JSON
+
+  /** Iceberg type string / object for a Spark type. Nested list/map
+    * element ids are synthesized above the last column id. */
+  def toJson(schema: StructType, schemaId: Int): ObjectNode = {
+    // nested collection ids must not collide with field ids
+    var nextCollectionId = lastColumnId(schema)
+    def collId(): Int = { nextCollectionId += 1; nextCollectionId }
+
+    def typeNode(dt: DataType): Object = dt match {
+      case BooleanType => "boolean"
+      case ByteType | ShortType | IntegerType => "int"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case TimestampNTZType => "timestamp"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case s: StructType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "struct")
+        val arr = n.putArray("fields")
+        s.fields.foreach { f =>
+          val fn = arr.addObject()
+          val id: Int = fieldId(f).getOrElse(
+            throw new IllegalStateException(s"field ${f.name} missing iceberg id"))
+          fn.put("id", id)
+          fn.put("name", f.name)
+          fn.put("required", !f.nullable)
+          fn.set[com.fasterxml.jackson.databind.JsonNode]("type", asJsonNode(typeNode(f.dataType)))
+        }
+        n
+      case a: ArrayType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", collId())
+        n.set[com.fasterxml.jackson.databind.JsonNode]("element", asJsonNode(typeNode(a.elementType)))
+        n.put("element-required", !a.containsNull)
+        n
+      case m: MapType =>
+        require(m.keyType == StringType || m.keyType == IntegerType || m.keyType == LongType,
+          s"unsupported map key type ${m.keyType}")
+        val n = mapper.createObjectNode()
+        n.put("type", "map")
+        n.put("key-id", collId())
+        n.set[com.fasterxml.jackson.databind.JsonNode]("key", asJsonNode(typeNode(m.keyType)))
+        n.put("value-id", collId())
+        n.set[com.fasterxml.jackson.databind.JsonNode]("value", asJsonNode(typeNode(m.valueType)))
+        n.put("value-required", !m.valueContainsNull)
+        n
+      case other => throw new IllegalArgumentException(s"unsupported type for iceberg: $other")
+    }
+
+    val root = typeNode(schema).asInstanceOf[ObjectNode]
+    // schema-id precedes fields in spirit; Jackson keeps insertion order,
+    // spec does not require field order
+    root.put("schema-id", schemaId)
+    root
+  }
+
+  private def asJsonNode(o: Object): JsonNode = o match {
+    case s: String => mapper.getNodeFactory.textNode(s)
+    case n: JsonNode => n
+  }
+
+  // ----------------------------------------------------------- from JSON
+
+  def fromJson(node: JsonNode): StructType =
+    parseType(node).asInstanceOf[StructType]
+
+  private def parseType(node: JsonNode): DataType = {
+    if (node.isTextual) return parsePrimitive(node.asText())
+    node.get("type").asText() match {
+      case "struct" =>
+        StructType(node.get("fields").elements().asScala.map { f =>
+          StructField(
+            f.get("name").asText(),
+            parseType(f.get("type")),
+            nullable = !f.get("required").asBoolean(),
+            metadata = new MetadataBuilder()
+              .putLong(FieldIdKey, f.get("id").asLong()).build())
+        }.toSeq)
+      case "list" =>
+        ArrayType(parseType(node.get("element")), !node.get("element-required").asBoolean())
+      case "map" =>
+        MapType(
+          parseType(node.get("key")),
+          parseType(node.get("value")),
+          !node.get("value-required").asBoolean())
+      case other => throw new IllegalArgumentException(s"unknown iceberg type: $other")
+    }
+  }
+
+  private val DecimalRe = "decimal\\((\\d+),\\s*(\\d+)\\)".r
+  private val FixedRe = "fixed\\[(\\d+)\\]".r
+
+  private def parsePrimitive(s: String): DataType = s match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "date" => DateType
+    case "timestamp" => TimestampNTZType
+    case "timestamptz" => TimestampType
+    case "string" => StringType
+    case "uuid" => StringType
+    case "binary" => BinaryType
+    case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+    case FixedRe(_) => BinaryType
+    case other => throw new IllegalArgumentException(s"unknown iceberg primitive: $other")
+  }
+
+  // ---------------------------------------- single-value (bounds) codec
+
+  /**
+   * Iceberg single-value serialization (spec Appendix D): little-endian
+   * fixed width for numerics, UTF-8 for strings, unscaled big-endian
+   * bytes for decimals. Values here arrive in the engine's canonical
+   * stat-string form (dates epoch-days, timestamps epoch-micros —
+   * `graft.stats.ParquetFooterStats`).
+   */
+  def encodeBound(dt: DataType, canonical: String): Array[Byte] = dt match {
+    case BooleanType => Array[Byte](if (canonical.toBoolean) 1 else 0)
+    case ByteType | ShortType | IntegerType | DateType =>
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(canonical.toInt).array()
+    case LongType | TimestampType | TimestampNTZType =>
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(canonical.toLong).array()
+    case FloatType =>
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putFloat(canonical.toFloat).array()
+    case DoubleType =>
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(canonical.toDouble).array()
+    case StringType => canonical.getBytes(StandardCharsets.UTF_8)
+    case d: DecimalType =>
+      new java.math.BigDecimal(canonical).setScale(d.scale).unscaledValue().toByteArray
+    case _ => throw new IllegalArgumentException(s"no bound encoding for $dt")
+  }
+
+  /** Decode back to the engine's canonical stat-string form. */
+  def decodeBound(dt: DataType, bytes: Array[Byte]): String = dt match {
+    case BooleanType => (bytes(0) != 0).toString
+    case ByteType | ShortType | IntegerType | DateType =>
+      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt.toString
+    case LongType | TimestampType | TimestampNTZType =>
+      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong.toString
+    case FloatType => ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat.toString
+    case DoubleType => ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getDouble.toString
+    case StringType => new String(bytes, StandardCharsets.UTF_8)
+    case d: DecimalType =>
+      new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale).toPlainString
+    case _ => throw new IllegalArgumentException(s"no bound decoding for $dt")
+  }
+}

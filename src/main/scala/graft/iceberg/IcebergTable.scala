@@ -1,0 +1,409 @@
+package graft.iceberg
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.stats.{FileFooterStats, ParquetFooterStats}
+import graft.util.StagedWrites
+
+/**
+ * Native Iceberg (format v2) table: create/append/overwrite with real
+ * data writes, metadata-only conversion of existing parquet, snapshot
+ * reads, snapshot-id / timestamp time travel, incremental change reads,
+ * and a scan with partition pruning + min/max skipping evaluated on the
+ * manifests — mirroring the Delta path so the two formats answer
+ * queries identically (the reference's core contract, ref
+ * `ITOneTableClient.java:748-813`).
+ *
+ * Scale shape: the manifest LIST is driver-side (one row per manifest),
+ * manifest READS fan out over executors — at 10^6 files a snapshot has
+ * hundreds of manifests each holding thousands of entries, so planning
+ * parallelizes while the driver never materializes per-file stats
+ * (ref `IcebergSourceClient.java:133-168` plans via the Iceberg library
+ * on one thread; this is the distributed re-expression).
+ */
+final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataLog) {
+
+  def tablePath: String = log.tablePath
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  // ---------------------------------------------------------------- reads
+
+  def currentMetadata: IcebergTableMetadata =
+    log.readLatest().map(_._2).getOrElse(
+      throw new IllegalStateException(s"not an iceberg table: $tablePath"))
+
+  /** Snapshot ids in commit order. */
+  def snapshotIds: Seq[Long] = currentMetadata.snapshotLog.map(_._2)
+
+  def schema: StructType = currentMetadata.schema
+
+  /** Spark-facing schema (iceberg field-id metadata stripped). */
+  def sparkSchema: StructType = StructType(schema.fields.map(f => f.copy(metadata = Metadata.empty)))
+
+  def scan: IcebergScanBuilder = new IcebergScanBuilder(spark, this, None)
+  def scanAsOf(snapshotId: Long): IcebergScanBuilder =
+    new IcebergScanBuilder(spark, this, Some(snapshotId))
+  def scanAsOfTimestamp(tsMillis: Long): IcebergScanBuilder =
+    new IcebergScanBuilder(spark, this, Some(currentMetadata.snapshotForTimestamp(tsMillis).snapshotId))
+
+  def toDF(snapshotAsOf: Option[Long] = None): DataFrame =
+    (snapshotAsOf match {
+      case Some(id) => scanAsOf(id)
+      case None => scan
+    }).toDF()
+
+  /** Live manifest entries of a snapshot (executor-side manifest reads). */
+  private[iceberg] def liveEntries(snapshotId: Option[Long]): Seq[ManifestEntry] = {
+    val meta = currentMetadata
+    val snap = snapshotId.map(meta.snapshot).orElse(meta.currentSnapshot).getOrElse(
+      throw new IllegalStateException(s"empty iceberg table: $tablePath"))
+    val manifests = IcebergManifests.readManifestList(hconf, new Path(snap.manifestList))
+    val conf = new SerializableConfiguration(hconf)
+    val paths = manifests.map(_.manifestPath)
+    if (paths.isEmpty) return Seq.empty
+    spark.sparkContext
+      .parallelize(paths, math.min(paths.size, 64))
+      .flatMap(p => IcebergManifests.readManifest(conf.value, new Path(p)))
+      .filter(_.status != ManifestEntry.StatusDeleted)
+      .collect().toSeq
+  }
+
+  /**
+   * Files added in snapshots after `fromSnapshotId` up to `toSnapshotId`
+   * (both resolved through the snapshot log) — the incremental change
+   * feed (ref `IcebergSourceClient.java:170-196` addedDataFiles).
+   */
+  def changesAsDF(fromSnapshotExclusive: Long, toSnapshotInclusive: Long): DataFrame = {
+    val meta = currentMetadata
+    val ids = meta.snapshotLog.map(_._2)
+    val fromIdx = ids.indexOf(fromSnapshotExclusive)
+    val toIdx = ids.indexOf(toSnapshotInclusive)
+    require(fromIdx >= 0 && toIdx > fromIdx, s"bad snapshot range on $tablePath")
+    val conf = new SerializableConfiguration(hconf)
+    val targets = ids.slice(fromIdx + 1, toIdx + 1).toSet
+    val manifestPaths = ids.slice(fromIdx + 1, toIdx + 1)
+      .flatMap(id => IcebergManifests.readManifestList(hconf, new Path(meta.snapshot(id).manifestList)))
+      .filter(m => targets.contains(m.addedSnapshotId))
+      .map(_.manifestPath).distinct
+    val added = spark.sparkContext
+      .parallelize(manifestPaths, math.max(1, math.min(manifestPaths.size, 64)))
+      .flatMap(p => IcebergManifests.readManifest(conf.value, new Path(p)))
+      .filter(e => e.status == ManifestEntry.StatusAdded && targets.contains(e.snapshotId))
+      .map(_.filePath)
+      .collect().toSeq.distinct
+    readFiles(added)
+  }
+
+  private[iceberg] def readFiles(files: Seq[String]): DataFrame = {
+    val meta = currentMetadata
+    val partCols = meta.partitionSpec.map(_.name)
+    val out = sparkSchema
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    val basePath = meta.properties.getOrElse("graft.converted.from", tablePath)
+    if (partCols.nonEmpty)
+      spark.read.option("basePath", basePath).schema(out).parquet(files: _*)
+    else
+      spark.read.schema(out).parquet(files: _*)
+  }
+
+  // ---------------------------------------------------------------- writes
+
+  def append(df: DataFrame, partitionColumns: Seq[String] = Seq.empty): Long =
+    write(df, partitionColumns, overwrite = false)
+
+  /** Logical overwrite; old snapshots stay time-travelable. */
+  def overwrite(df: DataFrame, partitionColumns: Seq[String] = Seq.empty): Long =
+    write(df, partitionColumns, overwrite = true)
+
+  private def write(df: DataFrame, partitionColumns: Seq[String], overwrite: Boolean): Long = {
+    val newFiles = StagedWrites.writeAndPlace(df, tablePath, partitionColumns)
+    val stats = ParquetFooterStats.collect(spark, newFiles)
+    val prev = log.readLatest()
+    val idSchema = prev.map(_._2.schema).getOrElse(IcebergSchemas.assignFieldIds(df.schema))
+    val entries = stats.map(st =>
+      IcebergTable.entryFor(st, idSchema, partitionColumns, tablePath))
+    commitSnapshot(prev, idSchema, partitionColumns, entries, overwrite,
+      if (overwrite) "overwrite" else "append", Map.empty)
+  }
+
+  /**
+   * Commit protocol: write adds manifest + (for overwrite) a delete
+   * manifest recording previously-live files, build the new manifest
+   * list, then put-if-absent the next `vN.metadata.json` — losing the
+   * race surfaces as require() so callers can re-plan, while data files
+   * are never shared between writers (staged placement).
+   */
+  private def commitSnapshot(
+      prev: Option[(Long, IcebergTableMetadata)],
+      idSchema: StructType,
+      partitionColumns: Seq[String],
+      adds: Seq[ManifestEntry],
+      replacesLive: Boolean,
+      operation: String,
+      extraProps: Map[String, String]): Long = {
+    val now = System.currentTimeMillis()
+    val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
+    val seq = prev.map(_._2.lastSequenceNumber + 1).getOrElse(1L)
+    val specFields = IcebergTable.specFor(idSchema, partitionColumns)
+    val partFieldTypes = specFields.map { f =>
+      val sf = idSchema.fields.find(x => IcebergSchemas.fieldId(x).contains(f.sourceId)).get
+      (f.name, sf.dataType, f.fieldId)
+    }
+    val entrySchema = IcebergManifests.entrySchema(partFieldTypes)
+    val metaDir = log.metadataDir
+
+    val stamped = adds.map(_.copy(snapshotId = snapshotId, sequenceNumber = seq))
+    val addManifest = new Path(metaDir, s"${UUID.randomUUID()}-m0.avro")
+    val addLen = IcebergManifests.writeManifest(hconf, addManifest, entrySchema, stamped)
+    val addInfo = ManifestFileInfo(
+      manifestPath = addManifest.toString,
+      manifestLength = addLen,
+      sequenceNumber = seq,
+      minSequenceNumber = seq,
+      addedSnapshotId = snapshotId,
+      addedFilesCount = stamped.size,
+      existingFilesCount = 0,
+      deletedFilesCount = 0,
+      addedRowsCount = stamped.map(_.recordCount).sum,
+      existingRowsCount = 0L,
+      deletedRowsCount = 0L)
+
+    val carried: Seq[ManifestFileInfo] = prev match {
+      case Some((_, m)) if m.currentSnapshotId.nonEmpty =>
+        val prevList = IcebergManifests.readManifestList(
+          hconf, new Path(m.currentSnapshot.get.manifestList))
+        if (!replacesLive) prevList
+        else {
+          // record the dropped files for incremental readers
+          val dead = liveEntries(None).map(_.copy(
+            status = ManifestEntry.StatusDeleted, snapshotId = snapshotId, sequenceNumber = seq))
+          if (dead.isEmpty) Seq.empty
+          else {
+            val delManifest = new Path(metaDir, s"${UUID.randomUUID()}-m1.avro")
+            val delLen = IcebergManifests.writeManifest(hconf, delManifest, entrySchema, dead)
+            Seq(ManifestFileInfo(
+              manifestPath = delManifest.toString,
+              manifestLength = delLen,
+              sequenceNumber = seq,
+              minSequenceNumber = seq,
+              addedSnapshotId = snapshotId,
+              addedFilesCount = 0,
+              existingFilesCount = 0,
+              deletedFilesCount = dead.size,
+              addedRowsCount = 0L,
+              existingRowsCount = 0L,
+              deletedRowsCount = dead.map(_.recordCount).sum))
+          }
+        }
+      case _ => Seq.empty
+    }
+
+    val listPath = new Path(metaDir, s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
+    IcebergManifests.writeManifestList(hconf, listPath, addInfo +: carried)
+
+    val snap = IcebergSnapshot(
+      snapshotId = snapshotId,
+      parentId = prev.flatMap(_._2.currentSnapshotId),
+      sequenceNumber = seq,
+      timestampMs = now,
+      manifestList = listPath.toString,
+      schemaId = 0,
+      operation = operation,
+      summary = Map(
+        "added-data-files" -> adds.size.toString,
+        "added-records" -> adds.map(_.recordCount).sum.toString))
+
+    val base = prev.map(_._2).getOrElse(IcebergTableMetadata(
+      tableUuid = UUID.randomUUID().toString,
+      location = tablePath,
+      lastSequenceNumber = 0L,
+      lastUpdatedMs = now,
+      lastColumnId = IcebergSchemas.lastColumnId(idSchema),
+      currentSchemaId = 0,
+      schema = idSchema,
+      partitionSpec = specFields,
+      properties = Map("write.format.default" -> "parquet") ++ extraProps,
+      currentSnapshotId = None,
+      snapshots = Seq.empty,
+      snapshotLog = Seq.empty))
+    val next = base.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      schema = idSchema,
+      partitionSpec = specFields,
+      properties = base.properties ++ extraProps,
+      currentSnapshotId = Some(snapshotId),
+      snapshots = base.snapshots :+ snap,
+      snapshotLog = base.snapshotLog :+ (now, snapshotId))
+    val v = prev.map(_._1 + 1).getOrElse(1L)
+    require(log.commit(v, next), s"concurrent iceberg commit at v$v of $tablePath")
+    snapshotId
+  }
+}
+
+object IcebergTable {
+
+  def forPath(spark: SparkSession, tablePath: String): IcebergTable =
+    new IcebergTable(spark, new IcebergMetadataLog(tablePath, spark.sparkContext))
+
+  def create(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      partitionColumns: Seq[String] = Seq.empty): IcebergTable = {
+    val t = forPath(spark, tablePath)
+    require(t.log.latestVersion().isEmpty, s"table already exists: $tablePath")
+    t.append(df, partitionColumns)
+    t
+  }
+
+  /** Metadata-only conversion of an existing parquet dataset — data
+    * files referenced in place by absolute path, hive partition dirs
+    * become identity partition fields (reference sync contract). */
+  def convertFromParquet(
+      spark: SparkSession,
+      sourceLocation: String,
+      tablePath: String): IcebergTable = {
+    val t = forPath(spark, tablePath)
+    require(t.log.latestVersion().isEmpty, s"table already exists: $tablePath")
+    val files = ParquetFooterStats.listParquetFiles(spark, sourceLocation)
+    val inferred = spark.read.parquet(sourceLocation).schema
+    val srcBase = new Path(sourceLocation).toUri.getPath.stripSuffix("/") + "/"
+    val relOf = (p: String) => new Path(p).toUri.getPath.stripPrefix(srcBase)
+    val hiveKeys: Set[String] = files.headOption.map { f =>
+      relOf(f).split("/").dropRight(1).flatMap(_.split("=", 2) match {
+        case Array(k, _) if inferred.fieldNames.contains(k) => Some(k)
+        case _ => None
+      }).toSet
+    }.getOrElse(Set.empty)
+    val partCols = inferred.fieldNames.toSeq.filter(hiveKeys.contains)
+    val idSchema = IcebergSchemas.assignFieldIds(inferred)
+    val stats = ParquetFooterStats.collect(spark, files)
+    val entries = stats.map(st => entryFor(st, idSchema, partCols, sourceLocation))
+    t.commitSnapshot(None, idSchema, partCols, entries, replacesLive = false,
+      operation = "append", extraProps = Map("graft.converted.from" -> sourceLocation))
+    t
+  }
+
+  // ------------------------------------------------------------ internals
+
+  private[iceberg] def specFor(
+      idSchema: StructType, partitionColumns: Seq[String]): Seq[IcebergPartitionFieldSpec] =
+    partitionColumns.zipWithIndex.map { case (c, i) =>
+      val f = idSchema.fields.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(s"unknown partition column $c"))
+      IcebergPartitionFieldSpec(c, "identity", IcebergSchemas.fieldId(f).get, 1000 + i)
+    }
+
+  /** Manifest entry for one written/converted file (footer stats →
+    * field-id keyed counts + spec-encoded bounds). */
+  private[iceberg] def entryFor(
+      st: FileFooterStats,
+      idSchema: StructType,
+      partitionColumns: Seq[String],
+      baseForPartitions: String): ManifestEntry = {
+    val byName = st.columns.map(c => c.column -> c).toMap
+    val fields = idSchema.fields.filterNot(f => partitionColumns.contains(f.name))
+    var valueCounts = Map.empty[Int, Long]
+    var nullCounts = Map.empty[Int, Long]
+    var lower = Map.empty[Int, Array[Byte]]
+    var upper = Map.empty[Int, Array[Byte]]
+    fields.foreach { f =>
+      val id = IcebergSchemas.fieldId(f).get
+      byName.get(f.name).foreach { c =>
+        valueCounts += id -> c.numValues
+        if (c.numNulls >= 0) nullCounts += id -> c.numNulls
+        def enc(v: String): Option[Array[Byte]] =
+          try Some(IcebergSchemas.encodeBound(f.dataType, v)) catch { case _: Exception => None }
+        c.minValue.flatMap(enc).foreach(b => lower += id -> b)
+        c.maxValue.flatMap(enc).foreach(b => upper += id -> b)
+      }
+    }
+    val rel = {
+      val base = new Path(baseForPartitions).toUri.getPath.stripSuffix("/") + "/"
+      new Path(st.path).toUri.getPath.stripPrefix(base)
+    }
+    val partValues = rel.split("/").dropRight(1).flatMap(_.split("=", 2) match {
+      case Array(k, v) if partitionColumns.contains(k) =>
+        val d = java.net.URLDecoder.decode(v, "UTF-8")
+        Some(k -> (if (d == "__HIVE_DEFAULT_PARTITION__") null else d))
+      case _ => None
+    }).toMap
+    ManifestEntry(
+      status = ManifestEntry.StatusAdded,
+      snapshotId = 0L,
+      sequenceNumber = 0L,
+      filePath = st.path,
+      fileFormat = "parquet",
+      partitionValues = partValues,
+      recordCount = st.recordCount,
+      fileSizeBytes = st.fileSizeBytes,
+      valueCounts = valueCounts,
+      nullCounts = nullCounts,
+      lowerBounds = lower,
+      upperBounds = upper)
+  }
+}
+
+/**
+ * Manifest-level pruning: partition predicates against the partition
+ * struct, min/max skipping against the spec-encoded bounds — both
+ * evaluated before any parquet footer is opened (same layer as the
+ * Delta scan builder; SURVEY.md §4 "file skipping").
+ */
+final class IcebergScanBuilder(
+    spark: SparkSession,
+    table: IcebergTable,
+    asOfSnapshot: Option[Long]) {
+
+  private var partitionPredicates: Seq[(String, Set[String])] = Seq.empty
+  private var rangePredicates: Seq[(String, Option[String], Option[String])] = Seq.empty
+
+  def partitionIn(column: String, values: Set[String]): IcebergScanBuilder = {
+    partitionPredicates +:= (column -> values)
+    this
+  }
+
+  def range(column: String, lo: Option[Any], hi: Option[Any]): IcebergScanBuilder = {
+    rangePredicates +:= ((column, lo.map(_.toString), hi.map(_.toString)))
+    this
+  }
+
+  /** Pruned entry list (driver holds only survivors' paths). */
+  def files(): Seq[ManifestEntry] = {
+    val meta = table.currentMetadata
+    val schemaByName = meta.schema.fields.map(f => f.name -> f).toMap
+    var kept = table.liveEntries(asOfSnapshot)
+    partitionPredicates.foreach { case (c, vs) =>
+      kept = kept.filter(e => e.partitionValues.get(c).exists(v => v != null && vs.contains(v)))
+    }
+    rangePredicates.foreach { case (c, lo, hi) =>
+      val f = schemaByName(c)
+      val id = IcebergSchemas.fieldId(f).get
+      def cmp(a: String, b: String): Int = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             DateType | TimestampType | TimestampNTZType => a.toLong.compareTo(b.toLong)
+        case FloatType | DoubleType => a.toDouble.compareTo(b.toDouble)
+        case _: DecimalType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+        case _ => a.compareTo(b)
+      }
+      kept = kept.filter { e =>
+        // keep when bounds are absent (can't prove exclusion)
+        val minOk = hi.forall(h => e.lowerBounds.get(id).forall(b =>
+          cmp(IcebergSchemas.decodeBound(f.dataType, b), h) <= 0))
+        val maxOk = lo.forall(l => e.upperBounds.get(id).forall(b =>
+          cmp(IcebergSchemas.decodeBound(f.dataType, b), l) >= 0))
+        minOk && maxOk
+      }
+    }
+    kept
+  }
+
+  def toDF(): DataFrame = table.readFiles(files().map(_.filePath))
+}

@@ -62,6 +62,9 @@ object FormatQueries {
       DeltaTable.forPath(spark, s"${dir(spark, sfDir)}/$name")
   }
 
+  /** Fixture root for cross-format queries (builds fixtures if needed). */
+  def fixtureDir(spark: SparkSession, sfDir: String): String = Fixtures.dir(spark, sfDir)
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql(

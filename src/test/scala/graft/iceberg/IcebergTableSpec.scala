@@ -1,0 +1,117 @@
+package graft.iceberg
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class IcebergTableSpec extends SparkTestBase {
+
+  test("create + read returns identical rows") {
+    val dir = tmpDir("ice_create")
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    IcebergTable.create(spark, s"$dir/t", src)
+    val back = IcebergTable.forPath(spark, s"$dir/t").toDF()
+    assert(back.count() == src.count())
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
+  test("append produces a new snapshot; time travel sees the old one") {
+    val dir = tmpDir("ice_tt")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    val t = IcebergTable.create(spark, s"$dir/t", src.filter(col("o_orderkey") % 2 === 0))
+    t.append(src.filter(col("o_orderkey") % 2 === 1))
+    val ids = t.snapshotIds
+    assert(ids.size == 2)
+    val v0 = t.toDF(snapshotAsOf = Some(ids.head))
+    assert(v0.filter(col("o_orderkey") % 2 === 1).count() == 0)
+    assert(t.toDF().count() == src.count())
+  }
+
+  test("overwrite keeps old snapshots readable") {
+    val dir = tmpDir("ice_ow")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = IcebergTable.create(spark, s"$dir/t", src)
+    t.overwrite(src.limit(2))
+    assert(t.toDF().count() == 2)
+    assert(t.toDF(snapshotAsOf = Some(t.snapshotIds.head)).count() == src.count())
+  }
+
+  test("changesAsDF returns only rows added in the snapshot range") {
+    val dir = tmpDir("ice_cdf")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    val t = IcebergTable.create(spark, s"$dir/t", src.filter(col("o_orderkey") % 2 === 0))
+    t.append(src.filter(col("o_orderkey") % 2 === 1))
+    val ids = t.snapshotIds
+    val changes = t.changesAsDF(ids(0), ids(1))
+    assert(changes.count() == src.filter(col("o_orderkey") % 2 === 1).count())
+    assert(changes.filter(col("o_orderkey") % 2 === 0).count() == 0)
+  }
+
+  test("partition pruning via manifest partition struct") {
+    val dir = tmpDir("ice_prune")
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val t = IcebergTable.create(spark, s"$dir/t", src, Seq("l_returnflag"))
+    val all = t.scan.files().size
+    val pruned = t.scan.partitionIn("l_returnflag", Set("A")).files().size
+    assert(pruned < all, s"expected pruning: $pruned < $all")
+    val rows = t.scan.partitionIn("l_returnflag", Set("A")).toDF()
+    assert(rows.count() == src.filter(col("l_returnflag") === "A").count())
+  }
+
+  test("min/max bounds skipping drops files outside the key range") {
+    val dir = tmpDir("ice_skip")
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .repartitionByRange(8, col("l_orderkey"))
+    val t = IcebergTable.create(spark, s"$dir/t", src)
+    val all = t.scan.files().size
+    val skipped = t.scan.range("l_orderkey", Some(1L), Some(100L)).files().size
+    assert(skipped < all, s"expected skipping: $skipped < $all")
+    val rows = t.scan.range("l_orderkey", Some(1L), Some(100L)).toDF()
+      .filter(col("l_orderkey").between(1, 100))
+    val expected = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_orderkey").between(1, 100))
+    assert(rows.count() == expected.count())
+  }
+
+  test("convertFromParquet is metadata-only and row-identical") {
+    val dir = tmpDir("ice_convert")
+    val t = IcebergTable.convertFromParquet(spark, s"$sf0001/supplier.parquet", s"$dir/t")
+    val src = spark.read.parquet(s"$sf0001/supplier.parquet")
+    val back = t.toDF()
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
+  test("convertFromParquet records hive partition columns") {
+    val dir = tmpDir("ice_convert_part")
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .write.partitionBy("l_returnflag").parquet(s"$dir/src")
+    val t = IcebergTable.convertFromParquet(spark, s"$dir/src", s"$dir/t")
+    assert(t.currentMetadata.partitionSpec.map(_.name) == Seq("l_returnflag"))
+    val src = spark.read.parquet(s"$dir/src")
+    val back = t.toDF()
+    assert(back.filter(col("l_returnflag").isNull).count() == 0)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+    val pruned = t.scan.partitionIn("l_returnflag", Set("A")).toDF()
+    assert(pruned.count() == src.filter(col("l_returnflag") === "A").count())
+  }
+
+  test("metadata json round-trips through the codec") {
+    val dir = tmpDir("ice_codec")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = IcebergTable.create(spark, s"$dir/t", src)
+    val m = t.currentMetadata
+    val back = IcebergMetadataCodec.fromJson(IcebergMetadataCodec.toJson(m))
+    assert(back.tableUuid == m.tableUuid)
+    assert(back.schema.fieldNames.toSeq == m.schema.fieldNames.toSeq)
+    assert(back.snapshots.map(_.snapshotId) == m.snapshots.map(_.snapshotId))
+    assert(back.currentSnapshotId == m.currentSnapshotId)
+  }
+
+  test("commit is put-if-absent: stale metadata version loses the race") {
+    val dir = tmpDir("ice_race")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = IcebergTable.create(spark, s"$dir/t", src)
+    val (v, m) = t.log.readLatest().get
+    assert(!t.log.commit(v, m)) // same version again → lost
+    assert(t.log.commit(v + 1, m))
+  }
+}
