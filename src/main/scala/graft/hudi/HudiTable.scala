@@ -1,0 +1,336 @@
+package graft.hudi
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schema.AvroSchemaConverters
+import graft.stats.ParquetFooterStats
+import graft.util.StagedWrites
+
+/**
+ * Native Hudi COW table — the third format plane (ref
+ * `core/.../hudi/HudiDataFileExtractor.java:113-256` reads the timeline
+ * through Hudi's FS view on the driver; here replay is a distributed
+ * DataFrame job over the commit metadata files, the same shape as our
+ * Delta log replay so a 10^5-commit timeline plans on executors).
+ *
+ * Snapshot semantics (COW): a file group is (partitionPath, fileId);
+ * the live base file of a group is the one written by the latest
+ * commit ≤ asOf, unless a replacecommit ≤ asOf replaced the group later
+ * (clustering/insert-overwrite — ref `HudiDataFileExtractor.java:313-348`).
+ * CLEAN/ROLLBACK/SAVEPOINT are no-ops for the COW read-optimized view
+ * (ref `:244-250`).
+ *
+ * Schema travels in each commit's `extraMetadata` as an Avro schema
+ * (Hudi convention), through [[graft.schema.AvroSchemaConverters]] —
+ * the reference's Avro↔canonical hop (`core/.../avro/AvroSchemaConverter.java`).
+ * Partition fields live in `hoodie.properties`.
+ */
+final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) {
+
+  def tablePath: String = timeline.tablePath
+
+  // ---------------------------------------------------------------- reads
+
+  /** Completed data instants, time-ordered. */
+  def instants: Seq[String] = timeline.completedInstants().map(_.time)
+
+  def latestInstant: String = instants.lastOption.getOrElse(
+    throw new IllegalStateException(s"empty hudi table: $tablePath"))
+
+  /** Latest completed instant whose UTC wall-clock time is <= tsMillis. */
+  def instantForTimestamp(tsMillis: Long): String = {
+    val c = instants.filter(i => HudiTimeline.parseInstant(i).toEpochMilli <= tsMillis)
+    require(c.nonEmpty, s"no hudi instant at or before $tsMillis")
+    c.last
+  }
+
+  def properties: Map[String, String] = timeline.readProperties()
+
+  def partitionColumns: Seq[String] =
+    properties.get("hoodie.table.partition.fields").filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+
+  /** Table schema at an instant: Avro schema from the latest commit's
+    * extraMetadata (Hudi's schema-evolution channel). */
+  def schemaAt(asOf: Option[String] = None): StructType = {
+    val upTo = asOf.map(a => instants.filter(_ <= a)).getOrElse(instants)
+    require(upTo.nonEmpty, s"no commit at or before ${asOf.getOrElse("?")} in $tablePath")
+    val completed = timeline.completedInstants().filter(i => upTo.contains(i.time))
+    // newest-to-oldest until a commit carries a schema
+    completed.reverse.iterator
+      .map(i => timeline.readCommitMetadata(i).extraMetadata.get("schema"))
+      .collectFirst { case Some(avroJson) =>
+        AvroSchemaConverters.fromAvro(new org.apache.avro.Schema.Parser().parse(avroJson))
+      }
+      .getOrElse(throw new IllegalStateException(s"no schema in timeline of $tablePath"))
+  }
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  /** Spark parse schema for commit metadata JSON (distributed replay). */
+  private val commitSchema = StructType(Seq(
+    StructField("partitionToWriteStats", MapType(StringType, ArrayType(StructType(Seq(
+      StructField("fileId", StringType),
+      StructField("path", StringType),
+      StructField("fileSizeInBytes", LongType),
+      StructField("numWrites", LongType)))))),
+    StructField("partitionToReplaceFileIds", MapType(StringType, ArrayType(StringType)))))
+
+  /** Raw per-commit adds/replaces for instants in (from, to] (or all ≤ to)
+    * as a DataFrame — the distributed replay input. */
+  private def actionsDF(instantTimes: Seq[String]): DataFrame = {
+    require(instantTimes.nonEmpty, s"no instants selected on $tablePath")
+    val byTime = timeline.completedInstants().map(i => i.time -> i).toMap
+    val paths = instantTimes.map(t => timeline.instantFile(byTime(t)).toString)
+    val raw = spark.read.option("wholetext", "true").text(paths: _*)
+      .withColumn("instant",
+        regexp_extract(input_file_name(), "(\\d{14,17})\\.(commit|replacecommit)$", 1))
+      .withColumn("meta", from_json(col("value"), commitSchema))
+    val adds = raw
+      .select(col("instant"),
+        explode(col("meta.partitionToWriteStats")).as(Seq("partitionPath", "stats")))
+      .select(col("instant"), col("partitionPath"), explode(col("stats")).as("st"))
+      .select(col("instant"), col("partitionPath"),
+        col("st.fileId").as("fileId"), col("st.path").as("path"),
+        col("st.fileSizeInBytes").as("size"), lit(true).as("isAdd"))
+    val replaces = raw
+      .filter(col("meta.partitionToReplaceFileIds").isNotNull)
+      .select(col("instant"),
+        explode(col("meta.partitionToReplaceFileIds")).as(Seq("partitionPath", "ids")))
+      .select(col("instant"), col("partitionPath"), explode(col("ids")).as("fileId"),
+        lit(null).cast(StringType).as("path"), lit(null).cast(LongType).as("size"),
+        lit(false).as("isAdd"))
+    adds.unionByName(replaces)
+  }
+
+  /**
+   * Live base files at `asOf`: per file group the newest action wins;
+   * the group is live iff that action is a write (not a replace). One
+   * shuffle on (partitionPath, fileId), no driver-side state.
+   */
+  def fileSlicesDF(asOf: Option[String] = None): DataFrame = {
+    val upTo = asOf.map(a => instants.filter(_ <= a)).getOrElse(instants)
+    val w = Window.partitionBy(col("partitionPath"), col("fileId"))
+      .orderBy(col("instant").desc)
+    actionsDF(upTo)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("isAdd"))
+      .drop("rn", "isAdd")
+  }
+
+  def scan: HudiScanBuilder = new HudiScanBuilder(spark, this, None)
+  def scanAsOf(instant: String): HudiScanBuilder = new HudiScanBuilder(spark, this, Some(instant))
+
+  def toDF(asOf: Option[String] = None): DataFrame =
+    (asOf match {
+      case Some(i) => scanAsOf(i)
+      case None    => scan
+    }).toDF()
+
+  /** Rows added by commits in (fromExclusive, toInclusive] — the
+    * incremental change feed (ref `HudiDataFileExtractor.java:126-256`
+    * per-instant add sets; COW inserts only here). */
+  def changesAsDF(fromExclusive: String, toInclusive: String): DataFrame = {
+    val range = instants.filter(t => t > fromExclusive && t <= toInclusive)
+    require(range.nonEmpty, s"no instants in ($fromExclusive, $toInclusive] of $tablePath")
+    val added = actionsDF(range)
+      .filter(col("isAdd"))
+      .select("path").collect().map(_.getString(0)).toSeq
+    readFiles(added, Some(toInclusive))
+  }
+
+  /** Base dir partition directories resolve against (source dir for
+    * metadata-only converted tables). */
+  private[hudi] def readBasePath: String =
+    properties.getOrElse("graft.converted.from", tablePath)
+
+  private[hudi] def readFiles(files: Seq[String], asOf: Option[String]): DataFrame = {
+    val schema = schemaAt(asOf)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val absolute = files.map { f =>
+      if (f.startsWith("/") || f.contains(":/")) f else new Path(tablePath, f).toString
+    }
+    if (partitionColumns.nonEmpty)
+      spark.read.option("basePath", readBasePath).schema(schema).parquet(absolute: _*)
+    else
+      spark.read.schema(schema).parquet(absolute: _*)
+  }
+
+  // ---------------------------------------------------------------- writes
+
+  /** Append via a commit instant. Returns the instant time. */
+  def append(df: DataFrame, partCols: Seq[String] = Seq.empty): String =
+    write(df, partCols, overwrite = false)
+
+  /** Logical overwrite via a replacecommit: new file groups written, all
+    * previously-live groups recorded as replaced (ref insert-overwrite
+    * path `HudiDataFileExtractor.java:313-348`); old base files stay on
+    * disk so time travel keeps working. */
+  def overwrite(df: DataFrame, partCols: Seq[String] = Seq.empty): String =
+    write(df, partCols, overwrite = true)
+
+  private def write(df: DataFrame, partColsIn: Seq[String], overwrite: Boolean): String = {
+    val partCols = if (instants.nonEmpty) partitionColumns else partColsIn
+    val instant = timeline.nextInstantTime()
+    val placed = StagedWrites.writeAndPlace(df, tablePath, partCols)
+    val fs = new Path(tablePath).getFileSystem(hconf)
+    // rename to the Hudi base-file convention <fileId>_<writeToken>_<instant>.parquet
+    val renamed = placed.map { p =>
+      val src = new Path(p)
+      val fileId = UUID.randomUUID().toString
+      val dest = new Path(src.getParent, s"${fileId}_0-0-0_$instant.parquet")
+      require(fs.rename(src, dest), s"failed to finalize $src")
+      (fileId, dest.toString)
+    }
+    val idByPath = renamed.map(_.swap).toMap
+    val stats = ParquetFooterStats.collect(spark, renamed.map(_._2))
+    val base = new Path(tablePath).toUri.getPath.stripSuffix("/") + "/"
+    val writeStats = stats.map { st =>
+      val rel = new Path(st.path).toUri.getPath.stripPrefix(base)
+      val partitionPath = rel.split("/").dropRight(1).mkString("/")
+      partitionPath -> HudiWriteStat(
+        fileId = idByPath(st.path),
+        path = rel,
+        prevCommit = instants.lastOption.getOrElse("null"),
+        numWrites = st.recordCount,
+        fileSizeInBytes = st.fileSizeBytes)
+    }
+    val replaceIds: Map[String, Seq[String]] =
+      if (overwrite && instants.nonEmpty)
+        fileSlicesDF(None).select("partitionPath", "fileId").collect().toSeq
+          .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+      else Map.empty
+    if (instants.isEmpty)
+      timeline.writeProperties(HudiTable.tableProperties(tablePath, partCols, Map.empty))
+    val meta = HudiCommitMetadata(
+      partitionToWriteStats = writeStats.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
+      partitionToReplaceFileIds = replaceIds,
+      extraMetadata = Map("schema" -> AvroSchemaConverters.toAvro(df.schema).toString),
+      operationType = if (overwrite) "INSERT_OVERWRITE_TABLE" else "INSERT")
+    val action = if (replaceIds.nonEmpty) "replacecommit" else "commit"
+    require(timeline.commit(HudiInstant(instant, action), meta),
+      s"concurrent hudi commit at $instant of $tablePath")
+    instant
+  }
+}
+
+object HudiTable {
+
+  def forPath(spark: SparkSession, tablePath: String): HudiTable =
+    new HudiTable(spark, new HudiTimeline(tablePath, spark.sparkContext.hadoopConfiguration))
+
+  def create(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      partitionColumns: Seq[String] = Seq.empty): HudiTable = {
+    val t = forPath(spark, tablePath)
+    require(!t.timeline.exists, s"table already exists: $tablePath")
+    t.append(df, partitionColumns)
+    t
+  }
+
+  private[hudi] def tableProperties(
+      tablePath: String, partCols: Seq[String], extra: Map[String, String]): Map[String, String] =
+    Map(
+      "hoodie.table.name" -> new Path(tablePath).getName,
+      "hoodie.table.type" -> "COPY_ON_WRITE",
+      "hoodie.table.version" -> "6",
+      "hoodie.timeline.layout.version" -> "1",
+      "hoodie.table.base.file.format" -> "PARQUET",
+      "hoodie.datasource.write.hive_style_partitioning" -> "true",
+      "hoodie.table.partition.fields" -> partCols.mkString(",")) ++ extra
+
+  /**
+   * Metadata-only conversion of an existing parquet dataset: the commit's
+   * write stats point at the source files by absolute URI — no data
+   * rewritten (the reference marks such files with an external-path
+   * convention, ref `core/.../hudi/BaseFileUpdatesExtractor.java:206-238`).
+   * File groups are keyed by the source file name; hive `k=v` dirs become
+   * the partition path.
+   */
+  def convertFromParquet(
+      spark: SparkSession,
+      sourceLocation: String,
+      tablePath: String): HudiTable = {
+    val t = forPath(spark, tablePath)
+    require(!t.timeline.exists, s"table already exists: $tablePath")
+    val files = ParquetFooterStats.listParquetFiles(spark, sourceLocation)
+    val schema = spark.read.parquet(sourceLocation).schema
+    val srcBase = new Path(sourceLocation).toUri.getPath.stripSuffix("/") + "/"
+    val relOf = (p: String) => new Path(p).toUri.getPath.stripPrefix(srcBase)
+    val hiveKeys: Set[String] = files.headOption.map { f =>
+      relOf(f).split("/").dropRight(1).flatMap(_.split("=", 2) match {
+        case Array(k, _) if schema.fieldNames.contains(k) => Some(k)
+        case _ => None
+      }).toSet
+    }.getOrElse(Set.empty)
+    val partCols = schema.fieldNames.toSeq.filter(hiveKeys.contains)
+    val instant = t.timeline.nextInstantTime()
+    val stats = ParquetFooterStats.collect(spark, files)
+    val writeStats = stats.map { st =>
+      val rel = relOf(st.path)
+      val partitionPath = rel.split("/").dropRight(1).mkString("/")
+      partitionPath -> HudiWriteStat(
+        fileId = new Path(st.path).getName.stripSuffix(".parquet"),
+        path = new Path(st.path).toUri.toString,
+        prevCommit = "null",
+        numWrites = st.recordCount,
+        fileSizeInBytes = st.fileSizeBytes)
+    }
+    t.timeline.writeProperties(tableProperties(
+      tablePath, partCols, Map("graft.converted.from" -> sourceLocation)))
+    val meta = HudiCommitMetadata(
+      partitionToWriteStats = writeStats.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
+      partitionToReplaceFileIds = Map.empty,
+      extraMetadata = Map("schema" -> AvroSchemaConverters.toAvro(schema).toString),
+      operationType = "BULK_INSERT")
+    require(t.timeline.commit(HudiInstant(instant, "commit"), meta),
+      s"table already exists: $tablePath")
+    t
+  }
+}
+
+/**
+ * Scan with partition pruning evaluated distributed on the replayed
+ * file-slice manifest (partitionPath parsed as hive `k=v` inside the
+ * plan — no per-file driver work), mirroring the Delta/Iceberg scan
+ * builders so all three formats prune at the same layer.
+ */
+final class HudiScanBuilder(
+    spark: SparkSession,
+    table: HudiTable,
+    asOfInstant: Option[String]) {
+
+  private var partitionPredicates: Seq[(String, Set[String])] = Seq.empty
+
+  def partitionIn(column: String, values: Set[String]): HudiScanBuilder = {
+    partitionPredicates +:= (column -> values)
+    this
+  }
+
+  /** Pruned file manifest (instant, partitionPath, fileId, path, size). */
+  def files(): DataFrame = {
+    var df = table.fileSlicesDF(asOfInstant)
+    partitionPredicates.foreach { case (c, vs) =>
+      // hive path "a=1/b=2" -> map; values compared in path-escaped form
+      df = df.filter(
+        element_at(
+          str_to_map(regexp_replace(col("partitionPath"), "/", ","), lit(","), lit("=")),
+          lit(c)).isin(vs.toSeq: _*))
+    }
+    df
+  }
+
+  def toDF(): DataFrame = {
+    val pruned = files().select("path").collect().map(_.getString(0)).toSeq
+    table.readFiles(pruned, asOfInstant)
+  }
+}

@@ -1,0 +1,254 @@
+package graft.hudi
+
+import java.nio.charset.StandardCharsets
+import java.time.{Instant, LocalDateTime, ZoneId}
+import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+import java.time.temporal.ChronoField
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import scala.jdk.CollectionConverters._
+
+/** One completed timeline instant (COW read path: commits and
+  * replacecommits are the only actions that move data — ref
+  * `core/.../hudi/HudiDataFileExtractor.java:244-250` treats
+  * CLEAN/SAVEPOINT/etc as no-ops for the file view). */
+final case class HudiInstant(time: String, action: String) {
+  def fileName: String = s"$time.$action"
+}
+
+/** One file written by a commit (HoodieWriteStat essentials). `path` is
+  * relative to the table base for managed files, or an absolute URI for
+  * externally-referenced files (metadata-only conversion). */
+final case class HudiWriteStat(
+    fileId: String,
+    path: String,
+    prevCommit: String,
+    numWrites: Long,
+    fileSizeInBytes: Long)
+
+/** Parsed commit / replacecommit metadata. */
+final case class HudiCommitMetadata(
+    partitionToWriteStats: Map[String, Seq[HudiWriteStat]],
+    partitionToReplaceFileIds: Map[String, Seq[String]],
+    extraMetadata: Map[String, String],
+    operationType: String)
+
+/**
+ * Native `.hoodie/` timeline codec — list/parse/write instant files and
+ * `hoodie.properties`, with no Hudi runtime on the classpath (SURVEY.md
+ * §7: the reference links `HoodieJavaWriteClient`; here the timeline
+ * wire format is spoken directly). Completed-instant filtering and
+ * before/after selection mirror the reference's timeline API usage
+ * (ref `core/.../hudi/HudiClient.java:86-111,198-225`).
+ *
+ * Instant times are `yyyyMMddHHmmssSSS` in UTC (millis granularity);
+ * parsing also accepts the legacy 14-char second granularity, mapped to
+ * the last millisecond of that second — the same normalization the
+ * reference applies (ref `core/.../hudi/HudiInstantUtils.java:41-80`).
+ */
+final class HudiTimeline(val tablePath: String, conf: Configuration) {
+
+  import HudiTimeline._
+
+  val hoodieDir = new Path(tablePath, ".hoodie")
+  private val propsFile = new Path(hoodieDir, "hoodie.properties")
+  private def fs: FileSystem = hoodieDir.getFileSystem(conf)
+
+  def exists: Boolean = fs.exists(propsFile)
+
+  // ------------------------------------------------------------ properties
+
+  def writeProperties(props: Map[String, String]): Unit = {
+    fs.mkdirs(hoodieDir)
+    val out = fs.create(propsFile, true)
+    try {
+      val body = props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+      out.write(body.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  def readProperties(): Map[String, String] = {
+    require(exists, s"not a hudi table (no .hoodie/hoodie.properties): $tablePath")
+    val in = fs.open(propsFile)
+    try {
+      new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+        .split("\n").toSeq
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }).toMap
+    } finally in.close()
+  }
+
+  // -------------------------------------------------------------- listing
+
+  /** Completed data instants (commit + replacecommit), time-ordered.
+    * Fixed-width instant strings sort chronologically as strings. */
+  def completedInstants(): Seq[HudiInstant] = {
+    if (!fs.exists(hoodieDir)) return Seq.empty
+    fs.listStatus(hoodieDir).toSeq
+      .map(_.getPath.getName)
+      .flatMap {
+        case CompletedRe(ts, action) => Some(HudiInstant(ts, action))
+        case _ => None
+      }
+      .sortBy(_.time)
+  }
+
+  def latestInstant(): Option[HudiInstant] = completedInstants().lastOption
+
+  /** Path of a completed instant's metadata file. */
+  def instantFile(i: HudiInstant): Path = new Path(hoodieDir, i.fileName)
+
+  // ------------------------------------------------------------- metadata
+
+  def readCommitMetadata(i: HudiInstant): HudiCommitMetadata = {
+    val in = fs.open(instantFile(i))
+    val json = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+    HudiCommitCodec.fromJson(json)
+  }
+
+  /**
+   * Commit protocol: requested and inflight marker files first (timeline
+   * state transitions real Hudi tooling expects), then the completed
+   * instant file written via temp + no-overwrite rename — the same
+   * put-if-absent arbitration as our Delta/Iceberg logs. Returns false
+   * when the instant already exists (lost the race).
+   */
+  def commit(i: HudiInstant, meta: HudiCommitMetadata): Boolean = {
+    fs.mkdirs(hoodieDir)
+    val target = instantFile(i)
+    if (fs.exists(target)) return false
+    touch(new Path(hoodieDir, s"${i.time}.${i.action}.requested"))
+    val inflightName =
+      if (i.action == "commit") s"${i.time}.inflight" else s"${i.time}.${i.action}.inflight"
+    touch(new Path(hoodieDir, inflightName))
+    val tmp = new Path(hoodieDir, s".tmp_${java.util.UUID.randomUUID()}_${i.fileName}")
+    val out = fs.create(tmp, true)
+    try out.write(HudiCommitCodec.toJson(meta).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(hoodieDir.toUri, conf)
+      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        false
+    }
+  }
+
+  private def touch(p: Path): Unit =
+    if (!fs.exists(p)) { val o = fs.create(p, false); o.close() }
+
+  /** A fresh instant time strictly after every existing instant. */
+  def nextInstantTime(): String = {
+    val now = formatInstant(Instant.ofEpochMilli(System.currentTimeMillis()))
+    latestInstant() match {
+      case Some(last) if last.time >= now =>
+        formatInstant(parseInstant(last.time).plusMillis(1))
+      case _ => now
+    }
+  }
+}
+
+object HudiTimeline {
+
+  private val CompletedRe = "^(\\d{14}|\\d{17})\\.(commit|replacecommit)$".r
+
+  private val Utc = ZoneId.of("UTC")
+  private val MillisFormatter: DateTimeFormatter =
+    new DateTimeFormatterBuilder()
+      .appendPattern("yyyyMMddHHmmss")
+      .appendValue(ChronoField.MILLI_OF_SECOND, 3)
+      .toFormatter()
+      .withZone(Utc)
+
+  def formatInstant(i: Instant): String =
+    LocalDateTime.ofInstant(i, Utc).format(MillisFormatter)
+
+  /** Parse a timeline instant string to an Instant; 14-char second
+    * granularity maps to the last millisecond of that second (reference
+    * normalization, `HudiInstantUtils.java:58-66`). */
+  def parseInstant(ts: String): Instant = {
+    val millisStr =
+      if (ts.length == 14) ts + "999"
+      else if (ts.length > 17) ts.substring(0, 17)
+      else ts
+    LocalDateTime.parse(millisStr, MillisFormatter).atZone(Utc).toInstant
+  }
+}
+
+/** Jackson codec for commit / replacecommit JSON (HoodieCommitMetadata
+  * wire shape: partitionToWriteStats, partitionToReplaceFileIds,
+  * extraMetadata, operationType). */
+object HudiCommitCodec {
+  private val mapper = new ObjectMapper()
+
+  def toJson(m: HudiCommitMetadata): String = {
+    val root = mapper.createObjectNode()
+    val p2w = root.putObject("partitionToWriteStats")
+    m.partitionToWriteStats.toSeq.sortBy(_._1).foreach { case (part, stats) =>
+      val arr = p2w.putArray(part)
+      stats.foreach { s =>
+        val n = arr.addObject()
+        n.put("fileId", s.fileId)
+        n.put("path", s.path)
+        n.put("prevCommit", s.prevCommit)
+        n.put("numWrites", s.numWrites)
+        n.put("numDeletes", 0L)
+        n.put("numInserts", s.numWrites)
+        n.put("totalWriteBytes", s.fileSizeInBytes)
+        n.put("fileSizeInBytes", s.fileSizeInBytes)
+        n.put("partitionPath", part)
+      }
+    }
+    if (m.partitionToReplaceFileIds.nonEmpty) {
+      val p2r = root.putObject("partitionToReplaceFileIds")
+      m.partitionToReplaceFileIds.toSeq.sortBy(_._1).foreach { case (part, ids) =>
+        val arr = p2r.putArray(part)
+        ids.foreach(arr.add)
+      }
+    }
+    val extra = root.putObject("extraMetadata")
+    m.extraMetadata.toSeq.sortBy(_._1).foreach { case (k, v) => extra.put(k, v) }
+    root.put("operationType", m.operationType)
+    root.put("compacted", false)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def fromJson(json: String): HudiCommitMetadata = {
+    val root = mapper.readTree(json)
+    val p2w = Option(root.get("partitionToWriteStats")).map { node =>
+      node.properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map { s =>
+          HudiWriteStat(
+            fileId = Option(s.get("fileId")).map(_.asText()).getOrElse(""),
+            path = s.get("path").asText(),
+            prevCommit = Option(s.get("prevCommit")).map(_.asText()).getOrElse("null"),
+            numWrites = Option(s.get("numWrites")).map(_.asLong()).getOrElse(0L),
+            fileSizeInBytes = Option(s.get("fileSizeInBytes")).map(_.asLong()).getOrElse(0L))
+        }.toSeq
+      }.toMap
+    }.getOrElse(Map.empty)
+    val p2r = Option(root.get("partitionToReplaceFileIds")).map { node =>
+      node.properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+      }.toMap
+    }.getOrElse(Map.empty)
+    val extra = Option(root.get("extraMetadata")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+    HudiCommitMetadata(
+      partitionToWriteStats = p2w,
+      partitionToReplaceFileIds = p2r,
+      extraMetadata = extra,
+      operationType = Option(root.get("operationType")).map(_.asText()).getOrElse("UNKNOWN"))
+  }
+}

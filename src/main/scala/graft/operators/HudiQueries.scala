@@ -5,19 +5,19 @@ import java.nio.file.Paths
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.delta.DeltaTable
-import graft.iceberg.IcebergTable
+import graft.hudi.HudiTable
 import graft.sources.Tables
 
 /**
- * Iceberg-format verification queries: every query routes through the
- * native Iceberg codec (convert → metadata/manifests → snapshot plan →
- * read) and must produce rows identical to DuckDB on the original
- * parquet — plus a cross-format Delta-vs-Iceberg equality query, the
- * direct analog of the reference's core guarantee that all formats
- * answer identically (ref `ITOneTableClient.java:748-813`).
+ * Hudi-format verification queries: every query routes through the
+ * native Hudi timeline codec (convert → .hoodie instants → file-slice
+ * replay → read) and must produce rows identical to DuckDB on the
+ * original parquet — completing the three-format matrix the reference
+ * guarantees (ref `ITOneTableClient.java:748-813`). x04 asserts the
+ * tri-format equality directly: the same source served through the
+ * Delta, Iceberg, and Hudi codecs must agree row-for-row.
  */
-object IcebergQueries {
+object HudiQueries {
 
   private object Fixtures {
     private val built = scala.collection.mutable.Map[String, String]()
@@ -26,47 +26,43 @@ object IcebergQueries {
       built.getOrElseUpdate(sfDir, {
         val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
         val root = Paths.get(
-          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_iceberg", name).toString
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_hudi", name).toString
         val p = new org.apache.hadoop.fs.Path(root)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
 
         // 1. metadata-only conversion of lineitem
-        IcebergTable.convertFromParquet(
+        HudiTable.convertFromParquet(
           spark, s"$sfDir/lineitem.parquet", s"$root/converted_lineitem")
 
-        // 2. two-snapshot orders table: snap0 = even keys, snap1 += odd
+        // 2. two-commit orders table: c0 = even orderkeys, c1 += odd
         val o = Tables.orders(spark, sfDir)
-        val t2 = IcebergTable.create(
-          spark, s"$root/orders_2snap", o.filter(col("o_orderkey") % 2 === 0))
+        val t2 = HudiTable.create(
+          spark, s"$root/orders_2commit", o.filter(col("o_orderkey") % 2 === 0))
         t2.append(o.filter(col("o_orderkey") % 2 === 1))
 
-        // 3. lineitem identity-partitioned by l_returnflag
-        IcebergTable.create(
+        // 3. lineitem hive-partitioned by l_returnflag
+        HudiTable.create(
           spark, s"$root/lineitem_part",
           Tables.lineitem(spark, sfDir), Seq("l_returnflag"))
 
-        // 4. range-clustered for bounds skipping
-        IcebergTable.create(
-          spark, s"$root/lineitem_ranged",
-          Tables.lineitem(spark, sfDir).repartitionByRange(8, col("l_orderkey")))
+        // 4. replacecommit: open orders overwrite the full table
+        val t4 = HudiTable.create(
+          spark, s"$root/orders_replaced", o.filter(col("o_orderkey") % 2 === 0))
+        t4.overwrite(o.filter(col("o_orderstatus") === "O"))
 
         root
       })
     }
 
-    def table(spark: org.apache.spark.sql.SparkSession, sfDir: String, name: String): IcebergTable =
-      IcebergTable.forPath(spark, s"${dir(spark, sfDir)}/$name")
+    def table(spark: org.apache.spark.sql.SparkSession, sfDir: String, name: String): HudiTable =
+      HudiTable.forPath(spark, s"${dir(spark, sfDir)}/$name")
   }
-
-  /** Fixture root for cross-format queries (builds fixtures if needed). */
-  def fixtureDir(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
-    Fixtures.dir(spark, sfDir)
 
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql(
-      "i01_iceberg_convert_read",
+      "h01_hudi_convert_read",
       (spark, dir) =>
         Fixtures.table(spark, dir, "converted_lineitem").toDF()
           .groupBy(col("l_returnflag"))
@@ -79,10 +75,10 @@ object IcebergQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     QueryDef.sql(
-      "i02_iceberg_time_travel",
+      "h02_hudi_time_travel",
       (spark, dir) => {
-        val t = Fixtures.table(spark, dir, "orders_2snap")
-        t.toDF(snapshotAsOf = Some(t.snapshotIds.head))
+        val t = Fixtures.table(spark, dir, "orders_2commit")
+        t.toDF(asOf = Some(t.instants.head))
           .groupBy(col("o_orderstatus"))
           .agg(
             count(lit(1)).as("cnt"),
@@ -95,11 +91,11 @@ object IcebergQueries {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     QueryDef.sql(
-      "i03_iceberg_incremental_changes",
+      "h03_hudi_incremental_changes",
       (spark, dir) => {
-        val t = Fixtures.table(spark, dir, "orders_2snap")
-        val ids = t.snapshotIds
-        t.changesAsDF(ids(0), ids(1))
+        val t = Fixtures.table(spark, dir, "orders_2commit")
+        val is = t.instants
+        t.changesAsDF(is(0), is(1))
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .orderBy(col("o_orderkey"))
       },
@@ -107,7 +103,7 @@ object IcebergQueries {
         |WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""".stripMargin),
 
     QueryDef.sql(
-      "i04_iceberg_partition_prune",
+      "h04_hudi_partition_prune",
       (spark, dir) =>
         Fixtures.table(spark, dir, "lineitem_part").scan
           .partitionIn("l_returnflag", Set("A"))
@@ -122,31 +118,27 @@ object IcebergQueries {
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
 
     QueryDef.sql(
-      "i05_iceberg_bounds_skipping",
-      (spark, dir) => {
-        val t = Fixtures.table(spark, dir, "lineitem_ranged")
-        t.scan.range("l_orderkey", Some(1000L), Some(2000L)).toDF()
-          .filter(col("l_orderkey") >= 1000 && col("l_orderkey") <= 2000)
-          .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("l_returnflag"))
-      },
-      """SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
-        |WHERE l_orderkey BETWEEN 1000 AND 2000
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "h05_hudi_overwrite_replacecommit",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_replaced").toDF()
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderpriority")),
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
-    // Cross-format equality: the SAME source served through the Delta
-    // codec and the Iceberg codec must agree row-for-row; result is the
-    // per-format row count + a value checksum, verified against DuckDB
-    // computing the same over the raw parquet (both formats must match
-    // it for the join to produce identical columns).
     QueryDef.sql(
-      "x01_cross_format_equality",
+      "x04_tri_format_equality",
       (spark, dir) => {
-        val ice = Fixtures.table(spark, dir, "converted_lineitem").toDF()
+        val hud = Fixtures.table(spark, dir, "converted_lineitem").toDF()
+        val ice = graft.iceberg.IcebergTable.forPath(
+          spark, IcebergQueries.fixtureDir(spark, dir) + "/converted_lineitem").toDF()
         val del = graft.delta.DeltaTable.forPath(
-          spark,
-          FormatQueries.fixtureDir(spark, dir) + "/converted_lineitem").toDF()
+          spark, FormatQueries.fixtureDir(spark, dir) + "/converted_lineitem").toDF()
         def summarize(df: org.apache.spark.sql.DataFrame, fmt: String) =
           df.groupBy(col("l_returnflag"))
             .agg(
@@ -154,13 +146,13 @@ object IcebergQueries {
               sum(col("l_orderkey")).as("key_sum"),
               sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
             .withColumn("fmt", lit(fmt))
-        summarize(ice, "iceberg").unionAll(summarize(del, "delta"))
+        summarize(del, "delta").unionAll(summarize(hud, "hudi")).unionAll(summarize(ice, "iceberg"))
           .select(col("fmt"), col("l_returnflag"), col("cnt"), col("key_sum"), col("sum_qty"))
           .orderBy(col("fmt"), col("l_returnflag"))
       },
       """SELECT fmt, l_returnflag, COUNT(*) AS cnt, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM (SELECT 'iceberg' AS fmt UNION ALL SELECT 'delta') fmts, lineitem
+        |FROM (SELECT 'delta' AS fmt UNION ALL SELECT 'hudi' UNION ALL SELECT 'iceberg') fmts, lineitem
         |GROUP BY fmt, l_returnflag ORDER BY fmt, l_returnflag""".stripMargin)
   )
 }

@@ -1,0 +1,113 @@
+package graft.hudi
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class HudiTableSpec extends SparkTestBase {
+
+  test("create + read returns identical rows") {
+    val dir = tmpDir("hudi_create")
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    HudiTable.create(spark, s"$dir/t", src)
+    val back = HudiTable.forPath(spark, s"$dir/t").toDF()
+    assert(back.count() == src.count())
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
+  test("append produces a new instant; time travel sees the old one") {
+    val dir = tmpDir("hudi_tt")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    val t = HudiTable.create(spark, s"$dir/t", src.filter(col("o_orderkey") % 2 === 0))
+    t.append(src.filter(col("o_orderkey") % 2 === 1))
+    assert(t.instants.size == 2)
+    val c0 = t.toDF(asOf = Some(t.instants.head))
+    assert(c0.filter(col("o_orderkey") % 2 === 1).count() == 0)
+    assert(t.toDF().count() == src.count())
+  }
+
+  test("overwrite is a replacecommit; old instant stays time-travelable") {
+    val dir = tmpDir("hudi_ow")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = HudiTable.create(spark, s"$dir/t", src)
+    t.overwrite(src.limit(2))
+    val actions = t.timeline.completedInstants().map(_.action)
+    assert(actions == Seq("commit", "replacecommit"))
+    assert(t.toDF().count() == 2)
+    assert(t.toDF(asOf = Some(t.instants.head)).count() == src.count())
+  }
+
+  test("changesAsDF returns only rows added in the instant range") {
+    val dir = tmpDir("hudi_cdf")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    val t = HudiTable.create(spark, s"$dir/t", src.filter(col("o_orderkey") % 2 === 0))
+    t.append(src.filter(col("o_orderkey") % 2 === 1))
+    val is = t.instants
+    val changes = t.changesAsDF(is(0), is(1))
+    assert(changes.count() == src.filter(col("o_orderkey") % 2 === 1).count())
+    assert(changes.filter(col("o_orderkey") % 2 === 0).count() == 0)
+  }
+
+  test("partition pruning reduces the file manifest and keeps rows exact") {
+    val dir = tmpDir("hudi_prune")
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val t = HudiTable.create(spark, s"$dir/t", src, Seq("l_returnflag"))
+    val all = t.scan.files().count()
+    val pruned = t.scan.partitionIn("l_returnflag", Set("A")).files().count()
+    assert(pruned < all, s"expected pruning: $pruned < $all")
+    val rows = t.scan.partitionIn("l_returnflag", Set("A")).toDF()
+    assert(rows.count() == src.filter(col("l_returnflag") === "A").count())
+    assert(rows.filter(col("l_returnflag") =!= "A").count() == 0)
+  }
+
+  test("convertFromParquet is metadata-only and row-identical") {
+    val dir = tmpDir("hudi_convert")
+    val t = HudiTable.convertFromParquet(spark, s"$sf0001/supplier.parquet", s"$dir/t")
+    val src = spark.read.parquet(s"$sf0001/supplier.parquet")
+    val back = t.toDF()
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+    // no parquet copied under the table root (timeline metadata only)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/t")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(root).filterNot(_.getPath.getName.startsWith("."))
+    assert(dataFiles.isEmpty)
+  }
+
+  test("base files follow the <fileId>_<token>_<instant>.parquet convention") {
+    val dir = tmpDir("hudi_naming")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = HudiTable.create(spark, s"$dir/t", src)
+    val files = t.fileSlicesDF().select("path", "fileId", "instant").collect()
+    assert(files.nonEmpty)
+    files.foreach { r =>
+      val name = r.getString(0).split("/").last
+      assert(name == s"${r.getString(1)}_0-0-0_${r.getString(2)}.parquet", name)
+    }
+  }
+
+  test("commit is put-if-absent: same instant commits only once") {
+    val dir = tmpDir("hudi_race")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = HudiTable.create(spark, s"$dir/t", src)
+    val existing = t.timeline.completedInstants().head
+    assert(!t.timeline.commit(existing,
+      HudiCommitMetadata(Map.empty, Map.empty, Map.empty, "INSERT")))
+  }
+
+  test("instant time parse: second and millis granularity") {
+    val ms = HudiTimeline.parseInstant("20240301123045123").toEpochMilli
+    val sec = HudiTimeline.parseInstant("20240301123045").toEpochMilli
+    assert(sec - ms == 876) // second granularity maps to .999
+    assert(HudiTimeline.formatInstant(java.time.Instant.ofEpochMilli(ms)) == "20240301123045123")
+  }
+
+  test("instantForTimestamp resolves to the latest instant at or before") {
+    val dir = tmpDir("hudi_ts")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = HudiTable.create(spark, s"$dir/t", src)
+    val i0 = t.instants.head
+    t.append(src.limit(1))
+    val ts0 = HudiTimeline.parseInstant(i0).toEpochMilli
+    assert(t.instantForTimestamp(ts0) == i0)
+    assert(t.instantForTimestamp(System.currentTimeMillis() + 10000) == t.instants.last)
+  }
+}
