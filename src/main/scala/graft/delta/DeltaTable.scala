@@ -250,7 +250,7 @@ object DeltaTable {
     dirs.flatMap { d =>
       d.split("=", 2) match {
         case Array(k, v) if partitionColumns.contains(k) =>
-          val decoded = java.net.URLDecoder.decode(v, "UTF-8")
+          val decoded = graft.util.PathCodec.unescapePathName(v)
           Some(k -> (if (decoded == "__HIVE_DEFAULT_PARTITION__") null else decoded))
         case _ => None
       }

@@ -151,14 +151,55 @@ object IcebergManifests {
     if (s.getType == Schema.Type.UNION) s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
     else s
 
+  /** Hive partition strings → avro physical values. Date/timestamp
+    * partition values arrive as hive dir strings (`2020-01-01`,
+    * `2020-01-01 12:34:56`) and must land as epoch-days / epoch-micros
+    * per the iceberg spec; numeric strings pass through so canonical
+    * (already-encoded) values also round-trip. */
   private def partitionAvroValue(avroType: Schema, canonical: String): AnyRef = {
     val t = unionBranch(avroType)
-    t.getType match {
-      case Schema.Type.INT => Integer.valueOf(canonical.toInt)
-      case Schema.Type.LONG => java.lang.Long.valueOf(canonical.toLong)
-      case Schema.Type.DOUBLE => java.lang.Double.valueOf(canonical.toDouble)
-      case Schema.Type.FLOAT => java.lang.Float.valueOf(canonical.toFloat)
+    val logical = t.getLogicalType
+    (t.getType, logical) match {
+      case (Schema.Type.INT, _: org.apache.avro.LogicalTypes.Date) =>
+        val days =
+          if (canonical.contains("-")) java.time.LocalDate.parse(canonical).toEpochDay
+          else canonical.toLong
+        Integer.valueOf(days.toInt)
+      case (Schema.Type.LONG, _: org.apache.avro.LogicalTypes.TimestampMicros) =>
+        val micros =
+          if (canonical.contains("-")) hiveTimestampToMicros(canonical)
+          else canonical.toLong
+        java.lang.Long.valueOf(micros)
+      case (Schema.Type.INT, _) => Integer.valueOf(canonical.toInt)
+      case (Schema.Type.LONG, _) => java.lang.Long.valueOf(canonical.toLong)
+      case (Schema.Type.DOUBLE, _) => java.lang.Double.valueOf(canonical.toDouble)
+      case (Schema.Type.FLOAT, _) => java.lang.Float.valueOf(canonical.toFloat)
       case _ => canonical
+    }
+  }
+
+  private def hiveTimestampToMicros(s: String): Long = {
+    val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+    val i = ldt.atZone(java.time.ZoneOffset.UTC).toInstant
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+  }
+
+  /** Inverse of [[partitionAvroValue]]: avro physical partition values →
+    * hive dir strings, so manifest-level `partitionIn` predicates match
+    * what users (and paths) say. */
+  private def partitionValueString(fieldSchema: Schema, v: AnyRef): String = {
+    val t = unionBranch(fieldSchema)
+    (t.getType, t.getLogicalType) match {
+      case (Schema.Type.INT, _: org.apache.avro.LogicalTypes.Date) =>
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString
+      case (Schema.Type.LONG, _: org.apache.avro.LogicalTypes.TimestampMicros) =>
+        val micros = v.asInstanceOf[Number].longValue()
+        val i = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+        val ldt = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+        val base = s"${ldt.toLocalDate} ${ldt.toLocalTime.withNano(0)}"
+        if (ldt.getNano == 0) base else f"$base.${ldt.getNano / 1000}%06d"
+      case _ => v.toString
     }
   }
 
@@ -167,15 +208,18 @@ object IcebergManifests {
       conf: Configuration,
       path: Path,
       schema: Schema,
-      entries: Seq[ManifestEntry]): Long = {
+      entries: Seq[ManifestEntry],
+      headers: Map[String, String] = Map.empty): Long = {
     val fs = path.getFileSystem(conf)
     val out = fs.create(path, true)
     val dataFileSchema = unionBranch(schema.getField("data_file").schema())
     val partSchema = unionBranch(dataFileSchema.getField("partition").schema())
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-    // iceberg readers expect these header properties
+    // iceberg ManifestReader requires these header properties (plus
+    // schema/partition-spec/partition-spec-id supplied by the caller)
     writer.setMeta("format-version", "2")
     writer.setMeta("content", "data")
+    headers.foreach { case (k, v) => writer.setMeta(k, v) }
     writer.create(schema, out)
     try {
       entries.foreach { e =>
@@ -277,7 +321,7 @@ object IcebergManifests {
       val part = df.get("partition").asInstanceOf[GenericRecord]
       val partValues = part.getSchema.getFields.asScala.map { f =>
         val v = part.get(f.name())
-        f.name() -> (if (v == null) null else v.toString)
+        f.name() -> (if (v == null) null else partitionValueString(f.schema(), v))
       }.toMap
       ManifestEntry(
         status = rec.get("status").asInstanceOf[Number].intValue(),

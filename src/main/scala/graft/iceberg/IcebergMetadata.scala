@@ -66,6 +66,21 @@ final case class IcebergTableMetadata(
 object IcebergMetadataCodec {
   private val mapper = new ObjectMapper()
 
+  /** Partition-spec JSON document (for manifest avro headers). */
+  def specJson(spec: Seq[IcebergPartitionFieldSpec], specId: Int = 0): String = {
+    val n = mapper.createObjectNode()
+    n.put("spec-id", specId)
+    val fields = n.putArray("fields")
+    spec.foreach { f =>
+      val fn = fields.addObject()
+      fn.put("name", f.name)
+      fn.put("transform", f.transform)
+      fn.put("source-id", f.sourceId)
+      fn.put("field-id", f.fieldId)
+    }
+    n.toString
+  }
+
   def toJson(m: IcebergTableMetadata): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", 2)

@@ -65,6 +65,19 @@ object IcebergSchemas {
   private def withFieldId(m: Metadata, id: Int): Metadata =
     new MetadataBuilder().withMetadata(m).putLong(FieldIdKey, id.toLong).build()
 
+  /** Highest id assigned anywhere INCLUDING the collection element/key/
+    * value ids [[toJson]] synthesizes above the field ids — the value
+    * `last-column-id` must carry so a future writer never reuses them. */
+  def lastAssignedId(schema: StructType): Int = {
+    def collections(dt: DataType): Int = dt match {
+      case s: StructType => s.fields.map(f => collections(f.dataType)).sum
+      case a: ArrayType => 1 + collections(a.elementType)
+      case m: MapType => 2 + collections(m.keyType) + collections(m.valueType)
+      case _ => 0
+    }
+    lastColumnId(schema) + collections(schema)
+  }
+
   /** Highest id used anywhere in an id-stamped schema. */
   def lastColumnId(schema: StructType): Int = {
     def walk(dt: DataType): Int = dt match {

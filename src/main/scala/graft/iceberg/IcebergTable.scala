@@ -121,10 +121,20 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   def overwrite(df: DataFrame, partitionColumns: Seq[String] = Seq.empty): Long =
     write(df, partitionColumns, overwrite = true)
 
-  private def write(df: DataFrame, partitionColumns: Seq[String], overwrite: Boolean): Long = {
+  private def write(df: DataFrame, partitionColumnsIn: Seq[String], overwrite: Boolean): Long = {
+    val prev = log.readLatest()
+    // inherit the table's partition spec when the caller doesn't repeat
+    // it; a mismatching explicit spec is an error, never a silent wipe
+    val partitionColumns = prev.map(_._2.partitionSpec.map(_.name)) match {
+      case Some(existing) if partitionColumnsIn.isEmpty => existing
+      case Some(existing) =>
+        require(existing == partitionColumnsIn,
+          s"partition columns $partitionColumnsIn != table spec $existing of $tablePath")
+        partitionColumnsIn
+      case None => partitionColumnsIn
+    }
     val newFiles = StagedWrites.writeAndPlace(df, tablePath, partitionColumns)
     val stats = ParquetFooterStats.collect(spark, newFiles)
-    val prev = log.readLatest()
     val idSchema = prev.map(_._2.schema).getOrElse(IcebergSchemas.assignFieldIds(df.schema))
     val entries = stats.map(st =>
       IcebergTable.entryFor(st, idSchema, partitionColumns, tablePath))
@@ -157,10 +167,17 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     }
     val entrySchema = IcebergManifests.entrySchema(partFieldTypes)
     val metaDir = log.metadataDir
+    // header properties Iceberg's ManifestReader requires alongside
+    // format-version/content
+    val manifestHeaders = Map(
+      "schema" -> IcebergSchemas.toJson(idSchema, 0).toString,
+      "partition-spec" -> IcebergMetadataCodec.specJson(specFields),
+      "partition-spec-id" -> "0")
 
     val stamped = adds.map(_.copy(snapshotId = snapshotId, sequenceNumber = seq))
     val addManifest = new Path(metaDir, s"${UUID.randomUUID()}-m0.avro")
-    val addLen = IcebergManifests.writeManifest(hconf, addManifest, entrySchema, stamped)
+    val addLen = IcebergManifests.writeManifest(
+      hconf, addManifest, entrySchema, stamped, manifestHeaders)
     val addInfo = ManifestFileInfo(
       manifestPath = addManifest.toString,
       manifestLength = addLen,
@@ -186,7 +203,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
           if (dead.isEmpty) Seq.empty
           else {
             val delManifest = new Path(metaDir, s"${UUID.randomUUID()}-m1.avro")
-            val delLen = IcebergManifests.writeManifest(hconf, delManifest, entrySchema, dead)
+            val delLen = IcebergManifests.writeManifest(
+              hconf, delManifest, entrySchema, dead, manifestHeaders)
             Seq(ManifestFileInfo(
               manifestPath = delManifest.toString,
               manifestLength = delLen,
@@ -224,7 +242,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       location = tablePath,
       lastSequenceNumber = 0L,
       lastUpdatedMs = now,
-      lastColumnId = IcebergSchemas.lastColumnId(idSchema),
+      lastColumnId = IcebergSchemas.lastAssignedId(idSchema),
       currentSchemaId = 0,
       schema = idSchema,
       partitionSpec = specFields,
@@ -331,7 +349,7 @@ object IcebergTable {
     }
     val partValues = rel.split("/").dropRight(1).flatMap(_.split("=", 2) match {
       case Array(k, v) if partitionColumns.contains(k) =>
-        val d = java.net.URLDecoder.decode(v, "UTF-8")
+        val d = graft.util.PathCodec.unescapePathName(v)
         Some(k -> (if (d == "__HIVE_DEFAULT_PARTITION__") null else d))
       case _ => None
     }).toMap

@@ -453,12 +453,15 @@ object Relational {
       "q25_having_scalar_subquery",
       (spark, dir) => {
         val o = Tables.orders(spark, dir)
-        // deterministic global average: exact decimal sum / count as double
-        val stats = o.agg(davg(col("o_totalprice"), count(lit(1))).as("avg_price")).collect()(0)
-        val avgPrice = stats.getDouble(0)
+        // scalar subquery as a broadcast crossJoin of the aggregated
+        // singleton — the whole plan stays lazy and cluster-shippable
+        // (no driver round-trip for the global average)
+        val stats = o.agg(davg(col("o_totalprice"), count(lit(1))).as("avg_price"))
         o.groupBy(col("o_custkey"))
           .agg(dsum(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
-          .filter(col("n_orders") >= 3 && col("total_spend") > lit(avgPrice) * 3)
+          .crossJoin(org.apache.spark.sql.functions.broadcast(stats))
+          .filter(col("n_orders") >= 3 && col("total_spend") > col("avg_price") * 3)
+          .drop("avg_price")
           .orderBy(col("o_custkey"))
       },
       """SELECT o_custkey,

@@ -106,6 +106,47 @@ class IcebergTableSpec extends SparkTestBase {
     assert(back.currentSnapshotId == m.currentSnapshotId)
   }
 
+  test("append without repeating partition columns inherits the table spec") {
+    val dir = tmpDir("ice_spec_inherit")
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val t = IcebergTable.create(spark, s"$dir/t",
+      src.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"))
+    t.append(src.filter(col("l_orderkey") % 2 === 1)) // no partition cols passed
+    assert(t.currentMetadata.partitionSpec.map(_.name) == Seq("l_returnflag"))
+    val back = t.toDF()
+    assert(back.count() == src.count())
+    // older hive-laid-out files still resolve their partition column
+    assert(back.filter(col("l_returnflag").isNull).count() == 0)
+    intercept[IllegalArgumentException] {
+      t.append(src.limit(1), Seq("l_linestatus")) // mismatching spec rejected
+    }
+  }
+
+  test("date-partitioned table round-trips values and prunes") {
+    val dir = tmpDir("ice_date_part")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .withColumn("o_date", to_date(col("o_orderdate")))
+    val t = IcebergTable.create(spark, s"$dir/t", src, Seq("o_date"))
+    val back = t.toDF()
+    assert(back.count() == src.count())
+    assert(back.filter(col("o_date").isNull).count() == 0)
+    val firstDay = src.agg(min(col("o_date"))).collect()(0).getDate(0).toString
+    val pruned = t.scan.partitionIn("o_date", Set(firstDay))
+    assert(pruned.files().size < t.scan.files().size)
+    assert(pruned.toDF().count() == src.filter(col("o_date") === firstDay).count())
+  }
+
+  test("hive %XX unescaping: '+' stays literal, %3A decodes, bare % survives") {
+    import graft.util.PathCodec
+    assert(PathCodec.unescapePathName("a+b") == "a+b")
+    assert(PathCodec.unescapePathName("12%3A34") == "12:34")
+    assert(PathCodec.unescapePathName("100%") == "100%")
+    assert(PathCodec.unescapePathName("%2Fx%25") == "/x%")
+    assert(PathCodec.escapePathName("a/b:c") == "a%2Fb%3Ac")
+    val roundTrip = "sp ace+plus%pct:colon/slash"
+    assert(PathCodec.unescapePathName(PathCodec.escapePathName(roundTrip)) == roundTrip)
+  }
+
   test("commit is put-if-absent: stale metadata version loses the race") {
     val dir = tmpDir("ice_race")
     val src = spark.read.parquet(s"$sf0001/region.parquet")
