@@ -59,6 +59,40 @@ object IcebergSchemas {
     })
   }
 
+  /**
+   * Evolve an id-stamped schema to an incoming (unstamped) one: fields
+   * matching by name (recursively, by path) keep their existing ids —
+   * the rename-stability rule real engines depend on — and new fields
+   * get fresh ids above every previously-assigned id, so ids are never
+   * reused even across drops (ref add-column path
+   * `core/.../iceberg/IcebergSchemaSync.java:46-135`). Dropped columns
+   * simply leave the current schema; their ids stay retired.
+   */
+  def evolveSchema(existing: StructType, incoming: StructType): StructType = {
+    var next = lastAssignedId(existing)
+    def nextId(): Int = { next += 1; next }
+    def walkStruct(ex: Option[StructType], in: StructType): StructType =
+      StructType(in.fields.map { f =>
+        val prior = ex.flatMap(_.fields.find(_.name == f.name))
+        val id = prior.flatMap(fieldId).getOrElse(nextId())
+        f.copy(
+          metadata = withFieldId(f.metadata, id),
+          dataType = walkType(prior.map(_.dataType), f.dataType))
+      })
+    def walkType(ex: Option[DataType], in: DataType): DataType = (ex, in) match {
+      case (Some(ps: StructType), s: StructType) => walkStruct(Some(ps), s)
+      case (_, s: StructType) => walkStruct(None, s)
+      case (Some(pa: ArrayType), a: ArrayType) =>
+        a.copy(elementType = walkType(Some(pa.elementType), a.elementType))
+      case (_, a: ArrayType) => a.copy(elementType = walkType(None, a.elementType))
+      case (Some(pm: MapType), m: MapType) =>
+        m.copy(valueType = walkType(Some(pm.valueType), m.valueType))
+      case (_, m: MapType) => m.copy(valueType = walkType(None, m.valueType))
+      case (_, other) => other
+    }
+    walkStruct(Some(existing), incoming)
+  }
+
   def fieldId(f: StructField): Option[Int] =
     if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey).toInt) else None
 

@@ -135,7 +135,13 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     }
     val newFiles = StagedWrites.writeAndPlace(df, tablePath, partitionColumns)
     val stats = ParquetFooterStats.collect(spark, newFiles)
-    val idSchema = prev.map(_._2.schema).getOrElse(IcebergSchemas.assignFieldIds(df.schema))
+    // evolve rather than inherit: an appended DataFrame with new columns
+    // produces a new schema entry with stable ids for matching fields
+    // (was: silent drop of the changed schema)
+    val idSchema = prev match {
+      case Some((_, m)) => IcebergSchemas.evolveSchema(m.schema, df.schema)
+      case None => IcebergSchemas.assignFieldIds(df.schema)
+    }
     val entries = stats.map(st =>
       IcebergTable.entryFor(st, idSchema, partitionColumns, tablePath))
     commitSnapshot(prev, idSchema, partitionColumns, entries, overwrite,
@@ -160,6 +166,10 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val now = System.currentTimeMillis()
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
     val seq = prev.map(_._2.lastSequenceNumber + 1).getOrElse(1L)
+    // a changed schema gets a new schema-id (evolution commit)
+    val schemaId = prev.map { case (_, m) =>
+      if (m.schema.json != idSchema.json) m.currentSchemaId + 1 else m.currentSchemaId
+    }.getOrElse(0)
     val specFields = IcebergTable.specFor(idSchema, partitionColumns)
     val partFieldTypes = specFields.map { f =>
       val sf = idSchema.fields.find(x => IcebergSchemas.fieldId(x).contains(f.sourceId)).get
@@ -170,7 +180,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // header properties Iceberg's ManifestReader requires alongside
     // format-version/content
     val manifestHeaders = Map(
-      "schema" -> IcebergSchemas.toJson(idSchema, 0).toString,
+      "schema" -> IcebergSchemas.toJson(idSchema, schemaId).toString,
       "partition-spec" -> IcebergMetadataCodec.specJson(specFields),
       "partition-spec-id" -> "0")
 
@@ -231,7 +241,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       sequenceNumber = seq,
       timestampMs = now,
       manifestList = listPath.toString,
-      schemaId = 0,
+      schemaId = schemaId,
       operation = operation,
       summary = Map(
         "added-data-files" -> adds.size.toString,
@@ -253,6 +263,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val next = base.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
+      lastColumnId = IcebergSchemas.lastAssignedId(idSchema),
+      currentSchemaId = schemaId,
       schema = idSchema,
       partitionSpec = specFields,
       properties = base.properties ++ extraProps,

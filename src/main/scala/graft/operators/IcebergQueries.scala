@@ -51,6 +51,14 @@ object IcebergQueries {
           spark, s"$root/lineitem_ranged",
           Tables.lineitem(spark, sfDir).repartitionByRange(8, col("l_orderkey")))
 
+        // 5. schema-evolved orders: snap0 lacks o_flag, snap1 adds it
+        val oBase = o.select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val t5 = IcebergTable.create(
+          spark, s"$root/orders_evolved",
+          oBase.filter(col("o_orderkey") % 2 === 0).drop("o_orderstatus"))
+        t5.append(oBase.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_flag", upper(col("o_orderstatus"))).drop("o_orderstatus"))
+
         root
       })
     }
@@ -134,6 +142,19 @@ object IcebergQueries {
       """SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 2000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Schema evolution: rows written before the column existed read back
+    // as NULL through the evolved schema (the reference IT shape,
+    // ref `ITOneTableClient.java:227-259`).
+    QueryDef.sql(
+      "i06_iceberg_schema_evolution",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_evolved").toDF()
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_flag"))
+          .orderBy(col("o_orderkey")),
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN UPPER(o_orderstatus) END AS o_flag
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
 
     // Cross-format equality: the SAME source served through the Delta
     // codec and the Iceberg codec must agree row-for-row; result is the

@@ -147,6 +147,32 @@ class IcebergTableSpec extends SparkTestBase {
     assert(PathCodec.unescapePathName(PathCodec.escapePathName(roundTrip)) == roundTrip)
   }
 
+  test("appending a new column evolves the schema with stable field ids") {
+    val dir = tmpDir("ice_evolve")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    val base = src.select(col("o_orderkey"), col("o_totalprice"))
+    val t = IcebergTable.create(spark, s"$dir/t", base.filter(col("o_orderkey") % 2 === 0))
+    val idsBefore = t.schema.fields.map(f => f.name -> IcebergSchemas.fieldId(f).get).toMap
+    val schemaIdBefore = t.currentMetadata.currentSchemaId
+    t.append(base.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("o_flag", lit("NEW")))
+    // fresh handle sees the evolved schema; old ids stable, new id fresh
+    val t2 = IcebergTable.forPath(spark, s"$dir/t")
+    val idsAfter = t2.schema.fields.map(f => f.name -> IcebergSchemas.fieldId(f).get).toMap
+    assert(idsAfter("o_orderkey") == idsBefore("o_orderkey"))
+    assert(idsAfter("o_totalprice") == idsBefore("o_totalprice"))
+    assert(idsAfter("o_flag") > idsBefore.values.max)
+    assert(t2.currentMetadata.currentSchemaId == schemaIdBefore + 1)
+    // pre-evolution rows read back with NULL for the new column
+    val back = t2.toDF()
+    assert(back.columns.contains("o_flag"))
+    assert(back.filter(col("o_flag").isNull).count() == base.filter(col("o_orderkey") % 2 === 0).count())
+    assert(back.filter(col("o_flag") === "NEW").count() == base.filter(col("o_orderkey") % 2 === 1).count())
+    // time travel to the pre-evolution snapshot still answers
+    val v0 = t2.toDF(snapshotAsOf = Some(t2.snapshotIds.head))
+    assert(v0.count() == base.filter(col("o_orderkey") % 2 === 0).count())
+  }
+
   test("commit is put-if-absent: stale metadata version loses the race") {
     val dir = tmpDir("ice_race")
     val src = spark.read.parquet(s"$sf0001/region.parquet")
