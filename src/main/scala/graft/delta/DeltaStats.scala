@@ -6,6 +6,7 @@ import java.time.format.DateTimeFormatter
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.types._
 
+import graft.model.ColumnStatRow
 import graft.stats.FileFooterStats
 
 /**
@@ -59,5 +60,48 @@ object DeltaStats {
       }
     }
     mapper.writeValueAsString(root)
+  }
+
+  /**
+   * Inverse of [[toJson]]: parse an `add.stats` JSON back into the
+   * engine's canonical stat-string forms (dates → epoch-days,
+   * timestamps → epoch-micros) so stats can be TRANSLATED into another
+   * format's metadata without re-reading parquet footers — the
+   * reference's sync contract (ref
+   * `core/.../delta/DeltaValueConverter.java:57-94`).
+   */
+  def fromJson(json: String, dataSchema: StructType): (Long, Seq[ColumnStatRow]) = {
+    val root = mapper.readTree(json)
+    val numRecords = Option(root.get("numRecords")).map(_.asLong()).getOrElse(-1L)
+    val minN = root.get("minValues")
+    val maxN = root.get("maxValues")
+    val nullN = root.get("nullCount")
+    def canonical(f: StructField, n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+      if (n == null || n.isNull) None
+      else Some(f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => n.asLong().toString
+        case DoubleType | FloatType => n.asDouble().toString
+        case BooleanType => n.asBoolean().toString
+        case _: DecimalType => n.decimalValue().toPlainString
+        case TimestampType | TimestampNTZType =>
+          val i = java.time.OffsetDateTime.parse(n.asText()).toInstant
+          (Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+            i.getNano / 1000L)).toString
+        case DateType => LocalDate.parse(n.asText()).toEpochDay.toString
+        case _ => n.asText()
+      })
+    val cols = dataSchema.fields.toSeq.flatMap { f =>
+      val mn = if (minN == null) None else canonical(f, minN.get(f.name))
+      val mx = if (maxN == null) None else canonical(f, maxN.get(f.name))
+      val nulls = if (nullN == null || nullN.get(f.name) == null) -1L
+                  else nullN.get(f.name).asLong()
+      if (mn.isEmpty && mx.isEmpty && nulls < 0) None
+      else Some(ColumnStatRow(
+        column = f.name, minValue = mn, maxValue = mx,
+        numNulls = nulls,
+        numValues = if (nulls >= 0 && numRecords >= 0) numRecords - nulls else -1L,
+        totalSize = 0L))
+    }
+    (numRecords, cols)
   }
 }

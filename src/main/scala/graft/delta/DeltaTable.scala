@@ -138,6 +138,112 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       s"concurrent commit detected at version $v of $tablePath")
     v
   }
+
+  // ----------------------------------------------------------------- sync
+
+  /** Root the data files live under (for cross-format sync targets). */
+  def dataRoot: String = readBasePath(None)
+
+  /** Current snapshot as canonical data-file descriptors: absolute
+    * paths, hive partition values, footer-equivalent stats parsed out
+    * of the log's stats JSON — no parquet is touched (ref "sync without
+    * rewriting data", `README.md:1-16`). */
+  def snapshotDataFiles(): Seq[graft.model.InternalDataFile] = {
+    val (schema, partCols) = schemaAt(None)
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    log.snapshotFilesDF()
+      .select("path", "partitionValues", "size", "modificationTime", "stats")
+      .collect().toSeq.map { r =>
+      val (n, cols) = Option(r.getString(4))
+        .map(DeltaStats.fromJson(_, dataSchema)).getOrElse((-1L, Seq.empty))
+      graft.model.InternalDataFile(
+        physicalPath = absolutePath(r.getString(0)),
+        partitionValues =
+          if (r.isNullAt(1)) Map.empty
+          else r.getMap[String, String](1).toMap,
+        fileSizeBytes = if (r.isNullAt(2)) 0L else r.getLong(2),
+        recordCount = n,
+        columnStats = cols,
+        lastModified = if (r.isNullAt(3)) 0L else r.getLong(3))
+    }
+  }
+
+  /** One commit's adds + removed paths in canonical form — the unit of
+    * incremental sync replay (ref `DeltaSourceClient.java:106-143`). */
+  def changeSet(version: Long): (Seq[graft.model.InternalDataFile], Seq[String]) = {
+    val (schema, partCols) = schemaAt(Some(version))
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val actions = log.readActions(version)
+    val adds = actions.collect { case a: AddFile =>
+      val (n, cols) = a.stats.map(DeltaStats.fromJson(_, dataSchema)).getOrElse((-1L, Seq.empty))
+      graft.model.InternalDataFile(
+        physicalPath = absolutePath(a.path),
+        partitionValues = a.partitionValues,
+        fileSizeBytes = a.size,
+        recordCount = n,
+        columnStats = cols,
+        lastModified = a.modificationTime)
+    }
+    val removes = actions.collect { case r: RemoveFile => absolutePath(r.path) }
+    (adds, removes)
+  }
+
+  private def absolutePath(logPath: String): String = {
+    val p = DeltaTable.decodeLogPath(logPath)
+    val abs = if (p.startsWith("/") || p.contains(":/")) p
+              else new Path(tablePath, p).toString
+    new Path(abs).toUri.toString
+  }
+
+  /**
+   * Metadata-only sync commit: register externally-produced files (adds
+   * by canonical descriptor, removes by path) without touching data —
+   * the Delta TARGET side of the reference's core loop (ref
+   * `core/.../delta/DeltaClient.java:135-198`). The watermark rides the
+   * metaData configuration so a crash can never desynchronize sync
+   * state from table state (ref `OneTableMetadata.java:36-63`).
+   */
+  def syncCommit(
+      schema: StructType,
+      partitionColumns: Seq[String],
+      sourceDataRoot: String,
+      adds: Seq[graft.model.InternalDataFile],
+      removePaths: Seq[String],
+      syncProps: Map[String, String]): Long = {
+    val now = System.currentTimeMillis()
+    val cleanSchema = StructType(schema.fields.map(f => f.copy(metadata = Metadata.empty)))
+    val dataSchema = StructType(cleanSchema.filterNot(f => partitionColumns.contains(f.name)))
+    val addActions = adds.map { f =>
+      val footerish = graft.stats.FileFooterStats(
+        path = f.physicalPath, fileSizeBytes = f.fileSizeBytes,
+        recordCount = f.recordCount, modificationTime = f.lastModified,
+        columns = f.columnStats)
+      AddFile(
+        path = new Path(f.physicalPath).toUri.toString,
+        partitionValues = f.partitionValues,
+        size = f.fileSizeBytes,
+        modificationTime = if (f.lastModified > 0) f.lastModified else now,
+        dataChange = true,
+        stats = if (f.recordCount >= 0) Some(DeltaStats.toJson(footerish, dataSchema)) else None)
+    }
+    val removeActions = removePaths.map(p =>
+      RemoveFile(new Path(p).toUri.toString, now, dataChange = true))
+    val v = log.latestVersion().map(_ + 1).getOrElse(0L)
+    val baseConfig = if (v == 0L) Map.empty[String, String]
+                     else log.metadataAt(None)._1.configuration
+    val meta = DeltaMetadata(
+      id = if (v == 0L) UUID.randomUUID().toString else log.metadataAt(None)._1.id,
+      schemaString = cleanSchema.json,
+      partitionColumns = partitionColumns,
+      configuration = baseConfig ++ syncProps + ("graft.converted.from" -> sourceDataRoot),
+      createdTime = now)
+    val metaActions: Seq[DeltaAction] =
+      if (v == 0L) Seq(Protocol(), meta) else Seq(meta)
+    val info = CommitInfo(now, "SYNC", Map("mode" -> "Sync"))
+    require(log.commit(v, metaActions ++ removeActions ++ addActions :+ info),
+      s"concurrent commit detected at version $v of $tablePath")
+    v
+  }
 }
 
 object DeltaTable {

@@ -219,6 +219,126 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       s"concurrent hudi commit at $instant of $tablePath")
     instant
   }
+
+  // ----------------------------------------------------------------- sync
+
+  /** Root the data files live under (for cross-format sync targets). */
+  def dataRoot: String = readBasePath
+
+  /** Extra metadata of the newest commit — where sync watermarks ride
+    * (the reference persists sync state in commit extraMetadata, ref
+    * `core/.../hudi/HudiTargetClient.java:367-402`). */
+  def latestCommitExtraMetadata: Map[String, String] =
+    timeline.latestInstant()
+      .map(i => timeline.readCommitMetadata(i).extraMetadata)
+      .getOrElse(Map.empty)
+
+  /** Current snapshot as canonical data-file descriptors. Hudi commit
+    * metadata carries record counts but no column bounds, so
+    * `columnStats` is empty — the sync layer translates what exists,
+    * never re-reads footers. */
+  def snapshotDataFiles(): Seq[graft.model.InternalDataFile] = {
+    val counts: Map[String, Long] = instants.flatMap { t =>
+      val m = timeline.readCommitMetadata(
+        timeline.completedInstants().find(_.time == t).get)
+      m.partitionToWriteStats.valuesIterator.flatten.map(ws =>
+        HudiTable.normalize(absoluteOf(ws.path)) -> ws.numWrites)
+    }.toMap
+    fileSlicesDF(None).select("partitionPath", "path", "size").collect().toSeq.map { r =>
+      val abs = absoluteOf(r.getString(1))
+      graft.model.InternalDataFile(
+        physicalPath = abs,
+        partitionValues = HudiTable.parsePartitionPath(r.getString(0)),
+        fileSizeBytes = if (r.isNullAt(2)) 0L else r.getLong(2),
+        recordCount = counts.getOrElse(HudiTable.normalize(abs), -1L),
+        columnStats = Seq.empty,
+        lastModified = 0L)
+    }
+  }
+
+  /** One instant's adds + removed (replaced) paths — the incremental
+    * replay unit (ref `HudiDataFileExtractor.java:126-256`). */
+  def changeSet(instant: String): (Seq[graft.model.InternalDataFile], Seq[String]) = {
+    val inst = timeline.completedInstants().find(_.time == instant)
+      .getOrElse(throw new IllegalArgumentException(s"no instant $instant on $tablePath"))
+    val meta = timeline.readCommitMetadata(inst)
+    val adds = meta.partitionToWriteStats.toSeq.flatMap { case (pp, stats) =>
+      stats.map(ws => graft.model.InternalDataFile(
+        physicalPath = absoluteOf(ws.path),
+        partitionValues = HudiTable.parsePartitionPath(pp),
+        fileSizeBytes = ws.fileSizeInBytes,
+        recordCount = ws.numWrites,
+        columnStats = Seq.empty,
+        lastModified = 0L))
+    }
+    val removed: Seq[String] =
+      if (meta.partitionToReplaceFileIds.isEmpty) Seq.empty
+      else {
+        val prior = instants.filter(_ < instant)
+        if (prior.isEmpty) Seq.empty
+        else {
+          val replaced = meta.partitionToReplaceFileIds.toSeq.flatMap {
+            case (pp, ids) => ids.map(id => (pp, id))
+          }.toSet
+          fileSlicesDF(Some(prior.last))
+            .select("partitionPath", "fileId", "path").collect().toSeq
+            .filter(r => replaced.contains((r.getString(0), r.getString(1))))
+            .map(r => absoluteOf(r.getString(2)))
+        }
+      }
+    (adds, removed)
+  }
+
+  /**
+   * Metadata-only sync commit: register externally-produced files (and
+   * replaced groups) without touching data — the Hudi TARGET side of
+   * the reference's loop (ref `core/.../hudi/HudiTargetClient.java:196-402`).
+   * File groups are keyed deterministically by the source file name so
+   * a later remove of the same path resolves to the same group.
+   */
+  def syncCommit(
+      schema: StructType,
+      partitionColumns: Seq[String],
+      sourceDataRoot: String,
+      adds: Seq[graft.model.InternalDataFile],
+      removePaths: Seq[String],
+      syncProps: Map[String, String]): String = {
+    val instant = timeline.nextInstantTime()
+    if (!timeline.exists)
+      timeline.writeProperties(HudiTable.tableProperties(
+        tablePath, partitionColumns, Map("graft.converted.from" -> sourceDataRoot)))
+    val writeStats = adds.map { f =>
+      val pp = HudiTable.buildPartitionPath(f.partitionValues, partitionColumns)
+      pp -> HudiWriteStat(
+        fileId = HudiTable.fileIdOf(f.physicalPath),
+        path = new Path(f.physicalPath).toUri.toString,
+        prevCommit = instants.lastOption.getOrElse("null"),
+        numWrites = f.recordCount,
+        fileSizeInBytes = f.fileSizeBytes)
+    }
+    val replaceIds: Map[String, Seq[String]] =
+      if (removePaths.isEmpty || !timeline.exists || instants.isEmpty) Map.empty
+      else {
+        val removeSet = removePaths.map(HudiTable.normalize).toSet
+        fileSlicesDF(None).select("partitionPath", "fileId", "path").collect().toSeq
+          .filter(r => removeSet.contains(HudiTable.normalize(absoluteOf(r.getString(2)))))
+          .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+      }
+    val meta = HudiCommitMetadata(
+      partitionToWriteStats = writeStats.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
+      partitionToReplaceFileIds = replaceIds,
+      extraMetadata = syncProps +
+        ("schema" -> AvroSchemaConverters.toAvro(
+          StructType(schema.fields.map(_.copy(metadata = Metadata.empty)))).toString),
+      operationType = if (replaceIds.nonEmpty) "INSERT_OVERWRITE" else "INSERT")
+    val action = if (replaceIds.nonEmpty) "replacecommit" else "commit"
+    require(timeline.commit(HudiInstant(instant, action), meta),
+      s"concurrent hudi commit at $instant of $tablePath")
+    instant
+  }
+
+  private def absoluteOf(p: String): String =
+    if (p.startsWith("/") || p.contains(":/")) p else new Path(tablePath, p).toString
 }
 
 object HudiTable {
@@ -247,6 +367,31 @@ object HudiTable {
       "hoodie.table.base.file.format" -> "PARQUET",
       "hoodie.datasource.write.hive_style_partitioning" -> "true",
       "hoodie.table.partition.fields" -> partCols.mkString(",")) ++ extra
+
+  /** Scheme-insensitive path form for set membership (file:/x vs /x). */
+  private[graft] def normalize(p: String): String = new Path(p).toUri.getPath
+
+  /** Hive `k=v` partition path → values (ref
+    * `core/.../hudi/HudiPartitionValuesExtractor.java:47-173`). */
+  private[graft] def parsePartitionPath(pp: String): Map[String, String] =
+    if (pp == null || pp.isEmpty) Map.empty
+    else pp.split("/").flatMap(_.split("=", 2) match {
+      case Array(k, v) =>
+        val d = graft.util.PathCodec.unescapePathName(v)
+        Some(k -> (if (d == "__HIVE_DEFAULT_PARTITION__") null else d))
+      case _ => None
+    }).toMap
+
+  private[graft] def buildPartitionPath(
+      values: Map[String, String], partCols: Seq[String]): String =
+    partCols.map { c =>
+      val v = values.get(c).flatMap(Option(_)).getOrElse("__HIVE_DEFAULT_PARTITION__")
+      s"$c=${graft.util.PathCodec.escapePathName(v)}"
+    }.mkString("/")
+
+  /** Deterministic file-group id for an externally-referenced file. */
+  private[graft] def fileIdOf(absPath: String): String =
+    new Path(absPath).getName.stripSuffix(".parquet")
 
   /**
    * Metadata-only conversion of an existing parquet dataset: the commit's

@@ -57,7 +57,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       case None => scan
     }).toDF()
 
-  /** Live manifest entries of a snapshot (executor-side manifest reads). */
+  /** Live manifest entries of a snapshot (executor-side manifest reads).
+    * Reconciliation is per-path latest-sequence-wins — a carried add
+    * manifest plus a later delete manifest for the same file resolves
+    * to deleted, the same replay rule as the Delta log (one shuffle on
+    * path, no driver-side state until survivors). */
   private[iceberg] def liveEntries(snapshotId: Option[Long]): Seq[ManifestEntry] = {
     val meta = currentMetadata
     val snap = snapshotId.map(meta.snapshot).orElse(meta.currentSnapshot).getOrElse(
@@ -66,9 +70,16 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val conf = new SerializableConfiguration(hconf)
     val paths = manifests.map(_.manifestPath)
     if (paths.isEmpty) return Seq.empty
+    def newer(a: ManifestEntry, b: ManifestEntry): ManifestEntry =
+      if (a.sequenceNumber != b.sequenceNumber) {
+        if (a.sequenceNumber > b.sequenceNumber) a else b
+      } else if (a.status == ManifestEntry.StatusDeleted) a else b
     spark.sparkContext
       .parallelize(paths, math.min(paths.size, 64))
       .flatMap(p => IcebergManifests.readManifest(conf.value, new Path(p)))
+      .map(e => (e.filePath, e))
+      .reduceByKey(newer)
+      .values
       .filter(_.status != ManifestEntry.StatusDeleted)
       .collect().toSeq
   }
@@ -144,7 +155,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     }
     val entries = stats.map(st =>
       IcebergTable.entryFor(st, idSchema, partitionColumns, tablePath))
-    commitSnapshot(prev, idSchema, partitionColumns, entries, overwrite,
+    val removes =
+      if (overwrite && prev.exists(_._2.currentSnapshotId.nonEmpty)) liveEntries(None)
+      else Seq.empty
+    commitSnapshot(prev, idSchema, partitionColumns, entries, removes,
+      carryPrevious = !overwrite,
       if (overwrite) "overwrite" else "append", Map.empty)
   }
 
@@ -160,7 +175,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       idSchema: StructType,
       partitionColumns: Seq[String],
       adds: Seq[ManifestEntry],
-      replacesLive: Boolean,
+      removes: Seq[ManifestEntry],
+      carryPrevious: Boolean,
       operation: String,
       extraProps: Map[String, String]): Long = {
     val now = System.currentTimeMillis()
@@ -201,39 +217,40 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       existingRowsCount = 0L,
       deletedRowsCount = 0L)
 
+    // delete manifest: the removed files stamped deleted at this commit's
+    // sequence number — liveEntries' latest-sequence-wins replay resolves
+    // them dead even when their add manifests are still carried
+    val deleteManifests: Seq[ManifestFileInfo] = {
+      val dead = removes.map(_.copy(
+        status = ManifestEntry.StatusDeleted, snapshotId = snapshotId, sequenceNumber = seq))
+      if (dead.isEmpty) Seq.empty
+      else {
+        val delManifest = new Path(metaDir, s"${UUID.randomUUID()}-m1.avro")
+        val delLen = IcebergManifests.writeManifest(
+          hconf, delManifest, entrySchema, dead, manifestHeaders)
+        Seq(ManifestFileInfo(
+          manifestPath = delManifest.toString,
+          manifestLength = delLen,
+          sequenceNumber = seq,
+          minSequenceNumber = seq,
+          addedSnapshotId = snapshotId,
+          addedFilesCount = 0,
+          existingFilesCount = 0,
+          deletedFilesCount = dead.size,
+          addedRowsCount = 0L,
+          existingRowsCount = 0L,
+          deletedRowsCount = dead.map(_.recordCount).sum))
+      }
+    }
     val carried: Seq[ManifestFileInfo] = prev match {
-      case Some((_, m)) if m.currentSnapshotId.nonEmpty =>
-        val prevList = IcebergManifests.readManifestList(
+      case Some((_, m)) if carryPrevious && m.currentSnapshotId.nonEmpty =>
+        IcebergManifests.readManifestList(
           hconf, new Path(m.currentSnapshot.get.manifestList))
-        if (!replacesLive) prevList
-        else {
-          // record the dropped files for incremental readers
-          val dead = liveEntries(None).map(_.copy(
-            status = ManifestEntry.StatusDeleted, snapshotId = snapshotId, sequenceNumber = seq))
-          if (dead.isEmpty) Seq.empty
-          else {
-            val delManifest = new Path(metaDir, s"${UUID.randomUUID()}-m1.avro")
-            val delLen = IcebergManifests.writeManifest(
-              hconf, delManifest, entrySchema, dead, manifestHeaders)
-            Seq(ManifestFileInfo(
-              manifestPath = delManifest.toString,
-              manifestLength = delLen,
-              sequenceNumber = seq,
-              minSequenceNumber = seq,
-              addedSnapshotId = snapshotId,
-              addedFilesCount = 0,
-              existingFilesCount = 0,
-              deletedFilesCount = dead.size,
-              addedRowsCount = 0L,
-              existingRowsCount = 0L,
-              deletedRowsCount = dead.map(_.recordCount).sum))
-          }
-        }
       case _ => Seq.empty
     }
 
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
-    IcebergManifests.writeManifestList(hconf, listPath, addInfo +: carried)
+    IcebergManifests.writeManifestList(hconf, listPath, (addInfo +: deleteManifests) ++ carried)
 
     val snap = IcebergSnapshot(
       snapshotId = snapshotId,
@@ -274,6 +291,103 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val v = prev.map(_._1 + 1).getOrElse(1L)
     require(log.commit(v, next), s"concurrent iceberg commit at v$v of $tablePath")
     snapshotId
+  }
+
+  // ----------------------------------------------------------------- sync
+
+  /** Root the data files live under (for cross-format sync targets). */
+  def dataRoot: String =
+    currentMetadata.properties.getOrElse("graft.converted.from", tablePath)
+
+  /** Current snapshot as canonical data-file descriptors: bounds decoded
+    * back to canonical stat strings by field id — stats are translated,
+    * never recomputed from footers (reference sync contract). */
+  def snapshotDataFiles(): Seq[graft.model.InternalDataFile] = {
+    val meta = currentMetadata
+    liveEntries(None).map(e => IcebergTable.internalFile(e, meta.schema))
+  }
+
+  /** One snapshot's adds + removed paths — the incremental replay unit
+    * (ref `IcebergSourceClient.java:170-196`). */
+  def changeSet(snapshotId: Long): (Seq[graft.model.InternalDataFile], Seq[String]) = {
+    val meta = currentMetadata
+    val snap = meta.snapshot(snapshotId)
+    val conf = new SerializableConfiguration(hconf)
+    val manifestPaths = IcebergManifests.readManifestList(hconf, new Path(snap.manifestList))
+      .filter(_.addedSnapshotId == snapshotId).map(_.manifestPath)
+    if (manifestPaths.isEmpty) return (Seq.empty, Seq.empty)
+    val entries = spark.sparkContext
+      .parallelize(manifestPaths, math.min(manifestPaths.size, 64))
+      .flatMap(p => IcebergManifests.readManifest(conf.value, new Path(p)))
+      .filter(_.snapshotId == snapshotId)
+      .collect().toSeq
+    val schemaAt = meta // bounds decode against current schema by field id
+    val adds = entries.filter(_.status == ManifestEntry.StatusAdded)
+      .map(e => IcebergTable.internalFile(e, schemaAt.schema))
+    val removed = entries.filter(_.status == ManifestEntry.StatusDeleted)
+      .map(e => new Path(e.filePath).toUri.toString)
+    (adds, removed)
+  }
+
+  /**
+   * Metadata-only sync commit: register externally-produced files and
+   * removals without touching data — the Iceberg TARGET side of the
+   * reference's loop (ref `core/.../iceberg/IcebergClient.java:135-237`).
+   * Watermark props persist in table properties.
+   */
+  def syncCommit(
+      schema: StructType,
+      partitionColumns: Seq[String],
+      sourceDataRoot: String,
+      adds: Seq[graft.model.InternalDataFile],
+      removePaths: Seq[String],
+      syncProps: Map[String, String]): Long = {
+    val prev = log.readLatest()
+    val idSchema = prev match {
+      case Some((_, m)) => IcebergSchemas.evolveSchema(m.schema, schema)
+      case None => IcebergSchemas.assignFieldIds(schema)
+    }
+    val entries = adds.map { f =>
+      val byName = f.columnStats.map(c => c.column -> c).toMap
+      val fields = idSchema.fields.filterNot(x => partitionColumns.contains(x.name))
+      var valueCounts = Map.empty[Int, Long]
+      var nullCounts = Map.empty[Int, Long]
+      var lower = Map.empty[Int, Array[Byte]]
+      var upper = Map.empty[Int, Array[Byte]]
+      fields.foreach { sf =>
+        val id = IcebergSchemas.fieldId(sf).get
+        byName.get(sf.name).foreach { c =>
+          if (c.numValues >= 0) valueCounts += id -> c.numValues
+          if (c.numNulls >= 0) nullCounts += id -> c.numNulls
+          def enc(v: String): Option[Array[Byte]] =
+            try Some(IcebergSchemas.encodeBound(sf.dataType, v)) catch { case _: Exception => None }
+          c.minValue.flatMap(enc).foreach(b => lower += id -> b)
+          c.maxValue.flatMap(enc).foreach(b => upper += id -> b)
+        }
+      }
+      ManifestEntry(
+        status = ManifestEntry.StatusAdded,
+        snapshotId = 0L,
+        sequenceNumber = 0L,
+        filePath = new Path(f.physicalPath).toUri.toString,
+        fileFormat = f.fileFormat,
+        partitionValues = f.partitionValues.filter { case (k, _) => partitionColumns.contains(k) },
+        recordCount = f.recordCount,
+        fileSizeBytes = f.fileSizeBytes,
+        valueCounts = valueCounts,
+        nullCounts = nullCounts,
+        lowerBounds = lower,
+        upperBounds = upper)
+    }
+    val removeSet = removePaths.map(p => new Path(p).toUri.toString).toSet
+    val removes =
+      if (removeSet.isEmpty || prev.forall(_._2.currentSnapshotId.isEmpty)) Seq.empty
+      else liveEntries(None).filter(e =>
+        removeSet.contains(new Path(e.filePath).toUri.toString))
+    commitSnapshot(prev, idSchema, partitionColumns, entries, removes,
+      carryPrevious = true,
+      operation = if (removes.nonEmpty) "overwrite" else "append",
+      extraProps = syncProps + ("graft.converted.from" -> sourceDataRoot))
   }
 }
 
@@ -316,7 +430,7 @@ object IcebergTable {
     val idSchema = IcebergSchemas.assignFieldIds(inferred)
     val stats = ParquetFooterStats.collect(spark, files)
     val entries = stats.map(st => entryFor(st, idSchema, partCols, sourceLocation))
-    t.commitSnapshot(None, idSchema, partCols, entries, replacesLive = false,
+    t.commitSnapshot(None, idSchema, partCols, entries, Seq.empty, carryPrevious = false,
       operation = "append", extraProps = Map("graft.converted.from" -> sourceLocation))
     t
   }
@@ -378,6 +492,37 @@ object IcebergTable {
       nullCounts = nullCounts,
       lowerBounds = lower,
       upperBounds = upper)
+  }
+
+  /** Inverse of [[entryFor]]: manifest entry → canonical data-file
+    * descriptor, bounds decoded to canonical stat strings by field id
+    * (sync source side — stats translated, never recomputed). */
+  private[graft] def internalFile(
+      e: ManifestEntry, idSchema: StructType): graft.model.InternalDataFile = {
+    val byId = idSchema.fields.flatMap(f =>
+      IcebergSchemas.fieldId(f).map(_ -> f)).toMap
+    val ids = (e.valueCounts.keySet ++ e.nullCounts.keySet ++
+      e.lowerBounds.keySet ++ e.upperBounds.keySet).toSeq.sorted
+    val cols = ids.flatMap(byId.get(_).map { f =>
+      val id = IcebergSchemas.fieldId(f).get
+      def dec(b: Array[Byte]): Option[String] =
+        try Some(IcebergSchemas.decodeBound(f.dataType, b)) catch { case _: Exception => None }
+      graft.model.ColumnStatRow(
+        column = f.name,
+        minValue = e.lowerBounds.get(id).flatMap(dec),
+        maxValue = e.upperBounds.get(id).flatMap(dec),
+        numNulls = e.nullCounts.getOrElse(id, -1L),
+        numValues = e.valueCounts.getOrElse(id, -1L),
+        totalSize = 0L)
+    })
+    graft.model.InternalDataFile(
+      physicalPath = new Path(e.filePath).toUri.toString,
+      fileFormat = e.fileFormat,
+      partitionValues = e.partitionValues,
+      fileSizeBytes = e.fileSizeBytes,
+      recordCount = e.recordCount,
+      columnStats = cols,
+      lastModified = 0L)
   }
 }
 

@@ -1,0 +1,121 @@
+package graft.operators
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.delta.DeltaTable
+import graft.hudi.HudiTable
+import graft.iceberg.IcebergTable
+import graft.sources.Tables
+import graft.sync.SyncEngine
+
+/**
+ * Format-to-format sync verification: each target table below is
+ * produced BY [[graft.sync.SyncEngine]] — a full sync followed by an
+ * incremental replay of later source commits — not by independent
+ * conversion. Reading the sync-produced target must match DuckDB on the
+ * original parquet, proving the translated metadata (files, partition
+ * values, stats) is faithful — the reference's core guarantee (ref
+ * `core/.../client/OneTableClient.java:95-247`,
+ * IT shape `ITOneTableClient.java:748-813`).
+ */
+object SyncQueries {
+
+  private object Fixtures {
+    private val built = scala.collection.mutable.Map[String, String]()
+
+    def dir(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = synchronized {
+      built.getOrElseUpdate(sfDir, {
+        val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_sync", name).toString
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+
+        // 1. Delta -> Iceberg: full sync of commit0 (even keys), then an
+        //    incremental replay of commit1 (odd keys)
+        val o = Tables.orders(spark, sfDir)
+        val d2iSrc = DeltaTable.create(
+          spark, s"$root/d2i_src", o.filter(col("o_orderkey") % 2 === 0))
+        SyncEngine.sync(
+          SyncEngine.deltaSource(d2iSrc), SyncEngine.icebergTarget(spark, s"$root/d2i_tgt"))
+        d2iSrc.append(o.filter(col("o_orderkey") % 2 === 1), Seq.empty)
+        val r1 = SyncEngine.sync(
+          SyncEngine.deltaSource(d2iSrc), SyncEngine.icebergTarget(spark, s"$root/d2i_tgt"))
+        require(r1.mode == "incremental", s"expected incremental d2i replay, got ${r1.mode}")
+
+        // 2. Iceberg -> Delta: partitioned lineitem, partition values and
+        //    stats must survive translation so the Delta scan still prunes
+        val i2dSrc = IcebergTable.create(
+          spark, s"$root/i2d_src", Tables.lineitem(spark, sfDir), Seq("l_returnflag"))
+        SyncEngine.sync(
+          SyncEngine.icebergSource(i2dSrc), SyncEngine.deltaTarget(spark, s"$root/i2d_tgt"))
+
+        // 3. Hudi -> Iceberg: full then incremental across two instants
+        val h2iSrc = HudiTable.create(
+          spark, s"$root/h2i_src", o.filter(col("o_orderkey") % 2 === 0))
+        SyncEngine.sync(
+          SyncEngine.hudiSource(h2iSrc), SyncEngine.icebergTarget(spark, s"$root/h2i_tgt"))
+        h2iSrc.append(o.filter(col("o_orderkey") % 2 === 1))
+        val r3 = SyncEngine.sync(
+          SyncEngine.hudiSource(h2iSrc), SyncEngine.icebergTarget(spark, s"$root/h2i_tgt"))
+        require(r3.mode == "incremental", s"expected incremental h2i replay, got ${r3.mode}")
+
+        root
+      })
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "x02_delta_to_iceberg_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        IcebergTable.forPath(spark, s"$root/d2i_tgt").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // The Delta target's scan prunes on TRANSLATED partition values —
+    // only the l_returnflag=A files are read.
+    QueryDef.sql(
+      "x03_iceberg_to_delta_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        DeltaTable.forPath(spark, s"$root/i2d_tgt")
+          .scan.partitionIn("l_returnflag", Set("A")).toDF()
+          .groupBy(col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_linestatus"))
+      },
+      """SELECT l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    QueryDef.sql(
+      "x04_hudi_to_iceberg_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        IcebergTable.forPath(spark, s"$root/h2i_tgt").toDF()
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  )
+}

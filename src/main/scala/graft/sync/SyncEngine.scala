@@ -1,0 +1,267 @@
+package graft.sync
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{Metadata, StructType}
+
+import graft.delta.DeltaTable
+import graft.hudi.HudiTable
+import graft.iceberg.IcebergTable
+import graft.model.InternalDataFile
+
+/**
+ * Format-to-format metadata sync — the reference's core product loop
+ * (ref `core/src/main/java/io/onetable/client/OneTableClient.java:95-247`):
+ * read one format's snapshot or pending commits, translate the file
+ * descriptors + stats through the canonical internal model, and commit
+ * equivalent metadata into another format's log — never rewriting data.
+ *
+ * The sync watermark (source identity + last synced version) is
+ * persisted IN the target table's own metadata (Delta metaData
+ * configuration / Iceberg table properties / Hudi commit extraMetadata,
+ * ref `api/.../model/OneTableMetadata.java:36-63`), so a crash can never
+ * desynchronize sync state from table state: the watermark commits
+ * atomically with the files it describes.
+ *
+ * Incremental-vs-full planning (ref `OneTableClient.java:149-247`): a
+ * target is eligible for incremental replay iff it carries a watermark
+ * for THIS source and the watermarked version is still listable in the
+ * source's history — the retention fence; a vacuumed/expired source
+ * log forces a full snapshot sync rather than replaying a gap.
+ *
+ * Scale notes: one target commit per source commit preserves the
+ * source's commit granularity for downstream change consumers; all
+ * per-file work is descriptor translation (driver-side, metadata-sized)
+ * — the data plane is untouched, which is the whole point.
+ */
+object SyncEngine {
+
+  /** Watermark property keys persisted in target metadata. */
+  val SourceIdProp = "graft.sync.source.id"
+  val VersionProp = "graft.sync.last.synced.version"
+
+  sealed trait Mode
+  case object Full extends Mode
+  case object Incremental extends Mode
+  /** Incremental when safe, else full (the reference's default). */
+  case object Auto extends Mode
+
+  final case class SyncResult(
+      mode: String,
+      versionsSynced: Seq[String],
+      filesAdded: Int,
+      filesRemoved: Int)
+
+  /** Scheme-insensitive path form for cross-format set comparison. */
+  private def norm(p: String): String = new Path(p).toUri.getPath
+
+  def sync(source: SyncSource, target: SyncTarget, mode: Mode = Auto): SyncResult = {
+    val wm = target.watermarkFor(source.sourceId)
+    val canIncrement = wm.exists(source.versionExists)
+    val incremental = mode match {
+      case Full        => false
+      case Incremental =>
+        require(canIncrement, s"no usable watermark on ${target.format} target " +
+          s"for ${source.sourceId} (have $wm) — run a full sync first")
+        true
+      case Auto        => canIncrement
+    }
+    if (incremental) {
+      val pending = source.versionsAfter(wm.get)
+      var added, removed = 0
+      pending.foreach { v =>
+        val (adds, removes) = source.changes(v)
+        target.commit(source.schema, source.partitionColumns, source.dataRoot,
+          adds, removes,
+          Map(SourceIdProp -> source.sourceId, VersionProp -> v))
+        added += adds.size; removed += removes.size
+      }
+      SyncResult("incremental", pending, added, removed)
+    } else {
+      val files = source.snapshotFiles()
+      val byPath = files.map(f => norm(f.physicalPath) -> f).toMap
+      val live = target.livePaths()
+      val liveNorm = live.map(norm)
+      val adds = files.filterNot(f => liveNorm.contains(norm(f.physicalPath)))
+      val removes = live.filterNot(p => byPath.contains(norm(p))).toSeq.sorted
+      target.commit(source.schema, source.partitionColumns, source.dataRoot,
+        adds, removes,
+        Map(SourceIdProp -> source.sourceId, VersionProp -> source.currentVersion))
+      SyncResult("full", Seq(source.currentVersion), adds.size, removes.size)
+    }
+  }
+
+  // ------------------------------------------------------------ factories
+
+  def deltaSource(t: DeltaTable): SyncSource = new DeltaSource(t)
+  def icebergSource(t: IcebergTable): SyncSource = new IcebergSource(t)
+  def hudiSource(t: HudiTable): SyncSource = new HudiSource(t)
+  def deltaTarget(spark: SparkSession, path: String): SyncTarget = new DeltaTarget(spark, path)
+  def icebergTarget(spark: SparkSession, path: String): SyncTarget = new IcebergTarget(spark, path)
+  def hudiTarget(spark: SparkSession, path: String): SyncTarget = new HudiTarget(spark, path)
+
+  def sourceFor(spark: SparkSession, format: String, path: String): SyncSource =
+    format.toLowerCase match {
+      case "delta"   => deltaSource(DeltaTable.forPath(spark, path))
+      case "iceberg" => icebergSource(IcebergTable.forPath(spark, path))
+      case "hudi"    => hudiSource(HudiTable.forPath(spark, path))
+      case other     => throw new IllegalArgumentException(s"unknown source format: $other")
+    }
+
+  def targetFor(spark: SparkSession, format: String, path: String): SyncTarget =
+    format.toLowerCase match {
+      case "delta"   => deltaTarget(spark, path)
+      case "iceberg" => icebergTarget(spark, path)
+      case "hudi"    => hudiTarget(spark, path)
+      case other     => throw new IllegalArgumentException(s"unknown target format: $other")
+    }
+}
+
+/** A table format viewed as a sync source: versioned history + canonical
+  * file descriptors (ref `api/.../spi/extractor/SourceClient.java`). */
+trait SyncSource {
+  def format: String
+  /** Stable identity the watermark is keyed by. */
+  def sourceId: String
+  /** Root the physical files resolve under. */
+  def dataRoot: String
+  def schema: StructType
+  def partitionColumns: Seq[String]
+  /** Newest committed version, as an opaque token. */
+  def currentVersion: String
+  /** Retention fence: is `v` still listable in the source history? */
+  def versionExists(v: String): Boolean
+  /** Versions strictly after `v`, oldest first. */
+  def versionsAfter(v: String): Seq[String]
+  def snapshotFiles(): Seq[InternalDataFile]
+  /** Adds + removed paths of one version. */
+  def changes(v: String): (Seq[InternalDataFile], Seq[String])
+}
+
+/** A table format viewed as a sync target: watermark lookup + metadata
+  * commit (ref `api/.../spi/sync/TargetClient.java`). */
+trait SyncTarget {
+  def format: String
+  def targetPath: String
+  /** Last synced version iff this target was last synced from `sourceId`. */
+  def watermarkFor(sourceId: String): Option[String]
+  /** Currently-live physical paths (empty for a fresh target). */
+  def livePaths(): Set[String]
+  def commit(
+      schema: StructType,
+      partitionColumns: Seq[String],
+      sourceDataRoot: String,
+      adds: Seq[InternalDataFile],
+      removePaths: Seq[String],
+      watermark: Map[String, String]): Unit
+}
+
+// ---------------------------------------------------------------- Delta
+
+private final class DeltaSource(t: DeltaTable) extends SyncSource {
+  def format = "delta"
+  def sourceId = s"delta:${t.tablePath}"
+  def dataRoot: String = t.dataRoot
+  def schema: StructType = StructType(
+    t.schemaAt(None)._1.map(_.copy(metadata = Metadata.empty)))
+  def partitionColumns: Seq[String] = t.schemaAt(None)._2
+  def currentVersion: String = t.latestVersion.toString
+  def versionExists(v: String): Boolean =
+    v.toLongOption.exists(t.log.listVersions().contains)
+  def versionsAfter(v: String): Seq[String] =
+    t.log.listVersions().filter(_ > v.toLong).sorted.map(_.toString)
+  def snapshotFiles(): Seq[InternalDataFile] = t.snapshotDataFiles()
+  def changes(v: String): (Seq[InternalDataFile], Seq[String]) = t.changeSet(v.toLong)
+}
+
+private final class DeltaTarget(spark: SparkSession, val targetPath: String) extends SyncTarget {
+  def format = "delta"
+  private def table = DeltaTable.forPath(spark, targetPath)
+  private def exists = table.log.latestVersion().nonEmpty
+  def watermarkFor(sourceId: String): Option[String] = {
+    if (!exists) return None
+    val conf = table.log.metadataAt(None)._1.configuration
+    conf.get(SyncEngine.SourceIdProp).filter(_ == sourceId)
+      .flatMap(_ => conf.get(SyncEngine.VersionProp))
+  }
+  def livePaths(): Set[String] =
+    if (!exists) Set.empty else table.snapshotDataFiles().map(_.physicalPath).toSet
+  def commit(
+      schema: StructType, partitionColumns: Seq[String], sourceDataRoot: String,
+      adds: Seq[InternalDataFile], removePaths: Seq[String],
+      watermark: Map[String, String]): Unit =
+    table.syncCommit(schema, partitionColumns, sourceDataRoot, adds, removePaths, watermark)
+}
+
+// -------------------------------------------------------------- Iceberg
+
+private final class IcebergSource(t: IcebergTable) extends SyncSource {
+  def format = "iceberg"
+  def sourceId = s"iceberg:${t.tablePath}"
+  def dataRoot: String = t.dataRoot
+  def schema: StructType = t.sparkSchema
+  def partitionColumns: Seq[String] = t.currentMetadata.partitionSpec.map(_.name)
+  def currentVersion: String = t.snapshotIds.last.toString
+  def versionExists(v: String): Boolean =
+    v.toLongOption.exists(t.snapshotIds.contains)
+  def versionsAfter(v: String): Seq[String] = {
+    val ids = t.snapshotIds
+    val i = ids.indexOf(v.toLong)
+    if (i < 0) Seq.empty else ids.drop(i + 1).map(_.toString)
+  }
+  def snapshotFiles(): Seq[InternalDataFile] = t.snapshotDataFiles()
+  def changes(v: String): (Seq[InternalDataFile], Seq[String]) = t.changeSet(v.toLong)
+}
+
+private final class IcebergTarget(spark: SparkSession, val targetPath: String) extends SyncTarget {
+  def format = "iceberg"
+  private def table = IcebergTable.forPath(spark, targetPath)
+  private def exists = table.log.latestVersion().nonEmpty
+  def watermarkFor(sourceId: String): Option[String] = {
+    if (!exists) return None
+    val props = table.currentMetadata.properties
+    props.get(SyncEngine.SourceIdProp).filter(_ == sourceId)
+      .flatMap(_ => props.get(SyncEngine.VersionProp))
+  }
+  def livePaths(): Set[String] =
+    if (!exists) Set.empty else table.snapshotDataFiles().map(_.physicalPath).toSet
+  def commit(
+      schema: StructType, partitionColumns: Seq[String], sourceDataRoot: String,
+      adds: Seq[InternalDataFile], removePaths: Seq[String],
+      watermark: Map[String, String]): Unit =
+    table.syncCommit(schema, partitionColumns, sourceDataRoot, adds, removePaths, watermark)
+}
+
+// ----------------------------------------------------------------- Hudi
+
+private final class HudiSource(t: HudiTable) extends SyncSource {
+  def format = "hudi"
+  def sourceId = s"hudi:${t.tablePath}"
+  def dataRoot: String = t.dataRoot
+  def schema: StructType = t.schemaAt(None)
+  def partitionColumns: Seq[String] = t.partitionColumns
+  def currentVersion: String = t.latestInstant
+  def versionExists(v: String): Boolean = t.instants.contains(v)
+  def versionsAfter(v: String): Seq[String] = t.instants.filter(_ > v)
+  def snapshotFiles(): Seq[InternalDataFile] = t.snapshotDataFiles()
+  def changes(v: String): (Seq[InternalDataFile], Seq[String]) = t.changeSet(v)
+}
+
+private final class HudiTarget(spark: SparkSession, val targetPath: String) extends SyncTarget {
+  def format = "hudi"
+  private def table = HudiTable.forPath(spark, targetPath)
+  private def exists = table.timeline.exists
+  def watermarkFor(sourceId: String): Option[String] = {
+    if (!exists) return None
+    val extra = table.latestCommitExtraMetadata
+    extra.get(SyncEngine.SourceIdProp).filter(_ == sourceId)
+      .flatMap(_ => extra.get(SyncEngine.VersionProp))
+  }
+  def livePaths(): Set[String] =
+    if (!exists) Set.empty else table.snapshotDataFiles().map(_.physicalPath).toSet
+  def commit(
+      schema: StructType, partitionColumns: Seq[String], sourceDataRoot: String,
+      adds: Seq[InternalDataFile], removePaths: Seq[String],
+      watermark: Map[String, String]): Unit =
+    table.syncCommit(schema, partitionColumns, sourceDataRoot, adds, removePaths, watermark)
+}

@@ -1,0 +1,124 @@
+package graft.sync
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.delta.DeltaTable
+import graft.hudi.HudiTable
+import graft.iceberg.IcebergTable
+
+class SyncEngineSpec extends SparkTestBase {
+
+  private def orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+
+  private def checksum(df: org.apache.spark.sql.DataFrame): Long =
+    df.select(sum(hash(df.columns.map(col): _*)).cast("long")).collect()(0).getLong(0)
+
+  test("full Delta -> Iceberg sync produces a row-identical table with a watermark") {
+    val dir = tmpDir("sync_d2i")
+    val src = DeltaTable.create(spark, s"$dir/src", orders.filter(col("o_orderkey") % 2 === 0))
+    val res = SyncEngine.sync(
+      SyncEngine.deltaSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    assert(res.mode == "full" && res.filesAdded > 0)
+    val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
+    assert(tgt.toDF().count() == src.toDF().count())
+    assert(checksum(tgt.toDF()) == checksum(src.toDF()))
+    assert(tgt.currentMetadata.properties(SyncEngine.VersionProp) == "0")
+  }
+
+  test("incremental re-sync after append replays only the pending commit") {
+    val dir = tmpDir("sync_d2i_inc")
+    val src = DeltaTable.create(spark, s"$dir/src", orders.filter(col("o_orderkey") % 2 === 0))
+    SyncEngine.sync(SyncEngine.deltaSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    src.append(orders.filter(col("o_orderkey") % 2 === 1), Seq.empty)
+    val res = SyncEngine.sync(
+      SyncEngine.deltaSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    assert(res.mode == "incremental" && res.versionsSynced == Seq("1"))
+    val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
+    assert(tgt.toDF().count() == orders.count())
+    assert(checksum(tgt.toDF()) == checksum(src.toDF()))
+    // one target snapshot per source commit
+    assert(tgt.snapshotIds.size == 2)
+  }
+
+  test("incremental sync replays removes: overwrite on source drops rows on target") {
+    val dir = tmpDir("sync_d2i_ow")
+    val src = DeltaTable.create(spark, s"$dir/src", orders)
+    SyncEngine.sync(SyncEngine.deltaSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    src.overwrite(orders.filter(col("o_orderkey") % 2 === 0), Seq.empty)
+    val res = SyncEngine.sync(
+      SyncEngine.deltaSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    assert(res.mode == "incremental" && res.filesRemoved > 0)
+    val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
+    assert(checksum(tgt.toDF()) == checksum(src.toDF()))
+  }
+
+  test("full Iceberg -> Delta sync round-trips stats so skipping still works") {
+    val dir = tmpDir("sync_i2d")
+    val src = IcebergTable.create(spark, s"$dir/src",
+      orders.repartitionByRange(4, col("o_orderkey")))
+    val res = SyncEngine.sync(
+      SyncEngine.icebergSource(src), SyncEngine.deltaTarget(spark, s"$dir/tgt"))
+    assert(res.mode == "full")
+    val tgt = DeltaTable.forPath(spark, s"$dir/tgt")
+    assert(checksum(tgt.toDF()) == checksum(src.toDF()))
+    // translated stats (not recomputed) must still prune files
+    val all = tgt.scan.files().count()
+    val pruned = tgt.scan.range("o_orderkey", Some(1L), Some(8L)).files().count()
+    assert(pruned < all)
+  }
+
+  test("partitioned Delta -> Iceberg sync keeps partition pruning") {
+    val dir = tmpDir("sync_part")
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    val src = DeltaTable.create(spark, s"$dir/src", li, Seq("l_returnflag"))
+    SyncEngine.sync(SyncEngine.deltaSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
+    assert(tgt.currentMetadata.partitionSpec.map(_.name) == Seq("l_returnflag"))
+    val pruned = tgt.scan.partitionIn("l_returnflag", Set("A")).toDF()
+    assert(pruned.count() == li.filter(col("l_returnflag") === "A").count())
+    assert(tgt.scan.partitionIn("l_returnflag", Set("A")).files().size <
+      tgt.scan.files().size)
+  }
+
+  test("Hudi -> Delta sync and incremental replay") {
+    val dir = tmpDir("sync_h2d")
+    val src = HudiTable.create(spark, s"$dir/src", orders.filter(col("o_orderkey") % 2 === 0))
+    val r1 = SyncEngine.sync(
+      SyncEngine.hudiSource(src), SyncEngine.deltaTarget(spark, s"$dir/tgt"))
+    assert(r1.mode == "full")
+    src.append(orders.filter(col("o_orderkey") % 2 === 1))
+    val r2 = SyncEngine.sync(
+      SyncEngine.hudiSource(src), SyncEngine.deltaTarget(spark, s"$dir/tgt"))
+    assert(r2.mode == "incremental" && r2.versionsSynced.size == 1)
+    val tgt = DeltaTable.forPath(spark, s"$dir/tgt")
+    assert(checksum(tgt.toDF()) == checksum(src.toDF()))
+  }
+
+  test("Delta -> Hudi sync targets a readable Hudi table with watermark in commit meta") {
+    val dir = tmpDir("sync_d2h")
+    val src = DeltaTable.create(spark, s"$dir/src", orders.filter(col("o_orderkey") % 2 === 0))
+    SyncEngine.sync(SyncEngine.deltaSource(src), SyncEngine.hudiTarget(spark, s"$dir/tgt"))
+    src.append(orders.filter(col("o_orderkey") % 2 === 1), Seq.empty)
+    val r2 = SyncEngine.sync(SyncEngine.deltaSource(src), SyncEngine.hudiTarget(spark, s"$dir/tgt"))
+    assert(r2.mode == "incremental")
+    val tgt = HudiTable.forPath(spark, s"$dir/tgt")
+    assert(tgt.latestCommitExtraMetadata(SyncEngine.VersionProp) == "1")
+    assert(checksum(tgt.toDF()) == checksum(src.toDF()))
+  }
+
+  test("a foreign watermark or vacuumed source version forces a full sync") {
+    val dir = tmpDir("sync_fence")
+    val srcA = DeltaTable.create(spark, s"$dir/srcA", orders.filter(col("o_orderkey") % 2 === 0))
+    SyncEngine.sync(SyncEngine.deltaSource(srcA), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    // same target, different source identity -> watermark doesn't apply
+    val srcB = DeltaTable.create(spark, s"$dir/srcB", orders)
+    val res = SyncEngine.sync(
+      SyncEngine.deltaSource(srcB), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    assert(res.mode == "full")
+    val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
+    assert(checksum(tgt.toDF()) == checksum(srcB.toDF()))
+  }
+}
