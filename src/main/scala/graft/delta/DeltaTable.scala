@@ -91,11 +91,34 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
    * THIS writer produced — two concurrent appends each commit their own
    * files and the optimistic log race stays the sole arbiter.
    */
-  private def write(df: DataFrame, partitionColumns: Seq[String], overwrite: Boolean): Long = {
-    val newFiles = graft.util.StagedWrites.writeAndPlace(df, tablePath, partitionColumns)
+  private def write(df: DataFrame, partitionSpecs: Seq[String], overwrite: Boolean): Long = {
+    // partition specs: identity columns or time transforms
+    // (`month(o_orderdate)`), the latter materialized as Delta generated
+    // columns (ref `DeltaPartitionExtractor.java:227-323`); an append
+    // without specs inherits the table's existing spec
+    val defs = {
+      val parsed = graft.model.PartitionTransform.parseAll(partitionSpecs)
+      if (parsed.nonEmpty || log.latestVersion().isEmpty) parsed
+      else DeltaTable.partitionDefsOf(schemaAt(None)._1, schemaAt(None)._2)
+    }
+    val genDefs = defs.filterNot(_.isIdentity)
+    val partitionColumns = defs.map(_.fieldName)
+    val dfWithGen = genDefs.foldLeft(df)((d, t) =>
+      d.withColumn(t.fieldName, graft.model.PartitionTransform.valueExpr(t)))
+    val newFiles = graft.util.StagedWrites.writeAndPlace(dfWithGen, tablePath, partitionColumns)
     val stats = ParquetFooterStats.collect(spark, newFiles)
 
-    val dataSchema = StructType(df.schema.filterNot(f => partitionColumns.contains(f.name)))
+    // schema stored in the log: generated columns carry their
+    // generationExpression so readers (and sync) recover the transform
+    val schemaForMeta = StructType(dfWithGen.schema.fields.map { f =>
+      genDefs.find(_.fieldName == f.name) match {
+        case Some(t) => f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString("delta.generationExpression",
+            graft.model.PartitionTransform.deltaGenerationExpr(t)).build())
+        case None => f
+      }
+    })
+    val dataSchema = StructType(dfWithGen.schema.filterNot(f => partitionColumns.contains(f.name)))
     val adds = stats.map { st =>
       val rel = DeltaTable.relativize(tablePath, st.path)
       AddFile(
@@ -119,15 +142,15 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
           Protocol(),
           DeltaMetadata(
             id = UUID.randomUUID().toString,
-            schemaString = df.schema.json,
+            schemaString = schemaForMeta.json,
             partitionColumns = partitionColumns,
             configuration = Map("graft.engine" -> "onetablespark"),
             createdTime = System.currentTimeMillis()))
       else {
         val (existing, _) = schemaAt(None)
         val full = StructType(existing.fields)
-        if (full.json != df.schema.json)
-          Seq(log.metadataAt(None)._1.copy(schemaString = df.schema.json))
+        if (full.json != schemaForMeta.json)
+          Seq(log.metadataAt(None)._1.copy(schemaString = schemaForMeta.json))
         else Seq.empty
       }
     val info = CommitInfo(
@@ -211,8 +234,17 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       removePaths: Seq[String],
       syncProps: Map[String, String]): Long = {
     val now = System.currentTimeMillis()
+    val defs = graft.model.PartitionTransform.parseAll(partitionColumns)
     val cleanSchema = StructType(schema.fields.map(f => f.copy(metadata = Metadata.empty)))
-    val dataSchema = StructType(cleanSchema.filterNot(f => partitionColumns.contains(f.name)))
+    // transform partition fields from the source become Delta generated
+    // columns (string-typed, canonical pattern) appended to the schema
+    val schemaForMeta = StructType(cleanSchema.fields ++
+      defs.filterNot(_.isIdentity).map(t => StructField(
+        t.fieldName, StringType, nullable = true,
+        metadata = new MetadataBuilder().putString("delta.generationExpression",
+          graft.model.PartitionTransform.deltaGenerationExpr(t)).build())))
+    val fieldNames = defs.map(_.fieldName)
+    val dataSchema = StructType(cleanSchema.filterNot(f => fieldNames.contains(f.name)))
     val addActions = adds.map { f =>
       val footerish = graft.stats.FileFooterStats(
         path = f.physicalPath, fileSizeBytes = f.fileSizeBytes,
@@ -233,8 +265,8 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
                      else log.metadataAt(None)._1.configuration
     val meta = DeltaMetadata(
       id = if (v == 0L) UUID.randomUUID().toString else log.metadataAt(None)._1.id,
-      schemaString = cleanSchema.json,
-      partitionColumns = partitionColumns,
+      schemaString = schemaForMeta.json,
+      partitionColumns = fieldNames,
       configuration = baseConfig ++ syncProps + ("graft.converted.from" -> sourceDataRoot),
       createdTime = now)
     val metaActions: Seq[DeltaAction] =
@@ -318,6 +350,19 @@ object DeltaTable {
 
   /** All parquet files under `dir` (fully-qualified Paths, so scheme and
     * authority survive for s3a/abfs/hdfs tables). */
+  /** Reconstruct partition field defs from a table's schema + partition
+    * column names: a partition column with a recognized
+    * `delta.generationExpression` is a time transform, else identity. */
+  private[graft] def partitionDefsOf(
+      schema: StructType, partitionColumns: Seq[String]): Seq[graft.model.PartitionFieldDef] =
+    partitionColumns.map { c =>
+      schema.fields.find(_.name == c)
+        .filter(_.metadata.contains("delta.generationExpression"))
+        .flatMap(f => graft.model.PartitionTransform.parseDeltaGenerationExpr(
+          c, f.metadata.getString("delta.generationExpression")))
+        .getOrElse(graft.model.PartitionFieldDef(c, "identity"))
+    }
+
   private[delta] def walkParquet(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] = {
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toSeq.flatMap { st =>
@@ -421,10 +466,29 @@ final class DeltaScanBuilder(
 
   /** The pruned file manifest (path, partitionValues, size, stats). */
   def files(): DataFrame = {
-    val (schema, _) = table.schemaAt(asOfVersion)
+    val (schema, partCols) = table.schemaAt(asOfVersion)
     var df = table.log.snapshotFilesDF(asOfVersion)
     partitionPredicates.foreach { case (c, vs) =>
       df = df.filter(element_at(col("partitionValues"), c).isin(vs.toSeq: _*))
+    }
+    // a range predicate on the SOURCE column of a time-transform
+    // partition also prunes partitions: canonical value strings order
+    // lexicographically within a granularity, so truncate-and-compare
+    // is exact (hidden-partitioning semantics, ref
+    // `DeltaPartitionExtractor.java:104-224`)
+    val timeDefs = DeltaTable.partitionDefsOf(schema, partCols).filterNot(_.isIdentity)
+    rangePredicates.foreach { case (c, lo, hi) =>
+      timeDefs.filter(_.sourceColumn == c).foreach { t =>
+        val pv = element_at(col("partitionValues"), t.fieldName)
+        lo.foreach { l =>
+          df = df.filter(pv.isNull ||
+            pv >= lit(graft.model.PartitionTransform.truncate(t.granularity, l)))
+        }
+        hi.foreach { h =>
+          df = df.filter(pv.isNull ||
+            pv <= lit(graft.model.PartitionTransform.truncate(t.granularity, h)))
+        }
+      }
     }
     if (rangePredicates.nonEmpty) {
       val statCols = StructType(schema.fields.filter(f => rangePredicates.exists(_._1 == f.name)))

@@ -304,11 +304,15 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       removePaths: Seq[String],
       syncProps: Map[String, String]): String = {
     val instant = timeline.nextInstantTime()
+    // partition specs may carry time transforms (`month(c)`); Hudi has
+    // no transform concept, so the materialized field names become plain
+    // partition-path segments with the canonical value strings
+    val fieldNames = graft.model.PartitionTransform.parseAll(partitionColumns).map(_.fieldName)
     if (!timeline.exists)
       timeline.writeProperties(HudiTable.tableProperties(
-        tablePath, partitionColumns, Map("graft.converted.from" -> sourceDataRoot)))
+        tablePath, fieldNames, Map("graft.converted.from" -> sourceDataRoot)))
     val writeStats = adds.map { f =>
-      val pp = HudiTable.buildPartitionPath(f.partitionValues, partitionColumns)
+      val pp = HudiTable.buildPartitionPath(f.partitionValues, fieldNames)
       pp -> HudiWriteStat(
         fileId = HudiTable.fileIdOf(f.physicalPath),
         path = new Path(f.physicalPath).toUri.toString,

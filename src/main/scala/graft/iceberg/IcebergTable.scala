@@ -112,15 +112,19 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
 
   private[iceberg] def readFiles(files: Seq[String]): DataFrame = {
     val meta = currentMetadata
-    val partCols = meta.partitionSpec.map(_.name)
+    // only identity partition columns live in the path; transform
+    // (hidden) partition sources are ordinary data columns in the files
+    val identityCols = IcebergTable.defsOf(meta).filter(_.isIdentity)
     val out = sparkSchema
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
     val basePath = meta.properties.getOrElse("graft.converted.from", tablePath)
-    if (partCols.nonEmpty)
-      spark.read.option("basePath", basePath).schema(out).parquet(files: _*)
-    else
-      spark.read.schema(out).parquet(files: _*)
+    val raw =
+      if (identityCols.nonEmpty)
+        spark.read.option("basePath", basePath).schema(out).parquet(files: _*)
+      else
+        spark.read.schema(out).parquet(files: _*)
+    raw.select(out.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
   // ---------------------------------------------------------------- writes
@@ -132,19 +136,26 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   def overwrite(df: DataFrame, partitionColumns: Seq[String] = Seq.empty): Long =
     write(df, partitionColumns, overwrite = true)
 
-  private def write(df: DataFrame, partitionColumnsIn: Seq[String], overwrite: Boolean): Long = {
+  private def write(df: DataFrame, partitionSpecsIn: Seq[String], overwrite: Boolean): Long = {
     val prev = log.readLatest()
     // inherit the table's partition spec when the caller doesn't repeat
     // it; a mismatching explicit spec is an error, never a silent wipe
-    val partitionColumns = prev.map(_._2.partitionSpec.map(_.name)) match {
-      case Some(existing) if partitionColumnsIn.isEmpty => existing
-      case Some(existing) =>
-        require(existing == partitionColumnsIn,
-          s"partition columns $partitionColumnsIn != table spec $existing of $tablePath")
-        partitionColumnsIn
-      case None => partitionColumnsIn
+    val defs = (prev.map(p => IcebergTable.defsOf(p._2)),
+        graft.model.PartitionTransform.parseAll(partitionSpecsIn)) match {
+      case (Some(existing), parsed) if parsed.isEmpty => existing
+      case (Some(existing), parsed) =>
+        require(existing.map(d => (d.fieldName, d.transform)) ==
+          parsed.map(d => (d.fieldName, d.transform)),
+          s"partition spec $partitionSpecsIn != table spec of $tablePath")
+        parsed
+      case (None, parsed) => parsed
     }
-    val newFiles = StagedWrites.writeAndPlace(df, tablePath, partitionColumns)
+    // hidden partitioning: transform fields materialize only as
+    // directory names; the table schema stays the source schema
+    val genDefs = defs.filterNot(_.isIdentity)
+    val dfWithGen = genDefs.foldLeft(df)((d, t) =>
+      d.withColumn(t.fieldName, graft.model.PartitionTransform.valueExpr(t)))
+    val newFiles = StagedWrites.writeAndPlace(dfWithGen, tablePath, defs.map(_.fieldName))
     val stats = ParquetFooterStats.collect(spark, newFiles)
     // evolve rather than inherit: an appended DataFrame with new columns
     // produces a new schema entry with stable ids for matching fields
@@ -154,11 +165,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       case None => IcebergSchemas.assignFieldIds(df.schema)
     }
     val entries = stats.map(st =>
-      IcebergTable.entryFor(st, idSchema, partitionColumns, tablePath))
+      IcebergTable.entryFor(st, idSchema, defs, tablePath))
     val removes =
       if (overwrite && prev.exists(_._2.currentSnapshotId.nonEmpty)) liveEntries(None)
       else Seq.empty
-    commitSnapshot(prev, idSchema, partitionColumns, entries, removes,
+    commitSnapshot(prev, idSchema, defs, entries, removes,
       carryPrevious = !overwrite,
       if (overwrite) "overwrite" else "append", Map.empty)
   }
@@ -173,7 +184,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   private def commitSnapshot(
       prev: Option[(Long, IcebergTableMetadata)],
       idSchema: StructType,
-      partitionColumns: Seq[String],
+      defs: Seq[graft.model.PartitionFieldDef],
       adds: Seq[ManifestEntry],
       removes: Seq[ManifestEntry],
       carryPrevious: Boolean,
@@ -186,10 +197,14 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val schemaId = prev.map { case (_, m) =>
       if (m.schema.json != idSchema.json) m.currentSchemaId + 1 else m.currentSchemaId
     }.getOrElse(0)
-    val specFields = IcebergTable.specFor(idSchema, partitionColumns)
+    val specFields = IcebergTable.specFor(idSchema, defs)
+    // transform partition fields store ordinal ints (Iceberg spec:
+    // year/month/day/hour result type is int); identity stores the
+    // source type
     val partFieldTypes = specFields.map { f =>
       val sf = idSchema.fields.find(x => IcebergSchemas.fieldId(x).contains(f.sourceId)).get
-      (f.name, sf.dataType, f.fieldId)
+      val dt = if (f.transform == "identity") sf.dataType else IntegerType
+      (f.name, dt, f.fieldId)
     }
     val entrySchema = IcebergManifests.entrySchema(partFieldTypes)
     val metaDir = log.metadataDir
@@ -304,7 +319,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     * never recomputed from footers (reference sync contract). */
   def snapshotDataFiles(): Seq[graft.model.InternalDataFile] = {
     val meta = currentMetadata
-    liveEntries(None).map(e => IcebergTable.internalFile(e, meta.schema))
+    val defs = IcebergTable.defsOf(meta)
+    liveEntries(None).map(e => IcebergTable.internalFile(e, meta.schema, defs))
   }
 
   /** One snapshot's adds + removed paths — the incremental replay unit
@@ -322,8 +338,9 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       .filter(_.snapshotId == snapshotId)
       .collect().toSeq
     val schemaAt = meta // bounds decode against current schema by field id
+    val defs = IcebergTable.defsOf(meta)
     val adds = entries.filter(_.status == ManifestEntry.StatusAdded)
-      .map(e => IcebergTable.internalFile(e, schemaAt.schema))
+      .map(e => IcebergTable.internalFile(e, schemaAt.schema, defs))
     val removed = entries.filter(_.status == ManifestEntry.StatusDeleted)
       .map(e => new Path(e.filePath).toUri.toString)
     (adds, removed)
@@ -343,13 +360,16 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       removePaths: Seq[String],
       syncProps: Map[String, String]): Long = {
     val prev = log.readLatest()
+    val defs = graft.model.PartitionTransform.parseAll(partitionColumns)
+    val defByName = defs.map(d => d.fieldName -> d).toMap
+    val identityCols = defs.filter(_.isIdentity).map(_.fieldName).toSet
     val idSchema = prev match {
       case Some((_, m)) => IcebergSchemas.evolveSchema(m.schema, schema)
       case None => IcebergSchemas.assignFieldIds(schema)
     }
     val entries = adds.map { f =>
       val byName = f.columnStats.map(c => c.column -> c).toMap
-      val fields = idSchema.fields.filterNot(x => partitionColumns.contains(x.name))
+      val fields = idSchema.fields.filterNot(x => identityCols.contains(x.name))
       var valueCounts = Map.empty[Int, Long]
       var nullCounts = Map.empty[Int, Long]
       var lower = Map.empty[Int, Array[Byte]]
@@ -371,7 +391,14 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         sequenceNumber = 0L,
         filePath = new Path(f.physicalPath).toUri.toString,
         fileFormat = f.fileFormat,
-        partitionValues = f.partitionValues.filter { case (k, _) => partitionColumns.contains(k) },
+        partitionValues = f.partitionValues.collect {
+          // canonical human strings in → identity as-is, transform
+          // values re-encoded as Iceberg ordinals
+          case (k, v) if defByName.contains(k) =>
+            val d = defByName(k)
+            k -> (if (v == null || d.isIdentity) v
+                  else graft.model.PartitionTransform.toOrdinal(d.granularity, v).toString)
+        },
         recordCount = f.recordCount,
         fileSizeBytes = f.fileSizeBytes,
         valueCounts = valueCounts,
@@ -384,7 +411,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       if (removeSet.isEmpty || prev.forall(_._2.currentSnapshotId.isEmpty)) Seq.empty
       else liveEntries(None).filter(e =>
         removeSet.contains(new Path(e.filePath).toUri.toString))
-    commitSnapshot(prev, idSchema, partitionColumns, entries, removes,
+    commitSnapshot(prev, idSchema, defs, entries, removes,
       carryPrevious = true,
       operation = if (removes.nonEmpty) "overwrite" else "append",
       extraProps = syncProps + ("graft.converted.from" -> sourceDataRoot))
@@ -427,10 +454,11 @@ object IcebergTable {
       }).toSet
     }.getOrElse(Set.empty)
     val partCols = inferred.fieldNames.toSeq.filter(hiveKeys.contains)
+    val defs = partCols.map(c => graft.model.PartitionFieldDef(c, "identity"))
     val idSchema = IcebergSchemas.assignFieldIds(inferred)
     val stats = ParquetFooterStats.collect(spark, files)
-    val entries = stats.map(st => entryFor(st, idSchema, partCols, sourceLocation))
-    t.commitSnapshot(None, idSchema, partCols, entries, Seq.empty, carryPrevious = false,
+    val entries = stats.map(st => entryFor(st, idSchema, defs, sourceLocation))
+    t.commitSnapshot(None, idSchema, defs, entries, Seq.empty, carryPrevious = false,
       operation = "append", extraProps = Map("graft.converted.from" -> sourceLocation))
     t
   }
@@ -438,11 +466,21 @@ object IcebergTable {
   // ------------------------------------------------------------ internals
 
   private[iceberg] def specFor(
-      idSchema: StructType, partitionColumns: Seq[String]): Seq[IcebergPartitionFieldSpec] =
-    partitionColumns.zipWithIndex.map { case (c, i) =>
-      val f = idSchema.fields.find(_.name == c)
-        .getOrElse(throw new IllegalArgumentException(s"unknown partition column $c"))
-      IcebergPartitionFieldSpec(c, "identity", IcebergSchemas.fieldId(f).get, 1000 + i)
+      idSchema: StructType,
+      defs: Seq[graft.model.PartitionFieldDef]): Seq[IcebergPartitionFieldSpec] =
+    defs.zipWithIndex.map { case (d, i) =>
+      val f = idSchema.fields.find(_.name == d.sourceColumn)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown partition source column ${d.sourceColumn}"))
+      IcebergPartitionFieldSpec(d.fieldName, d.transform, IcebergSchemas.fieldId(f).get, 1000 + i)
+    }
+
+  /** Reconstruct partition field defs from a table's current spec. */
+  private[graft] def defsOf(m: IcebergTableMetadata): Seq[graft.model.PartitionFieldDef] =
+    m.partitionSpec.map { f =>
+      val src = m.schema.fields.find(x => IcebergSchemas.fieldId(x).contains(f.sourceId))
+        .map(_.name).getOrElse(f.name)
+      graft.model.PartitionFieldDef(src, f.transform, Some(f.name))
     }
 
   /** Manifest entry for one written/converted file (footer stats →
@@ -450,10 +488,16 @@ object IcebergTable {
   private[iceberg] def entryFor(
       st: FileFooterStats,
       idSchema: StructType,
-      partitionColumns: Seq[String],
+      defs: Seq[graft.model.PartitionFieldDef],
       baseForPartitions: String): ManifestEntry = {
+    val partitionColumns = defs.map(_.fieldName)
+    val defByName = defs.map(d => d.fieldName -> d).toMap
     val byName = st.columns.map(c => c.column -> c).toMap
-    val fields = idSchema.fields.filterNot(f => partitionColumns.contains(f.name))
+    // identity partition columns carry no per-file stats (they live in
+    // the path); transform SOURCE columns are ordinary data columns and
+    // keep theirs
+    val identityCols = defs.filter(_.isIdentity).map(_.fieldName).toSet
+    val fields = idSchema.fields.filterNot(f => identityCols.contains(f.name))
     var valueCounts = Map.empty[Int, Long]
     var nullCounts = Map.empty[Int, Long]
     var lower = Map.empty[Int, Array[Byte]]
@@ -475,8 +519,17 @@ object IcebergTable {
     }
     val partValues = rel.split("/").dropRight(1).flatMap(_.split("=", 2) match {
       case Array(k, v) if partitionColumns.contains(k) =>
-        val d = graft.util.PathCodec.unescapePathName(v)
-        Some(k -> (if (d == "__HIVE_DEFAULT_PARTITION__") null else d))
+        val dec = graft.util.PathCodec.unescapePathName(v)
+        val canonical =
+          if (dec == "__HIVE_DEFAULT_PARTITION__") null
+          else defByName(k) match {
+            // transform dirs carry the human string; the manifest stores
+            // the Iceberg ordinal
+            case d if !d.isIdentity =>
+              graft.model.PartitionTransform.toOrdinal(d.granularity, dec).toString
+            case _ => dec
+          }
+        Some(k -> canonical)
       case _ => None
     }).toMap
     ManifestEntry(
@@ -498,7 +551,10 @@ object IcebergTable {
     * descriptor, bounds decoded to canonical stat strings by field id
     * (sync source side — stats translated, never recomputed). */
   private[graft] def internalFile(
-      e: ManifestEntry, idSchema: StructType): graft.model.InternalDataFile = {
+      e: ManifestEntry,
+      idSchema: StructType,
+      defs: Seq[graft.model.PartitionFieldDef]): graft.model.InternalDataFile = {
+    val defByName = defs.map(d => d.fieldName -> d).toMap
     val byId = idSchema.fields.flatMap(f =>
       IcebergSchemas.fieldId(f).map(_ -> f)).toMap
     val ids = (e.valueCounts.keySet ++ e.nullCounts.keySet ++
@@ -518,7 +574,14 @@ object IcebergTable {
     graft.model.InternalDataFile(
       physicalPath = new Path(e.filePath).toUri.toString,
       fileFormat = e.fileFormat,
-      partitionValues = e.partitionValues,
+      // manifest ordinals → canonical human strings for the sync plane
+      partitionValues = e.partitionValues.map { case (k, v) =>
+        k -> (defByName.get(k) match {
+          case Some(d) if !d.isIdentity && v != null =>
+            graft.model.PartitionTransform.fromOrdinal(d.granularity, v.toInt)
+          case _ => v
+        })
+      },
       fileSizeBytes = e.fileSizeBytes,
       recordCount = e.recordCount,
       columnStats = cols,
@@ -554,13 +617,52 @@ final class IcebergScanBuilder(
   def files(): Seq[ManifestEntry] = {
     val meta = table.currentMetadata
     val schemaByName = meta.schema.fields.map(f => f.name -> f).toMap
+    val defs = IcebergTable.defsOf(meta)
+    val defByName = defs.map(d => d.fieldName -> d).toMap
     var kept = table.liveEntries(asOfSnapshot)
     partitionPredicates.foreach { case (c, vs) =>
-      kept = kept.filter(e => e.partitionValues.get(c).exists(v => v != null && vs.contains(v)))
+      // callers address transform fields with human strings
+      // (`2020-01`); the manifest stores ordinals
+      val wanted = defByName.get(c) match {
+        case Some(d) if !d.isIdentity =>
+          vs.map(v => graft.model.PartitionTransform.toOrdinal(d.granularity, v).toString)
+        case _ => vs
+      }
+      kept = kept.filter(e => e.partitionValues.get(c).exists(v => v != null && wanted.contains(v)))
     }
+    // a range on the SOURCE column of a hidden (transform) partition
+    // prunes by partition ordinal before any bounds are consulted
     rangePredicates.foreach { case (c, lo, hi) =>
+      defs.filter(d => !d.isIdentity && d.sourceColumn == c).foreach { d =>
+        val loOrd = lo.map(l => graft.model.PartitionTransform.toOrdinal(
+          d.granularity, graft.model.PartitionTransform.truncate(d.granularity, l)))
+        val hiOrd = hi.map(h => graft.model.PartitionTransform.toOrdinal(
+          d.granularity, graft.model.PartitionTransform.truncate(d.granularity, h)))
+        kept = kept.filter { e =>
+          e.partitionValues.get(d.fieldName).forall(v => v == null || {
+            val ord = v.toInt
+            loOrd.forall(ord >= _) && hiOrd.forall(ord <= _)
+          })
+        }
+      }
+    }
+    rangePredicates.foreach { case (c, lo0, hi0) =>
       val f = schemaByName(c)
       val id = IcebergSchemas.fieldId(f).get
+      // human timestamp/date literals → canonical stat forms so the
+      // bound compare is numeric
+      def canon(v: String): String = f.dataType match {
+        case TimestampType | TimestampNTZType if !v.matches("-?\\d+") =>
+          val t = v.trim.replace(' ', 'T')
+          val dt = if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay
+                   else java.time.LocalDateTime.parse(t.take(19))
+          (dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L).toString
+        case DateType if !v.matches("-?\\d+") =>
+          java.time.LocalDate.parse(v.trim.take(10)).toEpochDay.toString
+        case _ => v
+      }
+      val lo = lo0.map(canon)
+      val hi = hi0.map(canon)
       def cmp(a: String, b: String): Int = f.dataType match {
         case ByteType | ShortType | IntegerType | LongType |
              DateType | TimestampType | TimestampNTZType => a.toLong.compareTo(b.toLong)

@@ -58,50 +58,9 @@ object TableFormat {
   }
 }
 
-/**
- * Partition transform (ref `PartitionTransformType.java:28-38`): how a
- * partition value is derived from a source column. All five are
- * expressible with built-in Spark functions (SURVEY.md §2.7).
- */
-sealed abstract class PartitionTransform(val name: String) {
-  def isTimeBased: Boolean = this != PartitionTransform.Identity
-}
-object PartitionTransform {
-  case object Year extends PartitionTransform("year")
-  case object Month extends PartitionTransform("month")
-  case object Day extends PartitionTransform("day")
-  case object Hour extends PartitionTransform("hour")
-  case object Identity extends PartitionTransform("identity") { override def isTimeBased = false }
-
-  def fromName(s: String): PartitionTransform = s.toLowerCase match {
-    case "year"              => Year
-    case "month"             => Month
-    case "day"               => Day
-    case "hour"              => Hour
-    case "identity" | "value" => Identity
-    case other               => throw new IllegalArgumentException(s"unknown transform: $other")
-  }
-
-  /** UTC serialization formats per granularity (ref `DeltaPartitionExtractor.java:250-281`). */
-  def pathFormat(t: PartitionTransform): String = t match {
-    case Year  => "yyyy"
-    case Month => "yyyy-MM"
-    case Day   => "yyyy-MM-dd"
-    case Hour  => "yyyy-MM-dd-HH"
-    case Identity => ""
-  }
-}
-
-/** A partition field: source column + transform (ref `OnePartitionField.java:34-49`). */
-final case class InternalPartitionField(
-    sourceField: String,
-    transform: PartitionTransform,
-    /** Name of the materialized partition column (for generated columns). */
-    partitionName: Option[String] = None) {
-  def outputName: String = partitionName.getOrElse(
-    if (transform == PartitionTransform.Identity) sourceField
-    else s"graft_partition_${transform.name}_$sourceField")
-}
+// Partition transforms live in PartitionTransform.scala:
+// TimeGranularity / PartitionFieldDef / PartitionTransform (spec parse,
+// value codecs, Delta generated-column expressions, Iceberg ordinals).
 
 /**
  * Per-column, per-file statistics (ref `ColumnStat.java:33-40` +
@@ -137,7 +96,7 @@ final case class InternalTable(
     name: String,
     basePath: String,
     schema: StructType,
-    partitionFields: Seq[InternalPartitionField] = Seq.empty,
+    partitionFields: Seq[PartitionFieldDef] = Seq.empty,
     layout: LayoutStrategy = LayoutStrategy.HiveStylePartition,
     recordKeyFields: Seq[String] = Seq.empty,
     latestCommitTimeMillis: Long = 0L)

@@ -54,6 +54,12 @@ object FormatQueries {
           spark, s"$root/lineitem_ranged",
           Tables.lineitem(spark, sfDir).repartitionByRange(8, col("l_orderkey")))
 
+        // 5. orders partitioned by month(o_orderdate) — a generated
+        //    column (ref `DeltaPartitionExtractor.java:227-323`)
+        DeltaTable.create(
+          spark, s"$root/orders_bymonth",
+          Tables.orders(spark, sfDir), Seq("month(o_orderdate)"))
+
         root
       })
     }
@@ -147,6 +153,29 @@ object FormatQueries {
       },
       """SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 2000
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Time-transform partitioning: a range predicate on the SOURCE
+    // timestamp prunes month partitions (generated-column hidden
+    // partitioning; ref `DeltaPartitionExtractor.java:104-323`), then
+    // the row filter applies on survivors.
+    QueryDef.sql(
+      "f07_delta_time_partition_prune",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "orders_bymonth")
+        t.scan
+          .range("o_orderdate", Some("1995-06-01 00:00:00"), Some("1995-08-31 23:59:59"))
+          .toDF()
+          .filter(col("o_orderdate").between("1995-06-01", "1995-08-31 23:59:59"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate BETWEEN '1995-06-01' AND '1995-08-31 23:59:59'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   )
 }

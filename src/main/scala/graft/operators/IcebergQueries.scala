@@ -59,6 +59,12 @@ object IcebergQueries {
         t5.append(oBase.filter(col("o_orderkey") % 2 === 1)
           .withColumn("o_flag", upper(col("o_orderstatus"))).drop("o_orderstatus"))
 
+        // 6. hidden month partitioning on o_orderdate (transform spec;
+        //    the source column stays in the data files)
+        IcebergTable.create(
+          spark, s"$root/orders_bymonth",
+          Tables.orders(spark, sfDir), Seq("month(o_orderdate)"))
+
         root
       })
     }
@@ -155,6 +161,29 @@ object IcebergQueries {
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 1 THEN UPPER(o_orderstatus) END AS o_flag
         |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // Hidden partitioning (Iceberg transform spec): a range on the
+    // source timestamp prunes month partitions via the manifest's
+    // ordinal partition values (ref
+    // `IcebergPartitionValueConverter.java:74-238`).
+    QueryDef.sql(
+      "i07_iceberg_time_partition_prune",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "orders_bymonth")
+        t.scan
+          .range("o_orderdate", Some("1996-01-01 00:00:00"), Some("1996-03-31 23:59:59"))
+          .toDF()
+          .filter(col("o_orderdate").between("1996-01-01", "1996-03-31 23:59:59"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-03-31 23:59:59'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
     // Cross-format equality: the SAME source served through the Delta
     // codec and the Iceberg codec must agree row-for-row; result is the

@@ -162,9 +162,19 @@ private final class DeltaSource(t: DeltaTable) extends SyncSource {
   def format = "delta"
   def sourceId = s"delta:${t.tablePath}"
   def dataRoot: String = t.dataRoot
-  def schema: StructType = StructType(
-    t.schemaAt(None)._1.map(_.copy(metadata = Metadata.empty)))
-  def partitionColumns: Seq[String] = t.schemaAt(None)._2
+  private def defs = {
+    val (schema, partCols) = t.schemaAt(None)
+    DeltaTable.partitionDefsOf(schema, partCols)
+  }
+  /** Source data schema: generated transform columns are the TARGET
+    * codec's concern (hidden in Iceberg, regenerated for Delta). */
+  def schema: StructType = {
+    val gen = defs.filterNot(_.isIdentity).map(_.fieldName).toSet
+    StructType(t.schemaAt(None)._1
+      .filterNot(f => gen.contains(f.name))
+      .map(_.copy(metadata = Metadata.empty)))
+  }
+  def partitionColumns: Seq[String] = defs.map(_.spec)
   def currentVersion: String = t.latestVersion.toString
   def versionExists(v: String): Boolean =
     v.toLongOption.exists(t.log.listVersions().contains)
@@ -200,7 +210,7 @@ private final class IcebergSource(t: IcebergTable) extends SyncSource {
   def sourceId = s"iceberg:${t.tablePath}"
   def dataRoot: String = t.dataRoot
   def schema: StructType = t.sparkSchema
-  def partitionColumns: Seq[String] = t.currentMetadata.partitionSpec.map(_.name)
+  def partitionColumns: Seq[String] = IcebergTable.defsOf(t.currentMetadata).map(_.spec)
   def currentVersion: String = t.snapshotIds.last.toString
   def versionExists(v: String): Boolean =
     v.toLongOption.exists(t.snapshotIds.contains)
