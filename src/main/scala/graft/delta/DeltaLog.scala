@@ -91,20 +91,128 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
     }
   }
 
+  // ----------------------------------------------------------- checkpoints
+
+  /** Delta protocol checkpoint: `%020d.checkpoint.parquet` holds the
+    * reconciled live state at version N, `_last_checkpoint` points at
+    * it, and replay reads checkpoint + post-checkpoint JSON only — so a
+    * 10^4-commit table plans from one parquet file plus a handful of
+    * JSON commits instead of replaying every commit since v0 (public
+    * Delta checkpoint spec; the reference leans on DeltaLog's
+    * equivalent). */
+  private def checkpointFile(v: Long): Path =
+    new Path(logPath, f"$v%020d.checkpoint.parquet")
+  private val lastCheckpointPath = new Path(logPath, "_last_checkpoint")
+
+  /** Version of the newest checkpoint, if any. */
+  def lastCheckpoint(): Option[Long] = {
+    if (!fs.exists(lastCheckpointPath)) return None
+    val in = fs.open(lastCheckpointPath)
+    try {
+      val content = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(content)
+      Option(node.get("version")).map(_.asLong())
+    } finally in.close()
+  }
+
+  /** Checkpoint interval (Delta's default). */
+  val checkpointInterval = 10
+
+  def maybeCheckpoint(v: Long): Unit =
+    if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(v)
+
+  /** Write the reconciled snapshot at `v` as a single checkpoint parquet
+    * + `_last_checkpoint`. Tombstones are omitted (nothing vacuums data
+    * files out from under readers here); replay ordering stays correct
+    * because post-checkpoint removes outrank checkpoint adds by
+    * version. */
+  def writeCheckpoint(v: Long): Unit = {
+    val (meta, _) = metadataAt(Some(v))
+    val protoRow = scala.util.Try(readActions(0L))
+      .toOption.flatMap(_.collectFirst { case p: Protocol => p })
+      .getOrElse(Protocol())
+    val metaSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val protoSchema = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val addType = actionSchema("add").dataType
+    val adds = snapshotFilesDF(Some(v)).select(
+      struct(
+        col("path"), col("partitionValues"), col("size"),
+        col("modificationTime"), lit(true).as("dataChange"), col("stats")).as("add"),
+      lit(null).cast(metaSchema).as("metaData"),
+      lit(null).cast(protoSchema).as("protocol"))
+    val single = spark.range(1).select(
+      lit(null).cast(addType).as("add"),
+      struct(
+        lit(meta.id).as("id"),
+        lit(meta.schemaString).as("schemaString"),
+        typedlit(meta.partitionColumns).as("partitionColumns"),
+        typedlit(meta.configuration).as("configuration"),
+        lit(meta.createdTime).as("createdTime")).as("metaData"),
+      struct(
+        lit(protoRow.minReaderVersion).as("minReaderVersion"),
+        lit(protoRow.minWriterVersion).as("minWriterVersion")).as("protocol"))
+    val staging = new Path(logPath, s".cp-staging-${java.util.UUID.randomUUID()}")
+    adds.unionByName(single).repartition(1).write.parquet(staging.toString)
+    val part = fs.listStatus(staging).map(_.getPath)
+      .find(p => p.getName.endsWith(".parquet")).get
+    fs.delete(checkpointFile(v), false)
+    require(fs.rename(part, checkpointFile(v)), s"failed to place checkpoint $v")
+    fs.delete(staging, true)
+    val out = fs.create(lastCheckpointPath, /*overwrite=*/ true)
+    try out.write(s"""{"version":$v,"size":1}""".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Delete JSON commits strictly before `version` — log retention
+    * cleanup (ref `core/.../delta/DeltaClient.java:265-275`). Refuses to
+    * expire history the latest checkpoint doesn't cover, so the current
+    * snapshot always stays reconstructable. */
+  def expireLogBefore(version: Long): Int = {
+    val cp = lastCheckpoint().getOrElse(
+      throw new IllegalStateException(s"no checkpoint in $tablePath; cannot expire log"))
+    require(version <= cp, s"cannot expire to v$version: newest checkpoint is v$cp")
+    val victims = listVersions().filter(_ < version)
+    victims.foreach(v => fs.delete(commitFile(v), false))
+    victims.size
+  }
+
   /** Latest metadata + protocol at or before `asOf`. */
   def metadataAt(asOf: Option[Long]): (DeltaMetadata, Long) = {
     val versions = listVersions()
-    require(versions.nonEmpty, s"not a Delta table (no _delta_log): $tablePath")
+    val cp = lastCheckpoint().filter(c => asOf.forall(c <= _))
+    require(versions.nonEmpty || cp.nonEmpty,
+      s"not a Delta table (no _delta_log): $tablePath")
     val upTo = asOf.map(a => versions.filter(_ <= a)).getOrElse(versions)
-    require(upTo.nonEmpty, s"no commit at or before version ${asOf.get} in $tablePath")
-    var meta: Option[DeltaMetadata] = None
-    // scan newest-to-oldest until a metaData action is found
-    upTo.reverse.iterator
+    require(upTo.nonEmpty || cp.nonEmpty,
+      s"no commit at or before version ${asOf.get} in $tablePath")
+    // scan post-checkpoint JSON newest-to-oldest; fall back to the
+    // checkpoint's metaData row (pre-checkpoint JSON may be cleaned up)
+    val tail = upTo.filter(v => cp.forall(v > _))
+    val fromJson = tail.reverse.iterator
       .map(v => readActions(v).collectFirst { case m: DeltaMetadata => m })
       .collectFirst { case Some(m) => m }
-      .foreach(m => meta = Some(m))
+    val meta = fromJson.orElse(cp.flatMap { c =>
+      spark.read.parquet(checkpointFile(c).toString)
+        .filter(col("metaData").isNotNull)
+        .select("metaData.id", "metaData.schemaString", "metaData.partitionColumns",
+          "metaData.configuration", "metaData.createdTime")
+        .collect().headOption.map(r => DeltaMetadata(
+          id = r.getString(0),
+          schemaString = r.getString(1),
+          partitionColumns = r.getSeq[String](2),
+          configuration = if (r.isNullAt(3)) Map.empty else r.getMap[String, String](3).toMap,
+          createdTime = if (r.isNullAt(4)) 0L else r.getLong(4)))
+    })
     (meta.getOrElse(throw new IllegalStateException(s"no metaData action in $tablePath")),
-      upTo.last)
+      (upTo ++ cp).max)
   }
 
   /** Commit timestamps (from commitInfo, fallback file mtime) per version. */
@@ -134,15 +242,36 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
    * `version` column — the input to distributed replay.
    */
   def actionsDF(asOf: Option[Long]): DataFrame = {
-    val versions = asOf.map(a => listVersions().filter(_ <= a)).getOrElse(listVersions())
-    require(versions.nonEmpty, s"not a Delta table: $tablePath")
-    val paths = versions.map(v => commitFile(v).toString)
-    spark.read.text(paths: _*)
-      .withColumn("version",
-        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast(LongType))
-      .withColumn("action", from_json(col("value"), actionSchema))
-      .select(col("version"), col("action.add").as("add"), col("action.remove").as("remove"))
-      .filter(col("add").isNotNull || col("remove").isNotNull)
+    val all = listVersions()
+    // replay = checkpoint base (if one applies at/before asOf) + JSON tail
+    val cp = lastCheckpoint().filter(c => asOf.forall(c <= _))
+    val versions = all
+      .filter(v => asOf.forall(v <= _))
+      .filter(v => cp.forall(v > _))
+    require(versions.nonEmpty || cp.nonEmpty, s"not a Delta table: $tablePath")
+    val jsonTail: Option[DataFrame] =
+      if (versions.isEmpty) None
+      else Some {
+        val paths = versions.map(v => commitFile(v).toString)
+        spark.read.text(paths: _*)
+          .withColumn("version",
+            regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast(LongType))
+          .withColumn("action", from_json(col("value"), actionSchema))
+          .select(col("version"), col("action.add").as("add"), col("action.remove").as("remove"))
+          .filter(col("add").isNotNull || col("remove").isNotNull)
+      }
+    val base: Option[DataFrame] = cp.map { c =>
+      spark.read.parquet(checkpointFile(c).toString)
+        .filter(col("add").isNotNull)
+        .select(lit(c).as("version"), col("add"),
+          lit(null).cast(actionSchema("remove").dataType).as("remove"))
+    }
+    (base, jsonTail) match {
+      case (Some(b), Some(t)) => b.unionByName(t)
+      case (Some(b), None)    => b
+      case (None, Some(t))    => t
+      case _ => throw new IllegalStateException(s"not a Delta table: $tablePath")
+    }
   }
 
   /**

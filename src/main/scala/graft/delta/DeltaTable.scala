@@ -159,6 +159,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       Map("mode" -> (if (overwrite) "Overwrite" else "Append")))
     require(log.commit(v, metaActions ++ removes ++ adds :+ info),
       s"concurrent commit detected at version $v of $tablePath")
+    log.maybeCheckpoint(v)
     v
   }
 
@@ -274,6 +275,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val info = CommitInfo(now, "SYNC", Map("mode" -> "Sync"))
     require(log.commit(v, metaActions ++ removeActions ++ addActions :+ info),
       s"concurrent commit detected at version $v of $tablePath")
+    log.maybeCheckpoint(v)
     v
   }
 }

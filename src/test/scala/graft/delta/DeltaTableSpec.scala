@@ -117,4 +117,44 @@ class DeltaTableSpec extends SparkTestBase {
     assert(t.versionForTimestamp(ts0) == 0L)
     assert(t.versionForTimestamp(System.currentTimeMillis() + 10000) == 1L)
   }
+
+  test("checkpoints: 25-commit table replays from checkpoint, survives log expiry") {
+    val dir = tmpDir("delta_cp")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = DeltaTable.create(spark, s"$dir/t", src.limit(1))
+    (1 to 24).foreach(_ => t.append(src.limit(1), Seq.empty))
+    assert(t.latestVersion == 24L)
+    // auto-checkpoint every 10 commits
+    assert(t.log.lastCheckpoint().contains(20L))
+    assert(t.toDF().count() == 25L)
+    // expire pre-checkpoint JSON: snapshot must still reconstruct from
+    // checkpoint + tail through a FRESH handle (no cached state)
+    val removed = t.log.expireLogBefore(20L)
+    assert(removed == 20)
+    val t2 = DeltaTable.forPath(spark, s"$dir/t")
+    assert(t2.toDF().count() == 25L)
+    assert(t2.schemaAt(None)._1.fieldNames.sameElements(src.schema.fieldNames))
+    // time travel within retained history still works
+    assert(t2.toDF(versionAsOf = Some(22L)).count() == 23L)
+    // expired history correctly refuses
+    intercept[Exception] { t2.toDF(versionAsOf = Some(5L)).count() }
+    // appends after expiry keep working and checkpoint again at 30
+    (25 to 30).foreach(_ => t2.append(src.limit(1), Seq.empty))
+    assert(t2.log.lastCheckpoint().contains(30L))
+    assert(t2.toDF().count() == 31L)
+  }
+
+  test("removes across a checkpoint resolve correctly (overwrite after cp)") {
+    val dir = tmpDir("delta_cp_rm")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = DeltaTable.create(spark, s"$dir/t", src)
+    (1 to 9).foreach(_ => t.append(src.limit(2), Seq.empty))
+    // v10 checkpoint exists; overwrite at v11 removes checkpointed adds
+    t.append(src.limit(1), Seq.empty) // v10 -> checkpoint
+    assert(t.log.lastCheckpoint().contains(10L))
+    t.overwrite(src.limit(3), Seq.empty) // v11
+    assert(t.toDF().count() == 3L)
+    val t2 = DeltaTable.forPath(spark, s"$dir/t")
+    assert(t2.toDF().count() == 3L)
+  }
 }
