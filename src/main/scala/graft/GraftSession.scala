@@ -27,6 +27,7 @@ object GraftSession {
   def local(cpus: Int): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.TextHashes.register(s)
     s
   }
 }

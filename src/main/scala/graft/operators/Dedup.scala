@@ -16,9 +16,19 @@ import graft.sources.Tables
  */
 object Dedup {
 
+  /** Documents spread over the cluster BEFORE the per-doc heavy
+    * lambdas: a small corpus arrives as one parquet split, and HOF
+    * pipelines (MinHash, SimHash, shingling) are interpreted per
+    * element — left on the input layout they run on one core. The
+    * repartition cost is one linear shuffle of raw text; the compute
+    * after it scales with cores regardless of file layout. */
+  private def spread(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("doc_id"))
+
   /** words + distinct word-3-shingles of each doc. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    spread(spark, dir)
       .withColumn("words", split(lower(col("text")), " "))
       .filter(size(col("words")) >= 3)
       .withColumn("shingles", expr(
@@ -29,26 +39,47 @@ object Dedup {
    * verified with exact shingle-set Jaccard. Threshold 0.5.
    */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // the exchange after the signature projection is load-bearing: it
+    // materializes `sig` so the band explode below references the
+    // attribute — without it, projection collapse inlines the whole
+    // 64-perm MinHash expression into the per-band lambda and computes
+    // it 16× per document. The shuffled rows are (doc_id, 64 longs),
+    // not text — linear and tiny at any scale.
     val sig = shingled(spark, dir)
-      .withColumn("sig", expr(
-        "transform(sequence(0, 63), s -> array_min(transform(shingles, sh -> xxhash64(sh, s))))"))
-      .select(col("doc_id"), col("sig"), col("shingles"))
+      .withColumn("sig", expr("minhash_sig(shingles)")) // native expr: graft.functions.MinHashSig
+      .select(col("doc_id"), col("sig"))
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("doc_id"))
 
+    // band rows carry ONLY (doc_id, band, bkey): the 16× band explosion
+    // shuffles 24-byte rows, not shingle arrays — at corpus scale the
+    // old shape moved ~16× the corpus text through the shuffle. And
+    // candidates come from ONE pass (groupBy bucket + in-bucket pair
+    // expansion) instead of a self-join, so the 64-perm MinHash pipeline
+    // is computed once, not once per join side.
     val banded = sig
-      .select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"),
         explode(expr(
           "transform(sequence(0, 15), b -> struct(b AS band, xxhash64(b, slice(sig, b*4+1, 4)) AS bkey))"))
           .as("bb"))
-      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bkey"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
 
-    val a = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+    val candidates = banded
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids)-1),
+          |  i -> transform(slice(ids, 1, i), a -> struct(a AS doc_a, ids[i] AS doc_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+
+    // shingle sets re-join per candidate (each array crosses the wire
+    // once, keyed by doc_id; no MinHash recompute on this branch)
+    val sh = shingled(spark, dir).select(col("doc_id"), col("shingles"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -62,16 +93,12 @@ object Dedup {
    * band collisions, verified by Hamming distance ≤ 2.
    */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sim = Tables.documents(spark, dir)
+    val sim = spread(spark, dir)
       .withColumn("words", expr("array_distinct(split(lower(text), ' '))"))
       .filter(size(col("words")) >= 1)
-      .withColumn("bitsums", expr(
-        """aggregate(transform(words, w -> xxhash64(w)), array_repeat(0L, 64),
-          |  (acc, h) -> zip_with(acc, sequence(0, 63),
-          |    (a, j) -> a + (cast(shiftright(h, j) & 1 AS BIGINT) * 2 - 1)))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(zip_with(bitsums, sequence(0, 63),
-          |  (s, j) -> IF(s > 0, shiftleft(1L, j), 0L)), 0L, (acc, x) -> acc + x)""".stripMargin))
+      // native expr (graft.functions.SimHash64): same per-bit vote math
+      // the HOF pipeline expressed, evaluated in one tight loop per row
+      .withColumn("simhash", expr("simhash64(words)"))
       .select(col("doc_id"), col("simhash"))
 
     val banded = sim.select(col("doc_id"), col("simhash"),
@@ -99,18 +126,26 @@ object Dedup {
    * the family, oracle-checked against DuckDB.
    */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = spread(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         expr(
           "array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")
           .as("grams"))
-    val a = d.select(col("lang"), col("doc_id").as("doc_a"),
-      col("n_chars").as("nc_a"), col("grams").as("g_a"))
-    val bb = d.select(col("lang"), col("doc_id").as("doc_b"),
-      col("n_chars").as("nc_b"), col("grams").as("g_b"))
-    a.join(bb, Seq("lang"))
-      .filter(col("doc_a") < col("doc_b") &&
-        abs(col("nc_a") - col("nc_b")) <= 5 && (col("doc_a") % 5 === 0))
+    // candidate generation is keyed on (lang, length-bucket), never lang
+    // alone: |nc_a - nc_b| <= 5 with width-5 buckets means matching
+    // pairs are at most one bucket apart, so side b explodes to its
+    // bucket ±1 and the equi-join stays linear in documents — the
+    // all-pairs-within-a-language shape dies at corpus scale
+    val a = d.filter(col("doc_id") % 5 === 0)
+      .select(col("lang"), floor(col("n_chars") / 5).as("bucket"),
+        col("doc_id").as("doc_a"), col("n_chars").as("nc_a"), col("grams").as("g_a"))
+    val bb = d
+      .withColumn("bucket", explode(array(
+        floor(col("n_chars") / 5) - 1, floor(col("n_chars") / 5), floor(col("n_chars") / 5) + 1)))
+      .select(col("lang"), col("bucket"),
+        col("doc_id").as("doc_b"), col("n_chars").as("nc_b"), col("grams").as("g_b"))
+    a.join(bb, Seq("lang", "bucket"))
+      .filter(col("doc_a") < col("doc_b") && abs(col("nc_a") - col("nc_b")) <= 5)
       .withColumn("jaccard",
         size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b"))))
