@@ -61,8 +61,16 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     * Reconciliation is per-path latest-sequence-wins — a carried add
     * manifest plus a later delete manifest for the same file resolves
     * to deleted, the same replay rule as the Delta log (one shuffle on
-    * path, no driver-side state until survivors). */
-  private[iceberg] def liveEntries(snapshotId: Option[Long]): Seq[ManifestEntry] = {
+    * path, no driver-side state until survivors).
+    *
+    * `pred` (partition/range pruning from the scan builder) runs on the
+    * EXECUTORS after reconciliation, so at 10^6 files the driver
+    * collects only the pruned survivors — never every entry's bounds
+    * maps. Reconcile-then-filter order matters: a delete entry must
+    * cancel its add even when neither matches the predicate. */
+  private[iceberg] def liveEntries(
+      snapshotId: Option[Long],
+      pred: ManifestEntry => Boolean = _ => true): Seq[ManifestEntry] = {
     val meta = currentMetadata
     val snap = snapshotId.map(meta.snapshot).orElse(meta.currentSnapshot).getOrElse(
       throw new IllegalStateException(s"empty iceberg table: $tablePath"))
@@ -80,7 +88,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       .map(e => (e.filePath, e))
       .reduceByKey(newer)
       .values
-      .filter(_.status != ManifestEntry.StatusDeleted)
+      .filter(e => e.status != ManifestEntry.StatusDeleted && pred(e))
       .collect().toSeq
   }
 
@@ -613,74 +621,98 @@ final class IcebergScanBuilder(
     this
   }
 
-  /** Pruned entry list (driver holds only survivors' paths). */
+  /** Pruned entry list. All predicate data is prepared driver-side
+    * (human strings → ordinals, time literals → canonical stat forms),
+    * but evaluation happens on the EXECUTORS inside the manifest-read
+    * job — the driver only ever collects survivors, never every live
+    * entry's bounds maps. */
   def files(): Seq[ManifestEntry] = {
     val meta = table.currentMetadata
     val schemaByName = meta.schema.fields.map(f => f.name -> f).toMap
     val defs = IcebergTable.defsOf(meta)
     val defByName = defs.map(d => d.fieldName -> d).toMap
-    var kept = table.liveEntries(asOfSnapshot)
-    partitionPredicates.foreach { case (c, vs) =>
-      // callers address transform fields with human strings
-      // (`2020-01`); the manifest stores ordinals
-      val wanted = defByName.get(c) match {
+
+    // callers address transform fields with human strings (`2020-01`);
+    // the manifest stores ordinals
+    val partIn: Seq[(String, Set[String])] = partitionPredicates.map { case (c, vs) =>
+      c -> (defByName.get(c) match {
         case Some(d) if !d.isIdentity =>
           vs.map(v => graft.model.PartitionTransform.toOrdinal(d.granularity, v).toString)
         case _ => vs
-      }
-      kept = kept.filter(e => e.partitionValues.get(c).exists(v => v != null && wanted.contains(v)))
+      })
     }
     // a range on the SOURCE column of a hidden (transform) partition
     // prunes by partition ordinal before any bounds are consulted
-    rangePredicates.foreach { case (c, lo, hi) =>
-      defs.filter(d => !d.isIdentity && d.sourceColumn == c).foreach { d =>
-        val loOrd = lo.map(l => graft.model.PartitionTransform.toOrdinal(
-          d.granularity, graft.model.PartitionTransform.truncate(d.granularity, l)))
-        val hiOrd = hi.map(h => graft.model.PartitionTransform.toOrdinal(
-          d.granularity, graft.model.PartitionTransform.truncate(d.granularity, h)))
-        kept = kept.filter { e =>
-          e.partitionValues.get(d.fieldName).forall(v => v == null || {
-            val ord = v.toInt
-            loOrd.forall(ord >= _) && hiOrd.forall(ord <= _)
-          })
+    val ordinalRanges: Seq[(String, Option[Int], Option[Int])] =
+      rangePredicates.flatMap { case (c, lo, hi) =>
+        defs.filter(d => !d.isIdentity && d.sourceColumn == c).map { d =>
+          (d.fieldName,
+            lo.map(l => graft.model.PartitionTransform.toOrdinal(
+              d.granularity, graft.model.PartitionTransform.truncate(d.granularity, l))),
+            hi.map(h => graft.model.PartitionTransform.toOrdinal(
+              d.granularity, graft.model.PartitionTransform.truncate(d.granularity, h))))
         }
       }
-    }
-    rangePredicates.foreach { case (c, lo0, hi0) =>
-      val f = schemaByName(c)
-      val id = IcebergSchemas.fieldId(f).get
-      // human timestamp/date literals → canonical stat forms so the
-      // bound compare is numeric
-      def canon(v: String): String = f.dataType match {
-        case TimestampType | TimestampNTZType if !v.matches("-?\\d+") =>
-          val t = v.trim.replace(' ', 'T')
-          val dt = if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay
-                   else java.time.LocalDateTime.parse(t.take(19))
-          (dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L).toString
-        case DateType if !v.matches("-?\\d+") =>
-          java.time.LocalDate.parse(v.trim.take(10)).toEpochDay.toString
-        case _ => v
+    // human timestamp/date literals → canonical stat forms so the
+    // bound compare is numeric
+    val boundsRanges: Seq[(Int, DataType, Option[String], Option[String])] =
+      rangePredicates.map { case (c, lo0, hi0) =>
+        val f = schemaByName(c)
+        def canon(v: String): String = f.dataType match {
+          case TimestampType | TimestampNTZType if !v.matches("-?\\d+") =>
+            val t = v.trim.replace(' ', 'T')
+            val dt = if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay
+                     else java.time.LocalDateTime.parse(t.take(19))
+            (dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L).toString
+          case DateType if !v.matches("-?\\d+") =>
+            java.time.LocalDate.parse(v.trim.take(10)).toEpochDay.toString
+          case _ => v
+        }
+        (IcebergSchemas.fieldId(f).get, f.dataType, lo0.map(canon), hi0.map(canon))
       }
-      val lo = lo0.map(canon)
-      val hi = hi0.map(canon)
-      def cmp(a: String, b: String): Int = f.dataType match {
-        case ByteType | ShortType | IntegerType | LongType |
-             DateType | TimestampType | TimestampNTZType => a.toLong.compareTo(b.toLong)
-        case FloatType | DoubleType => a.toDouble.compareTo(b.toDouble)
-        case _: DecimalType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-        case _ => a.compareTo(b)
-      }
-      kept = kept.filter { e =>
-        // keep when bounds are absent (can't prove exclusion)
-        val minOk = hi.forall(h => e.lowerBounds.get(id).forall(b =>
-          cmp(IcebergSchemas.decodeBound(f.dataType, b), h) <= 0))
-        val maxOk = lo.forall(l => e.upperBounds.get(id).forall(b =>
-          cmp(IcebergSchemas.decodeBound(f.dataType, b), l) >= 0))
-        minOk && maxOk
-      }
-    }
-    kept
+    table.liveEntries(asOfSnapshot,
+      IcebergScanBuilder.EntryPredicate(partIn, ordinalRanges, boundsRanges))
   }
 
   def toDF(): DataFrame = table.readFiles(files().map(_.filePath))
+}
+
+object IcebergScanBuilder {
+
+  /** Executor-shippable pruning predicate: only primitives, DataTypes
+    * and prepared literal strings cross the closure boundary. */
+  final case class EntryPredicate(
+      partIn: Seq[(String, Set[String])],
+      ordinalRanges: Seq[(String, Option[Int], Option[Int])],
+      boundsRanges: Seq[(Int, DataType, Option[String], Option[String])])
+      extends (ManifestEntry => Boolean) with Serializable {
+
+    private def cmp(dt: DataType, a: String, b: String): Int = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType | TimestampNTZType => a.toLong.compareTo(b.toLong)
+      case FloatType | DoubleType => a.toDouble.compareTo(b.toDouble)
+      case _: DecimalType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+      case _ => a.compareTo(b)
+    }
+
+    def apply(e: ManifestEntry): Boolean = {
+      partIn.forall { case (c, wanted) =>
+        e.partitionValues.get(c).exists(v => v != null && wanted.contains(v))
+      } &&
+      ordinalRanges.forall { case (field, loOrd, hiOrd) =>
+        e.partitionValues.get(field).forall(v => v == null || {
+          val ord = v.toInt
+          loOrd.forall(ord >= _) && hiOrd.forall(ord <= _)
+        })
+      } &&
+      boundsRanges.forall { case (id, dt, lo, hi) =>
+        // keep when bounds are absent (can't prove exclusion)
+        val minOk = hi.forall(h => e.lowerBounds.get(id).forall(b =>
+          cmp(dt, IcebergSchemas.decodeBound(dt, b), h) <= 0))
+        val maxOk = lo.forall(l => e.upperBounds.get(id).forall(b =>
+          cmp(dt, IcebergSchemas.decodeBound(dt, b), l) >= 0))
+        minOk && maxOk
+      }
+    }
+  }
 }
