@@ -195,7 +195,26 @@ object Dedup {
           .orderBy(col("keep_doc_id")),
       """SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY MD5(text) ORDER BY keep_doc_id""".stripMargin),
-    QueryDef.rowsOnly("d02_minhash_lsh_dedup", minhashPairs),
+    // Oracle = exact all-pairs Jaccard >= 0.5 over the same shingle
+    // definition: verifies the LSH pipeline finds exactly the true
+    // near-dup pairs (banding recall is certain for the near-identical
+    // pairs this corpus contains; a miss would surface as a hash
+    // mismatch, which is the point of the check).
+    QueryDef.sql(
+      "d02_minhash_lsh_dedup",
+      minhashPairs,
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, len(string_split(lower(text),' '))-2),
+        |    i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' '))) AS shingles
+        |  FROM documents WHERE len(string_split(lower(text),' ')) >= 3
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
     QueryDef.rowsOnly("d03_simhash_dedup", simhashPairs),
     QueryDef.sql(
       "d04_ngram_jaccard",

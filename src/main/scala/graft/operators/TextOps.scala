@@ -105,7 +105,28 @@ object TextOps {
          |    / LENGTH(text) AS punct_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
     ),
-    QueryDef.rowsOnly("t03_language_id", languageId),
+    // Oracle replicates the stopword-profile argmax exactly, including
+    // the tie-break (max score, then lexicographically largest language
+    // — struct comparison field order in both engines).
+    QueryDef.sql(
+      "t03_language_id",
+      languageId,
+      """WITH s AS (
+        |  SELECT doc_id, lang, string_split(lower(text),' ') AS words FROM documents
+        |), best AS (
+        |  SELECT doc_id, lang,
+        |    list_aggregate([
+        |      {'s': len(list_filter(words, w -> w IN ('der','die','und','das','ist'))), 'l': 'de'},
+        |      {'s': len(list_filter(words, w -> w IN ('the','a','is','and','of'))), 'l': 'en'},
+        |      {'s': len(list_filter(words, w -> w IN ('el','la','de','que','y'))), 'l': 'es'},
+        |      {'s': len(list_filter(words, w -> w IN ('le','la','les','et','de'))), 'l': 'fr'}
+        |    ], 'max') AS b
+        |  FROM s
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN b.s > 0 THEN b.l ELSE 'und' END AS pred_lang,
+        |  lang AS labeled_lang
+        |FROM best ORDER BY doc_id""".stripMargin),
     QueryDef.sql(
       "t04_fingerprints",
       fingerprints,
