@@ -12,6 +12,16 @@ object Bench {
     // One warm-up action so JVM/codegen startup isn't billed to the
     // first query.
     spark.range(1000).count()
+    // Build each suite's fixture tables OUTSIDE the timed sections:
+    // fixture construction is one-time setup (table writes/conversions/
+    // syncs), not the operator under measurement — previously it was
+    // billed to whichever query of the suite happened to run first.
+    val tFix0 = System.nanoTime()
+    graft.operators.FormatQueries.fixtureDir(spark, sfDir)
+    graft.operators.IcebergQueries.fixtureDir(spark, sfDir)
+    graft.operators.HudiQueries.fixtureDir(spark, sfDir)
+    graft.operators.SyncQueries.fixtureDir(spark, sfDir)
+    val fixtureSec = (System.nanoTime() - tFix0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -20,7 +30,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"fixture_build_sec":$fixtureSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -59,6 +59,10 @@ object HudiQueries {
       HudiTable.forPath(spark, s"${dir(spark, sfDir)}/$name")
   }
 
+  /** Fixture root (builds fixtures if needed). */
+  def fixtureDir(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    Fixtures.dir(spark, sfDir)
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql(

@@ -69,6 +69,10 @@ object SyncQueries {
     }
   }
 
+  /** Fixture root (builds fixtures if needed). */
+  def fixtureDir(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    Fixtures.dir(spark, sfDir)
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql(
