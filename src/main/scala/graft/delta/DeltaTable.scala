@@ -64,12 +64,14 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
    * incremental sync §2.9). Returns the data of newly added files.
    */
   def changesAsDF(fromExclusive: Long, toInclusive: Long): DataFrame = {
-    val changed = log.changesDF(fromExclusive, toInclusive)
-      .filter(col("added"))
-      .select("path").collect().map(_.getString(0))
+    val changed = DeltaTable.manifestFiles(
+      log.changesDF(fromExclusive, toInclusive)
+        .filter(col("added"))
+        .select(col("path"), col("size"), lit(0L).as("modificationTime"), col("partitionValues"))
+        .collect().toSeq)
     val (schema, partCols) = schemaAt(Some(toInclusive))
     DeltaTable.readFiles(
-      spark, tablePath, readBasePath(Some(toInclusive)), changed.toSeq, schema, partCols)
+      spark, tablePath, readBasePath(Some(toInclusive)), changed, schema, partCols)
   }
 
   // ---------------------------------------------------------------- writes
@@ -410,32 +412,42 @@ object DeltaTable {
     }.toMap
   }
 
-  /** Read a set of snapshot files (log-encoded paths) as a DataFrame,
-    * reattaching partition columns from hive-style paths when the table
-    * is partitioned. `basePath` is the root partition directories
-    * resolve against — the source dir for converted tables. */
+  /** Read a set of snapshot files as a DataFrame through a
+    * [[graft.sources.ManifestFileIndex]]: sizes and partition values
+    * come from the LOG, so Spark plans the scan without listing or
+    * stat-ing a single path — the property that matters at 10^6 files
+    * (SURVEY.md §7 step 5). */
   private[delta] def readFiles(
       spark: SparkSession,
       tablePath: String,
       basePath: String,
-      files: Seq[String],
+      files: Seq[graft.sources.ManifestFile],
       schema: StructType,
       partitionColumns: Seq[String]): DataFrame = {
     if (files.isEmpty) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    val absolute = files.map(decodeLogPath).map { f =>
-      if (f.startsWith("/") || f.contains(":/")) f
-      else new Path(tablePath, f).toString
+    val absolute = files.map { f =>
+      val p = decodeLogPath(f.path)
+      f.copy(path =
+        if (p.startsWith("/") || p.contains(":/")) p else new Path(tablePath, p).toString)
     }
-    if (partitionColumns.nonEmpty)
-      spark.read.option("basePath", basePath).schema(schema).parquet(absolute: _*)
-    else {
-      val dataSchema = StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
-      spark.read.schema(dataSchema).parquet(absolute: _*)
-    }
+    graft.sources.ManifestFileIndex.read(
+      spark, basePath, absolute, schema, partitionColumns)
   }
+
+  /** files()-shaped DataFrame rows → manifest descriptors. */
+  private[delta] def manifestFiles(rows: Seq[org.apache.spark.sql.Row]): Seq[graft.sources.ManifestFile] =
+    rows.map { r =>
+      graft.sources.ManifestFile(
+        path = r.getString(0),
+        size = if (r.isNullAt(1)) 0L else r.getLong(1),
+        modificationTime = if (r.isNullAt(2)) 0L else r.getLong(2),
+        partitionValues =
+          if (r.isNullAt(3)) Map.empty
+          else r.getMap[String, String](3).toMap)
+    }
 }
 
 /**
@@ -520,7 +532,8 @@ final class DeltaScanBuilder(
     * callers still apply the row-level filter on the result. */
   def toDF(): DataFrame = {
     val (schema, partCols) = table.schemaAt(asOfVersion)
-    val pruned = files().select("path").collect().map(_.getString(0)).toSeq
+    val pruned = DeltaTable.manifestFiles(
+      files().select("path", "size", "modificationTime", "partitionValues").collect().toSeq)
     DeltaTable.readFiles(
       spark, table.tablePath, table.readBasePath(asOfVersion), pruned, schema, partCols)
   }

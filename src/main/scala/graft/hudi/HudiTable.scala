@@ -141,7 +141,8 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     require(range.nonEmpty, s"no instants in ($fromExclusive, $toInclusive] of $tablePath")
     val added = actionsDF(range)
       .filter(col("isAdd"))
-      .select("path").collect().map(_.getString(0)).toSeq
+      .select("path", "partitionPath", "size").collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
     readFiles(added, Some(toInclusive))
   }
 
@@ -150,17 +151,23 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
   private[hudi] def readBasePath: String =
     properties.getOrElse("graft.converted.from", tablePath)
 
-  private[hudi] def readFiles(files: Seq[String], asOf: Option[String]): DataFrame = {
+  /** (path, partitionPath, size) triples → DataFrame through a
+    * [[graft.sources.ManifestFileIndex]]: sizes and partition values
+    * come from the timeline, no filesystem listing/stat-ing. */
+  private[hudi] def readFiles(
+      files: Seq[(String, String, Long)], asOf: Option[String]): DataFrame = {
     val schema = schemaAt(asOf)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val absolute = files.map { f =>
-      if (f.startsWith("/") || f.contains(":/")) f else new Path(tablePath, f).toString
+    val manifest = files.map { case (f, pp, size) =>
+      graft.sources.ManifestFile(
+        path = if (f.startsWith("/") || f.contains(":/")) f else new Path(tablePath, f).toString,
+        size = size,
+        modificationTime = 0L,
+        partitionValues = HudiTable.parsePartitionPath(pp))
     }
-    if (partitionColumns.nonEmpty)
-      spark.read.option("basePath", readBasePath).schema(schema).parquet(absolute: _*)
-    else
-      spark.read.schema(schema).parquet(absolute: _*)
+    graft.sources.ManifestFileIndex.read(
+      spark, readBasePath, manifest, schema, partitionColumns)
   }
 
   // ---------------------------------------------------------------- writes
@@ -479,7 +486,8 @@ final class HudiScanBuilder(
   }
 
   def toDF(): DataFrame = {
-    val pruned = files().select("path").collect().map(_.getString(0)).toSeq
+    val pruned = files().select("path", "partitionPath", "size").collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
     table.readFiles(pruned, asOfInstant)
   }
 }

@@ -113,26 +113,29 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       .parallelize(manifestPaths, math.max(1, math.min(manifestPaths.size, 64)))
       .flatMap(p => IcebergManifests.readManifest(conf.value, new Path(p)))
       .filter(e => e.status == ManifestEntry.StatusAdded && targets.contains(e.snapshotId))
-      .map(_.filePath)
-      .collect().toSeq.distinct
+      .map(e => (e.filePath, e))
+      .reduceByKey((a, _) => a)
+      .values
+      .collect().toSeq
     readFiles(added)
   }
 
-  private[iceberg] def readFiles(files: Seq[String]): DataFrame = {
+  private[iceberg] def readFiles(entries: Seq[ManifestEntry]): DataFrame = {
     val meta = currentMetadata
-    // only identity partition columns live in the path; transform
+    // only identity partition columns live in the path (and in the
+    // manifest partition struct with their source type); transform
     // (hidden) partition sources are ordinary data columns in the files
-    val identityCols = IcebergTable.defsOf(meta).filter(_.isIdentity)
+    val identityCols = IcebergTable.defsOf(meta).filter(_.isIdentity).map(_.fieldName)
     val out = sparkSchema
-    if (files.isEmpty)
+    if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
     val basePath = meta.properties.getOrElse("graft.converted.from", tablePath)
-    val raw =
-      if (identityCols.nonEmpty)
-        spark.read.option("basePath", basePath).schema(out).parquet(files: _*)
-      else
-        spark.read.schema(out).parquet(files: _*)
-    raw.select(out.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    val files = entries.map(e => graft.sources.ManifestFile(
+      path = e.filePath,
+      size = e.fileSizeBytes,
+      modificationTime = 0L,
+      partitionValues = e.partitionValues.filter { case (k, _) => identityCols.contains(k) }))
+    graft.sources.ManifestFileIndex.read(spark, basePath, files, out, identityCols)
   }
 
   // ---------------------------------------------------------------- writes
@@ -674,7 +677,7 @@ final class IcebergScanBuilder(
       IcebergScanBuilder.EntryPredicate(partIn, ordinalRanges, boundsRanges))
   }
 
-  def toDF(): DataFrame = table.readFiles(files().map(_.filePath))
+  def toDF(): DataFrame = table.readFiles(files())
 }
 
 object IcebergScanBuilder {
