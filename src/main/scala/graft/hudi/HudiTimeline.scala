@@ -101,6 +101,23 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
 
   def latestInstant(): Option[HudiInstant] = completedInstants().lastOption
 
+  /** Instant times that have started (requested/inflight marker on the
+    * timeline) but not completed — the in-flight set the sync
+    * watermark must carry so a commit that completes LATE, with a time
+    * below the watermark, is still replayed (ref
+    * `api/.../model/CommitsBacklog.java:28-86`). */
+  def pendingInstants(): Seq[String] = {
+    if (!fs.exists(hoodieDir)) return Seq.empty
+    val completed = completedInstants().map(_.time).toSet
+    val Marker = """(\d{14,17})(?:\.(?:commit|replacecommit))?\.(?:requested|inflight)""".r
+    fs.listStatus(hoodieDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case Marker(ts) => ts }
+      .distinct
+      .filterNot(completed.contains)
+      .sorted
+  }
+
   /** Path of a completed instant's metadata file. */
   def instantFile(i: HudiInstant): Path = new Path(hoodieDir, i.fileName)
 

@@ -519,6 +519,48 @@ object Relational {
       """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+
+    // Sliding event-time windows (15 min / slide 5): Spark's window()
+    // assigns each event to 3 epoch-aligned windows; the oracle
+    // reproduces the assignment by exploding the 3 candidate starts.
+    QueryDef.sql(
+      "q29_event_sliding_window",
+      (spark, dir) =>
+        graft.sources.Events.normalized(spark, dir)
+          .groupBy(window(col("ts_us"), "15 minutes", "5 minutes").as("w"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+          .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+            col("cnt"), col("sum_value"))
+          .orderBy(col("w_start")),
+      """SELECT CAST(to_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT) - i)*300) AS TIMESTAMP) AS w_start,
+        |  CAST(to_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT) - i)*300 + 900) AS TIMESTAMP) AS w_end,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, (SELECT unnest([0,1,2]) AS i)
+        |GROUP BY 1, 2 ORDER BY w_start""".stripMargin),
+
+    // Session windows (10-min inactivity gap) per user: the oracle is
+    // the classic gaps-and-islands rewrite (lag + running break count).
+    QueryDef.sql(
+      "q30_event_session_window",
+      (spark, dir) =>
+        graft.sources.Events.normalized(spark, dir)
+          .groupBy(col("user_id"), session_window(col("ts_us"), "10 minutes").as("s"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+          .select(col("user_id"), col("s.start").as("s_start"), col("cnt"), col("sum_value"))
+          .orderBy(col("user_id"), col("s_start")),
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 600 SECOND THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM o
+        |)
+        |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS s_start, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin)
   )
 }

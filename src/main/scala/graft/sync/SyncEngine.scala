@@ -39,6 +39,10 @@ object SyncEngine {
   /** Watermark property keys persisted in target metadata. */
   val SourceIdProp = "graft.sync.source.id"
   val VersionProp = "graft.sync.last.synced.version"
+  /** Source versions in flight at sync time (started, not completed) —
+    * carried so a commit that completes LATE, below the watermark, is
+    * still replayed next sync (ref `CommitsBacklog.java:28-86`). */
+  val InflightProp = "graft.sync.inflight.versions"
 
   sealed trait Mode
   case object Full extends Mode
@@ -66,14 +70,23 @@ object SyncEngine {
         true
       case Auto        => canIncrement
     }
+    val stillInflight = source.inflightVersions
     if (incremental) {
-      val pending = source.versionsAfter(wm.get)
+      // backlog = commits after the watermark PLUS previously-inflight
+      // commits that have since completed (their times may sort BELOW
+      // the watermark — the late-data case)
+      val lateCompleted = target.inflightFor(source.sourceId).filter(source.versionExists)
+      val pending = (lateCompleted ++ source.versionsAfter(wm.get)).distinct
       var added, removed = 0
+      var highWater = wm.get
       pending.foreach { v =>
         val (adds, removes) = source.changes(v)
+        // a late replay never regresses the watermark
+        highWater = source.laterOf(highWater, v)
         target.commit(source.schema, source.partitionColumns, source.dataRoot,
           adds, removes,
-          Map(SourceIdProp -> source.sourceId, VersionProp -> v))
+          Map(SourceIdProp -> source.sourceId, VersionProp -> highWater,
+            InflightProp -> stillInflight.mkString(",")))
         added += adds.size; removed += removes.size
       }
       SyncResult("incremental", pending, added, removed)
@@ -86,7 +99,8 @@ object SyncEngine {
       val removes = live.filterNot(p => byPath.contains(norm(p))).toSeq.sorted
       target.commit(source.schema, source.partitionColumns, source.dataRoot,
         adds, removes,
-        Map(SourceIdProp -> source.sourceId, VersionProp -> source.currentVersion))
+        Map(SourceIdProp -> source.sourceId, VersionProp -> source.currentVersion,
+          InflightProp -> stillInflight.mkString(",")))
       SyncResult("full", Seq(source.currentVersion), adds.size, removes.size)
     }
   }
@@ -136,6 +150,11 @@ trait SyncSource {
   def snapshotFiles(): Seq[InternalDataFile]
   /** Adds + removed paths of one version. */
   def changes(v: String): (Seq[InternalDataFile], Seq[String])
+  /** Versions started but not yet completed (Hudi timelines can
+    * complete out of order; linear logs return empty). */
+  def inflightVersions: Seq[String] = Seq.empty
+  /** The later of two version tokens in this source's commit order. */
+  def laterOf(a: String, b: String): String = if (a >= b) a else b
 }
 
 /** A table format viewed as a sync target: watermark lookup + metadata
@@ -143,8 +162,22 @@ trait SyncSource {
 trait SyncTarget {
   def format: String
   def targetPath: String
+  /** Sync-state properties persisted by the last sync commit (empty for
+    * a fresh or never-synced target). */
+  def syncState(): Map[String, String]
   /** Last synced version iff this target was last synced from `sourceId`. */
-  def watermarkFor(sourceId: String): Option[String]
+  final def watermarkFor(sourceId: String): Option[String] = {
+    val st = syncState()
+    st.get(SyncEngine.SourceIdProp).filter(_ == sourceId)
+      .flatMap(_ => st.get(SyncEngine.VersionProp))
+  }
+  /** In-flight versions recorded at the last sync from `sourceId`. */
+  final def inflightFor(sourceId: String): Seq[String] = {
+    val st = syncState()
+    if (!st.get(SyncEngine.SourceIdProp).contains(sourceId)) Seq.empty
+    else st.get(SyncEngine.InflightProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  }
   /** Currently-live physical paths (empty for a fresh target). */
   def livePaths(): Set[String]
   def commit(
@@ -182,18 +215,16 @@ private final class DeltaSource(t: DeltaTable) extends SyncSource {
     t.log.listVersions().filter(_ > v.toLong).sorted.map(_.toString)
   def snapshotFiles(): Seq[InternalDataFile] = t.snapshotDataFiles()
   def changes(v: String): (Seq[InternalDataFile], Seq[String]) = t.changeSet(v.toLong)
+  override def laterOf(a: String, b: String): String =
+    if (a.toLong >= b.toLong) a else b
 }
 
 private final class DeltaTarget(spark: SparkSession, val targetPath: String) extends SyncTarget {
   def format = "delta"
   private def table = DeltaTable.forPath(spark, targetPath)
   private def exists = table.log.latestVersion().nonEmpty
-  def watermarkFor(sourceId: String): Option[String] = {
-    if (!exists) return None
-    val conf = table.log.metadataAt(None)._1.configuration
-    conf.get(SyncEngine.SourceIdProp).filter(_ == sourceId)
-      .flatMap(_ => conf.get(SyncEngine.VersionProp))
-  }
+  def syncState(): Map[String, String] =
+    if (!exists) Map.empty else table.log.metadataAt(None)._1.configuration
   def livePaths(): Set[String] =
     if (!exists) Set.empty else table.snapshotDataFiles().map(_.physicalPath).toSet
   def commit(
@@ -221,18 +252,18 @@ private final class IcebergSource(t: IcebergTable) extends SyncSource {
   }
   def snapshotFiles(): Seq[InternalDataFile] = t.snapshotDataFiles()
   def changes(v: String): (Seq[InternalDataFile], Seq[String]) = t.changeSet(v.toLong)
+  override def laterOf(a: String, b: String): String = {
+    val ids = t.snapshotIds
+    if (ids.indexOf(a.toLong) >= ids.indexOf(b.toLong)) a else b
+  }
 }
 
 private final class IcebergTarget(spark: SparkSession, val targetPath: String) extends SyncTarget {
   def format = "iceberg"
   private def table = IcebergTable.forPath(spark, targetPath)
   private def exists = table.log.latestVersion().nonEmpty
-  def watermarkFor(sourceId: String): Option[String] = {
-    if (!exists) return None
-    val props = table.currentMetadata.properties
-    props.get(SyncEngine.SourceIdProp).filter(_ == sourceId)
-      .flatMap(_ => props.get(SyncEngine.VersionProp))
-  }
+  def syncState(): Map[String, String] =
+    if (!exists) Map.empty else table.currentMetadata.properties
   def livePaths(): Set[String] =
     if (!exists) Set.empty else table.snapshotDataFiles().map(_.physicalPath).toSet
   def commit(
@@ -255,18 +286,15 @@ private final class HudiSource(t: HudiTable) extends SyncSource {
   def versionsAfter(v: String): Seq[String] = t.instants.filter(_ > v)
   def snapshotFiles(): Seq[InternalDataFile] = t.snapshotDataFiles()
   def changes(v: String): (Seq[InternalDataFile], Seq[String]) = t.changeSet(v)
+  override def inflightVersions: Seq[String] = t.timeline.pendingInstants()
 }
 
 private final class HudiTarget(spark: SparkSession, val targetPath: String) extends SyncTarget {
   def format = "hudi"
   private def table = HudiTable.forPath(spark, targetPath)
   private def exists = table.timeline.exists
-  def watermarkFor(sourceId: String): Option[String] = {
-    if (!exists) return None
-    val extra = table.latestCommitExtraMetadata
-    extra.get(SyncEngine.SourceIdProp).filter(_ == sourceId)
-      .flatMap(_ => extra.get(SyncEngine.VersionProp))
-  }
+  def syncState(): Map[String, String] =
+    if (!exists) Map.empty else table.latestCommitExtraMetadata
   def livePaths(): Set[String] =
     if (!exists) Set.empty else table.snapshotDataFiles().map(_.physicalPath).toSet
   def commit(

@@ -109,6 +109,55 @@ class SyncEngineSpec extends SparkTestBase {
     assert(checksum(tgt.toDF()) == checksum(src.toDF()))
   }
 
+  test("a Hudi commit completing late (below the watermark) replays via the inflight backlog") {
+    import org.apache.hadoop.fs.Path
+    import graft.hudi.{HudiCommitMetadata, HudiInstant, HudiWriteStat}
+    val dir = tmpDir("sync_late")
+    val part1 = orders.filter(col("o_orderkey") % 3 === 0)
+    val late  = orders.filter(col("o_orderkey") % 3 === 1)
+    val part3 = orders.filter(col("o_orderkey") % 3 === 2)
+    val src = HudiTable.create(spark, s"$dir/src", part1)
+    // a writer STARTS instant B (markers on the timeline, no completion)
+    val lateTime = src.timeline.nextInstantTime()
+    val hoodie = new Path(s"$dir/src/.hoodie")
+    val fs = hoodie.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(hoodie, s"$lateTime.commit.requested"), true).close()
+    fs.create(new Path(hoodie, s"$lateTime.inflight"), true).close()
+    Thread.sleep(5)
+    // instant C completes normally; sync sees B in flight, watermark = C
+    src.append(part3)
+    val r1 = SyncEngine.sync(
+      SyncEngine.hudiSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    assert(r1.mode == "full")
+    val tgt0 = IcebergTable.forPath(spark, s"$dir/tgt")
+    assert(tgt0.currentMetadata.properties(SyncEngine.InflightProp) == lateTime)
+    // B completes LATE: its file lands with an instant time BELOW the watermark
+    late.coalesce(1).write.parquet(s"$dir/stage")
+    val part = fs.listStatus(new Path(s"$dir/stage")).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = new Path(s"$dir/src", s"${java.util.UUID.randomUUID()}_0-0-0_$lateTime.parquet")
+    require(fs.rename(part, dest))
+    val meta = HudiCommitMetadata(
+      partitionToWriteStats = Map("" -> Seq(HudiWriteStat(
+        dest.getName.stripSuffix(".parquet"), dest.getName, "null",
+        late.count(), fs.getFileStatus(dest).getLen))),
+      partitionToReplaceFileIds = Map.empty,
+      extraMetadata = Map(
+        "schema" -> graft.schema.AvroSchemaConverters.toAvro(late.schema).toString),
+      operationType = "INSERT")
+    assert(src.timeline.commit(HudiInstant(lateTime, "commit"), meta))
+    // next incremental sync replays the late B even though B < watermark
+    val r2 = SyncEngine.sync(
+      SyncEngine.hudiSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    assert(r2.mode == "incremental" && r2.versionsSynced == Seq(lateTime))
+    val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
+    assert(checksum(tgt.toDF()) == checksum(src.toDF()))
+    assert(tgt.toDF().count() == orders.count())
+    // watermark did not regress, and the inflight list is drained
+    assert(tgt.currentMetadata.properties(SyncEngine.VersionProp) == src.latestInstant)
+    assert(tgt.currentMetadata.properties(SyncEngine.InflightProp).isEmpty)
+  }
+
   test("a foreign watermark or vacuumed source version forces a full sync") {
     val dir = tmpDir("sync_fence")
     val srcA = DeltaTable.create(spark, s"$dir/srcA", orders.filter(col("o_orderkey") % 2 === 0))
