@@ -315,9 +315,14 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     // no transform concept, so the materialized field names become plain
     // partition-path segments with the canonical value strings
     val fieldNames = graft.model.PartitionTransform.parseAll(partitionColumns).map(_.fieldName)
-    if (!timeline.exists)
+    if (!timeline.exists) {
+      // record keys arriving through sync land in the native Hudi
+      // convention (ref `HudiTargetClient.java` table-config wiring)
+      val keyProps = syncProps.get("graft.record.key.fields")
+        .map(ks => Map("hoodie.table.recordkey.fields" -> ks)).getOrElse(Map.empty)
       timeline.writeProperties(HudiTable.tableProperties(
-        tablePath, fieldNames, Map("graft.converted.from" -> sourceDataRoot)))
+        tablePath, fieldNames, keyProps + ("graft.converted.from" -> sourceDataRoot)))
+    }
     val writeStats = adds.map { f =>
       val pp = HudiTable.buildPartitionPath(f.partitionValues, fieldNames)
       pp -> HudiWriteStat(

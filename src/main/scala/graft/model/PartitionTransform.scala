@@ -58,12 +58,25 @@ object PartitionTransform {
 
   private val SpecRe = """(?i)\s*(year|month|day|hour)\s*\(\s*([^)\s]+)\s*\)\s*(?:as\s+(\S+))?\s*""".r
   private val IdentityRe = """(?i)\s*identity\s*\(\s*([^)\s]+)\s*\)\s*""".r
+  // the reference CLI's `path:type:format` shape (ref
+  // `api/.../model/schema/OnePartitionField` spec strings), e.g.
+  // `o_orderdate:MONTH:yyyy-MM` or `region:VALUE`
+  private val CliRe = """\s*([^:()\s]+):(?i:(VALUE|YEAR|MONTH|DAY|HOUR))(?::([^:\s]+))?\s*""".r
 
-  /** Parse `col`, `identity(col)`, `year(col)` … `hour(col) as name`. */
+  /** Parse `col`, `identity(col)`, `year(col)` … `hour(col) as name`,
+    * plus the reference CLI form `path:type[:format]`. */
   def parse(spec: String): PartitionFieldDef = spec match {
     case SpecRe(t, c, n) => PartitionFieldDef(c, t.toLowerCase, Option(n))
     case IdentityRe(c)   => PartitionFieldDef(c, "identity")
-    case c               => PartitionFieldDef(c.trim, "identity")
+    case CliRe(c, t, fmt) =>
+      if (t.equalsIgnoreCase("VALUE")) PartitionFieldDef(c, "identity")
+      else {
+        val g = TimeGranularity.forName(t.toLowerCase)
+        require(fmt == null || fmt == g.pattern,
+          s"format '$fmt' does not match ${g.name}'s canonical '${g.pattern}'")
+        PartitionFieldDef(c, g.name)
+      }
+    case c => PartitionFieldDef(c.trim, "identity")
   }
 
   def parseAll(specs: Seq[String]): Seq[PartitionFieldDef] = specs.map(parse)

@@ -30,11 +30,26 @@ object AvroSchemaConverters {
   def toAvro(schema: StructType, recordName: String = "record"): Schema =
     structToAvro(schema, recordName, "graft")
 
+  /** Avro names must match `[A-Za-z_][A-Za-z0-9_]*`; Spark columns can
+    * be anything. Illegal names are sanitized and the original rides an
+    * Avro field prop so the round-trip restores it exactly — the
+    * reference's name-convention translation (ref
+    * `core/.../hudi/HudiSchemaExtractor.java:56-61`). */
+  private[schema] val OriginalNameProp = "graft.spark.name"
+
+  private[schema] def sanitizeName(n: String): String = {
+    val cleaned = n.map(c => if (c.isLetterOrDigit && c < 128 || c == '_') c else '_')
+    if (cleaned.isEmpty || cleaned.head.isDigit) s"_$cleaned" else cleaned
+  }
+
   private def structToAvro(st: StructType, name: String, namespace: String): Schema = {
     val fields = st.fields.map { f =>
-      val fieldSchema = typeToAvro(f.dataType, f.nullable, s"$namespace.$name", f.name)
-      new Schema.Field(f.name, fieldSchema, null,
+      val avroName = sanitizeName(f.name)
+      val fieldSchema = typeToAvro(f.dataType, f.nullable, s"$namespace.$name", avroName)
+      val field = new Schema.Field(avroName, fieldSchema, null,
         if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+      if (avroName != f.name) field.addProp(OriginalNameProp, f.name)
+      field
     }
     Schema.createRecord(name, null, namespace, false, fields.toSeq.asJava)
   }
@@ -77,7 +92,8 @@ object AvroSchemaConverters {
     require(schema.getType == Schema.Type.RECORD, s"top-level avro schema must be a record")
     StructType(schema.getFields.asScala.map { f =>
       val (dt, isNullable) = typeFromAvro(f.schema())
-      StructField(f.name(), dt, isNullable)
+      val sparkName = Option(f.getProp(OriginalNameProp)).getOrElse(f.name())
+      StructField(sparkName, dt, isNullable)
     }.toSeq)
   }
 

@@ -43,6 +43,10 @@ object SyncEngine {
     * carried so a commit that completes LATE, below the watermark, is
     * still replayed next sync (ref `CommitsBacklog.java:28-86`). */
   val InflightProp = "graft.sync.inflight.versions"
+  /** Record-key (primary-key) fields translated across formats (ref
+    * `OneTable.java:38-53` recordKeyFields; Hudi's
+    * `hoodie.table.recordkey.fields`). */
+  val RecordKeyProp = "graft.record.key.fields"
 
   sealed trait Mode
   case object Full extends Mode
@@ -71,6 +75,9 @@ object SyncEngine {
       case Auto        => canIncrement
     }
     val stillInflight = source.inflightVersions
+    val keyProps =
+      if (source.recordKeyFields.isEmpty) Map.empty[String, String]
+      else Map(RecordKeyProp -> source.recordKeyFields.mkString(","))
     if (incremental) {
       // backlog = commits after the watermark PLUS previously-inflight
       // commits that have since completed (their times may sort BELOW
@@ -85,7 +92,7 @@ object SyncEngine {
         highWater = source.laterOf(highWater, v)
         target.commit(source.schema, source.partitionColumns, source.dataRoot,
           adds, removes,
-          Map(SourceIdProp -> source.sourceId, VersionProp -> highWater,
+          keyProps ++ Map(SourceIdProp -> source.sourceId, VersionProp -> highWater,
             InflightProp -> stillInflight.mkString(",")))
         added += adds.size; removed += removes.size
       }
@@ -99,7 +106,7 @@ object SyncEngine {
       val removes = live.filterNot(p => byPath.contains(norm(p))).toSeq.sorted
       target.commit(source.schema, source.partitionColumns, source.dataRoot,
         adds, removes,
-        Map(SourceIdProp -> source.sourceId, VersionProp -> source.currentVersion,
+        keyProps ++ Map(SourceIdProp -> source.sourceId, VersionProp -> source.currentVersion,
           InflightProp -> stillInflight.mkString(",")))
       SyncResult("full", Seq(source.currentVersion), adds.size, removes.size)
     }
@@ -153,6 +160,8 @@ trait SyncSource {
   /** Versions started but not yet completed (Hudi timelines can
     * complete out of order; linear logs return empty). */
   def inflightVersions: Seq[String] = Seq.empty
+  /** Record-key (primary-key) fields, if the table declares them. */
+  def recordKeyFields: Seq[String] = Seq.empty
   /** The later of two version tokens in this source's commit order. */
   def laterOf(a: String, b: String): String = if (a >= b) a else b
 }
@@ -217,6 +226,9 @@ private final class DeltaSource(t: DeltaTable) extends SyncSource {
   def changes(v: String): (Seq[InternalDataFile], Seq[String]) = t.changeSet(v.toLong)
   override def laterOf(a: String, b: String): String =
     if (a.toLong >= b.toLong) a else b
+  override def recordKeyFields: Seq[String] =
+    t.log.metadataAt(None)._1.configuration.get(SyncEngine.RecordKeyProp)
+      .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
 }
 
 private final class DeltaTarget(spark: SparkSession, val targetPath: String) extends SyncTarget {
@@ -256,6 +268,9 @@ private final class IcebergSource(t: IcebergTable) extends SyncSource {
     val ids = t.snapshotIds
     if (ids.indexOf(a.toLong) >= ids.indexOf(b.toLong)) a else b
   }
+  override def recordKeyFields: Seq[String] =
+    t.currentMetadata.properties.get(SyncEngine.RecordKeyProp)
+      .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
 }
 
 private final class IcebergTarget(spark: SparkSession, val targetPath: String) extends SyncTarget {
@@ -287,6 +302,10 @@ private final class HudiSource(t: HudiTable) extends SyncSource {
   def snapshotFiles(): Seq[InternalDataFile] = t.snapshotDataFiles()
   def changes(v: String): (Seq[InternalDataFile], Seq[String]) = t.changeSet(v)
   override def inflightVersions: Seq[String] = t.timeline.pendingInstants()
+  override def recordKeyFields: Seq[String] =
+    t.properties.get("hoodie.table.recordkey.fields")
+      .orElse(t.latestCommitExtraMetadata.get(SyncEngine.RecordKeyProp))
+      .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
 }
 
 private final class HudiTarget(spark: SparkSession, val targetPath: String) extends SyncTarget {

@@ -17,6 +17,14 @@ class PartitionTransformSpec extends SparkTestBase {
     assert(PartitionTransform.parse("month(ts)").fieldName == "ts_month")
     assert(PartitionTransform.parse(PartitionTransform.parse("month(ts) as m").spec)
       == PartitionFieldDef("ts", "month", Some("m")))
+    // reference CLI `path:type[:format]` shape
+    assert(PartitionTransform.parse("o_orderdate:MONTH:yyyy-MM")
+      == PartitionFieldDef("o_orderdate", "month"))
+    assert(PartitionTransform.parse("region:VALUE") == PartitionFieldDef("region", "identity"))
+    assert(PartitionTransform.parse("ts:hour") == PartitionFieldDef("ts", "hour"))
+    intercept[IllegalArgumentException] {
+      PartitionTransform.parse("o_orderdate:MONTH:yyyy/MM")
+    }
   }
 
   test("ordinal codecs match the Iceberg spec forms") {

@@ -47,6 +47,22 @@ class AvroSchemaConvertersSpec extends AnyFunSuite {
     val withIds = IcebergFixtures.roundtrip(nested)
     assert(withIds.fieldNames.toSeq == nested.fieldNames.toSeq)
   }
+
+  test("avro-illegal column names sanitize and round-trip exactly") {
+    import org.apache.spark.sql.types._
+    val ugly = StructType(Seq(
+      StructField("my-col", StringType),
+      StructField("1starts_with_digit", LongType),
+      StructField("space name", DoubleType),
+      StructField("fine_name", IntegerType)))
+    val avro = AvroSchemaConverters.toAvro(ugly)
+    // the avro side is legal
+    avro.getFields.forEach(f =>
+      assert(f.name().matches("[A-Za-z_][A-Za-z0-9_]*"), f.name()))
+    // the spark side restores the originals
+    assert(AvroSchemaConverters.fromAvro(avro).fieldNames.toSeq ==
+      Seq("my-col", "1starts_with_digit", "space name", "fine_name"))
+  }
 }
 
 private object IcebergFixtures {

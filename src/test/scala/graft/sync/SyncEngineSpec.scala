@@ -158,6 +158,25 @@ class SyncEngineSpec extends SparkTestBase {
     assert(tgt.currentMetadata.properties(SyncEngine.InflightProp).isEmpty)
   }
 
+  test("record-key fields translate Hudi -> Delta -> Iceberg across sync hops") {
+    val dir = tmpDir("sync_keys")
+    val src = HudiTable.create(spark, s"$dir/src", orders)
+    // declare a record key in the native Hudi convention
+    src.timeline.writeProperties(
+      src.properties + ("hoodie.table.recordkey.fields" -> "o_orderkey"))
+    SyncEngine.sync(SyncEngine.hudiSource(src), SyncEngine.deltaTarget(spark, s"$dir/d"))
+    val d = DeltaTable.forPath(spark, s"$dir/d")
+    assert(d.log.metadataAt(None)._1.configuration(SyncEngine.RecordKeyProp) == "o_orderkey")
+    // second hop: Delta -> Iceberg keeps the key; Iceberg -> Hudi would
+    // restore the native convention (covered by HudiTarget creation)
+    SyncEngine.sync(SyncEngine.deltaSource(d), SyncEngine.icebergTarget(spark, s"$dir/i"))
+    val i = IcebergTable.forPath(spark, s"$dir/i")
+    assert(i.currentMetadata.properties(SyncEngine.RecordKeyProp) == "o_orderkey")
+    SyncEngine.sync(SyncEngine.icebergSource(i), SyncEngine.hudiTarget(spark, s"$dir/h"))
+    assert(HudiTable.forPath(spark, s"$dir/h")
+      .properties("hoodie.table.recordkey.fields") == "o_orderkey")
+  }
+
   test("a foreign watermark or vacuumed source version forces a full sync") {
     val dir = tmpDir("sync_fence")
     val srcA = DeltaTable.create(spark, s"$dir/srcA", orders.filter(col("o_orderkey") % 2 === 0))
