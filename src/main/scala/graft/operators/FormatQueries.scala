@@ -60,6 +60,14 @@ object FormatQueries {
           spark, s"$root/orders_bymonth",
           Tables.orders(spark, sfDir), Seq("month(o_orderdate)"))
 
+        // 6. schema-evolved orders: v0 lacks o_flag, v1 adds it
+        val oBase = o.select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val t6 = DeltaTable.create(
+          spark, s"$root/orders_evolved",
+          oBase.filter(col("o_orderkey") % 2 === 0).drop("o_orderstatus"))
+        t6.append(oBase.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_flag", upper(col("o_orderstatus"))).drop("o_orderstatus"), Seq.empty)
+
         root
       })
     }
@@ -176,6 +184,19 @@ object FormatQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE o_orderdate BETWEEN '1995-06-01' AND '1995-08-31 23:59:59'
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Schema evolution: rows written before the column existed read
+    // back as NULL through the evolved schema (same shape as Iceberg's
+    // i06; the log's newest metaData governs the read schema).
+    QueryDef.sql(
+      "f08_delta_schema_evolution",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_evolved").toDF()
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_flag"))
+          .orderBy(col("o_orderkey")),
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN UPPER(o_orderstatus) END AS o_flag
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
   )
 }

@@ -54,6 +54,14 @@ object SyncQueries {
         SyncEngine.sync(
           SyncEngine.icebergSource(i2dSrc), SyncEngine.deltaTarget(spark, s"$root/i2d_tgt"))
 
+        // 4. time-partitioned Delta (generated month column) -> Iceberg
+        //    hidden month transform: the transform spec AND the
+        //    partition values must survive translation
+        val tpSrc = DeltaTable.create(
+          spark, s"$root/tp_src", o, Seq("month(o_orderdate)"))
+        SyncEngine.sync(
+          SyncEngine.deltaSource(tpSrc), SyncEngine.icebergTarget(spark, s"$root/tp_tgt"))
+
         // 3. Hudi -> Iceberg: full then incremental across two instants
         val h2iSrc = HudiTable.create(
           spark, s"$root/h2i_src", o.filter(col("o_orderkey") % 2 === 0))
@@ -120,6 +128,26 @@ object SyncQueries {
           .orderBy(col("o_orderpriority"))
       },
       """SELECT o_orderpriority, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // The Iceberg target of a time-partitioned Delta sync prunes months
+    // via TRANSLATED transform partition values (Delta generated-column
+    // strings -> Iceberg spec ordinals).
+    QueryDef.sql(
+      "x05_time_partitioned_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        IcebergTable.forPath(spark, s"$root/tp_tgt")
+          .scan.partitionIn("o_orderdate_month", Set("1996-03", "1996-04")).toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-03', '1996-04')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   )
 }

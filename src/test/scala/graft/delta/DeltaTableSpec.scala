@@ -118,6 +118,26 @@ class DeltaTableSpec extends SparkTestBase {
     assert(t.versionForTimestamp(System.currentTimeMillis() + 10000) == 1L)
   }
 
+  test("reads plan a FileSourceScan with pushed filters over the manifest index") {
+    val dir = tmpDir("delta_plan")
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    val t = DeltaTable.create(spark, s"$dir/t", src, Seq("l_returnflag"))
+    val df = t.toDF().filter(col("l_orderkey") === 1L && col("l_returnflag") === "A")
+    val planned = df.queryExecution.executedPlan.toString
+    // data filter reaches the parquet scan...
+    assert(planned.contains("PushedFilters") && planned.contains("l_orderkey"), planned)
+    assert(df.count() ==
+      src.filter(col("l_orderkey") === 1L && col("l_returnflag") === "A").count())
+    val withPartFilter = t.toDF().filter(col("l_returnflag") === "A")
+    val filesRead = withPartFilter.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles")
+    }
+    withPartFilter.count()
+    assert(filesRead.exists(_.value < t.scan.files().count()),
+      s"partition filter did not prune files: ${filesRead.map(_.value)}")
+  }
+
   test("checkpoints: 25-commit table replays from checkpoint, survives log expiry") {
     val dir = tmpDir("delta_cp")
     val src = spark.read.parquet(s"$sf0001/region.parquet")
