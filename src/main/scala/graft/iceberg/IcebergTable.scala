@@ -319,6 +319,35 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     snapshotId
   }
 
+  /**
+   * Snapshot expiry (ref `core/.../iceberg/IcebergClient.java:218-237`):
+   * drop snapshots older than `olderThanMs` from the metadata (the
+   * current snapshot always survives), delete their manifest lists, and
+   * commit the trimmed metadata. Time travel to an expired snapshot
+   * then fails explicitly, and an incremental sync watermarked on one
+   * falls back to a full sync via the retention fence.
+   */
+  def expireSnapshots(olderThanMs: Long): Int = {
+    val prev = log.readLatest().getOrElse(
+      throw new IllegalStateException(s"not an iceberg table: $tablePath"))
+    val (v, meta) = prev
+    val current = meta.currentSnapshotId.getOrElse(
+      throw new IllegalStateException(s"no current snapshot on $tablePath"))
+    val (dead, live) = meta.snapshots.partition(s =>
+      s.snapshotId != current && s.timestampMs < olderThanMs)
+    if (dead.isEmpty) return 0
+    val next = meta.copy(
+      snapshots = live,
+      snapshotLog = meta.snapshotLog.filter { case (_, id) => live.exists(_.snapshotId == id) },
+      lastUpdatedMs = System.currentTimeMillis())
+    require(log.commit(v + 1, next), s"concurrent iceberg commit on $tablePath")
+    // manifest lists of expired snapshots are unreachable now; manifests
+    // themselves may be shared with live snapshots, so only lists go
+    val fsys = new Path(tablePath).getFileSystem(hconf)
+    dead.foreach(s => fsys.delete(new Path(s.manifestList), false))
+    dead.size
+  }
+
   // ----------------------------------------------------------------- sync
 
   /** Root the data files live under (for cross-format sync targets). */

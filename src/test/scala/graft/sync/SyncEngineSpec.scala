@@ -158,6 +158,23 @@ class SyncEngineSpec extends SparkTestBase {
     assert(tgt.currentMetadata.properties(SyncEngine.InflightProp).isEmpty)
   }
 
+  test("snapshot expiry trips the retention fence: next sync is full, not a broken replay") {
+    val dir = tmpDir("sync_expire")
+    val src = IcebergTable.create(spark, s"$dir/src", orders.filter(col("o_orderkey") % 2 === 0))
+    SyncEngine.sync(SyncEngine.icebergSource(src), SyncEngine.deltaTarget(spark, s"$dir/tgt"))
+    val wmSnapshot = src.snapshotIds.last
+    src.append(orders.filter(col("o_orderkey") % 2 === 1))
+    // expire everything but the current snapshot — the watermarked
+    // snapshot is no longer listable
+    assert(src.expireSnapshots(System.currentTimeMillis() + 1000) == 1)
+    assert(!src.snapshotIds.contains(wmSnapshot))
+    intercept[Exception] { src.toDF(snapshotAsOf = Some(wmSnapshot)).count() }
+    val res = SyncEngine.sync(
+      SyncEngine.icebergSource(src), SyncEngine.deltaTarget(spark, s"$dir/tgt"))
+    assert(res.mode == "full")
+    assert(checksum(DeltaTable.forPath(spark, s"$dir/tgt").toDF()) == checksum(src.toDF()))
+  }
+
   test("record-key fields translate Hudi -> Delta -> Iceberg across sync hops") {
     val dir = tmpDir("sync_keys")
     val src = HudiTable.create(spark, s"$dir/src", orders)
