@@ -64,6 +64,55 @@ object Multimodal {
     spark.createDataFrame(rows, schema)
   }
 
+  /**
+   * STUB frame sampling: a real pipeline would demux video and decode
+   * every Nth frame (ffmpeg-shaped); the stand-in slices the payload
+   * into fixed-size "frames" and emits every 4th with its byte offset
+   * and a synthetic timestamp. One input row fans out to many frame
+   * rows INSIDE the partition iterator — the flatMap shape a frame
+   * sampler needs so no whole video ever materializes per-row upstream.
+   */
+  def sampleFrames(spark: SparkSession, dir: String): DataFrame = {
+    val frameBytes = 64
+    val stride = 4
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("byte_offset", LongType),
+      StructField("ts_ms", LongType),
+      StructField("frame", BinaryType)))
+    val rows = binaryTable(spark, dir)
+      .select(col("doc_id"), col("content")).rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val frames = bytes.length / frameBytes
+          (0L until frames.toLong by stride.toLong).map { f =>
+            val off = f * frameBytes
+            Row(id, f / stride, off, f * 33L, // ~30fps synthetic clock
+              java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + frameBytes))
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** STUB resize: real pipelines decode + bilinear-resample; the
+    * stand-in strided-subsamples each payload to a fixed target size —
+    * a pure per-row binary→binary transform (codegen-friendly shape, no
+    * state). */
+  def resizePayloads(spark: SparkSession, dir: String, target: Int = 32): DataFrame =
+    binaryTable(spark, dir)
+      .withColumn("resized", expr(
+        // every k-th byte (k = stride for the target size), each as a
+        // 1-byte binary slice, via HOF transform — no UDF
+        s"""transform(sequence(0, least(length(content), $target) - 1),
+           |  i -> substring(content, cast(i * greatest(length(content) div $target, 1) AS INT) + 1, 1))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        length(col("content")).cast(LongType).as("orig_len"),
+        size(col("resized")).cast(LongType).as("resized_len"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "m01_binary_metadata",
@@ -88,6 +137,30 @@ object Multimodal {
             size(col("features")).cast(LongType).as("feature_dim"),
             round(expr("aggregate(features, cast(0.0 AS DOUBLE), (a, x) -> a + cast(x AS DOUBLE))"), 4)
               .as("l1_norm"))
-          .orderBy(col("doc_id")))
+          .orderBy(col("doc_id"))),
+
+    // Frame sampling fan-out: the slicing arithmetic is deterministic,
+    // so the oracle reproduces the (doc, frame, offset, ts) rows with a
+    // lateral series — only the stubbed frame bytes are engine-side.
+    QueryDef.sql(
+      "m03_frame_sample",
+      (spark, dir) =>
+        sampleFrames(spark, dir)
+          .select(col("doc_id"), col("frame_idx"), col("byte_offset"), col("ts_ms"))
+          .orderBy(col("doc_id"), col("frame_idx")),
+      """SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+        |  CAST(j*256 AS BIGINT) AS byte_offset, CAST(j*132 AS BIGINT) AS ts_ms
+        |FROM (SELECT doc_id,
+        |        unnest(range(0, CAST((octet_length(CAST(text AS BLOB))//64 + 3)//4 AS BIGINT))) AS j
+        |      FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin),
+
+    QueryDef.sql(
+      "m04_resize",
+      (spark, dir) => resizePayloads(spark, dir).orderBy(col("doc_id")),
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS orig_len,
+        |  CAST(LEAST(octet_length(CAST(text AS BLOB)), 32) AS BIGINT) AS resized_len
+        |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }
