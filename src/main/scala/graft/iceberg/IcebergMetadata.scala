@@ -91,7 +91,17 @@ object IcebergMetadataCodec {
     root.put("last-column-id", m.lastColumnId)
     root.put("current-schema-id", m.currentSchemaId)
     val schemas = root.putArray("schemas")
-    schemas.add(IcebergSchemas.toJson(m.schema, m.currentSchemaId))
+    val schemaNode = IcebergSchemas.toJson(m.schema, m.currentSchemaId)
+    // record-key fields serialize as the spec's identifier-field-ids
+    // (derived from the property sync persists, so the model stays flat)
+    val keyIds = m.properties.get("graft.record.key.fields").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .flatMap(n => m.schema.fields.find(_.name == n).flatMap(IcebergSchemas.fieldId))
+    if (keyIds.nonEmpty) {
+      val arr = schemaNode.putArray("identifier-field-ids")
+      keyIds.foreach(arr.add)
+    }
+    schemas.add(schemaNode)
     root.put("default-spec-id", 0)
     val specs = root.putArray("partition-specs")
     val spec = specs.addObject()

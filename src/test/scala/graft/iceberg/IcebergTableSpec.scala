@@ -173,6 +173,22 @@ class IcebergTableSpec extends SparkTestBase {
     assert(v0.count() == base.filter(col("o_orderkey") % 2 === 0).count())
   }
 
+  test("type widening on append: int column evolves to long with a stable id") {
+    val dir = tmpDir("ice_widen")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    val narrow = src.select(col("o_orderkey").cast("int").as("k"), col("o_totalprice"))
+    val wide = src.select(col("o_orderkey").cast("long").as("k"), col("o_totalprice"))
+    val t = IcebergTable.create(spark, s"$dir/t", narrow.filter(col("k") % 2 === 0))
+    val idBefore = IcebergSchemas.fieldId(t.schema("k")).get
+    t.append(wide.filter(col("k") % 2 === 1))
+    val t2 = IcebergTable.forPath(spark, s"$dir/t")
+    assert(t2.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(IcebergSchemas.fieldId(t2.schema("k")).contains(idBefore))
+    // INT32 files null-free read through the widened LONG schema
+    assert(t2.toDF().count() == src.count())
+    assert(t2.toDF().filter(col("k").isNull).count() == 0)
+  }
+
   test("commit is put-if-absent: stale metadata version loses the race") {
     val dir = tmpDir("ice_race")
     val src = spark.read.parquet(s"$sf0001/region.parquet")

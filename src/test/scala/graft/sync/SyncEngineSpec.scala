@@ -189,6 +189,20 @@ class SyncEngineSpec extends SparkTestBase {
     SyncEngine.sync(SyncEngine.deltaSource(d), SyncEngine.icebergTarget(spark, s"$dir/i"))
     val i = IcebergTable.forPath(spark, s"$dir/i")
     assert(i.currentMetadata.properties(SyncEngine.RecordKeyProp) == "o_orderkey")
+    // ...and the metadata.json carries them as spec identifier-field-ids
+    val keyId = graft.iceberg.IcebergSchemas.fieldId(
+      i.currentMetadata.schema.fields.find(_.name == "o_orderkey").get).get
+    val metaJson = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/i/metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val latest = fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.matches("v\\d+\\.metadata\\.json")).max
+      val in = fs.open(new org.apache.hadoop.fs.Path(p, latest))
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    assert(("\"identifier-field-ids\"\\s*:\\s*\\[\\s*" + keyId + "\\s*\\]").r
+      .findFirstIn(metaJson).isDefined, metaJson.take(400))
     SyncEngine.sync(SyncEngine.icebergSource(i), SyncEngine.hudiTarget(spark, s"$dir/h"))
     assert(HudiTable.forPath(spark, s"$dir/h")
       .properties("hoodie.table.recordkey.fields") == "o_orderkey")
