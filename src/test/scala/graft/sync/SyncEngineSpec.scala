@@ -158,6 +158,22 @@ class SyncEngineSpec extends SparkTestBase {
     assert(tgt.currentMetadata.properties(SyncEngine.InflightProp).isEmpty)
   }
 
+  test("time-partitioned Delta -> Hudi sync lays out month dirs and prunes") {
+    val dir = tmpDir("sync_tp_hudi")
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    val src = DeltaTable.create(spark, s"$dir/src", o, Seq("month(o_orderdate)"))
+    SyncEngine.sync(SyncEngine.deltaSource(src), SyncEngine.hudiTarget(spark, s"$dir/tgt"))
+    val tgt = HudiTable.forPath(spark, s"$dir/tgt")
+    assert(tgt.partitionColumns == Seq("o_orderdate_month"))
+    assert(checksum(tgt.toDF()) == checksum(o))
+    val month = o.filter(date_format(col("o_orderdate"), "yyyy-MM") === "1996-03")
+    val pruned = tgt.scan.partitionIn("o_orderdate_month", Set("1996-03")).toDF()
+    assert(pruned.count() == month.count())
+    assert(tgt.scan.partitionIn("o_orderdate_month", Set("1996-03")).files().count() <
+      tgt.scan.files().count())
+  }
+
   test("snapshot expiry trips the retention fence: next sync is full, not a broken replay") {
     val dir = tmpDir("sync_expire")
     val src = IcebergTable.create(spark, s"$dir/src", orders.filter(col("o_orderkey") % 2 === 0))
