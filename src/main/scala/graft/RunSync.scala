@@ -94,7 +94,9 @@ object RunSync {
     * scalars, string lists, and one level of list-of-maps. */
   def parseConfig(yaml: String): Config = {
     val lines = yaml.linesIterator
-      .map(_.replaceAll("#.*$", ""))
+      // comments start a line or follow whitespace — a '#' inside a
+      // value (object-store keys, '/data/tbl#v2') is data
+      .map(_.replaceAll("(^|\\s)#.*$", "$1"))
       .filter(_.trim.nonEmpty)
       .toList
     var sourceFormat = ""

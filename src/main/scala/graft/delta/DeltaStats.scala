@@ -99,7 +99,9 @@ object DeltaStats {
       else Some(ColumnStatRow(
         column = f.name, minValue = mn, maxValue = mx,
         numNulls = nulls,
-        numValues = if (nulls >= 0 && numRecords >= 0) numRecords - nulls else -1L,
+        // TOTAL value count including nulls — what parquet footers carry
+        // and what Iceberg's value_counts means (null_count <= value_count)
+        numValues = numRecords,
         totalSize = 0L))
     }
     (numRecords, cols)

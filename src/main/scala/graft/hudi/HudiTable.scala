@@ -183,10 +183,39 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
   def overwrite(df: DataFrame, partCols: Seq[String] = Seq.empty): String =
     write(df, partCols, overwrite = true)
 
-  private def write(df: DataFrame, partColsIn: Seq[String], overwrite: Boolean): String = {
-    val partCols = if (instants.nonEmpty) partitionColumns else partColsIn
+  private def write(df: DataFrame, partSpecsIn: Seq[String], overwrite: Boolean): String = {
+    // same spec handling as the Delta/Iceberg write paths: parse
+    // identity/transform specs, inherit the table's fields when the
+    // caller passes none, and REJECT a mismatching explicit spec
+    // (was: silently ignored on append)
+    val defs = {
+      val parsed = graft.model.PartitionTransform.parseAll(partSpecsIn)
+      if (instants.isEmpty) parsed
+      else if (parsed.isEmpty)
+        partitionColumns.map { c =>
+          if (df.schema.fieldNames.contains(c)) graft.model.PartitionFieldDef(c, "identity")
+          else {
+            // materialized transform field: `<source>_<granularity>`
+            graft.model.TimeGranularity.all.map(_.name)
+              .find(g => c.endsWith(s"_$g") &&
+                df.schema.fieldNames.contains(c.stripSuffix(s"_$g")))
+              .map(g => graft.model.PartitionFieldDef(c.stripSuffix(s"_$g"), g, Some(c)))
+              .getOrElse(throw new IllegalArgumentException(
+                s"partition field $c not derivable from the append schema of $tablePath"))
+          }
+        }
+      else {
+        require(parsed.map(_.fieldName) == partitionColumns,
+          s"partition spec $partSpecsIn != table fields $partitionColumns of $tablePath")
+        parsed
+      }
+    }
+    val genDefs = defs.filterNot(_.isIdentity)
+    val partCols = defs.map(_.fieldName)
+    val dfWithGen = genDefs.foldLeft(df)((d, t) =>
+      d.withColumn(t.fieldName, graft.model.PartitionTransform.valueExpr(t)))
     val instant = timeline.nextInstantTime()
-    val placed = StagedWrites.writeAndPlace(df, tablePath, partCols)
+    val placed = StagedWrites.writeAndPlace(dfWithGen, tablePath, partCols)
     val fs = new Path(tablePath).getFileSystem(hconf)
     // rename to the Hudi base-file convention <fileId>_<writeToken>_<instant>.parquet
     val renamed = placed.map { p =>
@@ -219,7 +248,9 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val meta = HudiCommitMetadata(
       partitionToWriteStats = writeStats.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
       partitionToReplaceFileIds = replaceIds,
-      extraMetadata = Map("schema" -> AvroSchemaConverters.toAvro(df.schema).toString),
+      // partition fields (incl. materialized transforms) are part of the
+      // Hudi table schema, matching the hive-style layout convention
+      extraMetadata = Map("schema" -> AvroSchemaConverters.toAvro(dfWithGen.schema).toString),
       operationType = if (overwrite) "INSERT_OVERWRITE_TABLE" else "INSERT")
     val action = if (replaceIds.nonEmpty) "replacecommit" else "commit"
     require(timeline.commit(HudiInstant(instant, action), meta),
@@ -340,12 +371,19 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
           .filter(r => removeSet.contains(HudiTable.normalize(absoluteOf(r.getString(2)))))
           .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
       }
+    // the stored schema must DECLARE every partition field the
+    // properties reference — materialized transform fields from the
+    // source become string columns here, so a later sync FROM this
+    // table sees a self-consistent (schema, partition-fields) pair
+    val schemaWithPartFields = StructType(
+      schema.fields.map(_.copy(metadata = Metadata.empty)) ++
+        fieldNames.filterNot(schema.fieldNames.contains)
+          .map(StructField(_, StringType, nullable = true)))
     val meta = HudiCommitMetadata(
       partitionToWriteStats = writeStats.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
       partitionToReplaceFileIds = replaceIds,
       extraMetadata = syncProps +
-        ("schema" -> AvroSchemaConverters.toAvro(
-          StructType(schema.fields.map(_.copy(metadata = Metadata.empty)))).toString),
+        ("schema" -> AvroSchemaConverters.toAvro(schemaWithPartFields).toString),
       operationType = if (replaceIds.nonEmpty) "INSERT_OVERWRITE" else "INSERT")
     val action = if (replaceIds.nonEmpty) "replacecommit" else "commit"
     require(timeline.commit(HudiInstant(instant, action), meta),
@@ -481,11 +519,13 @@ final class HudiScanBuilder(
   def files(): DataFrame = {
     var df = table.fileSlicesDF(asOfInstant)
     partitionPredicates.foreach { case (c, vs) =>
-      // hive path "a=1/b=2" -> map; values compared in path-escaped form
-      df = df.filter(
-        element_at(
-          str_to_map(regexp_replace(col("partitionPath"), "/", ","), lit(","), lit("=")),
-          lit(c)).isin(vs.toSeq: _*))
+      // compare whole `k=v` path segments with the wanted values
+      // path-ESCAPED (str_to_map splitting broke on values containing
+      // ',' or hive %XX escapes — silent row loss)
+      val tokens = vs.toSeq.map(v =>
+        s"$c=${graft.util.PathCodec.escapePathName(if (v == null) "__HIVE_DEFAULT_PARTITION__" else v)}")
+      df = df.filter(arrays_overlap(
+        split(col("partitionPath"), "/"), array(tokens.map(lit): _*)))
     }
     df
   }

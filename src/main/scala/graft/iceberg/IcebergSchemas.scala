@@ -28,8 +28,53 @@ import scala.jdk.CollectionConverters._
 object IcebergSchemas {
 
   val FieldIdKey = "graft.iceberg.field.id"
+  /** Collection element/key/value ids owned by a field's type, comma-
+    * joined depth-first (stops at struct boundaries — struct children
+    * carry their own). Stamped at assignment time and carried through
+    * evolution, so nested ids are STABLE across schema versions (the
+    * spec's requirement; previously synthesized per serialization). */
+  val CollIdsKey = "graft.iceberg.coll.ids"
 
   private val mapper = new ObjectMapper()
+
+  private[iceberg] def collIdsOf(f: StructField): Seq[Int] =
+    if (f.metadata.contains(CollIdsKey))
+      f.metadata.getString(CollIdsKey).split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+    else Seq.empty
+
+  /** Collection slots a field's type owns directly (array element = 1,
+    * map key+value = 2, recursing through non-struct nesting). */
+  private def slotCount(dt: DataType): Int = dt match {
+    case a: ArrayType => 1 + slotCount(a.elementType)
+    case m: MapType => 2 + slotCount(m.valueType)
+    case _ => 0
+  }
+
+  /** Allocate stable collection ids for any field lacking them (or
+    * whose stored ids no longer match the type's slot shape). */
+  def ensureCollectionIds(schema: StructType): StructType = {
+    var next = lastColumnId(schema)
+    def nextId(): Int = { next += 1; next }
+    def walkStruct(s: StructType): StructType = StructType(s.fields.map { f =>
+      val n = slotCount(f.dataType)
+      val meta =
+        if (n == 0)
+          if (f.metadata.contains(CollIdsKey))
+            new MetadataBuilder().withMetadata(f.metadata).remove(CollIdsKey).build()
+          else f.metadata
+        else if (collIdsOf(f).size == n) f.metadata
+        else new MetadataBuilder().withMetadata(f.metadata)
+          .putString(CollIdsKey, Seq.fill(n)(nextId()).mkString(",")).build()
+      f.copy(metadata = meta, dataType = walkNested(f.dataType))
+    })
+    def walkNested(dt: DataType): DataType = dt match {
+      case s: StructType => walkStruct(s)
+      case a: ArrayType => a.copy(elementType = walkNested(a.elementType))
+      case m: MapType => m.copy(valueType = walkNested(m.valueType))
+      case other => other
+    }
+    walkStruct(schema)
+  }
 
   // --------------------------------------------------- field-id assignment
 
@@ -54,9 +99,9 @@ object IcebergSchemas {
       case m: MapType => m.copy(valueType = nested(m.valueType))
       case other => other
     }
-    StructType(top.map { case (f, id) =>
+    ensureCollectionIds(StructType(top.map { case (f, id) =>
       f.copy(metadata = withFieldId(f.metadata, id), dataType = nested(f.dataType))
-    })
+    }))
   }
 
   /**
@@ -75,8 +120,12 @@ object IcebergSchemas {
       StructType(in.fields.map { f =>
         val prior = ex.flatMap(_.fields.find(_.name == f.name))
         val id = prior.flatMap(fieldId).getOrElse(nextId())
+        // carry the prior field's metadata so its collection ids stay
+        // stable; ensureCollectionIds below reallocates only when the
+        // type's slot shape actually changed
+        val baseMeta = prior.map(_.metadata).getOrElse(f.metadata)
         f.copy(
-          metadata = withFieldId(f.metadata, id),
+          metadata = withFieldId(baseMeta, id),
           dataType = walkType(prior.map(_.dataType), f.dataType))
       })
     def walkType(ex: Option[DataType], in: DataType): DataType = (ex, in) match {
@@ -90,7 +139,7 @@ object IcebergSchemas {
       case (_, m: MapType) => m.copy(valueType = walkType(None, m.valueType))
       case (_, other) => other
     }
-    walkStruct(Some(existing), incoming)
+    ensureCollectionIds(walkStruct(Some(existing), incoming))
   }
 
   def fieldId(f: StructField): Option[Int] =
@@ -99,24 +148,19 @@ object IcebergSchemas {
   private def withFieldId(m: Metadata, id: Int): Metadata =
     new MetadataBuilder().withMetadata(m).putLong(FieldIdKey, id.toLong).build()
 
-  /** Highest id assigned anywhere INCLUDING the collection element/key/
-    * value ids [[toJson]] synthesizes above the field ids — the value
-    * `last-column-id` must carry so a future writer never reuses them. */
-  def lastAssignedId(schema: StructType): Int = {
-    def collections(dt: DataType): Int = dt match {
-      case s: StructType => s.fields.map(f => collections(f.dataType)).sum
-      case a: ArrayType => 1 + collections(a.elementType)
-      case m: MapType => 2 + collections(m.keyType) + collections(m.valueType)
-      case _ => 0
-    }
-    lastColumnId(schema) + collections(schema)
-  }
+  /** Highest id assigned anywhere — field ids AND the stamped
+    * collection ids — the value `last-column-id` must carry so a future
+    * writer never reuses them. */
+  def lastAssignedId(schema: StructType): Int = lastColumnId(schema)
 
-  /** Highest id used anywhere in an id-stamped schema. */
+  /** Highest id used anywhere in an id-stamped schema (field ids and
+    * stamped collection element/key/value ids). */
   def lastColumnId(schema: StructType): Int = {
     def walk(dt: DataType): Int = dt match {
       case s: StructType =>
-        (0 +: s.fields.toSeq.map(f => math.max(fieldId(f).getOrElse(0), walk(f.dataType)))).max
+        (0 +: s.fields.toSeq.map(f => math.max(
+          math.max(fieldId(f).getOrElse(0), (0 +: collIdsOf(f)).max),
+          walk(f.dataType)))).max
       case a: ArrayType => walk(a.elementType)
       case m: MapType => walk(m.valueType)
       case _ => 0
@@ -126,12 +170,17 @@ object IcebergSchemas {
 
   // ------------------------------------------------------------- to JSON
 
-  /** Iceberg type string / object for a Spark type. Nested list/map
-    * element ids are synthesized above the last column id. */
+  /** Iceberg type string / object for a Spark type. List/map
+    * element/key/value ids come from each field's stamped
+    * [[CollIdsKey]] metadata (stable across schema versions); a legacy
+    * schema without stamps falls back to synthesis above the last id. */
   def toJson(schema: StructType, schemaId: Int): ObjectNode = {
-    // nested collection ids must not collide with field ids
-    var nextCollectionId = lastColumnId(schema)
-    def collId(): Int = { nextCollectionId += 1; nextCollectionId }
+    var nextFallbackId = lastColumnId(schema)
+    def fallbackId(): Int = { nextFallbackId += 1; nextFallbackId }
+    // per-field queue of stamped collection ids, dequeued depth-first
+    // in the same order ensureCollectionIds allocated them
+    var collQueue: scala.collection.mutable.Queue[Int] = scala.collection.mutable.Queue.empty
+    def collId(): Int = if (collQueue.nonEmpty) collQueue.dequeue() else fallbackId()
 
     def typeNode(dt: DataType): Object = dt match {
       case BooleanType => "boolean"
@@ -156,7 +205,10 @@ object IcebergSchemas {
           fn.put("id", id)
           fn.put("name", f.name)
           fn.put("required", !f.nullable)
+          val saved = collQueue
+          collQueue = scala.collection.mutable.Queue(collIdsOf(f): _*)
           fn.set[com.fasterxml.jackson.databind.JsonNode]("type", asJsonNode(typeNode(f.dataType)))
+          collQueue = saved
         }
         n
       case a: ArrayType =>
@@ -197,24 +249,40 @@ object IcebergSchemas {
   def fromJson(node: JsonNode): StructType =
     parseType(node).asInstanceOf[StructType]
 
-  private def parseType(node: JsonNode): DataType = {
+  private def parseType(node: JsonNode): DataType =
+    parseTypeCollecting(node, null)
+
+  /** When `collect` is non-null, list/map element/key/value ids found in
+    * this field's (non-struct) type chain accumulate into it so the
+    * round-trip restores [[CollIdsKey]] exactly. */
+  private def parseTypeCollecting(
+      node: JsonNode,
+      collect: scala.collection.mutable.ArrayBuffer[Int]): DataType = {
     if (node.isTextual) return parsePrimitive(node.asText())
     node.get("type").asText() match {
       case "struct" =>
         StructType(node.get("fields").elements().asScala.map { f =>
+          val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val dt = parseTypeCollecting(f.get("type"), ids)
+          val mb = new MetadataBuilder().putLong(FieldIdKey, f.get("id").asLong())
+          if (ids.nonEmpty) mb.putString(CollIdsKey, ids.mkString(","))
           StructField(
-            f.get("name").asText(),
-            parseType(f.get("type")),
+            f.get("name").asText(), dt,
             nullable = !f.get("required").asBoolean(),
-            metadata = new MetadataBuilder()
-              .putLong(FieldIdKey, f.get("id").asLong()).build())
+            metadata = mb.build())
         }.toSeq)
       case "list" =>
-        ArrayType(parseType(node.get("element")), !node.get("element-required").asBoolean())
+        if (collect != null) collect += node.get("element-id").asInt()
+        ArrayType(parseTypeCollecting(node.get("element"), collect),
+          !node.get("element-required").asBoolean())
       case "map" =>
+        if (collect != null) {
+          collect += node.get("key-id").asInt()
+          collect += node.get("value-id").asInt()
+        }
         MapType(
           parseType(node.get("key")),
-          parseType(node.get("value")),
+          parseTypeCollecting(node.get("value"), collect),
           !node.get("value-required").asBoolean())
       case other => throw new IllegalArgumentException(s"unknown iceberg type: $other")
     }

@@ -105,9 +105,12 @@ object Multimodal {
     binaryTable(spark, dir)
       .withColumn("resized", expr(
         // every k-th byte (k = stride for the target size), each as a
-        // 1-byte binary slice, via HOF transform — no UDF
-        s"""transform(sequence(0, least(length(content), $target) - 1),
-           |  i -> substring(content, cast(i * greatest(length(content) div $target, 1) AS INT) + 1, 1))"""
+        // 1-byte binary slice, via HOF transform — no UDF. Empty
+        // payloads short-circuit: sequence(0, -1) yields a DESCENDING
+        // [0, -1], not an empty array.
+        s"""IF(length(content) = 0, array(),
+           |  transform(sequence(0, least(length(content), $target) - 1),
+           |    i -> substring(content, cast(i * greatest(length(content) div $target, 1) AS INT) + 1, 1)))"""
           .stripMargin))
       .select(col("doc_id"),
         length(col("content")).cast(LongType).as("orig_len"),

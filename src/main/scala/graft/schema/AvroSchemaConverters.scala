@@ -43,8 +43,16 @@ object AvroSchemaConverters {
   }
 
   private def structToAvro(st: StructType, name: String, namespace: String): Schema = {
+    val used = scala.collection.mutable.Set.empty[String]
     val fields = st.fields.map { f =>
-      val avroName = sanitizeName(f.name)
+      // disambiguate sanitization collisions ('a-b' and 'a_b' both
+      // sanitize to 'a_b') with a numeric suffix; the original name
+      // prop restores each exactly
+      val base = sanitizeName(f.name)
+      val avroName = Iterator.from(0)
+        .map(i => if (i == 0) base else s"${base}_$i")
+        .find(!used.contains(_)).get
+      used += avroName
       val fieldSchema = typeToAvro(f.dataType, f.nullable, s"$namespace.$name", avroName)
       val field = new Schema.Field(avroName, fieldSchema, null,
         if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)

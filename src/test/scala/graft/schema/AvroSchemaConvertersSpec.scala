@@ -48,6 +48,33 @@ class AvroSchemaConvertersSpec extends AnyFunSuite {
     assert(withIds.fieldNames.toSeq == nested.fieldNames.toSeq)
   }
 
+  test("nested collection ids are stable across schema evolution") {
+    import org.apache.spark.sql.types._
+    import graft.iceberg.IcebergSchemas
+    val base = IcebergSchemas.assignFieldIds(StructType(Seq(
+      StructField("a", IntegerType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("kv", MapType(StringType, ArrayType(LongType))))))
+    def elementIds(s: StructType): String = {
+      val json = IcebergSchemas.toJson(s, 0).toString
+      "\"(element|key|value)-id\"\\s*:\\s*(\\d+)".r
+        .findAllMatchIn(json).map(_.group(2)).mkString(",")
+    }
+    val before = elementIds(base)
+    // evolution adds a column; previously element ids were re-synthesized
+    // from the new max field id and shifted — the spec forbids that
+    val evolved = IcebergSchemas.evolveSchema(base,
+      StructType(base.fields.map(_.copy(metadata = Metadata.empty)) :+
+        StructField("extra", StringType)))
+    assert(elementIds(evolved) == before)
+    // and the metadata.json round-trip preserves them too
+    val back = IcebergSchemas.fromJson(IcebergSchemas.toJson(evolved, 0))
+    assert(elementIds(back) == before)
+    // the new field's id never collides with an existing collection id
+    assert(!before.split(",").map(_.toInt)
+      .contains(IcebergSchemas.fieldId(evolved.fields.last).get))
+  }
+
   test("avro-illegal column names sanitize and round-trip exactly") {
     import org.apache.spark.sql.types._
     val ugly = StructType(Seq(

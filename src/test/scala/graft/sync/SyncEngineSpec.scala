@@ -166,7 +166,13 @@ class SyncEngineSpec extends SparkTestBase {
     SyncEngine.sync(SyncEngine.deltaSource(src), SyncEngine.hudiTarget(spark, s"$dir/tgt"))
     val tgt = HudiTable.forPath(spark, s"$dir/tgt")
     assert(tgt.partitionColumns == Seq("o_orderdate_month"))
-    assert(checksum(tgt.toDF()) == checksum(o))
+    // the materialized month column is part of the Hudi schema and
+    // reads back from the partition path
+    assert(tgt.schemaAt(None).fieldNames.contains("o_orderdate_month"))
+    assert(checksum(tgt.toDF().drop("o_orderdate_month")) == checksum(o))
+    assert(tgt.toDF()
+      .filter(col("o_orderdate_month") =!= date_format(col("o_orderdate"), "yyyy-MM"))
+      .count() == 0)
     val month = o.filter(date_format(col("o_orderdate"), "yyyy-MM") === "1996-03")
     val pruned = tgt.scan.partitionIn("o_orderdate_month", Set("1996-03")).toDF()
     assert(pruned.count() == month.count())
