@@ -230,6 +230,17 @@ class SyncEngineSpec extends SparkTestBase {
       .properties("hoodie.table.recordkey.fields") == "o_orderkey")
   }
 
+  test("re-sync with nothing pending is a no-op: no commit, watermark unchanged") {
+    val dir = tmpDir("sync_noop")
+    val src = DeltaTable.create(spark, s"$dir/src", orders)
+    SyncEngine.sync(SyncEngine.deltaSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    val v1 = IcebergTable.forPath(spark, s"$dir/tgt").log.latestVersion()
+    val res = SyncEngine.sync(
+      SyncEngine.deltaSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    assert(res.mode == "incremental" && res.versionsSynced.isEmpty)
+    assert(IcebergTable.forPath(spark, s"$dir/tgt").log.latestVersion() == v1)
+  }
+
   test("a foreign watermark or vacuumed source version forces a full sync") {
     val dir = tmpDir("sync_fence")
     val srcA = DeltaTable.create(spark, s"$dir/srcA", orders.filter(col("o_orderkey") % 2 === 0))
