@@ -149,22 +149,11 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
             configuration = Map("graft.engine" -> "onetablespark"),
             createdTime = System.currentTimeMillis()))
       else {
-        // additive evolution: existing columns keep their position and
-        // type (a type change is rejected; an append missing a column
-        // never drops it from the table), new columns join at the end —
-        // a narrower append used to silently replace the whole schema
+        // additive evolution (graft.model.SchemaMerge): a narrower
+        // append used to silently replace the whole schema
         val (existing, _) = schemaAt(None)
         val full = StructType(existing.fields)
-        existing.fields.foreach { f =>
-          schemaForMeta.fields.find(_.name == f.name).foreach { inF =>
-            require(inF.dataType == f.dataType,
-              s"append changes type of ${f.name}: ${f.dataType} -> ${inF.dataType}")
-          }
-        }
-        val merged = StructType(
-          existing.fields.map(f =>
-            schemaForMeta.fields.find(_.name == f.name).getOrElse(f)) ++
-            schemaForMeta.fields.filterNot(x => existing.fieldNames.contains(x.name)))
+        val merged = graft.model.SchemaMerge.additive(existing, schemaForMeta, tablePath)
         if (full.json != merged.json)
           Seq(log.metadataAt(None)._1.copy(schemaString = merged.json))
         else Seq.empty

@@ -192,17 +192,13 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       val parsed = graft.model.PartitionTransform.parseAll(partSpecsIn)
       if (instants.isEmpty) parsed
       else if (parsed.isEmpty)
-        partitionColumns.map { c =>
-          if (df.schema.fieldNames.contains(c)) graft.model.PartitionFieldDef(c, "identity")
-          else {
-            // materialized transform field: `<source>_<granularity>`
-            graft.model.TimeGranularity.all.map(_.name)
-              .find(g => c.endsWith(s"_$g") &&
-                df.schema.fieldNames.contains(c.stripSuffix(s"_$g")))
-              .map(g => graft.model.PartitionFieldDef(c.stripSuffix(s"_$g"), g, Some(c)))
-              .getOrElse(throw new IllegalArgumentException(
-                s"partition field $c not derivable from the append schema of $tablePath"))
-          }
+        // inherit from the RECORDED specs (written at create time) — a
+        // name-pattern heuristic would misfire on identity columns that
+        // happen to be called `<x>_month`
+        properties.get(HudiTable.PartitionSpecsProp) match {
+          case Some(specs) => graft.model.PartitionTransform.parseAll(
+            specs.split(";").toSeq.filter(_.nonEmpty))
+          case None => partitionColumns.map(graft.model.PartitionFieldDef(_, "identity"))
         }
       else {
         require(parsed.map(_.fieldName) == partitionColumns,
@@ -244,13 +240,21 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
           .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
       else Map.empty
     if (instants.isEmpty)
-      timeline.writeProperties(HudiTable.tableProperties(tablePath, partCols, Map.empty))
+      timeline.writeProperties(HudiTable.tableProperties(tablePath, partCols,
+        if (genDefs.isEmpty) Map.empty
+        else Map(HudiTable.PartitionSpecsProp -> defs.map(_.spec).mkString(";"))))
+    // additive schema evolution, same contract as the Delta path: a
+    // narrower append never drops existing columns, type changes are
+    // rejected, new columns join at the end
+    val storedSchema =
+      if (instants.isEmpty) dfWithGen.schema
+      else HudiTable.mergeSchemas(schemaAt(None), dfWithGen.schema, tablePath)
     val meta = HudiCommitMetadata(
       partitionToWriteStats = writeStats.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
       partitionToReplaceFileIds = replaceIds,
       // partition fields (incl. materialized transforms) are part of the
       // Hudi table schema, matching the hive-style layout convention
-      extraMetadata = Map("schema" -> AvroSchemaConverters.toAvro(dfWithGen.schema).toString),
+      extraMetadata = Map("schema" -> AvroSchemaConverters.toAvro(storedSchema).toString),
       operationType = if (overwrite) "INSERT_OVERWRITE_TABLE" else "INSERT")
     val action = if (replaceIds.nonEmpty) "replacecommit" else "commit"
     require(timeline.commit(HudiInstant(instant, action), meta),
@@ -345,14 +349,19 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     // partition specs may carry time transforms (`month(c)`); Hudi has
     // no transform concept, so the materialized field names become plain
     // partition-path segments with the canonical value strings
-    val fieldNames = graft.model.PartitionTransform.parseAll(partitionColumns).map(_.fieldName)
+    val syncDefs = graft.model.PartitionTransform.parseAll(partitionColumns)
+    val fieldNames = syncDefs.map(_.fieldName)
     if (!timeline.exists) {
       // record keys arriving through sync land in the native Hudi
       // convention (ref `HudiTargetClient.java` table-config wiring)
       val keyProps = syncProps.get("graft.record.key.fields")
         .map(ks => Map("hoodie.table.recordkey.fields" -> ks)).getOrElse(Map.empty)
+      val specProps =
+        if (syncDefs.forall(_.isIdentity)) Map.empty[String, String]
+        else Map(HudiTable.PartitionSpecsProp -> syncDefs.map(_.spec).mkString(";"))
       timeline.writeProperties(HudiTable.tableProperties(
-        tablePath, fieldNames, keyProps + ("graft.converted.from" -> sourceDataRoot)))
+        tablePath, fieldNames,
+        keyProps ++ specProps + ("graft.converted.from" -> sourceDataRoot)))
     }
     val writeStats = adds.map { f =>
       val pp = HudiTable.buildPartitionPath(f.partitionValues, fieldNames)
@@ -421,6 +430,14 @@ object HudiTable {
       "hoodie.table.base.file.format" -> "PARQUET",
       "hoodie.datasource.write.hive_style_partitioning" -> "true",
       "hoodie.table.partition.fields" -> partCols.mkString(",")) ++ extra
+
+  /** Property recording the table's partition SPECS (incl. transforms)
+    * so appends inherit them without name heuristics. */
+  private[graft] val PartitionSpecsProp = "graft.partition.specs"
+
+  private[hudi] def mergeSchemas(
+      existing: StructType, incoming: StructType, tablePath: String): StructType =
+    graft.model.SchemaMerge.additive(existing, incoming, tablePath)
 
   /** Scheme-insensitive path form for set membership (file:/x vs /x). */
   private[graft] def normalize(p: String): String = new Path(p).toUri.getPath

@@ -50,21 +50,38 @@ object IcebergSchemas {
     case _ => 0
   }
 
+  /** Slot SHAPE signature — stored ids are only reused when the nesting
+    * shape is unchanged (array<array<int>> vs map<_,string> both have 2
+    * slots but must not share ids across a type rewrite). */
+  private val CollShapeKey = "graft.iceberg.coll.shape"
+  private def slotShape(dt: DataType): String = dt match {
+    case a: ArrayType => "a" + slotShape(a.elementType)
+    case m: MapType => "m" + slotShape(m.valueType)
+    case _ => ""
+  }
+
   /** Allocate stable collection ids for any field lacking them (or
-    * whose stored ids no longer match the type's slot shape). */
-  def ensureCollectionIds(schema: StructType): StructType = {
-    var next = lastColumnId(schema)
+    * whose stored shape no longer matches the type). `floor` is the
+    * highest id EVER assigned in the table's history — allocating above
+    * the current schema's max alone could resurrect a dropped field's
+    * retired id. */
+  def ensureCollectionIds(schema: StructType, floor: Int = 0): StructType = {
+    var next = math.max(lastColumnId(schema), floor)
     def nextId(): Int = { next += 1; next }
     def walkStruct(s: StructType): StructType = StructType(s.fields.map { f =>
-      val n = slotCount(f.dataType)
+      val shape = slotShape(f.dataType)
+      val stored = if (f.metadata.contains(CollShapeKey))
+        f.metadata.getString(CollShapeKey) else ""
       val meta =
-        if (n == 0)
+        if (shape.isEmpty)
           if (f.metadata.contains(CollIdsKey))
-            new MetadataBuilder().withMetadata(f.metadata).remove(CollIdsKey).build()
+            new MetadataBuilder().withMetadata(f.metadata)
+              .remove(CollIdsKey).remove(CollShapeKey).build()
           else f.metadata
-        else if (collIdsOf(f).size == n) f.metadata
+        else if (stored == shape && collIdsOf(f).size == slotCount(f.dataType)) f.metadata
         else new MetadataBuilder().withMetadata(f.metadata)
-          .putString(CollIdsKey, Seq.fill(n)(nextId()).mkString(",")).build()
+          .putString(CollIdsKey, Seq.fill(slotCount(f.dataType))(nextId()).mkString(","))
+          .putString(CollShapeKey, shape).build()
       f.copy(metadata = meta, dataType = walkNested(f.dataType))
     })
     def walkNested(dt: DataType): DataType = dt match {
@@ -139,7 +156,9 @@ object IcebergSchemas {
       case (_, m: MapType) => m.copy(valueType = walkType(None, m.valueType))
       case (_, other) => other
     }
-    ensureCollectionIds(walkStruct(Some(existing), incoming))
+    // floor at the table's historical max id so reallocation (new
+    // fields, shape changes) can never resurrect a retired id
+    ensureCollectionIds(walkStruct(Some(existing), incoming), lastAssignedId(existing))
   }
 
   def fieldId(f: StructField): Option[Int] =
@@ -265,7 +284,10 @@ object IcebergSchemas {
           val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
           val dt = parseTypeCollecting(f.get("type"), ids)
           val mb = new MetadataBuilder().putLong(FieldIdKey, f.get("id").asLong())
-          if (ids.nonEmpty) mb.putString(CollIdsKey, ids.mkString(","))
+          if (ids.nonEmpty) {
+            mb.putString(CollIdsKey, ids.mkString(","))
+            mb.putString(CollShapeKey, slotShape(dt))
+          }
           StructField(
             f.get("name").asText(), dt,
             nullable = !f.get("required").asBoolean(),

@@ -146,7 +146,8 @@ object AvroSchemaConverters {
     case Schema.Type.RECORD =>
       (StructType(s.getFields.asScala.map { f =>
         val (dt, n) = typeFromAvro(f.schema())
-        StructField(f.name(), dt, n)
+        // restore the original Spark name at every nesting level
+        StructField(Option(f.getProp(OriginalNameProp)).getOrElse(f.name()), dt, n)
       }.toSeq), false)
     case Schema.Type.NULL => (NullType, true)
   }
