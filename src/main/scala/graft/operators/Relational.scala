@@ -561,6 +561,26 @@ object Relational {
         |)
         |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS s_start, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin)
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin),
+
+    // Pivot: order counts per priority spread across status columns
+    // (Spark groupBy().pivot() with explicit values = static columns,
+    // no extra pass to discover them).
+    QueryDef.sql(
+      "q31_pivot",
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("f_cnt"),
+            coalesce(col("O"), lit(0L)).as("o_cnt"),
+            coalesce(col("P"), lit(0L)).as("p_cnt"))
+          .orderBy(col("o_orderpriority")),
+      """SELECT o_orderpriority, "F" AS f_cnt, "O" AS o_cnt, "P" AS p_cnt FROM (
+        |  SELECT o_orderpriority, o_orderstatus FROM orders
+        |) PIVOT (COUNT(*) FOR o_orderstatus IN ('F', 'O', 'P'))
+        |ORDER BY o_orderpriority""".stripMargin)
   )
 }

@@ -72,6 +72,12 @@ object SyncQueries {
           SyncEngine.hudiSource(h2iSrc), SyncEngine.icebergTarget(spark, s"$root/h2i_tgt"))
         require(r3.mode == "incremental", s"expected incremental h2i replay, got ${r3.mode}")
 
+        // 5. tri-hop chain: the d2i Iceberg target re-syncs into a Hudi
+        //    target — metadata translated twice, data files untouched
+        SyncEngine.sync(
+          SyncEngine.icebergSource(IcebergTable.forPath(spark, s"$root/d2i_tgt")),
+          SyncEngine.hudiTarget(spark, s"$root/chain_tgt"))
+
         root
       })
     }
@@ -148,6 +154,21 @@ object SyncQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-03', '1996-04')
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Two sync hops (Delta -> Iceberg -> Hudi) over the SAME data files:
+    // the end of the chain must still answer identically to DuckDB on
+    // the original parquet.
+    QueryDef.sql(
+      "x06_chained_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        HudiTable.forPath(spark, s"$root/chain_tgt").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   )
 }
