@@ -581,6 +581,53 @@ object Relational {
       """SELECT o_orderpriority, "F" AS f_cnt, "O" AS o_cnt, "P" AS p_cnt FROM (
         |  SELECT o_orderpriority, o_orderstatus FROM orders
         |) PIVOT (COUNT(*) FOR o_orderstatus IN ('F', 'O', 'P'))
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // As-of join composed from existing operators (the preferred path
+    // over a custom physical operator): union both sides, one window
+    // over (user, time) carrying the last purchase forward, keep the
+    // click rows. ONE shuffle on user_id — no range-join row explosion,
+    // the shape that survives 100 TB of events. Oracle: DuckDB's native
+    // ASOF LEFT JOIN. Purchases are pre-deduped per (user, ts) so the
+    // tie-break is deterministic in both engines.
+    QueryDef.sql(
+      "q32_asof_join",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = graft.sources.Events.normalized(spark, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us"), col("event_id"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("value")).as("p_value"))
+        val unioned = clicks
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            lit(null).cast(TimestampType).as("p_ts"),
+            lit(null).cast(DoubleType).as("p_value"), lit(1).as("side"))
+          .unionByName(purchases.select(
+            col("user_id"), col("ts_us"), lit(null).cast(LongType).as("event_id"),
+            col("ts_us").as("p_ts"), col("p_value"), lit(0).as("side")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned
+          .withColumn("asof_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+          .withColumn("asof_value", last(col("p_value"), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .select(col("user_id"), col("ts_us").as("click_ts"), col("event_id"),
+            col("asof_ts"), col("asof_value"))
+          .orderBy(col("event_id"))
+      },
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT c.user_id, c.ts AS click_ts, c.event_id,
+        |  p.ts AS asof_ts, p.p_value AS asof_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin)
   )
 }
