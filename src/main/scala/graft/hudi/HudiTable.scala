@@ -87,7 +87,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
   private def actionsDF(instantTimes: Seq[String]): DataFrame = {
     require(instantTimes.nonEmpty, s"no instants selected on $tablePath")
     val byTime = timeline.completedInstants().map(i => i.time -> i).toMap
-    val paths = instantTimes.map(t => timeline.instantFile(byTime(t)).toString)
+    val paths = instantTimes.map(t => timeline.existingInstantFile(byTime(t)).toString)
     val raw = spark.read.option("wholetext", "true").text(paths: _*)
       .withColumn("instant",
         regexp_extract(input_file_name(), "(\\d{14,17})\\.(commit|replacecommit)$", 1))
@@ -262,10 +262,94 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     instant
   }
 
+  // ---------------------------------------------------------- maintenance
+
+  /**
+   * Roll back the latest completed data instant: delete the base files
+   * it wrote (managed files only — externally-referenced files belong
+   * to their source), revoke the instant from the timeline, and record
+   * a `.rollback` instant listing the deleted files so the incremental
+   * change feed can replay the removals (ref
+   * `core/.../hudi/HudiDataFileExtractor.java:207-223`). Snapshot reads
+   * need no special handling: the revoked instant simply no longer
+   * replays. Returns the rollback instant time.
+   */
+  def rollback(): String = {
+    val target = timeline.completedInstants().lastOption.getOrElse(
+      throw new IllegalStateException(s"nothing to roll back on $tablePath"))
+    val rollbackTime = timeline.nextInstantTime()
+    val meta = rollbackOne(target)
+    require(timeline.commitJson(HudiInstant(rollbackTime, "rollback"),
+      HudiMaintenanceCodec.rollbackToJson(rollbackTime, meta)),
+      s"concurrent hudi commit at $rollbackTime of $tablePath")
+    rollbackTime
+  }
+
+  /**
+   * Restore the table to `toInstant`: roll back every data instant
+   * after it (newest first), recorded as one `.restore` instant whose
+   * metadata nests the per-commit rollback info — the change feed
+   * flattens all of it into removals (ref
+   * `core/.../hudi/HudiDataFileExtractor.java:224-243`).
+   */
+  def restoreTo(toInstant: String): String = {
+    require(instants.contains(toInstant), s"no instant $toInstant on $tablePath")
+    val doomed = instants.filter(_ > toInstant).reverse
+      .map(t => timeline.completedInstants().find(_.time == t).get)
+    val restoreTime = timeline.nextInstantTime()
+    val rollbacks = doomed.map(rollbackOne)
+    require(timeline.commitJson(HudiInstant(restoreTime, "restore"),
+      HudiMaintenanceCodec.restoreToJson(restoreTime,
+        HudiRestoreMetadata(toInstant, doomed.map(_.time), rollbacks))),
+      s"concurrent hudi commit at $restoreTime of $tablePath")
+    restoreTime
+  }
+
+  /** Revoke one completed data instant; returns what was deleted. */
+  private def rollbackOne(target: HudiInstant): HudiRollbackMetadata = {
+    val meta = timeline.readCommitMetadata(target)
+    val fs = new Path(tablePath).getFileSystem(hconf)
+    val baseUriPath = new Path(tablePath).toUri.getPath.stripSuffix("/") + "/"
+    val byPartition = meta.partitionToWriteStats.map { case (pp, stats) =>
+      pp -> stats.map(ws => absoluteOf(ws.path))
+    }
+    byPartition.valuesIterator.flatten.foreach { p =>
+      val path = new Path(p)
+      if (path.toUri.getPath.startsWith(baseUriPath)) fs.delete(path, false)
+    }
+    timeline.deleteInstant(target)
+    HudiRollbackMetadata(Seq(target.time), byPartition)
+  }
+
+  /** Expose archival for writer tables (the sync target archives
+    * automatically, ref `HudiTargetClient.java:537-545`). */
+  def archiveTimeline(): Int = {
+    val props = properties
+    timeline.archiveIfNeeded(
+      props.get(HudiTable.MaxActiveInstantsProp).map(_.toInt)
+        .getOrElse(HudiTable.DefaultMaxActiveInstants),
+      props.get(HudiTable.MinActiveInstantsProp).map(_.toInt)
+        .getOrElse(HudiTable.DefaultMinActiveInstants))
+  }
+
   // ----------------------------------------------------------------- sync
 
   /** Root the data files live under (for cross-format sync targets). */
   def dataRoot: String = readBasePath
+
+  /** Instants the incremental sync feed replays, time-ordered: data
+    * commits plus rollback/restore (whose change sets are removals);
+    * clean stays a feed no-op (ref `HudiDataFileExtractor.java:244-250`). */
+  def syncInstants: Seq[String] =
+    timeline.allCompletedInstants().filter(i => HudiTable.FeedActions(i.action)).map(_.time)
+
+  /** Retention fence input: the earliest commit whose files the latest
+    * clean still retains, if any clean has run (ref
+    * `core/.../hudi/HudiClient.java:152-177`). */
+  def earliestCommitToRetain: Option[String] =
+    timeline.allCompletedInstants().filter(_.action == "clean").lastOption
+      .map(i => HudiMaintenanceCodec.cleanFromJson(timeline.readInstantJson(i)))
+      .map(_.earliestCommitToRetain).filter(_.nonEmpty)
 
   /** Extra metadata of the newest commit — where sync watermarks ride
     * (the reference persists sync state in commit extraMetadata, ref
@@ -298,11 +382,25 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     }
   }
 
-  /** One instant's adds + removed (replaced) paths — the incremental
-    * replay unit (ref `HudiDataFileExtractor.java:126-256`). */
+  /** One instant's adds + removed paths — the incremental replay unit
+    * (ref `HudiDataFileExtractor.java:126-256`). Rollback and restore
+    * instants contribute pure removals: the files their metadata
+    * records as deleted (ref `:207-243`); other non-data actions are
+    * no-ops (ref `:244-250`). */
   def changeSet(instant: String): (Seq[graft.model.InternalDataFile], Seq[String]) = {
-    val inst = timeline.completedInstants().find(_.time == instant)
+    val inst = timeline.allCompletedInstants().find(_.time == instant)
       .getOrElse(throw new IllegalArgumentException(s"no instant $instant on $tablePath"))
+    inst.action match {
+      case "commit" | "replacecommit" => // falls through to data replay below
+      case "rollback" =>
+        return (Seq.empty, HudiMaintenanceCodec
+          .rollbackFromJson(timeline.readInstantJson(inst)).deletedFiles.map(absoluteOf))
+      case "restore" =>
+        return (Seq.empty, HudiMaintenanceCodec
+          .restoreFromJson(timeline.readInstantJson(inst)).deletedFiles.map(absoluteOf))
+      case _ =>
+        return (Seq.empty, Seq.empty)
+    }
     val meta = timeline.readCommitMetadata(inst)
     val adds = meta.partitionToWriteStats.toSeq.flatMap { case (pp, stats) =>
       stats.map(ws => graft.model.InternalDataFile(
@@ -397,6 +495,31 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val action = if (replaceIds.nonEmpty) "replacecommit" else "commit"
     require(timeline.commit(HudiInstant(instant, action), meta),
       s"concurrent hudi commit at $instant of $tablePath")
+    // post-commit maintenance, mirroring the reference target loop (ref
+    // `HudiTargetClient.java:414-545`): a synthetic CLEAN instant
+    // records the files this sync removed so native Hudi readers learn
+    // of removals from the timeline, then the active timeline is
+    // archived down to its cap
+    if (removePaths.nonEmpty && replaceIds.nonEmpty) {
+      val cleanTime = timeline.nextInstantTime()
+      val removedByPartition = removePaths
+        .map(p => new Path(p).toUri.toString)
+        .groupBy { p =>
+          // recover the partition path from the removed file's dir
+          // relative to the data root when possible, else flat
+          val parent = new Path(p).getParent.toUri.getPath
+          val root = new Path(sourceDataRoot).toUri.getPath.stripSuffix("/") + "/"
+          if (parent.startsWith(root)) parent.stripPrefix(root).stripSuffix("/")
+          else ""
+        }
+        .map { case (pp, ps) => pp -> ps.toSeq.sorted }
+      require(timeline.commitJson(HudiInstant(cleanTime, "clean"),
+        HudiMaintenanceCodec.cleanToJson(cleanTime,
+          HudiCleanMetadata(earliestCommitToRetain = instant,
+            partitionToDeleteFiles = removedByPartition))),
+        s"concurrent hudi commit at $cleanTime of $tablePath")
+    }
+    archiveTimeline()
     instant
   }
 
@@ -434,6 +557,17 @@ object HudiTable {
   /** Property recording the table's partition SPECS (incl. transforms)
     * so appends inherit them without name heuristics. */
   private[graft] val PartitionSpecsProp = "graft.partition.specs"
+
+  /** Actions the incremental sync feed replays (clean excluded — ref
+    * `HudiDataFileExtractor.java:244-250` treats it as a no-op). */
+  private[graft] val FeedActions = Set("commit", "replacecommit", "rollback", "restore")
+
+  /** Active-timeline archival caps (Hudi's `hoodie.keep.max.commits` /
+    * `hoodie.keep.min.commits` defaults), overridable per table. */
+  private[graft] val MaxActiveInstantsProp = "graft.timeline.max.active"
+  private[graft] val MinActiveInstantsProp = "graft.timeline.min.active"
+  private[graft] val DefaultMaxActiveInstants = 30
+  private[graft] val DefaultMinActiveInstants = 20
 
   private[hudi] def mergeSchemas(
       existing: StructType, incoming: StructType, tablePath: String): StructType =

@@ -54,6 +54,10 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
   import HudiTimeline._
 
   val hoodieDir = new Path(tablePath, ".hoodie")
+  /** Archived instants stay readable here after [[archiveIfNeeded]] —
+    * real Hudi keeps an archived timeline too, only the ACTIVE timeline
+    * is bounded (ref `core/.../hudi/HudiTargetClient.java:537-545`). */
+  val archivedDir = new Path(hoodieDir, "archived")
   private val propsFile = new Path(hoodieDir, "hoodie.properties")
   private def fs: FileSystem = hoodieDir.getFileSystem(conf)
 
@@ -86,18 +90,32 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
 
   // -------------------------------------------------------------- listing
 
-  /** Completed data instants (commit + replacecommit), time-ordered.
-    * Fixed-width instant strings sort chronologically as strings. */
-  def completedInstants(): Seq[HudiInstant] = {
-    if (!fs.exists(hoodieDir)) return Seq.empty
-    fs.listStatus(hoodieDir).toSeq
+  private def listCompleted(dir: Path, re: scala.util.matching.Regex): Seq[HudiInstant] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
       .flatMap {
-        case CompletedRe(ts, action) => Some(HudiInstant(ts, action))
+        case re(ts, action) => Some(HudiInstant(ts, action))
         case _ => None
       }
+
+  /** Completed data instants (commit + replacecommit), time-ordered,
+    * active AND archived — metadata-backed replay needs the full
+    * history, exactly as Delta replay reads checkpointed versions.
+    * Fixed-width instant strings sort chronologically as strings. */
+  def completedInstants(): Seq[HudiInstant] =
+    (listCompleted(hoodieDir, CompletedRe) ++ listCompleted(archivedDir, CompletedRe))
       .sortBy(_.time)
-  }
+
+  /** Every completed instant of any action (data + rollback/restore/
+    * clean), active + archived, time-ordered. */
+  def allCompletedInstants(): Seq[HudiInstant] =
+    (listCompleted(hoodieDir, AnyCompletedRe) ++ listCompleted(archivedDir, AnyCompletedRe))
+      .sortBy(_.time)
+
+  /** Completed instants still on the ACTIVE timeline (archival bound). */
+  def activeCompletedInstants(): Seq[HudiInstant] =
+    listCompleted(hoodieDir, AnyCompletedRe).sortBy(_.time)
 
   def latestInstant(): Option[HudiInstant] = completedInstants().lastOption
 
@@ -108,8 +126,9 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
     * `api/.../model/CommitsBacklog.java:28-86`). */
   def pendingInstants(): Seq[String] = {
     if (!fs.exists(hoodieDir)) return Seq.empty
-    val completed = completedInstants().map(_.time).toSet
-    val Marker = """(\d{14,17})(?:\.(?:commit|replacecommit))?\.(?:requested|inflight)""".r
+    val completed = allCompletedInstants().map(_.time).toSet
+    val Marker =
+      """(\d{14,17})(?:\.(?:commit|replacecommit|rollback|restore|clean))?\.(?:requested|inflight)""".r
     fs.listStatus(hoodieDir).toSeq
       .map(_.getPath.getName)
       .collect { case Marker(ts) => ts }
@@ -118,18 +137,28 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
       .sorted
   }
 
-  /** Path of a completed instant's metadata file. */
+  /** Path a newly-committed instant's metadata file goes to. */
   def instantFile(i: HudiInstant): Path = new Path(hoodieDir, i.fileName)
+
+  /** Where the instant's metadata file actually lives now (an archived
+    * instant remains readable from `.hoodie/archived/`). */
+  def existingInstantFile(i: HudiInstant): Path = {
+    val active = new Path(hoodieDir, i.fileName)
+    if (fs.exists(active)) active else new Path(archivedDir, i.fileName)
+  }
 
   // ------------------------------------------------------------- metadata
 
-  def readCommitMetadata(i: HudiInstant): HudiCommitMetadata = {
-    val in = fs.open(instantFile(i))
-    val json = try new String(
+  /** Raw JSON of any completed instant (active or archived). */
+  def readInstantJson(i: HudiInstant): String = {
+    val in = fs.open(existingInstantFile(i))
+    try new String(
       org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
     finally in.close()
-    HudiCommitCodec.fromJson(json)
   }
+
+  def readCommitMetadata(i: HudiInstant): HudiCommitMetadata =
+    HudiCommitCodec.fromJson(readInstantJson(i))
 
   /**
    * Commit protocol: requested and inflight marker files first (timeline
@@ -138,7 +167,12 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
    * put-if-absent arbitration as our Delta/Iceberg logs. Returns false
    * when the instant already exists (lost the race).
    */
-  def commit(i: HudiInstant, meta: HudiCommitMetadata): Boolean = {
+  def commit(i: HudiInstant, meta: HudiCommitMetadata): Boolean =
+    commitJson(i, HudiCommitCodec.toJson(meta))
+
+  /** Same put-if-absent protocol for non-data instants (rollback/
+    * restore/clean), whose metadata has its own JSON shape. */
+  def commitJson(i: HudiInstant, json: String): Boolean = {
     fs.mkdirs(hoodieDir)
     val target = instantFile(i)
     if (fs.exists(target)) return false
@@ -148,7 +182,7 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
     touch(new Path(hoodieDir, inflightName))
     val tmp = new Path(hoodieDir, s".tmp_${java.util.UUID.randomUUID()}_${i.fileName}")
     val out = fs.create(tmp, true)
-    try out.write(HudiCommitCodec.toJson(meta).getBytes(StandardCharsets.UTF_8))
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(hoodieDir.toUri, conf)
@@ -165,10 +199,51 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
   private def touch(p: Path): Unit =
     if (!fs.exists(p)) { val o = fs.create(p, false); o.close() }
 
-  /** A fresh instant time strictly after every existing instant. */
+  /** Remove a completed instant and its state-transition markers from
+    * the timeline — the rollback primitive (real Hudi rollback revokes
+    * the target instant the same way, ref
+    * `core/.../hudi/HudiDataFileExtractor.java:207-223` observes the
+    * instant gone plus a `.rollback` record of the deleted files). */
+  def deleteInstant(i: HudiInstant): Unit = {
+    fs.delete(new Path(hoodieDir, i.fileName), false)
+    fs.delete(new Path(hoodieDir, s"${i.time}.${i.action}.requested"), false)
+    val inflightName =
+      if (i.action == "commit") s"${i.time}.inflight" else s"${i.time}.${i.action}.inflight"
+    fs.delete(new Path(hoodieDir, inflightName), false)
+  }
+
+  /**
+   * Bound the ACTIVE timeline: when more than `maxActive` completed
+   * instants are active, move the oldest down to `minActive` (plus
+   * their state-transition markers) into `.hoodie/archived/` — the
+   * reference archives its target timeline the same way after each
+   * sync commit (ref `core/.../hudi/HudiTargetClient.java:537-545`;
+   * Hudi's own `hoodie.keep.max.commits`/`hoodie.keep.min.commits`).
+   * Archived instants stay readable for metadata replay. Returns the
+   * number archived.
+   */
+  def archiveIfNeeded(maxActive: Int, minActive: Int): Int = {
+    require(minActive <= maxActive, s"minActive $minActive > maxActive $maxActive")
+    val active = activeCompletedInstants()
+    if (active.size <= maxActive) return 0
+    val toArchive = active.dropRight(minActive)
+    fs.mkdirs(archivedDir)
+    toArchive.foreach { i =>
+      fs.rename(new Path(hoodieDir, i.fileName), new Path(archivedDir, i.fileName))
+      // markers carry no metadata; completed-state is what archival keeps
+      fs.delete(new Path(hoodieDir, s"${i.time}.${i.action}.requested"), false)
+      val inflightName =
+        if (i.action == "commit") s"${i.time}.inflight" else s"${i.time}.${i.action}.inflight"
+      fs.delete(new Path(hoodieDir, inflightName), false)
+    }
+    toArchive.size
+  }
+
+  /** A fresh instant time strictly after every existing instant (of
+    * any action — a rollback or clean must not collide either). */
   def nextInstantTime(): String = {
     val now = formatInstant(Instant.ofEpochMilli(System.currentTimeMillis()))
-    latestInstant() match {
+    allCompletedInstants().lastOption match {
       case Some(last) if last.time >= now =>
         formatInstant(parseInstant(last.time).plusMillis(1))
       case _ => now
@@ -179,6 +254,8 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
 object HudiTimeline {
 
   private val CompletedRe = "^(\\d{14}|\\d{17})\\.(commit|replacecommit)$".r
+  private val AnyCompletedRe =
+    "^(\\d{14}|\\d{17})\\.(commit|replacecommit|rollback|restore|clean)$".r
 
   private val Utc = ZoneId.of("UTC")
   private val MillisFormatter: DateTimeFormatter =

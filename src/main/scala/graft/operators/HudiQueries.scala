@@ -51,6 +51,24 @@ object HudiQueries {
           spark, s"$root/orders_replaced", o.filter(col("o_orderkey") % 2 === 0))
         t4.overwrite(o.filter(col("o_orderstatus") === "O"))
 
+        // 5. rollback replayed INCREMENTALLY through a cross-format sync:
+        //    sync even orders, sync the odd-orders commit, roll it back,
+        //    sync again — the rollback instant must flow through the
+        //    change feed as removals (ref HudiDataFileExtractor.java:207-223),
+        //    not fall back to a full re-sync
+        import graft.sync.SyncEngine
+        val t5 = HudiTable.create(
+          spark, s"$root/orders_rolled", o.filter(col("o_orderkey") % 2 === 0))
+        val iceTarget = s"$root/orders_rolled_ice"
+        SyncEngine.sync(SyncEngine.hudiSource(t5), SyncEngine.icebergTarget(spark, iceTarget))
+        t5.append(o.filter(col("o_orderkey") % 2 === 1))
+        SyncEngine.sync(SyncEngine.hudiSource(t5), SyncEngine.icebergTarget(spark, iceTarget))
+        t5.rollback()
+        val afterRollback = SyncEngine.sync(
+          SyncEngine.hudiSource(t5), SyncEngine.icebergTarget(spark, iceTarget))
+        require(afterRollback.mode == "incremental" && afterRollback.filesRemoved > 0,
+          s"h06 fixture: rollback must replay incrementally with removals, got $afterRollback")
+
         root
       })
     }
@@ -134,6 +152,29 @@ object HudiQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    QueryDef.sql(
+      "h06_hudi_rollback_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        val src = Fixtures.table(spark, dir, "orders_rolled").toDF()
+        val tgt = graft.iceberg.IcebergTable.forPath(spark, s"$root/orders_rolled_ice").toDF()
+        def summarize(df: org.apache.spark.sql.DataFrame, fmt: String) =
+          df.groupBy(col("o_orderstatus"))
+            .agg(
+              count(lit(1)).as("cnt"),
+              sum(col("o_orderkey")).as("key_sum"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+            .withColumn("fmt", lit(fmt))
+        summarize(src, "hudi").unionAll(summarize(tgt, "iceberg"))
+          .select(col("fmt"), col("o_orderstatus"), col("cnt"), col("key_sum"), col("sum_price"))
+          .orderBy(col("fmt"), col("o_orderstatus"))
+      },
+      """SELECT fmt, o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (SELECT 'hudi' AS fmt UNION ALL SELECT 'iceberg') fmts, orders
+        |WHERE o_orderkey % 2 = 0
+        |GROUP BY fmt, o_orderstatus ORDER BY fmt, o_orderstatus""".stripMargin),
 
     QueryDef.sql(
       "x04_tri_format_equality",

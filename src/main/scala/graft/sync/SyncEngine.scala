@@ -296,9 +296,21 @@ private final class HudiSource(t: HudiTable) extends SyncSource {
   def dataRoot: String = t.dataRoot
   def schema: StructType = t.schemaAt(None)
   def partitionColumns: Seq[String] = t.partitionColumns
-  def currentVersion: String = t.latestInstant
-  def versionExists(v: String): Boolean = t.instants.contains(v)
-  def versionsAfter(v: String): Seq[String] = t.instants.filter(_ > v)
+  /** Newest feed instant — maintenance instants advance the watermark
+    * too, so a rollback is never replayed twice. */
+  def currentVersion: String = {
+    val is = t.syncInstants
+    require(is.nonEmpty, s"empty hudi table: ${t.tablePath}")
+    is.last
+  }
+  /** Reference semantics (ref `core/.../hudi/HudiClient.java:152-177`):
+    * the watermark is a TIME, usable iff some completed instant sits at
+    * or below it (a rolled-back watermark commit still replays
+    * incrementally — the rollback instant after it carries the
+    * removals) and the cleaner hasn't reclaimed files past it. */
+  def versionExists(v: String): Boolean =
+    t.syncInstants.exists(_ <= v) && t.earliestCommitToRetain.forall(_ <= v)
+  def versionsAfter(v: String): Seq[String] = t.syncInstants.filter(_ > v)
   def snapshotFiles(): Seq[InternalDataFile] = t.snapshotDataFiles()
   def changes(v: String): (Seq[InternalDataFile], Seq[String]) = t.changeSet(v)
   override def inflightVersions: Seq[String] = t.timeline.pendingInstants()

@@ -100,6 +100,65 @@ class HudiTableSpec extends SparkTestBase {
     assert(HudiTimeline.formatInstant(java.time.Instant.ofEpochMilli(ms)) == "20240301123045123")
   }
 
+  test("rollback revokes the latest commit, deletes its files, records removals") {
+    val dir = tmpDir("hudi_rb")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    val t = HudiTable.create(spark, s"$dir/t", src.filter(col("o_orderkey") % 2 === 0))
+    t.append(src.filter(col("o_orderkey") % 2 === 1))
+    val doomed = t.instants.last
+    val doomedFiles = t.changeSet(doomed)._1.map(_.physicalPath)
+    assert(doomedFiles.nonEmpty)
+    val rb = t.rollback()
+    // snapshot: back to evens only; rolled-back instant gone from the timeline
+    assert(t.instants.size == 1)
+    assert(t.toDF().filter(col("o_orderkey") % 2 === 1).count() == 0)
+    assert(t.toDF().count() == src.filter(col("o_orderkey") % 2 === 0).count())
+    // the deleted base files are physically gone
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomedFiles.foreach(p => assert(!fs.exists(new org.apache.hadoop.fs.Path(p)), p))
+    // change feed: the rollback instant carries exactly those removals
+    val (adds, removes) = t.changeSet(rb)
+    assert(adds.isEmpty)
+    assert(removes.map(HudiTable.normalize).toSet ==
+      doomedFiles.map(HudiTable.normalize).toSet)
+    assert(t.syncInstants.contains(rb))
+  }
+
+  test("restoreTo rolls back every later commit in one restore instant") {
+    val dir = tmpDir("hudi_restore")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    val t = HudiTable.create(spark, s"$dir/t", src.filter(col("o_orderstatus") === "O"))
+    val keep = t.instants.head
+    t.append(src.filter(col("o_orderstatus") === "F"))
+    t.append(src.filter(col("o_orderstatus") === "P"))
+    val expectRemoved =
+      (t.changeSet(t.instants(1))._1 ++ t.changeSet(t.instants(2))._1).map(_.physicalPath)
+    val restore = t.restoreTo(keep)
+    assert(t.instants == Seq(keep))
+    assert(t.toDF().count() == src.filter(col("o_orderstatus") === "O").count())
+    val (adds, removes) = t.changeSet(restore)
+    assert(adds.isEmpty)
+    assert(removes.map(HudiTable.normalize).toSet ==
+      expectRemoved.map(HudiTable.normalize).toSet)
+  }
+
+  test("timeline archival bounds active instants and keeps replay exact") {
+    val dir = tmpDir("hudi_archive")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = HudiTable.create(spark, s"$dir/t", src.limit(1))
+    (1 until 8).foreach(i => t.append(src.limit(1)))
+    assert(t.instants.size == 8)
+    val archived = t.timeline.archiveIfNeeded(maxActive = 5, minActive = 3)
+    assert(archived == 5)
+    assert(t.timeline.activeCompletedInstants().size == 3)
+    // replay still sees all 8 commits (archived instants stay readable)
+    assert(t.instants.size == 8)
+    assert(t.toDF().count() == 8)
+    // time travel into the archived range still works
+    assert(t.toDF(asOf = Some(t.instants(1))).count() == 2)
+  }
+
   test("instantForTimestamp resolves to the latest instant at or before") {
     val dir = tmpDir("hudi_ts")
     val src = spark.read.parquet(s"$sf0001/region.parquet")

@@ -230,6 +230,80 @@ class SyncEngineSpec extends SparkTestBase {
       .properties("hoodie.table.recordkey.fields") == "o_orderkey")
   }
 
+  test("a source rollback replays incrementally: the target drops the rolled-back rows") {
+    val dir = tmpDir("sync_rollback")
+    val src = HudiTable.create(spark, s"$dir/src", orders.filter(col("o_orderkey") % 2 === 0))
+    SyncEngine.sync(SyncEngine.hudiSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    src.append(orders.filter(col("o_orderkey") % 2 === 1))
+    SyncEngine.sync(SyncEngine.hudiSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    assert(IcebergTable.forPath(spark, s"$dir/tgt").toDF().count() == orders.count())
+    // the watermarked commit is revoked; the change feed must carry the
+    // removals INCREMENTALLY (time-based watermark, not a full resync)
+    val rb = src.rollback()
+    val res = SyncEngine.sync(
+      SyncEngine.hudiSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    assert(res.mode == "incremental" && res.versionsSynced == Seq(rb)
+      && res.filesRemoved > 0, res.toString)
+    val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
+    assert(tgt.toDF().filter(col("o_orderkey") % 2 === 1).count() == 0)
+    assert(checksum(tgt.toDF()) == checksum(src.toDF()))
+    // watermark advanced past the rollback; a further no-op sync stays quiet
+    assert(tgt.currentMetadata.properties(SyncEngine.VersionProp) == rb)
+    val again = SyncEngine.sync(
+      SyncEngine.hudiSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    assert(again.versionsSynced.isEmpty)
+  }
+
+  test("a restore replays incrementally as removals of every rolled-back commit") {
+    val dir = tmpDir("sync_restore")
+    val src = HudiTable.create(spark, s"$dir/src", orders.filter(col("o_orderstatus") === "O"))
+    val keep = src.instants.head
+    src.append(orders.filter(col("o_orderstatus") === "F"))
+    src.append(orders.filter(col("o_orderstatus") === "P"))
+    SyncEngine.sync(SyncEngine.hudiSource(src), SyncEngine.deltaTarget(spark, s"$dir/tgt"))
+    src.restoreTo(keep)
+    val res = SyncEngine.sync(
+      SyncEngine.hudiSource(src), SyncEngine.deltaTarget(spark, s"$dir/tgt"))
+    assert(res.mode == "incremental" && res.filesRemoved > 0, res.toString)
+    val tgt = DeltaTable.forPath(spark, s"$dir/tgt")
+    assert(checksum(tgt.toDF()) == checksum(src.toDF()))
+    assert(tgt.toDF().count() == orders.filter(col("o_orderstatus") === "O").count())
+  }
+
+  test("Hudi sync target emits a synthetic clean for removals and archives its timeline") {
+    val dir = tmpDir("sync_clean")
+    val src = DeltaTable.create(spark, s"$dir/src", orders)
+    SyncEngine.sync(SyncEngine.deltaSource(src), SyncEngine.hudiTarget(spark, s"$dir/tgt"))
+    src.overwrite(orders.filter(col("o_orderkey") % 2 === 0), Seq.empty)
+    val res = SyncEngine.sync(SyncEngine.deltaSource(src), SyncEngine.hudiTarget(spark, s"$dir/tgt"))
+    assert(res.mode == "incremental" && res.filesRemoved > 0)
+    val tgt = HudiTable.forPath(spark, s"$dir/tgt")
+    assert(checksum(tgt.toDF()) == checksum(src.toDF()))
+    // the removal sync wrote replacecommit + clean (ref HudiTargetClient.java:414-536)
+    val actions = tgt.timeline.allCompletedInstants().map(_.action)
+    assert(actions.count(_ == "clean") == 1, actions.toString)
+    val clean = tgt.timeline.allCompletedInstants().filter(_.action == "clean").last
+    val cleanMeta = graft.hudi.HudiMaintenanceCodec.cleanFromJson(
+      tgt.timeline.readInstantJson(clean))
+    assert(cleanMeta.deletedFiles.size == res.filesRemoved)
+    assert(cleanMeta.earliestCommitToRetain.nonEmpty)
+    // archival: drop the active-timeline caps, then drive more syncs —
+    // the ACTIVE timeline stays bounded while reads remain exact
+    tgt.timeline.writeProperties(tgt.properties +
+      (HudiTable.MaxActiveInstantsProp -> "4") + (HudiTable.MinActiveInstantsProp -> "2"))
+    (1 to 4).foreach { i =>
+      src.append(orders.filter(col("o_orderkey") % 7 === i), Seq.empty)
+      SyncEngine.sync(SyncEngine.deltaSource(src), SyncEngine.hudiTarget(spark, s"$dir/tgt"))
+    }
+    val tgt2 = HudiTable.forPath(spark, s"$dir/tgt")
+    assert(tgt2.timeline.activeCompletedInstants().size <= 4)
+    assert(tgt2.timeline.allCompletedInstants().size >
+      tgt2.timeline.activeCompletedInstants().size)
+    assert(checksum(tgt2.toDF()) == checksum(src.toDF()))
+    // the watermark survives archival (latest data commit is active)
+    assert(tgt2.latestCommitExtraMetadata(SyncEngine.VersionProp) == src.latestVersion.toString)
+  }
+
   test("re-sync with nothing pending is a no-op: no commit, watermark unchanged") {
     val dir = tmpDir("sync_noop")
     val src = DeltaTable.create(spark, s"$dir/src", orders)
