@@ -109,12 +109,82 @@ final case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Banded random-hyperplane LSH signatures of a float/double vector:
+  * `tables` independent signatures, each from `planes` hyperplanes,
+  * returned as array<long> of length `tables` (bit p of table t set
+  * where the dot product with pseudo-random plane (t·planes+p) is
+  * positive). Plane weights derive deterministically from
+  * XXH64(dim, seed=planeIndex) — no materialized plane matrix, and
+  * the bucket key space (2^planes per table) GROWS with the corpus:
+  * the caller sizes `planes` ~ log2(N), so in-bucket candidate
+  * generation stays linear instead of the fixed-256-bucket N² shape. */
+final case class HyperplaneSigs(child: Expression, tables: Int, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(planes >= 1 && planes <= 62, s"planes must be in [1,62], got $planes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val elementIsDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_sigs expects array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dims = arr.numElements()
+    val vec = new Array[Double](dims)
+    var d = 0
+    while (d < dims) {
+      vec(d) = if (arr.isNullAt(d)) 0.0
+               else if (elementIsDouble) arr.getDouble(d) else arr.getFloat(d).toDouble
+      d += 1
+    }
+    val sigs = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        val q = t * planes + p
+        var dot = 0.0
+        var i = 0
+        while (i < dims) {
+          // deterministic pseudo-random weight in [-1, 1]
+          val w = (java.lang.Math.floorMod(XXH64.hashLong(i.toLong, q.toLong), 2001L) - 1000L) / 1000.0
+          dot += vec(i) * w
+          i += 1
+        }
+        if (dot > 0) sig |= 1L << p
+        p += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  override def prettyName: String = "hyperplane_sigs"
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+    copy(child = newChild)
+}
+
 object TextHashes {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
 
-  /** Register `minhash_sig(arr)` and `simhash64(arr)` for SQL/expr use. */
+  /** Register `minhash_sig(arr)`, `simhash64(arr)` and
+    * `hyperplane_sigs(vec, tables, planes)` for SQL/expr use. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(
@@ -125,5 +195,16 @@ object TextHashes {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head))
+    reg.registerFunction(
+      FunctionIdentifier("hyperplane_sigs"),
+      new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),
+      (exprs: Seq[Expression]) => {
+        def lit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_sigs $what must be an int literal, got $other")
+        }
+        HyperplaneSigs(exprs.head, lit(exprs(1), "tables"), lit(exprs(2), "planes"))
+      })
   }
 }

@@ -88,37 +88,93 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /**
-   * 64-bit SimHash over distinct words; near-dup candidates from 4×16-bit
-   * band collisions, verified by Hamming distance ≤ 2.
-   */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sim = spread(spark, dir)
+  /** Per-bucket candidate cap shared by the banded LSH pipelines: a
+    * bucket of n members emits each member paired with at most its W
+    * predecessors in signature-sorted order — n·W pairs instead of n²,
+    * so one pathological hot bucket (boilerplate/empty documents all
+    * hashing alike) cannot go quadratic at corpus scale. Buckets with
+    * ≤ W+1 members (every bucket at test scale — asserted in
+    * PipelineOpsSpec) expand exhaustively, and signature-sorted order
+    * keeps the nearest signatures adjacent for the capped ones. */
+  private[operators] val MaxBucketWindow = 64
+
+  /** (doc_id, simhash) per document, and per-signature doc groups. A
+    * duplicate-heavy corpus collapses to FAR fewer distinct signatures
+    * than documents — the banding below operates on distinct signatures
+    * only, so a 10^6-document boilerplate cluster occupies its band
+    * buckets as ONE row instead of 10^6 (the hot-bucket fix). */
+  private def simhashGroups(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, dir)
       .withColumn("words", expr("array_distinct(split(lower(text), ' '))"))
       .filter(size(col("words")) >= 1)
       // native expr (graft.functions.SimHash64): same per-bit vote math
       // the HOF pipeline expressed, evaluated in one tight loop per row
       .withColumn("simhash", expr("simhash64(words)"))
-      .select(col("doc_id"), col("simhash"))
+      .groupBy(col("simhash"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
 
-    val banded = sim.select(col("doc_id"), col("simhash"),
-      explode(expr(
-        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b*16) & 65535 AS bkey))"))
-        .as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bkey"))
+  /**
+   * 64-bit SimHash over distinct words; near-dup candidates from 4×16-bit
+   * band collisions, verified by Hamming distance ≤ 2.
+   *
+   * Scale shape: (1) identical-signature documents pair up within their
+   * signature group directly (hamming 0) and never enter banding;
+   * (2) banding buckets hold DISTINCT signatures, candidate sig-pairs
+   * come from one groupBy-bucket pass with windowed expansion
+   * ([[MaxBucketWindow]]) instead of the former band self-join; (3)
+   * surviving sig-pairs (hamming ≤ 2) expand back to doc pairs through
+   * the signature groups. Work is linear in distinct signatures plus
+   * the output size — a hot bucket of mutual near-duplicates can no
+   * longer square the candidate stage.
+   */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val w = MaxBucketWindow
+    val groups = simhashGroups(spark, dir)
 
-    val a = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_a"), col("simhash").as("h_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    // hamming-0 pairs: all pairs within one signature group (output-sized)
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids)-1),
+          |  i -> transform(slice(ids, 1, i), a -> struct(a AS doc_a, ids[i] AS doc_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(0).as("hamming"))
+
+    // candidate signature pairs from banded buckets over distinct sigs
+    val sigPairs = simhashBandBuckets(spark, dir)
+      .filter(size(col("sigs")) > 1)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(sigs)-1), i ->
+           |  transform(slice(sigs, greatest(1, i-$w+1), least(i, $w)),
+           |    a -> struct(a AS h_a, sigs[i] AS h_b))))""".stripMargin)).as("p"))
+      .select(col("p.h_a"), col("p.h_b"))
+      .dropDuplicates("h_a", "h_b")
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
       .filter(col("hamming") <= 2)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+
+    // expand surviving sig pairs to doc pairs via the signature groups
+    val cross = sigPairs
+      .join(groups.select(col("simhash").as("h_a"), col("ids").as("ids_a")), Seq("h_a"))
+      .join(groups.select(col("simhash").as("h_b"), col("ids").as("ids_b")), Seq("h_b"))
+      .select(explode(expr(
+        "flatten(transform(ids_a, a -> transform(ids_b, b -> struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))"))
+        .as("p"), col("hamming"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("hamming"))
+
+    intra.unionByName(cross)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** SimHash band buckets over DISTINCT signatures: (band, bkey) →
+    * sorted member signatures. Exposed for occupancy assertions. */
+  private[graft] def simhashBandBuckets(spark: SparkSession, dir: String): DataFrame =
+    simhashGroups(spark, dir)
+      .select(col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b*16) & 65535 AS bkey))"))
+          .as("bb"))
+      .groupBy(col("bb.band"), col("bb.bkey"))
+      .agg(sort_array(collect_set(col("simhash"))).as("sigs"))
 
   /**
    * Exact character-level n-gram (n=3) Jaccard similarity over candidate
@@ -154,32 +210,58 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Hyperplane tables (independent LSH repetitions) for d05. */
+  private[operators] val HyperplaneTables = 4
+
+  /** Planes per table sized to the corpus: buckets ≈ 4·N per table so
+    * expected occupancy stays O(1) as N grows — the fix for the former
+    * fixed 8-plane/256-bucket signature whose in-bucket join was N²/256
+    * at any corpus size. Capped at 62 (sig bits in a long). */
+  private[operators] def planesFor(n: Long): Int =
+    math.min(62, math.max(8, (math.log(math.max(1L, n).toDouble) / math.log(2.0)).ceil.toInt + 2))
+
   /**
-   * Embedding-cosine near-duplicate candidates via random-hyperplane LSH
-   * (8 deterministic planes → 256 buckets), then exact cosine on
-   * candidates; emits the top-50 most-similar pairs.
+   * Embedding-cosine near-duplicate candidates via BANDED multi-table
+   * random-hyperplane LSH ([[HyperplaneTables]] independent signatures,
+   * [[planesFor]] planes each, native `hyperplane_sigs` expression),
+   * then exact cosine on candidates; emits the top-50 most-similar
+   * pairs. Candidate generation is the same groupBy-bucket + windowed
+   * expansion as d02/d03 — bucket rows carry (table, sig, vec_id) only,
+   * and embeddings re-join per candidate, so neither the bucket shuffle
+   * nor a hot bucket ever moves or squares the vector data.
    */
   def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val planes = 8
-    val sig = Tables.embeddings(spark, dir)
-      .withColumn("sig", expr(
-        s"""aggregate(zip_with(
-           |  transform(sequence(0, ${planes - 1}), p ->
-           |    CASE WHEN aggregate(zip_with(embedding, sequence(0, 63),
-           |      (x, d) -> cast(x AS DOUBLE) * ((cast(pmod(xxhash64(p, d), 2001) AS DOUBLE) - 1000.0) / 1000.0)),
-           |      cast(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END),
-           |  sequence(0, ${planes - 1}), (bit, p) -> bit * shiftleft(1, p)),
-           |  0, (acc, x) -> acc + x)""".stripMargin))
-      .select(col("vec_id"), col("sig"), col("embedding"))
+    val w = MaxBucketWindow
+    val candidates = embeddingBuckets(spark, dir)
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(ids)-1), i ->
+           |  transform(slice(ids, greatest(1, i-$w+1), least(i, $w)),
+           |    a -> struct(a AS vec_a, ids[i] AS vec_b))))""".stripMargin)).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
 
-    val a = sig.select(col("sig"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-    val b = sig.select(col("sig"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
-    a.join(b, Seq("sig"))
-      .filter(col("vec_a") < col("vec_b"))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    candidates
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), Seq("vec_b"))
       .withColumn("cosine", Similarity.cosineExpr("e_a", "e_b"))
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(50)
+  }
+
+  /** Hyperplane-LSH buckets: (tbl, sig) → sorted member vec_ids.
+    * Exposed for bucket-occupancy assertions. */
+  private[graft] def embeddingBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val planes = planesFor(emb.count())
+    emb
+      .select(col("vec_id"),
+        posexplode(expr(s"hyperplane_sigs(embedding, $HyperplaneTables, $planes)"))
+          .as(Seq("tbl", "sig")))
+      .groupBy(col("tbl"), col("sig"))
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
   }
 
   val defs: Seq[QueryDef] = Seq(
