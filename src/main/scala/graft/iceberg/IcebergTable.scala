@@ -130,12 +130,18 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
     val basePath = meta.properties.getOrElse("graft.converted.from", tablePath)
-    val files = entries.map(e => graft.sources.ManifestFile(
-      path = e.filePath,
-      size = e.fileSizeBytes,
-      modificationTime = 0L,
-      partitionValues = e.partitionValues.filter { case (k, _) => identityCols.contains(k) }))
-    graft.sources.ManifestFileIndex.read(spark, basePath, files, out, identityCols)
+    // data files may mix formats (ref FileFormat.java:26-30); plan one
+    // relation per format over the shared index machinery and union
+    entries.groupBy(e => Option(e.fileFormat).getOrElse("parquet").toLowerCase)
+      .map { case (fmt, group) =>
+        val files = group.map(e => graft.sources.ManifestFile(
+          path = e.filePath,
+          size = e.fileSizeBytes,
+          modificationTime = 0L,
+          partitionValues = e.partitionValues.filter { case (k, _) => identityCols.contains(k) }))
+        graft.sources.ManifestFileIndex.read(spark, basePath, files, out, identityCols, fmt)
+      }
+      .reduce(_ unionByName _)
   }
 
   // ---------------------------------------------------------------- writes
@@ -348,6 +354,38 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     dead.size
   }
 
+  /**
+   * Crash-consistency repair (ref `core/.../iceberg/IcebergClient.java:251-286`):
+   * a writer that died between writing `vN.metadata.json` and its
+   * manifest list leaves a current snapshot whose manifest list is
+   * missing — unreadable. Detect that, roll `currentSnapshotId` back to
+   * the parent snapshot, drop the corrupt snapshot from the history,
+   * and clear the sync watermark properties so the next sync runs FULL
+   * instead of replaying over a hole. Returns true when a repair
+   * commit was made. (Our own put-if-absent commit orders the manifest
+   * list before the metadata json, narrowing the window; the repair
+   * covers foreign writers and partial filesystem loss.)
+   */
+  def recoverIfCorrupt(): Boolean = {
+    val prev = log.readLatest()
+    if (prev.isEmpty) return false
+    val (v, meta) = prev.get
+    val fsys = new Path(tablePath).getFileSystem(hconf)
+    meta.currentSnapshot match {
+      case Some(snap) if !fsys.exists(new Path(snap.manifestList)) =>
+        val next = meta.copy(
+          currentSnapshotId = snap.parentId,
+          snapshots = meta.snapshots.filterNot(_.snapshotId == snap.snapshotId),
+          snapshotLog = meta.snapshotLog.filterNot(_._2 == snap.snapshotId),
+          // watermark reset → the retention fence forces a full sync
+          properties = meta.properties.filterNot(_._1.startsWith("graft.sync.")),
+          lastUpdatedMs = System.currentTimeMillis())
+        require(log.commit(v + 1, next), s"concurrent iceberg commit on $tablePath")
+        true
+      case _ => false
+    }
+  }
+
   // ----------------------------------------------------------------- sync
 
   /** Root the data files live under (for cross-format sync targets). */
@@ -474,6 +512,31 @@ object IcebergTable {
     t
   }
 
+  /**
+   * Metadata-only conversion of an existing AVRO dataset (ref
+   * `FileFormat.java:26-30` APACHE_AVRO): files referenced in place,
+   * schema from the container header, stats from one Spark agg job
+   * (avro has no footer stats). Flat layout only — avro datasets in
+   * the wild are rarely hive-partitioned, and identity partitioning
+   * can be layered by a later sync.
+   */
+  def convertFromAvro(
+      spark: SparkSession,
+      sourceLocation: String,
+      tablePath: String): IcebergTable = {
+    val t = forPath(spark, tablePath)
+    require(t.log.latestVersion().isEmpty, s"table already exists: $tablePath")
+    val files = graft.sources.AvroDataFiles.listAvroFiles(spark, sourceLocation)
+    val inferred = graft.sources.AvroDataFiles.readSchema(spark, sourceLocation)
+    val idSchema = IcebergSchemas.assignFieldIds(inferred)
+    val stats = graft.sources.AvroDataFiles.collectStats(spark, files, inferred)
+    val entries = stats.map(st =>
+      entryFor(st, idSchema, Seq.empty, sourceLocation, fileFormat = "avro"))
+    t.commitSnapshot(None, idSchema, Seq.empty, entries, Seq.empty, carryPrevious = false,
+      operation = "append", extraProps = Map("graft.converted.from" -> sourceLocation))
+    t
+  }
+
   /** Metadata-only conversion of an existing parquet dataset — data
     * files referenced in place by absolute path, hive partition dirs
     * become identity partition fields (reference sync contract). */
@@ -529,7 +592,8 @@ object IcebergTable {
       st: FileFooterStats,
       idSchema: StructType,
       defs: Seq[graft.model.PartitionFieldDef],
-      baseForPartitions: String): ManifestEntry = {
+      baseForPartitions: String,
+      fileFormat: String = "parquet"): ManifestEntry = {
     val partitionColumns = defs.map(_.fieldName)
     val defByName = defs.map(d => d.fieldName -> d).toMap
     val byName = st.columns.map(c => c.column -> c).toMap
@@ -577,7 +641,7 @@ object IcebergTable {
       snapshotId = 0L,
       sequenceNumber = 0L,
       filePath = st.path,
-      fileFormat = "parquet",
+      fileFormat = fileFormat,
       partitionValues = partValues,
       recordCount = st.recordCount,
       fileSizeBytes = st.fileSizeBytes,

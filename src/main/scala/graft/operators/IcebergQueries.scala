@@ -65,6 +65,36 @@ object IcebergQueries {
           spark, s"$root/orders_bymonth",
           Tables.orders(spark, sfDir), Seq("month(o_orderdate)"))
 
+        // 7. corrupt-snapshot recovery (ref IcebergClient.java:251-286,
+        //    IT scenario ITOneTableClient.java:599-632): sync a Delta
+        //    source to an Iceberg target, corrupt the target's newest
+        //    snapshot by deleting its manifest list (crashed-writer
+        //    simulation), then sync again — the engine must roll back
+        //    to the parent snapshot, clear the watermark, and recover
+        //    via a FULL sync to source parity
+        import graft.sync.SyncEngine
+        val src7 = DeltaTable.create(
+          spark, s"$root/orders_recov_src", o.filter(col("o_orderkey") % 2 === 0))
+        val tgt7 = s"$root/orders_recov_ice"
+        SyncEngine.sync(SyncEngine.deltaSource(src7), SyncEngine.icebergTarget(spark, tgt7))
+        src7.append(o.filter(col("o_orderkey") % 2 === 1), Seq.empty)
+        SyncEngine.sync(SyncEngine.deltaSource(src7), SyncEngine.icebergTarget(spark, tgt7))
+        val t7 = IcebergTable.forPath(spark, tgt7)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          t7.currentMetadata.currentSnapshot.get.manifestList), false)
+        val recov = SyncEngine.sync(
+          SyncEngine.deltaSource(src7), SyncEngine.icebergTarget(spark, tgt7))
+        require(recov.mode == "full" && recov.filesAdded > 0,
+          s"i08 fixture: corrupt snapshot must force a recovering full sync, got $recov")
+
+        // 8. avro-backed table (ref FileFormat.java:26-30 APACHE_AVRO):
+        //    customer rewritten as avro containers, then converted
+        //    metadata-only — reads route through GraftAvroFileFormat
+        graft.sources.AvroDataFiles.write(
+          Tables.customer(spark, sfDir).repartition(4), s"$root/customer_avro_data")
+        IcebergTable.convertFromAvro(
+          spark, s"$root/customer_avro_data", s"$root/customer_avro")
+
         root
       })
     }
@@ -184,6 +214,38 @@ object IcebergQueries {
         |FROM orders
         |WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-03-31 23:59:59'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    QueryDef.sql(
+      "f09_avro_table_read",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "customer_avro").toDF()
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("c_custkey")).as("key_sum"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_bal"))
+          .orderBy(col("c_mktsegment")),
+      """SELECT c_mktsegment, COUNT(*) AS cnt, CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    QueryDef.sql(
+      "i08_iceberg_corrupt_recovery",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        // the fixture corrupted the newest snapshot and re-synced; the
+        // recovered table must read at full source parity
+        IcebergTable.forPath(spark, s"$root/orders_recov_ice").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     // Cross-format equality: the SAME source served through the Delta
     // codec and the Iceberg codec must agree row-for-row; result is the

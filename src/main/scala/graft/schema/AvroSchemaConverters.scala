@@ -35,7 +35,7 @@ object AvroSchemaConverters {
     * Avro field prop so the round-trip restores it exactly — the
     * reference's name-convention translation (ref
     * `core/.../hudi/HudiSchemaExtractor.java:56-61`). */
-  private[schema] val OriginalNameProp = "graft.spark.name"
+  val OriginalNameProp = "graft.spark.name"
 
   private[schema] def sanitizeName(n: String): String = {
     val cleaned = n.map(c => if (c.isLetterOrDigit && c < 128 || c == '_') c else '_')

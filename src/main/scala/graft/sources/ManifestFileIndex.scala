@@ -104,12 +104,13 @@ object ManifestFileIndex {
       tableRoot: String,
       files: Seq[ManifestFile],
       schemaIn: StructType,
-      partitionColumns: Seq[String]): DataFrame = {
+      partitionColumns: Seq[String],
+      format: String = "parquet"): DataFrame = {
     val schema = nullable(schemaIn).asInstanceOf[StructType]
     val partitionSchema = StructType(schema.filter(f => partitionColumns.contains(f.name)))
     val dataSchema = StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
     val index = new ManifestFileIndex(spark, new Path(tableRoot), files, partitionSchema)
-    GraftRelations.parquetRelation(spark, index, partitionSchema, dataSchema)
+    GraftRelations.relation(spark, index, partitionSchema, dataSchema, format)
       // present columns in table-schema order (partition cols are
       // appended after data cols by the relation)
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)

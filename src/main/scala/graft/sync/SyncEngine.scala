@@ -277,10 +277,20 @@ private final class IcebergTarget(spark: SparkSession, val targetPath: String) e
   def format = "iceberg"
   private def table = IcebergTable.forPath(spark, targetPath)
   private def exists = table.log.latestVersion().nonEmpty
+  /** Repair a corrupt current snapshot BEFORE consulting sync state:
+    * recovery clears the watermark, so the engine plans a full sync
+    * over the rolled-back table (ref `IcebergClient.java:251-286`). */
   def syncState(): Map[String, String] =
-    if (!exists) Map.empty else table.currentMetadata.properties
+    if (!exists) Map.empty
+    else { table.recoverIfCorrupt(); table.currentMetadata.properties }
   def livePaths(): Set[String] =
-    if (!exists) Set.empty else table.snapshotDataFiles().map(_.physicalPath).toSet
+    if (!exists) Set.empty
+    else {
+      table.recoverIfCorrupt()
+      // recovery of a first-and-only snapshot leaves no current snapshot
+      if (table.currentMetadata.currentSnapshotId.isEmpty) Set.empty
+      else table.snapshotDataFiles().map(_.physicalPath).toSet
+    }
   def commit(
       schema: StructType, partitionColumns: Seq[String], sourceDataRoot: String,
       adds: Seq[InternalDataFile], removePaths: Seq[String],

@@ -21,16 +21,34 @@ object GraftRelations {
       index: FileIndex,
       partitionSchema: StructType,
       dataSchema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame =
+    relation(spark, index, partitionSchema, dataSchema, "parquet", options)
+
+  /** Same planning for any supported data-file format (ref
+    * `api/.../model/storage/FileFormat.java:26-30`): "parquet" uses
+    * Spark's vectorized reader, "avro" the [[GraftAvroFileFormat]]
+    * decoder — both behind the identical FileIndex/relation machinery. */
+  def relation(
+      spark: SparkSession,
+      index: FileIndex,
+      partitionSchema: StructType,
+      dataSchema: StructType,
+      format: String,
       options: Map[String, String] = Map.empty): DataFrame = {
-    val relation = HadoopFsRelation(
+    val fileFormat = format.toLowerCase match {
+      case "parquet" => new ParquetFileFormat
+      case "avro"    => new GraftAvroFileFormat
+      case other     => throw new IllegalArgumentException(s"unsupported file format: $other")
+    }
+    val rel = HadoopFsRelation(
       location = index,
       partitionSchema = partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = fileFormat,
       options = options)(spark)
     ClassicDataset.ofRows(
       spark.asInstanceOf[ClassicSession],
-      LogicalRelation(relation, isStreaming = false))
+      LogicalRelation(rel, isStreaming = false))
   }
 }

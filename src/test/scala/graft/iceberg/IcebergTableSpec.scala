@@ -197,4 +197,55 @@ class IcebergTableSpec extends SparkTestBase {
     assert(!t.log.commit(v, m)) // same version again → lost
     assert(t.log.commit(v + 1, m))
   }
+
+  test("avro data files: distributed write, metadata-only convert, identical read, stats prune") {
+    val dir = tmpDir("ice_avro")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .repartitionByRange(4, col("o_orderkey"))
+    val files = graft.sources.AvroDataFiles.write(src, s"$dir/avro")
+    assert(files.size == 4 && files.forall(_.endsWith(".avro")))
+    val t = IcebergTable.convertFromAvro(spark, s"$dir/avro", s"$dir/t")
+    // schema round-trips through the avro container header
+    assert(t.sparkSchema.fieldNames.toSeq == src.schema.fieldNames.toSeq)
+    val back = t.toDF()
+    assert(back.count() == src.count())
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+    // agg-job stats landed in the manifests and prune range scans
+    val all = t.scan.files().size
+    val pruned = t.scan.range("o_orderkey", Some(1L), Some(8L)).files().size
+    assert(pruned < all, s"expected bounds pruning on avro stats: $pruned < $all")
+    // no parquet/avro copied under the table root (metadata only)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/t")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(root).forall(_.getPath.getName == "metadata"))
+  }
+
+  test("corrupt current snapshot recovers to the parent and clears sync state") {
+    val dir = tmpDir("ice_recover")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    val even = src.filter(col("o_orderkey") % 2 === 0)
+    val t = IcebergTable.create(spark, s"$dir/t", even)
+    t.append(src.filter(col("o_orderkey") % 2 === 1))
+    // plant a watermark property like a sync target would carry
+    val (v, m) = t.log.readLatest().get
+    assert(t.log.commit(v + 1, m.copy(properties =
+      m.properties + ("graft.sync.last.synced.version" -> "1"))))
+    val healthy = t.recoverIfCorrupt()
+    assert(!healthy) // intact table → no repair commit
+    // crashed writer: the newest snapshot's manifest list vanishes
+    val snap = t.currentMetadata.currentSnapshot.get
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(snap.manifestList), false))
+    intercept[Exception] { t.toDF().count() }
+    assert(t.recoverIfCorrupt())
+    val meta = t.currentMetadata
+    assert(meta.currentSnapshotId == snap.parentId)
+    assert(!meta.snapshots.exists(_.snapshotId == snap.snapshotId))
+    assert(meta.properties.keys.forall(!_.startsWith("graft.sync.")))
+    // the recovered table reads at the parent snapshot's content
+    val back = t.toDF()
+    assert(back.count() == even.count())
+    assert(back.filter(col("o_orderkey") % 2 === 1).count() == 0)
+  }
 }
