@@ -20,6 +20,8 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // iceberg data files carry field ids in their footers
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

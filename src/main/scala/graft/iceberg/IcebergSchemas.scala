@@ -164,6 +164,68 @@ object IcebergSchemas {
   def fieldId(f: StructField): Option[Int] =
     if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey).toInt) else None
 
+  /** Parquet's field-id metadata key — Spark's parquet writer stamps a
+    * field id into the footer schema for every StructField carrying it
+    * (`spark.sql.parquet.fieldId.write.enabled`, on by default). */
+  val ParquetFieldIdKey = "parquet.field.id"
+
+  /** Copy each stamped Iceberg field id into [[ParquetFieldIdKey]] so
+    * data files written through Spark carry ids in their footers and
+    * id-based readers (real Iceberg engines) resolve columns without
+    * name mapping (ref `hudi-support/extensions/.../
+    * HoodieAvroWriteSupportWithFieldIds.java` — same goal, parquet-mr
+    * write support there, Spark-native metadata here). Collection
+    * element/key/value ids have no StructField to ride on — Spark's
+    * converter only stamps struct fields — so those stay name-mapped. */
+  def withParquetFieldIds(schema: StructType): StructType = {
+    def walkType(dt: DataType): DataType = dt match {
+      case s: StructType => walkStruct(s)
+      case a: ArrayType  => a.copy(elementType = walkType(a.elementType))
+      case m: MapType    => m.copy(valueType = walkType(m.valueType))
+      case other         => other
+    }
+    def walkStruct(s: StructType): StructType = StructType(s.fields.map { f =>
+      val meta = fieldId(f) match {
+        case Some(id) =>
+          new MetadataBuilder().withMetadata(f.metadata).putLong(ParquetFieldIdKey, id.toLong).build()
+        case None => f.metadata
+      }
+      f.copy(dataType = walkType(f.dataType), metadata = meta)
+    })
+    walkStruct(schema)
+  }
+
+  /** Iceberg name-mapping JSON (table spec "Name Mapping Serialization")
+    * for `schema.name-mapping.default`, so id-less data files written by
+    * other engines still resolve by name (ref
+    * `core/.../iceberg/IcebergTableManager.java:103-107`, which uses
+    * `MappingUtil.create` + `NameMappingParser.toJson`). */
+  def nameMappingJson(schema: StructType): String = {
+    val root = mapper.createArrayNode()
+    def entry(parent: com.fasterxml.jackson.databind.node.ArrayNode,
+        name: String, id: Option[Int], dt: DataType, collIds: Seq[Int]): Unit = {
+      val n = parent.addObject()
+      id.foreach(n.put("field-id", _))
+      n.putArray("names").add(name)
+      nested(n, dt, collIds)
+    }
+    def nested(n: ObjectNode, dt: DataType, collIds: Seq[Int]): Unit = dt match {
+      case s: StructType =>
+        val fields = n.putArray("fields")
+        s.fields.foreach(f => entry(fields, f.name, fieldId(f), f.dataType, collIdsOf(f)))
+      case a: ArrayType =>
+        val fields = n.putArray("fields")
+        entry(fields, "element", collIds.headOption, a.elementType, collIds.drop(1))
+      case m: MapType =>
+        val fields = n.putArray("fields")
+        entry(fields, "key", collIds.headOption, m.keyType, Seq.empty)
+        entry(fields, "value", collIds.drop(1).headOption, m.valueType, collIds.drop(2))
+      case _ => ()
+    }
+    schema.fields.foreach(f => entry(root, f.name, fieldId(f), f.dataType, collIdsOf(f)))
+    root.toString
+  }
+
   private def withFieldId(m: Metadata, id: Int): Metadata =
     new MetadataBuilder().withMetadata(m).putLong(FieldIdKey, id.toLong).build()
 

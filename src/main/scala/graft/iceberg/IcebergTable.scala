@@ -167,13 +167,6 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         parsed
       case (None, parsed) => parsed
     }
-    // hidden partitioning: transform fields materialize only as
-    // directory names; the table schema stays the source schema
-    val genDefs = defs.filterNot(_.isIdentity)
-    val dfWithGen = genDefs.foldLeft(df)((d, t) =>
-      d.withColumn(t.fieldName, graft.model.PartitionTransform.valueExpr(t)))
-    val newFiles = StagedWrites.writeAndPlace(dfWithGen, tablePath, defs.map(_.fieldName))
-    val stats = ParquetFooterStats.collect(spark, newFiles)
     // evolve rather than inherit: an appended DataFrame with new columns
     // produces a new schema entry with stable ids for matching fields
     // (was: silent drop of the changed schema)
@@ -181,6 +174,31 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       case Some((_, m)) => IcebergSchemas.evolveSchema(m.schema, df.schema)
       case None => IcebergSchemas.assignFieldIds(df.schema)
     }
+    // hidden partitioning: transform fields materialize only as
+    // directory names; the table schema stays the source schema
+    val genDefs = defs.filterNot(_.isIdentity)
+    val dfWithGen = genDefs.foldLeft(df)((d, t) =>
+      d.withColumn(t.fieldName, graft.model.PartitionTransform.valueExpr(t)))
+    // stamp iceberg ids into the parquet footers (parquet.field.id) so
+    // id-based readers resolve columns without the name mapping; the
+    // enriched target keeps dfWithGen's column order and the transform
+    // columns (which land as directory names, never in the files).
+    // NOTE: explicit-metadata aliases, not Dataset.to — a metadata-only
+    // Project gets collapsed by the optimizer before the file write and
+    // the ids never reach the footer
+    val enrichedByName = IcebergSchemas.withParquetFieldIds(idSchema)
+      .fields.map(f => f.name -> f).toMap
+    val stamped = dfWithGen.select(dfWithGen.schema.fields.map { f =>
+      enrichedByName.get(f.name) match {
+        case Some(e) =>
+          val c = if (e.dataType == f.dataType) org.apache.spark.sql.functions.col(f.name)
+                  else org.apache.spark.sql.functions.col(f.name).cast(e.dataType)
+          c.as(f.name, e.metadata)
+        case None => org.apache.spark.sql.functions.col(f.name)
+      }
+    }.toSeq: _*)
+    val newFiles = StagedWrites.writeAndPlace(stamped, tablePath, defs.map(_.fieldName))
+    val stats = ParquetFooterStats.collect(spark, newFiles)
     val entries = stats.map(st =>
       IcebergTable.entryFor(st, idSchema, defs, tablePath))
     val removes =
@@ -309,6 +327,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       currentSnapshotId = None,
       snapshots = Seq.empty,
       snapshotLog = Seq.empty))
+    // name mapping tracks the current schema so id-less files written by
+    // other engines resolve by name (ref IcebergTableManager.java:103-107
+    // sets it at create; refreshing on evolution keeps it truthful)
+    val nameMapping = Map(
+      "schema.name-mapping.default" -> IcebergSchemas.nameMappingJson(idSchema))
     val next = base.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
@@ -316,7 +339,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       currentSchemaId = schemaId,
       schema = idSchema,
       partitionSpec = specFields,
-      properties = base.properties ++ extraProps,
+      properties = base.properties ++ nameMapping ++ extraProps,
       currentSnapshotId = Some(snapshotId),
       snapshots = base.snapshots :+ snap,
       snapshotLog = base.snapshotLog :+ (now, snapshotId))

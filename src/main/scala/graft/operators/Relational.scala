@@ -242,14 +242,15 @@ object Relational {
 
     QueryDef.sql(
       "q12_grouping_sets",
-      (spark, dir) => {
-        Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_gs")
-        spark.sql(
-          """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
-            |FROM graft_orders_gs
-            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
-      },
+      (spark, dir) =>
+        // Dataset.groupingSets (Spark 4) — no temp-view registration, so
+        // concurrent sessions sharing one SparkSession can't collide
+        Tables.orders(spark, dir)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))

@@ -220,6 +220,62 @@ class IcebergTableSpec extends SparkTestBase {
     assert(fs.listStatus(root).forall(_.getPath.getName == "metadata"))
   }
 
+  test("written parquet footers carry iceberg field ids; metadata carries a name mapping") {
+    val dir = tmpDir("ice_fieldids")
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    val t = IcebergTable.create(spark, s"$dir/t", src)
+    // footer schema: every column tagged with its iceberg id
+    val expected = t.schema.fields.map(f => f.name -> IcebergSchemas.fieldId(f).get).toMap
+    val file = new org.apache.hadoop.fs.Path(t.scan.files().head.filePath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    val msgType = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    expected.foreach { case (name, id) =>
+      val pf = msgType.getType(Seq(name): _*)
+      assert(pf.getId != null && pf.getId.intValue() == id,
+        s"column $name: footer id ${pf.getId} != iceberg id $id")
+    }
+    // name-mapping property present and naming every field
+    val nm = t.currentMetadata.properties("schema.name-mapping.default")
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(nm)
+    assert(parsed.isArray && parsed.size() == src.schema.size)
+    expected.foreach { case (name, id) =>
+      val entry = (0 until parsed.size()).map(parsed.get)
+        .find(_.get("names").get(0).asText() == name).get
+      assert(entry.get("field-id").asInt() == id)
+    }
+  }
+
+  test("name mapping covers nested collection ids") {
+    import org.apache.spark.sql.types._
+    val schema = IcebergSchemas.assignFieldIds(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tags", ArrayType(StringType)),
+      StructField("attrs", MapType(StringType, ArrayType(IntegerType))),
+      StructField("loc", StructType(Seq(
+        StructField("lat", DoubleType), StructField("lon", DoubleType)))))))
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(IcebergSchemas.nameMappingJson(schema))
+    def entryOf(node: com.fasterxml.jackson.databind.JsonNode, name: String) =
+      (0 until node.size()).map(node.get).find(_.get("names").get(0).asText() == name).get
+    // list element rides the stamped collection id
+    val tags = entryOf(parsed, "tags")
+    assert(entryOf(tags.get("fields"), "element").get("field-id").asInt() ==
+      IcebergSchemas.collIdsOf(schema("tags")).head)
+    // map key/value/element-of-value in depth-first stamped order
+    val attrs = entryOf(parsed, "attrs")
+    val attrIds = IcebergSchemas.collIdsOf(schema("attrs"))
+    assert(entryOf(attrs.get("fields"), "key").get("field-id").asInt() == attrIds(0))
+    val value = entryOf(attrs.get("fields"), "value")
+    assert(value.get("field-id").asInt() == attrIds(1))
+    assert(entryOf(value.get("fields"), "element").get("field-id").asInt() == attrIds(2))
+    // nested struct children carry their own field ids
+    val loc = entryOf(parsed, "loc")
+    assert(entryOf(loc.get("fields"), "lat").get("field-id").asInt() ==
+      IcebergSchemas.fieldId(schema("loc").dataType.asInstanceOf[StructType]("lat")).get)
+  }
+
   test("corrupt current snapshot recovers to the parent and clears sync state") {
     val dir = tmpDir("ice_recover")
     val src = spark.read.parquet(s"$sf0001/orders.parquet")
