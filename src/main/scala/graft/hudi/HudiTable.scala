@@ -234,6 +234,15 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         numWrites = st.recordCount,
         fileSizeInBytes = st.fileSizeBytes)
     }
+    // col_stats index entry for this commit (ref
+    // `BaseFileUpdatesExtractor.java:234-262` — every write stat carries
+    // its column ranges); written before the commit so a visible instant
+    // always has its index, and an orphan from a failed commit is
+    // unreachable (readers resolve index files through the timeline)
+    HudiColStats.write(spark, tablePath, instant, stats.map { st =>
+      val rel = new Path(st.path).toUri.getPath.stripPrefix(base)
+      (rel.split("/").dropRight(1).mkString("/"), new Path(st.path).getName, st.columns)
+    })
     val replaceIds: Map[String, Seq[String]] =
       if (overwrite && instants.nonEmpty)
         fileSlicesDF(None).select("partitionPath", "fileId").collect().toSeq
@@ -318,6 +327,8 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       if (path.toUri.getPath.startsWith(baseUriPath)) fs.delete(path, false)
     }
     timeline.deleteInstant(target)
+    // the revoked instant's stats must not outlive it
+    HudiColStats.delete(spark, tablePath, target.time)
     HudiRollbackMetadata(Seq(target.time), byPartition)
   }
 
@@ -359,10 +370,12 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       .map(i => timeline.readCommitMetadata(i).extraMetadata)
       .getOrElse(Map.empty)
 
-  /** Current snapshot as canonical data-file descriptors. Hudi commit
-    * metadata carries record counts but no column bounds, so
-    * `columnStats` is empty — the sync layer translates what exists,
-    * never re-reads footers. */
+  /** Current snapshot as canonical data-file descriptors. Column bounds
+    * come from the col_stats index when this table carries one (ref
+    * `HudiFileStatsExtractor.java:96-103`: metadata table preferred,
+    * footers otherwise); an index-less table — e.g. written by an engine
+    * that didn't maintain stats — yields empty `columnStats`, and the
+    * sync layer translates what exists rather than re-reading footers. */
   def snapshotDataFiles(): Seq[graft.model.InternalDataFile] = {
     val counts: Map[String, Long] = instants.flatMap { t =>
       val m = timeline.readCommitMetadata(
@@ -370,6 +383,19 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       m.partitionToWriteStats.valuesIterator.flatten.map(ws =>
         HudiTable.normalize(absoluteOf(ws.path)) -> ws.numWrites)
     }.toMap
+    val statsByFile: Map[(String, String), Seq[graft.model.ColumnStatRow]] =
+      HudiColStats.read(spark, tablePath, instants) match {
+        case None => Map.empty
+        case Some(df) => df.collect().toSeq
+          .groupBy(r => (r.getString(0), r.getString(1)))
+          .view.mapValues(_.map(r => graft.model.ColumnStatRow(
+            column = r.getString(2),
+            minValue = Option(r.getString(3)),
+            maxValue = Option(r.getString(4)),
+            numNulls = r.getLong(5),
+            numValues = r.getLong(6),
+            totalSize = r.getLong(7))).toSeq).toMap
+      }
     fileSlicesDF(None).select("partitionPath", "path", "size").collect().toSeq.map { r =>
       val abs = absoluteOf(r.getString(1))
       graft.model.InternalDataFile(
@@ -377,7 +403,8 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         partitionValues = HudiTable.parsePartitionPath(r.getString(0)),
         fileSizeBytes = if (r.isNullAt(2)) 0L else r.getLong(2),
         recordCount = counts.getOrElse(HudiTable.normalize(abs), -1L),
-        columnStats = Seq.empty,
+        columnStats = statsByFile.getOrElse(
+          (r.getString(0), new Path(abs).getName), Seq.empty),
         lastModified = 0L)
     }
   }
@@ -486,6 +513,14 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       schema.fields.map(_.copy(metadata = Metadata.empty)) ++
         fieldNames.filterNot(schema.fieldNames.contains)
           .map(StructField(_, StringType, nullable = true)))
+    // the source's column ranges ride into the target's col_stats index
+    // (ref `BaseFileUpdatesExtractor.java:240-262` — the extracted stats
+    // are attached to each write stat so the target table keeps the
+    // skipping index its native readers expect)
+    HudiColStats.write(spark, tablePath, instant, adds
+      .filter(_.columnStats.nonEmpty)
+      .map(f => (HudiTable.buildPartitionPath(f.partitionValues, fieldNames),
+        new Path(f.physicalPath).getName, f.columnStats)))
     val meta = HudiCommitMetadata(
       partitionToWriteStats = writeStats.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
       partitionToReplaceFileIds = replaceIds,
@@ -660,9 +695,18 @@ final class HudiScanBuilder(
     asOfInstant: Option[String]) {
 
   private var partitionPredicates: Seq[(String, Set[String])] = Seq.empty
+  private var rangePredicates: Seq[(String, Option[String], Option[String])] = Seq.empty
 
   def partitionIn(column: String, values: Set[String]): HudiScanBuilder = {
     partitionPredicates +:= (column -> values)
+    this
+  }
+
+  /** Min/max file skipping through the col_stats index (ref read
+    * preference `HudiFileStatsExtractor.java:96-103`). Files without
+    * index coverage are kept — absence of stats never excludes. */
+  def range(column: String, lo: Option[Any], hi: Option[Any]): HudiScanBuilder = {
+    rangePredicates +:= ((column, lo.map(_.toString), hi.map(_.toString)))
     this
   }
 
@@ -677,6 +721,32 @@ final class HudiScanBuilder(
         s"$c=${graft.util.PathCodec.escapePathName(if (v == null) "__HIVE_DEFAULT_PARTITION__" else v)}")
       df = df.filter(arrays_overlap(
         split(col("partitionPath"), "/"), array(tokens.map(lit): _*)))
+    }
+    if (rangePredicates.nonEmpty) {
+      val visible = asOfInstant match {
+        case Some(asOf) => table.instants.filter(_ <= asOf)
+        case None => table.instants
+      }
+      HudiColStats.read(spark, table.tablePath, visible).foreach { idx =>
+        val schemaByName = table.schemaAt(asOfInstant).fields.map(f => f.name -> f).toMap
+        val withName = df.withColumn("fileName", element_at(split(col("path"), "/"), -1))
+        val pruned = rangePredicates.foldLeft(withName) { case (acc, (c, lo0, hi0)) =>
+          val dt = schemaByName(c).dataType
+          val lo = lo0.map(HudiColStats.canonLiteral(dt, _))
+          val hi = hi0.map(HudiColStats.canonLiteral(dt, _))
+          val minC = HudiColStats.typedCanon(col("minValue"), dt)
+          val maxC = HudiColStats.typedCanon(col("maxValue"), dt)
+          // provably-outside files only: null bounds keep the file
+          val outside = (hi.map(h => minC > HudiColStats.typedCanon(lit(h), dt)) ++
+            lo.map(l => maxC < HudiColStats.typedCanon(lit(l), dt)))
+            .reduceOption(_ || _).getOrElse(lit(false))
+          val excluded = idx.filter(col("column") === c && outside)
+            .select(col("partitionPath"), col("fileName"))
+          // the index is metadata-sized: broadcast the anti join
+          acc.join(broadcast(excluded), Seq("partitionPath", "fileName"), "left_anti")
+        }
+        df = pruned.drop("fileName")
+      }
     }
     df
   }

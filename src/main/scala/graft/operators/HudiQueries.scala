@@ -69,6 +69,11 @@ object HudiQueries {
         require(afterRollback.mode == "incremental" && afterRollback.filesRemoved > 0,
           s"h06 fixture: rollback must replay incrementally with removals, got $afterRollback")
 
+        // 6. range-clustered lineitem: disjoint l_orderkey ranges per
+        //    file, so the col_stats index can prove files out of range
+        HudiTable.create(spark, s"$root/lineitem_ranged",
+          Tables.lineitem(spark, sfDir).repartitionByRange(8, col("l_orderkey")))
+
         root
       })
     }
@@ -175,6 +180,26 @@ object HudiQueries {
         |FROM (SELECT 'hudi' AS fmt UNION ALL SELECT 'iceberg') fmts, orders
         |WHERE o_orderkey % 2 = 0
         |GROUP BY fmt, o_orderstatus ORDER BY fmt, o_orderstatus""".stripMargin),
+
+    // min/max file skipping through the col_stats index (ref
+    // `HudiFileStatsExtractor.java:96-103`); the row filter applies on
+    // the surviving files, so dropped files must be provably outside
+    QueryDef.sql(
+      "h07_hudi_stats_skipping",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "lineitem_ranged")
+        t.scan.range("l_orderkey", Some(1000L), Some(2000L)).toDF()
+          .filter(col("l_orderkey") >= 1000 && col("l_orderkey") <= 2000)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     QueryDef.sql(
       "x04_tri_format_equality",

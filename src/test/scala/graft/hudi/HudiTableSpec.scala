@@ -159,6 +159,52 @@ class HudiTableSpec extends SparkTestBase {
     assert(t.toDF(asOf = Some(t.instants(1))).count() == 2)
   }
 
+  test("col_stats index: written per commit, prunes range scans, dies with a rollback") {
+    val dir = tmpDir("hudi_colstats")
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .repartitionByRange(8, col("l_orderkey"))
+    val t = HudiTable.create(spark, s"$dir/t", src)
+    // every commit instant has an index file
+    assert(HudiColStats.coveredInstants(spark, s"$dir/t", t.instants) == t.instants)
+    // range scan drops files the index proves out of range
+    val all = t.scan.files().count()
+    val pruned = t.scan.range("l_orderkey", Some(1L), Some(100L)).files().count()
+    assert(pruned < all, s"expected skipping: $pruned < $all")
+    val rows = t.scan.range("l_orderkey", Some(1L), Some(100L)).toDF()
+      .filter(col("l_orderkey").between(1, 100))
+    val expected = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_orderkey").between(1, 100))
+    assert(rows.count() == expected.count())
+    // snapshot descriptors now carry bounds from the index (no footer job)
+    val withStats = t.snapshotDataFiles()
+    assert(withStats.forall(_.columnStats.nonEmpty))
+    assert(withStats.flatMap(_.columnStats).exists(_.column == "l_orderkey"))
+    // a rolled-back instant's index file is deleted with the instant
+    val before = t.instants.last
+    t.append(src.limit(10))
+    val appended = t.instants.last
+    t.rollback()
+    assert(HudiColStats.coveredInstants(spark, s"$dir/t", Seq(appended)).isEmpty)
+    assert(HudiColStats.coveredInstants(spark, s"$dir/t", Seq(before)) == Seq(before))
+  }
+
+  test("sync target inherits column stats through the col_stats index") {
+    val dir = tmpDir("hudi_colstats_sync")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .repartitionByRange(4, col("o_orderkey"))
+    val d = graft.delta.DeltaTable.create(spark, s"$dir/src_delta", src)
+    import graft.sync.SyncEngine
+    SyncEngine.sync(SyncEngine.deltaSource(d), SyncEngine.hudiTarget(spark, s"$dir/tgt_hudi"))
+    val t = HudiTable.forPath(spark, s"$dir/tgt_hudi")
+    // the delta source's stats landed in the target's index and prune scans
+    val all = t.scan.files().count()
+    val pruned = t.scan.range("o_orderkey", Some(1L), Some(50L)).files().count()
+    assert(pruned < all, s"expected skipping on the sync target: $pruned < $all")
+    val rows = t.scan.range("o_orderkey", Some(1L), Some(50L)).toDF()
+      .filter(col("o_orderkey").between(1, 50))
+    assert(rows.count() == src.filter(col("o_orderkey").between(1, 50)).count())
+  }
+
   test("instantForTimestamp resolves to the latest instant at or before") {
     val dir = tmpDir("hudi_ts")
     val src = spark.read.parquet(s"$sf0001/region.parquet")
