@@ -10,16 +10,30 @@ import graft.sync.SyncEngine
  * Product entry point: sync tables between formats from a YAML config —
  * the reference's CLI loop (ref `utilities/.../RunSync.java:104-177`).
  *
- * Config shape (a subset of the reference's):
+ * Config shape (the reference's `DatasetConfig` + catalog + client
+ * registry, ref `RunSync.java:226-270`, `IcebergCatalogConfig.java`,
+ * `onetable-client-defaults.yaml`):
  * {{{
  * sourceFormat: delta
  * targetFormats:
  *   - iceberg
  *   - hudi
+ * catalog:                                 # optional named-table root
+ *   name: graft
+ *   warehouse: /data/warehouse             # tables at <warehouse>/<ns>/<name>_<fmt>
+ * clients:                                 # optional per-format config,
+ *   iceberg:                               # persisted as target table
+ *     commit.retry.num-retries: "4"        # properties (ref ClientConfig
+ *   hudi:                                  #   .configuration)
+ *     hoodie.keep.max.commits: "40"
  * datasets:
- *   - sourcePath: /data/tables/orders
- *     targetPathPrefix: /data/out/orders      # optional
- * }}}
+ *   - sourcePath: /data/tables/orders      # alias: tableBasePath
+ *     targetPathPrefix: /data/out/orders   # optional explicit target
+ *   - sourcePath: /data/tables/events
+ *     tableName: events                    # named table → catalog layout
+ *     namespace: analytics.prod
+ *     partitionSpec: ts:MONTH              # source spec override (ref
+ * }}}                                      #   HudiSourceConfig)
  *
  * Usage: `runMain graft.RunSync --config sync.yaml [--mode auto|full|incremental]`
  *
@@ -33,8 +47,19 @@ object RunSync {
   final case class Config(
       sourceFormat: String,
       targetFormats: Seq[String],
-      datasets: Seq[Dataset])
-  final case class Dataset(sourcePath: String, targetPathPrefix: Option[String])
+      datasets: Seq[Dataset],
+      catalog: Option[Catalog] = None,
+      clients: Map[String, Map[String, String]] = Map.empty)
+  final case class Dataset(
+      sourcePath: String,
+      targetPathPrefix: Option[String] = None,
+      tableName: Option[String] = None,
+      namespace: Option[String] = None,
+      partitionSpec: Option[String] = None)
+  /** Path-rooted catalog: names resolve under a warehouse directory —
+    * the engine's HadoopTables-style analog of the reference's pluggable
+    * `catalogImpl` (an external service client has no offline parity). */
+  final case class Catalog(name: String, warehouse: String)
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args.toList, Map.empty)
@@ -53,16 +78,38 @@ object RunSync {
     if (failures > 0) sys.exit(1)
   }
 
+  /** Target location for one (dataset, format): explicit prefix first,
+    * then catalog layout `<warehouse>/<namespace>/<tableName>_<fmt>`,
+    * else sibling-of-source (ref table-identifier resolution
+    * `RunSync.java:150-166`). */
+  def targetPathFor(config: Config, ds: Dataset, targetFormat: String): String =
+    (ds.targetPathPrefix, ds.tableName, config.catalog) match {
+      case (Some(p), _, _) => s"${p}_$targetFormat"
+      case (None, Some(name), Some(cat)) =>
+        val ns = ds.namespace.map(_.split("\\.").mkString("/") + "/").getOrElse("")
+        s"${cat.warehouse.stripSuffix("/")}/$ns${name}_$targetFormat"
+      case _ => s"${ds.sourcePath.stripSuffix("/")}_$targetFormat"
+    }
+
   /** Runs every (dataset × target) sync; returns the failure count. */
   def run(spark: SparkSession, config: Config, mode: SyncEngine.Mode): Int = {
     var failures = 0
     for (ds <- config.datasets; targetFormat <- config.targetFormats) {
-      val targetPath =
-        s"${ds.targetPathPrefix.getOrElse(ds.sourcePath.stripSuffix("/"))}_$targetFormat"
+      val targetPath = targetPathFor(config, ds, targetFormat)
       try {
-        val source = SyncEngine.sourceFor(spark, config.sourceFormat, ds.sourcePath)
+        val source = SyncEngine.sourceFor(spark, config.sourceFormat, ds.sourcePath,
+          ds.partitionSpec.map(_.split("[;,]").toSeq.map(_.trim).filter(_.nonEmpty)))
         val target = SyncEngine.targetFor(spark, targetFormat, targetPath)
-        val res = SyncEngine.sync(source, target, mode)
+        // the client registry's per-format configuration plus the
+        // catalog identity persist as target table properties
+        val identity = (config.catalog, ds.tableName) match {
+          case (Some(cat), Some(name)) => Map(
+            "graft.catalog.name" -> cat.name,
+            "graft.catalog.table" -> (ds.namespace.map(_ + ".").getOrElse("") + name))
+          case _ => Map.empty[String, String]
+        }
+        val props = config.clients.getOrElse(targetFormat, Map.empty) ++ identity
+        val res = SyncEngine.sync(source, target, mode, props)
         println(s"SYNC OK ${config.sourceFormat}:${ds.sourcePath} -> $targetFormat:$targetPath " +
           s"mode=${res.mode} versions=${res.versionsSynced.mkString(",")} " +
           s"added=${res.filesAdded} removed=${res.filesRemoved}")
@@ -91,7 +138,8 @@ object RunSync {
   }
 
   /** Minimal YAML-subset parser for the config shape above: top-level
-    * scalars, string lists, and one level of list-of-maps. */
+    * scalars, string lists, one level of list-of-maps (`datasets`), a
+    * scalar map (`catalog`), and a two-level map (`clients`). */
   def parseConfig(yaml: String): Config = {
     val lines = yaml.linesIterator
       // comments start a line or follow whitespace — a '#' inside a
@@ -102,7 +150,10 @@ object RunSync {
     var sourceFormat = ""
     var targetFormats = Vector.empty[String]
     var datasets = Vector.empty[Map[String, String]]
+    var catalog = Map.empty[String, String]
+    var clients = Vector.empty[(String, Map[String, String])]
     var section = ""
+    var clientIndent = -1
     for (line <- lines) {
       val indent = line.takeWhile(_ == ' ').length
       val t = line.trim
@@ -110,6 +161,8 @@ object RunSync {
         case (0, s"sourceFormat:$v")  => sourceFormat = v.trim; section = ""
         case (0, "targetFormats:")    => section = "targetFormats"
         case (0, "datasets:")         => section = "datasets"
+        case (0, "catalog:")          => section = "catalog"
+        case (0, "clients:")          => section = "clients"; clientIndent = -1
         case (_, item) if item.startsWith("- ") && section == "targetFormats" =>
           targetFormats :+= item.stripPrefix("- ").trim
         case (_, item) if item.startsWith("- ") && section == "datasets" =>
@@ -125,6 +178,22 @@ object RunSync {
             case Array(k, v) => datasets = datasets.init :+ (datasets.last + (k.trim -> v.trim))
             case _ =>
           }
+        case (i, kv) if i > 0 && section == "catalog" =>
+          kv.split(":", 2) match {
+            case Array(k, v) => catalog += (k.trim -> v.trim)
+            case _ => throw new IllegalArgumentException(s"cannot parse catalog line: $line")
+          }
+        case (i, kv) if i > 0 && section == "clients" =>
+          // first indent level names a format; deeper lines are its config
+          kv.split(":", 2) match {
+            case Array(k, v) if v.trim.isEmpty && (clientIndent < 0 || i <= clientIndent) =>
+              clientIndent = i
+              clients :+= (k.trim.toLowerCase -> Map.empty)
+            case Array(k, v) if clients.nonEmpty && i > clientIndent =>
+              clients = clients.init :+
+                (clients.last._1 -> (clients.last._2 + (k.trim -> unquote(v.trim))))
+            case _ => throw new IllegalArgumentException(s"cannot parse clients line: $line")
+          }
         case _ =>
           throw new IllegalArgumentException(s"cannot parse config line: $line")
       }
@@ -132,9 +201,26 @@ object RunSync {
     require(sourceFormat.nonEmpty, "config missing sourceFormat")
     require(targetFormats.nonEmpty, "config missing targetFormats")
     require(datasets.nonEmpty, "config missing datasets")
+    val cat = (catalog.get("name"), catalog.get("warehouse")) match {
+      case (Some(n), Some(w)) => Some(Catalog(n, w))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "catalog section needs both `name` and `warehouse`")
+    }
     Config(sourceFormat, targetFormats,
       datasets.map(m => Dataset(
-        m.getOrElse("sourcePath", sys.error("dataset missing sourcePath")),
-        m.get("targetPathPrefix"))))
+        m.get("sourcePath").orElse(m.get("tableBasePath"))
+          .getOrElse(sys.error("dataset missing sourcePath/tableBasePath")),
+        m.get("targetPathPrefix"),
+        m.get("tableName"),
+        m.get("namespace"),
+        m.get("partitionSpec"))),
+      cat,
+      clients.toMap)
   }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
+      s.substring(1, s.length - 1)
+    else s
 }

@@ -63,7 +63,15 @@ object SyncEngine {
   /** Scheme-insensitive path form for cross-format set comparison. */
   private def norm(p: String): String = new Path(p).toUri.getPath
 
-  def sync(source: SyncSource, target: SyncTarget, mode: Mode = Auto): SyncResult = {
+  def sync(
+      source: SyncSource,
+      target: SyncTarget,
+      mode: Mode = Auto,
+      /** Extra properties persisted with every target commit — the
+        * client registry's per-format `configuration` and the catalog
+        * identity ride here (ref `RunSync.java:203-216`,
+        * `onetable-client-defaults.yaml`). */
+      targetProps: Map[String, String] = Map.empty): SyncResult = {
     val wm = target.watermarkFor(source.sourceId)
     val canIncrement = wm.exists(source.versionExists)
     val incremental = mode match {
@@ -75,9 +83,9 @@ object SyncEngine {
       case Auto        => canIncrement
     }
     val stillInflight = source.inflightVersions
-    val keyProps =
-      if (source.recordKeyFields.isEmpty) Map.empty[String, String]
-      else Map(RecordKeyProp -> source.recordKeyFields.mkString(","))
+    val keyProps = targetProps ++
+      (if (source.recordKeyFields.isEmpty) Map.empty[String, String]
+       else Map(RecordKeyProp -> source.recordKeyFields.mkString(",")))
     if (incremental) {
       // backlog = commits after the watermark PLUS previously-inflight
       // commits that have since completed (their times may sort BELOW
@@ -121,13 +129,44 @@ object SyncEngine {
   def icebergTarget(spark: SparkSession, path: String): SyncTarget = new IcebergTarget(spark, path)
   def hudiTarget(spark: SparkSession, path: String): SyncTarget = new HudiTarget(spark, path)
 
-  def sourceFor(spark: SparkSession, format: String, path: String): SyncSource =
-    format.toLowerCase match {
+  def sourceFor(
+      spark: SparkSession,
+      format: String,
+      path: String,
+      /** Partition-spec override for sources whose own metadata can't
+        * describe transforms — the reference's Hudi source config (ref
+        * `HudiSourceConfig`, `ConfigurationBasedPartitionSpecExtractor`);
+        * specs in any form [[graft.model.PartitionTransform.parse]]
+        * accepts, including the CLI's `path:type[:format]`. */
+      partitionSpec: Option[Seq[String]] = None): SyncSource = {
+    val base = format.toLowerCase match {
       case "delta"   => deltaSource(DeltaTable.forPath(spark, path))
       case "iceberg" => icebergSource(IcebergTable.forPath(spark, path))
       case "hudi"    => hudiSource(HudiTable.forPath(spark, path))
       case other     => throw new IllegalArgumentException(s"unknown source format: $other")
     }
+    partitionSpec.filter(_.nonEmpty) match {
+      case None => base
+      case Some(specs) =>
+        // normalize to the engine's spec syntax; validates eagerly
+        val normalized = graft.model.PartitionTransform.parseAll(specs).map(_.spec)
+        new SyncSource {
+          def format = base.format
+          def sourceId = base.sourceId
+          def dataRoot = base.dataRoot
+          def schema = base.schema
+          def partitionColumns: Seq[String] = normalized
+          def currentVersion = base.currentVersion
+          def versionExists(v: String) = base.versionExists(v)
+          def versionsAfter(v: String) = base.versionsAfter(v)
+          def snapshotFiles() = base.snapshotFiles()
+          def changes(v: String) = base.changes(v)
+          override def inflightVersions = base.inflightVersions
+          override def recordKeyFields = base.recordKeyFields
+          override def laterOf(a: String, b: String) = base.laterOf(a, b)
+        }
+    }
+  }
 
   def targetFor(spark: SparkSession, format: String, path: String): SyncTarget =
     format.toLowerCase match {

@@ -53,6 +53,83 @@ class RunSyncSpec extends SparkTestBase {
     assert(IcebergTable.forPath(spark, s"$dir/out_iceberg").snapshotIds.size == 2)
   }
 
+  test("yaml config parses catalog, clients, and per-dataset table identity") {
+    val c = RunSync.parseConfig(
+      """sourceFormat: hudi
+        |targetFormats:
+        |  - iceberg
+        |catalog:
+        |  name: graft
+        |  warehouse: /data/warehouse
+        |clients:
+        |  iceberg:
+        |    commit.retry.num-retries: "4"
+        |    history.expire.max-snapshot-age-ms: 86400000
+        |  hudi:
+        |    hoodie.keep.max.commits: 40
+        |datasets:
+        |  - tableBasePath: /data/tables/events
+        |    tableName: events
+        |    namespace: analytics.prod
+        |    partitionSpec: ts:MONTH
+        |""".stripMargin)
+    assert(c.catalog.contains(RunSync.Catalog("graft", "/data/warehouse")))
+    assert(c.clients("iceberg") == Map(
+      "commit.retry.num-retries" -> "4",
+      "history.expire.max-snapshot-age-ms" -> "86400000"))
+    assert(c.clients("hudi") == Map("hoodie.keep.max.commits" -> "40"))
+    val ds = c.datasets.head
+    assert(ds.sourcePath == "/data/tables/events")
+    assert(ds.tableName.contains("events") && ds.namespace.contains("analytics.prod"))
+    assert(ds.partitionSpec.contains("ts:MONTH"))
+    // named table resolves under the catalog warehouse
+    assert(RunSync.targetPathFor(c, ds, "iceberg") ==
+      "/data/warehouse/analytics/prod/events_iceberg")
+  }
+
+  test("named tables land in the catalog warehouse with identity + client props") {
+    val dir = tmpDir("runsync_catalog")
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val src = DeltaTable.create(spark, s"$dir/src", o)
+    val config = RunSync.Config(
+      "delta", Seq("iceberg", "hudi"),
+      Seq(RunSync.Dataset(s"$dir/src", tableName = Some("orders"),
+        namespace = Some("sales.na"))),
+      catalog = Some(RunSync.Catalog("graft", s"$dir/wh")),
+      clients = Map("iceberg" -> Map("commit.retry.num-retries" -> "4")))
+    assert(RunSync.run(spark, config, SyncEngine.Auto) == 0)
+    val ice = IcebergTable.forPath(spark, s"$dir/wh/sales/na/orders_iceberg")
+    assert(checksum(ice.toDF()) == checksum(src.toDF()))
+    // catalog identity and client configuration persisted as properties
+    val props = ice.currentMetadata.properties
+    assert(props.get("graft.catalog.name").contains("graft"))
+    assert(props.get("graft.catalog.table").contains("sales.na.orders"))
+    assert(props.get("commit.retry.num-retries").contains("4"))
+    val hud = HudiTable.forPath(spark, s"$dir/wh/sales/na/orders_hudi")
+    assert(checksum(hud.toDF()) == checksum(src.toDF()))
+    assert(hud.latestCommitExtraMetadata.get("graft.catalog.table").contains("sales.na.orders"))
+  }
+
+  test("a partitionSpec override drives the target's partition layout") {
+    val dir = tmpDir("runsync_spec")
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    // a plain (unpartitioned) delta source, but the dataset config says
+    // to lay the target out by month(o_orderdate)
+    DeltaTable.create(spark, s"$dir/src", o)
+    val config = RunSync.Config(
+      "delta", Seq("iceberg"),
+      Seq(RunSync.Dataset(s"$dir/src", Some(s"$dir/out"),
+        partitionSpec = Some("o_orderdate:MONTH"))))
+    assert(RunSync.run(spark, config, SyncEngine.Auto) == 0)
+    val ice = IcebergTable.forPath(spark, s"$dir/out_iceberg")
+    assert(ice.currentMetadata.partitionSpec.nonEmpty)
+    assert(ice.currentMetadata.partitionSpec.head.transform == "month")
+    assert(checksum(ice.toDF().select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")))
+      == checksum(o))
+  }
+
   test("a failing target is isolated and reported, others still sync") {
     val dir = tmpDir("runsync_fail")
     val o = spark.read.parquet(s"$sf0001/region.parquet")
