@@ -74,6 +74,21 @@ object HudiQueries {
         HudiTable.create(spark, s"$root/lineitem_ranged",
           Tables.lineitem(spark, sfDir).repartitionByRange(8, col("l_orderkey")))
 
+        // 7. avro-name stress: every column name is illegal in Avro
+        //    (dash, leading digit, unicode), plus a nested struct and an
+        //    array — the schema travels through the Avro commit-metadata
+        //    channel, so sanitize + original-name restore must hold at
+        //    every nesting level (ref AvroSchemaConverter.java name
+        //    handling, HudiSchemaExtractor.java:56-61)
+        HudiTable.create(spark, s"$root/orders_avro_names",
+          o.select(
+            col("o_orderkey").as("order-key"),
+            col("o_orderstatus").as("0status"),
+            struct(
+              col("o_custkey").as("cust-key"),
+              col("o_orderpriority").as("pri-orité")).as("meta-rec"),
+            array(col("o_orderkey"), col("o_custkey")).as("key-list")))
+
         root
       })
     }
@@ -200,6 +215,27 @@ object HudiQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // the schema here only exists in the commit's Avro metadata — a
+    // correct read proves the Avro↔StructType converter restores the
+    // exact Spark names (incl. nested) that Avro itself cannot represent
+    QueryDef.sql(
+      "h08_hudi_avro_schema_names",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "orders_avro_names")
+        t.toDF()
+          .select(
+            col("order-key").as("order_key"),
+            col("0status").as("status"),
+            col("meta-rec").getField("cust-key").as("cust_key"),
+            col("meta-rec").getField("pri-orité").as("priority"),
+            element_at(col("key-list"), 2).as("second_key"))
+          .orderBy(col("order_key"))
+      },
+      """SELECT o_orderkey AS order_key, o_orderstatus AS status,
+        |  o_custkey AS cust_key, o_orderpriority AS priority,
+        |  o_custkey AS second_key
+        |FROM orders ORDER BY order_key""".stripMargin),
 
     QueryDef.sql(
       "x04_tri_format_equality",
