@@ -297,7 +297,17 @@ object Dedup {
         |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
-    QueryDef.rowsOnly("d03_simhash_dedup", simhashPairs),
+    // SimHash rides engine-native hash exprs DuckDB cannot replay, but
+    // the pipeline is fully deterministic — the oracle is a frozen
+    // expectation (graft.FreezeExpected) keyed to the dataset by an
+    // exact integer invariant, so any behavior drift hash-fails.
+    QueryDef.sql(
+      "d03_simhash_dedup",
+      simhashPairs,
+      """SELECT * EXCLUDE (src_key)
+        |FROM '/root/repo/expected/d03_simhash_dedup_*.parquet'
+        |WHERE src_key = (SELECT SUM(n_chars) FROM documents)
+        |ORDER BY doc_a, doc_b""".stripMargin),
     QueryDef.sql(
       "d04_ngram_jaccard",
       ngramJaccardPairs,
@@ -313,6 +323,17 @@ object Dedup {
         |  AND CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE) /
         |      LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))) >= 0.4
         |ORDER BY doc_a, doc_b""".stripMargin),
-    QueryDef.rowsOnly("d05_embedding_near_dup", embeddingNearDupPairs)
+    // Same frozen-expectation oracle as d03: hyperplane signatures are
+    // engine-native, the output is deterministic, and recall against
+    // exact all-pairs is NOT expected (this corpus has no planted
+    // high-cosine pairs — the operator's contract is "top-50 among LSH
+    // candidates", which is exactly what the frozen file pins).
+    QueryDef.sql(
+      "d05_embedding_near_dup",
+      embeddingNearDupPairs,
+      """SELECT * EXCLUDE (src_key)
+        |FROM '/root/repo/expected/d05_embedding_near_dup_*.parquet'
+        |WHERE src_key = (SELECT SUM(n_chars) FROM documents)
+        |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin)
   )
 }

@@ -132,7 +132,12 @@ object Multimodal {
         |  'text/plain' AS mime,
         |  CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS payload_len
         |FROM documents ORDER BY doc_id""".stripMargin),
-    QueryDef.rowsOnly(
+    // The histogram bins are engine-side (byte-level access has no SQL
+    // form), but their invariants are exact: 16 bins whose L1 mass is
+    // payload_bytes/payload_bytes = 1 (0 for an empty payload). The
+    // oracle pins doc coverage, byte length, dimensionality, and
+    // normalization; the bin values themselves are unit-tested.
+    QueryDef.sql(
       "m02_feature_extract",
       (spark, dir) =>
         extractFeatures(spark, dir)
@@ -140,7 +145,12 @@ object Multimodal {
             size(col("features")).cast(LongType).as("feature_dim"),
             round(expr("aggregate(features, cast(0.0 AS DOUBLE), (a, x) -> a + cast(x AS DOUBLE))"), 4)
               .as("l1_norm"))
-          .orderBy(col("doc_id"))),
+          .orderBy(col("doc_id")),
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  CAST(16 AS BIGINT) AS feature_dim,
+        |  CAST(CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 0 ELSE 1 END AS DOUBLE) AS l1_norm
+        |FROM documents ORDER BY doc_id""".stripMargin),
 
     // Frame sampling fan-out: the slicing arithmetic is deterministic,
     // so the oracle reproduces the (doc, frame, offset, ts) rows with a

@@ -97,6 +97,40 @@ object Similarity {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 10) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
-    QueryDef.rowsOnly("s02_ann_ivf_topk", (spark, dir) => ivfTopK(spark, dir))
+    // The IVF plan is fully deterministic (centroids = first 16 corpus
+    // vectors, rank ties broken by id), so the oracle replays the SAME
+    // algorithm in SQL — assignment, probing, and in-bucket top-k — and
+    // must agree exactly, approximation and all. Cosines compare at
+    // DOUBLE precision on both sides.
+    QueryDef.sql(
+      "s02_ann_ivf_topk",
+      (spark, dir) => ivfTopK(spark, dir),
+      """WITH cents AS (
+        |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cent_emb
+        |  FROM embeddings WHERE vec_id < 16),
+        |bucketed AS (
+        |  SELECT centroid_id AS bucket, vec_id AS neighbor_id, c_emb FROM (
+        |    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS c_emb, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), c.cent_emb) DESC,
+        |          c.centroid_id) AS rn
+        |    FROM embeddings e, cents c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, q_emb, bucket FROM (
+        |    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS q_emb,
+        |      c.centroid_id AS bucket,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), c.cent_emb) DESC,
+        |          c.centroid_id) AS rn
+        |    FROM embeddings q, cents c WHERE q.vec_id < 10) WHERE rn <= 4)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ROUND(cosine, 4) AS cosine
+        |FROM (
+        |  SELECT p.query_id, b.neighbor_id,
+        |    LIST_COSINE_SIMILARITY(p.q_emb, b.c_emb) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+        |      ORDER BY LIST_COSINE_SIMILARITY(p.q_emb, b.c_emb) DESC, b.neighbor_id) AS rank
+        |  FROM probes p JOIN bucketed b ON p.bucket = b.bucket
+        |  WHERE p.query_id <> b.neighbor_id) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)
   )
 }
