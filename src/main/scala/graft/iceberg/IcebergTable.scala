@@ -560,6 +560,27 @@ object IcebergTable {
     t
   }
 
+  /** Metadata-only conversion of an ORC dataset (ref
+    * `FileFormat.java:26-30` APACHE_ORC): files referenced in place,
+    * schema and per-file stats from the ORC footers (a distributed
+    * footer walk — ORC carries real column statistics, unlike Avro). */
+  def convertFromOrc(
+      spark: SparkSession,
+      sourceLocation: String,
+      tablePath: String): IcebergTable = {
+    val t = forPath(spark, tablePath)
+    require(t.log.latestVersion().isEmpty, s"table already exists: $tablePath")
+    val files = graft.sources.OrcDataFiles.listOrcFiles(spark, sourceLocation)
+    val inferred = graft.sources.OrcDataFiles.readSchema(spark, sourceLocation)
+    val idSchema = IcebergSchemas.assignFieldIds(inferred)
+    val stats = graft.sources.OrcDataFiles.collectStats(spark, files, inferred)
+    val entries = stats.map(st =>
+      entryFor(st, idSchema, Seq.empty, sourceLocation, fileFormat = "orc"))
+    t.commitSnapshot(None, idSchema, Seq.empty, entries, Seq.empty, carryPrevious = false,
+      operation = "append", extraProps = Map("graft.converted.from" -> sourceLocation))
+    t
+  }
+
   /** Metadata-only conversion of an existing parquet dataset — data
     * files referenced in place by absolute path, hive partition dirs
     * become identity partition fields (reference sync contract). */

@@ -95,6 +95,16 @@ object IcebergQueries {
         IcebergTable.convertFromAvro(
           spark, s"$root/customer_avro_data", s"$root/customer_avro")
 
+        // 9. orc-backed table (ref FileFormat.java:26-30 APACHE_ORC):
+        //    orders rewritten as ORC with disjoint o_orderkey ranges per
+        //    file, converted metadata-only — footer stats land in the
+        //    manifests so bounds-based file skipping works on ORC too
+        graft.sources.OrcDataFiles.write(
+          Tables.orders(spark, sfDir)
+            .repartitionByRange(8, col("o_orderkey")), s"$root/orders_orc_data")
+        IcebergTable.convertFromOrc(
+          spark, s"$root/orders_orc_data", s"$root/orders_orc")
+
         root
       })
     }
@@ -228,6 +238,28 @@ object IcebergQueries {
       """SELECT c_mktsegment, COUNT(*) AS cnt, CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // ORC branch of the data plane: read routes through Spark's native
+    // OrcFileFormat behind the shared FileIndex, and the range() prune
+    // proves the ORC FOOTER stats made it into the manifests as
+    // spec-encoded bounds — both halves of APACHE_ORC support
+    QueryDef.sql(
+      "f10_orc_table_read",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "orders_orc")
+        t.scan.range("o_orderkey", Some(100L), Some(800L)).toDF()
+          .filter(col("o_orderkey") >= 100 && col("o_orderkey") <= 800)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 800
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     QueryDef.sql(
       "i08_iceberg_corrupt_recovery",

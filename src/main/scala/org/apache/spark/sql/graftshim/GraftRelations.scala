@@ -38,6 +38,7 @@ object GraftRelations {
     val fileFormat = format.toLowerCase match {
       case "parquet" => new ParquetFileFormat
       case "avro"    => new GraftAvroFileFormat
+      case "orc"     => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
       case other     => throw new IllegalArgumentException(s"unsupported file format: $other")
     }
     val rel = HadoopFsRelation(

@@ -220,6 +220,32 @@ class IcebergTableSpec extends SparkTestBase {
     assert(fs.listStatus(root).forall(_.getPath.getName == "metadata"))
   }
 
+  test("orc data files: native write, metadata-only convert, identical read, footer-stats prune") {
+    val dir = tmpDir("ice_orc")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .repartitionByRange(4, col("o_orderkey"))
+    val files = graft.sources.OrcDataFiles.write(src, s"$dir/orc")
+    assert(files.size == 4 && files.forall(_.endsWith(".orc")))
+    val t = IcebergTable.convertFromOrc(spark, s"$dir/orc", s"$dir/t")
+    assert(t.sparkSchema.fieldNames.toSeq == src.schema.fieldNames.toSeq)
+    val back = t.toDF()
+    assert(back.count() == src.count())
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+    // ORC footer stats landed in the manifests and prune range scans
+    val all = t.scan.files().size
+    val pruned = t.scan.range("o_orderkey", Some(1L), Some(8L)).files().size
+    assert(pruned < all, s"expected bounds pruning on orc footer stats: $pruned < $all")
+    // timestamp/date bounds canonicalized like parquet footers
+    val stats = graft.sources.OrcDataFiles.collectStats(spark, files, src.schema)
+    val dateCol = stats.flatMap(_.columns).filter(_.column == "o_orderdate")
+    assert(dateCol.nonEmpty && dateCol.forall(c => c.minValue.exists(_.forall(ch =>
+      ch.isDigit || ch == '-'))), s"o_orderdate bounds not canonical: ${dateCol.take(2)}")
+    // no data copied under the table root (metadata only)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/t")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(root).forall(_.getPath.getName == "metadata"))
+  }
+
   test("written parquet footers carry iceberg field ids; metadata carries a name mapping") {
     val dir = tmpDir("ice_fieldids")
     val src = spark.read.parquet(s"$sf0001/nation.parquet")
