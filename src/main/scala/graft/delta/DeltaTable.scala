@@ -93,7 +93,45 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
    * THIS writer produced — two concurrent appends each commit their own
    * files and the optimistic log race stays the sole arbiter.
    */
-  private def write(df: DataFrame, partitionSpecs: Seq[String], overwrite: Boolean): Long = {
+  /**
+   * Bin-packing small-file compaction (OPTIMIZE): partitions holding
+   * two or more files under `smallFileBytes` get those files rewritten
+   * into ~`targetFileBytes` outputs, removed and re-added in ONE commit
+   * so readers never see duplicates or gaps; old files stay on disk for
+   * time travel. `sortBy` range-clusters the rewrite set so min/max
+   * stats skipping bites afterwards. Only the small files shuffle — at
+   * 100 TB the rewrite set is the long tail, never the table.
+   * Returns the committed version, or None when nothing qualifies.
+   */
+  def compact(
+      targetFileBytes: Long = 128L << 20,
+      smallFileBytes: Long = 32L << 20,
+      sortBy: Seq[String] = Seq.empty): Option[Long] = {
+    val (schema, partCols) = schemaAt(None)
+    val all = DeltaTable.manifestFiles(
+      log.snapshotFilesDF()
+        .select("path", "size", "modificationTime", "partitionValues").collect().toSeq)
+    val smalls = all.groupBy(_.partitionValues).values.flatMap { g =>
+      val s = g.filter(_.size < smallFileBytes)
+      if (s.size >= 2) s else Seq.empty
+    }.toSeq
+    if (smalls.isEmpty) return None
+    val df = DeltaTable.readFiles(spark, tablePath, readBasePath(None), smalls, schema, partCols)
+    val n = math.max(1, math.ceil(smalls.map(_.size).sum.toDouble / targetFileBytes).toInt)
+    val arranged =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(n, sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
+      else if (partCols.nonEmpty) df.repartition(n, partCols.map(col): _*)
+      else df.repartition(n)
+    Some(write(arranged, Seq.empty, overwrite = false, replacing = smalls.map(_.path)))
+  }
+
+  private def write(
+      df: DataFrame,
+      partitionSpecs: Seq[String],
+      overwrite: Boolean,
+      /** Log paths compacted away in the same commit (OPTIMIZE). */
+      replacing: Seq[String] = Seq.empty): Long = {
     // partition specs: identity columns or time transforms
     // (`month(o_orderdate)`), the latter materialized as Delta generated
     // columns (ref `DeltaPartitionExtractor.java:227-323`); an append
@@ -135,7 +173,8 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       if (overwrite && log.latestVersion().nonEmpty)
         log.snapshotFilesDF().select("path").collect().toSeq
           .map(r => RemoveFile(r.getString(0), System.currentTimeMillis(), dataChange = true))
-      else Seq.empty
+      else
+        replacing.map(p => RemoveFile(p, System.currentTimeMillis(), dataChange = true))
 
     val v = log.latestVersion().map(_ + 1).getOrElse(0L)
     val metaActions: Seq[DeltaAction] =
@@ -160,7 +199,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       }
     val info = CommitInfo(
       System.currentTimeMillis(),
-      if (overwrite) "WRITE" else "APPEND",
+      if (overwrite) "WRITE" else if (replacing.nonEmpty) "OPTIMIZE" else "APPEND",
       Map("mode" -> (if (overwrite) "Overwrite" else "Append")))
     require(log.commit(v, metaActions ++ removes ++ adds :+ info),
       s"concurrent commit detected at version $v of $tablePath")

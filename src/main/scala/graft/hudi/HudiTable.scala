@@ -183,7 +183,43 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
   def overwrite(df: DataFrame, partCols: Seq[String] = Seq.empty): String =
     write(df, partCols, overwrite = true)
 
-  private def write(df: DataFrame, partSpecsIn: Seq[String], overwrite: Boolean): String = {
+  /**
+   * Bin-packing small-file compaction — Hudi's clustering shape, a
+   * `replacecommit` (operation CLUSTER) replacing the compacted file
+   * groups with consolidated ones (ref REPLACE_COMMIT clustering diff,
+   * `core/.../hudi/HudiDataFileExtractor.java:313-348`). Partitions
+   * with ≥2 base files under `smallFileBytes` are rewritten into
+   * ~`targetFileBytes` outputs; `sortBy` range-clusters the rewrite.
+   * Returns the replacecommit instant, or None when nothing qualifies.
+   */
+  def compact(
+      targetFileBytes: Long = 128L << 20,
+      smallFileBytes: Long = 32L << 20,
+      sortBy: Seq[String] = Seq.empty): Option[String] = {
+    val rows = fileSlicesDF(None).select("path", "partitionPath", "size").collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+    val smalls = rows.groupBy(_._2).values.flatMap { g =>
+      val s = g.filter(_._3 < smallFileBytes)
+      if (s.size >= 2) s else Seq.empty
+    }.toSeq
+    if (smalls.isEmpty) return None
+    val df = readFiles(smalls, None)
+    val n = math.max(1, math.ceil(smalls.map(_._3).sum.toDouble / targetFileBytes).toInt)
+    val arranged =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(n, sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
+      else if (partitionColumns.nonEmpty) df.repartition(n, partitionColumns.map(col): _*)
+      else df.repartition(n)
+    Some(write(arranged, Seq.empty, overwrite = false,
+      replacing = smalls.map(f => absoluteOf(f._1))))
+  }
+
+  private def write(
+      df: DataFrame,
+      partSpecsIn: Seq[String],
+      overwrite: Boolean,
+      /** Base-file paths whose file groups this commit replaces. */
+      replacing: Seq[String] = Seq.empty): String = {
     // same spec handling as the Delta/Iceberg write paths: parse
     // identity/transform specs, inherit the table's fields when the
     // caller passes none, and REJECT a mismatching explicit spec
@@ -247,7 +283,12 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       if (overwrite && instants.nonEmpty)
         fileSlicesDF(None).select("partitionPath", "fileId").collect().toSeq
           .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
-      else Map.empty
+      else if (replacing.nonEmpty && instants.nonEmpty) {
+        val rs = replacing.map(HudiTable.normalize).toSet
+        fileSlicesDF(None).select("partitionPath", "fileId", "path").collect().toSeq
+          .filter(r => rs.contains(HudiTable.normalize(absoluteOf(r.getString(2)))))
+          .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+      } else Map.empty
     if (instants.isEmpty)
       timeline.writeProperties(HudiTable.tableProperties(tablePath, partCols,
         if (genDefs.isEmpty) Map.empty
@@ -264,7 +305,10 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       // partition fields (incl. materialized transforms) are part of the
       // Hudi table schema, matching the hive-style layout convention
       extraMetadata = Map("schema" -> AvroSchemaConverters.toAvro(storedSchema).toString),
-      operationType = if (overwrite) "INSERT_OVERWRITE_TABLE" else "INSERT")
+      operationType =
+        if (overwrite) "INSERT_OVERWRITE_TABLE"
+        else if (replacing.nonEmpty) "CLUSTER"
+        else "INSERT")
     val action = if (replaceIds.nonEmpty) "replacecommit" else "commit"
     require(timeline.commit(HudiInstant(instant, action), meta),
       s"concurrent hudi commit at $instant of $tablePath")

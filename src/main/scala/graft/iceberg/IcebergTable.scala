@@ -153,7 +153,43 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   def overwrite(df: DataFrame, partitionColumns: Seq[String] = Seq.empty): Long =
     write(df, partitionColumns, overwrite = true)
 
-  private def write(df: DataFrame, partitionSpecsIn: Seq[String], overwrite: Boolean): Long = {
+  /**
+   * Bin-packing small-file compaction — iceberg's `replace` snapshot
+   * operation: partitions with ≥2 files under `smallFileBytes` get
+   * those files rewritten into ~`targetFileBytes` outputs, removed and
+   * re-added atomically; prior snapshots stay time-travelable. `sortBy`
+   * range-clusters the rewrite so manifest bounds skipping bites.
+   * Returns the committed version, or None when nothing qualifies.
+   */
+  def compact(
+      targetFileBytes: Long = 128L << 20,
+      smallFileBytes: Long = 32L << 20,
+      sortBy: Seq[String] = Seq.empty): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    val live = liveEntries(None)
+    val smalls = live.groupBy(_.partitionValues).values.flatMap { g =>
+      val s = g.filter(_.fileSizeBytes < smallFileBytes)
+      if (s.size >= 2) s else Seq.empty
+    }.toSeq
+    if (smalls.isEmpty) return None
+    val df = readFiles(smalls)
+    val n = math.max(1, math.ceil(smalls.map(_.fileSizeBytes).sum.toDouble / targetFileBytes).toInt)
+    val partCols = log.readLatest().toSeq
+      .flatMap(p => IcebergTable.defsOf(p._2)).filter(_.isIdentity).map(_.fieldName)
+    val arranged =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(n, sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
+      else if (partCols.nonEmpty) df.repartition(n, partCols.map(col): _*)
+      else df.repartition(n)
+    Some(write(arranged, Seq.empty, overwrite = false, replacing = smalls.map(_.filePath)))
+  }
+
+  private def write(
+      df: DataFrame,
+      partitionSpecsIn: Seq[String],
+      overwrite: Boolean,
+      /** Data-file paths compacted away in the same snapshot. */
+      replacing: Seq[String] = Seq.empty): Long = {
     val prev = log.readLatest()
     // inherit the table's partition spec when the caller doesn't repeat
     // it; a mismatching explicit spec is an error, never a silent wipe
@@ -203,10 +239,14 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       IcebergTable.entryFor(st, idSchema, defs, tablePath))
     val removes =
       if (overwrite && prev.exists(_._2.currentSnapshotId.nonEmpty)) liveEntries(None)
-      else Seq.empty
+      else if (replacing.nonEmpty) {
+        val rs = replacing.toSet
+        liveEntries(None).filter(e => rs.contains(e.filePath))
+      } else Seq.empty
     commitSnapshot(prev, idSchema, defs, entries, removes,
       carryPrevious = !overwrite,
-      if (overwrite) "overwrite" else "append", Map.empty)
+      if (overwrite) "overwrite" else if (replacing.nonEmpty) "replace" else "append",
+      Map.empty)
   }
 
   /**

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.delta.DeltaTable
+import graft.hudi.HudiTable
+import graft.iceberg.IcebergTable
+
+/** Small-file compaction (OPTIMIZE / replace / clustering) across the
+  * three formats: one atomic commit, identical data, history intact. */
+class CompactionSpec extends SparkTestBase {
+
+  private def checksum(df: org.apache.spark.sql.DataFrame): Long =
+    df.select(sum(hash(df.columns.map(col): _*)).cast("long")).collect()(0).getLong(0)
+
+  private def orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  test("delta compact: bin-packs small files in one OPTIMIZE commit, history intact") {
+    val dir = tmpDir("compact_delta")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.repartition(8))
+    val before = checksum(t.toDF())
+    val filesBefore = t.scan.files().count()
+    val v = t.compact(targetFileBytes = 1L << 30, smallFileBytes = 1L << 30)
+    assert(v.nonEmpty)
+    assert(t.scan.files().count() < filesBefore)
+    assert(checksum(t.toDF()) == before)
+    // pre-compaction version still reads all rows (old files retained)
+    assert(checksum(t.toDF(versionAsOf = Some(v.get - 1))) == before)
+    // nothing left to compact
+    assert(t.compact(targetFileBytes = 1L << 30, smallFileBytes = 1L << 30).isEmpty)
+  }
+
+  test("delta compact respects partition boundaries") {
+    val dir = tmpDir("compact_delta_part")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.repartition(4), Seq("o_orderstatus"))
+    val before = checksum(t.toDF())
+    val perPartBefore = t.scan.files().select("partitionValues").collect().length
+    assert(t.compact(targetFileBytes = 1L << 30, smallFileBytes = 1L << 30).nonEmpty)
+    assert(checksum(t.toDF()) == before)
+    // each partition collapses to one file
+    val byPart = t.scan.files().select("partitionValues").collect()
+      .groupBy(_.toString).view.mapValues(_.length)
+    assert(byPart.values.forall(_ == 1), s"expected 1 file/partition, got $byPart")
+    assert(byPart.size < perPartBefore)
+  }
+
+  test("iceberg compact: replace snapshot, time travel intact, sort clustering prunes") {
+    val dir = tmpDir("compact_ice")
+    val t = IcebergTable.create(spark, s"$dir/t", orders.repartition(8))
+    val before = checksum(t.toDF())
+    val snapBefore = t.snapshotIds.last
+    val filesBefore = t.scan.files().size
+    // sort-cluster into ~4 files so bounds skipping has ranges to prove
+    val bytes = t.scan.files().map(_.fileSizeBytes).sum
+    val v = t.compact(
+      targetFileBytes = math.max(1, bytes / 4), smallFileBytes = 1L << 30,
+      sortBy = Seq("o_orderkey"))
+    assert(v.nonEmpty)
+    assert(checksum(t.toDF()) == before)
+    assert(t.scan.files().size < filesBefore)
+    assert(checksum(t.toDF(snapshotAsOf = Some(snapBefore))) == before)
+    // disjoint o_orderkey ranges per file now: a narrow range scan
+    // touches fewer files than the table has
+    val all = t.scan.files().size
+    val pruned = t.scan.range("o_orderkey", Some(1L), Some(50L)).files().size
+    assert(pruned < all, s"sort clustering should enable pruning: $pruned < $all")
+  }
+
+  test("hudi compact: clustering replacecommit, reads stay identical") {
+    val dir = tmpDir("compact_hudi")
+    val t = HudiTable.create(spark, s"$dir/t", orders.repartition(8))
+    val before = checksum(t.toDF())
+    val instBefore = t.instants.last
+    val filesBefore = t.scan.files().count()
+    val inst = t.compact(targetFileBytes = 1L << 30, smallFileBytes = 1L << 30)
+    assert(inst.nonEmpty)
+    assert(t.scan.files().count() < filesBefore)
+    assert(checksum(t.toDF()) == before)
+    // pre-compaction instant still reads everything (COW time travel)
+    assert(checksum(t.toDF(asOf = Some(instBefore))) == before)
+    // the commit is a replacecommit (clustering shape)
+    assert(t.instants.size == 2)
+  }
+}

@@ -39,8 +39,13 @@ object SchemaCodecProperties extends Properties("SchemaCodecs") {
     1 -> Gen.oneOf("a b", "a-b", "a_b", "a+b", "0col", "col$", "naïve", "_1", "a.b"),
     1 -> Gen.choose(1, 4).flatMap(n => Gen.stringOfN(n, Gen.oneOf(('a' to 'z') ++ Seq('-', ' ', '%')))))
 
+  /** Distinct by construction: repeats get an index suffix ('~' never
+    * appears in nameGen output, so suffixed names cannot collide). */
   private def distinctNames(n: Int): Gen[List[String]] =
-    Gen.listOfN(n, nameGen).retryUntil(l => l.distinct.size == l.size && l.forall(_.nonEmpty), 100)
+    Gen.listOfN(n, nameGen).map(_.zipWithIndex.map { case (s, i) =>
+      val base = if (s.nonEmpty) s else "f"
+      base + (if (i == 0) "" else s"~$i")
+    })
 
   private def typeGen(depth: Int, mapKey: Gen[DataType]): Gen[DataType] =
     if (depth <= 0) primGen
