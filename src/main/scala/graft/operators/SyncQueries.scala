@@ -78,6 +78,22 @@ object SyncQueries {
           SyncEngine.icebergSource(IcebergTable.forPath(spark, s"$root/d2i_tgt")),
           SyncEngine.hudiTarget(spark, s"$root/chain_tgt"))
 
+        // 6. compaction fixtures: the same orders fragmented into 8
+        //    small files per format, then compact()ed with sort
+        //    clustering — one atomic replace commit each; reads must
+        //    stay byte-identical to the original parquet
+        val frag = o.repartition(8)
+        val cd = DeltaTable.create(spark, s"$root/compact_delta", frag)
+        require(cd.compact(sortBy = Seq("o_orderkey")).nonEmpty, "delta compact no-op")
+        val ci = IcebergTable.create(spark, s"$root/compact_ice", frag)
+        require(ci.compact(sortBy = Seq("o_orderkey")).nonEmpty, "iceberg compact no-op")
+        val ch = HudiTable.create(spark, s"$root/compact_hudi", frag)
+        require(ch.compact(sortBy = Seq("o_orderkey")).nonEmpty, "hudi compact no-op")
+
+        // 7. DataSource round-trip: written AND read back through
+        //    spark.read/write.format("graft") (format auto-detected)
+        o.write.format("graft").option("format", "iceberg").save(s"$root/ds_tbl")
+
         root
       })
     }
@@ -169,6 +185,48 @@ object SyncQueries {
           .orderBy(col("o_orderstatus"))
       },
       """SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Compaction equality: after bin-packing + sort clustering, all
+    // three formats must still answer identically to DuckDB on the
+    // original parquet — the maintenance op may never change results.
+    QueryDef.sql(
+      "x07_compacted_tri_equality",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        def summarize(df: org.apache.spark.sql.DataFrame, fmt: String) =
+          df.groupBy(col("o_orderstatus"))
+            .agg(
+              count(lit(1)).as("cnt"),
+              sum(col("o_orderkey")).as("key_sum"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+            .withColumn("fmt", lit(fmt))
+        summarize(DeltaTable.forPath(spark, s"$root/compact_delta").toDF(), "delta")
+          .unionAll(summarize(HudiTable.forPath(spark, s"$root/compact_hudi").toDF(), "hudi"))
+          .unionAll(summarize(IcebergTable.forPath(spark, s"$root/compact_ice").toDF(), "iceberg"))
+          .select(col("fmt"), col("o_orderstatus"), col("cnt"), col("key_sum"), col("sum_price"))
+          .orderBy(col("fmt"), col("o_orderstatus"))
+      },
+      """SELECT fmt, o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (SELECT 'delta' AS fmt UNION ALL SELECT 'hudi' UNION ALL SELECT 'iceberg') fmts, orders
+        |GROUP BY fmt, o_orderstatus ORDER BY fmt, o_orderstatus""".stripMargin),
+
+    // The registered DataSource: a table written AND read back through
+    // format("graft") answers identically to DuckDB on the source rows.
+    QueryDef.sql(
+      "f11_datasource_roundtrip",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        spark.read.format("graft").load(s"$root/ds_tbl")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   )
 }
