@@ -35,7 +35,8 @@ import graft.sync.SyncEngine
  *     partitionSpec: ts:MONTH              # source spec override (ref
  * }}}                                      #   HudiSourceConfig)
  *
- * Usage: `runMain graft.RunSync --config sync.yaml [--mode auto|full|incremental]`
+ * Usage: `runMain graft.RunSync --config sync.yaml [--mode auto|full|incremental]
+ *         [--continuous <seconds> [--max-cycles N]]`
  *
  * Each (dataset × targetFormat) runs an independent sync with failure
  * isolation: one failing target doesn't stop the rest (ref
@@ -73,9 +74,39 @@ object RunSync {
     }
     val config = parseConfig(readFile(configPath))
     val spark = GraftSession.local(Runtime.getRuntime.availableProcessors())
-    val failures = run(spark, config, mode)
+    val failures = opts.get("continuous") match {
+      case Some(interval) =>
+        // continuous mode: the reference's post-commit-hook / scheduled
+        // sync shape (ref `OneTableSyncTool.java:46-80`) as a polling
+        // daemon; idle cycles commit nothing (watermark short-circuit)
+        runContinuous(spark, config, mode,
+          intervalMs = (interval.toDouble * 1000).toLong,
+          maxCycles = opts.get("max-cycles").map(_.toInt).getOrElse(Int.MaxValue))
+      case None => run(spark, config, mode)
+    }
     spark.stop()
     if (failures > 0) sys.exit(1)
+  }
+
+  /** Polls `run` every `intervalMs` for `maxCycles` cycles; returns the
+    * last cycle's failure count. `onCycle` is a test seam invoked after
+    * each cycle with its index. */
+  def runContinuous(
+      spark: SparkSession,
+      config: Config,
+      mode: SyncEngine.Mode,
+      intervalMs: Long,
+      maxCycles: Int,
+      onCycle: Int => Unit = _ => ()): Int = {
+    var failures = 0
+    var cycle = 0
+    while (cycle < maxCycles) {
+      failures = run(spark, config, mode)
+      onCycle(cycle)
+      cycle += 1
+      if (cycle < maxCycles) Thread.sleep(intervalMs)
+    }
+    failures
   }
 
   /** Target location for one (dataset, format): explicit prefix first,

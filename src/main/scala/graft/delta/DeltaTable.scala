@@ -126,6 +126,38 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     Some(write(arranged, Seq.empty, overwrite = false, replacing = smalls.map(_.path)))
   }
 
+  /**
+   * VACUUM: physically delete data files under the table root that the
+   * CURRENT snapshot no longer references and whose modification time
+   * is older than `retentionMs` — Delta Lake's documented semantics
+   * (time travel older than the retention window stops resolving; the
+   * log itself is pruned separately by log expiry). Externally
+   * referenced files of metadata-only converted tables live outside
+   * the root and are never touched. Returns the deleted paths.
+   */
+  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000, dryRun: Boolean = false): Seq[String] = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = log.snapshotFilesDF().select("path").collect().toSeq.map { r =>
+      val p = DeltaTable.decodeLogPath(r.getString(0))
+      val abs = if (p.startsWith("/") || p.contains(":/")) p else new Path(tablePath, p).toString
+      new Path(abs).toUri.getPath
+    }.toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name == "_delta_log" || name.startsWith(".")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st)
+      }
+    val dead = walk(root).filter(st =>
+      st.getModificationTime < cutoff &&
+        !live.contains(st.getPath.toUri.getPath))
+    if (!dryRun) dead.foreach(st => fs.delete(st.getPath, false))
+    dead.map(_.getPath.toString)
+  }
+
   private def write(
       df: DataFrame,
       partitionSpecs: Seq[String],

@@ -130,6 +130,24 @@ class RunSyncSpec extends SparkTestBase {
       == checksum(o))
   }
 
+  test("continuous mode picks up source commits that land between cycles") {
+    val dir = tmpDir("runsync_cont")
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val src = DeltaTable.create(spark, s"$dir/src", o.filter(col("o_orderkey") % 2 === 0))
+    val config = RunSync.Config(
+      "delta", Seq("iceberg"),
+      Seq(RunSync.Dataset(s"$dir/src", Some(s"$dir/out"))))
+    val failures = RunSync.runContinuous(
+      spark, config, SyncEngine.Auto, intervalMs = 1L, maxCycles = 3,
+      onCycle = c => if (c == 0) src.append(o.filter(col("o_orderkey") % 2 === 1), Seq.empty))
+    assert(failures == 0)
+    val ice = IcebergTable.forPath(spark, s"$dir/out_iceberg")
+    // cycle 0 synced the even half, a later cycle replayed the odd half
+    assert(ice.snapshotIds.size == 2)
+    assert(checksum(ice.toDF()) == checksum(src.toDF()))
+  }
+
   test("a failing target is isolated and reported, others still sync") {
     val dir = tmpDir("runsync_fail")
     val o = spark.read.parquet(s"$sf0001/region.parquet")

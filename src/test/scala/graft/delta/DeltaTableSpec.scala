@@ -164,6 +164,26 @@ class DeltaTableSpec extends SparkTestBase {
     assert(t2.toDF().count() == 31L)
   }
 
+  test("vacuum deletes only unreferenced files older than retention") {
+    val dir = tmpDir("delta_vacuum")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = DeltaTable.create(spark, s"$dir/t", src)
+    t.overwrite(src.limit(3), Seq.empty) // v0 files now unreferenced
+    val before = t.toDF().count()
+    // dry run reports candidates without deleting
+    val candidates = t.vacuum(retentionMs = 0L, dryRun = true)
+    assert(candidates.nonEmpty)
+    assert(t.toDF(versionAsOf = Some(0L)).count() == src.count()) // still readable
+    // fresh files survive a 1-day retention window
+    assert(t.vacuum(retentionMs = 24L * 3600 * 1000).isEmpty)
+    // zero retention deletes the tombstoned v0 files; current read intact
+    val deleted = t.vacuum(retentionMs = 0L)
+    assert(deleted.toSet == candidates.toSet)
+    assert(t.toDF().count() == before)
+    // vacuuming again finds nothing
+    assert(t.vacuum(retentionMs = 0L).isEmpty)
+  }
+
   test("removes across a checkpoint resolve correctly (overwrite after cp)") {
     val dir = tmpDir("delta_cp_rm")
     val src = spark.read.parquet(s"$sf0001/region.parquet")
