@@ -22,6 +22,8 @@ import graft.iceberg.IcebergTable
  *    marker directory `_delta_log` / `metadata` / `.hoodie`)
  *  - `versionAsOf`: time travel — a Delta version, Iceberg snapshot id,
  *    or Hudi instant
+ *  - `timestampAsOf`: time travel by wall clock (epoch millis or
+ *    ISO date/datetime, UTC); resolves to the latest commit at-or-before
  *
  * Write options: `format` (required), `partitionBy` (comma list; Delta
  * generated-column / Iceberg transform specs accepted). SaveMode.Append
@@ -45,10 +47,20 @@ final class GraftDataSource
     val fmt = opts.get("format").map(_.toLowerCase)
       .getOrElse(GraftDataSource.detectFormat(spark, path))
     val asOf = opts.get("versionasof")
+    val tsOf = opts.get("timestampasof").map(GraftDataSource.parseTimestampMillis)
+    require(asOf.isEmpty || tsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
     val df = fmt match {
-      case "delta"   => DeltaTable.forPath(spark, path).toDF(asOf.map(_.toLong))
-      case "iceberg" => IcebergTable.forPath(spark, path).toDF(asOf.map(_.toLong))
-      case "hudi"    => HudiTable.forPath(spark, path).toDF(asOf)
+      case "delta" =>
+        val t = DeltaTable.forPath(spark, path)
+        t.toDF(asOf.map(_.toLong).orElse(tsOf.map(t.versionForTimestamp)))
+      case "iceberg" =>
+        val t = IcebergTable.forPath(spark, path)
+        t.toDF(asOf.map(_.toLong).orElse(
+          tsOf.map(ts => t.currentMetadata.snapshotForTimestamp(ts).snapshotId)))
+      case "hudi" =>
+        val t = HudiTable.forPath(spark, path)
+        t.toDF(asOf.orElse(tsOf.map(t.instantForTimestamp)))
       case other => throw new IllegalArgumentException(s"unknown graft format: $other")
     }
     GraftDataSource.fsRelationOf(df).getOrElse(throw new UnsupportedOperationException(
@@ -106,6 +118,18 @@ final class GraftDataSource
 }
 
 object GraftDataSource {
+
+  /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd`, or
+    * `yyyy-MM-dd HH:mm:ss[.S]` (UTC — the engine's session zone). */
+  private[graft] def parseTimestampMillis(s: String): Long = {
+    val t = s.trim
+    if (t.matches("-?\\d+")) t.toLong
+    else if (t.length <= 10)
+      java.time.LocalDate.parse(t).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    else
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
 
   /** Identify a table by its metadata marker directory. */
   def detectFormat(spark: SparkSession, path: String): String = {

@@ -50,6 +50,24 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(spark.read.format("graft").load(s"$dir/t").count() == o.count())
   }
 
+  test("timestampAsOf resolves the latest commit at-or-before, per format") {
+    val dir = tmpDir("ds_tsasof")
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val even = o.filter(col("o_orderkey") % 2 === 0)
+    for (fmt <- Seq("delta", "iceberg", "hudi")) {
+      even.write.format("graft").option("format", fmt).save(s"$dir/$fmt")
+      val between = System.currentTimeMillis()
+      Thread.sleep(1200) // hudi instants have second granularity
+      o.filter(col("o_orderkey") % 2 === 1).write.format("graft")
+        .option("format", fmt).mode("append").save(s"$dir/$fmt")
+      val past = spark.read.format("graft")
+        .option("timestampAsOf", between.toString).load(s"$dir/$fmt")
+      assert(past.count() == even.count(), s"$fmt timestampAsOf")
+      assert(spark.read.format("graft").load(s"$dir/$fmt").count() == o.count(), s"$fmt latest")
+    }
+  }
+
   test("partition filters prune at plan time through the relation") {
     val dir = tmpDir("ds_prune")
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
