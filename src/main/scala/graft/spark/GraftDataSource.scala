@@ -3,7 +3,8 @@ package graft.spark
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 import graft.delta.DeltaTable
 import graft.hudi.HudiTable
@@ -34,9 +35,44 @@ import graft.iceberg.IcebergTable
  * differ from the table-schema order `GraftTable.toDF` presents.
  */
 final class GraftDataSource
-    extends RelationProvider with CreatableRelationProvider with DataSourceRegister {
+    extends RelationProvider with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ------------------------------------------------------------ streaming
+  // `spark.readStream.format("graft").load(path)` — the table's change
+  // feed as micro-batches (snapshot first, then per-commit adds).
+
+  private def streamSource(
+      spark: SparkSession, parameters: Map[String, String]): (String, String) = {
+    val opts = caseInsensitive(parameters)
+    val path = opts.getOrElse("path",
+      throw new IllegalArgumentException("graft stream needs a path: .load(<tablePath>)"))
+    val fmt = opts.get("format").map(_.toLowerCase)
+      .getOrElse(GraftDataSource.detectFormat(spark, path))
+    (fmt, path)
+  }
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (fmt, path) = streamSource(sqlContext.sparkSession, parameters)
+    ("graft", new org.apache.spark.sql.graftshim.GraftChangeSource(
+      sqlContext.sparkSession, fmt, path).schema)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val (fmt, path) = streamSource(sqlContext.sparkSession, parameters)
+    new org.apache.spark.sql.graftshim.GraftChangeSource(sqlContext.sparkSession, fmt, path)
+  }
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
