@@ -592,9 +592,16 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
           else ""
         }
         .map { case (pp, ps) => pp -> ps.toSeq.sorted }
+      // the fence must reflect what is still REPLAYABLE, and this clean
+      // deletes no data files (the removed paths belong to the source's
+      // history, which COW retains) — so every instant stays intact and
+      // the fence sits at the oldest one. Advancing it to the current
+      // instant would silently force every downstream incremental sync
+      // to a full re-sync after each removal-bearing upstream sync.
       require(timeline.commitJson(HudiInstant(cleanTime, "clean"),
         HudiMaintenanceCodec.cleanToJson(cleanTime,
-          HudiCleanMetadata(earliestCommitToRetain = instant,
+          HudiCleanMetadata(
+            earliestCommitToRetain = instants.headOption.getOrElse(instant),
             partitionToDeleteFiles = removedByPartition))),
         s"concurrent hudi commit at $cleanTime of $tablePath")
     }

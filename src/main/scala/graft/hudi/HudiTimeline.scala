@@ -205,11 +205,16 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
     * `core/.../hudi/HudiDataFileExtractor.java:207-223` observes the
     * instant gone plus a `.rollback` record of the deleted files). */
   def deleteInstant(i: HudiInstant): Unit = {
-    fs.delete(new Path(hoodieDir, i.fileName), false)
-    fs.delete(new Path(hoodieDir, s"${i.time}.${i.action}.requested"), false)
     val inflightName =
       if (i.action == "commit") s"${i.time}.inflight" else s"${i.time}.${i.action}.inflight"
-    fs.delete(new Path(hoodieDir, inflightName), false)
+    // the instant may have been archived since completing — revoke it
+    // wherever it lives, or the archived copy keeps replaying files
+    // the rollback just deleted
+    Seq(hoodieDir, archivedDir).foreach { dir =>
+      fs.delete(new Path(dir, i.fileName), false)
+      fs.delete(new Path(dir, s"${i.time}.${i.action}.requested"), false)
+      fs.delete(new Path(dir, inflightName), false)
+    }
   }
 
   /**

@@ -181,7 +181,8 @@ object IcebergSchemas {
     def walkType(dt: DataType): DataType = dt match {
       case s: StructType => walkStruct(s)
       case a: ArrayType  => a.copy(elementType = walkType(a.elementType))
-      case m: MapType    => m.copy(valueType = walkType(m.valueType))
+      case m: MapType    =>
+        m.copy(keyType = walkType(m.keyType), valueType = walkType(m.valueType))
       case other         => other
     }
     def walkStruct(s: StructType): StructType = StructType(s.fields.map { f =>

@@ -90,7 +90,7 @@ object SyncEngine {
       // backlog = commits after the watermark PLUS previously-inflight
       // commits that have since completed (their times may sort BELOW
       // the watermark — the late-data case)
-      val lateCompleted = target.inflightFor(source.sourceId).filter(source.versionExists)
+      val lateCompleted = target.inflightFor(source.sourceId).filter(source.isCompleted)
       val pending = (lateCompleted ++ source.versionsAfter(wm.get)).distinct
       var added, removed = 0
       var highWater = wm.get
@@ -158,6 +158,7 @@ object SyncEngine {
           def partitionColumns: Seq[String] = normalized
           def currentVersion = base.currentVersion
           def versionExists(v: String) = base.versionExists(v)
+          override def isCompleted(v: String) = base.isCompleted(v)
           def versionsAfter(v: String) = base.versionsAfter(v)
           def snapshotFiles() = base.snapshotFiles()
           def changes(v: String) = base.changes(v)
@@ -191,6 +192,11 @@ trait SyncSource {
   def currentVersion: String
   /** Retention fence: is `v` still listable in the source history? */
   def versionExists(v: String): Boolean
+  /** Has version `v` COMPLETED (exact membership, not the time-based
+    * fence)? The inflight-backlog drain must use this — a watermark
+    * TIME below some completed instant passes `versionExists`, but a
+    * still-pending instant has no change set to replay. */
+  def isCompleted(v: String): Boolean = versionExists(v)
   /** Versions strictly after `v`, oldest first. */
   def versionsAfter(v: String): Seq[String]
   def snapshotFiles(): Seq[InternalDataFile]
@@ -359,6 +365,9 @@ private final class HudiSource(t: HudiTable) extends SyncSource {
     * removals) and the cleaner hasn't reclaimed files past it. */
   def versionExists(v: String): Boolean =
     t.syncInstants.exists(_ <= v) && t.earliestCommitToRetain.forall(_ <= v)
+  /** Exact membership: a pending/abandoned instant must NOT drain from
+    * the inflight backlog until it actually completes. */
+  override def isCompleted(v: String): Boolean = t.syncInstants.contains(v)
   def versionsAfter(v: String): Seq[String] = t.syncInstants.filter(_ > v)
   def snapshotFiles(): Seq[InternalDataFile] = t.snapshotDataFiles()
   def changes(v: String): (Seq[InternalDataFile], Seq[String]) = t.changeSet(v)

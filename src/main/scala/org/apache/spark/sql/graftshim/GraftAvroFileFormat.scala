@@ -70,6 +70,11 @@ final class GraftAvroFileFormat extends FileFormat with Serializable {
       val fs = path.getFileSystem(confBc.value.value)
       val in = fs.open(path)
       val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      // an early-terminated scan (limit/take/failed stage) abandons the
+      // iterator before it drains — close with the task, not just on
+      // exhaustion, or every avro file leaks a descriptor
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => stream.close()))
       val converters = requiredSchema.fields.map { sf =>
         val avroField = GraftAvroFileFormat.resolveField(stream.getSchema, sf.name)
         (avroField.map(_.pos()), GraftAvroFileFormat.decoder(sf.dataType))

@@ -159,6 +159,25 @@ class HudiTableSpec extends SparkTestBase {
     assert(t.toDF(asOf = Some(t.instants(1))).count() == 2)
   }
 
+  test("restore across archived instants revokes them from the archived timeline too") {
+    val dir = tmpDir("hudi_restore_arch")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val t = HudiTable.create(spark, s"$dir/t", src.limit(1))
+    (1 until 8).foreach(_ => t.append(src.limit(1)))
+    val keep = t.instants.head
+    // archive most of the timeline, THEN restore to the first instant:
+    // the doomed instants include archived ones, whose copies must be
+    // revoked as well or replay would reference deleted files
+    assert(t.timeline.archiveIfNeeded(maxActive = 5, minActive = 3) == 5)
+    t.restoreTo(keep)
+    assert(t.instants == Seq(keep))
+    assert(t.toDF().count() == 1)
+    // a fresh handle replays the same (no stale archived instants)
+    val t2 = HudiTable.forPath(spark, s"$dir/t")
+    assert(t2.instants == Seq(keep))
+    assert(t2.toDF().count() == 1)
+  }
+
   test("col_stats index: written per commit, prunes range scans, dies with a rollback") {
     val dir = tmpDir("hudi_colstats")
     val src = spark.read.parquet(s"$sf0001/lineitem.parquet")

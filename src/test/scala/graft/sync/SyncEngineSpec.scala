@@ -304,6 +304,54 @@ class SyncEngineSpec extends SparkTestBase {
     assert(tgt2.latestCommitExtraMetadata(SyncEngine.VersionProp) == src.latestVersion.toString)
   }
 
+  test("a STILL-inflight Hudi instant stays in the backlog without wedging sync") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("sync_stuck_inflight")
+    val src = HudiTable.create(spark, s"$dir/src", orders.filter(col("o_orderkey") % 2 === 0))
+    // a writer STARTS an instant and never completes it
+    val stuckTime = src.timeline.nextInstantTime()
+    val hoodie = new Path(s"$dir/src/.hoodie")
+    val fs = hoodie.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(hoodie, s"$stuckTime.commit.requested"), true).close()
+    fs.create(new Path(hoodie, s"$stuckTime.inflight"), true).close()
+    Thread.sleep(5)
+    src.append(orders.filter(col("o_orderkey") % 2 === 1))
+    val r1 = SyncEngine.sync(
+      SyncEngine.hudiSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    assert(r1.mode == "full")
+    // second sync: the instant is STILL pending — it must neither drain
+    // from the backlog (time-based versionExists would wrongly pass it
+    // and changes() would throw) nor break the incremental path
+    val r2 = SyncEngine.sync(
+      SyncEngine.hudiSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    assert(r2.mode == "incremental" && r2.versionsSynced.isEmpty)
+    val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
+    assert(tgt.currentMetadata.properties(SyncEngine.InflightProp) == stuckTime)
+    assert(checksum(tgt.toDF()) == checksum(src.toDF()))
+  }
+
+  test("a sync-target clean does not fence off downstream incremental replay") {
+    val dir = tmpDir("sync_clean_fence")
+    val a = HudiTable.create(spark, s"$dir/a", orders.filter(col("o_orderkey") % 2 === 0))
+    // A -> mid full, then downstream mid -> b establishes a watermark
+    SyncEngine.sync(SyncEngine.hudiSource(a), SyncEngine.hudiTarget(spark, s"$dir/mid"))
+    val mid = HudiTable.forPath(spark, s"$dir/mid")
+    SyncEngine.sync(SyncEngine.hudiSource(mid), SyncEngine.icebergTarget(spark, s"$dir/b"))
+    // an upstream overwrite produces removals -> mid emits a clean
+    a.overwrite(orders.filter(col("o_orderkey") % 3 === 0))
+    SyncEngine.sync(SyncEngine.hudiSource(a), SyncEngine.hudiTarget(spark, s"$dir/mid"))
+    assert(HudiTable.forPath(spark, s"$dir/mid").timeline.allCompletedInstants()
+      .exists(_.action == "clean"))
+    // downstream must REPLAY incrementally — the synthetic clean deleted
+    // nothing, so the old watermark is still replayable
+    val r = SyncEngine.sync(
+      SyncEngine.hudiSource(HudiTable.forPath(spark, s"$dir/mid")),
+      SyncEngine.icebergTarget(spark, s"$dir/b"))
+    assert(r.mode == "incremental", s"clean fence forced a full sync: $r")
+    assert(checksum(IcebergTable.forPath(spark, s"$dir/b").toDF()) ==
+      checksum(HudiTable.forPath(spark, s"$dir/mid").toDF()))
+  }
+
   test("re-sync with nothing pending is a no-op: no commit, watermark unchanged") {
     val dir = tmpDir("sync_noop")
     val src = DeltaTable.create(spark, s"$dir/src", orders)
