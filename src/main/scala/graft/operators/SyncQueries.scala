@@ -227,6 +227,32 @@ object SyncQueries {
       },
       """SELECT o_orderpriority, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // The streaming change feed, end to end: drain a two-commit table
+    // through spark.readStream.format("graft") (snapshot batch + one
+    // incremental batch) into a memory sink — the union of batches must
+    // equal the full table, proving offset arithmetic loses and
+    // duplicates nothing.
+    QueryDef.sql(
+      "f12_stream_changes_read",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        val sink = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = spark.readStream.format("graft").load(s"$root/d2i_src")
+          .writeStream.format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        spark.table(sink)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   )
 }
