@@ -629,6 +629,41 @@ object Relational {
         |SELECT c.user_id, c.ts AS click_ts, c.event_id,
         |  p.ts AS asof_ts, p.p_value AS asof_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
-        |ORDER BY c.event_id""".stripMargin)
+        |ORDER BY c.event_id""".stripMargin),
+    // Range (proximity) join: pairs of events by the same user within
+    // 60 s of each other. A naive theta join is quadratic per user; the
+    // scalable shape buckets both sides by minute, explodes ONE side to
+    // its bucket ±1, and equi-joins on (user, bucket) — matching pairs
+    // are at most one bucket apart, so candidates stay linear and the
+    // exact |Δt| filter runs only on them. Same pattern as d04's
+    // length-bucketed join; survives 100× the event volume.
+    QueryDef.sql(
+      "q33_range_proximity_join",
+      (spark, dir) => {
+        val e = graft.sources.Events.normalized(spark, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts_us)").as("us"))
+        val a = e
+          .withColumn("bucket", expr("us div 60000000"))
+          .select(col("user_id"), col("bucket"),
+            col("event_id").as("ev_a"), col("us").as("us_a"))
+        val b = e
+          .withColumn("b0", expr("us div 60000000"))
+          .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+          .select(col("user_id"), col("bucket"),
+            col("event_id").as("ev_b"), col("us").as("us_b"))
+        a.join(b, Seq("user_id", "bucket"))
+          .filter(col("ev_a") < col("ev_b") &&
+            abs(col("us_b") - col("us_a")) <= 60000000L)
+          .select(col("user_id"), col("ev_a"), col("ev_b"),
+            (col("us_b") - col("us_a")).as("dt_us"))
+          .orderBy(col("user_id"), col("ev_a"), col("ev_b"))
+      },
+      """SELECT a.user_id, a.event_id AS ev_a, b.event_id AS ev_b,
+        |  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 60000000
+        |ORDER BY a.user_id, ev_a, ev_b""".stripMargin)
   )
 }

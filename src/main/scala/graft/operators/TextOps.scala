@@ -71,6 +71,78 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Gopher-style repetition metrics: fraction of tokens taken by the
+   * most frequent word, duplicate-word fraction, and top-bigram
+   * fraction. Shuffle-free per-row HOF pipeline — per-doc cost is
+   * O(distinct × words), bounded by document length, so the operator is
+   * embarrassingly parallel at corpus scale.
+   */
+  def repetitionScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("words", split(lower(col("text")), " "))
+      .withColumn("bigrams", when(size(col("words")) >= 2,
+        expr("transform(sequence(0, size(words)-2), i -> concat(words[i], ' ', words[i+1]))"))
+        .otherwise(expr("cast(array() AS array<string>)")))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("bigint").as("n_words"),
+        (expr("array_max(transform(array_distinct(words), d -> size(filter(words, x -> x = d))))")
+          .cast("double") / size(col("words"))).as("top_word_frac"),
+        ((size(col("words")) - size(array_distinct(col("words")))).cast("double") /
+          size(col("words"))).as("dup_word_frac"),
+        when(size(col("bigrams")) > 0,
+          expr("array_max(transform(array_distinct(bigrams), d -> size(filter(bigrams, x -> x = d))))")
+            .cast("double") / size(col("bigrams")))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+
+  /**
+   * Benchmark decontamination: held-out documents (doc_id % 10 = 0)
+   * define a 5-gram contamination set; every training document sharing
+   * any of those 5-grams is flagged with its overlap count. The
+   * contamination set is tiny relative to the corpus (benchmarks are),
+   * so it broadcasts and the scan stays one pass over training docs —
+   * the shape that holds when "training docs" is 100 TB.
+   */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .withColumn("words", split(lower(col("text")), " "))
+      .select(col("doc_id"),
+        when(size(col("words")) >= 5, array_distinct(
+          expr("transform(sequence(0, size(words)-5), i -> concat_ws(' ', slice(words, i+1, 5)))")))
+          .otherwise(expr("cast(array() AS array<string>)")).as("grams"))
+    val bench = g.filter(col("doc_id") % 10 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    g.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Deterministic stratified sampling for data mixing: rank documents
+   * within each language by a Knuth multiplicative hash of doc_id
+   * (reproducible, engine-portable — no RNG), keep the first
+   * `min-language-count` per language → an exactly balanced sample.
+   * One shuffle on `lang`; the per-language target arrives via a
+   * broadcast scalar.
+   */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val target = d.groupBy(col("lang")).count().agg(min("count").as("t"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(expr("(doc_id * 2654435761) % 4294967296"), col("doc_id"))
+    d.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(target))
+      .filter(col("rn") <= col("t"))
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MD5 fingerprint of punctuation/case-normalized text (the
     * engine-portable digest; xxhash64 variants live in Dedup). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
@@ -133,6 +205,55 @@ object TextOps {
       """SELECT doc_id,
         |  MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g')) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
-    )
+    ),
+    // All fractions are a single division of exact integer counts —
+    // deterministic across engines (see QueryDef determinism rules).
+    QueryDef.sql(
+      "t05_repetition_scores",
+      repetitionScores,
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(text),' ') AS words FROM documents
+        |), b AS (
+        |  SELECT doc_id, words,
+        |    CASE WHEN len(words) >= 2
+        |      THEN list_transform(range(0, len(words)-1), i -> words[i+1] || ' ' || words[i+2])
+        |      ELSE [] END AS bigrams
+        |  FROM w
+        |)
+        |SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  CAST(list_max(list_transform(list_distinct(words),
+        |    d -> len(list_filter(words, x -> x = d)))) AS DOUBLE)/len(words) AS top_word_frac,
+        |  CAST(len(words) - len(list_distinct(words)) AS DOUBLE)/len(words) AS dup_word_frac,
+        |  CASE WHEN len(bigrams) > 0
+        |    THEN CAST(list_max(list_transform(list_distinct(bigrams),
+        |      d -> len(list_filter(bigrams, x -> x = d)))) AS DOUBLE)/len(bigrams)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS top_bigram_frac
+        |FROM b ORDER BY doc_id""".stripMargin),
+    QueryDef.sql(
+      "t06_decontamination",
+      decontamination,
+      """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS words FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(words) >= 5
+        |    THEN list_distinct(list_transform(range(0, len(words)-4),
+        |      i -> array_to_string(words[i+1:i+5],' ')))
+        |    ELSE [] END AS grams FROM w),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 10 = 0),
+        |train AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 <> 0)
+        |SELECT t.doc_id, CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_contaminated
+        |FROM train t JOIN bench b USING (gram)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin),
+    QueryDef.sql(
+      "t07_stratified_sample",
+      stratifiedSample,
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents),
+        |target AS (SELECT MIN(cnt) AS t FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang))
+        |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+        |FROM ranked, target WHERE rn <= t ORDER BY doc_id""".stripMargin)
   )
 }

@@ -101,4 +101,36 @@ class PipelineOpsSpec extends SparkTestBase {
     val deduped = docs.groupBy(md5(col("text"))).agg(min("doc_id")).count()
     assert(deduped == distinctTexts)
   }
+
+  test("repetition scores are fractions in [0,1] for every document") {
+    val rows = TextOps.repetitionScores(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(2, 3, 4).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0, s"col $i out of range: $v")
+      }
+      // the most frequent word can't be rarer than 1/n_words
+      assert(r.getDouble(2) >= 1.0 / r.getLong(1))
+    }
+  }
+
+  test("decontamination never flags a held-out document") {
+    TextOps.decontamination(spark, sf0001).collect().foreach { r =>
+      assert(r.getLong(0) % 10 != 0)
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("stratified sample is exactly balanced across languages and deterministic") {
+    val s1 = TextOps.stratifiedSample(spark, sf0001)
+    val perLang = s1.groupBy(col("lang")).count().collect()
+    assert(perLang.nonEmpty)
+    val sizes = perLang.map(_.getLong(1)).distinct
+    assert(sizes.length == 1, s"unbalanced sample: ${perLang.mkString(",")}")
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = TextOps.stratifiedSample(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2))
+  }
 }
