@@ -264,6 +264,53 @@ object Dedup {
       .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
   }
 
+  /**
+   * Duplicate-GROUP resolution: near-dup PAIRS (d02's verified MinHash
+   * output) are only half of dedup — a pipeline must pick one survivor
+   * per connected component of the duplicate graph. Hash-to-min label
+   * propagation: every node starts labeled with itself, each round
+   * takes the min label over its neighborhood, and the loop stops at a
+   * fixpoint (≤ graph-diameter rounds — near-dup clusters are
+   * shallow). Each round is one join + one groupBy over (node, label)
+   * pairs — GraphX-connected-components shape without carrying vertex
+   * data; `localCheckpoint` truncates the growing lineage so round N
+   * doesn't replan rounds 1..N-1. The driver sees only the per-round
+   * convergence count, never the data.
+   */
+  def duplicateGroups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nlbl")).as("nmin"))
+        .select(col("src").as("node"), col("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          (col("nmin") < col("lbl")).as("changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
+      rounds += 1
+    }
+    pairs.unpersist(); edges.unpersist()
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    labels
+      .select(col("node").as("doc_id"), col("lbl").as("group_id"),
+        (col("node") === col("lbl")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "d01_exact_dedup",
@@ -323,6 +370,35 @@ object Dedup {
         |  AND CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE) /
         |      LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))) >= 0.4
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // Oracle = connected components over the exact all-pairs near-dup
+    // graph, computed by a recursive CTE (min reachable id per node) —
+    // verifying both the pair discovery AND the label-propagation
+    // fixpoint.
+    QueryDef.sql(
+      "d06_duplicate_groups",
+      duplicateGroups,
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, len(string_split(lower(text),' '))-2),
+        |    i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' '))) AS shingles
+        |  FROM documents WHERE len(string_split(lower(text),' ')) >= 3
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+        |)
+        |SELECT node AS doc_id, MIN(lbl) AS group_id, MIN(lbl) = node AS is_canonical
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
     // Same frozen-expectation oracle as d03: hyperplane signatures are
     // engine-native, the output is deterministic, and recall against
     // exact all-pairs is NOT expected (this corpus has no planted

@@ -102,6 +102,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(deduped == distinctTexts)
   }
 
+  test("duplicate groups form a consistent partition of the near-dup pair graph") {
+    val pairs = Dedup.minhashPairs(spark, sf0001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val groups = Dedup.duplicateGroups(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every endpoint of a pair is grouped, and both ends share a group
+    pairs.foreach { case (a, b) =>
+      assert(groups.contains(a) && groups.contains(b))
+      assert(groups(a) == groups(b), s"pair ($a,$b) split across groups")
+    }
+    // each group's id is its minimum member (the canonical survivor)
+    groups.groupBy(_._2).foreach { case (gid, members) =>
+      assert(members.keys.min == gid)
+    }
+  }
+
   test("repetition scores are fractions in [0,1] for every document") {
     val rows = TextOps.repetitionScores(spark, sf0001).collect()
     assert(rows.nonEmpty)
