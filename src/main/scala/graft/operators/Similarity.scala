@@ -86,6 +86,61 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * Lloyd's k-means over the embedding corpus — the training step that
+   * produces IVF centroids (s02 probes buckets; this is where real
+   * buckets come from) and the standard corpus-clustering primitive for
+   * data mixing. Runs in EXACT integer arithmetic: embeddings are
+   * fixed-pointed at 1e-6 (floor — identical across engines), so
+   * distances, assignments, and inertia are integers with no
+   * float-summation order sensitivity, and the whole run is
+   * bit-reproducible (the DuckDB oracle replays the identical
+   * algorithm). Per round: one codegen'd argmin projection against the
+   * broadcast centroid literal (k×64 longs — the same driver-held
+   * centroid state every distributed k-means keeps) and one narrow
+   * (cid, pos) sum shuffle; empty clusters drop, matching the oracle.
+   */
+  def kmeansClusters(
+      spark: SparkSession, dir: String, k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
+          .as("fp"))
+      .persist()
+
+    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame =
+      e.withColumn("cents", typedLit(cents.map(_._2)))
+        .withColumn("cids", typedLit(cents.map(_._1)))
+        .withColumn("best", expr(
+          """array_min(transform(sequence(0, size(cents)-1), kk -> named_struct(
+            |  'd', aggregate(zip_with(fp, cents[kk], (x, y) -> (x-y)*(x-y)),
+            |         cast(0 AS bigint), (acc, v) -> acc + v),
+            |  'cid', cids[kk])))""".stripMargin))
+        .select(col("vec_id"), col("fp"),
+          col("best.cid").as("cid"), col("best.d").as("dist"))
+
+    var cents = e.filter(col("vec_id") < k).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq: Seq[Long])).toSeq
+    for (_ <- 1 to iters) {
+      // integer `div` truncates toward zero in Spark and DuckDB alike
+      val sums = assign(cents)
+        .select(col("cid"), posexplode(col("fp")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("fd"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      cents = sums.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, xs) =>
+        (cid, xs.sortBy(_._2).map(_._3).toIndexedSeq: Seq[Long])
+      }
+    }
+    val out = assign(cents)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
+      .select(col("cid").as("cluster_id"), col("n"), col("inertia"))
+      .orderBy(col("cluster_id"))
+    e.unpersist()
+    out
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "s01_ann_brute_force_topk",
@@ -131,6 +186,38 @@ object Similarity {
         |      ORDER BY LIST_COSINE_SIMILARITY(p.q_emb, b.c_emb) DESC, b.neighbor_id) AS rank
         |  FROM probes p JOIN bucketed b ON p.bucket = b.bucket
         |  WHERE p.query_id <> b.neighbor_id) WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin)
+        |ORDER BY query_id, rank""".stripMargin),
+    // Exact-integer k-means: the oracle replays the identical Lloyd
+    // rounds (fixed-point floor at 1e-6, integer distances, truncating
+    // integer-mean division, ties by centroid id), so sizes AND total
+    // inertia must match to the last digit.
+    QueryDef.sql(
+      "s03_kmeans_clusters",
+      (spark, dir) => kmeansClusters(spark, dir),
+      {
+        val iterTpl = (n: Int, p: Int) =>
+          s"""a$n AS (SELECT vec_id, fp, cid, d FROM (
+             |  SELECT e.vec_id, e.fp, c.cid,
+             |    list_sum(list_transform(range(1,65), i -> (e.fp[i]-c.cent[i])*(e.fp[i]-c.cent[i]))) AS d,
+             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |      list_sum(list_transform(range(1,65), i -> (e.fp[i]-c.cent[i])*(e.fp[i]-c.cent[i]))), c.cid) AS rn
+             |  FROM e, c$p c) WHERE rn = 1),
+             |c$n AS (SELECT cid, list(fd ORDER BY pos) AS cent FROM (
+             |  SELECT cid, i AS pos, CAST(SUM(fp[i]) // COUNT(*) AS BIGINT) AS fd
+             |  FROM a$n, range(1,65) t(i) GROUP BY cid, i) GROUP BY cid)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fp
+           |  FROM embeddings),
+           |c0 AS (SELECT vec_id AS cid, fp AS cent FROM e WHERE vec_id < 8),
+           |${Seq((1, 0), (2, 1), (3, 2)).map { case (n, p) => iterTpl(n, p) }.mkString(",\n")},
+           |final AS (SELECT vec_id, cid, d FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    list_sum(list_transform(range(1,65), i -> (e.fp[i]-c.cent[i])*(e.fp[i]-c.cent[i]))) AS d,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |      list_sum(list_transform(range(1,65), i -> (e.fp[i]-c.cent[i])*(e.fp[i]-c.cent[i]))), c.cid) AS rn
+           |  FROM e, c3 c) WHERE rn = 1)
+           |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS inertia
+           |FROM final GROUP BY cid ORDER BY cluster_id""".stripMargin
+      })
   )
 }

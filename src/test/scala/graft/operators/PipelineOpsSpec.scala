@@ -119,6 +119,15 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("k-means partitions the whole corpus and is bit-reproducible") {
+    val total = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    val r1 = Similarity.kmeansClusters(spark, sf0001).collect()
+    assert(r1.map(_.getLong(1)).sum == total)
+    assert(r1.map(_.getLong(0)).distinct.length == r1.length)
+    val r2 = Similarity.kmeansClusters(spark, sf0001).collect()
+    assert(r1.map(_.toString).sameElements(r2.map(_.toString)))
+  }
+
   test("repetition scores are fractions in [0,1] for every document") {
     val rows = TextOps.repetitionScores(spark, sf0001).collect()
     assert(rows.nonEmpty)
