@@ -61,34 +61,25 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
    * race); any other IO failure propagates.
    *
    * Standard LogStore pattern: the commit body is fully written and
-   * closed as a hidden temp file, then renamed into place with
-   * no-overwrite semantics — so a crash mid-write can never leave a
-   * torn `%020d.json` that poisons later log replay. (`FileContext
-   * .rename(..., Rename.NONE)` is atomic on HDFS; on object stores a
-   * real deployment would plug in a put-if-absent LogStore, same as
-   * Delta's own.)
+   * closed as a hidden temp file, then published with put-if-absent
+   * semantics (graft.util.AtomicPublish) — so a crash mid-write can
+   * never leave a torn `%020d.json` that poisons later log replay, and
+   * two racing writers can never both claim the same version. (On
+   * object stores a real deployment would plug in a put-if-absent
+   * LogStore, same as Delta's own.)
    */
   def commit(v: Long, actions: Seq[DeltaAction]): Boolean = {
     fs.mkdirs(logPath)
     val target = commitFile(v)
-    if (fs.exists(target)) return false // cheap fast-path; rename still arbitrates races
+    if (fs.exists(target)) return false // cheap fast-path; publish still arbitrates races
     val tmp = new Path(logPath, s".tmp_${java.util.UUID.randomUUID()}_$v.json")
     val out = fs.create(tmp, /*overwrite=*/ true)
     try {
       val body = actions.map(DeltaActionCodec.toJsonLine).mkString("", "\n", "\n")
       out.write(body.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        logPath.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException =>
-        fs.delete(tmp, false)
-        false
-    }
+    graft.util.AtomicPublish.putIfAbsent(
+      fs, spark.sparkContext.hadoopConfiguration, tmp, target)
   }
 
   // ----------------------------------------------------------- checkpoints

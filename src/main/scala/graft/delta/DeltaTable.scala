@@ -201,42 +201,69 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         dataChange = true,
         stats = Some(DeltaStats.toJson(st, dataSchema)))
     }
-    val removes: Seq[DeltaAction] =
-      if (overwrite && log.latestVersion().nonEmpty)
-        log.snapshotFilesDF().select("path").collect().toSeq
-          .map(r => RemoveFile(r.getString(0), System.currentTimeMillis(), dataChange = true))
-      else
-        replacing.map(p => RemoveFile(p, System.currentTimeMillis(), dataChange = true))
-
-    val v = log.latestVersion().map(_ + 1).getOrElse(0L)
-    val metaActions: Seq[DeltaAction] =
-      if (v == 0L)
-        Seq(
-          Protocol(),
-          DeltaMetadata(
-            id = UUID.randomUUID().toString,
-            schemaString = schemaForMeta.json,
-            partitionColumns = partitionColumns,
-            configuration = Map("graft.engine" -> "onetablespark"),
-            createdTime = System.currentTimeMillis()))
-      else {
-        // additive evolution (graft.model.SchemaMerge): a narrower
-        // append used to silently replace the whole schema
-        val (existing, _) = schemaAt(None)
-        val full = StructType(existing.fields)
-        val merged = graft.model.SchemaMerge.additive(existing, schemaForMeta, tablePath)
-        if (full.json != merged.json)
-          Seq(log.metadataAt(None)._1.copy(schemaString = merged.json))
-        else Seq.empty
+    // Optimistic-concurrency commit loop: snapshot-dependent actions
+    // (version, removes, schema merge) are derived fresh per attempt, so
+    // a racing writer landing first just moves this commit one version
+    // up — appends and overwrites always rebase (an append's AddFiles
+    // are exclusively this writer's staged files; an overwrite's
+    // RemoveFiles are recomputed against the racer's snapshot). Only
+    // OPTIMIZE truly conflicts: if a replaced file is no longer live,
+    // the rewrite is stale and must abort rather than resurrect data.
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      val v = log.latestVersion().map(_ + 1).getOrElse(0L)
+      val removes: Seq[DeltaAction] =
+        if (overwrite && v > 0)
+          log.snapshotFilesDF().select("path").collect().toSeq
+            .map(r => RemoveFile(r.getString(0), System.currentTimeMillis(), dataChange = true))
+        else if (replacing.nonEmpty) {
+          val live = log.snapshotFilesDF().select("path").collect()
+            .map(_.getString(0)).toSet
+          require(replacing.forall(live.contains),
+            s"compaction conflict at $tablePath: a concurrent commit removed " +
+              "files this OPTIMIZE rewrote")
+          replacing.map(p => RemoveFile(p, System.currentTimeMillis(), dataChange = true))
+        } else Seq.empty
+      val metaActions: Seq[DeltaAction] =
+        if (v == 0L)
+          Seq(
+            Protocol(),
+            DeltaMetadata(
+              id = UUID.randomUUID().toString,
+              schemaString = schemaForMeta.json,
+              partitionColumns = partitionColumns,
+              configuration = Map("graft.engine" -> "onetablespark"),
+              createdTime = System.currentTimeMillis()))
+        else {
+          // additive evolution (graft.model.SchemaMerge): a narrower
+          // append used to silently replace the whole schema
+          val (existing, existingPartCols) = schemaAt(None)
+          require(existingPartCols == partitionColumns,
+            s"partition spec changed concurrently at $tablePath: " +
+              s"$existingPartCols != $partitionColumns")
+          val full = StructType(existing.fields)
+          val merged = graft.model.SchemaMerge.additive(existing, schemaForMeta, tablePath)
+          if (full.json != merged.json)
+            Seq(log.metadataAt(None)._1.copy(schemaString = merged.json))
+          else Seq.empty
+        }
+      val info = CommitInfo(
+        System.currentTimeMillis(),
+        if (overwrite) "WRITE" else if (replacing.nonEmpty) "OPTIMIZE" else "APPEND",
+        Map("mode" -> (if (overwrite) "Overwrite" else "Append")))
+      if (log.commit(v, metaActions ++ removes ++ adds :+ info)) {
+        log.maybeCheckpoint(v)
+        committed = v
+      } else {
+        require(attempt < 10,
+          s"concurrent commit contention at $tablePath: 10 attempts lost the race")
+        // jittered backoff de-synchronizes lockstep racers
+        Thread.sleep(scala.util.Random.nextInt(20 * attempt) + 1L)
       }
-    val info = CommitInfo(
-      System.currentTimeMillis(),
-      if (overwrite) "WRITE" else if (replacing.nonEmpty) "OPTIMIZE" else "APPEND",
-      Map("mode" -> (if (overwrite) "Overwrite" else "Append")))
-    require(log.commit(v, metaActions ++ removes ++ adds :+ info),
-      s"concurrent commit detected at version $v of $tablePath")
-    log.maybeCheckpoint(v)
-    v
+    }
+    committed
   }
 
   // ----------------------------------------------------------------- sync

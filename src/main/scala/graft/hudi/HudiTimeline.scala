@@ -184,16 +184,7 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(hoodieDir.toUri, conf)
-      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException =>
-        fs.delete(tmp, false)
-        false
-    }
+    graft.util.AtomicPublish.putIfAbsent(fs, conf, tmp, target)
   }
 
   private def touch(p: Path): Unit =

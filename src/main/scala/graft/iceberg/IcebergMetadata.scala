@@ -255,18 +255,10 @@ final class IcebergMetadataLog(val tablePath: String, sc: SparkContext) {
     val out = fs.create(tmp, true)
     try out.write(IcebergMetadataCodec.toJson(metadata).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        metadataDir.toUri, sc.hadoopConfiguration)
-      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+    if (graft.util.AtomicPublish.putIfAbsent(fs, sc.hadoopConfiguration, tmp, target)) {
       val hint = fs.create(hintFile, true)
       try hint.write(v.toString.getBytes(StandardCharsets.UTF_8)) finally hint.close()
       true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException =>
-        fs.delete(tmp, false)
-        false
-    }
+    } else false
   }
 }

@@ -237,23 +237,60 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val stats = ParquetFooterStats.collect(spark, newFiles)
     val entries = stats.map(st =>
       IcebergTable.entryFor(st, idSchema, defs, tablePath))
-    val removes =
-      if (overwrite && prev.exists(_._2.currentSnapshotId.nonEmpty)) liveEntries(None)
-      else if (replacing.nonEmpty) {
-        val rs = replacing.toSet
-        liveEntries(None).filter(e => rs.contains(e.filePath))
-      } else Seq.empty
-    commitSnapshot(prev, idSchema, defs, entries, removes,
-      carryPrevious = !overwrite,
-      if (overwrite) "overwrite" else if (replacing.nonEmpty) "replace" else "append",
-      Map.empty)
+    // Optimistic-concurrency loop: losing the put-if-absent race
+    // re-derives snapshot-dependent state (parent, sequence number,
+    // removes) against the racer's metadata and retries. The staged
+    // parquet carries field ids from THIS writer's schema resolution —
+    // a racer that concurrently evolved the schema would invalidate
+    // those footers, so that (rare) case aborts instead of rebasing;
+    // same-schema append races (the common case) always rebase.
+    var attempt = 0
+    var prevState = prev
+    var result = -1L
+    while (result < 0) {
+      attempt += 1
+      val removes =
+        if (overwrite && prevState.exists(_._2.currentSnapshotId.nonEmpty)) liveEntries(None)
+        else if (replacing.nonEmpty) {
+          val rs = replacing.toSet
+          val live = liveEntries(None).filter(e => rs.contains(e.filePath))
+          require(live.size == rs.size,
+            s"compaction conflict at $tablePath: a concurrent commit removed " +
+              "files this replace rewrote")
+          live
+        } else Seq.empty
+      commitSnapshot(prevState, idSchema, defs, entries, removes,
+        carryPrevious = !overwrite,
+        if (overwrite) "overwrite" else if (replacing.nonEmpty) "replace" else "append",
+        Map.empty) match {
+        case Some(snapshotId) => result = snapshotId
+        case None =>
+          require(attempt < 10,
+            s"concurrent commit contention at $tablePath: 10 attempts lost the race")
+          // jittered backoff de-synchronizes lockstep racers
+          Thread.sleep(scala.util.Random.nextInt(20 * attempt) + 1L)
+          prevState = log.readLatest()
+          val fresh = prevState match {
+            case Some((_, m)) => IcebergSchemas.evolveSchema(m.schema, df.schema)
+            case None => IcebergSchemas.assignFieldIds(df.schema)
+          }
+          require(fresh.json == idSchema.json,
+            s"concurrent schema evolution at $tablePath: staged parquet field " +
+              "ids no longer match the table schema; retry the write")
+          require(IcebergTable.defsOf(prevState.get._2)
+              .map(d => (d.fieldName, d.transform)) == defs.map(d => (d.fieldName, d.transform)),
+            s"partition spec changed concurrently at $tablePath")
+      }
+    }
+    result
   }
 
   /**
    * Commit protocol: write adds manifest + (for overwrite) a delete
    * manifest recording previously-live files, build the new manifest
    * list, then put-if-absent the next `vN.metadata.json` — losing the
-   * race surfaces as require() so callers can re-plan, while data files
+   * race returns None so callers can re-derive state and retry (write's
+   * optimistic loop) or abort (single-writer sync), while data files
    * are never shared between writers (staged placement).
    */
   private def commitSnapshot(
@@ -264,7 +301,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       removes: Seq[ManifestEntry],
       carryPrevious: Boolean,
       operation: String,
-      extraProps: Map[String, String]): Long = {
+      extraProps: Map[String, String]): Option[Long] = {
     val now = System.currentTimeMillis()
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
     val seq = prev.map(_._2.lastSequenceNumber + 1).getOrElse(1L)
@@ -384,8 +421,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       snapshots = base.snapshots :+ snap,
       snapshotLog = base.snapshotLog :+ (now, snapshotId))
     val v = prev.map(_._1 + 1).getOrElse(1L)
-    require(log.commit(v, next), s"concurrent iceberg commit at v$v of $tablePath")
-    snapshotId
+    if (log.commit(v, next)) Some(snapshotId) else None
   }
 
   /**
@@ -556,6 +592,9 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       carryPrevious = true,
       operation = if (removes.nonEmpty) "overwrite" else "append",
       extraProps = syncProps + ("graft.converted.from" -> sourceDataRoot))
+      .getOrElse(throw new IllegalStateException(
+        s"concurrent commit on sync target $tablePath: sync targets are " +
+          "single-writer; re-run the sync"))
   }
 }
 
@@ -597,6 +636,7 @@ object IcebergTable {
       entryFor(st, idSchema, Seq.empty, sourceLocation, fileFormat = "avro"))
     t.commitSnapshot(None, idSchema, Seq.empty, entries, Seq.empty, carryPrevious = false,
       operation = "append", extraProps = Map("graft.converted.from" -> sourceLocation))
+      .getOrElse(throw new IllegalStateException(s"table already exists: $tablePath"))
     t
   }
 
@@ -618,6 +658,7 @@ object IcebergTable {
       entryFor(st, idSchema, Seq.empty, sourceLocation, fileFormat = "orc"))
     t.commitSnapshot(None, idSchema, Seq.empty, entries, Seq.empty, carryPrevious = false,
       operation = "append", extraProps = Map("graft.converted.from" -> sourceLocation))
+      .getOrElse(throw new IllegalStateException(s"table already exists: $tablePath"))
     t
   }
 
@@ -647,6 +688,7 @@ object IcebergTable {
     val entries = stats.map(st => entryFor(st, idSchema, defs, sourceLocation))
     t.commitSnapshot(None, idSchema, defs, entries, Seq.empty, carryPrevious = false,
       operation = "append", extraProps = Map("graft.converted.from" -> sourceLocation))
+      .getOrElse(throw new IllegalStateException(s"table already exists: $tablePath"))
     t
   }
 
