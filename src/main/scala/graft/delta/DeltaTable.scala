@@ -76,14 +76,28 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
 
   // ---------------------------------------------------------------- writes
 
-  /** Append `df`, physically writing parquet under the table root. */
-  def append(df: DataFrame, partitionColumns: Seq[String]): Long =
-    write(df, partitionColumns, overwrite = false)
+  /** Append `df`, physically writing parquet under the table root.
+    * `commitProps` ride the commit's CommitInfo atomically (streaming
+    * sink batch tracking — Delta's SetTransaction idiom). */
+  def append(df: DataFrame, partitionColumns: Seq[String],
+      commitProps: Map[String, String] = Map.empty): Long =
+    write(df, partitionColumns, overwrite = false, commitProps = commitProps)
 
   /** Logical overwrite: new files added, previous live files removed in
     * the log; old data files stay on disk so time travel keeps working. */
-  def overwrite(df: DataFrame, partitionColumns: Seq[String]): Long =
-    write(df, partitionColumns, overwrite = true)
+  def overwrite(df: DataFrame, partitionColumns: Seq[String],
+      commitProps: Map[String, String] = Map.empty): Long =
+    write(df, partitionColumns, overwrite = true, commitProps = commitProps)
+
+  /** Latest value of a CommitInfo operation parameter, scanning commits
+    * newest-first (the read side of `commitProps`). */
+  def lastCommitProp(key: String): Option[String] =
+    log.listVersions().reverseIterator.flatMap { v =>
+      log.readActions(v).collectFirst {
+        case c: CommitInfo if c.operationParameters.contains(key) =>
+          c.operationParameters(key)
+      }
+    }.nextOption()
 
   /**
    * Physical write: stage into a per-write hidden directory, move the
@@ -163,7 +177,8 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       partitionSpecs: Seq[String],
       overwrite: Boolean,
       /** Log paths compacted away in the same commit (OPTIMIZE). */
-      replacing: Seq[String] = Seq.empty): Long = {
+      replacing: Seq[String] = Seq.empty,
+      commitProps: Map[String, String] = Map.empty): Long = {
     // partition specs: identity columns or time transforms
     // (`month(o_orderdate)`), the latter materialized as Delta generated
     // columns (ref `DeltaPartitionExtractor.java:227-323`); an append
@@ -252,7 +267,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       val info = CommitInfo(
         System.currentTimeMillis(),
         if (overwrite) "WRITE" else if (replacing.nonEmpty) "OPTIMIZE" else "APPEND",
-        Map("mode" -> (if (overwrite) "Overwrite" else "Append")))
+        Map("mode" -> (if (overwrite) "Overwrite" else "Append")) ++ commitProps)
       if (log.commit(v, metaActions ++ removes ++ adds :+ info)) {
         log.maybeCheckpoint(v)
         committed = v

@@ -172,16 +172,30 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
 
   // ---------------------------------------------------------------- writes
 
-  /** Append via a commit instant. Returns the instant time. */
-  def append(df: DataFrame, partCols: Seq[String] = Seq.empty): String =
-    write(df, partCols, overwrite = false)
+  /** Append via a commit instant. Returns the instant time.
+    * `commitProps` ride the commit's extraMetadata atomically
+    * (streaming sink batch tracking; same channel as sync watermarks,
+    * ref `HudiTargetClient.java:546-551`). */
+  def append(df: DataFrame, partCols: Seq[String] = Seq.empty,
+      commitProps: Map[String, String] = Map.empty): String =
+    write(df, partCols, overwrite = false, commitProps = commitProps)
 
   /** Logical overwrite via a replacecommit: new file groups written, all
     * previously-live groups recorded as replaced (ref insert-overwrite
     * path `HudiDataFileExtractor.java:313-348`); old base files stay on
     * disk so time travel keeps working. */
-  def overwrite(df: DataFrame, partCols: Seq[String] = Seq.empty): String =
-    write(df, partCols, overwrite = true)
+  def overwrite(df: DataFrame, partCols: Seq[String] = Seq.empty,
+      commitProps: Map[String, String] = Map.empty): String =
+    write(df, partCols, overwrite = true, commitProps = commitProps)
+
+  /** Read side of `commitProps`: latest value across completed
+    * commits, newest-first. */
+  def lastCommitProp(key: String): Option[String] =
+    timeline.completedInstants()
+      .filter(i => i.action == "commit" || i.action == "replacecommit")
+      .reverseIterator
+      .flatMap(i => timeline.readCommitMetadata(i).extraMetadata.get(key))
+      .nextOption()
 
   /**
    * Bin-packing small-file compaction — Hudi's clustering shape, a
@@ -219,7 +233,8 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       partSpecsIn: Seq[String],
       overwrite: Boolean,
       /** Base-file paths whose file groups this commit replaces. */
-      replacing: Seq[String] = Seq.empty): String = {
+      replacing: Seq[String] = Seq.empty,
+      commitProps: Map[String, String] = Map.empty): String = {
     // same spec handling as the Delta/Iceberg write paths: parse
     // identity/transform specs, inherit the table's fields when the
     // caller passes none, and REJECT a mismatching explicit spec
@@ -304,7 +319,8 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       partitionToReplaceFileIds = replaceIds,
       // partition fields (incl. materialized transforms) are part of the
       // Hudi table schema, matching the hive-style layout convention
-      extraMetadata = Map("schema" -> AvroSchemaConverters.toAvro(storedSchema).toString),
+      extraMetadata = Map("schema" -> AvroSchemaConverters.toAvro(storedSchema).toString)
+        ++ commitProps,
       operationType =
         if (overwrite) "INSERT_OVERWRITE_TABLE"
         else if (replacing.nonEmpty) "CLUSTER"

@@ -146,12 +146,20 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
 
   // ---------------------------------------------------------------- writes
 
-  def append(df: DataFrame, partitionColumns: Seq[String] = Seq.empty): Long =
-    write(df, partitionColumns, overwrite = false)
+  /** `commitProps` land in table properties atomically with the commit
+    * (streaming sink batch tracking). */
+  def append(df: DataFrame, partitionColumns: Seq[String] = Seq.empty,
+      commitProps: Map[String, String] = Map.empty): Long =
+    write(df, partitionColumns, overwrite = false, commitProps = commitProps)
 
   /** Logical overwrite; old snapshots stay time-travelable. */
-  def overwrite(df: DataFrame, partitionColumns: Seq[String] = Seq.empty): Long =
-    write(df, partitionColumns, overwrite = true)
+  def overwrite(df: DataFrame, partitionColumns: Seq[String] = Seq.empty,
+      commitProps: Map[String, String] = Map.empty): Long =
+    write(df, partitionColumns, overwrite = true, commitProps = commitProps)
+
+  /** Read side of `commitProps`. */
+  def tableProperty(key: String): Option[String] =
+    log.readLatest().flatMap(_._2.properties.get(key))
 
   /**
    * Bin-packing small-file compaction — iceberg's `replace` snapshot
@@ -189,7 +197,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       partitionSpecsIn: Seq[String],
       overwrite: Boolean,
       /** Data-file paths compacted away in the same snapshot. */
-      replacing: Seq[String] = Seq.empty): Long = {
+      replacing: Seq[String] = Seq.empty,
+      commitProps: Map[String, String] = Map.empty): Long = {
     val prev = log.readLatest()
     // inherit the table's partition spec when the caller doesn't repeat
     // it; a mismatching explicit spec is an error, never a silent wipe
@@ -262,7 +271,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       commitSnapshot(prevState, idSchema, defs, entries, removes,
         carryPrevious = !overwrite,
         if (overwrite) "overwrite" else if (replacing.nonEmpty) "replace" else "append",
-        Map.empty) match {
+        commitProps) match {
         case Some(snapshotId) => result = snapshotId
         case None =>
           require(attempt < 10,

@@ -106,15 +106,22 @@ object TextOps {
    * the shape that holds when "training docs" is 100 TB.
    */
   def decontamination(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(spark, dir)
+    // each branch filters BEFORE spreading so the (small) held-out side
+    // never shuffles the full corpus, and the training side's per-doc
+    // 5-gram explode runs on all cores instead of one parquet split
+    // (same rationale as Dedup.spread)
+    def grams(d: DataFrame): DataFrame = d
       .withColumn("words", split(lower(col("text")), " "))
       .select(col("doc_id"),
         when(size(col("words")) >= 5, array_distinct(
           expr("transform(sequence(0, size(words)-5), i -> concat_ws(' ', slice(words, i+1, 5)))")))
           .otherwise(expr("cast(array() AS array<string>)")).as("grams"))
-    val bench = g.filter(col("doc_id") % 10 === 0)
+    val docs = Tables.documents(spark, dir)
+    val spread = spark.sparkContext.defaultParallelism * 2
+    val bench = grams(docs.filter(col("doc_id") % 10 === 0)
+        .repartition(spread, col("doc_id")))
       .select(explode(col("grams")).as("gram")).distinct()
-    g.filter(col("doc_id") % 10 =!= 0)
+    grams(docs.filter(col("doc_id") % 10 =!= 0).repartition(spread, col("doc_id")))
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .join(broadcast(bench), Seq("gram"))
       .groupBy(col("doc_id"))

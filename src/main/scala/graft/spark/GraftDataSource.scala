@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.delta.DeltaTable
@@ -36,7 +36,7 @@ import graft.iceberg.IcebergTable
  */
 final class GraftDataSource
     extends RelationProvider with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -72,6 +72,27 @@ final class GraftDataSource
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val (fmt, path) = streamSource(sqlContext.sparkSession, parameters)
     new org.apache.spark.sql.graftshim.GraftChangeSource(sqlContext.sparkSession, fmt, path)
+  }
+
+  // `df.writeStream.format("graft")` — each micro-batch lands as one
+  // exactly-once table commit (GraftStreamSink).
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val opts = caseInsensitive(parameters)
+    val path = opts.getOrElse("path",
+      throw new IllegalArgumentException("graft stream sink needs a path: .start(<tablePath>)"))
+    val fmt = opts.get("format").map(_.toLowerCase)
+      .getOrElse(GraftDataSource.detectFormat(sqlContext.sparkSession, path))
+    val partCols =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else opts.get("partitionby").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    new org.apache.spark.sql.graftshim.GraftStreamSink(
+      sqlContext.sparkSession, fmt, path, partCols, outputMode)
   }
 
   override def createRelation(
@@ -179,7 +200,7 @@ object GraftDataSource {
         "pass .option(\"format\", ...) to create one")
   }
 
-  private[graft] def tableExists(spark: SparkSession, path: String, fmt: String): Boolean = {
+  def tableExists(spark: SparkSession, path: String, fmt: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = fmt match {
