@@ -188,6 +188,9 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       if (parsed.nonEmpty || log.latestVersion().isEmpty) parsed
       else DeltaTable.partitionDefsOf(schemaAt(None)._1, schemaAt(None)._2)
     }
+    defs.foreach(d => require(d.isIdentity || d.isTime,
+      s"partition transform '${d.transform}' is Iceberg-only; Delta generated " +
+        "columns support identity and year/month/day/hour"))
     val genDefs = defs.filterNot(_.isIdentity)
     val partitionColumns = defs.map(_.fieldName)
     val dfWithGen = genDefs.foldLeft(df)((d, t) =>

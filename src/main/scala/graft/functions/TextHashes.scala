@@ -206,5 +206,16 @@ object TextHashes {
         }
         HyperplaneSigs(exprs.head, lit(exprs(1), "tables"), lit(exprs(2), "planes"))
       })
+    reg.registerFunction(
+      FunctionIdentifier("iceberg_bucket"),
+      new ExpressionInfo(classOf[IcebergBucket].getName, "iceberg_bucket"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"iceberg_bucket count must be an int literal, got $other")
+        }
+        IcebergBucket(exprs.head, n)
+      })
   }
 }

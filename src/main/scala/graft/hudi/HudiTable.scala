@@ -257,6 +257,9 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         parsed
       }
     }
+    defs.foreach(d => require(d.isIdentity || d.isTime,
+      s"partition transform '${d.transform}' is Iceberg-only; Hudi partition " +
+        "specs support identity and year/month/day/hour"))
     val genDefs = defs.filterNot(_.isIdentity)
     val partCols = defs.map(_.fieldName)
     val dfWithGen = genDefs.foldLeft(df)((d, t) =>

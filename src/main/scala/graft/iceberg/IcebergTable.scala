@@ -324,7 +324,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // source type
     val partFieldTypes = specFields.map { f =>
       val sf = idSchema.fields.find(x => IcebergSchemas.fieldId(x).contains(f.sourceId)).get
-      val dt = if (f.transform == "identity") sf.dataType else IntegerType
+      // identity and truncate[W] store the source type; time transforms
+      // and bucket[N] store the spec's int ordinal/bucket
+      val dt =
+        if (f.transform == "identity" || f.transform.startsWith("truncate[")) sf.dataType
+        else IntegerType
       (f.name, dt, f.fieldId)
     }
     val entrySchema = IcebergManifests.entrySchema(partFieldTypes)
@@ -582,7 +586,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
           // values re-encoded as Iceberg ordinals
           case (k, v) if defByName.contains(k) =>
             val d = defByName(k)
-            k -> (if (v == null || d.isIdentity) v
+            k -> (if (v == null || !d.isTime) v
                   else graft.model.PartitionTransform.toOrdinal(d.granularity, v).toString)
         },
         recordCount = f.recordCount,
@@ -764,9 +768,9 @@ object IcebergTable {
           else defByName(k) match {
             // transform dirs carry the human string; the manifest stores
             // the Iceberg ordinal
-            case d if !d.isIdentity =>
+            case d if d.isTime =>
               graft.model.PartitionTransform.toOrdinal(d.granularity, dec).toString
-            case _ => dec
+            case _ => dec // identity, bucket int, truncate prefix: as-is
           }
         Some(k -> canonical)
       case _ => None
@@ -816,7 +820,7 @@ object IcebergTable {
       // manifest ordinals → canonical human strings for the sync plane
       partitionValues = e.partitionValues.map { case (k, v) =>
         k -> (defByName.get(k) match {
-          case Some(d) if !d.isIdentity && v != null =>
+          case Some(d) if d.isTime && v != null =>
             graft.model.PartitionTransform.fromOrdinal(d.granularity, v.toInt)
           case _ => v
         })
@@ -867,16 +871,29 @@ final class IcebergScanBuilder(
     // the manifest stores ordinals
     val partIn: Seq[(String, Set[String])] = partitionPredicates.map { case (c, vs) =>
       c -> (defByName.get(c) match {
-        case Some(d) if !d.isIdentity =>
+        case Some(d) if d.isTime =>
           vs.map(v => graft.model.PartitionTransform.toOrdinal(d.granularity, v).toString)
         case _ => vs
       })
     }
     // a range on the SOURCE column of a hidden (transform) partition
     // prunes by partition ordinal before any bounds are consulted
+    // an equality predicate on the SOURCE column of a bucket/truncate
+    // field prunes to exactly one partition value (spec-hash the literal
+    // for bucket, prefix it for truncate)
+    val derivedPartIn: Seq[(String, Set[String])] =
+      rangePredicates.flatMap { case (c, lo, hi) =>
+        if (lo.isEmpty || lo != hi) Seq.empty
+        else defs.filter(d => (d.isBucket || d.isTruncate) && d.sourceColumn == c).map { d =>
+          if (d.isBucket)
+            d.fieldName -> Set(graft.functions.IcebergMurmur3.bucketValue(
+              schemaByName(c).dataType, lo.get, d.transformParam).toString)
+          else d.fieldName -> Set(lo.get.take(d.transformParam))
+        }
+      }
     val ordinalRanges: Seq[(String, Option[Int], Option[Int])] =
       rangePredicates.flatMap { case (c, lo, hi) =>
-        defs.filter(d => !d.isIdentity && d.sourceColumn == c).map { d =>
+        defs.filter(d => d.isTime && d.sourceColumn == c).map { d =>
           (d.fieldName,
             lo.map(l => graft.model.PartitionTransform.toOrdinal(
               d.granularity, graft.model.PartitionTransform.truncate(d.granularity, l))),
@@ -902,7 +919,7 @@ final class IcebergScanBuilder(
         (IcebergSchemas.fieldId(f).get, f.dataType, lo0.map(canon), hi0.map(canon))
       }
     table.liveEntries(asOfSnapshot,
-      IcebergScanBuilder.EntryPredicate(partIn, ordinalRanges, boundsRanges))
+      IcebergScanBuilder.EntryPredicate(partIn ++ derivedPartIn, ordinalRanges, boundsRanges))
   }
 
   def toDF(): DataFrame = table.readFiles(files())

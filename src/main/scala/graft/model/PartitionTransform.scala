@@ -41,22 +41,42 @@ final case class PartitionFieldDef(
     nameOverride: Option[String] = None) {
 
   def isIdentity: Boolean = transform == "identity"
-  def granularity: TimeGranularity = TimeGranularity.forName(transform)
+  def isTime: Boolean = TimeGranularity.all.exists(_.name == transform)
+  /** Iceberg-only transforms (spec strings `bucket[N]` / `truncate[W]`;
+    * the reference rejects them — `IcebergPartitionSpecExtractor
+    * .java:81-108` — this engine supports them for Iceberg tables). */
+  def isBucket: Boolean = transform.startsWith("bucket[")
+  def isTruncate: Boolean = transform.startsWith("truncate[")
+  /** N of bucket[N] / W of truncate[W]. */
+  def transformParam: Int =
+    "\\[(\\d+)\\]".r.findFirstMatchIn(transform).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"no [param] in $transform"))
+  def granularity: TimeGranularity = {
+    require(isTime, s"'$transform' is not a time transform (bucket/truncate " +
+      "partition transforms are Iceberg-only and carry no time granularity)")
+    TimeGranularity.forName(transform)
+  }
   def fieldName: String =
     nameOverride.getOrElse(
-      if (isIdentity) sourceColumn else s"${sourceColumn}_$transform")
+      if (isIdentity) sourceColumn
+      else if (isBucket) s"${sourceColumn}_bucket"
+      else if (isTruncate) s"${sourceColumn}_trunc"
+      else s"${sourceColumn}_$transform")
   /** Spec string form, `src` / `month(src)` / `month(src) as name`. */
   def spec: String =
     if (isIdentity) sourceColumn
     else {
       val base = s"$transform($sourceColumn)"
-      if (fieldName == s"${sourceColumn}_$transform") base else s"$base as $fieldName"
+      if (nameOverride.forall(_ == fieldName) && fieldName == defaultName) base
+      else s"$base as $fieldName"
     }
+  private def defaultName: String = copy(nameOverride = None).fieldName
 }
 
 object PartitionTransform {
 
   private val SpecRe = """(?i)\s*(year|month|day|hour)\s*\(\s*([^)\s]+)\s*\)\s*(?:as\s+(\S+))?\s*""".r
+  private val ParamRe = """(?i)\s*(bucket|truncate)\s*\[\s*(\d+)\s*\]\s*\(\s*([^)\s]+)\s*\)\s*(?:as\s+(\S+))?\s*""".r
   private val IdentityRe = """(?i)\s*identity\s*\(\s*([^)\s]+)\s*\)\s*""".r
   // the reference CLI's `path:type:format` shape (ref
   // `api/.../model/schema/OnePartitionField` spec strings), e.g.
@@ -66,8 +86,11 @@ object PartitionTransform {
   /** Parse `col`, `identity(col)`, `year(col)` … `hour(col) as name`,
     * plus the reference CLI form `path:type[:format]`. */
   def parse(spec: String): PartitionFieldDef = spec match {
-    case SpecRe(t, c, n) => PartitionFieldDef(c, t.toLowerCase, Option(n))
-    case IdentityRe(c)   => PartitionFieldDef(c, "identity")
+    case SpecRe(t, c, n)     => PartitionFieldDef(c, t.toLowerCase, Option(n))
+    case ParamRe(t, p, c, n) =>
+      require(p.toInt > 0, s"$t width must be positive: $spec")
+      PartitionFieldDef(c, s"${t.toLowerCase}[${p.toInt}]", Option(n))
+    case IdentityRe(c)       => PartitionFieldDef(c, "identity")
     case CliRe(c, t, fmt) =>
       if (t.equalsIgnoreCase("VALUE")) PartitionFieldDef(c, "identity")
       else {
@@ -82,9 +105,13 @@ object PartitionTransform {
   def parseAll(specs: Seq[String]): Seq[PartitionFieldDef] = specs.map(parse)
 
   /** Column producing the canonical value string from the source column
-    * (codegen'd `date_format`; no UDF). */
+    * (codegen'd `date_format` / substring; native murmur3 for bucket —
+    * no UDF). */
   def valueExpr(d: PartitionFieldDef): Column =
     if (d.isIdentity) col(d.sourceColumn)
+    else if (d.isBucket)
+      expr(s"iceberg_bucket(`${d.sourceColumn}`, ${d.transformParam})")
+    else if (d.isTruncate) substring(col(d.sourceColumn), 1, d.transformParam)
     else date_format(col(d.sourceColumn), d.granularity.pattern)
 
   /** Delta generated-column expression for this transform — the

@@ -105,6 +105,15 @@ object IcebergQueries {
         IcebergTable.convertFromOrc(
           spark, s"$root/orders_orc_data", s"$root/orders_orc")
 
+        // 10. bucket[4] + truncate[2] hidden partitioning (beyond the
+        //     reference, which rejects both — IcebergPartitionSpecExtractor
+        //     .java:81-108): o_custkey spec-murmur3-bucketed, priority
+        //     prefix-truncated; source columns stay in the data files
+        IcebergTable.create(
+          spark, s"$root/orders_bucketed",
+          Tables.orders(spark, sfDir),
+          Seq("bucket[4](o_custkey)", "truncate[2](o_orderpriority)"))
+
         root
       })
     }
@@ -278,6 +287,25 @@ object IcebergQueries {
       """SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Round trip through spec-conformant bucket[4]/truncate[2] hidden
+    // partitioning: every row must come back exactly once from the
+    // bucket-partitioned layout (pruning itself is asserted in
+    // IcebergTableSpec against file counts).
+    QueryDef.sql(
+      "i09_bucket_truncate_partition",
+      (spark, dir) => {
+        Fixtures.table(spark, dir, "orders_bucketed").toDF()
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_custkey")).as("cust_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority, COUNT(*) AS cnt, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
     // Cross-format equality: the SAME source served through the Delta
     // codec and the Iceberg codec must agree row-for-row; result is the

@@ -330,4 +330,42 @@ class IcebergTableSpec extends SparkTestBase {
     assert(back.count() == even.count())
     assert(back.filter(col("o_orderkey") % 2 === 1).count() == 0)
   }
+
+  test("iceberg bucket hashing matches the spec's Appendix B test vectors") {
+    import graft.functions.IcebergMurmur3
+    assert(IcebergMurmur3.hashLong(34L) == 2017239379)          // int and long 34
+    assert(IcebergMurmur3.hashBytes(
+      "iceberg".getBytes(java.nio.charset.StandardCharsets.UTF_8)) == 1210000089)
+    assert(IcebergMurmur3.hashLong(17486L) == -653330422)       // date 2017-11-16
+    assert(IcebergMurmur3.hashLong(1510871468000000L) == -2047944441) // timestamp micros
+  }
+
+  test("bucket and truncate hidden partitioning: full round trip plus pruning") {
+    val dir = tmpDir("iceberg-bucket")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+    val t = IcebergTable.create(spark, s"$dir/t", src.repartition(4),
+      Seq("bucket[4](o_custkey)", "truncate[2](o_orderpriority)"))
+    // completeness: every row comes back exactly once
+    val back = t.toDF()
+    assert(back.count() == src.count())
+    assert(back.agg(sum(col("o_custkey"))).head.getLong(0) ==
+      src.agg(sum(col("o_custkey"))).head.getLong(0))
+    // bucket pruning: equality on the SOURCE column scans only that
+    // bucket's files
+    val all = t.scan.files()
+    val key = src.select("o_custkey").head.getLong(0)
+    val pruned = t.scan.range("o_custkey", Some(key), Some(key)).files()
+    assert(pruned.size < all.size, s"bucket prune did not drop files: ${pruned.size}/${all.size}")
+    val expectBucket = graft.functions.IcebergMurmur3
+      .bucketValue(org.apache.spark.sql.types.LongType, key.toString, 4).toString
+    assert(pruned.forall(_.partitionValues("o_custkey_bucket") == expectBucket))
+    assert(t.readFiles(pruned).filter(col("o_custkey") === key).count() ==
+      src.filter(col("o_custkey") === key).count())
+    // truncate pruning: priority equality scans only its prefix dirs
+    val pr = src.select("o_orderpriority").head.getString(0)
+    val prunedT = t.scan.range("o_orderpriority", Some(pr), Some(pr)).files()
+    assert(prunedT.size < all.size)
+    assert(prunedT.forall(_.partitionValues("o_orderpriority_trunc") == pr.take(2)))
+  }
 }
