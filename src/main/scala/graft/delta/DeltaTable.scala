@@ -120,7 +120,10 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
   def compact(
       targetFileBytes: Long = 128L << 20,
       smallFileBytes: Long = 32L << 20,
-      sortBy: Seq[String] = Seq.empty): Option[Long] = {
+      sortBy: Seq[String] = Seq.empty,
+      /** Morton-interleave these columns for multi-dim skipping
+        * (graft.util.ZOrder); takes precedence over sortBy. */
+      zorderBy: Seq[String] = Seq.empty): Option[Long] = {
     val (schema, partCols) = schemaAt(None)
     val all = DeltaTable.manifestFiles(
       log.snapshotFilesDF()
@@ -133,7 +136,8 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val df = DeltaTable.readFiles(spark, tablePath, readBasePath(None), smalls, schema, partCols)
     val n = math.max(1, math.ceil(smalls.map(_.size).sum.toDouble / targetFileBytes).toInt)
     val arranged =
-      if (sortBy.nonEmpty)
+      if (zorderBy.nonEmpty) graft.util.ZOrder.arrange(df, zorderBy, n)
+      else if (sortBy.nonEmpty)
         df.repartitionByRange(n, sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
       else if (partCols.nonEmpty) df.repartition(n, partCols.map(col): _*)
       else df.repartition(n)

@@ -209,7 +209,10 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
   def compact(
       targetFileBytes: Long = 128L << 20,
       smallFileBytes: Long = 32L << 20,
-      sortBy: Seq[String] = Seq.empty): Option[String] = {
+      sortBy: Seq[String] = Seq.empty,
+      /** Morton-interleave these columns for multi-dim skipping
+        * (graft.util.ZOrder); takes precedence over sortBy. */
+      zorderBy: Seq[String] = Seq.empty): Option[String] = {
     val rows = fileSlicesDF(None).select("path", "partitionPath", "size").collect().toSeq
       .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
     val smalls = rows.groupBy(_._2).values.flatMap { g =>
@@ -220,7 +223,8 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val df = readFiles(smalls, None)
     val n = math.max(1, math.ceil(smalls.map(_._3).sum.toDouble / targetFileBytes).toInt)
     val arranged =
-      if (sortBy.nonEmpty)
+      if (zorderBy.nonEmpty) graft.util.ZOrder.arrange(df, zorderBy, n)
+      else if (sortBy.nonEmpty)
         df.repartitionByRange(n, sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
       else if (partitionColumns.nonEmpty) df.repartition(n, partitionColumns.map(col): _*)
       else df.repartition(n)

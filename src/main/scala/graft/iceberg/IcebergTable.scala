@@ -172,7 +172,10 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   def compact(
       targetFileBytes: Long = 128L << 20,
       smallFileBytes: Long = 32L << 20,
-      sortBy: Seq[String] = Seq.empty): Option[Long] = {
+      sortBy: Seq[String] = Seq.empty,
+      /** Morton-interleave these columns for multi-dim skipping
+        * (graft.util.ZOrder); takes precedence over sortBy. */
+      zorderBy: Seq[String] = Seq.empty): Option[Long] = {
     import org.apache.spark.sql.functions.col
     val live = liveEntries(None)
     val smalls = live.groupBy(_.partitionValues).values.flatMap { g =>
@@ -185,7 +188,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val partCols = log.readLatest().toSeq
       .flatMap(p => IcebergTable.defsOf(p._2)).filter(_.isIdentity).map(_.fieldName)
     val arranged =
-      if (sortBy.nonEmpty)
+      if (zorderBy.nonEmpty) graft.util.ZOrder.arrange(df, zorderBy, n)
+      else if (sortBy.nonEmpty)
         df.repartitionByRange(n, sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
       else if (partCols.nonEmpty) df.repartition(n, partCols.map(col): _*)
       else df.repartition(n)

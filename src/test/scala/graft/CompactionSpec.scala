@@ -82,4 +82,33 @@ class CompactionSpec extends SparkTestBase {
     // the commit is a replacecommit (clustering shape)
     assert(t.instants.size == 2)
   }
+
+  test("z-order compaction clusters two dimensions so a 2-d box prunes files") {
+    val dir = tmpDir("compact_zorder")
+    // two independent uniform dims; row order is scattered in both
+    val src = spark.range(0, 4096).select(
+      (col("id") * 2654435761L % 4096L).as("x"),
+      (col("id") * 40503L % 4096L).as("y"))
+    val t = DeltaTable.create(spark, s"$dir/t", src.repartition(16))
+    val before = checksum(t.toDF())
+    assert(t.compact(targetFileBytes = 8L << 10, smallFileBytes = 1L << 30,
+      zorderBy = Seq("x", "y")).nonEmpty)
+    assert(checksum(t.toDF()) == before)
+    val total = t.scan.files().count()
+    assert(total >= 4, s"need several output files to prove pruning, got $total")
+    // a box covering ~1/16 of each dimension: z-order keeps it in a
+    // small fraction of files; a single-dim sort could not prune on y
+    val boxX = t.scan.range("x", Some(0L), Some(1023L)).files().count()
+    val boxXY = t.scan
+      .range("x", Some(0L), Some(1023L))
+      .range("y", Some(0L), Some(1023L)).files().count()
+    assert(boxXY < total, s"2-d box did not prune: $boxXY/$total")
+    assert(boxXY <= boxX, s"adding the y bound must not widen the scan")
+    // correctness of the pruned read
+    val got = t.scan
+      .range("x", Some(0L), Some(1023L))
+      .range("y", Some(0L), Some(1023L)).toDF()
+      .filter(col("x") <= 1023 && col("y") <= 1023).count()
+    assert(got == src.filter(col("x") <= 1023 && col("y") <= 1023).count())
+  }
 }
