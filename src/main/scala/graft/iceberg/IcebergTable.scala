@@ -471,6 +471,49 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   }
 
   /**
+   * Remove orphan files (Iceberg's `remove_orphan_files` maintenance
+   * action): physically delete files under the table root that no
+   * RETAINED snapshot references — failed-write leftovers and files
+   * stranded by expireSnapshots — when older than `olderThanMs`
+   * (mtime). Unlike Delta VACUUM (current snapshot only), every
+   * retained snapshot's manifests pin their files, so time travel
+   * within the retention set stays intact. The reference set is built
+   * by a distributed manifest-read job; only the orphan list lands on
+   * the driver. Metadata files (`metadata/`) and externally-referenced
+   * data of metadata-only converted tables are never touched.
+   */
+  def removeOrphanFiles(
+      olderThanMs: Long = System.currentTimeMillis() - 7L * 24 * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
+    val meta = currentMetadata
+    val conf = new SerializableConfiguration(hconf)
+    val manifestPaths = meta.snapshots
+      .flatMap(s => IcebergManifests.readManifestList(hconf, new Path(s.manifestList)))
+      .map(_.manifestPath).distinct
+    val referenced: Set[String] =
+      if (manifestPaths.isEmpty) Set.empty
+      else spark.sparkContext
+        .parallelize(manifestPaths, math.min(manifestPaths.size, 64))
+        .flatMap(p => IcebergManifests.readManifest(conf.value, new Path(p)))
+        .map(e => new Path(e.filePath).toUri.getPath)
+        .distinct().collect().toSet
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(hconf)
+    def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name == "metadata" || name.startsWith(".")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st)
+      }
+    val dead = walk(root).filter(st =>
+      st.getModificationTime < olderThanMs &&
+        !referenced.contains(st.getPath.toUri.getPath))
+    if (!dryRun) dead.foreach(st => fs.delete(st.getPath, false))
+    dead.map(_.getPath.toString)
+  }
+
+  /**
    * Crash-consistency repair (ref `core/.../iceberg/IcebergClient.java:251-286`):
    * a writer that died between writing `vN.metadata.json` and its
    * manifest list leaves a current snapshot whose manifest list is

@@ -368,4 +368,27 @@ class IcebergTableSpec extends SparkTestBase {
     assert(prunedT.size < all.size)
     assert(prunedT.forall(_.partitionValues("o_orderpriority_trunc") == pr.take(2)))
   }
+
+  test("removeOrphanFiles deletes stranded files but keeps every retained snapshot's data") {
+    val dir = tmpDir("iceberg-orphan")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val t = IcebergTable.create(spark, s"$dir/t", src.filter(col("o_orderkey") % 2 === 0))
+    t.append(src.filter(col("o_orderkey") % 2 === 1))
+    // a failed writer's leftover parquet no snapshot references
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/t/part-orphan-deadbeef.parquet")
+    val out = fs.create(orphan, true); out.write(Array.fill(64)(7.toByte)); out.close()
+    val dry = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1000, dryRun = true)
+    assert(dry.exists(_.endsWith("part-orphan-deadbeef.parquet")))
+    assert(fs.exists(orphan)) // dry run touches nothing
+    val gone = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(gone.exists(_.endsWith("part-orphan-deadbeef.parquet")))
+    assert(!fs.exists(orphan))
+    // both snapshots still read fully (their files were pinned)
+    assert(t.toDF().count() == src.count())
+    assert(t.toDF(snapshotAsOf = Some(t.snapshotIds.head)).count() ==
+      src.filter(col("o_orderkey") % 2 === 0).count())
+  }
 }
