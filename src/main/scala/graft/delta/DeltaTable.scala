@@ -47,6 +47,25 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
   private[delta] def readBasePath(asOf: Option[Long]): String =
     log.metadataAt(asOf)._1.configuration.getOrElse("graft.converted.from", tablePath)
 
+  /** `delta.columnMapping.mode` of the table (read interop: tables
+    * written by Delta Lake in `name`/`id` mode store PHYSICAL column
+    * names — `col-<uuid>` — in the parquet files, partitionValues keys,
+    * and stats JSON; the logical names live only in schemaString field
+    * metadata). */
+  private[delta] def columnMappingMode(asOf: Option[Long]): String =
+    log.metadataAt(asOf)._1.configuration.getOrElse("delta.columnMapping.mode", "none")
+
+  /** (physical schema, physical partition columns) when column mapping
+    * is active — what the data files and the log's file entries
+    * actually speak. */
+  private[delta] def physicalShape(asOf: Option[Long]): Option[(StructType, Seq[String])] =
+    if (columnMappingMode(asOf) == "none") None
+    else {
+      val (schema, partCols) = schemaAt(asOf)
+      val topPhys = schema.fields.map(f => f.name -> DeltaTable.physicalName(f)).toMap
+      Some((DeltaTable.physicalSchema(schema), partCols.map(c => topPhys.getOrElse(c, c))))
+    }
+
   def scan: DeltaScanBuilder = new DeltaScanBuilder(spark, this, None)
   def scanAsOf(version: Long): DeltaScanBuilder = new DeltaScanBuilder(spark, this, Some(version))
   def scanAsOfTimestamp(tsMillis: Long): DeltaScanBuilder =
@@ -69,9 +88,20 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         .filter(col("added"))
         .select(col("path"), col("size"), lit(0L).as("modificationTime"), col("partitionValues"))
         .collect().toSeq)
-    val (schema, partCols) = schemaAt(Some(toInclusive))
-    DeltaTable.readFiles(
-      spark, tablePath, readBasePath(Some(toInclusive)), changed, schema, partCols)
+    val asOf = Some(toInclusive)
+    val (schema, partCols) = schemaAt(asOf)
+    physicalShape(asOf) match {
+      case None =>
+        DeltaTable.readFiles(
+          spark, tablePath, readBasePath(asOf), changed, schema, partCols)
+      case Some((physSchema, physPartCols)) =>
+        val phys = DeltaTable.readFiles(
+          spark, tablePath, readBasePath(asOf), changed, physSchema, physPartCols)
+        val logical = DeltaTable.logicalClean(schema)
+        phys.select(physSchema.fields.zip(logical.fields).map { case (pf, lf) =>
+          col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+        }.toSeq: _*)
+    }
   }
 
   // ---------------------------------------------------------------- writes
@@ -560,6 +590,38 @@ object DeltaTable {
       spark, basePath, absolute, schema, partitionColumns)
   }
 
+  /** Physical (column-mapped) name of a field, when present. */
+  private[delta] def physicalName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Rename every (nested) field to its physical name — the schema the
+    * parquet files of a column-mapped table carry. */
+  private[delta] def physicalSchema(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      StructField(physicalName(f), physicalType(f.dataType), f.nullable)
+    })
+
+  private def physicalType(dt: DataType): DataType = dt match {
+    case st: StructType => physicalSchema(st)
+    case ArrayType(e, n) => ArrayType(physicalType(e), n)
+    case MapType(k, v, n) => MapType(physicalType(k), physicalType(v), n)
+    case other => other
+  }
+
+  /** Strip column-mapping metadata so logical output columns carry no
+    * physical-name baggage. */
+  private[delta] def logicalClean(s: StructType): StructType =
+    StructType(s.fields.map(f => StructField(f.name, cleanType(f.dataType), f.nullable)))
+
+  private def cleanType(dt: DataType): DataType = dt match {
+    case st: StructType => logicalClean(st)
+    case ArrayType(e, n) => ArrayType(cleanType(e), n)
+    case MapType(k, v, n) => MapType(cleanType(k), cleanType(v), n)
+    case other => other
+  }
+
   /** files()-shaped DataFrame rows → manifest descriptors. */
   private[delta] def manifestFiles(rows: Seq[org.apache.spark.sql.Row]): Seq[graft.sources.ManifestFile] =
     rows.map { r =>
@@ -604,9 +666,15 @@ final class DeltaScanBuilder(
   /** The pruned file manifest (path, partitionValues, size, stats). */
   def files(): DataFrame = {
     val (schema, partCols) = table.schemaAt(asOfVersion)
+    // column-mapped tables key partitionValues and stats by PHYSICAL
+    // name; callers always speak logical names
+    val phys: Map[String, String] =
+      if (table.columnMappingMode(asOfVersion) == "none") Map.empty
+      else schema.fields.map(f => f.name -> DeltaTable.physicalName(f)).toMap
+    def p(c: String): String = phys.getOrElse(c, c)
     var df = table.log.snapshotFilesDF(asOfVersion)
     partitionPredicates.foreach { case (c, vs) =>
-      df = df.filter(element_at(col("partitionValues"), c).isin(vs.toSeq: _*))
+      df = df.filter(element_at(col("partitionValues"), p(c)).isin(vs.toSeq: _*))
     }
     // a range predicate on the SOURCE column of a time-transform
     // partition also prunes partitions: canonical value strings order
@@ -616,7 +684,7 @@ final class DeltaScanBuilder(
     val timeDefs = DeltaTable.partitionDefsOf(schema, partCols).filterNot(_.isIdentity)
     rangePredicates.foreach { case (c, lo, hi) =>
       timeDefs.filter(_.sourceColumn == c).foreach { t =>
-        val pv = element_at(col("partitionValues"), t.fieldName)
+        val pv = element_at(col("partitionValues"), p(t.fieldName))
         lo.foreach { l =>
           df = df.filter(pv.isNull ||
             pv >= lit(graft.model.PartitionTransform.truncate(t.granularity, l)))
@@ -628,7 +696,9 @@ final class DeltaScanBuilder(
       }
     }
     if (rangePredicates.nonEmpty) {
-      val statCols = StructType(schema.fields.filter(f => rangePredicates.exists(_._1 == f.name)))
+      val statCols = StructType(schema.fields
+        .filter(f => rangePredicates.exists(_._1 == f.name))
+        .map(f => StructField(p(f.name), f.dataType, f.nullable)))
       val statsSchema = StructType(Seq(
         StructField("numRecords", LongType),
         StructField("minValues", statCols),
@@ -636,8 +706,8 @@ final class DeltaScanBuilder(
       df = df.withColumn("graft_st", from_json(col("stats"), statsSchema))
       rangePredicates.foreach { case (c, lo, hi) =>
         val field = schema(c)
-        val minC = col(s"graft_st.minValues.`$c`")
-        val maxC = col(s"graft_st.maxValues.`$c`")
+        val minC = col(s"graft_st.minValues.`${p(c)}`")
+        val maxC = col(s"graft_st.maxValues.`${p(c)}`")
         // keep when stats are absent (can't prove exclusion)
         lo.foreach { l =>
           df = df.filter(maxC.isNull || maxC >= lit(l).cast(field.dataType))
@@ -657,7 +727,21 @@ final class DeltaScanBuilder(
     val (schema, partCols) = table.schemaAt(asOfVersion)
     val pruned = DeltaTable.manifestFiles(
       files().select("path", "size", "modificationTime", "partitionValues").collect().toSeq)
-    DeltaTable.readFiles(
-      spark, table.tablePath, table.readBasePath(asOfVersion), pruned, schema, partCols)
+    table.physicalShape(asOfVersion) match {
+      case None =>
+        DeltaTable.readFiles(
+          spark, table.tablePath, table.readBasePath(asOfVersion), pruned, schema, partCols)
+      case Some((physSchema, physPartCols)) =>
+        // column-mapped table: the files speak physical names — read
+        // physically, then cast each column back to its logical shape
+        // (struct casts rename nested fields positionally)
+        val phys = DeltaTable.readFiles(
+          spark, table.tablePath, table.readBasePath(asOfVersion), pruned,
+          physSchema, physPartCols)
+        val logical = DeltaTable.logicalClean(schema)
+        phys.select(physSchema.fields.zip(logical.fields).map { case (pf, lf) =>
+          col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+        }.toSeq: _*)
+    }
   }
 }

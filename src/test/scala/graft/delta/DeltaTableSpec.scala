@@ -197,4 +197,62 @@ class DeltaTableSpec extends SparkTestBase {
     val t2 = DeltaTable.forPath(spark, s"$dir/t")
     assert(t2.toDF().count() == 3L)
   }
+
+  test("reads a column-mapped table (name mode): physical parquet names, logical output") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("delta-colmap")
+    val root = s"$dir/t"
+    // data files speak PHYSICAL names, incl. a nested struct field
+    val physA = spark.range(0, 50).selectExpr(
+      "id AS `col-aaa111`",
+      "named_struct('col-ccc333', CAST(id * 2 AS LONG)) AS `col-bbb222`")
+    val physB = spark.range(50, 100).selectExpr(
+      "id AS `col-aaa111`",
+      "named_struct('col-ccc333', CAST(id * 2 AS LONG)) AS `col-bbb222`")
+    physA.coalesce(1).write.parquet(s"$root/fa")
+    physB.coalesce(1).write.parquet(s"$root/fb")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileOf(sub: String): org.apache.hadoop.fs.FileStatus =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$sub"))
+        .filter(_.getPath.getName.endsWith(".parquet")).head
+    val (fa, fb) = (fileOf("fa"), fileOf("fb"))
+    // logical schema: id / payload.inner, physical names in metadata —
+    // exactly what Delta Lake writes in delta.columnMapping.mode=name
+    def meta(phys: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-aaa111", 1)),
+      StructField("payload", StructType(Seq(
+        StructField("inner", LongType, nullable = true, meta("col-ccc333", 3)))),
+        nullable = true, meta("col-bbb222", 2))))
+    val statsA = """{"numRecords":50,"minValues":{"col-aaa111":0},"maxValues":{"col-aaa111":49}}"""
+    val statsB = """{"numRecords":50,"minValues":{"col-aaa111":50},"maxValues":{"col-aaa111":99}}"""
+    val t = DeltaTable.forPath(spark, root)
+    assert(t.log.commit(0L, Seq(
+      Protocol(minReaderVersion = 2, minWriterVersion = 5),
+      DeltaMetadata(
+        id = java.util.UUID.randomUUID().toString,
+        schemaString = logical.json,
+        partitionColumns = Seq.empty,
+        configuration = Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> "3"),
+        createdTime = 0L),
+      AddFile(s"fa/${fa.getPath.getName}", Map.empty, fa.getLen, 0L,
+        dataChange = true, stats = Some(statsA)),
+      AddFile(s"fb/${fb.getPath.getName}", Map.empty, fb.getLen, 0L,
+        dataChange = true, stats = Some(statsB)))))
+    // logical column names out, physical data in
+    val back = t.toDF()
+    assert(back.columns.toSeq == Seq("id", "payload"))
+    assert(back.count() == 100)
+    assert(back.select(sum(col("id"))).head.getLong(0) == (0L until 100L).sum)
+    assert(back.select(sum(col("payload.inner"))).head.getLong(0) == 2L * (0L until 100L).sum)
+    // stats skipping translates the logical predicate to physical keys
+    val pruned = t.scan.range("id", Some(75L), Some(80L)).files().count()
+    assert(pruned == 1, s"expected 1 surviving file, got $pruned")
+    assert(t.scan.range("id", Some(75L), Some(80L)).toDF()
+      .filter(col("id").between(75, 80)).count() == 6)
+  }
 }
