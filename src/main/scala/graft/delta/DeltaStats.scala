@@ -90,20 +90,34 @@ object DeltaStats {
         case DateType => LocalDate.parse(n.asText()).toEpochDay.toString
         case _ => n.asText()
       })
-    val cols = dataSchema.fields.toSeq.flatMap { f =>
-      val mn = if (minN == null) None else canonical(f, minN.get(f.name))
-      val mx = if (maxN == null) None else canonical(f, maxN.get(f.name))
-      val nulls = if (nullN == null || nullN.get(f.name) == null) -1L
-                  else nullN.get(f.name).asLong()
-      if (mn.isEmpty && mx.isEmpty && nulls < 0) None
-      else Some(ColumnStatRow(
-        column = f.name, minValue = mn, maxValue = mx,
-        numNulls = nulls,
-        // TOTAL value count including nulls — what parquet footers carry
-        // and what Iceberg's value_counts means (null_count <= value_count)
-        numValues = numRecords,
-        totalSize = 0L))
-    }
-    (numRecords, cols)
+    // recurse into structs: Delta nests stats under the struct key, the
+    // canonical model wants flat dot-paths (ref `DeltaStatsExtractor
+    // .java:215-240` flattenStatMap); arrays/maps carry no stats
+    // (scalar-only eligibility, ref `FIELD_TYPES_WITH_STATS_SUPPORT`)
+    type Node = com.fasterxml.jackson.databind.JsonNode
+    def sub(n: Node, name: String): Node = if (n == null) null else n.get(name)
+    def walk(fields: Seq[StructField], prefix: String,
+        mnN: Node, mxN: Node, nlN: Node): Seq[ColumnStatRow] =
+      fields.flatMap { f =>
+        val path = prefix + f.name
+        f.dataType match {
+          case st: StructType =>
+            walk(st.fields.toSeq, path + ".", sub(mnN, f.name), sub(mxN, f.name), sub(nlN, f.name))
+          case _: ArrayType | _: MapType => Seq.empty
+          case _ =>
+            val mn = canonical(f, sub(mnN, f.name))
+            val mx = canonical(f, sub(mxN, f.name))
+            val nulls = if (sub(nlN, f.name) == null) -1L else sub(nlN, f.name).asLong()
+            if (mn.isEmpty && mx.isEmpty && nulls < 0) Seq.empty
+            else Seq(ColumnStatRow(
+              column = path, minValue = mn, maxValue = mx,
+              numNulls = nulls,
+              // TOTAL value count including nulls — what parquet footers
+              // carry and what Iceberg's value_counts means
+              numValues = numRecords,
+              totalSize = 0L))
+        }
+      }
+    (numRecords, walk(dataSchema.fields.toSeq, "", minN, maxN, nullN))
   }
 }

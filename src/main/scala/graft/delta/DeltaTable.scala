@@ -327,9 +327,44 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     * paths, hive partition values, footer-equivalent stats parsed out
     * of the log's stats JSON — no parquet is touched (ref "sync without
     * rewriting data", `README.md:1-16`). */
-  def snapshotDataFiles(): Seq[graft.model.InternalDataFile] = {
-    val (schema, partCols) = schemaAt(None)
+  /** Sync-plane column-mapping translation: physical data schema for
+    * stats parsing plus physical→logical dot-path renames, identity
+    * when mapping is off. */
+  private def syncShape(asOf: Option[Long]): (StructType, Map[String, String]) = {
+    val (schema, partCols) = schemaAt(asOf)
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    if (columnMappingMode(asOf) == "none") (dataSchema, Map.empty)
+    else {
+      def paths(st: StructType, lp: String, pp: String): Seq[(String, String)] =
+        st.fields.flatMap { f =>
+          val l = if (lp.isEmpty) f.name else s"$lp.${f.name}"
+          val ph = if (pp.isEmpty) DeltaTable.physicalName(f)
+                   else s"$pp.${DeltaTable.physicalName(f)}"
+          (ph -> l) +: (f.dataType match {
+            case nested: StructType => paths(nested, l, ph)
+            case _ => Seq.empty
+          })
+        }
+      (DeltaTable.physicalSchema(dataSchema), paths(dataSchema, "", "").toMap)
+    }
+  }
+
+  private def logicalStats(
+      cols: Seq[graft.model.ColumnStatRow],
+      names: Map[String, String]): Seq[graft.model.ColumnStatRow] =
+    if (names.isEmpty) cols
+    else cols.map(c => c.copy(column = names.getOrElse(c.column, c.column)))
+
+  private def logicalPartValues(
+      pv: Map[String, String], asOf: Option[Long]): Map[String, String] =
+    if (columnMappingMode(asOf) == "none") pv
+    else {
+      val m = schemaAt(asOf)._1.fields.map(f => DeltaTable.physicalName(f) -> f.name).toMap
+      pv.map { case (k, v) => m.getOrElse(k, k) -> v }
+    }
+
+  def snapshotDataFiles(): Seq[graft.model.InternalDataFile] = {
+    val (dataSchema, names) = syncShape(None)
     log.snapshotFilesDF()
       .select("path", "partitionValues", "size", "modificationTime", "stats")
       .collect().toSeq.map { r =>
@@ -337,12 +372,12 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         .map(DeltaStats.fromJson(_, dataSchema)).getOrElse((-1L, Seq.empty))
       graft.model.InternalDataFile(
         physicalPath = absolutePath(r.getString(0)),
-        partitionValues =
+        partitionValues = logicalPartValues(
           if (r.isNullAt(1)) Map.empty
-          else r.getMap[String, String](1).toMap,
+          else r.getMap[String, String](1).toMap, None),
         fileSizeBytes = if (r.isNullAt(2)) 0L else r.getLong(2),
         recordCount = n,
-        columnStats = cols,
+        columnStats = logicalStats(cols, names),
         lastModified = if (r.isNullAt(3)) 0L else r.getLong(3))
     }
   }
@@ -350,14 +385,15 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
   /** One commit's adds + removed paths in canonical form — the unit of
     * incremental sync replay (ref `DeltaSourceClient.java:106-143`). */
   def changeSet(version: Long): (Seq[graft.model.InternalDataFile], Seq[String]) = {
-    val (schema, partCols) = schemaAt(Some(version))
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val asOf = Some(version)
+    val (dataSchema, names) = syncShape(asOf)
     val actions = log.readActions(version)
     val adds = actions.collect { case a: AddFile =>
-      val (n, cols) = a.stats.map(DeltaStats.fromJson(_, dataSchema)).getOrElse((-1L, Seq.empty))
+      val (n, cols0) = a.stats.map(DeltaStats.fromJson(_, dataSchema)).getOrElse((-1L, Seq.empty))
+      val cols = logicalStats(cols0, names)
       graft.model.InternalDataFile(
         physicalPath = absolutePath(a.path),
-        partitionValues = a.partitionValues,
+        partitionValues = logicalPartValues(a.partitionValues, asOf),
         fileSizeBytes = a.size,
         recordCount = n,
         columnStats = cols,

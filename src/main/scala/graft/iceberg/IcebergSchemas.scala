@@ -201,30 +201,58 @@ object IcebergSchemas {
     * other engines still resolve by name (ref
     * `core/.../iceberg/IcebergTableManager.java:103-107`, which uses
     * `MappingUtil.create` + `NameMappingParser.toJson`). */
-  def nameMappingJson(schema: StructType): String = {
+  /** `physicalNames` (logical dot-path → name the parquet files carry,
+    * e.g. Delta column-mapping `col-<uuid>`s) lists the physical name
+    * FIRST so readers resolve id-less files written under it; the
+    * logical name rides second. */
+  def nameMappingJson(
+      schema: StructType,
+      physicalNames: Map[String, String] = Map.empty): String = {
     val root = mapper.createArrayNode()
     def entry(parent: com.fasterxml.jackson.databind.node.ArrayNode,
-        name: String, id: Option[Int], dt: DataType, collIds: Seq[Int]): Unit = {
+        name: String, path: String, id: Option[Int], dt: DataType, collIds: Seq[Int]): Unit = {
       val n = parent.addObject()
       id.foreach(n.put("field-id", _))
-      n.putArray("names").add(name)
-      nested(n, dt, collIds)
+      val names = n.putArray("names")
+      physicalNames.get(path).filter(_ != name).foreach(names.add)
+      names.add(name)
+      nested(n, path, dt, collIds)
     }
-    def nested(n: ObjectNode, dt: DataType, collIds: Seq[Int]): Unit = dt match {
+    def nested(n: ObjectNode, path: String, dt: DataType, collIds: Seq[Int]): Unit = dt match {
       case s: StructType =>
         val fields = n.putArray("fields")
-        s.fields.foreach(f => entry(fields, f.name, fieldId(f), f.dataType, collIdsOf(f)))
+        s.fields.foreach(f =>
+          entry(fields, f.name, s"$path.${f.name}", fieldId(f), f.dataType, collIdsOf(f)))
       case a: ArrayType =>
         val fields = n.putArray("fields")
-        entry(fields, "element", collIds.headOption, a.elementType, collIds.drop(1))
+        entry(fields, "element", s"$path.element", collIds.headOption, a.elementType, collIds.drop(1))
       case m: MapType =>
         val fields = n.putArray("fields")
-        entry(fields, "key", collIds.headOption, m.keyType, Seq.empty)
-        entry(fields, "value", collIds.drop(1).headOption, m.valueType, collIds.drop(2))
+        entry(fields, "key", s"$path.key", collIds.headOption, m.keyType, Seq.empty)
+        entry(fields, "value", s"$path.value", collIds.drop(1).headOption, m.valueType, collIds.drop(2))
       case _ => ()
     }
-    schema.fields.foreach(f => entry(root, f.name, fieldId(f), f.dataType, collIdsOf(f)))
+    schema.fields.foreach(f => entry(root, f.name, f.name, fieldId(f), f.dataType, collIdsOf(f)))
     root.toString
+  }
+
+  /** Inverse read: dot-path → physical name for every mapping entry
+    * whose first listed name differs from the schema (field) name. */
+  def physicalNamesFromMapping(mappingJson: String): Map[String, String] = {
+    val out = scala.collection.mutable.Map[String, String]()
+    def walk(arr: com.fasterxml.jackson.databind.JsonNode, prefix: String): Unit =
+      if (arr != null && arr.isArray) arr.forEach { n =>
+        val names = n.get("names")
+        if (names != null && names.size() >= 1) {
+          val first = names.get(0).asText()
+          val logical = names.get(names.size() - 1).asText()
+          val path = if (prefix.isEmpty) logical else s"$prefix.$logical"
+          if (first != logical) out += path -> first
+          walk(n.get("fields"), path)
+        }
+      }
+    walk(mapper.readTree(mappingJson), "")
+    out.toMap
   }
 
   private def withFieldId(m: Metadata, id: Int): Metadata =

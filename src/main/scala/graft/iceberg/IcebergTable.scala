@@ -126,13 +126,22 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // manifest partition struct with their source type); transform
     // (hidden) partition sources are ordinary data columns in the files
     val identityCols = IcebergTable.defsOf(meta).filter(_.isIdentity).map(_.fieldName)
-    val out = sparkSchema
+    val logical = sparkSchema
+    // honor the table's name mapping: entries whose first listed name
+    // differs from the schema name mean the parquet files speak that
+    // PHYSICAL name (column-mapped sync sources) — read physically,
+    // then cast back (struct casts rename nested fields positionally)
+    val physByPath = meta.properties.get("schema.name-mapping.default")
+      .map(IcebergSchemas.physicalNamesFromMapping).getOrElse(Map.empty)
+    val out =
+      if (physByPath.isEmpty) logical
+      else IcebergTable.renameByPath(logical, physByPath, "")
     if (entries.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
     val basePath = meta.properties.getOrElse("graft.converted.from", tablePath)
     // data files may mix formats (ref FileFormat.java:26-30); plan one
     // relation per format over the shared index machinery and union
-    entries.groupBy(e => Option(e.fileFormat).getOrElse("parquet").toLowerCase)
+    val phys = entries.groupBy(e => Option(e.fileFormat).getOrElse("parquet").toLowerCase)
       .map { case (fmt, group) =>
         val files = group.map(e => graft.sources.ManifestFile(
           path = e.filePath,
@@ -142,6 +151,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         graft.sources.ManifestFileIndex.read(spark, basePath, files, out, identityCols, fmt)
       }
       .reduce(_ unionByName _)
+    if (physByPath.isEmpty) phys
+    else phys.select(out.fields.zip(logical.fields).map { case (pf, lf) =>
+      org.apache.spark.sql.functions.col(s"`${pf.name}`")
+        .cast(IcebergTable.stripMeta(lf.dataType)).as(lf.name)
+    }.toSeq: _*)
   }
 
   // ---------------------------------------------------------------- writes
@@ -314,7 +328,10 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       removes: Seq[ManifestEntry],
       carryPrevious: Boolean,
       operation: String,
-      extraProps: Map[String, String]): Option[Long] = {
+      extraProps: Map[String, String],
+      /** logical dot-path → physical parquet name (column-mapped sync
+        * sources); rides the name mapping so readers resolve the files */
+      physicalNames: Map[String, String] = Map.empty): Option[Long] = {
     val now = System.currentTimeMillis()
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
     val seq = prev.map(_._2.lastSequenceNumber + 1).getOrElse(1L)
@@ -425,7 +442,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // other engines resolve by name (ref IcebergTableManager.java:103-107
     // sets it at create; refreshing on evolution keeps it truthful)
     val nameMapping = Map(
-      "schema.name-mapping.default" -> IcebergSchemas.nameMappingJson(idSchema))
+      "schema.name-mapping.default" -> IcebergSchemas.nameMappingJson(idSchema, physicalNames))
     val next = base.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
@@ -595,7 +612,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       sourceDataRoot: String,
       adds: Seq[graft.model.InternalDataFile],
       removePaths: Seq[String],
-      syncProps: Map[String, String]): Long = {
+      syncProps: Map[String, String],
+      physicalNames: Map[String, String] = Map.empty): Long = {
     val prev = log.readLatest()
     val defs = graft.model.PartitionTransform.parseAll(partitionColumns)
     val defByName = defs.map(d => d.fieldName -> d).toMap
@@ -651,7 +669,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     commitSnapshot(prev, idSchema, defs, entries, removes,
       carryPrevious = true,
       operation = if (removes.nonEmpty) "overwrite" else "append",
-      extraProps = syncProps + ("graft.converted.from" -> sourceDataRoot))
+      extraProps = syncProps + ("graft.converted.from" -> sourceDataRoot),
+      physicalNames = physicalNames)
       .getOrElse(throw new IllegalStateException(
         s"concurrent commit on sync target $tablePath: sync targets are " +
           "single-writer; re-run the sync"))
@@ -750,6 +769,27 @@ object IcebergTable {
       operation = "append", extraProps = Map("graft.converted.from" -> sourceLocation))
       .getOrElse(throw new IllegalStateException(s"table already exists: $tablePath"))
     t
+  }
+
+  /** Rename (nested) struct fields to their mapped physical names. */
+  private[iceberg] def renameByPath(
+      s: StructType, phys: Map[String, String], prefix: String): StructType =
+    StructType(s.fields.map { f =>
+      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      val dt = f.dataType match {
+        case st: StructType => renameByPath(st, phys, path)
+        case other => other
+      }
+      StructField(phys.getOrElse(path, f.name), dt, f.nullable, f.metadata)
+    })
+
+  /** Metadata-free copy of a type (logical output columns). */
+  private[iceberg] def stripMeta(dt: DataType): DataType = dt match {
+    case st: StructType =>
+      StructType(st.fields.map(f => StructField(f.name, stripMeta(f.dataType), f.nullable)))
+    case ArrayType(e, n) => ArrayType(stripMeta(e), n)
+    case MapType(k, v, n) => MapType(stripMeta(k), stripMeta(v), n)
+    case other => other
   }
 
   // ------------------------------------------------------------ internals

@@ -101,7 +101,8 @@ object SyncEngine {
         target.commit(source.schema, source.partitionColumns, source.dataRoot,
           adds, removes,
           keyProps ++ Map(SourceIdProp -> source.sourceId, VersionProp -> highWater,
-            InflightProp -> stillInflight.mkString(",")))
+            InflightProp -> stillInflight.mkString(",")),
+          source.physicalNames)
         added += adds.size; removed += removes.size
       }
       SyncResult("incremental", pending, added, removed)
@@ -115,7 +116,8 @@ object SyncEngine {
       target.commit(source.schema, source.partitionColumns, source.dataRoot,
         adds, removes,
         keyProps ++ Map(SourceIdProp -> source.sourceId, VersionProp -> source.currentVersion,
-          InflightProp -> stillInflight.mkString(",")))
+          InflightProp -> stillInflight.mkString(",")),
+        source.physicalNames)
       SyncResult("full", Seq(source.currentVersion), adds.size, removes.size)
     }
   }
@@ -207,6 +209,11 @@ trait SyncSource {
   def inflightVersions: Seq[String] = Seq.empty
   /** Record-key (primary-key) fields, if the table declares them. */
   def recordKeyFields: Seq[String] = Seq.empty
+  /** Logical dot-path → physical parquet column name, when the source's
+    * shared data files carry different (column-mapped) names. Targets
+    * that can't represent the mapping must refuse rather than emit
+    * metadata other engines would misread. */
+  def physicalNames: Map[String, String] = Map.empty
   /** The later of two version tokens in this source's commit order. */
   def laterOf(a: String, b: String): String = if (a >= b) a else b
 }
@@ -240,7 +247,8 @@ trait SyncTarget {
       sourceDataRoot: String,
       adds: Seq[InternalDataFile],
       removePaths: Seq[String],
-      watermark: Map[String, String]): Unit
+      watermark: Map[String, String],
+      physicalNames: Map[String, String] = Map.empty): Unit
 }
 
 // ---------------------------------------------------------------- Delta
@@ -274,6 +282,28 @@ private final class DeltaSource(t: DeltaTable) extends SyncSource {
   override def recordKeyFields: Seq[String] =
     t.log.metadataAt(None)._1.configuration.get(SyncEngine.RecordKeyProp)
       .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+  /** Column-mapped sources: shared parquet carries col-<uuid> names. */
+  override def physicalNames: Map[String, String] = {
+    val (schema, _) = t.schemaAt(None)
+    if (!t.log.metadataAt(None)._1.configuration
+        .get("delta.columnMapping.mode").exists(_ != "none")) Map.empty
+    else {
+      def walk(st: StructType, prefix: String): Seq[(String, String)] =
+        st.fields.toSeq.flatMap { f =>
+          val path = prefix + f.name
+          val phys =
+            if (f.metadata.contains("delta.columnMapping.physicalName"))
+              f.metadata.getString("delta.columnMapping.physicalName")
+            else f.name
+          val self = if (phys != f.name) Seq(path -> phys) else Seq.empty
+          self ++ (f.dataType match {
+            case nested: StructType => walk(nested, path + ".")
+            case _ => Seq.empty
+          })
+        }
+      walk(schema, "").toMap
+    }
+  }
 }
 
 private final class DeltaTarget(spark: SparkSession, val targetPath: String) extends SyncTarget {
@@ -287,8 +317,14 @@ private final class DeltaTarget(spark: SparkSession, val targetPath: String) ext
   def commit(
       schema: StructType, partitionColumns: Seq[String], sourceDataRoot: String,
       adds: Seq[InternalDataFile], removePaths: Seq[String],
-      watermark: Map[String, String]): Unit =
+      watermark: Map[String, String],
+      physicalNames: Map[String, String] = Map.empty): Unit = {
+    require(physicalNames.isEmpty,
+      s"cannot sync a column-mapped source to a Delta target at $targetPath: " +
+        "the shared files' physical names are only representable via an " +
+        "Iceberg name mapping")
     table.syncCommit(schema, partitionColumns, sourceDataRoot, adds, removePaths, watermark)
+  }
 }
 
 // -------------------------------------------------------------- Iceberg
@@ -339,8 +375,10 @@ private final class IcebergTarget(spark: SparkSession, val targetPath: String) e
   def commit(
       schema: StructType, partitionColumns: Seq[String], sourceDataRoot: String,
       adds: Seq[InternalDataFile], removePaths: Seq[String],
-      watermark: Map[String, String]): Unit =
-    table.syncCommit(schema, partitionColumns, sourceDataRoot, adds, removePaths, watermark)
+      watermark: Map[String, String],
+      physicalNames: Map[String, String] = Map.empty): Unit =
+    table.syncCommit(schema, partitionColumns, sourceDataRoot, adds, removePaths, watermark,
+      physicalNames)
 }
 
 // ----------------------------------------------------------------- Hudi
@@ -389,6 +427,12 @@ private final class HudiTarget(spark: SparkSession, val targetPath: String) exte
   def commit(
       schema: StructType, partitionColumns: Seq[String], sourceDataRoot: String,
       adds: Seq[InternalDataFile], removePaths: Seq[String],
-      watermark: Map[String, String]): Unit =
+      watermark: Map[String, String],
+      physicalNames: Map[String, String] = Map.empty): Unit = {
+    require(physicalNames.isEmpty,
+      s"cannot sync a column-mapped source to a Hudi target at $targetPath: " +
+        "the shared files' physical names are only representable via an " +
+        "Iceberg name mapping")
     table.syncCommit(schema, partitionColumns, sourceDataRoot, adds, removePaths, watermark)
+  }
 }

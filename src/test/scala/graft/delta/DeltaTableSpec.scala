@@ -227,8 +227,8 @@ class DeltaTableSpec extends SparkTestBase {
       StructField("payload", StructType(Seq(
         StructField("inner", LongType, nullable = true, meta("col-ccc333", 3)))),
         nullable = true, meta("col-bbb222", 2))))
-    val statsA = """{"numRecords":50,"minValues":{"col-aaa111":0},"maxValues":{"col-aaa111":49}}"""
-    val statsB = """{"numRecords":50,"minValues":{"col-aaa111":50},"maxValues":{"col-aaa111":99}}"""
+    val statsA = """{"numRecords":50,"minValues":{"col-aaa111":0,"col-bbb222":{"col-ccc333":0}},"maxValues":{"col-aaa111":49,"col-bbb222":{"col-ccc333":98}}}"""
+    val statsB = """{"numRecords":50,"minValues":{"col-aaa111":50,"col-bbb222":{"col-ccc333":100}},"maxValues":{"col-aaa111":99,"col-bbb222":{"col-ccc333":198}}}"""
     val t = DeltaTable.forPath(spark, root)
     assert(t.log.commit(0L, Seq(
       Protocol(minReaderVersion = 2, minWriterVersion = 5),
@@ -254,5 +254,16 @@ class DeltaTableSpec extends SparkTestBase {
     assert(pruned == 1, s"expected 1 surviving file, got $pruned")
     assert(t.scan.range("id", Some(75L), Some(80L)).toDF()
       .filter(col("id").between(75, 80)).count() == 6)
+    // sync plane speaks logical names: stats and partition keys of a
+    // column-mapped SOURCE translate before they reach a target
+    val files = t.snapshotDataFiles()
+    assert(files.flatMap(_.columnStats.map(_.column)).toSet == Set("id", "payload.inner"))
+    val tgt = s"$dir/ice"
+    graft.sync.SyncEngine.sync(
+      graft.sync.SyncEngine.deltaSource(t),
+      graft.sync.SyncEngine.icebergTarget(spark, tgt))
+    val ice = graft.iceberg.IcebergTable.forPath(spark, tgt).toDF()
+    assert(ice.count() == 100)
+    assert(ice.select(sum(col("id"))).head.getLong(0) == (0L until 100L).sum)
   }
 }
