@@ -315,6 +315,17 @@ object IcebergManifests {
     case a: Array[Byte] => a
   }
 
+  /** Field access tolerant of format-v1 files: absent fields (v2's
+    * sequence numbers) and renamed ones (v1 `added_data_files_count` vs
+    * v2 `added_files_count`) resolve to the first present name. */
+  private def opt(rec: GenericRecord, names: String*): AnyRef =
+    names.iterator
+      .map(n => if (rec.getSchema.getField(n) == null) null else rec.get(n))
+      .find(_ != null).orNull
+
+  private def longOf(rec: GenericRecord, default: Long, names: String*): Long =
+    Option(opt(rec, names: _*)).map(_.asInstanceOf[Number].longValue()).getOrElse(default)
+
   def readManifest(conf: Configuration, path: Path): Seq[ManifestEntry] =
     readAvro(conf, path).map { rec =>
       val df = rec.get("data_file").asInstanceOf[GenericRecord]
@@ -325,17 +336,19 @@ object IcebergManifests {
       }.toMap
       ManifestEntry(
         status = rec.get("status").asInstanceOf[Number].intValue(),
-        snapshotId = Option(rec.get("snapshot_id")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
-        sequenceNumber = Option(rec.get("sequence_number")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+        snapshotId = longOf(rec, 0L, "snapshot_id"),
+        // v1 manifests carry no sequence numbers: every entry is seq 0
+        // and reconciliation falls back to deleted-wins
+        sequenceNumber = longOf(rec, 0L, "sequence_number"),
         filePath = df.get("file_path").toString,
         fileFormat = df.get("file_format").toString.toLowerCase,
         partitionValues = partValues,
         recordCount = df.get("record_count").asInstanceOf[Number].longValue(),
         fileSizeBytes = df.get("file_size_in_bytes").asInstanceOf[Number].longValue(),
-        valueCounts = kvToMap(df.get("value_counts")).view.mapValues(_.asInstanceOf[Number].longValue()).toMap,
-        nullCounts = kvToMap(df.get("null_value_counts")).view.mapValues(_.asInstanceOf[Number].longValue()).toMap,
-        lowerBounds = kvToMap(df.get("lower_bounds")).view.mapValues(bytesOf).toMap,
-        upperBounds = kvToMap(df.get("upper_bounds")).view.mapValues(bytesOf).toMap)
+        valueCounts = kvToMap(opt(df, "value_counts")).view.mapValues(_.asInstanceOf[Number].longValue()).toMap,
+        nullCounts = kvToMap(opt(df, "null_value_counts")).view.mapValues(_.asInstanceOf[Number].longValue()).toMap,
+        lowerBounds = kvToMap(opt(df, "lower_bounds")).view.mapValues(bytesOf).toMap,
+        upperBounds = kvToMap(opt(df, "upper_bounds")).view.mapValues(bytesOf).toMap)
     }
 
   def readManifestList(conf: Configuration, path: Path): Seq[ManifestFileInfo] =
@@ -343,14 +356,14 @@ object IcebergManifests {
       ManifestFileInfo(
         manifestPath = rec.get("manifest_path").toString,
         manifestLength = rec.get("manifest_length").asInstanceOf[Number].longValue(),
-        sequenceNumber = rec.get("sequence_number").asInstanceOf[Number].longValue(),
-        minSequenceNumber = rec.get("min_sequence_number").asInstanceOf[Number].longValue(),
-        addedSnapshotId = rec.get("added_snapshot_id").asInstanceOf[Number].longValue(),
-        addedFilesCount = rec.get("added_files_count").asInstanceOf[Number].intValue(),
-        existingFilesCount = rec.get("existing_files_count").asInstanceOf[Number].intValue(),
-        deletedFilesCount = rec.get("deleted_files_count").asInstanceOf[Number].intValue(),
-        addedRowsCount = rec.get("added_rows_count").asInstanceOf[Number].longValue(),
-        existingRowsCount = rec.get("existing_rows_count").asInstanceOf[Number].longValue(),
-        deletedRowsCount = rec.get("deleted_rows_count").asInstanceOf[Number].longValue())
+        sequenceNumber = longOf(rec, 0L, "sequence_number"),
+        minSequenceNumber = longOf(rec, 0L, "min_sequence_number"),
+        addedSnapshotId = longOf(rec, 0L, "added_snapshot_id"),
+        addedFilesCount = longOf(rec, 0L, "added_files_count", "added_data_files_count").toInt,
+        existingFilesCount = longOf(rec, 0L, "existing_files_count", "existing_data_files_count").toInt,
+        deletedFilesCount = longOf(rec, 0L, "deleted_files_count", "deleted_data_files_count").toInt,
+        addedRowsCount = longOf(rec, 0L, "added_rows_count"),
+        existingRowsCount = longOf(rec, 0L, "existing_rows_count"),
+        deletedRowsCount = longOf(rec, 0L, "deleted_rows_count"))
     }
 }

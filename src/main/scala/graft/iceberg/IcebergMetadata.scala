@@ -149,22 +149,32 @@ object IcebergMetadataCodec {
 
   def fromJson(json: String): IcebergTableMetadata = {
     val root = mapper.readTree(json)
-    val currentSchemaId = root.get("current-schema-id").asInt()
-    val schemaNode = root.get("schemas").elements().asScala
-      .find(_.get("schema-id").asInt() == currentSchemaId)
-      .getOrElse(throw new IllegalArgumentException("current schema not found"))
-    val specNode = root.get("partition-specs").elements().asScala
-      .find(_.get("spec-id").asInt() == root.get("default-spec-id").asInt())
-      .getOrElse(throw new IllegalArgumentException("default spec not found"))
+    // format-version 1 compatibility: singular `schema` /
+    // `partition-spec` instead of the versioned arrays, no sequence
+    // numbers anywhere (treated as 0)
+    val currentSchemaId =
+      Option(root.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    val schemaNode = Option(root.get("schemas")).map(_.elements().asScala
+        .find(_.get("schema-id").asInt() == currentSchemaId)
+        .getOrElse(throw new IllegalArgumentException("current schema not found")))
+      .orElse(Option(root.get("schema")))
+      .getOrElse(throw new IllegalArgumentException("no schema in metadata json"))
+    val specFieldsNode = Option(root.get("partition-specs")).map(_.elements().asScala
+        .find(_.get("spec-id").asInt() == root.get("default-spec-id").asInt())
+        .getOrElse(throw new IllegalArgumentException("default spec not found"))
+        .get("fields"))
+      .orElse(Option(root.get("partition-spec")))
+      .getOrElse(mapper.createArrayNode())
     IcebergTableMetadata(
       tableUuid = root.get("table-uuid").asText(),
       location = root.get("location").asText(),
-      lastSequenceNumber = root.get("last-sequence-number").asLong(),
+      lastSequenceNumber =
+        Option(root.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
       lastUpdatedMs = root.get("last-updated-ms").asLong(),
       lastColumnId = root.get("last-column-id").asInt(),
       currentSchemaId = currentSchemaId,
       schema = IcebergSchemas.fromJson(schemaNode),
-      partitionSpec = specNode.get("fields").elements().asScala.map { f =>
+      partitionSpec = specFieldsNode.elements().asScala.map { f =>
         IcebergPartitionFieldSpec(
           f.get("name").asText(),
           f.get("transform").asText(),
@@ -179,10 +189,13 @@ object IcebergMetadataCodec {
         IcebergSnapshot(
           snapshotId = s.get("snapshot-id").asLong(),
           parentId = Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong()),
-          sequenceNumber = s.get("sequence-number").asLong(),
+          sequenceNumber =
+            Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
           timestampMs = s.get("timestamp-ms").asLong(),
-          manifestList = s.get("manifest-list").asText(),
-          schemaId = s.get("schema-id").asInt(),
+          manifestList = Option(s.get("manifest-list")).map(_.asText()).getOrElse(
+            throw new IllegalArgumentException(
+              "snapshot has inline `manifests` (pre-manifest-list v1 writer); unsupported")),
+          schemaId = Option(s.get("schema-id")).map(_.asInt()).getOrElse(currentSchemaId),
           operation = Option(s.get("summary")).map(_.get("operation").asText()).getOrElse(""),
           summary = Option(s.get("summary")).map(_.properties().asScala
             .filter(_.getKey != "operation")

@@ -391,4 +391,101 @@ class IcebergTableSpec extends SparkTestBase {
     assert(t.toDF(snapshotAsOf = Some(t.snapshotIds.head)).count() ==
       src.filter(col("o_orderkey") % 2 === 0).count())
   }
+
+  test("reads a format-version-1 table: singular schema, no sequence numbers, v1 manifest names") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = tmpDir("iceberg-v1")
+    val root = s"$dir/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    // one real parquet data file
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    src.coalesce(1).write.parquet(s"$root/data")
+    val dataFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    // v1 manifest: no sequence-number fields anywhere
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin.replace("\n",""))
+    val manifestPath = new org.apache.hadoop.fs.Path(s"$root/metadata/m0.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
+      val out = fs.create(manifestPath, true)
+      w.create(entrySchema, out)
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1)
+      rec.put("snapshot_id", 77L)
+      val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+      df.put("file_path", dataFile.getPath.toUri.getPath)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(
+        entrySchema.getField("data_file").schema().getField("partition").schema()))
+      df.put("record_count", src.count())
+      df.put("file_size_in_bytes", dataFile.getLen)
+      rec.put("data_file", df)
+      w.append(rec)
+      w.close()
+    }
+    // v1 manifest list: v1 field names (added_data_files_count), no seq
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+        |{"name":"added_data_files_count","type":["null","int"],"default":null},
+        |{"name":"existing_data_files_count","type":["null","int"],"default":null},
+        |{"name":"deleted_data_files_count","type":["null","int"],"default":null}]}"""
+        .stripMargin.replace("\n",""))
+    val listPath = new org.apache.hadoop.fs.Path(s"$root/metadata/snap-77.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](listSchema))
+      val out = fs.create(listPath, true)
+      w.create(listSchema, out)
+      val rec = new GenericData.Record(listSchema)
+      rec.put("manifest_path", manifestPath.toString)
+      rec.put("manifest_length", fs.getFileStatus(manifestPath).getLen)
+      rec.put("partition_spec_id", 0)
+      rec.put("added_snapshot_id", 77L)
+      rec.put("added_data_files_count", 1)
+      rec.put("existing_data_files_count", 0)
+      rec.put("deleted_data_files_count", 0)
+      w.append(rec)
+      w.close()
+    }
+    // v1 metadata.json: format-version 1, singular schema + partition-spec
+    val schemaJson = graft.iceberg.IcebergSchemas.toJson(
+      graft.iceberg.IcebergSchemas.assignFieldIds(src.schema), 0).toString
+    val metaJson =
+      s"""{"format-version":1,"table-uuid":"11111111-2222-3333-4444-555555555555",
+         |"location":"$root","last-updated-ms":1700000000000,"last-column-id":2,
+         |"schema":$schemaJson,
+         |"partition-spec":[],
+         |"properties":{},
+         |"current-snapshot-id":77,
+         |"snapshots":[{"snapshot-id":77,"timestamp-ms":1700000000000,
+         |"manifest-list":"$listPath","summary":{"operation":"append"}}],
+         |"snapshot-log":[{"timestamp-ms":1700000000000,"snapshot-id":77}]}"""
+        .stripMargin.replace("\n","")
+    val mf = fs.create(new org.apache.hadoop.fs.Path(s"$root/metadata/v1.metadata.json"), true)
+    mf.write(metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)); mf.close()
+    // the engine reads the v1 table like any other
+    val t = IcebergTable.forPath(spark, root)
+    val back = t.toDF()
+    assert(back.count() == src.count())
+    assert(back.agg(sum(col("o_orderkey"))).head.getLong(0) ==
+      src.agg(sum(col("o_orderkey"))).head.getLong(0))
+    assert(t.snapshotIds == Seq(77L))
+  }
 }
