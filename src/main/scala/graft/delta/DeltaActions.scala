@@ -15,8 +15,12 @@ import scala.jdk.CollectionConverters._
  */
 sealed trait DeltaAction
 
-final case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2)
-  extends DeltaAction
+final case class Protocol(
+    minReaderVersion: Int = 1,
+    minWriterVersion: Int = 2,
+    /** table-features form (reader v3 / writer v7), e.g. deletionVectors */
+    readerFeatures: Option[Seq[String]] = None,
+    writerFeatures: Option[Seq[String]] = None) extends DeltaAction
 
 final case class DeltaMetadata(
     id: String,
@@ -32,12 +36,15 @@ final case class AddFile(
     size: Long,
     modificationTime: Long,
     dataChange: Boolean,
-    stats: Option[String] = None) extends DeltaAction
+    stats: Option[String] = None,
+    /** deleted-row positions of this file (row-level DELETE) */
+    deletionVector: Option[DeletionVectorDescriptor] = None) extends DeltaAction
 
 final case class RemoveFile(
     path: String,
     deletionTimestamp: Long,
-    dataChange: Boolean) extends DeltaAction
+    dataChange: Boolean,
+    deletionVector: Option[DeletionVectorDescriptor] = None) extends DeltaAction
 
 final case class CommitInfo(
     timestamp: Long,
@@ -56,6 +63,25 @@ object DeltaActionCodec {
     }
   }
 
+  private def putDv(o: ObjectNode, dv: DeletionVectorDescriptor): Unit = {
+    val n = o.putObject("deletionVector")
+    n.put("storageType", dv.storageType)
+    n.put("pathOrInlineDv", dv.pathOrInlineDv)
+    dv.offset.foreach(n.put("offset", _))
+    n.put("sizeInBytes", dv.sizeInBytes)
+    n.put("cardinality", dv.cardinality)
+  }
+
+  private def getDv(n: JsonNode): Option[DeletionVectorDescriptor] =
+    Option(n.get("deletionVector")).filterNot(_.isNull).map { d =>
+      DeletionVectorDescriptor(
+        storageType = d.get("storageType").asText(),
+        pathOrInlineDv = d.get("pathOrInlineDv").asText(),
+        offset = Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+        sizeInBytes = d.get("sizeInBytes").asInt(),
+        cardinality = d.get("cardinality").asLong())
+    }
+
   def toJsonLine(a: DeltaAction): String = {
     val root = mapper.createObjectNode()
     a match {
@@ -63,6 +89,12 @@ object DeltaActionCodec {
         val n = root.putObject("protocol")
         n.put("minReaderVersion", p.minReaderVersion)
         n.put("minWriterVersion", p.minWriterVersion)
+        p.readerFeatures.foreach { fs =>
+          val arr = n.putArray("readerFeatures"); fs.foreach(arr.add)
+        }
+        p.writerFeatures.foreach { fs =>
+          val arr = n.putArray("writerFeatures"); fs.foreach(arr.add)
+        }
       case m: DeltaMetadata =>
         val n = root.putObject("metaData")
         n.put("id", m.id)
@@ -83,11 +115,13 @@ object DeltaActionCodec {
         n.put("modificationTime", f.modificationTime)
         n.put("dataChange", f.dataChange)
         f.stats.foreach(n.put("stats", _))
+        f.deletionVector.foreach(putDv(n, _))
       case r: RemoveFile =>
         val n = root.putObject("remove")
         n.put("path", r.path)
         n.put("deletionTimestamp", r.deletionTimestamp)
         n.put("dataChange", r.dataChange)
+        r.deletionVector.foreach(putDv(n, _))
       case c: CommitInfo =>
         val n = root.putObject("commitInfo")
         n.put("timestamp", c.timestamp)
@@ -107,7 +141,11 @@ object DeltaActionCodec {
     val root = mapper.readTree(line)
     if (root.has("protocol")) {
       val n = root.get("protocol")
-      Some(Protocol(n.get("minReaderVersion").asInt, n.get("minWriterVersion").asInt))
+      def features(field: String): Option[Seq[String]] =
+        Option(n.get(field)).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+      Some(Protocol(n.get("minReaderVersion").asInt, n.get("minWriterVersion").asInt,
+        features("readerFeatures"), features("writerFeatures")))
     } else if (root.has("metaData")) {
       val n = root.get("metaData")
       Some(DeltaMetadata(
@@ -125,13 +163,15 @@ object DeltaActionCodec {
         size = n.get("size").asLong,
         modificationTime = if (n.has("modificationTime")) n.get("modificationTime").asLong else 0L,
         dataChange = n.get("dataChange").asBoolean,
-        stats = Option(n.get("stats")).filterNot(_.isNull).map(_.asText())))
+        stats = Option(n.get("stats")).filterNot(_.isNull).map(_.asText()),
+        deletionVector = getDv(n)))
     } else if (root.has("remove")) {
       val n = root.get("remove")
       Some(RemoveFile(
         path = n.get("path").asText(),
         deletionTimestamp = if (n.has("deletionTimestamp")) n.get("deletionTimestamp").asLong else 0L,
-        dataChange = if (n.has("dataChange")) n.get("dataChange").asBoolean else true))
+        dataChange = if (n.has("dataChange")) n.get("dataChange").asBoolean else true,
+        deletionVector = getDv(n)))
     } else if (root.has("commitInfo")) {
       val n = root.get("commitInfo")
       Some(CommitInfo(

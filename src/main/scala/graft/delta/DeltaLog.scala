@@ -136,7 +136,8 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
     val adds = snapshotFilesDF(Some(v)).select(
       struct(
         col("path"), col("partitionValues"), col("size"),
-        col("modificationTime"), lit(true).as("dataChange"), col("stats")).as("add"),
+        col("modificationTime"), lit(true).as("dataChange"), col("stats"),
+        col("deletionVector")).as("add"),
       lit(null).cast(metaSchema).as("metaData"),
       lit(null).cast(protoSchema).as("protocol"))
     val single = spark.range(1).select(
@@ -215,6 +216,13 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
     }
 
   /** Spark schema used to parse raw log lines distributed. */
+  private val dvSchema = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
   private val actionSchema: StructType = StructType(Seq(
     StructField("add", StructType(Seq(
       StructField("path", StringType),
@@ -222,7 +230,8 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))),
+      StructField("stats", StringType),
+      StructField("deletionVector", dvSchema)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -280,9 +289,13 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
         col("add.partitionValues").as("partitionValues"),
         col("add.size").as("size"),
         col("add.modificationTime").as("modificationTime"),
-        col("add.stats").as("stats"))
+        col("add.stats").as("stats"),
+        col("add.deletionVector").as("deletionVector"))
+    // within one version, the add outranks the remove of the same path:
+    // a row-level DELETE rewrites a file's entry as remove(old DV) +
+    // add(new DV) in a single commit, and the add is the live state
     val w = Window.partitionBy(col("path"))
-      .orderBy(col("version").desc, col("isAdd").asc)
+      .orderBy(col("version").desc, col("isAdd").desc)
     acts
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("isAdd"))
@@ -308,7 +321,8 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
         coalesce(col("action.add.path"), col("action.remove.path")).as("path"),
         col("action.add.partitionValues").as("partitionValues"),
         col("action.add.size").as("size"),
-        col("action.add.stats").as("stats"))
+        col("action.add.stats").as("stats"),
+        col("action.add.deletionVector").as("deletionVector"))
       .filter(col("path").isNotNull)
   }
 }

@@ -83,19 +83,20 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
    * incremental sync §2.9). Returns the data of newly added files.
    */
   def changesAsDF(fromExclusive: Long, toInclusive: Long): DataFrame = {
-    val changed = DeltaTable.manifestFiles(
-      log.changesDF(fromExclusive, toInclusive)
-        .filter(col("added"))
-        .select(col("path"), col("size"), lit(0L).as("modificationTime"), col("partitionValues"))
-        .collect().toSeq)
+    val rows = log.changesDF(fromExclusive, toInclusive)
+      .filter(col("added"))
+      .select(col("path"), col("size"), lit(0L).as("modificationTime"),
+        col("partitionValues"), col("deletionVector"))
+      .collect().toSeq
+    val changed = DeltaTable.manifestFiles(rows).zip(rows.map(DeltaTable.dvAt(_, 4)))
     val asOf = Some(toInclusive)
     val (schema, partCols) = schemaAt(asOf)
     physicalShape(asOf) match {
       case None =>
-        DeltaTable.readFiles(
+        DeltaTable.readFilesWithDeletes(
           spark, tablePath, readBasePath(asOf), changed, schema, partCols)
       case Some((physSchema, physPartCols)) =>
-        val phys = DeltaTable.readFiles(
+        val phys = DeltaTable.readFilesWithDeletes(
           spark, tablePath, readBasePath(asOf), changed, physSchema, physPartCols)
         val logical = DeltaTable.logicalClean(schema)
         phys.select(physSchema.fields.zip(logical.fields).map { case (pf, lf) =>
@@ -118,6 +119,119 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
   def overwrite(df: DataFrame, partitionColumns: Seq[String],
       commitProps: Map[String, String] = Map.empty): Long =
     write(df, partitionColumns, overwrite = true, commitProps = commitProps)
+
+  /**
+   * Row-level DELETE via deletion vectors (Delta protocol "Deletion
+   * Vectors"): rows matching `predicate` are tombstoned by position — no
+   * data file is rewritten. Position discovery is a distributed scan +
+   * per-file bitmap build on executors; only the finished bitmaps (a few
+   * bytes per thousand rows) reach the driver, which writes ONE sidecar
+   * `.bin` for the whole commit and swaps each affected file's log entry
+   * (remove + add with the merged DV) atomically. A file whose every row
+   * is deleted drops out of the snapshot entirely. Returns the committed
+   * version (the current one when nothing matched).
+   */
+  def delete(predicate: org.apache.spark.sql.Column): Long = {
+    require(columnMappingMode(None) == "none",
+      s"DELETE on a column-mapped table is not supported: $tablePath")
+    val (schema, partCols) = schemaAt(None)
+    val snapRows = log.snapshotFilesDF()
+      .select("path", "size", "modificationTime", "partitionValues", "stats", "deletionVector")
+      .collect().toSeq
+    val latest = latestVersion
+    if (snapRows.isEmpty) return latest
+    val byMetaPath: Map[String, org.apache.spark.sql.Row] =
+      snapRows.map(r => DeltaTable.metadataFilePath(tablePath, r.getString(0)) -> r).toMap
+    // scan PHYSICAL rows (existing deletes not applied: re-marking an
+    // already-deleted position is idempotent under bitmap union)
+    val mfs = snapRows.map { r =>
+      graft.sources.ManifestFile(
+        path = DeltaTable.metadataFilePath(tablePath, r.getString(0)),
+        size = if (r.isNullAt(1)) 0L else r.getLong(1),
+        modificationTime = if (r.isNullAt(2)) 0L else r.getLong(2),
+        partitionValues = if (r.isNullAt(3)) Map.empty else r.getMap[String, String](3).toMap)
+    }
+    val data = graft.sources.ManifestFileIndex.read(
+      spark, readBasePath(None), mfs, schema, partCols, withRowPositions = true)
+    import spark.implicits._
+    val perFile: Seq[(String, Array[Byte])] = data
+      .filter(predicate)
+      .select(col("__graft_file").as[String], col("__graft_pos").as[Long])
+      .groupByKey(_._1)
+      .mapGroups((f, it) => (f, RoaringBitmapArray.serialize(it.map(_._2).toArray)))
+      .collect().toSeq
+    if (perFile.isEmpty) return latest
+    val now = System.currentTimeMillis()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    // merge with each file's existing DV; split fully-deleted files out
+    val planned = perFile.map { case (metaPath, newBits) =>
+      val row = byMetaPath(metaPath)
+      val oldDv = DeltaTable.dvAt(row, 5)
+      val merged = oldDv match {
+        case Some(d) => RoaringBitmapArray.serialize(
+          d.positions(tablePath, conf) ++ RoaringBitmapArray.deserialize(newBits))
+        case None => newBits
+      }
+      val cardinality = RoaringBitmapArray.deserialize(merged).length.toLong
+      val numRecords = Option(row.getString(4))
+        .map(DeltaStats.fromJson(_, dataSchema)._1).getOrElse(-1L)
+      (row, merged, cardinality, oldDv, numRecords >= 0 && cardinality >= numRecords)
+    }
+    val (gone, keep) = planned.partition(_._5)
+    val uuid = UUID.randomUUID()
+    val offsets: Seq[(Int, Int)] =
+      if (keep.isEmpty) Seq.empty
+      else {
+        val dvPath = new Path(tablePath, s"deletion_vector_$uuid.bin")
+        DeletionVectorStore.writeFile(
+          dvPath.getFileSystem(conf), dvPath, keep.map(_._2))
+      }
+    val removes: Seq[DeltaAction] = planned.map { case (row, _, _, oldDv, _) =>
+      RemoveFile(row.getString(0), now, dataChange = true, deletionVector = oldDv)
+    }
+    val adds: Seq[DeltaAction] = keep.zip(offsets).map {
+      case ((row, _, cardinality, _, _), (off, size)) =>
+        AddFile(
+          path = row.getString(0),
+          partitionValues = if (row.isNullAt(3)) Map.empty else row.getMap[String, String](3).toMap,
+          size = if (row.isNullAt(1)) 0L else row.getLong(1),
+          modificationTime = if (row.isNullAt(2)) 0L else row.getLong(2),
+          dataChange = true,
+          stats = Option(row.getString(4)),
+          deletionVector = Some(DeletionVectorDescriptor(
+            "u", Z85.encodeUuid(uuid), Some(off), size, cardinality)))
+    }
+    // first DV on the table upgrades the protocol to the table-features
+    // form the spec requires for deletionVectors
+    val hasDvFeature = log.readActions(0L).collectFirst { case p: Protocol => p }
+      .exists(_.readerFeatures.exists(_.contains("deletionVectors")))
+    val protocolUpgrade: Seq[DeltaAction] =
+      if (hasDvFeature) Seq.empty
+      else Seq(Protocol(3, 7, Some(Seq("deletionVectors")), Some(Seq("deletionVectors"))))
+    val info = CommitInfo(now, "DELETE", Map("predicate" -> predicate.toString))
+    val v = latest + 1
+    require(log.commit(v, protocolUpgrade ++ removes ++ adds :+ info),
+      s"concurrent commit detected at version $v of $tablePath; re-run DELETE")
+    log.maybeCheckpoint(v)
+    v
+  }
+
+  /** REORG-style purge: physically rewrite every file that carries a
+    * deletion vector (deletes applied), in one commit — after which the
+    * snapshot is DV-free and metadata-only sync is possible again. */
+  def purgeDeletes(): Option[Long] = {
+    val rows = log.snapshotFilesDF()
+      .select("path", "size", "modificationTime", "partitionValues", "deletionVector")
+      .collect().toSeq
+      .filter(!_.isNullAt(4))
+    if (rows.isEmpty) return None
+    val (schema, partCols) = schemaAt(None)
+    val files = DeltaTable.manifestFiles(rows).zip(rows.map(DeltaTable.dvAt(_, 4)))
+    val df = DeltaTable.readFilesWithDeletes(
+      spark, tablePath, readBasePath(None), files, schema, partCols)
+    Some(write(df, Seq.empty, overwrite = false, replacing = rows.map(_.getString(0))))
+  }
 
   /** Latest value of a CommitInfo operation parameter, scanning commits
     * newest-first (the read side of `commitProps`). */
@@ -155,23 +269,27 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         * (graft.util.ZOrder); takes precedence over sortBy. */
       zorderBy: Seq[String] = Seq.empty): Option[Long] = {
     val (schema, partCols) = schemaAt(None)
-    val all = DeltaTable.manifestFiles(
-      log.snapshotFilesDF()
-        .select("path", "size", "modificationTime", "partitionValues").collect().toSeq)
-    val smalls = all.groupBy(_.partitionValues).values.flatMap { g =>
-      val s = g.filter(_.size < smallFileBytes)
+    val allRows = log.snapshotFilesDF()
+      .select("path", "size", "modificationTime", "partitionValues", "deletionVector")
+      .collect().toSeq
+    val all = DeltaTable.manifestFiles(allRows).zip(allRows.map(DeltaTable.dvAt(_, 4)))
+    val smalls = all.groupBy(_._1.partitionValues).values.flatMap { g =>
+      val s = g.filter(_._1.size < smallFileBytes)
       if (s.size >= 2) s else Seq.empty
     }.toSeq
     if (smalls.isEmpty) return None
-    val df = DeltaTable.readFiles(spark, tablePath, readBasePath(None), smalls, schema, partCols)
-    val n = math.max(1, math.ceil(smalls.map(_.size).sum.toDouble / targetFileBytes).toInt)
+    // DV-aware read: compacting a deletion-vectored file must not
+    // resurrect its deleted rows
+    val df = DeltaTable.readFilesWithDeletes(
+      spark, tablePath, readBasePath(None), smalls, schema, partCols)
+    val n = math.max(1, math.ceil(smalls.map(_._1.size).sum.toDouble / targetFileBytes).toInt)
     val arranged =
       if (zorderBy.nonEmpty) graft.util.ZOrder.arrange(df, zorderBy, n)
       else if (sortBy.nonEmpty)
         df.repartitionByRange(n, sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
       else if (partCols.nonEmpty) df.repartition(n, partCols.map(col): _*)
       else df.repartition(n)
-    Some(write(arranged, Seq.empty, overwrite = false, replacing = smalls.map(_.path)))
+    Some(write(arranged, Seq.empty, overwrite = false, replacing = smalls.map(_._1.path)))
   }
 
   /**
@@ -186,11 +304,16 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000, dryRun: Boolean = false): Seq[String] = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = log.snapshotFilesDF().select("path").collect().toSeq.map { r =>
+    val liveRows = log.snapshotFilesDF().select("path", "deletionVector").collect().toSeq
+    val live = liveRows.map { r =>
       val p = DeltaTable.decodeLogPath(r.getString(0))
       val abs = if (p.startsWith("/") || p.contains(":/")) p else new Path(tablePath, p).toString
       new Path(abs).toUri.getPath
-    }.toSet
+    }.toSet ++
+      // DV sidecars the current snapshot references stay; orphaned ones age out
+      liveRows.flatMap(r => DeltaTable.dvAt(r, 1))
+        .flatMap(_.absolutePath(tablePath))
+        .map(new Path(_).toUri.getPath)
     val cutoff = System.currentTimeMillis() - retentionMs
     def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(dir).toSeq.flatMap { st =>
@@ -366,8 +489,11 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
   def snapshotDataFiles(): Seq[graft.model.InternalDataFile] = {
     val (dataSchema, names) = syncShape(None)
     log.snapshotFilesDF()
-      .select("path", "partitionValues", "size", "modificationTime", "stats")
+      .select("path", "partitionValues", "size", "modificationTime", "stats", "deletionVector")
       .collect().toSeq.map { r =>
+      require(r.isNullAt(5),
+        s"cannot metadata-sync $tablePath: file ${r.getString(0)} carries a deletion " +
+          "vector other formats cannot express; run purgeDeletes() first")
       val (n, cols) = Option(r.getString(4))
         .map(DeltaStats.fromJson(_, dataSchema)).getOrElse((-1L, Seq.empty))
       graft.model.InternalDataFile(
@@ -389,6 +515,9 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val (dataSchema, names) = syncShape(asOf)
     val actions = log.readActions(version)
     val adds = actions.collect { case a: AddFile =>
+      require(a.deletionVector.isEmpty,
+        s"cannot metadata-sync version $version of $tablePath: ${a.path} carries a " +
+          "deletion vector other formats cannot express; run purgeDeletes() first")
       val (n, cols0) = a.stats.map(DeltaStats.fromJson(_, dataSchema)).getOrElse((-1L, Seq.empty))
       val cols = logicalStats(cols0, names)
       graft.model.InternalDataFile(
@@ -669,6 +798,81 @@ object DeltaTable {
           if (r.isNullAt(3)) Map.empty
           else r.getMap[String, String](3).toMap)
     }
+
+  /** Parse an optional deletionVector struct at row ordinal `i`. */
+  private[delta] def dvAt(r: org.apache.spark.sql.Row, i: Int): Option[DeletionVectorDescriptor] =
+    if (r.isNullAt(i)) None
+    else {
+      val d = r.getStruct(i)
+      Some(DeletionVectorDescriptor(
+        storageType = d.getString(0),
+        pathOrInlineDv = d.getString(1),
+        offset = if (d.isNullAt(2)) None else Some(d.getInt(2)),
+        sizeInBytes = d.getInt(3),
+        cardinality = d.getLong(4)))
+    }
+
+  /** Resolve a log path against the table root, in the exact string form
+    * the scan's `_metadata.file_path` reports (Path → URI). */
+  private[delta] def metadataFilePath(tablePath: String, logPath: String): String = {
+    val p = decodeLogPath(logPath)
+    val abs = if (p.startsWith("/") || p.contains(":/")) p else new Path(tablePath, p).toString
+    new Path(abs).toUri.toString
+  }
+
+  /** `(file_path, row_index)` pairs of every deleted row — the DV
+    * payloads decode on executors (one task per vector), so a snapshot
+    * with thousands of DVs never funnels bitmaps through the driver. */
+  private[delta] def deletedPositionsDF(
+      spark: SparkSession,
+      tablePath: String,
+      files: Seq[(graft.sources.ManifestFile, DeletionVectorDescriptor)]): DataFrame = {
+    import spark.implicits._
+    val conf = new graft.util.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val rows = files.map { case (f, d) =>
+      (new Path(f.path).toUri.toString, d.storageType, d.pathOrInlineDv,
+        d.offset.getOrElse(-1), d.sizeInBytes, d.cardinality)
+    }
+    spark.createDataset(rows)
+      .repartition(math.max(1, math.min(rows.size, 32)))
+      .flatMap { case (p, st, pod, off, size, card) =>
+        val desc = DeletionVectorDescriptor(
+          st, pod, if (off < 0) None else Some(off), size, card)
+        desc.positions(tablePath, conf.value).iterator.map(pos => (p, pos))
+      }
+      .toDF("__graft_file", "__graft_pos")
+  }
+
+  /** [[readFiles]] plus row-level delete application: files without a DV
+    * take the plain scan; files with one anti-join their deleted
+    * `(file, position)` pairs out (broadcast when the total cardinality
+    * is driver-known small; shuffled otherwise — both linear). */
+  private[delta] def readFilesWithDeletes(
+      spark: SparkSession,
+      tablePath: String,
+      basePath: String,
+      files: Seq[(graft.sources.ManifestFile, Option[DeletionVectorDescriptor])],
+      schema: StructType,
+      partitionColumns: Seq[String]): DataFrame = {
+    val (withDv, plain) = files.partition(_._2.isDefined)
+    if (withDv.isEmpty)
+      return readFiles(spark, tablePath, basePath, plain.map(_._1), schema, partitionColumns)
+    val resolved = withDv.map { case (f, d) =>
+      (f.copy(path = metadataFilePath(tablePath, f.path)), d.get)
+    }
+    val data = graft.sources.ManifestFileIndex.read(
+      spark, basePath, resolved.map(_._1), schema, partitionColumns,
+      withRowPositions = true)
+    val deleted = deletedPositionsDF(spark, tablePath, resolved)
+    val small = resolved.map(_._2.cardinality).sum <= 4000000L
+    val applied = data
+      .join(if (small) broadcast(deleted) else deleted,
+        Seq("__graft_file", "__graft_pos"), "left_anti")
+      .select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+    if (plain.isEmpty) applied
+    else readFiles(spark, tablePath, basePath, plain.map(_._1), schema, partitionColumns)
+      .unionByName(applied)
+  }
 }
 
 /**
@@ -761,17 +965,20 @@ final class DeltaScanBuilder(
     * callers still apply the row-level filter on the result. */
   def toDF(): DataFrame = {
     val (schema, partCols) = table.schemaAt(asOfVersion)
-    val pruned = DeltaTable.manifestFiles(
-      files().select("path", "size", "modificationTime", "partitionValues").collect().toSeq)
+    val rows = files()
+      .select("path", "size", "modificationTime", "partitionValues", "deletionVector")
+      .collect().toSeq
+    val pruned = DeltaTable.manifestFiles(rows).zip(rows.map(DeltaTable.dvAt(_, 4)))
     table.physicalShape(asOfVersion) match {
       case None =>
-        DeltaTable.readFiles(
+        DeltaTable.readFilesWithDeletes(
           spark, table.tablePath, table.readBasePath(asOfVersion), pruned, schema, partCols)
       case Some((physSchema, physPartCols)) =>
         // column-mapped table: the files speak physical names — read
-        // physically, then cast each column back to its logical shape
-        // (struct casts rename nested fields positionally)
-        val phys = DeltaTable.readFiles(
+        // physically (deletes applied in physical space), then cast each
+        // column back to its logical shape (struct casts rename nested
+        // fields positionally)
+        val phys = DeltaTable.readFilesWithDeletes(
           spark, table.tablePath, table.readBasePath(asOfVersion), pruned,
           physSchema, physPartCols)
         val logical = DeltaTable.logicalClean(schema)

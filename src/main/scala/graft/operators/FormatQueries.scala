@@ -68,6 +68,21 @@ object FormatQueries {
         t6.append(oBase.filter(col("o_orderkey") % 2 === 1)
           .withColumn("o_flag", upper(col("o_orderstatus"))).drop("o_orderstatus"), Seq.empty)
 
+        // 7. row-level DELETE via deletion vectors: no file rewritten,
+        //    deleted positions tombstoned in the log (Delta DV protocol)
+        val t7 = DeltaTable.create(
+          spark, s"$root/lineitem_dv",
+          Tables.lineitem(spark, sfDir).repartition(4))
+        t7.delete(col("l_quantity") >= 45.0)
+
+        // 8. same delete, then REORG-style purge: DV files physically
+        //    rewritten, snapshot DV-free again
+        val t8 = DeltaTable.create(
+          spark, s"$root/lineitem_dv_purged",
+          Tables.lineitem(spark, sfDir).repartition(4))
+        t8.delete(col("l_quantity") >= 45.0)
+        t8.purgeDeletes()
+
         root
       })
     }
@@ -197,6 +212,42 @@ object FormatQueries {
           .orderBy(col("o_orderkey")),
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 1 THEN UPPER(o_orderstatus) END AS o_flag
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // Row-level DELETE applied at read time from deletion vectors: the
+    // parquet files still hold every row; the anti-join against the
+    // decoded (file, position) tombstones must hide exactly the deleted
+    // ones (Delta protocol "Deletion Vectors"; engine surface beyond the
+    // reference, which has no row-level delete plane).
+    QueryDef.sql(
+      "f13_delta_deletion_vectors",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "lineitem_dv").toDF()
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_returnflag")),
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_quantity < 45
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // The REORG/purge path: deletes materialized by rewriting only the
+    // DV-carrying files; results identical, snapshot DV-free.
+    QueryDef.sql(
+      "f14_delta_dv_purge",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "lineitem_dv_purged").toDF()
+          .groupBy(col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .orderBy(col("l_linestatus")),
+      """SELECT l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_quantity < 45
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
   )
 }

@@ -105,14 +105,23 @@ object ManifestFileIndex {
       files: Seq[ManifestFile],
       schemaIn: StructType,
       partitionColumns: Seq[String],
-      format: String = "parquet"): DataFrame = {
+      format: String = "parquet",
+      /** append `__graft_file`/`__graft_pos` (the scan's _metadata
+        * file path + row index) — what row-level deletes key on. */
+      withRowPositions: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val schema = nullable(schemaIn).asInstanceOf[StructType]
     val partitionSchema = StructType(schema.filter(f => partitionColumns.contains(f.name)))
     val dataSchema = StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
     val index = new ManifestFileIndex(spark, new Path(tableRoot), files, partitionSchema)
-    GraftRelations.relation(spark, index, partitionSchema, dataSchema, format)
-      // present columns in table-schema order (partition cols are
-      // appended after data cols by the relation)
-      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    val rel = GraftRelations.relation(spark, index, partitionSchema, dataSchema, format)
+    // present columns in table-schema order (partition cols are
+    // appended after data cols by the relation)
+    val cols = schema.fieldNames.map(col).toSeq
+    if (withRowPositions)
+      rel.select(cols ++ Seq(
+        col("_metadata.file_path").as("__graft_file"),
+        col("_metadata.row_index").as("__graft_pos")): _*)
+    else rel.select(cols: _*)
   }
 }

@@ -1,0 +1,140 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Row-level DELETE via deletion vectors: log wiring, scan application,
+  * merge-on-second-delete, whole-file drop, purge, checkpoint carry,
+  * compaction interaction, and interop-shaped JSON. */
+class DeltaDeleteSpec extends SparkTestBase {
+
+  private def orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  private def keys(t: DeltaTable): Seq[Long] =
+    t.toDF().select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("delete removes matching rows; time travel still sees them") {
+    val dir = tmpDir("dv_basic")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.repartition(4))
+    val all = keys(t)
+    val v = t.delete(col("o_orderkey") % 10 === 0)
+    assert(keys(t) == all.filterNot(_ % 10 == 0))
+    // physical files unchanged (no rewrite), deletes live in the log
+    assert(t.scan.files().filter(col("deletionVector").isNotNull).count() > 0)
+    // pre-delete version unaffected
+    assert(t.toDF(versionAsOf = Some(v - 1)).count() == all.size)
+  }
+
+  test("second delete merges bitmaps (union, idempotent re-marking)") {
+    val dir = tmpDir("dv_merge")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.repartition(2))
+    val all = keys(t)
+    t.delete(col("o_orderkey") % 10 === 0)
+    t.delete(col("o_orderkey") % 15 === 0) // overlaps at multiples of 30
+    assert(keys(t) == all.filterNot(k => k % 10 == 0 || k % 15 == 0))
+    // exactly one DV per live file (merged, not chained)
+    val dvs = t.scan.files().filter(col("deletionVector").isNotNull).count()
+    assert(dvs > 0 && dvs <= t.scan.files().count())
+  }
+
+  test("deleting every row of a file drops the file from the snapshot") {
+    val dir = tmpDir("dv_gone")
+    // partition by status so one partition = one file group we can empty
+    val t = DeltaTable.create(spark, s"$dir/t", orders, Seq("o_orderstatus"))
+    val before = t.scan.files().count()
+    t.delete(col("o_orderstatus") === "F")
+    assert(t.scan.files().count() < before)
+    assert(t.toDF().filter(col("o_orderstatus") === "F").count() == 0)
+    assert(t.scan.files().filter(col("deletionVector").isNotNull).count() == 0)
+  }
+
+  test("delete returns current version and commits nothing when no row matches") {
+    val dir = tmpDir("dv_nomatch")
+    val t = DeltaTable.create(spark, s"$dir/t", orders)
+    val v0 = t.latestVersion
+    assert(t.delete(col("o_orderkey") === -1) == v0)
+    assert(t.latestVersion == v0)
+  }
+
+  test("purgeDeletes rewrites DV files; data identical; sync possible again") {
+    val dir = tmpDir("dv_purge")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.repartition(3))
+    t.delete(col("o_totalprice") > 200000.0)
+    val expect = keys(t)
+    intercept[IllegalArgumentException](t.snapshotDataFiles())
+    val v = t.purgeDeletes()
+    assert(v.nonEmpty)
+    assert(keys(t) == expect)
+    assert(t.scan.files().filter(col("deletionVector").isNotNull).count() == 0)
+    assert(t.snapshotDataFiles().nonEmpty) // sync plane accepts again
+    assert(t.purgeDeletes().isEmpty) // nothing left to purge
+  }
+
+  test("checkpoint written after a delete preserves deletion vectors") {
+    val dir = tmpDir("dv_cp")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.repartition(2))
+    val v = t.delete(col("o_orderkey") % 7 === 0)
+    val expect = keys(t)
+    t.log.writeCheckpoint(v)
+    t.log.expireLogBefore(v) // force replay through the checkpoint
+    val reread = DeltaTable.forPath(spark, s"$dir/t")
+    assert(keys(reread) == expect)
+    assert(reread.scan.files().filter(col("deletionVector").isNotNull).count() > 0)
+  }
+
+  test("compaction of DV files does not resurrect deleted rows") {
+    val dir = tmpDir("dv_compact")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.repartition(6))
+    t.delete(col("o_orderkey") % 3 === 0)
+    val expect = keys(t)
+    assert(t.compact(targetFileBytes = 1L << 30, smallFileBytes = 1L << 30).nonEmpty)
+    assert(keys(t) == expect)
+    assert(t.scan.files().filter(col("deletionVector").isNotNull).count() == 0)
+  }
+
+  test("vacuum keeps referenced DV sidecars") {
+    val dir = tmpDir("dv_vacuum")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.repartition(2))
+    t.delete(col("o_orderkey") % 5 === 0)
+    val expect = keys(t)
+    val deleted = t.vacuum(retentionMs = -1000) // everything eligible by age
+    assert(!deleted.exists(_.contains("deletion_vector_")))
+    assert(keys(t) == expect)
+  }
+
+  test("the add action JSON carries the spec's deletionVector shape") {
+    val dir = tmpDir("dv_json")
+    val t = DeltaTable.create(spark, s"$dir/t", orders)
+    val v = t.delete(col("o_orderkey") % 11 === 0)
+    val adds = t.log.readActions(v).collect { case a: AddFile => a }
+    assert(adds.nonEmpty)
+    val dv = adds.head.deletionVector.get
+    assert(dv.storageType == "u")
+    assert(dv.pathOrInlineDv.length == 20) // bare z85 uuid, no prefix
+    assert(dv.cardinality > 0)
+    // protocol upgraded to table features
+    val proto = t.log.readActions(v).collectFirst { case p: Protocol => p }
+    assert(proto.exists(p => p.minReaderVersion == 3 &&
+      p.readerFeatures.exists(_.contains("deletionVectors"))))
+  }
+
+  test("inline DVs read back (the storage form other writers may emit)") {
+    val dir = tmpDir("dv_inline")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.coalesce(1))
+    // hand-swap the on-disk DV for an inline one pointing at the same rows
+    val v = t.delete(col("o_orderkey") <= 32)
+    val adds = t.log.readActions(v).collect { case a: AddFile => a }
+    val expect = keys(t)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inlineActions: Seq[DeltaAction] = adds.map { a =>
+      val pos = a.deletionVector.get.positions(s"$dir/t", conf)
+      val data = RoaringBitmapArray.serialize(pos)
+      a.copy(deletionVector = Some(DeletionVectorDescriptor(
+        "i", Z85.encode(data), None, data.length, pos.length.toLong)))
+    } ++ adds.map(a => RemoveFile(a.path, 1L, dataChange = true))
+    assert(t.log.commit(v + 1, inlineActions))
+    assert(keys(DeltaTable.forPath(spark, s"$dir/t")) == expect)
+  }
+}
