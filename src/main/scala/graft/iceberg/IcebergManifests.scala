@@ -25,12 +25,19 @@ final case class ManifestEntry(
     valueCounts: Map[Int, Long],
     nullCounts: Map[Int, Long],
     lowerBounds: Map[Int, Array[Byte]],
-    upperBounds: Map[Int, Array[Byte]])
+    upperBounds: Map[Int, Array[Byte]],
+    /** 0=data, 1=position deletes, 2=equality deletes (iceberg v2) */
+    content: Int = 0,
+    /** field ids an equality-delete file matches on (content=2 only) */
+    equalityIds: Seq[Int] = Seq.empty)
 
 object ManifestEntry {
   val StatusExisting = 0
   val StatusAdded = 1
   val StatusDeleted = 2
+  val ContentData = 0
+  val ContentPositionDeletes = 1
+  val ContentEqualityDeletes = 2
 }
 
 /** Transport form of one manifest-list entry (one manifest file). */
@@ -45,7 +52,9 @@ final case class ManifestFileInfo(
     deletedFilesCount: Int,
     addedRowsCount: Long,
     existingRowsCount: Long,
-    deletedRowsCount: Long)
+    deletedRowsCount: Long,
+    /** 0 = data manifest, 1 = delete manifest (iceberg v2) */
+    content: Int = 0)
 
 /**
  * Avro codec for Iceberg v2 manifests and manifest lists, written from
@@ -108,7 +117,12 @@ object IcebergManifests {
       field("value_counts", kvMap("k119_v120", 119, 120, Schema.Type.LONG), 109, nullable = true),
       field("null_value_counts", kvMap("k121_v122", 121, 122, Schema.Type.LONG), 110, nullable = true),
       field("lower_bounds", kvMap("k126_v127", 126, 127, Schema.Type.BYTES), 125, nullable = true),
-      field("upper_bounds", kvMap("k129_v130", 129, 130, Schema.Type.BYTES), 128, nullable = true)).asJava)
+      field("upper_bounds", kvMap("k129_v130", 129, 130, Schema.Type.BYTES), 128, nullable = true),
+      field("equality_ids", {
+        val a = Schema.createArray(primitive(Schema.Type.INT))
+        a.addProp("element-id", 136: Integer)
+        a
+      }, 135, nullable = true)).asJava)
     Schema.createRecord("manifest_entry", null, null, false, Seq(
       field("status", primitive(Schema.Type.INT), 0),
       field("snapshot_id", primitive(Schema.Type.LONG), 1, nullable = true),
@@ -229,7 +243,7 @@ object IcebergManifests {
         rec.put("sequence_number", e.sequenceNumber)
         rec.put("file_sequence_number", e.sequenceNumber)
         val df = new GenericData.Record(dataFileSchema)
-        df.put("content", 0)
+        df.put("content", e.content)
         df.put("file_path", e.filePath)
         df.put("file_format", e.fileFormat.toUpperCase)
         val part = new GenericData.Record(partSchema)
@@ -254,6 +268,12 @@ object IcebergManifests {
         df.put("upper_bounds", kvRecords(
           unionBranch(dataFileSchema.getField("upper_bounds").schema()),
           e.upperBounds.view.mapValues(ByteBuffer.wrap(_): AnyRef).toMap))
+        if (e.equalityIds.nonEmpty) {
+          val arrSchema = unionBranch(dataFileSchema.getField("equality_ids").schema())
+          val arr = new GenericData.Array[Integer](e.equalityIds.size, arrSchema)
+          e.equalityIds.foreach(id => arr.add(Integer.valueOf(id)))
+          df.put("equality_ids", arr)
+        }
         rec.put("data_file", df)
         writer.append(rec)
       }
@@ -276,7 +296,7 @@ object IcebergManifests {
       rec.put("manifest_path", m.manifestPath)
       rec.put("manifest_length", m.manifestLength)
       rec.put("partition_spec_id", 0)
-      rec.put("content", 0)
+      rec.put("content", m.content)
       rec.put("sequence_number", m.sequenceNumber)
       rec.put("min_sequence_number", m.minSequenceNumber)
       rec.put("added_snapshot_id", m.addedSnapshotId)
@@ -348,7 +368,15 @@ object IcebergManifests {
         valueCounts = kvToMap(opt(df, "value_counts")).view.mapValues(_.asInstanceOf[Number].longValue()).toMap,
         nullCounts = kvToMap(opt(df, "null_value_counts")).view.mapValues(_.asInstanceOf[Number].longValue()).toMap,
         lowerBounds = kvToMap(opt(df, "lower_bounds")).view.mapValues(bytesOf).toMap,
-        upperBounds = kvToMap(opt(df, "upper_bounds")).view.mapValues(bytesOf).toMap)
+        upperBounds = kvToMap(opt(df, "upper_bounds")).view.mapValues(bytesOf).toMap,
+        // v1 data files carry no content field: always data
+        content = longOf(df, 0L, "content").toInt,
+        equalityIds = opt(df, "equality_ids") match {
+          case null => Seq.empty
+          case c: java.util.Collection[_] =>
+            c.asScala.map(_.asInstanceOf[Number].intValue()).toSeq
+          case _ => Seq.empty
+        })
     }
 
   def readManifestList(conf: Configuration, path: Path): Seq[ManifestFileInfo] =
@@ -364,6 +392,7 @@ object IcebergManifests {
         deletedFilesCount = longOf(rec, 0L, "deleted_files_count", "deleted_data_files_count").toInt,
         addedRowsCount = longOf(rec, 0L, "added_rows_count"),
         existingRowsCount = longOf(rec, 0L, "existing_rows_count"),
-        deletedRowsCount = longOf(rec, 0L, "deleted_rows_count"))
+        deletedRowsCount = longOf(rec, 0L, "deleted_rows_count"),
+        content = longOf(rec, 0L, "content").toInt)
     }
 }

@@ -113,6 +113,9 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       .parallelize(manifestPaths, math.max(1, math.min(manifestPaths.size, 64)))
       .flatMap(p => IcebergManifests.readManifest(conf.value, new Path(p)))
       .filter(e => e.status == ManifestEntry.StatusAdded && targets.contains(e.snapshotId))
+      // the change feed reports added DATA; delete files added in the
+      // range are row-level tombstones, not new rows
+      .filter(_.content == ManifestEntry.ContentData)
       .map(e => (e.filePath, e))
       .reduceByKey((a, _) => a)
       .values
@@ -120,7 +123,84 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     readFiles(added)
   }
 
-  private[iceberg] def readFiles(entries: Seq[ManifestEntry]): DataFrame = {
+  /** Data read with iceberg v2 row-level deletes applied: position
+    * deletes anti-join their `(file_path, pos)` pairs against the scan's
+    * row positions (applicable when `delete.seq >= data.seq`); equality
+    * deletes anti-match on their key columns against data files with
+    * `data.seq < delete.seq` (null keys match null values, per spec). */
+  private[iceberg] def readEntries(entries: Seq[ManifestEntry]): DataFrame = {
+    val (dels, data) = entries.partition(_.content > 0)
+    if (dels.isEmpty) readFiles(data) else applyDeletes(data, dels)
+  }
+
+  private def applyDeletes(data: Seq[ManifestEntry], dels: Seq[ManifestEntry]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val meta = currentMetadata
+    val logical = sparkSchema
+    require(meta.properties.get("schema.name-mapping.default")
+        .map(IcebergSchemas.physicalNamesFromMapping).forall(_.isEmpty),
+      s"v2 deletes on a column-mapped (name-mapping) table are not supported: $tablePath")
+    if (data.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    val dataDF = readFiles(data, withRowPositions = true)
+    // per-data-file sequence numbers ride a broadcast join keyed on the
+    // scan's _metadata file path form
+    val seqDF = spark.createDataFrame(
+      data.map(e => (new Path(e.filePath).toUri.toString, e.sequenceNumber))).toDF("__graft_file", "__graft_dseq")
+    var out = dataDF.join(broadcast(seqDF), Seq("__graft_file"), "left")
+
+    val pos = dels.filter(_.content == ManifestEntry.ContentPositionDeletes)
+    if (pos.nonEmpty) {
+      val posSchema = StructType(Seq(
+        StructField("file_path", StringType), StructField("pos", LongType)))
+      val posFiles = pos.map(e => graft.sources.ManifestFile(
+        e.filePath, e.fileSizeBytes, 0L, Map.empty))
+      val raw = graft.sources.ManifestFileIndex.read(
+        spark, tablePath, posFiles, posSchema, Seq.empty, "parquet", withRowPositions = true)
+      val delSeqDF = spark.createDataFrame(
+        pos.map(e => (new Path(e.filePath).toUri.toString, e.sequenceNumber))).toDF("__graft_file", "__del_seq")
+      val applicable = raw
+        .join(broadcast(delSeqDF), Seq("__graft_file"))
+        .select(col("file_path").as("__del_file"), col("pos").as("__del_pos"), col("__del_seq"))
+      val small = pos.map(_.recordCount).sum <= 4000000L
+      val right = if (small) broadcast(applicable) else applicable
+      // a position delete applies when its sequence >= the data file's
+      out = out.join(right,
+        out("__graft_file") === right("__del_file") &&
+          out("__graft_pos") === right("__del_pos") &&
+          right("__del_seq") >= out("__graft_dseq"),
+        "left_anti")
+    }
+
+    // equality deletes, oldest sequence first; each group is one
+    // broadcast-matched filter pass
+    val eqGroups = dels.filter(_.content == ManifestEntry.ContentEqualityDeletes)
+      .groupBy(e => (e.sequenceNumber, e.equalityIds)).toSeq.sortBy(_._1._1)
+    eqGroups.foreach { case ((seq, ids), files) =>
+      val byId = logical.fields.flatMap(f =>
+        IcebergSchemas.fieldId(meta.schema(f.name)).map(_ -> f)).toMap
+      val cols = ids.map(id => byId.getOrElse(id,
+        throw new IllegalStateException(s"equality id $id not in schema of $tablePath")).name)
+      val delSchema = StructType(cols.map(c =>
+        StructField(c, logical(c).dataType, nullable = true)))
+      val keyFiles = files.map(e => graft.sources.ManifestFile(
+        e.filePath, e.fileSizeBytes, 0L, Map.empty))
+      val keys = graft.sources.ManifestFileIndex.read(
+          spark, tablePath, keyFiles, delSchema, Seq.empty)
+        .distinct()
+        .select(cols.map(c => col(s"`$c`").as(s"__eq_$c")).toSeq: _*)
+        .withColumn("__eq_hit", lit(1))
+      val cond = cols.map(c => col(s"`$c`") <=> col(s"__eq_$c")).reduce(_ && _)
+      out = out.join(broadcast(keys), cond, "left_outer")
+        .filter(col("__eq_hit").isNull || col("__graft_dseq") >= lit(seq))
+        .drop(cols.map(c => s"__eq_$c") :+ "__eq_hit": _*)
+    }
+    out.select(logical.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+  }
+
+  private[iceberg] def readFiles(
+      entries: Seq[ManifestEntry],
+      withRowPositions: Boolean = false): DataFrame = {
     val meta = currentMetadata
     // only identity partition columns live in the path (and in the
     // manifest partition struct with their source type); transform
@@ -148,7 +228,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
           size = e.fileSizeBytes,
           modificationTime = 0L,
           partitionValues = e.partitionValues.filter { case (k, _) => identityCols.contains(k) }))
-        graft.sources.ManifestFileIndex.read(spark, basePath, files, out, identityCols, fmt)
+        graft.sources.ManifestFileIndex.read(
+          spark, basePath, files, out, identityCols, fmt, withRowPositions)
       }
       .reduce(_ unionByName _)
     if (physByPath.isEmpty) phys
@@ -192,12 +273,16 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       zorderBy: Seq[String] = Seq.empty): Option[Long] = {
     import org.apache.spark.sql.functions.col
     val live = liveEntries(None)
-    val smalls = live.groupBy(_.partitionValues).values.flatMap { g =>
+    val (dels, dataLive) = live.partition(_.content > 0)
+    val smalls = dataLive.groupBy(_.partitionValues).values.flatMap { g =>
       val s = g.filter(_.fileSizeBytes < smallFileBytes)
       if (s.size >= 2) s else Seq.empty
     }.toSeq
     if (smalls.isEmpty) return None
-    val df = readFiles(smalls)
+    // delete-aware rewrite: compacted output materializes the deletes;
+    // leftover delete files become inert (their targets are gone or
+    // their sequence no longer outranks the rewritten files)
+    val df = readEntries(smalls ++ dels)
     val n = math.max(1, math.ceil(smalls.map(_.fileSizeBytes).sum.toDouble / targetFileBytes).toInt)
     val partCols = log.readLatest().toSeq
       .flatMap(p => IcebergTable.defsOf(p._2)).filter(_.isIdentity).map(_.fieldName)
@@ -208,6 +293,134 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       else if (partCols.nonEmpty) df.repartition(n, partCols.map(col): _*)
       else df.repartition(n)
     Some(write(arranged, Seq.empty, overwrite = false, replacing = smalls.map(_.filePath)))
+  }
+
+  /**
+   * Merge-on-read row-level DELETE (iceberg v2 position deletes): rows
+   * matching `predicate` are recorded as `(file_path, pos)` tombstones
+   * in sorted position-delete parquet — no data file is rewritten. On a
+   * partitioned table the delete files are written partition-scoped, so
+   * partition pruning skips them together with their data. Returns the
+   * new snapshot id (the current one when nothing matched).
+   */
+  def deleteWhere(predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val meta = currentMetadata
+    val current = meta.currentSnapshotId.getOrElse(
+      throw new IllegalStateException(s"empty iceberg table: $tablePath"))
+    val data = liveEntries(None).filter(_.content == ManifestEntry.ContentData)
+    if (data.isEmpty) return current
+    // PHYSICAL rows: re-marking an already position-deleted row is
+    // idempotent (both tombstones resolve to the same position)
+    val dataDF = readFiles(data, withRowPositions = true)
+    val matched = dataDF.filter(predicate).select(
+      col("__graft_file").as("file_path"), col("__graft_pos").as("pos"))
+    val defs = IcebergTable.defsOf(meta)
+    val identityCols = defs.filter(_.isIdentity).map(_.fieldName)
+    val withPart =
+      if (identityCols.isEmpty) matched
+      else {
+        // partition-scope each tombstone with its target file's partition
+        val partSchema = StructType(StructField("file_path", StringType) +:
+          identityCols.map(c => StructField(s"__p_$c", StringType)))
+        val partRows = data.map(e => org.apache.spark.sql.Row.fromSeq(
+          new Path(e.filePath).toUri.toString +:
+            identityCols.map(c => e.partitionValues.get(c).orNull)))
+        val partDF = spark.createDataFrame(
+          spark.sparkContext.parallelize(partRows.toSeq, 1), partSchema)
+        matched.join(broadcast(partDF), Seq("file_path"))
+          .select(col("file_path") +: col("pos") +:
+            identityCols.map(c => col(s"__p_$c").as(c)): _*)
+      }
+    // the spec fixes the delete-file layout: rows sorted by (file_path,
+    // pos), columns stamped with the reserved field ids
+    val sorted = withPart
+      .repartitionByRange(math.max(1, data.size / 100), col("file_path"), col("pos"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+    def reserved(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val stamped = sorted.select(
+      col("file_path").as("file_path", reserved(2147483546L)) +:
+        col("pos").as("pos", reserved(2147483545L)) +:
+        identityCols.map(c => col(s"`$c`")): _*)
+    val newFiles = StagedWrites.writeAndPlace(stamped, tablePath, identityCols)
+    val stats = ParquetFooterStats.collect(spark, newFiles)
+    if (stats.map(_.recordCount).sum == 0L) {
+      val fsys = new Path(tablePath).getFileSystem(hconf)
+      newFiles.foreach(f => fsys.delete(new Path(f), false))
+      return current
+    }
+    val entries = stats.map(st =>
+      IcebergTable.entryFor(st, meta.schema, defs, tablePath)
+        .copy(content = ManifestEntry.ContentPositionDeletes))
+    commitSnapshot(this.log.readLatest(), meta.schema, defs, entries, Seq.empty,
+      carryPrevious = true, operation = "delete",
+      extraProps = Map.empty)
+      .getOrElse(throw new IllegalStateException(
+        s"concurrent commit detected on $tablePath; re-run deleteWhere"))
+  }
+
+  /**
+   * Equality deletes (iceberg v2 content=2): every table row matching a
+   * row of `keys` on the key columns is deleted — the upsert/CDC shape.
+   * Written as one global (unpartitioned) delete file set; applies to
+   * data files with a strictly older sequence number. Null key values
+   * match null columns, per spec.
+   */
+  def deleteByEquality(keys: DataFrame): Long = {
+    val meta = currentMetadata
+    val current = meta.currentSnapshotId.getOrElse(
+      throw new IllegalStateException(s"empty iceberg table: $tablePath"))
+    val schemaByName = meta.schema.fields.map(f => f.name -> f).toMap
+    val ids = keys.schema.fieldNames.toSeq.map { n =>
+      val f = schemaByName.getOrElse(n,
+        throw new IllegalArgumentException(s"unknown equality column $n on $tablePath"))
+      IcebergSchemas.fieldId(f).get
+    }
+    val defs = IcebergTable.defsOf(meta)
+    val newFiles = StagedWrites.writeAndPlace(keys.distinct(), tablePath, Seq.empty)
+    val stats = ParquetFooterStats.collect(spark, newFiles)
+    if (stats.map(_.recordCount).sum == 0L) {
+      val fsys = new Path(tablePath).getFileSystem(hconf)
+      newFiles.foreach(f => fsys.delete(new Path(f), false))
+      return current
+    }
+    val entries = stats.map(st =>
+      IcebergTable.entryFor(st, meta.schema, defs, tablePath)
+        .copy(content = ManifestEntry.ContentEqualityDeletes, equalityIds = ids))
+    commitSnapshot(this.log.readLatest(), meta.schema, defs, entries, Seq.empty,
+      carryPrevious = true, operation = "delete", extraProps = Map.empty)
+      .getOrElse(throw new IllegalStateException(
+        s"concurrent commit detected on $tablePath; re-run deleteByEquality"))
+  }
+
+  /** Materialize all v2 deletes: rewrite exactly the data files they
+    * still apply to (deletes applied), drop every delete file, one
+    * commit — after which metadata-only sync is possible again. */
+  def purgeDeletes(): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    val all = liveEntries(None)
+    val dels = all.filter(_.content > 0)
+    if (dels.isEmpty) return None
+    val data = all.filter(_.content == ManifestEntry.ContentData)
+    val pos = dels.filter(_.content == ManifestEntry.ContentPositionDeletes)
+    val posTargets: Set[String] =
+      if (pos.isEmpty) Set.empty
+      else {
+        val posSchema = StructType(Seq(StructField("file_path", StringType)))
+        graft.sources.ManifestFileIndex.read(
+            spark, tablePath,
+            pos.map(e => graft.sources.ManifestFile(e.filePath, e.fileSizeBytes, 0L, Map.empty)),
+            posSchema, Seq.empty)
+          .distinct().collect().map(_.getString(0)).toSet
+      }
+    val maxEqSeq = dels.filter(_.content == ManifestEntry.ContentEqualityDeletes)
+      .map(_.sequenceNumber).maxOption.getOrElse(Long.MinValue)
+    val affected = data.filter(e =>
+      posTargets.contains(new Path(e.filePath).toUri.toString) ||
+        e.sequenceNumber < maxEqSeq)
+    val df = applyDeletes(affected, dels)
+    Some(write(df, Seq.empty, overwrite = false,
+      replacing = (affected ++ dels).map(_.filePath)))
   }
 
   private def write(
@@ -362,9 +575,17 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       "partition-spec-id" -> "0")
 
     val stamped = adds.map(_.copy(snapshotId = snapshotId, sequenceNumber = seq))
+    // a manifest holds either data files or delete files, never both
+    // (spec: manifest-list `content`); adds of v2 delete files land in a
+    // delete manifest with the matching avro header
+    val addContent =
+      if (stamped.nonEmpty && stamped.forall(_.content > 0)) 1
+      else { require(stamped.forall(_.content == 0),
+        s"mixed data and delete entries in one manifest at $tablePath"); 0 }
     val addManifest = new Path(metaDir, s"${UUID.randomUUID()}-m0.avro")
     val addLen = IcebergManifests.writeManifest(
-      hconf, addManifest, entrySchema, stamped, manifestHeaders)
+      hconf, addManifest, entrySchema, stamped,
+      manifestHeaders + ("content" -> (if (addContent == 1) "deletes" else "data")))
     val addInfo = ManifestFileInfo(
       manifestPath = addManifest.toString,
       manifestLength = addLen,
@@ -376,7 +597,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       deletedFilesCount = 0,
       addedRowsCount = stamped.map(_.recordCount).sum,
       existingRowsCount = 0L,
-      deletedRowsCount = 0L)
+      deletedRowsCount = 0L,
+      content = addContent)
 
     // delete manifest: the removed files stamped deleted at this commit's
     // sequence number — liveEntries' latest-sequence-wins replay resolves
@@ -384,23 +606,27 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val deleteManifests: Seq[ManifestFileInfo] = {
       val dead = removes.map(_.copy(
         status = ManifestEntry.StatusDeleted, snapshotId = snapshotId, sequenceNumber = seq))
-      if (dead.isEmpty) Seq.empty
-      else {
-        val delManifest = new Path(metaDir, s"${UUID.randomUUID()}-m1.avro")
-        val delLen = IcebergManifests.writeManifest(
-          hconf, delManifest, entrySchema, dead, manifestHeaders)
-        Seq(ManifestFileInfo(
-          manifestPath = delManifest.toString,
-          manifestLength = delLen,
-          sequenceNumber = seq,
-          minSequenceNumber = seq,
-          addedSnapshotId = snapshotId,
-          addedFilesCount = 0,
-          existingFilesCount = 0,
-          deletedFilesCount = dead.size,
-          addedRowsCount = 0L,
-          existingRowsCount = 0L,
-          deletedRowsCount = dead.map(_.recordCount).sum))
+      // tombstoned data files and tombstoned delete files go into
+      // separate manifests (spec: a manifest's content is uniform)
+      dead.groupBy(e => if (e.content > 0) 1 else 0).toSeq.sortBy(_._1).map {
+        case (content, group) =>
+          val delManifest = new Path(metaDir, s"${UUID.randomUUID()}-m1-c$content.avro")
+          val delLen = IcebergManifests.writeManifest(
+            hconf, delManifest, entrySchema, group,
+            manifestHeaders + ("content" -> (if (content == 1) "deletes" else "data")))
+          ManifestFileInfo(
+            manifestPath = delManifest.toString,
+            manifestLength = delLen,
+            sequenceNumber = seq,
+            minSequenceNumber = seq,
+            addedSnapshotId = snapshotId,
+            addedFilesCount = 0,
+            existingFilesCount = 0,
+            deletedFilesCount = group.size,
+            addedRowsCount = 0L,
+            existingRowsCount = 0L,
+            deletedRowsCount = group.map(_.recordCount).sum,
+            content = content)
       }
     }
     val carried: Seq[ManifestFileInfo] = prev match {
@@ -574,7 +800,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   def snapshotDataFiles(): Seq[graft.model.InternalDataFile] = {
     val meta = currentMetadata
     val defs = IcebergTable.defsOf(meta)
-    liveEntries(None).map(e => IcebergTable.internalFile(e, meta.schema, defs))
+    val entries = liveEntries(None)
+    require(entries.forall(_.content == ManifestEntry.ContentData),
+      s"cannot metadata-sync $tablePath: snapshot contains v2 delete files other " +
+        "formats cannot express; run purgeDeletes() first")
+    entries.map(e => IcebergTable.internalFile(e, meta.schema, defs))
   }
 
   /** One snapshot's adds + removed paths — the incremental replay unit
@@ -593,6 +823,10 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       .collect().toSeq
     val schemaAt = meta // bounds decode against current schema by field id
     val defs = IcebergTable.defsOf(meta)
+    require(entries.forall(e =>
+        e.content == ManifestEntry.ContentData || e.status == ManifestEntry.StatusDeleted),
+      s"cannot metadata-sync snapshot $snapshotId of $tablePath: it adds v2 delete " +
+        "files other formats cannot express; run purgeDeletes() first")
     val adds = entries.filter(_.status == ManifestEntry.StatusAdded)
       .map(e => IcebergTable.internalFile(e, schemaAt.schema, defs))
     val removed = entries.filter(_.status == ManifestEntry.StatusDeleted)
@@ -1009,7 +1243,7 @@ final class IcebergScanBuilder(
       IcebergScanBuilder.EntryPredicate(partIn ++ derivedPartIn, ordinalRanges, boundsRanges))
   }
 
-  def toDF(): DataFrame = table.readFiles(files())
+  def toDF(): DataFrame = table.readEntries(files())
 }
 
 object IcebergScanBuilder {

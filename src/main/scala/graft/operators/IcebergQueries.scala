@@ -114,6 +114,23 @@ object IcebergQueries {
           Tables.orders(spark, sfDir),
           Seq("bucket[4](o_custkey)", "truncate[2](o_orderpriority)"))
 
+        // 11. v2 position deletes (merge-on-read DELETE): rows
+        //     tombstoned by (file_path, pos); no data file rewritten
+        val t11 = IcebergTable.create(
+          spark, s"$root/lineitem_posdel",
+          Tables.lineitem(spark, sfDir).repartition(4))
+        t11.deleteWhere(col("l_quantity") >= 45.0)
+
+        // 12. v2 equality deletes with sequence semantics: v1 = even
+        //     keys, eq-delete keys %4==0, then append %4==0 rows back —
+        //     the delete hits only the strictly older files
+        val o12 = Tables.orders(spark, sfDir)
+        val t12 = IcebergTable.create(
+          spark, s"$root/orders_eqdel", o12.filter(col("o_orderkey") % 2 === 0))
+        t12.deleteByEquality(
+          o12.filter(col("o_orderkey") % 4 === 0).select(col("o_orderkey")))
+        t12.append(o12.filter(col("o_orderkey") % 4 === 0))
+
         root
       })
     }
@@ -306,6 +323,43 @@ object IcebergQueries {
       """SELECT o_orderpriority, COUNT(*) AS cnt, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // v2 position deletes applied at read time: the parquet still holds
+    // every row; the (file_path, pos) anti-join must hide exactly the
+    // tombstoned ones (iceberg spec "Position Delete Files"; beyond the
+    // reference, which models no row-level deletes).
+    QueryDef.sql(
+      "i10_position_deletes",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "lineitem_posdel").toDF()
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_returnflag")),
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_quantity < 45
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // v2 equality deletes with sequence-number applicability: keys
+    // deleted at sequence 2 hit only the sequence-1 files; the same keys
+    // appended at sequence 3 survive — net effect: every even key
+    // exactly once (iceberg spec "Equality Delete Files").
+    QueryDef.sql(
+      "i11_equality_deletes",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_eqdel").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     // Cross-format equality: the SAME source served through the Delta
     // codec and the Iceberg codec must agree row-for-row; result is the
