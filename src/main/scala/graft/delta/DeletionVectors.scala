@@ -269,7 +269,8 @@ object RoaringBitmapArray {
 object DeletionVectorStore {
 
   /** Write one sidecar holding `blobs` in order; returns each blob's
-    * (offset, sizeInBytes) for the descriptors. */
+    * (offset, sizeInBytes) for the descriptors. Write-once: sidecars are
+    * immutable, a new commit writes a new file. */
   def writeFile(fs: FileSystem, path: Path, blobs: Seq[Array[Byte]]): Seq[(Int, Int)] = {
     val out = new DataOutputStream(fs.create(path, /*overwrite=*/ false))
     try {

@@ -12,6 +12,18 @@ import graft.schema.AvroSchemaConverters
 import graft.stats.ParquetFooterStats
 import graft.util.StagedWrites
 
+/** One MOR log file attached to a file slice. */
+final case class HudiLogFileRef(path: String, instant: String, version: Int, size: Long)
+
+/** One live file slice: the group's base file plus its log files. */
+final case class HudiFileSlice(
+    partitionPath: String,
+    fileId: String,
+    baseInstant: String,
+    basePath: String,
+    baseSize: Long,
+    logs: Seq[HudiLogFileRef])
+
 /**
  * Native Hudi COW table — the third format plane (ref
  * `core/.../hudi/HudiDataFileExtractor.java:113-256` reads the timeline
@@ -30,6 +42,11 @@ import graft.util.StagedWrites
  * (Hudi convention), through [[graft.schema.AvroSchemaConverters]] —
  * the reference's Avro↔canonical hop (`core/.../avro/AvroSchemaConverter.java`).
  * Partition fields live in `hoodie.properties`.
+ *
+ * MERGE_ON_READ tables layer [[HudiLogFormat]] log files onto the same
+ * file groups: `deltacommit` instants append AVRO_DATA blocks, snapshot
+ * reads merge base + logs per record key ([[mergedRead]]), and
+ * [[compactMor]] folds the logs back into base files.
  */
 final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) {
 
@@ -90,7 +107,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val paths = instantTimes.map(t => timeline.existingInstantFile(byTime(t)).toString)
     val raw = spark.read.option("wholetext", "true").text(paths: _*)
       .withColumn("instant",
-        regexp_extract(input_file_name(), "(\\d{14,17})\\.(commit|replacecommit)$", 1))
+        regexp_extract(input_file_name(), "(\\d{14,17})\\.(commit|replacecommit|deltacommit)$", 1))
       .withColumn("meta", from_json(col("value"), commitSchema))
     val adds = raw
       .select(col("instant"),
@@ -119,9 +136,250 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val w = Window.partitionBy(col("partitionPath"), col("fileId"))
       .orderBy(col("instant").desc)
     actionsDF(upTo)
+      // MOR log files never compete for the BASE slot of their group
+      .filter(col("path").isNull || !col("path").contains(".log."))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("isAdd"))
       .drop("rn", "isAdd")
+  }
+
+  // ------------------------------------------------------- merge-on-read
+
+  def tableType: String =
+    properties.getOrElse("hoodie.table.type", "COPY_ON_WRITE")
+  def isMor: Boolean = tableType == "MERGE_ON_READ"
+
+  /** `hoodie.table.recordkey.fields` — the merge key MOR requires. */
+  def recordKeyField: Option[String] =
+    properties.get("hoodie.table.recordkey.fields").filter(_.nonEmpty)
+
+  /** Live file slices with their attached log files: a log belongs to
+    * the slice whose base instant its name carries (Hudi file-slice
+    * rule), so logs of a replaced/compacted group never leak forward. */
+  def fileSlices(asOf: Option[String] = None): Seq[HudiFileSlice] = {
+    val bases = fileSlicesDF(asOf)
+      .select("partitionPath", "fileId", "instant", "path", "size")
+      .collect().toSeq
+    val upTo = asOf.map(a => instants.filter(_ <= a)).getOrElse(instants)
+    val logs: Map[(String, String, String), Seq[HudiLogFileRef]] =
+      if (!isMor || upTo.isEmpty) Map.empty
+      else actionsDF(upTo)
+        .filter(col("isAdd") && col("path").contains(".log."))
+        .select("instant", "partitionPath", "path", "size").collect().toSeq
+        .flatMap { r =>
+          val name = new Path(r.getString(2)).getName
+          HudiLogFormat.parseLogFileName(name).map { case (fid, baseInstant, ver) =>
+            (r.getString(1), fid, baseInstant) ->
+              HudiLogFileRef(r.getString(2), r.getString(0), ver,
+                if (r.isNullAt(3)) 0L else r.getLong(3))
+          }
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    bases.map { r =>
+      val (pp, fid, inst) = (r.getString(0), r.getString(1), r.getString(2))
+      HudiFileSlice(pp, fid, inst, r.getString(3),
+        if (r.isNullAt(4)) 0L else r.getLong(4),
+        logs.getOrElse((pp, fid, inst), Seq.empty).sortBy(l => (l.instant, l.version)))
+    }
+  }
+
+  /** True when any live slice carries log files (snapshot ≠ RO view). */
+  def hasLogFiles(asOf: Option[String] = None): Boolean =
+    isMor && fileSlices(asOf).exists(_.logs.nonEmpty)
+
+  /** The read-optimized view: base files only, log mutations invisible —
+    * what the reference syncs for MOR sources (ref
+    * `HudiDataFileExtractor.java` getLatestBaseFiles). */
+  def readOptimizedDF(asOf: Option[String] = None): DataFrame = {
+    val files = fileSlicesDF(asOf).select("path", "partitionPath", "size").collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+    readFiles(files, asOf)
+  }
+
+  /**
+   * MOR snapshot read of the given slices: base rows and log records
+   * union under a per-key window — latest (instant, log version, record
+   * index) wins; `_hoodie_is_deleted` tombstones drop out (public Hudi
+   * delete convention). Log decode runs on executors, one task per log
+   * batch; the only shuffle is the per-key window over the MUTATED file
+   * groups — untouched groups take the plain columnar path.
+   */
+  private[hudi] def mergedRead(slices: Seq[HudiFileSlice], asOf: Option[String]): DataFrame = {
+    val schema = schemaAt(asOf)
+    val (withLogs, plain) = slices.partition(_.logs.nonEmpty)
+    val plainDF = readFiles(plain.map(s => (s.basePath, s.partitionPath, s.baseSize)), asOf)
+    if (withLogs.isEmpty) return plainDF
+    val key = recordKeyField.getOrElse(throw new IllegalStateException(
+      s"MOR table $tablePath has no hoodie.table.recordkey.fields"))
+    val ordCols = Seq(
+      StructField("__inst", StringType), StructField("__ver", IntegerType),
+      StructField("__idx", LongType), StructField("__del", BooleanType))
+    val ordSchema = StructType(schema.fields ++ ordCols)
+    // base rows: priority = the slice's base instant
+    val instDF = spark.createDataFrame(withLogs.map(s =>
+      (HudiTable.metaPathForm(absoluteOf(s.basePath)), s.baseInstant))).toDF("__graft_file", "__inst")
+    val base = readFiles(
+        withLogs.map(s => (s.basePath, s.partitionPath, s.baseSize)), asOf,
+        withRowPositions = true)
+      .join(broadcast(instDF), Seq("__graft_file"))
+      .withColumn("__ver", lit(-1))
+      .withColumn("__idx", lit(0L))
+      .withColumn("__del", lit(false))
+      .select(ordSchema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+    // log rows: executor-side block decode
+    val conf = new graft.util.SerializableHadoopConf(hconf)
+    val descs = withLogs.flatMap(s => s.logs.map(l => (absoluteOf(l.path), l.instant, l.version)))
+    val rowsRdd = spark.sparkContext
+      .parallelize(descs, math.max(1, math.min(descs.size, 64)))
+      .flatMap { case (p, inst, ver) =>
+        val path = new Path(p)
+        val fsys = path.getFileSystem(conf.value)
+        HudiLogFormat.readBlocks(fsys, path).iterator
+          .filter(_.blockType == HudiLogFormat.AvroDataBlock)
+          .flatMap { b =>
+            val avroSchema = new org.apache.avro.Schema.Parser()
+              .parse(b.headers(HudiLogFormat.HeaderSchema))
+            HudiLogFormat.decodeAvroBlock(b.content, avroSchema)
+              .iterator.zipWithIndex.map { case (rec, i) =>
+                val del = Option(rec.getSchema.getField("_hoodie_is_deleted"))
+                  .flatMap(_ => Option(rec.get("_hoodie_is_deleted")))
+                  .contains(java.lang.Boolean.TRUE)
+                org.apache.spark.sql.Row.fromSeq(
+                  HudiLogFormat.fromAvroRecord(rec, schema).toSeq ++
+                    Seq(inst, ver, i.toLong, del))
+              }
+          }
+      }
+    val logDF = spark.createDataFrame(rowsRdd, ordSchema)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__inst").desc, col("__ver").desc, col("__idx").desc)
+    val merged = base.unionByName(logDF)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("__del"))
+      .select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+    plainDF.unionByName(merged)
+  }
+
+  /**
+   * MOR upsert: updates append AVRO_DATA log blocks to the file group
+   * that owns each key (one new log file per mutated group per commit —
+   * the object-store rollover pattern, written in parallel on the
+   * executors); brand-new keys become new base files. One atomic
+   * `deltacommit` covers both. Returns the instant time.
+   */
+  def upsert(df: DataFrame, commitProps: Map[String, String] = Map.empty): String = {
+    require(isMor, s"upsert needs a MERGE_ON_READ table: $tablePath is $tableType")
+    val key = recordKeyField.getOrElse(throw new IllegalStateException(
+      s"MOR table $tablePath has no hoodie.table.recordkey.fields"))
+    val schema = schemaAt(None)
+    val hasTomb = df.schema.fieldNames.contains("_hoodie_is_deleted")
+    val dataCols = schema.fieldNames.toSeq
+    require(dataCols.forall(df.schema.fieldNames.contains),
+      s"upsert frame must carry every table column of $tablePath")
+    val slices = fileSlices(None)
+    // key -> owning slice, resolved distributed (scan of base keys)
+    val baseKeys = readFiles(
+        slices.map(s => (s.basePath, s.partitionPath, s.baseSize)), None,
+        withRowPositions = true)
+      .select(col(s"`$key`"), col("__graft_file"))
+    val metaDF = spark.createDataFrame(slices.map(s =>
+        (HudiTable.metaPathForm(absoluteOf(s.basePath)), s.partitionPath, s.fileId, s.baseInstant)))
+      .toDF("__graft_file", "__pp", "__fid", "__binst")
+    val routing = baseKeys.join(broadcast(metaDF), Seq("__graft_file"))
+      .select(col(s"`$key`"), col("__pp"), col("__fid"), col("__binst"))
+    val routed = df.join(routing, Seq(key), "left")
+    val instant = timeline.nextInstantTime()
+    val logSchema = StructType(dataCols.map(schema(_)) ++
+      (if (hasTomb) Seq(StructField("_hoodie_is_deleted", BooleanType)) else Seq.empty))
+    val avroJson = AvroSchemaConverters.toAvro(logSchema, "mor_record").toString
+    val nextVer: Map[(String, String), Int] = slices.map(s =>
+      (s.partitionPath, s.fileId) -> (s.logs.map(_.version).maxOption.getOrElse(0) + 1)).toMap
+    val conf = new graft.util.SerializableHadoopConf(hconf)
+    val tableRoot = tablePath
+    val logColIdx: Seq[Int] = logSchema.fieldNames.map(n => routed.schema.fieldIndex(n)).toSeq
+    val sparkLogSchema = logSchema
+    val instantLocal = instant
+    // one log file per mutated group, written on the executor that holds
+    // the group's rows (parallel across groups, no driver funneling)
+    import spark.implicits._
+    val logStats: Seq[(String, String, String, Long, Long)] = routed
+      .filter(col("__fid").isNotNull)
+      .groupByKey(r => (r.getString(r.fieldIndex("__pp")),
+        r.getString(r.fieldIndex("__fid")), r.getString(r.fieldIndex("__binst"))))
+      .mapGroups { (k: (String, String, String), it: Iterator[org.apache.spark.sql.Row]) =>
+        val (pp, fid, binst) = k
+        val avroSchema = new org.apache.avro.Schema.Parser().parse(avroJson)
+        val name = HudiLogFormat.logFileName(fid, binst, nextVer((pp, fid)))
+        val rel = if (pp.isEmpty) name else s"$pp/$name"
+        val path = new Path(tableRoot, rel)
+        var count = 0L
+        val records = it.map { r =>
+          count += 1
+          val slim = org.apache.spark.sql.Row.fromSeq(logColIdx.map(r.get))
+          HudiLogFormat.toAvroRecord(slim, sparkLogSchema, avroSchema)
+        }
+        val content = HudiLogFormat.encodeAvroBlock(avroSchema, records)
+        val block = HudiLogFormat.LogBlock(HudiLogFormat.AvroDataBlock,
+          Map(HudiLogFormat.HeaderInstantTime -> instantLocal,
+            HudiLogFormat.HeaderSchema -> avroJson), content)
+        val size = HudiLogFormat.write(path.getFileSystem(conf.value), path, Seq(block))
+        (pp, fid, rel, size, count)
+      }.collect().toSeq
+    // inserts (unmatched keys) become new base files; tombstones for
+    // absent keys are no-ops
+    var inserts = routed.filter(col("__fid").isNull)
+    if (hasTomb) inserts = inserts.filter(!coalesce(col("_hoodie_is_deleted"), lit(false)))
+    val insertDF = inserts.select(dataCols.map(n => col(s"`$n`")): _*)
+    val placedStats = writeBaseFiles(insertDF, partitionColumns, instant)
+    val logWriteStats = logStats.map { case (pp, fid, rel, size, count) =>
+      pp -> HudiWriteStat(fileId = fid, path = rel,
+        prevCommit = instants.lastOption.getOrElse("null"),
+        numWrites = count, fileSizeInBytes = size)
+    }
+    require(logWriteStats.nonEmpty || placedStats.nonEmpty,
+      s"upsert matched no rows and inserted none on $tablePath")
+    val meta = HudiCommitMetadata(
+      partitionToWriteStats = (logWriteStats ++ placedStats)
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
+      partitionToReplaceFileIds = Map.empty,
+      extraMetadata = Map("schema" -> AvroSchemaConverters.toAvro(
+        HudiTable.mergeSchemas(schema, StructType(dataCols.map(schema(_))), tablePath)).toString)
+        ++ commitProps,
+      operationType = "UPSERT")
+    require(timeline.commit(HudiInstant(instant, "deltacommit"), meta),
+      s"concurrent hudi commit at $instant of $tablePath")
+    instant
+  }
+
+  /** Row-level delete on MOR: tombstone records (`_hoodie_is_deleted`)
+    * routed to the owning file groups via [[upsert]]; keys the table
+    * doesn't hold are ignored. */
+  def deleteKeys(keys: DataFrame): String = {
+    require(isMor, s"deleteKeys needs a MERGE_ON_READ table: $tablePath is $tableType")
+    val key = recordKeyField.get
+    val schema = schemaAt(None)
+    val tomb = keys.select(col(s"`$key`")).distinct()
+      .select(schema.fields.map(f =>
+        if (f.name == key) col(s"`$key`")
+        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+      .withColumn("_hoodie_is_deleted", lit(true))
+    upsert(tomb)
+  }
+
+  /** Compaction: merge every log-carrying file group into fresh base
+    * files (a `replacecommit`, like [[compact]]); the snapshot and the
+    * read-optimized view coincide again afterwards — and the table is
+    * metadata-syncable. */
+  def compactMor(): Option[String] = {
+    require(isMor, s"compactMor needs a MERGE_ON_READ table: $tablePath is $tableType")
+    val withLogs = fileSlices(None).filter(_.logs.nonEmpty)
+    if (withLogs.isEmpty) return None
+    val df = mergedRead(withLogs, None)
+    val arranged =
+      if (partitionColumns.nonEmpty) df.repartition(partitionColumns.map(col): _*)
+      else df.repartition(math.max(1, withLogs.size / 4))
+    Some(write(arranged, Seq.empty, overwrite = false,
+      replacing = withLogs.map(s => absoluteOf(s.basePath))))
   }
 
   def scan: HudiScanBuilder = new HudiScanBuilder(spark, this, None)
@@ -143,6 +401,10 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       .filter(col("isAdd"))
       .select("path", "partitionPath", "size").collect().toSeq
       .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+    require(added.forall(f => !HudiLogFormat.isLogPath(f._1)),
+      s"instants ($fromExclusive, $toInclusive] of $tablePath append MOR log blocks, " +
+        "which are row mutations, not added rows; run compactMor() and read the " +
+        "compaction instant instead")
     readFiles(added, Some(toInclusive))
   }
 
@@ -155,7 +417,8 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     * [[graft.sources.ManifestFileIndex]]: sizes and partition values
     * come from the timeline, no filesystem listing/stat-ing. */
   private[hudi] def readFiles(
-      files: Seq[(String, String, Long)], asOf: Option[String]): DataFrame = {
+      files: Seq[(String, String, Long)], asOf: Option[String],
+      withRowPositions: Boolean = false): DataFrame = {
     val schema = schemaAt(asOf)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -167,7 +430,8 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         partitionValues = HudiTable.parsePartitionPath(pp))
     }
     graft.sources.ManifestFileIndex.read(
-      spark, readBasePath, manifest, schema, partitionColumns)
+      spark, readBasePath, manifest, schema, partitionColumns,
+      withRowPositions = withRowPositions)
   }
 
   // ---------------------------------------------------------------- writes
@@ -192,7 +456,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     * commits, newest-first. */
   def lastCommitProp(key: String): Option[String] =
     timeline.completedInstants()
-      .filter(i => i.action == "commit" || i.action == "replacecommit")
+      .filter(i => Set("commit", "replacecommit", "deltacommit").contains(i.action))
       .reverseIterator
       .flatMap(i => timeline.readCommitMetadata(i).extraMetadata.get(key))
       .nextOption()
@@ -213,7 +477,13 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       /** Morton-interleave these columns for multi-dim skipping
         * (graft.util.ZOrder); takes precedence over sortBy. */
       zorderBy: Seq[String] = Seq.empty): Option[String] = {
-    val rows = fileSlicesDF(None).select("path", "partitionPath", "size").collect().toSeq
+    // MOR: only LOG-FREE groups bin-pack here — a group with logs must
+    // go through compactMor (merge), never a base-only rewrite
+    val withLogGroups: Set[(String, String)] =
+      if (isMor) fileSlices(None).filter(_.logs.nonEmpty).map(s => (s.partitionPath, s.fileId)).toSet
+      else Set.empty
+    val rows = fileSlicesDF(None).select("path", "partitionPath", "size", "fileId").collect().toSeq
+      .filter(r => !withLogGroups((r.getString(1), r.getString(3))))
       .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
     val smalls = rows.groupBy(_._2).values.flatMap { g =>
       val s = g.filter(_._3 < smallFileBytes)
@@ -230,6 +500,49 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       else df.repartition(n)
     Some(write(arranged, Seq.empty, overwrite = false,
       replacing = smalls.map(f => absoluteOf(f._1))))
+  }
+
+  /** Physically write `df` as Hudi-named base parquet files
+    * (`<fileId>_<writeToken>_<instant>.parquet`), collect footer stats,
+    * maintain the col_stats index (ref
+    * `BaseFileUpdatesExtractor.java:234-262` — written before the
+    * commit so a visible instant always has its index, and an orphan
+    * from a failed commit is unreachable), and return the write stats
+    * keyed by partition path. */
+  private def writeBaseFiles(
+      df: DataFrame, partCols: Seq[String], instant: String): Seq[(String, HudiWriteStat)] = {
+    val placed = StagedWrites.writeAndPlace(df, tablePath, partCols)
+    if (placed.isEmpty) return Seq.empty
+    val fs = new Path(tablePath).getFileSystem(hconf)
+    val renamed = placed.map { p =>
+      val src = new Path(p)
+      val fileId = UUID.randomUUID().toString
+      val dest = new Path(src.getParent, s"${fileId}_0-0-0_$instant.parquet")
+      require(fs.rename(src, dest), s"failed to finalize $src")
+      (fileId, dest.toString)
+    }
+    val idByPath = renamed.map(_.swap).toMap
+    val allStats = ParquetFooterStats.collect(spark, renamed.map(_._2))
+    // an empty frame can still surface as one 0-row part file — drop it
+    // rather than commit a rowless base file
+    val (empty, stats) = allStats.partition(_.recordCount == 0)
+    empty.foreach(st => fs.delete(new Path(st.path), false))
+    val base = new Path(tablePath).toUri.getPath.stripSuffix("/") + "/"
+    val writeStats = stats.map { st =>
+      val rel = new Path(st.path).toUri.getPath.stripPrefix(base)
+      val partitionPath = rel.split("/").dropRight(1).mkString("/")
+      partitionPath -> HudiWriteStat(
+        fileId = idByPath(st.path),
+        path = rel,
+        prevCommit = instants.lastOption.getOrElse("null"),
+        numWrites = st.recordCount,
+        fileSizeInBytes = st.fileSizeBytes)
+    }
+    HudiColStats.write(spark, tablePath, instant, stats.map { st =>
+      val rel = new Path(st.path).toUri.getPath.stripPrefix(base)
+      (rel.split("/").dropRight(1).mkString("/"), new Path(st.path).getName, st.columns)
+    })
+    writeStats
   }
 
   private def write(
@@ -269,38 +582,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val dfWithGen = genDefs.foldLeft(df)((d, t) =>
       d.withColumn(t.fieldName, graft.model.PartitionTransform.valueExpr(t)))
     val instant = timeline.nextInstantTime()
-    val placed = StagedWrites.writeAndPlace(dfWithGen, tablePath, partCols)
-    val fs = new Path(tablePath).getFileSystem(hconf)
-    // rename to the Hudi base-file convention <fileId>_<writeToken>_<instant>.parquet
-    val renamed = placed.map { p =>
-      val src = new Path(p)
-      val fileId = UUID.randomUUID().toString
-      val dest = new Path(src.getParent, s"${fileId}_0-0-0_$instant.parquet")
-      require(fs.rename(src, dest), s"failed to finalize $src")
-      (fileId, dest.toString)
-    }
-    val idByPath = renamed.map(_.swap).toMap
-    val stats = ParquetFooterStats.collect(spark, renamed.map(_._2))
-    val base = new Path(tablePath).toUri.getPath.stripSuffix("/") + "/"
-    val writeStats = stats.map { st =>
-      val rel = new Path(st.path).toUri.getPath.stripPrefix(base)
-      val partitionPath = rel.split("/").dropRight(1).mkString("/")
-      partitionPath -> HudiWriteStat(
-        fileId = idByPath(st.path),
-        path = rel,
-        prevCommit = instants.lastOption.getOrElse("null"),
-        numWrites = st.recordCount,
-        fileSizeInBytes = st.fileSizeBytes)
-    }
-    // col_stats index entry for this commit (ref
-    // `BaseFileUpdatesExtractor.java:234-262` — every write stat carries
-    // its column ranges); written before the commit so a visible instant
-    // always has its index, and an orphan from a failed commit is
-    // unreachable (readers resolve index files through the timeline)
-    HudiColStats.write(spark, tablePath, instant, stats.map { st =>
-      val rel = new Path(st.path).toUri.getPath.stripPrefix(base)
-      (rel.split("/").dropRight(1).mkString("/"), new Path(st.path).getName, st.columns)
-    })
+    val writeStats = writeBaseFiles(dfWithGen, partCols, instant)
     val replaceIds: Map[String, Seq[String]] =
       if (overwrite && instants.nonEmpty)
         fileSlicesDF(None).select("partitionPath", "fileId").collect().toSeq
@@ -311,7 +593,9 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
           .filter(r => rs.contains(HudiTable.normalize(absoluteOf(r.getString(2)))))
           .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
       } else Map.empty
-    if (instants.isEmpty)
+    // createMor pre-writes MOR properties before the first commit —
+    // never clobber an existing hoodie.properties
+    if (instants.isEmpty && !timeline.exists)
       timeline.writeProperties(HudiTable.tableProperties(tablePath, partCols,
         if (genDefs.isEmpty) Map.empty
         else Map(HudiTable.PartitionSpecsProp -> defs.map(_.spec).mkString(";"))))
@@ -332,7 +616,12 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         if (overwrite) "INSERT_OVERWRITE_TABLE"
         else if (replacing.nonEmpty) "CLUSTER"
         else "INSERT")
-    val action = if (replaceIds.nonEmpty) "replacecommit" else "commit"
+    // MOR data writes land as deltacommits (Hudi convention); replaces
+    // (clustering/compaction/overwrite) stay replacecommits on both types
+    val action =
+      if (replaceIds.nonEmpty) "replacecommit"
+      else if (isMor) "deltacommit"
+      else "commit"
     require(timeline.commit(HudiInstant(instant, action), meta),
       s"concurrent hudi commit at $instant of $tablePath")
     instant
@@ -444,6 +733,9 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     * that didn't maintain stats — yields empty `columnStats`, and the
     * sync layer translates what exists rather than re-reading footers. */
   def snapshotDataFiles(): Seq[graft.model.InternalDataFile] = {
+    require(!hasLogFiles(None),
+      s"cannot metadata-sync $tablePath: MOR log files hold row mutations other " +
+        "formats cannot express; run compactMor() first")
     val counts: Map[String, Long] = instants.flatMap { t =>
       val m = timeline.readCommitMetadata(
         timeline.completedInstants().find(_.time == t).get)
@@ -485,7 +777,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val inst = timeline.allCompletedInstants().find(_.time == instant)
       .getOrElse(throw new IllegalArgumentException(s"no instant $instant on $tablePath"))
     inst.action match {
-      case "commit" | "replacecommit" => // falls through to data replay below
+      case "commit" | "replacecommit" | "deltacommit" => // data replay below
       case "rollback" =>
         return (Seq.empty, HudiMaintenanceCodec
           .rollbackFromJson(timeline.readInstantJson(inst)).deletedFiles.map(absoluteOf))
@@ -496,6 +788,10 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         return (Seq.empty, Seq.empty)
     }
     val meta = timeline.readCommitMetadata(inst)
+    require(meta.partitionToWriteStats.valuesIterator.flatten
+        .forall(ws => !HudiLogFormat.isLogPath(ws.path)),
+      s"cannot metadata-sync instant $instant of $tablePath: it appends MOR log " +
+        "blocks other formats cannot express; run compactMor() first")
     val adds = meta.partitionToWriteStats.toSeq.flatMap { case (pp, stats) =>
       stats.map(ws => graft.model.InternalDataFile(
         physicalPath = absoluteOf(ws.path),
@@ -652,6 +948,38 @@ object HudiTable {
     t
   }
 
+  /**
+   * Create a MERGE_ON_READ table: same layout as COW plus the table
+   * type and the record-key field (the merge identity) in
+   * hoodie.properties. MOR log records ride a flat Avro codec, so
+   * nested column types stay on the COW path.
+   */
+  def createMor(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      recordKeyField: String,
+      partitionColumns: Seq[String] = Seq.empty): HudiTable = {
+    val t = forPath(spark, tablePath)
+    require(!t.timeline.exists, s"table already exists: $tablePath")
+    require(df.schema.fieldNames.contains(recordKeyField),
+      s"record key column $recordKeyField missing from the frame")
+    df.schema.fields.foreach(f => require(
+      !f.dataType.isInstanceOf[StructType] &&
+        !f.dataType.isInstanceOf[ArrayType] && !f.dataType.isInstanceOf[MapType],
+      s"MOR log records support flat schemas only; ${f.name} is ${f.dataType.simpleString}"))
+    val defs = graft.model.PartitionTransform.parseAll(partitionColumns)
+    t.timeline.writeProperties(tableProperties(tablePath, defs.map(_.fieldName),
+      Map(
+        "hoodie.table.type" -> "MERGE_ON_READ",
+        "hoodie.table.recordkey.fields" -> recordKeyField) ++
+        (if (defs.exists(!_.isIdentity))
+          Map(PartitionSpecsProp -> defs.map(_.spec).mkString(";"))
+        else Map.empty)))
+    t.append(df, partitionColumns)
+    t
+  }
+
   private[hudi] def tableProperties(
       tablePath: String, partCols: Seq[String], extra: Map[String, String]): Map[String, String] =
     Map(
@@ -684,6 +1012,9 @@ object HudiTable {
 
   /** Scheme-insensitive path form for set membership (file:/x vs /x). */
   private[graft] def normalize(p: String): String = new Path(p).toUri.getPath
+
+  /** The string form the scan's `_metadata.file_path` reports. */
+  private[hudi] def metaPathForm(abs: String): String = new Path(abs).toUri.toString
 
   /** Hive `k=v` partition path → values (ref
     * `core/.../hudi/HudiPartitionValuesExtractor.java:47-173`). */
@@ -826,8 +1157,26 @@ final class HudiScanBuilder(
   }
 
   def toDF(): DataFrame = {
+    if (table.isMor && table.hasLogFiles(asOfInstant)) {
+      // MOR with live logs: partition predicates prune whole slices;
+      // range predicates prune only LOG-FREE slices — a group's base
+      // stats say nothing about the rows its log blocks carry
+      val keep = files().select("partitionPath", "fileId").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val slices = table.fileSlices(asOfInstant).filter { s =>
+        if (s.logs.nonEmpty) partitionOk(s.partitionPath)
+        else keep((s.partitionPath, s.fileId))
+      }
+      return table.mergedRead(slices, asOfInstant)
+    }
     val pruned = files().select("path", "partitionPath", "size").collect().toSeq
       .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
     table.readFiles(pruned, asOfInstant)
+  }
+
+  /** Driver-side twin of the partition-token filter in [[files]]. */
+  private def partitionOk(pp: String): Boolean = {
+    val vals = HudiTable.parsePartitionPath(pp)
+    partitionPredicates.forall { case (c, vs) => vs.contains(vals.get(c).orNull) }
   }
 }

@@ -128,7 +128,7 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
     if (!fs.exists(hoodieDir)) return Seq.empty
     val completed = allCompletedInstants().map(_.time).toSet
     val Marker =
-      """(\d{14,17})(?:\.(?:commit|replacecommit|rollback|restore|clean))?\.(?:requested|inflight)""".r
+      """(\d{14,17})(?:\.(?:commit|replacecommit|deltacommit|rollback|restore|clean))?\.(?:requested|inflight)""".r
     fs.listStatus(hoodieDir).toSeq
       .map(_.getPath.getName)
       .collect { case Marker(ts) => ts }
@@ -249,9 +249,9 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
 
 object HudiTimeline {
 
-  private val CompletedRe = "^(\\d{14}|\\d{17})\\.(commit|replacecommit)$".r
+  private val CompletedRe = "^(\\d{14}|\\d{17})\\.(commit|replacecommit|deltacommit)$".r
   private val AnyCompletedRe =
-    "^(\\d{14}|\\d{17})\\.(commit|replacecommit|rollback|restore|clean)$".r
+    "^(\\d{14}|\\d{17})\\.(commit|replacecommit|deltacommit|rollback|restore|clean)$".r
 
   private val Utc = ZoneId.of("UTC")
   private val MillisFormatter: DateTimeFormatter =

@@ -89,6 +89,25 @@ object HudiQueries {
               col("o_orderpriority").as("pri-orité")).as("meta-rec"),
             array(col("o_orderkey"), col("o_custkey")).as("key-list")))
 
+        // 8. merge-on-read: create → upsert (update keys %3==0, insert
+        //    shifted copies of keys %100==0) → tombstone keys %5==0.
+        //    h09 reads the merged snapshot, h10 the read-optimized view
+        //    (base files only — updates and deletes invisible, inserted
+        //    base files visible); h11 compacts a same-shaped table and
+        //    reads it back
+        def buildMor(path: String): HudiTable = {
+          val t = HudiTable.createMor(
+            spark, path, o.repartition(4), "o_orderkey")
+          t.upsert(o.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 100000.0))
+          t.upsert(o.filter(col("o_orderkey") % 100 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+          t.deleteKeys(o.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
+          t
+        }
+        buildMor(s"$root/orders_mor")
+        buildMor(s"$root/orders_mor_compacted").compactMor()
+
         root
       })
     }
@@ -236,6 +255,87 @@ object HudiQueries {
         |  o_custkey AS cust_key, o_orderpriority AS priority,
         |  o_custkey AS second_key
         |FROM orders ORDER BY order_key""".stripMargin),
+
+    // Merge-on-read snapshot: base rows + AVRO_DATA log blocks merged
+    // per record key (latest deltacommit wins), `_hoodie_is_deleted`
+    // tombstones dropped. The oracle reconstructs update+insert+delete
+    // algebraically over the raw parquet (beyond the reference, whose
+    // MOR reads are the base-file view only).
+    QueryDef.sql(
+      "h09_hudi_mor_snapshot",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_mor").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM snap GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // The read-optimized view of the same table: log mutations
+    // (updates, tombstones) invisible; base files written by the
+    // upsert's INSERT path visible — exactly the view the reference
+    // syncs for MOR sources.
+    QueryDef.sql(
+      "h10_hudi_mor_read_optimized",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_mor").readOptimizedDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """WITH ro AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM ro GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // MOR compaction (replacecommit): logs folded into fresh base
+    // files; the merged snapshot result is unchanged and the table is
+    // base-only again.
+    QueryDef.sql(
+      "h11_hudi_mor_compaction",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "orders_mor_compacted")
+        require(!t.hasLogFiles(), "h11 fixture must be fully compacted")
+        t.toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM snap GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     QueryDef.sql(
       "x04_tri_format_equality",

@@ -1,0 +1,149 @@
+package graft.hudi
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Merge-on-read: log-format codec, deltacommit timeline, upsert
+  * routing, merged snapshot reads, tombstone deletes, compaction,
+  * partition pruning, and sync-plane guards. */
+class HudiMorSpec extends SparkTestBase {
+
+  private def orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  private def keys(t: HudiTable): Seq[Long] =
+    t.toDF().select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+
+  // ------------------------------------------------------------ log codec
+
+  test("log format round-trips blocks, tolerates a torn tail") {
+    val dir = tmpDir("mor_log")
+    val path = new Path(dir, ".f1_001.log.1_0-0-0")
+    val fs = path.getFileSystem(new Configuration())
+    val b1 = HudiLogFormat.LogBlock(HudiLogFormat.AvroDataBlock,
+      Map(HudiLogFormat.HeaderInstantTime -> "001"), Array[Byte](1, 2, 3))
+    val b2 = HudiLogFormat.LogBlock(HudiLogFormat.AvroDataBlock,
+      Map(HudiLogFormat.HeaderInstantTime -> "002",
+        HudiLogFormat.HeaderSchema -> "{}"), Array[Byte](9))
+    HudiLogFormat.write(fs, path, Seq(b1, b2))
+    val back = HudiLogFormat.readBlocks(fs, path)
+    assert(back.size == 2)
+    assert(back(0).content.toSeq == Seq[Byte](1, 2, 3))
+    assert(back(1).headers(HudiLogFormat.HeaderSchema) == "{}")
+    // a torn tail block (crashed writer): good bytes + magic + truncated
+    // length, written as a fresh file
+    val good = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path.toUri.getPath))
+    val torn = new Path(dir, ".f1_001.log.2_0-0-0")
+    java.nio.file.Files.write(java.nio.file.Paths.get(torn.toString),
+      good ++ HudiLogFormat.Magic ++ Array[Byte](0, 0))
+    assert(HudiLogFormat.readBlocks(fs, torn).size == 2)
+  }
+
+  test("log file name round-trip") {
+    val n = HudiLogFormat.logFileName("abc-123", "20260813010101000", 4)
+    assert(HudiLogFormat.parseLogFileName(n).contains(("abc-123", "20260813010101000", 4)))
+    assert(HudiLogFormat.isLogPath(s"st=A/$n"))
+  }
+
+  // --------------------------------------------------------------- upsert
+
+  test("upsert updates existing rows via log blocks; base files untouched") {
+    val dir = tmpDir("mor_upsert")
+    val t = HudiTable.createMor(spark, s"$dir/t", orders.repartition(4), "o_orderkey")
+    val basePaths = t.fileSlices().map(_.basePath).toSet
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100000.0))
+    assert(t.fileSlices().map(_.basePath).toSet == basePaths) // no base rewrite
+    assert(t.hasLogFiles())
+    val got = t.toDF().filter(col("o_orderkey") % 3 === 0)
+      .agg(min(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(got >= 100000.0)
+    assert(t.toDF().count() == orders.count()) // updates, not duplicates
+  }
+
+  test("upsert inserts brand-new keys as base files") {
+    val dir = tmpDir("mor_insert")
+    val t = HudiTable.createMor(spark, s"$dir/t", orders, "o_orderkey")
+    // orderkeys start at 0, so the boundary is inclusive
+    val fresh = orders.limit(10).withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    t.upsert(fresh)
+    assert(t.toDF().count() == orders.count() + 10)
+    assert(t.toDF().filter(col("o_orderkey") >= 10000000L).count() == 10)
+  }
+
+  test("second upsert of the same keys wins (latest instant)") {
+    val dir = tmpDir("mor_twice")
+    val t = HudiTable.createMor(spark, s"$dir/t", orders, "o_orderkey")
+    val target = orders.filter(col("o_orderkey") % 5 === 0)
+    t.upsert(target.withColumn("o_orderstatus", lit("X")))
+    t.upsert(target.withColumn("o_orderstatus", lit("Y")))
+    val statuses = t.toDF().filter(col("o_orderkey") % 5 === 0)
+      .select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses == Set("Y"))
+    assert(t.toDF().count() == orders.count())
+  }
+
+  test("deleteKeys tombstones rows; absent keys are no-ops") {
+    val dir = tmpDir("mor_delete")
+    val t = HudiTable.createMor(spark, s"$dir/t", orders.repartition(2), "o_orderkey")
+    val all = keys(t)
+    import spark.implicits._
+    t.deleteKeys((all.filter(_ % 7 == 0) :+ 99999999L).toDF("o_orderkey"))
+    assert(keys(t) == all.filterNot(_ % 7 == 0))
+  }
+
+  test("time travel reads the pre-upsert snapshot") {
+    val dir = tmpDir("mor_tt")
+    val t = HudiTable.createMor(spark, s"$dir/t", orders, "o_orderkey")
+    val v0 = t.latestInstant
+    t.upsert(orders.limit(50).withColumn("o_orderstatus", lit("Z")))
+    assert(t.toDF(Some(v0)).filter(col("o_orderstatus") === "Z").count() == 0)
+    assert(t.toDF().filter(col("o_orderstatus") === "Z").count() == 50)
+  }
+
+  test("partitioned MOR: upsert routes to the right groups; partition pruning works") {
+    val dir = tmpDir("mor_part")
+    val t = HudiTable.createMor(
+      spark, s"$dir/t", orders, "o_orderkey", Seq("o_orderstatus"))
+    t.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", lit(1.0)))
+    val p = t.scan.partitionIn("o_orderstatus", Set("F")).toDF()
+    val expect = orders.filter(col("o_orderstatus") === "F").count()
+    assert(p.count() == expect)
+    assert(p.filter(col("o_orderkey") % 4 === 0 && col("o_totalprice") =!= 1.0).count() == 0)
+  }
+
+  test("compactMor folds logs into base files; data identical; sync accepted") {
+    val dir = tmpDir("mor_compact")
+    val t = HudiTable.createMor(spark, s"$dir/t", orders.repartition(3), "o_orderkey")
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0))
+    import spark.implicits._
+    t.deleteKeys(keys(t).filter(_ % 10 == 0).toDF("o_orderkey"))
+    val expect = t.toDF().orderBy("o_orderkey").collect().toSeq
+    intercept[IllegalArgumentException](t.snapshotDataFiles())
+    assert(t.compactMor().nonEmpty)
+    assert(!t.hasLogFiles())
+    assert(t.toDF().orderBy("o_orderkey").collect().toSeq == expect)
+    assert(t.snapshotDataFiles().nonEmpty)
+    assert(t.compactMor().isEmpty)
+  }
+
+  test("deltacommit appending logs is refused by the incremental sync feed") {
+    val dir = tmpDir("mor_changes")
+    val t = HudiTable.createMor(spark, s"$dir/t", orders, "o_orderkey")
+    val inst = t.upsert(orders.limit(20).withColumn("o_orderstatus", lit("Q")))
+    intercept[IllegalArgumentException](t.changeSet(inst))
+  }
+
+  test("COW tables are unaffected: no record key, commit action, no logs") {
+    val dir = tmpDir("mor_cow")
+    val t = HudiTable.create(spark, s"$dir/t", orders)
+    assert(!t.isMor)
+    assert(t.recordKeyField.isEmpty)
+    intercept[IllegalArgumentException](t.upsert(orders.limit(1)))
+  }
+}
