@@ -131,15 +131,27 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
    * is deleted drops out of the snapshot entirely. Returns the committed
    * version (the current one when nothing matched).
    */
-  def delete(predicate: org.apache.spark.sql.Column): Long = {
+  def delete(predicate: org.apache.spark.sql.Column): Long =
+    deleteWhere(data => data.filter(predicate),
+      CommitInfo(System.currentTimeMillis(), "DELETE",
+        Map("predicate" -> predicate.toString)))
+
+  /** DELETE where the matching rows come from a caller-supplied
+    * transformation of the physical scan (predicate filter, or a
+    * key-semi-join for MERGE). */
+  private def deleteWhere(
+      selectMatching: DataFrame => DataFrame,
+      info: CommitInfo,
+      /** extra actions committed atomically (MERGE's new files) */
+      extraActions: Seq[DeltaAction] = Seq.empty): Long = {
     require(columnMappingMode(None) == "none",
-      s"DELETE on a column-mapped table is not supported: $tablePath")
+      s"row-level writes on a column-mapped table are not supported: $tablePath")
     val (schema, partCols) = schemaAt(None)
     val snapRows = log.snapshotFilesDF()
       .select("path", "size", "modificationTime", "partitionValues", "stats", "deletionVector")
       .collect().toSeq
     val latest = latestVersion
-    if (snapRows.isEmpty) return latest
+    if (snapRows.isEmpty && extraActions.isEmpty) return latest
     val byMetaPath: Map[String, org.apache.spark.sql.Row] =
       snapRows.map(r => DeltaTable.metadataFilePath(tablePath, r.getString(0)) -> r).toMap
     // scan PHYSICAL rows (existing deletes not applied: re-marking an
@@ -154,13 +166,12 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val data = graft.sources.ManifestFileIndex.read(
       spark, readBasePath(None), mfs, schema, partCols, withRowPositions = true)
     import spark.implicits._
-    val perFile: Seq[(String, Array[Byte])] = data
-      .filter(predicate)
+    val perFile: Seq[(String, Array[Byte])] = selectMatching(data)
       .select(col("__graft_file").as[String], col("__graft_pos").as[Long])
       .groupByKey(_._1)
       .mapGroups((f, it) => (f, RoaringBitmapArray.serialize(it.map(_._2).toArray)))
       .collect().toSeq
-    if (perFile.isEmpty) return latest
+    if (perFile.isEmpty && extraActions.isEmpty) return latest
     val now = System.currentTimeMillis()
     val conf = spark.sparkContext.hadoopConfiguration
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
@@ -178,7 +189,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         .map(DeltaStats.fromJson(_, dataSchema)._1).getOrElse(-1L)
       (row, merged, cardinality, oldDv, numRecords >= 0 && cardinality >= numRecords)
     }
-    val (gone, keep) = planned.partition(_._5)
+    val keep = planned.filterNot(_._5)
     val uuid = UUID.randomUUID()
     val offsets: Seq[(Int, Int)] =
       if (keep.isEmpty) Seq.empty
@@ -196,7 +207,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
           path = row.getString(0),
           partitionValues = if (row.isNullAt(3)) Map.empty else row.getMap[String, String](3).toMap,
           size = if (row.isNullAt(1)) 0L else row.getLong(1),
-          modificationTime = if (row.isNullAt(2)) 0L else row.getLong(2),
+          modificationTime = if (row.isNullAt(2)) 0L else r2l(row, 2),
           dataChange = true,
           stats = Option(row.getString(4)),
           deletionVector = Some(DeletionVectorDescriptor(
@@ -207,14 +218,58 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val hasDvFeature = log.readActions(0L).collectFirst { case p: Protocol => p }
       .exists(_.readerFeatures.exists(_.contains("deletionVectors")))
     val protocolUpgrade: Seq[DeltaAction] =
-      if (hasDvFeature) Seq.empty
+      if (perFile.isEmpty || hasDvFeature) Seq.empty
       else Seq(Protocol(3, 7, Some(Seq("deletionVectors")), Some(Seq("deletionVectors"))))
-    val info = CommitInfo(now, "DELETE", Map("predicate" -> predicate.toString))
     val v = latest + 1
-    require(log.commit(v, protocolUpgrade ++ removes ++ adds :+ info),
-      s"concurrent commit detected at version $v of $tablePath; re-run DELETE")
+    require(log.commit(v, protocolUpgrade ++ removes ++ adds ++ extraActions :+ info),
+      s"concurrent commit detected at version $v of $tablePath; re-run the operation")
     log.maybeCheckpoint(v)
     v
+  }
+
+  private def r2l(row: org.apache.spark.sql.Row, i: Int): Long =
+    if (row.isNullAt(i)) 0L else row.getLong(i)
+
+  /**
+   * MERGE-by-key in ONE commit: rows of the table whose key matches a
+   * `source` row are tombstoned by deletion vector, and `source`'s rows
+   * land as new files — updates and inserts together, atomically, with
+   * no data-file rewrite. The Delta twin of the Iceberg equality-delete
+   * upsert.
+   */
+  def upsert(source: DataFrame, keyCols: Seq[String]): Long = {
+    val (schema, partCols) = schemaAt(None)
+    require(keyCols.forall(schema.fieldNames.contains),
+      s"key columns $keyCols missing from the schema of $tablePath")
+    require(schema.fieldNames.forall(source.schema.fieldNames.contains),
+      s"upsert frame must carry every table column of $tablePath")
+    val ordered = source.select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+    // stage the new files first so the tombstone commit can claim them
+    val defs = DeltaTable.partitionDefsOf(schema, partCols)
+    val genDefs = defs.filterNot(_.isIdentity)
+    val withGen = genDefs.foldLeft(ordered)((d, t) =>
+      d.withColumn(t.fieldName, graft.model.PartitionTransform.valueExpr(t)))
+    val newFiles = graft.util.StagedWrites.writeAndPlace(withGen, tablePath, partCols)
+    val stats = ParquetFooterStats.collect(spark, newFiles)
+    val dataSchema = StructType(withGen.schema.filterNot(f => partCols.contains(f.name)))
+    val newAdds: Seq[DeltaAction] = stats.filter(_.recordCount > 0).map { st =>
+      val rel = DeltaTable.relativize(tablePath, st.path)
+      AddFile(
+        path = DeltaTable.encodeLogPath(rel),
+        partitionValues = DeltaTable.partitionValuesFromPath(rel, partCols),
+        size = st.fileSizeBytes,
+        modificationTime = st.modificationTime,
+        dataChange = true,
+        stats = Some(DeltaStats.toJson(st, dataSchema)))
+    }
+    // the freshly staged files exist on disk but not in the log, so the
+    // pre-commit snapshot scan below never sees them
+    val keys = ordered.select(keyCols.map(c => col(s"`$c`")): _*).distinct()
+    deleteWhere(
+      data => data
+        .join(keys, keyCols.map(c => data(c) <=> keys(c)).reduce(_ && _), "left_semi"),
+      CommitInfo(System.currentTimeMillis(), "MERGE", Map("matchedAction" -> "delete")),
+      extraActions = newAdds)
   }
 
   /** REORG-style purge: physically rewrite every file that carries a

@@ -393,6 +393,35 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         s"concurrent commit detected on $tablePath; re-run deleteByEquality"))
   }
 
+  /**
+   * Upsert in ONE snapshot (the Flink-CDC merge-on-read shape): an
+   * equality-delete file on `keyCols` tombstones every older row whose
+   * key appears in `df`, and `df`'s rows land as new data files — both
+   * at the same sequence number, so the strict `<` applicability rule
+   * makes the deletes hit exactly the pre-upsert files. No read or
+   * rewrite of existing data at all: a pure O(|df|) commit.
+   */
+  def upsert(df: DataFrame, keyCols: Seq[String]): Long = {
+    val meta = currentMetadata
+    if (meta.currentSnapshotId.isEmpty) return append(df)
+    val schemaByName = meta.schema.fields.map(f => f.name -> f).toMap
+    val ids = keyCols.map { n =>
+      val f = schemaByName.getOrElse(n,
+        throw new IllegalArgumentException(s"unknown key column $n on $tablePath"))
+      IcebergSchemas.fieldId(f).get
+    }
+    val defs = IcebergTable.defsOf(meta)
+    val keyFiles = StagedWrites.writeAndPlace(
+      df.select(keyCols.map(c => org.apache.spark.sql.functions.col(s"`$c`")): _*).distinct(),
+      tablePath, Seq.empty)
+    val keyStats = ParquetFooterStats.collect(spark, keyFiles)
+    val delEntries = keyStats.filter(_.recordCount > 0).map(st =>
+      IcebergTable.entryFor(st, meta.schema, defs, tablePath)
+        .copy(content = ManifestEntry.ContentEqualityDeletes, equalityIds = ids))
+    write(df, Seq.empty, overwrite = false, extraAdds = delEntries,
+      operationOverride = Some("overwrite"))
+  }
+
   /** Materialize all v2 deletes: rewrite exactly the data files they
     * still apply to (deletes applied), drop every delete file, one
     * commit — after which metadata-only sync is possible again. */
@@ -429,7 +458,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       overwrite: Boolean,
       /** Data-file paths compacted away in the same snapshot. */
       replacing: Seq[String] = Seq.empty,
-      commitProps: Map[String, String] = Map.empty): Long = {
+      commitProps: Map[String, String] = Map.empty,
+      /** Pre-built entries committed atomically with the data (upsert's
+        * equality-delete files). */
+      extraAdds: Seq[ManifestEntry] = Seq.empty,
+      operationOverride: Option[String] = None): Long = {
     val prev = log.readLatest()
     // inherit the table's partition spec when the caller doesn't repeat
     // it; a mismatching explicit spec is an error, never a silent wipe
@@ -499,9 +532,10 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
               "files this replace rewrote")
           live
         } else Seq.empty
-      commitSnapshot(prevState, idSchema, defs, entries, removes,
+      commitSnapshot(prevState, idSchema, defs, entries ++ extraAdds, removes,
         carryPrevious = !overwrite,
-        if (overwrite) "overwrite" else if (replacing.nonEmpty) "replace" else "append",
+        operationOverride.getOrElse(
+          if (overwrite) "overwrite" else if (replacing.nonEmpty) "replace" else "append"),
         commitProps) match {
         case Some(snapshotId) => result = snapshotId
         case None =>
@@ -576,29 +610,32 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
 
     val stamped = adds.map(_.copy(snapshotId = snapshotId, sequenceNumber = seq))
     // a manifest holds either data files or delete files, never both
-    // (spec: manifest-list `content`); adds of v2 delete files land in a
-    // delete manifest with the matching avro header
-    val addContent =
-      if (stamped.nonEmpty && stamped.forall(_.content > 0)) 1
-      else { require(stamped.forall(_.content == 0),
-        s"mixed data and delete entries in one manifest at $tablePath"); 0 }
-    val addManifest = new Path(metaDir, s"${UUID.randomUUID()}-m0.avro")
-    val addLen = IcebergManifests.writeManifest(
-      hconf, addManifest, entrySchema, stamped,
-      manifestHeaders + ("content" -> (if (addContent == 1) "deletes" else "data")))
-    val addInfo = ManifestFileInfo(
-      manifestPath = addManifest.toString,
-      manifestLength = addLen,
-      sequenceNumber = seq,
-      minSequenceNumber = seq,
-      addedSnapshotId = snapshotId,
-      addedFilesCount = stamped.size,
-      existingFilesCount = 0,
-      deletedFilesCount = 0,
-      addedRowsCount = stamped.map(_.recordCount).sum,
-      existingRowsCount = 0L,
-      deletedRowsCount = 0L,
-      content = addContent)
+    // (spec: manifest-list `content`); a mixed commit (upsert = equality
+    // deletes + new data in ONE snapshot) writes one manifest per kind
+    val addManifests: Seq[ManifestFileInfo] = {
+      val groups =
+        if (stamped.isEmpty) Seq(0 -> Seq.empty[ManifestEntry]) // removes-only commit
+        else stamped.groupBy(e => if (e.content > 0) 1 else 0).toSeq.sortBy(_._1)
+      groups.map { case (content, group) =>
+        val addManifest = new Path(metaDir, s"${UUID.randomUUID()}-m0-c$content.avro")
+        val addLen = IcebergManifests.writeManifest(
+          hconf, addManifest, entrySchema, group,
+          manifestHeaders + ("content" -> (if (content == 1) "deletes" else "data")))
+        ManifestFileInfo(
+          manifestPath = addManifest.toString,
+          manifestLength = addLen,
+          sequenceNumber = seq,
+          minSequenceNumber = seq,
+          addedSnapshotId = snapshotId,
+          addedFilesCount = group.size,
+          existingFilesCount = 0,
+          deletedFilesCount = 0,
+          addedRowsCount = group.map(_.recordCount).sum,
+          existingRowsCount = 0L,
+          deletedRowsCount = 0L,
+          content = content)
+      }
+    }
 
     // delete manifest: the removed files stamped deleted at this commit's
     // sequence number — liveEntries' latest-sequence-wins replay resolves
@@ -637,7 +674,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     }
 
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
-    IcebergManifests.writeManifestList(hconf, listPath, (addInfo +: deleteManifests) ++ carried)
+    IcebergManifests.writeManifestList(hconf, listPath, (addManifests ++ deleteManifests) ++ carried)
 
     val snap = IcebergSnapshot(
       snapshotId = snapshotId,

@@ -83,6 +83,17 @@ object FormatQueries {
         t8.delete(col("l_quantity") >= 45.0)
         t8.purgeDeletes()
 
+        // 9. single-commit MERGE-by-key: matched keys tombstoned by DV,
+        //    source rows (updates + shifted inserts) added atomically
+        val t9 = DeltaTable.create(
+          spark, s"$root/orders_merged", o.repartition(4))
+        t9.upsert(
+          o.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+            .unionByName(o.filter(col("o_orderkey") % 100 === 0)
+              .withColumn("o_orderkey", col("o_orderkey") + 10000000L)),
+          Seq("o_orderkey"))
+
         root
       })
     }
@@ -248,6 +259,32 @@ object FormatQueries {
       """SELECT l_linestatus, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_quantity < 45
-        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    // MERGE-by-key in one commit: matched rows vanish behind deletion
+    // vectors, the source's updates and inserts land as new files — the
+    // oracle reconstructs the merge algebraically over the raw parquet.
+    QueryDef.sql(
+      "f15_delta_upsert",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_merged").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   )
 }

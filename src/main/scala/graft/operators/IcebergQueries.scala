@@ -131,6 +131,17 @@ object IcebergQueries {
           o12.filter(col("o_orderkey") % 4 === 0).select(col("o_orderkey")))
         t12.append(o12.filter(col("o_orderkey") % 4 === 0))
 
+        // 13. single-snapshot upsert: equality deletes + data files at
+        //     the same sequence number (the Flink-CDC merge shape)
+        val t13 = IcebergTable.create(
+          spark, s"$root/orders_upserted", o12.repartition(4))
+        t13.upsert(
+          o12.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+            .unionByName(o12.filter(col("o_orderkey") % 100 === 0)
+              .withColumn("o_orderkey", col("o_orderkey") + 10000000L)),
+          Seq("o_orderkey"))
+
         root
       })
     }
@@ -360,6 +371,33 @@ object IcebergQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 2 = 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Single-snapshot upsert: the equality deletes and the new data
+    // files share one sequence number — strict `<` applicability makes
+    // the deletes hit exactly the pre-upsert files, so the upsert's own
+    // rows survive. Same algebraic oracle as the Delta/Hudi twins.
+    QueryDef.sql(
+      "i12_iceberg_upsert",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_upserted").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     // Cross-format equality: the SAME source served through the Delta
     // codec and the Iceberg codec must agree row-for-row; result is the

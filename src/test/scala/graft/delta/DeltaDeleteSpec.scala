@@ -120,6 +120,40 @@ class DeltaDeleteSpec extends SparkTestBase {
       p.readerFeatures.exists(_.contains("deletionVectors"))))
   }
 
+  test("upsert merges in one commit: updates replace, inserts append, history intact") {
+    val dir = tmpDir("dv_upsert")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.repartition(3))
+    val all = keys(t)
+    val v0 = t.latestVersion
+    val source = orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .unionByName(orders.limit(5).withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    val v = t.upsert(source, Seq("o_orderkey"))
+    assert(v == v0 + 1) // exactly one commit
+    val now = t.toDF()
+    assert(now.count() == all.size + 5)
+    // every matched key carries the update exactly once
+    val updated = now.filter(col("o_orderkey") % 4 === 0 && col("o_orderkey") < 5000000L)
+    assert(updated.count() == all.count(_ % 4 == 0))
+    assert(updated.filter(col("o_orderstatus") =!= "U").count() == 0)
+    // pre-merge version unchanged
+    assert(t.toDF(versionAsOf = Some(v0)).count() == all.size)
+  }
+
+  test("upsert on a partitioned table routes inserts into partition dirs") {
+    val dir = tmpDir("dv_upsert_part")
+    val t = DeltaTable.create(spark, s"$dir/t", orders, Seq("o_orderstatus"))
+    val src = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", lit(1.0))
+    t.upsert(src, Seq("o_orderkey"))
+    assert(t.toDF().count() == orders.count())
+    assert(t.toDF().filter(col("o_orderkey") % 10 === 0 && col("o_totalprice") =!= 1.0)
+      .count() == 0)
+    // partition pruning still correct after the merge
+    val f = t.scan.partitionIn("o_orderstatus", Set("O")).toDF()
+    assert(f.count() == orders.filter(col("o_orderstatus") === "O").count())
+  }
+
   test("inline DVs read back (the storage form other writers may emit)") {
     val dir = tmpDir("dv_inline")
     val t = DeltaTable.create(spark, s"$dir/t", orders.coalesce(1))

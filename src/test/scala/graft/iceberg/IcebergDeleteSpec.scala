@@ -119,6 +119,30 @@ class IcebergDeleteSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.changeSet(snap))
   }
 
+  test("upsert is one snapshot: equality deletes + new data at the same sequence") {
+    val dir = tmpDir("ice_upsert")
+    val t = IcebergTable.create(spark, s"$dir/t", orders.repartition(3))
+    val all = keys(t)
+    val snapsBefore = t.snapshotIds.size
+    val source = orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .unionByName(orders.limit(5).withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    t.upsert(source, Seq("o_orderkey"))
+    assert(t.snapshotIds.size == snapsBefore + 1) // exactly one snapshot
+    val now = t.toDF()
+    assert(now.count() == all.size + 5)
+    val updated = now.filter(col("o_orderkey") % 4 === 0 && col("o_orderkey") < 5000000L)
+    assert(updated.count() == all.count(_ % 4 == 0))
+    assert(updated.filter(col("o_orderstatus") =!= "U").count() == 0)
+    // the upsert's own rows are NOT hit by its deletes (same sequence)
+    assert(now.filter(col("o_orderkey") >= 5000000L).count() == 5)
+    // a second upsert of the same keys wins over the first
+    t.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_orderstatus", lit("V")), Seq("o_orderkey"))
+    assert(t.toDF().filter(col("o_orderkey") % 4 === 0 && col("o_orderkey") < 5000000L)
+      .filter(col("o_orderstatus") =!= "V").count() == 0)
+  }
+
   test("manifest codec round-trips content and equality ids") {
     val dir = tmpDir("ice_codec")
     val t = IcebergTable.create(spark, s"$dir/t", orders)
