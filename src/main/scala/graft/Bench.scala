@@ -23,6 +23,12 @@ object Bench {
     graft.operators.SyncQueries.fixtureDir(spark, sfDir)
     val fixtureSec = (System.nanoTime() - tFix0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // quiesce between queries: leftover cached RDDs and pending
+      // broadcast/shuffle cleanup from the previous query otherwise
+      // bleed into this one's wall clock (late-alphabet queries were
+      // paying for the whole run's accumulated state)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

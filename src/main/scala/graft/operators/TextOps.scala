@@ -125,9 +125,51 @@ object TextOps {
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .join(broadcast(bench), Seq("gram"))
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("gram")).as("n_contaminated"))
+      // (doc_id, gram) pairs are already distinct: grams are
+      // array_distinct'd per doc and the broadcast side is distinct —
+      // a plain count avoids a second dedup pass over wide strings
+      .agg(count(lit(1)).as("n_contaminated"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * PII redaction — the scrub pass every training-data pipeline runs
+   * before text leaves the lake: emails, E.164-ish phone numbers, and
+   * IPv4 addresses replaced by typed placeholder tokens. Pure
+   * `regexp_replace` chains (codegen'd, shuffle-free per row; patterns
+   * chosen to behave identically under Java regex and RE2 so the
+   * DuckDB oracle can mirror them). The verification query plants
+   * deterministic doc_id-derived PII first, because the synthetic corpus
+   * contains none — the operator itself is corpus-agnostic.
+   */
+  def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, email, "<EMAIL>"),
+        phone, "<PHONE>"),
+      ipv4, "<IP>")
+  }
+
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("dirty", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        lit(" or +1-555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-0199 from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+      .select(
+        col("doc_id"),
+        redactPii(col("dirty")).as("clean"))
+      .select(
+        col("doc_id"),
+        length(col("clean")).cast("bigint").as("clean_len"),
+        (size(split(col("clean"), "<EMAIL>", -1)) - 1).cast("bigint").as("n_emails"),
+        (size(split(col("clean"), "<PHONE>", -1)) - 1).cast("bigint").as("n_phones"),
+        (size(split(col("clean"), "<IP>", -1)) - 1).cast("bigint").as("n_ips"))
+      .orderBy(col("doc_id"))
 
   /**
    * Deterministic stratified sampling for data mixing: rank documents
@@ -251,6 +293,25 @@ object TextOps {
         |SELECT t.doc_id, CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_contaminated
         |FROM train t JOIN bench b USING (gram)
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin),
+    QueryDef.sql(
+      "t08_pii_redaction",
+      piiRedaction,
+      """WITH dirty AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 from 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.7' AS d
+        |  FROM documents),
+        |clean AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(d,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean
+        |  FROM dirty)
+        |SELECT doc_id, CAST(len(clean) AS BIGINT) AS clean_len,
+        |  CAST(len(string_split(clean, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,
+        |  CAST(len(string_split(clean, '<PHONE>')) - 1 AS BIGINT) AS n_phones,
+        |  CAST(len(string_split(clean, '<IP>')) - 1 AS BIGINT) AS n_ips
+        |FROM clean ORDER BY doc_id""".stripMargin),
     QueryDef.sql(
       "t07_stratified_sample",
       stratifiedSample,
