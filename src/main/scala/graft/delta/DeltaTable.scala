@@ -66,6 +66,29 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       Some((DeltaTable.physicalSchema(schema), partCols.map(c => topPhys.getOrElse(c, c))))
     }
 
+  /** Commit history, newest first (DESCRIBE HISTORY): one row per
+    * version with its CommitInfo. Metadata-sized — built driver-side
+    * from the log, like the reference's instant listings. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    log.listVersions().map { v =>
+      val info = log.readActions(v).collectFirst { case c: CommitInfo => c }
+      (v,
+        info.map(_.timestamp).getOrElse(0L),
+        info.map(_.operation).getOrElse(""),
+        info.map(_.operationParameters).getOrElse(Map.empty[String, String]))
+    }.toDF("version", "timestamp", "operation", "operationParameters")
+      .orderBy(col("version").desc)
+  }
+
+  /** Live files of the current snapshot as a DataFrame (path, partition
+    * values, size, stats JSON, deletion-vector cardinality). */
+  def filesDF(): DataFrame =
+    log.snapshotFilesDF()
+      .select(
+        col("path"), col("partitionValues"), col("size"), col("stats"),
+        coalesce(col("deletionVector.cardinality"), lit(0L)).as("deleted_rows"))
+
   def scan: DeltaScanBuilder = new DeltaScanBuilder(spark, this, None)
   def scanAsOf(version: Long): DeltaScanBuilder = new DeltaScanBuilder(spark, this, Some(version))
   def scanAsOfTimestamp(tsMillis: Long): DeltaScanBuilder =

@@ -382,6 +382,31 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       replacing = withLogs.map(s => absoluteOf(s.basePath))))
   }
 
+  /** Timeline history, newest first: one row per completed instant of
+    * any action, with the operation type for data instants. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    timeline.allCompletedInstants().map { i =>
+      val op =
+        if (Set("commit", "replacecommit", "deltacommit").contains(i.action))
+          scala.util.Try(timeline.readCommitMetadata(i).operationType).getOrElse("")
+        else ""
+      (i.time, i.action, op)
+    }.toDF("instant", "action", "operation")
+      .orderBy(col("instant").desc)
+  }
+
+  /** Live file slices of the current snapshot as a DataFrame, with the
+    * attached MOR log-file count and bytes per slice. */
+  def filesDF(): DataFrame = {
+    import spark.implicits._
+    fileSlices(None).map(s =>
+      (s.partitionPath, s.fileId, s.baseInstant, s.basePath, s.baseSize,
+        s.logs.size, s.logs.map(_.size).sum))
+      .toDF("partition_path", "file_id", "base_instant", "base_path", "base_size",
+        "log_files", "log_bytes")
+  }
+
   def scan: HudiScanBuilder = new HudiScanBuilder(spark, this, None)
   def scanAsOf(instant: String): HudiScanBuilder = new HudiScanBuilder(spark, this, Some(instant))
 

@@ -45,6 +45,28 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   /** Spark-facing schema (iceberg field-id metadata stripped). */
   def sparkSchema: StructType = StructType(schema.fields.map(f => f.copy(metadata = Metadata.empty)))
 
+  /** Snapshot history, newest first (the `snapshots` metadata table):
+    * one row per snapshot with lineage and operation summary. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    currentMetadata.snapshots.map(s =>
+      (s.snapshotId, s.parentId, s.sequenceNumber, s.timestampMs, s.operation, s.summary))
+      .toDF("snapshot_id", "parent_id", "sequence_number", "timestamp", "operation", "summary")
+      .orderBy(col("sequence_number").desc)
+  }
+
+  /** Live files of the current snapshot as a DataFrame (the `files`
+    * metadata table): content kind, path, partition, counts, size. */
+  def filesDF(): DataFrame = {
+    import spark.implicits._
+    liveEntries(None).map(e =>
+      (e.content, e.filePath, e.fileFormat, e.partitionValues, e.recordCount, e.fileSizeBytes,
+        e.sequenceNumber))
+      .toDF("content", "file_path", "file_format", "partition", "record_count",
+        "file_size_in_bytes", "sequence_number")
+  }
+
   def scan: IcebergScanBuilder = new IcebergScanBuilder(spark, this, None)
   def scanAsOf(snapshotId: Long): IcebergScanBuilder =
     new IcebergScanBuilder(spark, this, Some(snapshotId))
