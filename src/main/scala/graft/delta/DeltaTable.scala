@@ -186,14 +186,15 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         modificationTime = if (r.isNullAt(2)) 0L else r.getLong(2),
         partitionValues = if (r.isNullAt(3)) Map.empty else r.getMap[String, String](3).toMap)
     }
-    val data = graft.sources.ManifestFileIndex.read(
-      spark, readBasePath(None), mfs, schema, partCols, withRowPositions = true)
     import spark.implicits._
-    val perFile: Seq[(String, Array[Byte])] = selectMatching(data)
-      .select(col("__graft_file").as[String], col("__graft_pos").as[Long])
-      .groupByKey(_._1)
-      .mapGroups((f, it) => (f, RoaringBitmapArray.serialize(it.map(_._2).toArray)))
-      .collect().toSeq
+    val perFile: Seq[(String, Array[Byte])] =
+      if (mfs.isEmpty) Seq.empty // nothing to tombstone in an empty snapshot
+      else selectMatching(graft.sources.ManifestFileIndex.read(
+          spark, readBasePath(None), mfs, schema, partCols, withRowPositions = true))
+        .select(col("__graft_file").as[String], col("__graft_pos").as[Long])
+        .groupByKey(_._1)
+        .mapGroups((f, it) => (f, RoaringBitmapArray.serialize(it.map(_._2).toArray)))
+        .collect().toSeq
     if (perFile.isEmpty && extraActions.isEmpty) return latest
     val now = System.currentTimeMillis()
     val conf = spark.sparkContext.hadoopConfiguration

@@ -1021,8 +1021,11 @@ object HudiTable {
   private[graft] val PartitionSpecsProp = "graft.partition.specs"
 
   /** Actions the incremental sync feed replays (clean excluded — ref
-    * `HudiDataFileExtractor.java:244-250` treats it as a no-op). */
-  private[graft] val FeedActions = Set("commit", "replacecommit", "rollback", "restore")
+    * `HudiDataFileExtractor.java:244-250` treats it as a no-op).
+    * deltacommit IS fed: an insert-only deltacommit syncs like a
+    * commit, and one that appends log blocks fails loudly in changeSet
+    * (silently skipping it would desynchronize the target). */
+  private[graft] val FeedActions = Set("commit", "replacecommit", "deltacommit", "rollback", "restore")
 
   /** Active-timeline archival caps (Hudi's `hoodie.keep.max.commits` /
     * `hoodie.keep.min.commits` defaults), overridable per table. */

@@ -162,6 +162,10 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     require(meta.properties.get("schema.name-mapping.default")
         .map(IcebergSchemas.physicalNamesFromMapping).forall(_.isEmpty),
       s"v2 deletes on a column-mapped (name-mapping) table are not supported: $tablePath")
+    // row positions ride the parquet reader's _metadata.row_index;
+    // avro/orc data files have no position column to anti-join on
+    require(data.forall(e => Option(e.fileFormat).forall(_.equalsIgnoreCase("parquet"))),
+      s"v2 deletes apply to parquet data files only; $tablePath mixes formats")
     if (data.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
     val dataDF = readFiles(data, withRowPositions = true)
@@ -332,6 +336,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       throw new IllegalStateException(s"empty iceberg table: $tablePath"))
     val data = liveEntries(None).filter(_.content == ManifestEntry.ContentData)
     if (data.isEmpty) return current
+    require(data.forall(e => Option(e.fileFormat).forall(_.equalsIgnoreCase("parquet"))),
+      s"position deletes need parquet row indexes; $tablePath has non-parquet data files")
     // PHYSICAL rows: re-marking an already position-deleted row is
     // idempotent (both tombstones resolve to the same position)
     val dataDF = readFiles(data, withRowPositions = true)
@@ -1325,7 +1331,13 @@ object IcebergScanBuilder {
 
     def apply(e: ManifestEntry): Boolean = {
       partIn.forall { case (c, wanted) =>
-        e.partitionValues.get(c).exists(v => v != null && wanted.contains(v))
+        e.partitionValues.get(c) match {
+          // a GLOBAL delete file (null/absent partition — equality
+          // deletes written table-wide) applies to every partition and
+          // must survive partition pruning; data entries stay strict
+          case None | Some(null) => e.content > 0
+          case Some(v) => wanted.contains(v)
+        }
       } &&
       ordinalRanges.forall { case (field, loOrd, hiOrd) =>
         e.partitionValues.get(field).forall(v => v == null || {

@@ -139,6 +139,27 @@ class HudiMorSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.changeSet(inst))
   }
 
+  test("sync feeds deltacommits: insert-only flows, log-writing fails loudly") {
+    import graft.sync.SyncEngine
+    val dir = tmpDir("mor_sync")
+    val t = HudiTable.createMor(spark, s"$dir/t", orders, "o_orderkey")
+    val target = s"$dir/ice"
+    SyncEngine.sync(SyncEngine.hudiSource(t), SyncEngine.icebergTarget(spark, target))
+    // insert-only upsert (all keys new) = a deltacommit of base files —
+    // must replay incrementally, not be silently skipped
+    t.upsert(orders.limit(10).withColumn("o_orderkey", col("o_orderkey") + 7000000L))
+    val r = SyncEngine.sync(SyncEngine.hudiSource(t), SyncEngine.icebergTarget(spark, target))
+    assert(r.mode == "incremental" && r.filesAdded > 0)
+    assert(graft.iceberg.IcebergTable.forPath(spark, target).toDF().count() ==
+      orders.count() + 10)
+    // a log-writing deltacommit cannot be expressed — sync must error,
+    // never desynchronize
+    t.upsert(orders.limit(5).withColumn("o_orderstatus", lit("Z")))
+    intercept[Exception] {
+      SyncEngine.sync(SyncEngine.hudiSource(t), SyncEngine.icebergTarget(spark, target))
+    }
+  }
+
   test("COW tables are unaffected: no record key, commit action, no logs") {
     val dir = tmpDir("mor_cow")
     val t = HudiTable.create(spark, s"$dir/t", orders)

@@ -143,6 +143,19 @@ class IcebergDeleteSpec extends SparkTestBase {
       .filter(col("o_orderstatus") =!= "V").count() == 0)
   }
 
+  test("global equality deletes survive partition pruning") {
+    val dir = tmpDir("ice_eq_prune")
+    val t = IcebergTable.create(spark, s"$dir/t", orders, Seq("o_orderstatus"))
+    t.deleteByEquality(orders.filter(col("o_orderkey") % 3 === 0).select("o_orderkey"))
+    // the delete file is unpartitioned (global): a partition-pruned scan
+    // must still apply it, not prune it away with the other partitions
+    val p = t.scan.partitionIn("o_orderstatus", Set("F")).toDF()
+    assert(p.filter(col("o_orderkey") % 3 === 0).count() == 0)
+    val expect = orders
+      .filter(col("o_orderstatus") === "F" && !(col("o_orderkey") % 3 === 0)).count()
+    assert(p.count() == expect)
+  }
+
   test("manifest codec round-trips content and equality ids") {
     val dir = tmpDir("ice_codec")
     val t = IcebergTable.create(spark, s"$dir/t", orders)
