@@ -27,6 +27,12 @@ final case class IcebergPartitionFieldSpec(
     sourceId: Int,
     fieldId: Int)
 
+/** One named ref (spec v2 `refs` map): a tag pins a snapshot forever, a
+  * branch is an independently movable head. */
+final case class IcebergRef(snapshotId: Long, refType: String) {
+  require(refType == "tag" || refType == "branch", s"bad ref type $refType")
+}
+
 /**
  * Iceberg table metadata (format v2) — the `metadata/vN.metadata.json`
  * document. The reference manipulates this through the Iceberg library
@@ -46,7 +52,9 @@ final case class IcebergTableMetadata(
     properties: Map[String, String],
     currentSnapshotId: Option[Long],
     snapshots: Seq[IcebergSnapshot],
-    snapshotLog: Seq[(Long, Long)]) { // (timestampMs, snapshotId)
+    snapshotLog: Seq[(Long, Long)], // (timestampMs, snapshotId)
+    /** named tags/branches; `main` is implicit (current snapshot) */
+    refs: Map[String, IcebergRef] = Map.empty) {
 
   def snapshot(id: Long): IcebergSnapshot =
     snapshots.find(_.snapshotId == id)
@@ -143,6 +151,22 @@ object IcebergMetadataCodec {
       n.put("timestamp-ms", ts)
       n.put("snapshot-id", id)
     }
+    // spec v2 refs map; `main` always tracks the current snapshot
+    if (m.currentSnapshotId.nonEmpty || m.refs.nonEmpty) {
+      val refs = root.putObject("refs")
+      m.currentSnapshotId.foreach { id =>
+        val n = refs.putObject("main")
+        n.put("snapshot-id", id)
+        n.put("type", "branch")
+      }
+      m.refs.toSeq.sortBy(_._1).foreach { case (name, r) =>
+        if (name != "main") {
+          val n = refs.putObject(name)
+          n.put("snapshot-id", r.snapshotId)
+          n.put("type", r.refType)
+        }
+      }
+    }
     root.putArray("metadata-log")
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
@@ -203,7 +227,15 @@ object IcebergMetadataCodec {
       }.toSeq).getOrElse(Seq.empty),
       snapshotLog = Option(root.get("snapshot-log")).map(_.elements().asScala.map { e =>
         (e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong())
-      }.toSeq).getOrElse(Seq.empty))
+      }.toSeq).getOrElse(Seq.empty),
+      // `main` stays implicit: current-snapshot-id is its truth, so a
+      // stale stored main can never shadow it
+      refs = Option(root.get("refs")).map(_.properties().asScala
+        .filter(_.getKey != "main")
+        .map(e => e.getKey -> IcebergRef(
+          e.getValue.get("snapshot-id").asLong(),
+          Option(e.getValue.get("type")).map(_.asText()).getOrElse("tag")))
+        .toMap).getOrElse(Map.empty))
   }
 }
 

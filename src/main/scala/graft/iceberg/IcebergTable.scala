@@ -45,6 +45,55 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   /** Spark-facing schema (iceberg field-id metadata stripped). */
   def sparkSchema: StructType = StructType(schema.fields.map(f => f.copy(metadata = Metadata.empty)))
 
+  // ----------------------------------------------------------------- refs
+
+  /** Named refs (spec v2 `refs`). `main` is implicit — always the
+    * current snapshot. */
+  def refs: Map[String, IcebergRef] = currentMetadata.refs
+
+  /** Pin `name` to a snapshot (default: current) as a tag. */
+  def createTag(name: String, snapshotId: Option[Long] = None): Unit =
+    putRef(name, "tag", snapshotId)
+
+  /** Create a named branch head at a snapshot (default: current). */
+  def createBranch(name: String, snapshotId: Option[Long] = None): Unit =
+    putRef(name, "branch", snapshotId)
+
+  def dropRef(name: String): Unit = {
+    val (v, meta) = log.readLatest().getOrElse(
+      throw new IllegalStateException(s"not an iceberg table: $tablePath"))
+    require(meta.refs.contains(name), s"no ref $name on $tablePath")
+    require(log.commit(v + 1, meta.copy(
+      refs = meta.refs - name, lastUpdatedMs = System.currentTimeMillis())),
+      s"concurrent iceberg commit on $tablePath")
+  }
+
+  private def putRef(name: String, refType: String, snapshotId: Option[Long]): Unit = {
+    require(name != "main", "`main` is managed by the table itself")
+    val (v, meta) = log.readLatest().getOrElse(
+      throw new IllegalStateException(s"not an iceberg table: $tablePath"))
+    val id = snapshotId.orElse(meta.currentSnapshotId).getOrElse(
+      throw new IllegalStateException(s"no snapshot to ref on $tablePath"))
+    meta.snapshot(id) // validates existence
+    require(refType == "branch" || !meta.refs.get(name).exists(_.refType == "tag"),
+      s"tag $name already exists on $tablePath (tags are immutable; drop it first)")
+    require(log.commit(v + 1, meta.copy(
+      refs = meta.refs + (name -> IcebergRef(id, refType)),
+      lastUpdatedMs = System.currentTimeMillis())),
+      s"concurrent iceberg commit on $tablePath")
+  }
+
+  /** Resolve a ref name to its snapshot id (`main` → current). */
+  def refSnapshot(name: String): Long =
+    if (name == "main")
+      currentMetadata.currentSnapshotId.getOrElse(
+        throw new IllegalStateException(s"empty iceberg table: $tablePath"))
+    else currentMetadata.refs.getOrElse(name,
+      throw new IllegalArgumentException(s"no ref $name on $tablePath")).snapshotId
+
+  /** Time travel by ref name: `VERSION AS OF 'tag'` semantics. */
+  def scanRef(name: String): IcebergScanBuilder = scanAsOf(refSnapshot(name))
+
   /** Snapshot history, newest first (the `snapshots` metadata table):
     * one row per snapshot with lineage and operation summary. */
   def history(): DataFrame = {
@@ -763,8 +812,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val (v, meta) = prev
     val current = meta.currentSnapshotId.getOrElse(
       throw new IllegalStateException(s"no current snapshot on $tablePath"))
+    // snapshots pinned by a tag or branch never expire (spec ref
+    // retention: a ref keeps its snapshot reachable)
+    val pinned = meta.refs.values.map(_.snapshotId).toSet + current
     val (dead, live) = meta.snapshots.partition(s =>
-      s.snapshotId != current && s.timestampMs < olderThanMs)
+      !pinned.contains(s.snapshotId) && s.timestampMs < olderThanMs)
     if (dead.isEmpty) return 0
     val next = meta.copy(
       snapshots = live,

@@ -39,6 +39,7 @@ object IcebergQueries {
         val o = Tables.orders(spark, sfDir)
         val t2 = IcebergTable.create(
           spark, s"$root/orders_2snap", o.filter(col("o_orderkey") % 2 === 0))
+        t2.createTag("v1") // pins snap0 for i13's ref time travel
         t2.append(o.filter(col("o_orderkey") % 2 === 1))
 
         // 3. lineitem identity-partitioned by l_returnflag
@@ -361,6 +362,24 @@ object IcebergQueries {
       "i11_equality_deletes",
       (spark, dir) =>
         Fixtures.table(spark, dir, "orders_eqdel").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Time travel by NAMED REF (spec v2 refs): the `v1` tag pins the
+    // even-keys snapshot; reading through it after later appends must
+    // return exactly the pinned state — and expiry never drops it.
+    QueryDef.sql(
+      "i13_ref_time_travel",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_2snap").scanRef("v1").toDF()
           .groupBy(col("o_orderstatus"))
           .agg(
             count(lit(1)).as("cnt"),

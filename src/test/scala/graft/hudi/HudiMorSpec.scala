@@ -160,6 +160,19 @@ class HudiMorSpec extends SparkTestBase {
     }
   }
 
+  test("rollback of a deltacommit deletes its log files and restores the snapshot") {
+    val dir = tmpDir("mor_rollback")
+    val t = HudiTable.createMor(spark, s"$dir/t", orders, "o_orderkey")
+    val before = t.toDF().orderBy("o_orderkey").collect().toSeq
+    t.upsert(orders.filter(col("o_orderkey") % 6 === 0)
+      .withColumn("o_orderstatus", lit("R")))
+    assert(t.hasLogFiles())
+    t.rollback()
+    assert(!t.hasLogFiles())
+    assert(t.toDF().orderBy("o_orderkey").collect().toSeq == before)
+    assert(t.toDF().filter(col("o_orderstatus") === "R").count() == 0)
+  }
+
   test("COW tables are unaffected: no record key, commit action, no logs") {
     val dir = tmpDir("mor_cow")
     val t = HudiTable.create(spark, s"$dir/t", orders)

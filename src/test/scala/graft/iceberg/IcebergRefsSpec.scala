@@ -1,0 +1,56 @@
+package graft.iceberg
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Iceberg v2 named refs: tags pin snapshots, branches move, expiry
+  * respects pins, the refs map round-trips through metadata JSON. */
+class IcebergRefsSpec extends SparkTestBase {
+
+  private def orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  test("tag pins a snapshot; reads by ref see it after the table moves on") {
+    val dir = tmpDir("refs_tag")
+    val t = IcebergTable.create(spark, s"$dir/t", orders.filter(col("o_orderkey") % 2 === 0))
+    t.createTag("v1")
+    t.append(orders.filter(col("o_orderkey") % 2 === 1))
+    assert(t.scanRef("v1").toDF().count() == orders.filter(col("o_orderkey") % 2 === 0).count())
+    assert(t.scanRef("main").toDF().count() == orders.count())
+    // round trip through a fresh table handle (JSON codec)
+    val re = IcebergTable.forPath(spark, s"$dir/t")
+    assert(re.refs("v1").refType == "tag")
+    assert(re.scanRef("v1").toDF().count() ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+  }
+
+  test("tags are immutable; branches move; main is reserved") {
+    val dir = tmpDir("refs_rules")
+    val t = IcebergTable.create(spark, s"$dir/t", orders)
+    t.createTag("rel")
+    intercept[IllegalArgumentException](t.createTag("rel"))
+    t.createBranch("dev")
+    t.append(orders.limit(5))
+    t.createBranch("dev") // re-point to the new current snapshot
+    assert(t.refs("dev").snapshotId == t.currentMetadata.currentSnapshotId.get)
+    intercept[IllegalArgumentException](t.createTag("main"))
+    t.dropRef("rel")
+    assert(!t.refs.contains("rel"))
+    intercept[IllegalArgumentException](t.dropRef("rel"))
+  }
+
+  test("expireSnapshots never drops a pinned snapshot") {
+    val dir = tmpDir("refs_expire")
+    val t = IcebergTable.create(spark, s"$dir/t", orders.limit(100))
+    t.createTag("keep")
+    t.append(orders.limit(50))
+    t.append(orders.limit(25))
+    // everything is older than the far-future cutoff, but the tagged and
+    // current snapshots must survive
+    val expired = t.expireSnapshots(System.currentTimeMillis() + 1000000)
+    assert(expired == 1)
+    assert(t.scanRef("keep").toDF().count() == 100)
+    assert(t.toDF().count() == 175)
+  }
+}
