@@ -128,6 +128,97 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     }
   }
 
+  /**
+   * Change data feed for versions in (from, to], reconstructed from the
+   * log alone — no `_change_data` sidecars: an append's files are
+   * `insert` rows; a removed file's live rows (its content minus its
+   * deletion vector) are `delete` rows; and a DV rewrite's delete set is
+   * EXACTLY the positions its new vector has that the old one lacks.
+   * Output carries `_change_type` and `_commit_version` alongside the
+   * table columns (read with the feed-end schema, like Delta CDF).
+   */
+  def changeFeed(fromExclusive: Long, toInclusive: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    val versions = log.listVersions().filter(v => v > fromExclusive && v <= toInclusive)
+    require(versions.nonEmpty, s"no commits in ($fromExclusive, $toInclusive] of $tablePath")
+    val asOf = Some(toInclusive)
+    require(columnMappingMode(asOf) == "none",
+      s"changeFeed on a column-mapped table is not supported: $tablePath")
+    val (schema, partCols) = schemaAt(asOf)
+    val base = readBasePath(asOf)
+    def finish(df: DataFrame, t: String, v: Long): DataFrame =
+      df.select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+        .withColumn("_change_type", lit(t))
+        .withColumn("_commit_version", lit(v))
+    def mfOf(r: Row) = graft.sources.ManifestFile(
+      path = r.getString(0),
+      size = if (r.isNullAt(1)) 0L else r.getLong(1),
+      modificationTime = if (r.isNullAt(2)) 0L else r.getLong(2),
+      partitionValues = if (r.isNullAt(3)) Map.empty else r.getMap[String, String](3).toMap)
+    val parts: Seq[DataFrame] = versions.flatMap { v =>
+      val actions = log.readActions(v)
+      val adds = actions.collect { case a: AddFile => a }
+      val removePaths = actions.collect { case r: RemoveFile => r.path }.toSet
+      val addPaths = adds.map(_.path).toSet
+      // the pre-commit state of every touched-but-preexisting file
+      val prevRows: Map[String, Row] =
+        if (removePaths.isEmpty) Map.empty
+        else log.snapshotFilesDF(Some(v - 1))
+          .select("path", "size", "modificationTime", "partitionValues", "stats", "deletionVector")
+          .collect().filter(r => removePaths.contains(r.getString(0)))
+          .map(r => r.getString(0) -> r).toMap
+
+      val inserts = adds.filterNot(a => removePaths.contains(a.path)).map { a =>
+        (graft.sources.ManifestFile(a.path, a.size, a.modificationTime, a.partitionValues),
+          a.deletionVector)
+      }
+      val insertDF =
+        if (inserts.isEmpty) None
+        else Some(finish(DeltaTable.readFilesWithDeletes(
+          spark, tablePath, base, inserts, schema, partCols), "insert", v))
+
+      val fullRemoves = prevRows.view.filterKeys(p => !addPaths.contains(p)).values.toSeq
+      val removeDF =
+        if (fullRemoves.isEmpty) None
+        else Some(finish(DeltaTable.readFilesWithDeletes(
+          spark, tablePath, base,
+          fullRemoves.map(r => (mfOf(r), DeltaTable.dvAt(r, 5))), schema, partCols),
+          "delete", v))
+
+      // DV rewrites: remove+add of the same path — the delete set is the
+      // new vector minus the old one
+      val rewrites = adds.filter(a => removePaths.contains(a.path) && prevRows.contains(a.path))
+      val rewriteDF =
+        if (rewrites.isEmpty) None
+        else {
+          val files = rewrites.map { a =>
+            mfOf(prevRows(a.path)).copy(path = DeltaTable.metadataFilePath(tablePath, a.path))
+          }
+          val data = graft.sources.ManifestFileIndex.read(
+            spark, base, files, schema, partCols, withRowPositions = true)
+          def posDF(dvs: Seq[(String, Option[DeletionVectorDescriptor])]) =
+            DeltaTable.deletedPositionsDF(spark, tablePath,
+              dvs.collect { case (p, Some(d)) =>
+                (graft.sources.ManifestFile(p, 0L, 0L, Map.empty), d) })
+          val newPos = posDF(rewrites.map(a =>
+            DeltaTable.metadataFilePath(tablePath, a.path) -> a.deletionVector))
+          val oldPos = posDF(rewrites.map(a =>
+            DeltaTable.metadataFilePath(tablePath, a.path) ->
+              DeltaTable.dvAt(prevRows(a.path), 5)))
+          val fresh = newPos.join(oldPos, Seq("__graft_file", "__graft_pos"), "left_anti")
+          Some(finish(
+            data.join(broadcast(fresh), Seq("__graft_file", "__graft_pos")),
+            "delete", v))
+        }
+      Seq(insertDF, removeDF, rewriteDF).flatten
+    }
+    parts.reduceOption(_ unionByName _).getOrElse {
+      val empty = StructType(schema.fields ++ Seq(
+        StructField("_change_type", StringType), StructField("_commit_version", LongType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    }
+  }
+
   // ---------------------------------------------------------------- writes
 
   /** Append `df`, physically writing parquet under the table root.

@@ -285,6 +285,35 @@ object FormatQueries {
         |SELECT o_orderstatus, COUNT(*) AS cnt,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Change data feed reconstructed purely from the log: the MERGE
+    // commit's feed is the matched keys' pre-images as `delete` rows
+    // (DV-diff positions) plus the source rows as `insert`s — the
+    // oracle rebuilds both sides algebraically.
+    QueryDef.sql(
+      "f16_delta_change_feed",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_merged").changeFeed(0L, 1L)
+          .groupBy(col("_change_type"), col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("_change_type"), col("o_orderstatus")),
+      """WITH feed AS (
+        |  SELECT 'delete' AS _change_type, o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey, o_orderstatus, o_totalprice + 100000.0
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT _change_type, o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM feed GROUP BY _change_type, o_orderstatus
+        |ORDER BY _change_type, o_orderstatus""".stripMargin)
   )
 }

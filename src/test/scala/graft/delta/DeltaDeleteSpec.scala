@@ -154,6 +154,34 @@ class DeltaDeleteSpec extends SparkTestBase {
     assert(f.count() == orders.filter(col("o_orderstatus") === "O").count())
   }
 
+  test("changeFeed reconstructs inserts, DV-diff deletes, and full-file deletes") {
+    val dir = tmpDir("dv_cdf")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.repartition(2)) // v0
+    val all = keys(t)
+    t.append(orders.limit(0), Seq.empty) // v1: empty append (no rows)
+    t.delete(col("o_orderkey") % 10 === 0) // v2: DV rewrite
+    t.delete(col("o_orderkey") % 10 =!= 0) // v3: finishes both files -> pure removes
+    val feed = t.changeFeed(0L, 3L)
+    // v2: exactly the %10 keys deleted
+    val v2 = feed.filter(col("_commit_version") === 2 && col("_change_type") === "delete")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(v2 == all.filter(_ % 10 == 0))
+    // v3: the remaining rows, via the full-file-remove path (old DV honored)
+    val v3 = feed.filter(col("_commit_version") === 3 && col("_change_type") === "delete")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(v3 == all.filterNot(_ % 10 == 0))
+    assert(feed.filter(col("_change_type") === "insert").count() == 0)
+    // a merge shows both sides
+    val t2 = DeltaTable.create(spark, s"$dir/t2", orders)
+    t2.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("M")), Seq("o_orderkey"))
+    val f2 = t2.changeFeed(0L, 1L)
+    val n7 = all.count(_ % 7 == 0)
+    assert(f2.filter(col("_change_type") === "delete").count() == n7)
+    assert(f2.filter(col("_change_type") === "insert" && col("o_orderstatus") === "M")
+      .count() == n7)
+  }
+
   test("inline DVs read back (the storage form other writers may emit)") {
     val dir = tmpDir("dv_inline")
     val t = DeltaTable.create(spark, s"$dir/t", orders.coalesce(1))
