@@ -250,6 +250,20 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       CommitInfo(System.currentTimeMillis(), "DELETE",
         Map("predicate" -> predicate.toString)))
 
+  /** Key-set DELETE (the CDC tombstone shape): every row matching a row
+    * of `keys` on the key columns is DV-tombstoned; null keys match
+    * null values. The Delta twin of Hudi deleteKeys / Iceberg
+    * deleteByEquality. */
+  def deleteMatching(keys: DataFrame, keyCols: Seq[String]): Long = {
+    val distinctKeys = keys
+      .select(keyCols.map(c => col(s"`$c`")): _*).distinct()
+    deleteWhere(
+      data => data.join(distinctKeys,
+        keyCols.map(c => data(c) <=> distinctKeys(c)).reduce(_ && _), "left_semi"),
+      CommitInfo(System.currentTimeMillis(), "DELETE",
+        Map("predicate" -> s"keys in (${keyCols.mkString(", ")})")))
+  }
+
   /** DELETE where the matching rows come from a caller-supplied
     * transformation of the physical scan (predicate filter, or a
     * key-semi-join for MERGE). */

@@ -50,6 +50,15 @@ class DeltaDeleteSpec extends SparkTestBase {
     assert(t.scan.files().filter(col("deletionVector").isNotNull).count() == 0)
   }
 
+  test("deleteMatching tombstones by key set; absent keys are no-ops") {
+    val dir = tmpDir("dv_delkeys")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.repartition(2))
+    val all = keys(t)
+    import spark.implicits._
+    t.deleteMatching((all.filter(_ % 9 == 0) :+ 99999999L).toDF("o_orderkey"), Seq("o_orderkey"))
+    assert(keys(t) == all.filterNot(_ % 9 == 0))
+  }
+
   test("delete returns current version and commits nothing when no row matches") {
     val dir = tmpDir("dv_nomatch")
     val t = DeltaTable.create(spark, s"$dir/t", orders)
