@@ -75,8 +75,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val id = snapshotId.orElse(meta.currentSnapshotId).getOrElse(
       throw new IllegalStateException(s"no snapshot to ref on $tablePath"))
     meta.snapshot(id) // validates existence
-    require(refType == "branch" || !meta.refs.get(name).exists(_.refType == "tag"),
-      s"tag $name already exists on $tablePath (tags are immutable; drop it first)")
+    // only a branch may be re-pointed, and only by a branch: tags are
+    // immutable and a ref never changes kind silently
+    meta.refs.get(name).foreach(existing => require(
+      existing.refType == "branch" && refType == "branch",
+      s"ref $name already exists on $tablePath as a ${existing.refType}; drop it first"))
     require(log.commit(v + 1, meta.copy(
       refs = meta.refs + (name -> IcebergRef(id, refType)),
       lastUpdatedMs = System.currentTimeMillis())),

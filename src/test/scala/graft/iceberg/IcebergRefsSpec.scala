@@ -35,6 +35,8 @@ class IcebergRefsSpec extends SparkTestBase {
     t.createBranch("dev") // re-point to the new current snapshot
     assert(t.refs("dev").snapshotId == t.currentMetadata.currentSnapshotId.get)
     intercept[IllegalArgumentException](t.createTag("main"))
+    intercept[IllegalArgumentException](t.createBranch("rel")) // branch over a tag
+    intercept[IllegalArgumentException](t.createTag("dev")) // tag over a branch
     t.dropRef("rel")
     assert(!t.refs.contains("rel"))
     intercept[IllegalArgumentException](t.dropRef("rel"))
