@@ -136,6 +136,12 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
    * EXACTLY the positions its new vector has that the old one lacks.
    * Output carries `_change_type` and `_commit_version` alongside the
    * table columns (read with the feed-end schema, like Delta CDF).
+   *
+   * Cost note: each version with removals replays the pre-commit
+   * snapshot (checkpoint + log tail) to recover the removed files'
+   * partition values and vectors — linear in feed length, the right
+   * trade for the CDC consumption pattern (short tail ranges, often
+   * per-commit).
    */
   def changeFeed(fromExclusive: Long, toInclusive: Long): DataFrame = {
     import org.apache.spark.sql.Row
@@ -364,7 +370,9 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
    * `source` row are tombstoned by deletion vector, and `source`'s rows
    * land as new files — updates and inserts together, atomically, with
    * no data-file rewrite. The Delta twin of the Iceberg equality-delete
-   * upsert.
+   * upsert. `source` must be key-unique (the same contract Spark's
+   * MERGE enforces as "multiple source rows matched"): duplicate keys
+   * would all land as new rows.
    */
   def upsert(source: DataFrame, keyCols: Seq[String]): Long = {
     val (schema, partCols) = schemaAt(None)

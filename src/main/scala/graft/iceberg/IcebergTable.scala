@@ -479,7 +479,9 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
    * key appears in `df`, and `df`'s rows land as new data files — both
    * at the same sequence number, so the strict `<` applicability rule
    * makes the deletes hit exactly the pre-upsert files. No read or
-   * rewrite of existing data at all: a pure O(|df|) commit.
+   * rewrite of existing data at all: a pure O(|df|) commit. `df` must
+   * be key-unique (Spark MERGE's multiple-match contract): duplicate
+   * keys would all land as new rows.
    */
   def upsert(df: DataFrame, keyCols: Seq[String]): Long = {
     val meta = currentMetadata
