@@ -261,6 +261,63 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
   }
 
   /**
+   * Change data feed for instants in (from, to]: a MOR table's log
+   * blocks ARE the change stream — each deltacommit's AVRO_DATA records
+   * come back as `upsert` rows (post-images) or `delete` tombstones
+   * (`_hoodie_is_deleted`), and its new base files as `insert` rows.
+   * COW commits feed their added files as `insert`s. Output carries
+   * `_change_type` and `_commit_instant`.
+   */
+  def changeFeed(fromExclusive: String, toInclusive: String): DataFrame = {
+    val range = instants.filter(t => t > fromExclusive && t <= toInclusive)
+    require(range.nonEmpty, s"no instants in ($fromExclusive, $toInclusive] of $tablePath")
+    val schema = schemaAt(Some(toInclusive))
+    def finish(df: DataFrame, t: org.apache.spark.sql.Column, inst: String): DataFrame =
+      df.withColumn("_change_type", t).withColumn("_commit_instant", lit(inst))
+    val parts: Seq[DataFrame] = range.flatMap { inst =>
+      val acts = actionsDF(Seq(inst)).filter(col("isAdd"))
+        .select("path", "partitionPath", "size").collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      val (logs, bases) = acts.partition(f => HudiLogFormat.isLogPath(f._1))
+      val baseDF =
+        if (bases.isEmpty) None
+        else Some(finish(readFiles(bases, Some(toInclusive)), lit("insert"), inst))
+      val logDF =
+        if (logs.isEmpty) None
+        else {
+          val conf = new graft.util.SerializableHadoopConf(hconf)
+          val descs = logs.map(f => absoluteOf(f._1))
+          val rows = spark.sparkContext
+            .parallelize(descs, math.max(1, math.min(descs.size, 64)))
+            .flatMap { p =>
+              val path = new Path(p)
+              val fsys = path.getFileSystem(conf.value)
+              HudiLogFormat.readBlocks(fsys, path).iterator
+                .filter(_.blockType == HudiLogFormat.AvroDataBlock)
+                .flatMap { b =>
+                  val avroSchema = new org.apache.avro.Schema.Parser()
+                    .parse(b.headers(HudiLogFormat.HeaderSchema))
+                  HudiLogFormat.decodeAvroBlock(b.content, avroSchema).iterator.map { rec =>
+                    val del = Option(rec.getSchema.getField("_hoodie_is_deleted"))
+                      .flatMap(_ => Option(rec.get("_hoodie_is_deleted")))
+                      .contains(java.lang.Boolean.TRUE)
+                    org.apache.spark.sql.Row.fromSeq(
+                      HudiLogFormat.fromAvroRecord(rec, schema).toSeq :+ del)
+                  }
+                }
+            }
+          val shape = StructType(schema.fields :+ StructField("__del", BooleanType))
+          Some(finish(
+            spark.createDataFrame(rows, shape),
+            when(col("__del"), "delete").otherwise("upsert"), inst)
+            .drop("__del"))
+        }
+      Seq(baseDF, logDF).flatten
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /**
    * MOR upsert: updates append AVRO_DATA log blocks to the file group
    * that owns each key (one new log file per mutated group per commit —
    * the object-store rollover pattern, written in parallel on the

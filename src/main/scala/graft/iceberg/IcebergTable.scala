@@ -207,7 +207,10 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     if (dels.isEmpty) readFiles(data) else applyDeletes(data, dels)
   }
 
-  private def applyDeletes(data: Seq[ManifestEntry], dels: Seq[ManifestEntry]): DataFrame = {
+  private def applyDeletes(
+      data: Seq[ManifestEntry], dels: Seq[ManifestEntry],
+      /** keep __graft_file/__graft_pos/__graft_dseq (change-feed joins) */
+      keepPositions: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val meta = currentMetadata
     val logical = sparkSchema
@@ -218,8 +221,12 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // avro/orc data files have no position column to anti-join on
     require(data.forall(e => Option(e.fileFormat).forall(_.equalsIgnoreCase("parquet"))),
       s"v2 deletes apply to parquet data files only; $tablePath mixes formats")
-    if (data.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    if (data.isEmpty) {
+      val shape = if (!keepPositions) logical else StructType(logical.fields ++ Seq(
+        StructField("__graft_file", StringType), StructField("__graft_pos", LongType),
+        StructField("__graft_dseq", LongType)))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
+    }
     val dataDF = readFiles(data, withRowPositions = true)
     // per-data-file sequence numbers ride a broadcast join keyed on the
     // scan's _metadata file path form
@@ -273,7 +280,95 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         .filter(col("__eq_hit").isNull || col("__graft_dseq") >= lit(seq))
         .drop(cols.map(c => s"__eq_$c") :+ "__eq_hit": _*)
     }
-    out.select(logical.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+    if (keepPositions)
+      out.select((logical.fieldNames.toSeq ++
+        Seq("__graft_file", "__graft_pos", "__graft_dseq")).map(n => col(s"`$n`")): _*)
+    else out.select(logical.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+  }
+
+  /**
+   * Change data feed for snapshots in (from, to]: a snapshot's added
+   * data files are `insert` rows; its added position-delete files name
+   * exactly the rows they kill in the parent snapshot; its equality
+   * deletes match the parent's strictly-older live rows. Output carries
+   * `_change_type` and `_commit_snapshot_id`. Like the Delta twin, the
+   * feed is reconstructed from metadata + the delete files themselves —
+   * nothing extra is stored. Each snapshot with deletes replays its
+   * parent's live set (the CDC consumption trade: short tail ranges).
+   */
+  def changeFeed(fromSnapshotExclusive: Long, toSnapshotInclusive: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val meta = currentMetadata
+    val ids = meta.snapshotLog.map(_._2)
+    val fromIdx = ids.indexOf(fromSnapshotExclusive)
+    val toIdx = ids.indexOf(toSnapshotInclusive)
+    require(fromIdx >= 0 && toIdx > fromIdx, s"bad snapshot range on $tablePath")
+    val logical = sparkSchema
+    def finish(df: DataFrame, t: String, sid: Long): DataFrame =
+      df.select(logical.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+        .withColumn("_change_type", lit(t))
+        .withColumn("_commit_snapshot_id", lit(sid))
+    val conf = new SerializableConfiguration(hconf)
+    val parts: Seq[DataFrame] = ids.slice(fromIdx + 1, toIdx + 1).flatMap { sid =>
+      val snap = meta.snapshot(sid)
+      val manifestPaths = IcebergManifests.readManifestList(hconf, new Path(snap.manifestList))
+        .filter(_.addedSnapshotId == sid).map(_.manifestPath)
+      val added = spark.sparkContext
+        .parallelize(manifestPaths, math.max(1, math.min(manifestPaths.size, 64)))
+        .flatMap(p => IcebergManifests.readManifest(conf.value, new Path(p)))
+        .filter(e => e.status == ManifestEntry.StatusAdded && e.snapshotId == sid)
+        .collect().toSeq
+      val inserts = added.filter(_.content == ManifestEntry.ContentData)
+      val insertDF =
+        if (inserts.isEmpty) None else Some(finish(readFiles(inserts), "insert", sid))
+      val newDels = added.filter(_.content > 0)
+      val delDF =
+        if (newDels.isEmpty) None
+        else {
+          // the parent's live rows, existing deletes applied, positions kept
+          val parentEntries = snap.parentId.map(p => liveEntries(Some(p))).getOrElse(Seq.empty)
+          val (pDels, pData) = parentEntries.partition(_.content > 0)
+          var parent = applyDeletes(pData, pDels, keepPositions = true)
+          val pos = newDels.filter(_.content == ManifestEntry.ContentPositionDeletes)
+          val posHits =
+            if (pos.isEmpty) None
+            else {
+              val posSchema = StructType(Seq(
+                StructField("file_path", StringType), StructField("pos", LongType)))
+              val tomb = graft.sources.ManifestFileIndex.read(
+                  spark, tablePath,
+                  pos.map(e => graft.sources.ManifestFile(e.filePath, e.fileSizeBytes, 0L, Map.empty)),
+                  posSchema, Seq.empty)
+                .select(col("file_path").as("__graft_file"), col("pos").as("__graft_pos"))
+              Some(parent.join(broadcast(tomb), Seq("__graft_file", "__graft_pos")))
+            }
+          val eqHits = newDels.filter(_.content == ManifestEntry.ContentEqualityDeletes)
+            .groupBy(_.equalityIds).toSeq.map { case (eqIds, files) =>
+              val byId = logical.fields.flatMap(f =>
+                IcebergSchemas.fieldId(meta.schema(f.name)).map(_ -> f)).toMap
+              val cols = eqIds.map(id => byId(id).name)
+              val delSchema = StructType(cols.map(c =>
+                StructField(c, logical(c).dataType, nullable = true)))
+              val keys = graft.sources.ManifestFileIndex.read(
+                  spark, tablePath,
+                  files.map(e => graft.sources.ManifestFile(e.filePath, e.fileSizeBytes, 0L, Map.empty)),
+                  delSchema, Seq.empty)
+                .distinct()
+                .select(cols.map(c => col(s"`$c`").as(s"__eq_$c")).toSeq: _*)
+              val cond = cols.map(c => col(s"`$c`") <=> col(s"__eq_$c")).reduce(_ && _)
+              parent.filter(col("__graft_dseq") < snap.sequenceNumber)
+                .join(broadcast(keys), cond, "left_semi")
+            }
+          (posHits.toSeq ++ eqHits).reduceOption(_ unionByName _)
+            .map(df => finish(df, "delete", sid))
+        }
+      Seq(insertDF, delDF).flatten
+    }
+    parts.reduceOption(_ unionByName _).getOrElse {
+      val empty = StructType(logical.fields ++ Seq(
+        StructField("_change_type", StringType), StructField("_commit_snapshot_id", LongType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    }
   }
 
   private[iceberg] def readFiles(

@@ -337,6 +337,38 @@ object HudiQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM snap GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
+    // MOR change feed: the log blocks ARE the change stream — upsert
+    // post-images, `_hoodie_is_deleted` tombstones (key only, data
+    // columns null), and insert base files, each tagged with its
+    // deltacommit instant.
+    QueryDef.sql(
+      "h12_hudi_mor_change_feed",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "orders_mor")
+        t.changeFeed(t.instants.head, t.latestInstant)
+          .groupBy(col("_change_type"), col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("_change_type"), col("o_orderstatus"))
+      },
+      """WITH feed AS (
+        |  SELECT 'upsert' AS _change_type, o_orderkey, o_orderstatus,
+        |    o_totalprice + 100000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT 'delete', o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT _change_type, o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM feed GROUP BY _change_type, o_orderstatus
+        |ORDER BY _change_type, o_orderstatus""".stripMargin),
+
     QueryDef.sql(
       "x04_tri_format_equality",
       (spark, dir) => {

@@ -423,6 +423,37 @@ object IcebergQueries {
     // per-format row count + a value checksum, verified against DuckDB
     // computing the same over the raw parquet (both formats must match
     // it for the join to produce identical columns).
+    // Change feed from delete-file metadata: the upsert snapshot's feed
+    // is the matched keys' pre-images as `delete` rows (equality-delete
+    // semi-join against the parent) plus the source as `insert`s.
+    QueryDef.sql(
+      "i14_iceberg_change_feed",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "orders_upserted")
+        val ids = t.currentMetadata.snapshotLog.map(_._2)
+        t.changeFeed(ids.head, ids.last)
+          .groupBy(col("_change_type"), col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("_change_type"), col("o_orderstatus"))
+      },
+      """WITH feed AS (
+        |  SELECT 'delete' AS _change_type, o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey, o_orderstatus, o_totalprice + 100000.0
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT _change_type, o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM feed GROUP BY _change_type, o_orderstatus
+        |ORDER BY _change_type, o_orderstatus""".stripMargin),
+
     QueryDef.sql(
       "x01_cross_format_equality",
       (spark, dir) => {

@@ -160,6 +160,25 @@ class HudiMorSpec extends SparkTestBase {
     }
   }
 
+  test("changeFeed streams log records as upserts/deletes and base adds as inserts") {
+    val dir = tmpDir("mor_cdf")
+    val t = HudiTable.createMor(spark, s"$dir/t", orders, "o_orderkey")
+    val v0 = t.latestInstant
+    val all = keys(t)
+    t.upsert(orders.filter(col("o_orderkey") % 4 === 0).withColumn("o_orderstatus", lit("C"))
+      .unionByName(orders.limit(5).withColumn("o_orderkey", col("o_orderkey") + 8000000L)))
+    import spark.implicits._
+    t.deleteKeys(all.filter(_ % 11 == 0).toDF("o_orderkey"))
+    val feed = t.changeFeed(v0, t.latestInstant)
+    val ups = feed.filter(col("_change_type") === "upsert")
+    assert(ups.count() == all.count(_ % 4 == 0))
+    assert(ups.filter(col("o_orderstatus") =!= "C").count() == 0)
+    assert(feed.filter(col("_change_type") === "insert").count() == 5)
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(dels == all.filter(_ % 11 == 0))
+  }
+
   test("rollback of a deltacommit deletes its log files and restores the snapshot") {
     val dir = tmpDir("mor_rollback")
     val t = HudiTable.createMor(spark, s"$dir/t", orders, "o_orderkey")

@@ -143,6 +143,28 @@ class IcebergDeleteSpec extends SparkTestBase {
       .filter(col("o_orderstatus") =!= "V").count() == 0)
   }
 
+  test("changeFeed reports position-delete kills and equality-delete pre-images") {
+    val dir = tmpDir("ice_cdf")
+    val t = IcebergTable.create(spark, s"$dir/t", orders.repartition(2))
+    val s0 = t.currentMetadata.currentSnapshotId.get
+    val all = keys(t)
+    val s1 = t.deleteWhere(col("o_orderkey") % 10 === 0)
+    val s2 = t.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U")), Seq("o_orderkey"))
+    val feed = t.changeFeed(s0, s2)
+    // s1: exactly the %10 keys deleted by position
+    val d1 = feed.filter(col("_commit_snapshot_id") === s1 && col("_change_type") === "delete")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(d1 == all.filter(_ % 10 == 0))
+    // s2: the surviving %7 keys deleted (pre-images) and re-inserted
+    val d2 = feed.filter(col("_commit_snapshot_id") === s2 && col("_change_type") === "delete")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(d2 == all.filter(k => k % 7 == 0 && k % 10 != 0))
+    val i2 = feed.filter(col("_commit_snapshot_id") === s2 && col("_change_type") === "insert")
+    assert(i2.count() == all.count(_ % 7 == 0)) // full source lands as inserts
+    assert(i2.filter(col("o_orderstatus") =!= "U").count() == 0)
+  }
+
   test("global equality deletes survive partition pruning") {
     val dir = tmpDir("ice_eq_prune")
     val t = IcebergTable.create(spark, s"$dir/t", orders, Seq("o_orderstatus"))
