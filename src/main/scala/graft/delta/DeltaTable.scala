@@ -1025,8 +1025,11 @@ object DeltaTable {
       (new Path(f.path).toUri.toString, d.storageType, d.pathOrInlineDv,
         d.offset.getOrElse(-1), d.sizeInBytes, d.cardinality)
     }
+    // one decode task per vector, capped by cluster width (not a
+    // constant — a 1000-executor cluster decodes 1000 DVs at once)
     spark.createDataset(rows)
-      .repartition(math.max(1, math.min(rows.size, 32)))
+      .repartition(math.max(1,
+        math.min(rows.size, spark.sparkContext.defaultParallelism * 2)))
       .flatMap { case (p, st, pod, off, size, card) =>
         val desc = DeletionVectorDescriptor(
           st, pod, if (off < 0) None else Some(off), size, card)

@@ -230,7 +230,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val conf = new graft.util.SerializableHadoopConf(hconf)
     val descs = withLogs.flatMap(s => s.logs.map(l => (absoluteOf(l.path), l.instant, l.version)))
     val rowsRdd = spark.sparkContext
-      .parallelize(descs, math.max(1, math.min(descs.size, 64)))
+      .parallelize(descs, math.max(1, math.min(descs.size, spark.sparkContext.defaultParallelism * 2)))
       .flatMap { case (p, inst, ver) =>
         val path = new Path(p)
         val fsys = path.getFileSystem(conf.value)
@@ -288,7 +288,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
           val conf = new graft.util.SerializableHadoopConf(hconf)
           val descs = logs.map(f => absoluteOf(f._1))
           val rows = spark.sparkContext
-            .parallelize(descs, math.max(1, math.min(descs.size, 64)))
+            .parallelize(descs, math.max(1, math.min(descs.size, spark.sparkContext.defaultParallelism * 2)))
             .flatMap { p =>
               val path = new Path(p)
               val fsys = path.getFileSystem(conf.value)
