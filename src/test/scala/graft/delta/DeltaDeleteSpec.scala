@@ -149,6 +149,21 @@ class DeltaDeleteSpec extends SparkTestBase {
     assert(t.toDF(versionAsOf = Some(v0)).count() == all.size)
   }
 
+  test("upsert after delete: matched rows replaced, deleted keys in the source re-insert") {
+    val dir = tmpDir("dv_upsert_after_del")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.repartition(2))
+    val all = keys(t)
+    t.delete(col("o_orderkey") % 10 === 0)
+    t.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_orderstatus", lit("W")), Seq("o_orderkey"))
+    // a key deleted earlier but present in the MERGE source is NOT
+    // MATCHED -> it inserts (e.g. 20, 40); others stay deleted (10, 30)
+    assert(keys(t) == all.filter(k => k % 10 != 0 || k % 4 == 0))
+    val w = t.toDF().filter(col("o_orderkey") % 4 === 0)
+    assert(w.filter(col("o_orderstatus") =!= "W").count() == 0)
+    assert(w.count() == all.count(_ % 4 == 0))
+  }
+
   test("upsert on a partitioned table routes inserts into partition dirs") {
     val dir = tmpDir("dv_upsert_part")
     val t = DeltaTable.create(spark, s"$dir/t", orders, Seq("o_orderstatus"))

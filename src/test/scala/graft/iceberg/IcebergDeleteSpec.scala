@@ -143,6 +143,19 @@ class IcebergDeleteSpec extends SparkTestBase {
       .filter(col("o_orderstatus") =!= "V").count() == 0)
   }
 
+  test("upsert after deleteWhere: position deletes persist, source keys re-insert") {
+    val dir = tmpDir("ice_upsert_after_del")
+    val t = IcebergTable.create(spark, s"$dir/t", orders.repartition(2))
+    val all = keys(t)
+    t.deleteWhere(col("o_orderkey") % 10 === 0)
+    t.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_orderstatus", lit("W")), Seq("o_orderkey"))
+    assert(keys(t) == all.filter(k => k % 10 != 0 || k % 4 == 0))
+    val w = t.toDF().filter(col("o_orderkey") % 4 === 0)
+    assert(w.filter(col("o_orderstatus") =!= "W").count() == 0)
+    assert(w.count() == all.count(_ % 4 == 0))
+  }
+
   test("changeFeed reports position-delete kills and equality-delete pre-images") {
     val dir = tmpDir("ice_cdf")
     val t = IcebergTable.create(spark, s"$dir/t", orders.repartition(2))
