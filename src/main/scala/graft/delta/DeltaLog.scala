@@ -120,9 +120,7 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
     * version. */
   def writeCheckpoint(v: Long): Unit = {
     val (meta, _) = metadataAt(Some(v))
-    val protoRow = scala.util.Try(readActions(0L))
-      .toOption.flatMap(_.collectFirst { case p: Protocol => p })
-      .getOrElse(Protocol())
+    val protoRow = protocolAt(Some(v))
     val metaSchema = StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
@@ -131,7 +129,9 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
       StructField("createdTime", LongType)))
     val protoSchema = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val addType = actionSchema("add").dataType
     val adds = snapshotFilesDF(Some(v)).select(
       struct(
@@ -150,7 +150,9 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
         lit(meta.createdTime).as("createdTime")).as("metaData"),
       struct(
         lit(protoRow.minReaderVersion).as("minReaderVersion"),
-        lit(protoRow.minWriterVersion).as("minWriterVersion")).as("protocol"))
+        lit(protoRow.minWriterVersion).as("minWriterVersion"),
+        typedlit(protoRow.readerFeatures).as("readerFeatures"),
+        typedlit(protoRow.writerFeatures).as("writerFeatures")).as("protocol"))
     val staging = new Path(logPath, s".cp-staging-${java.util.UUID.randomUUID()}")
     adds.unionByName(single).repartition(1).write.parquet(staging.toString)
     val part = fs.listStatus(staging).map(_.getPath)
@@ -205,6 +207,46 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
     })
     (meta.getOrElse(throw new IllegalStateException(s"no metaData action in $tablePath")),
       (upTo ++ cp).max)
+  }
+
+  /**
+   * Protocol in effect at or before `asOf`, replayed like `metadataAt`:
+   * newest Protocol action in the post-checkpoint JSON tail, else the
+   * checkpoint's protocol row, else the spec default (1, 2). Reading
+   * version 0 alone is wrong twice over — v0 always carries the default
+   * protocol even after a table-features upgrade, and log expiry can
+   * delete the v0 JSON entirely.
+   */
+  def protocolAt(asOf: Option[Long]): Protocol = {
+    val versions = listVersions()
+    val cp = lastCheckpoint().filter(c => asOf.forall(c <= _))
+    val upTo = asOf.map(a => versions.filter(_ <= a)).getOrElse(versions)
+    val tail = upTo.filter(v => cp.forall(v > _))
+    val fromJson = tail.reverse.iterator
+      .map(v => readActions(v).collectFirst { case p: Protocol => p })
+      .collectFirst { case Some(p) => p }
+    fromJson.orElse(cp.flatMap { c =>
+      val df = spark.read.parquet(checkpointFile(c).toString)
+      // feature columns are absent in checkpoints written before the
+      // table-features upgrade shipped
+      val hasFeatureCols = df.schema("protocol").dataType match {
+        case s: StructType => s.fieldNames.contains("readerFeatures")
+        case _ => false
+      }
+      val rows =
+        if (hasFeatureCols)
+          df.filter(col("protocol").isNotNull).select(
+            col("protocol.minReaderVersion"), col("protocol.minWriterVersion"),
+            col("protocol.readerFeatures"), col("protocol.writerFeatures")).collect()
+        else
+          df.filter(col("protocol").isNotNull).select(
+            col("protocol.minReaderVersion"), col("protocol.minWriterVersion"),
+            lit(null).cast(ArrayType(StringType)), lit(null).cast(ArrayType(StringType))).collect()
+      rows.headOption.map(r => Protocol(
+        r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getSeq[String](2)),
+        if (r.isNullAt(3)) None else Some(r.getSeq[String](3))))
+    }).getOrElse(Protocol())
   }
 
   /** Commit timestamps (from commitInfo, fallback file mtime) per version. */

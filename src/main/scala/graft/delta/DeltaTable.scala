@@ -66,6 +66,65 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       Some((DeltaTable.physicalSchema(schema), partCols.map(c => topPhys.getOrElse(c, c))))
     }
 
+  /**
+   * Protocol gate for every read path: fail FAST, with the offending
+   * feature named, on tables whose protocol demands reader behavior this
+   * engine does not implement — the alternative is silently wrong rows
+   * (e.g. a v2Checkpoint table whose sidecar adds we'd never see). The
+   * reference delegates this to the linked Delta runtime (ref
+   * `core/.../delta/DeltaClient.java:215-296`); we enforce it natively.
+   */
+  private[delta] def requireReadable(asOf: Option[Long]): Unit = {
+    val p = log.protocolAt(asOf)
+    p.minReaderVersion match {
+      case 1 | 2 => // base protocol; 2 adds column mapping (implemented)
+      case 3 =>
+        val unsupported =
+          p.readerFeatures.getOrElse(Seq.empty).toSet -- DeltaTable.SupportedReaderFeatures
+        require(unsupported.isEmpty,
+          s"cannot read $tablePath: unsupported Delta reader feature(s) " +
+            s"${unsupported.toSeq.sorted.mkString(", ")}; this engine supports " +
+            DeltaTable.SupportedReaderFeatures.toSeq.sorted.mkString(", "))
+      case v => throw new IllegalArgumentException(
+        s"cannot read $tablePath: unsupported Delta minReaderVersion $v (max 3)")
+    }
+  }
+
+  /**
+   * Protocol + metadata gate for write paths. Table features distinguish
+   * "supported" (listed in the protocol) from "enabled" (activated by
+   * table metadata); a feature we can ignore while disabled only blocks
+   * the write once its metadata switch is on.
+   */
+  private[delta] def requireWritable(mutation: Boolean): Unit = {
+    requireReadable(None) // writers replay the snapshot first
+    val p = log.protocolAt(None)
+    require(p.minWriterVersion <= 7,
+      s"cannot write $tablePath: unsupported Delta minWriterVersion ${p.minWriterVersion} (max 7)")
+    val declared =
+      if (p.minWriterVersion == 7) p.writerFeatures.getOrElse(Seq.empty).toSet
+      else DeltaTable.legacyWriterFeatures(p.minWriterVersion).toSet
+    val unsupported = declared -- DeltaTable.SupportedWriterFeatures
+    require(unsupported.isEmpty,
+      s"cannot write $tablePath: unsupported Delta writer feature(s) " +
+        s"${unsupported.toSeq.sorted.mkString(", ")}; this engine supports " +
+        DeltaTable.SupportedWriterFeatures.toSeq.sorted.mkString(", "))
+    val meta = log.metadataAt(None)._1
+    val conf = meta.configuration
+    require(!(mutation && conf.get("delta.appendOnly").contains("true")),
+      s"cannot delete from $tablePath: delta.appendOnly is enabled")
+    require(!(mutation && conf.get("delta.enableChangeDataFeed").contains("true")),
+      s"cannot run row-level writes on $tablePath: delta.enableChangeDataFeed " +
+        "requires _change_data files this engine does not produce")
+    require(!conf.keys.exists(_.startsWith("delta.constraints.")),
+      s"cannot write $tablePath: CHECK constraints are not validated by this engine")
+    val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+    require(!schema.fields.exists(_.metadata.contains("delta.invariants")),
+      s"cannot write $tablePath: column invariants are not validated by this engine")
+    require(!schema.fields.exists(_.metadata.contains("delta.identity.start")),
+      s"cannot write $tablePath: identity-column high watermarks are not maintained by this engine")
+  }
+
   /** Commit history, newest first (DESCRIBE HISTORY): one row per
     * version with its CommitInfo. Metadata-sized — built driver-side
     * from the log, like the reference's instant listings. */
@@ -106,6 +165,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
    * incremental sync §2.9). Returns the data of newly added files.
    */
   def changesAsDF(fromExclusive: Long, toInclusive: Long): DataFrame = {
+    requireReadable(Some(toInclusive))
     val rows = log.changesDF(fromExclusive, toInclusive)
       .filter(col("added"))
       .select(col("path"), col("size"), lit(0L).as("modificationTime"),
@@ -145,6 +205,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
    */
   def changeFeed(fromExclusive: Long, toInclusive: Long): DataFrame = {
     import org.apache.spark.sql.Row
+    requireReadable(Some(toInclusive))
     val versions = log.listVersions().filter(v => v > fromExclusive && v <= toInclusive)
     require(versions.nonEmpty, s"no commits in ($fromExclusive, $toInclusive] of $tablePath")
     val asOf = Some(toInclusive)
@@ -278,6 +339,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       info: CommitInfo,
       /** extra actions committed atomically (MERGE's new files) */
       extraActions: Seq[DeltaAction] = Seq.empty): Long = {
+    requireWritable(mutation = true)
     require(columnMappingMode(None) == "none",
       s"row-level writes on a column-mapped table are not supported: $tablePath")
     val (schema, partCols) = schemaAt(None)
@@ -349,12 +411,15 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
             "u", Z85.encodeUuid(uuid), Some(off), size, cardinality)))
     }
     // first DV on the table upgrades the protocol to the table-features
-    // form the spec requires for deletionVectors
-    val hasDvFeature = log.readActions(0L).collectFirst { case p: Protocol => p }
-      .exists(_.readerFeatures.exists(_.contains("deletionVectors")))
+    // form the spec requires for deletionVectors; the CURRENT protocol
+    // comes from snapshot replay (v0 always carries the default and may
+    // be expired), and the upgrade preserves features it already had
+    val currentProtocol = log.protocolAt(None)
+    val hasDvFeature =
+      currentProtocol.readerFeatures.exists(_.contains("deletionVectors"))
     val protocolUpgrade: Seq[DeltaAction] =
       if (perFile.isEmpty || hasDvFeature) Seq.empty
-      else Seq(Protocol(3, 7, Some(Seq("deletionVectors")), Some(Seq("deletionVectors"))))
+      else Seq(DeltaTable.upgradeWithFeature(currentProtocol, "deletionVectors"))
     val v = latest + 1
     require(log.commit(v, protocolUpgrade ++ removes ++ adds ++ extraActions :+ info),
       s"concurrent commit detected at version $v of $tablePath; re-run the operation")
@@ -413,6 +478,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     * deletion vector (deletes applied), in one commit — after which the
     * snapshot is DV-free and metadata-only sync is possible again. */
   def purgeDeletes(): Option[Long] = {
+    requireWritable(mutation = true)
     val rows = log.snapshotFilesDF()
       .select("path", "size", "modificationTime", "partitionValues", "deletionVector")
       .collect().toSeq
@@ -422,7 +488,8 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val files = DeltaTable.manifestFiles(rows).zip(rows.map(DeltaTable.dvAt(_, 4)))
     val df = DeltaTable.readFilesWithDeletes(
       spark, tablePath, readBasePath(None), files, schema, partCols)
-    Some(write(df, Seq.empty, overwrite = false, replacing = rows.map(_.getString(0))))
+    Some(write(df, Seq.empty, overwrite = false,
+      replacing = rows.map(r => r.getString(0) -> DeltaTable.dvAt(r, 4))))
   }
 
   /** Latest value of a CommitInfo operation parameter, scanning commits
@@ -460,6 +527,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       /** Morton-interleave these columns for multi-dim skipping
         * (graft.util.ZOrder); takes precedence over sortBy. */
       zorderBy: Seq[String] = Seq.empty): Option[Long] = {
+    requireWritable(mutation = true)
     val (schema, partCols) = schemaAt(None)
     val allRows = log.snapshotFilesDF()
       .select("path", "size", "modificationTime", "partitionValues", "deletionVector")
@@ -481,7 +549,8 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         df.repartitionByRange(n, sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
       else if (partCols.nonEmpty) df.repartition(n, partCols.map(col): _*)
       else df.repartition(n)
-    Some(write(arranged, Seq.empty, overwrite = false, replacing = smalls.map(_._1.path)))
+    Some(write(arranged, Seq.empty, overwrite = false,
+      replacing = smalls.map(s => s._1.path -> s._2)))
   }
 
   /**
@@ -494,6 +563,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
    * the root and are never touched. Returns the deleted paths.
    */
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000, dryRun: Boolean = false): Seq[String] = {
+    requireReadable(None)
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val liveRows = log.snapshotFilesDF().select("path", "deletionVector").collect().toSeq
@@ -521,13 +591,17 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     dead.map(_.getPath.toString)
   }
 
-  private def write(
+  private[delta] def write(
       df: DataFrame,
       partitionSpecs: Seq[String],
       overwrite: Boolean,
-      /** Log paths compacted away in the same commit (OPTIMIZE). */
-      replacing: Seq[String] = Seq.empty,
+      /** Log paths compacted away in the same commit (OPTIMIZE), each
+        * with the deletion vector the rewrite READ it under — the
+        * conflict check re-validates that state per commit attempt. */
+      replacing: Seq[(String, Option[DeletionVectorDescriptor])] = Seq.empty,
       commitProps: Map[String, String] = Map.empty): Long = {
+    if (log.latestVersion().nonEmpty)
+      requireWritable(mutation = overwrite || replacing.nonEmpty)
     // partition specs: identity columns or time transforms
     // (`month(o_orderdate)`), the latter materialized as Delta generated
     // columns (ref `DeltaPartitionExtractor.java:227-323`); an append
@@ -586,17 +660,29 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
           log.snapshotFilesDF().select("path").collect().toSeq
             .map(r => RemoveFile(r.getString(0), System.currentTimeMillis(), dataChange = true))
         else if (replacing.nonEmpty) {
-          val live = log.snapshotFilesDF().select("path").collect()
-            .map(_.getString(0)).toSet
-          require(replacing.forall(live.contains),
-            s"compaction conflict at $tablePath: a concurrent commit removed " +
-              "files this OPTIMIZE rewrote")
-          replacing.map(p => RemoveFile(p, System.currentTimeMillis(), dataChange = true))
+          // conflict check per attempt: every replaced file must still be
+          // live AND carry exactly the deletion vector the rewrite read.
+          // A concurrent row-level DELETE keeps the path live but swaps
+          // its DV — committing the rewrite then would resurrect the
+          // racer's deleted rows (Delta's RewriteFiles-style validation).
+          val live = log.snapshotFilesDF().select("path", "deletionVector").collect()
+            .map(r => r.getString(0) -> DeltaTable.dvAt(r, 1)).toMap
+          replacing.foreach { case (p, readDv) =>
+            require(live.contains(p),
+              s"compaction conflict at $tablePath: a concurrent commit removed " +
+                "files this OPTIMIZE rewrote")
+            require(live(p) == readDv,
+              s"compaction conflict at $tablePath: a concurrent row-level delete " +
+                s"changed the deletion vector of $p after this OPTIMIZE read it")
+          }
+          replacing.map { case (p, readDv) =>
+            RemoveFile(p, System.currentTimeMillis(), dataChange = true, deletionVector = readDv)
+          }
         } else Seq.empty
       val metaActions: Seq[DeltaAction] =
         if (v == 0L)
           Seq(
-            Protocol(),
+            DeltaTable.protocolFor(schemaForMeta, genDefs.nonEmpty),
             DeltaMetadata(
               id = UUID.randomUUID().toString,
               schemaString = schemaForMeta.json,
@@ -679,6 +765,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     }
 
   def snapshotDataFiles(): Seq[graft.model.InternalDataFile] = {
+    requireReadable(None)
     val (dataSchema, names) = syncShape(None)
     log.snapshotFilesDF()
       .select("path", "partitionValues", "size", "modificationTime", "stats", "deletionVector")
@@ -796,6 +883,67 @@ object DeltaTable {
 
   def forPath(spark: SparkSession, tablePath: String): DeltaTable =
     new DeltaTable(spark, DeltaLog.forTable(spark, tablePath))
+
+  /** Reader features this engine implements (Delta PROTOCOL.md table
+    * features). `vacuumProtocolCheck` imposes no read-time behavior;
+    * `timestampNtz` reads natively as Spark's TimestampNTZType. */
+  val SupportedReaderFeatures: Set[String] =
+    Set("columnMapping", "deletionVectors", "timestampNtz", "vacuumProtocolCheck")
+
+  /** Writer features this engine can write alongside. Metadata-activated
+    * features (appendOnly, changeDataFeed, invariants, checkConstraints,
+    * identityColumns) are accepted here and enforced or refused at their
+    * activation switch in `requireWritable`. */
+  val SupportedWriterFeatures: Set[String] = Set(
+    "columnMapping", "deletionVectors", "timestampNtz", "vacuumProtocolCheck",
+    "generatedColumns", "appendOnly", "invariants", "checkConstraints",
+    "changeDataFeed", "identityColumns")
+
+  /** Writer features a legacy minWriterVersion implies (PROTOCOL.md
+    * feature-version mapping). */
+  private[delta] def legacyWriterFeatures(minWriterVersion: Int): Seq[String] =
+    Seq(
+      2 -> "appendOnly", 2 -> "invariants",
+      3 -> "checkConstraints",
+      4 -> "generatedColumns", 4 -> "changeDataFeed",
+      5 -> "columnMapping",
+      6 -> "identityColumns")
+      .collect { case (v, f) if v <= minWriterVersion => f }
+
+  private[delta] def legacyReaderFeatures(minReaderVersion: Int): Seq[String] =
+    if (minReaderVersion >= 2) Seq("columnMapping") else Seq.empty
+
+  /**
+   * Upgrade a protocol to the table-features form (3, 7) with `feature`
+   * added to both lists, PRESERVING everything the current protocol
+   * already declares — explicitly (feature lists) or implicitly (legacy
+   * version numbers). Dropping implied features on upgrade would strip
+   * e.g. generatedColumns off a (1,4) table the moment it takes its
+   * first deletion vector.
+   */
+  private[delta] def upgradeWithFeature(p: Protocol, feature: String): Protocol = {
+    val readers = p.readerFeatures.getOrElse(legacyReaderFeatures(p.minReaderVersion))
+    val writers = p.writerFeatures.getOrElse(legacyWriterFeatures(p.minWriterVersion))
+    Protocol(3, 7, Some((readers :+ feature).distinct), Some((writers :+ feature).distinct))
+  }
+
+  /** Protocol a freshly created table needs for its schema: timestampNtz
+    * is a table feature; generated columns need legacy writer v4. */
+  private[delta] def protocolFor(schema: StructType, hasGenerated: Boolean): Protocol = {
+    def hasNtz(dt: DataType): Boolean = dt match {
+      case TimestampNTZType => true
+      case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+      case a: ArrayType => hasNtz(a.elementType)
+      case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+      case _ => false
+    }
+    if (hasNtz(schema)) {
+      val writers = Seq("timestampNtz") ++
+        (if (hasGenerated) Seq("generatedColumns") else Seq.empty) ++ legacyWriterFeatures(2)
+      Protocol(3, 7, Some(Seq("timestampNtz")), Some(writers.distinct))
+    } else if (hasGenerated) Protocol(1, 4)
+    else Protocol()
+  }
 
   /** Create (version 0) by physically writing `df`. */
   def create(
@@ -1100,6 +1248,7 @@ final class DeltaScanBuilder(
 
   /** The pruned file manifest (path, partitionValues, size, stats). */
   def files(): DataFrame = {
+    table.requireReadable(asOfVersion)
     val (schema, partCols) = table.schemaAt(asOfVersion)
     // column-mapped tables key partitionValues and stats by PHYSICAL
     // name; callers always speak logical names
