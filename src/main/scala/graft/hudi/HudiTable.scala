@@ -314,7 +314,13 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         }
       Seq(baseDF, logDF).flatten
     }
-    parts.reduce(_ unionByName _)
+    // every instant in range may have added no files (e.g. an overwrite
+    // of an empty frame): an empty feed, not an empty-reduce crash
+    parts.reduceOption(_ unionByName _).getOrElse {
+      val empty = StructType(schema.fields ++ Seq(
+        StructField("_change_type", StringType), StructField("_commit_instant", StringType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    }
   }
 
   /**

@@ -276,7 +276,12 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         .select(cols.map(c => col(s"`$c`").as(s"__eq_$c")).toSeq: _*)
         .withColumn("__eq_hit", lit(1))
       val cond = cols.map(c => col(s"`$c`") <=> col(s"__eq_$c")).reduce(_ && _)
-      out = out.join(broadcast(keys), cond, "left_outer")
+      // same cardinality gate as the position-delete path: an upsert's
+      // equality-delete key set is O(|source|), and broadcasting it
+      // unconditionally would OOM the driver after a large upsert
+      val small = files.map(_.recordCount).sum <= 4000000L
+      val right = if (small) broadcast(keys) else keys
+      out = out.join(right, cond, "left_outer")
         .filter(col("__eq_hit").isNull || col("__graft_dseq") >= lit(seq))
         .drop(cols.map(c => s"__eq_$c") :+ "__eq_hit": _*)
     }
@@ -465,7 +470,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         df.repartitionByRange(n, sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
       else if (partCols.nonEmpty) df.repartition(n, partCols.map(col): _*)
       else df.repartition(n)
-    Some(write(arranged, Seq.empty, overwrite = false, replacing = smalls.map(_.filePath)))
+    Some(write(arranged, Seq.empty, overwrite = false,
+      replacing = smalls, consumedDeletes = dels))
   }
 
   /**
@@ -626,15 +632,20 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         e.sequenceNumber < maxEqSeq)
     val df = applyDeletes(affected, dels)
     Some(write(df, Seq.empty, overwrite = false,
-      replacing = (affected ++ dels).map(_.filePath)))
+      replacing = affected ++ dels, consumedDeletes = dels))
   }
 
-  private def write(
+  private[iceberg] def write(
       df: DataFrame,
       partitionSpecsIn: Seq[String],
       overwrite: Boolean,
-      /** Data-file paths compacted away in the same snapshot. */
-      replacing: Seq[String] = Seq.empty,
+      /** Entries compacted away in the same snapshot (data and/or
+        * delete files), exactly as the rewrite READ them. */
+      replacing: Seq[ManifestEntry] = Seq.empty,
+      /** Delete-file entries whose effects the rewrite materialized;
+        * the conflict check aborts if OTHER delete files that could
+        * target the replaced data appeared since. */
+      consumedDeletes: Seq[ManifestEntry] = Seq.empty,
       commitProps: Map[String, String] = Map.empty,
       /** Pre-built entries committed atomically with the data (upsert's
         * equality-delete files). */
@@ -702,12 +713,32 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       val removes =
         if (overwrite && prevState.exists(_._2.currentSnapshotId.nonEmpty)) liveEntries(None)
         else if (replacing.nonEmpty) {
-          val rs = replacing.toSet
-          val live = liveEntries(None).filter(e => rs.contains(e.filePath))
-          require(live.size == rs.size,
+          val rs = replacing.map(_.filePath).toSet
+          val live = liveEntries(None)
+          val liveReplaced = live.filter(e => rs.contains(e.filePath))
+          require(liveReplaced.size == rs.size,
             s"compaction conflict at $tablePath: a concurrent commit removed " +
               "files this replace rewrote")
-          live
+          // RewriteFiles-style validation: a delete file committed AFTER
+          // the rewrite read its inputs still targets the replaced data
+          // (its sequence outranks theirs), but would be inert against
+          // the rewritten output — committing would resurrect those
+          // rows. Position deletes are partition-scoped; equality
+          // deletes can be global, so an empty-partition delete entry
+          // conflicts with everything.
+          val consumed = consumedDeletes.map(_.filePath).toSet
+          val replacedParts = replacing
+            .filter(_.content == ManifestEntry.ContentData)
+            .map(_.partitionValues).toSet
+          val racing = live.filter(e => e.content > 0 &&
+            !consumed.contains(e.filePath) &&
+            (e.partitionValues.isEmpty || replacedParts.isEmpty ||
+              replacedParts.contains(e.partitionValues)))
+          require(racing.isEmpty,
+            s"replace conflict at $tablePath: concurrent row-level deletes " +
+              s"(${racing.map(_.filePath).take(3).mkString(", ")}) target files " +
+              "this rewrite consumed; re-run the compaction")
+          liveReplaced
         } else Seq.empty
       commitSnapshot(prevState, idSchema, defs, entries ++ extraAdds, removes,
         carryPrevious = !overwrite,

@@ -63,4 +63,59 @@ class ConcurrencySpec extends SparkTestBase {
     assert(got.select("tag").distinct().count() == writers + 1)
     assert(t.currentMetadata.snapshots.size == writers + 1)
   }
+
+  /** Race a bin-packing compaction against a row-level delete. Outcome
+    * may be either order, or a compaction abort on the conflict check —
+    * but the delete must NEVER be resurrected by the rewrite. */
+  private def compactDeleteRace(doCompact: () => Unit, doDelete: () => Unit): Unit = {
+    val barrier = new CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val a = new Thread(() => {
+      try { barrier.await(); doCompact() }
+      catch {
+        case e: IllegalArgumentException if e.getMessage.contains("conflict") => () // legal abort
+        case t: Throwable => errs.add(t)
+      }
+    })
+    val b = new Thread(() => {
+      barrier.await()
+      var done = false
+      var tries = 0
+      while (!done) { // single-shot optimistic delete may lose the log race; retry
+        try { doDelete(); done = true }
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("concurrent commit") && tries < 20 =>
+            tries += 1; Thread.sleep(10)
+          case t: Throwable => errs.add(t); done = true
+        }
+      }
+    })
+    a.start(); b.start(); a.join(); b.join()
+    assert(errs.isEmpty, s"racer failed: ${Option(errs.peek()).map(_.toString)}")
+  }
+
+  test("delta: compaction racing a row-level delete never resurrects deleted rows") {
+    val dir = tmpDir("delta-compact-race")
+    val t = DeltaTable.create(spark, dir,
+      spark.range(0, 1000).select(col("id"), lit("x").as("tag")).repartition(4))
+    compactDeleteRace(
+      () => { DeltaTable.forPath(spark, dir).compact(smallFileBytes = 1L << 30); () },
+      () => { DeltaTable.forPath(spark, dir).delete(col("id") < 100); () })
+    val got = t.toDF()
+    assert(got.filter(col("id") < 100).count() == 0, "compaction resurrected deleted rows")
+    assert(got.count() == 900)
+  }
+
+  test("iceberg: compaction racing a row-level delete never resurrects deleted rows") {
+    val dir = tmpDir("iceberg-compact-race")
+    val t = IcebergTable.create(spark, dir,
+      spark.range(0, 1000).select(col("id"), lit("x").as("tag")).repartition(4))
+    compactDeleteRace(
+      () => { IcebergTable.forPath(spark, dir).compact(smallFileBytes = 1L << 30); () },
+      () => { IcebergTable.forPath(spark, dir).deleteWhere(col("id") < 100); () })
+    val got = t.toDF()
+    assert(got.filter(col("id") < 100).count() == 0, "compaction resurrected deleted rows")
+    assert(got.count() == 900)
+  }
 }

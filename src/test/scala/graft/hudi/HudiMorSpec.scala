@@ -199,4 +199,15 @@ class HudiMorSpec extends SparkTestBase {
     assert(t.recordKeyField.isEmpty)
     intercept[IllegalArgumentException](t.upsert(orders.limit(1)))
   }
+
+  test("changeFeed over instants that added no files is empty, not a crash") {
+    val dir = tmpDir("mor_cdf_empty")
+    val t = HudiTable.create(spark, s"$dir/t", orders.limit(20))
+    val v0 = t.latestInstant
+    t.overwrite(orders.limit(0)) // 0-row base files are dropped: no adds
+    val feed = t.changeFeed(v0, t.latestInstant)
+    assert(feed.count() == 0)
+    assert(feed.columns.contains("_change_type"))
+    assert(feed.columns.contains("_commit_instant"))
+  }
 }
