@@ -44,6 +44,12 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
 
   def latestVersion(): Option[Long] = listVersions().lastOption
 
+  /** Versions strictly after `v`, via direct existence probes (Delta
+    * versions are contiguous): O(new commits) per call instead of a
+    * full log listing — the streaming source's per-trigger tail poll. */
+  def listVersionsAfter(v: Long): Seq[Long] =
+    Iterator.iterate(v + 1)(_ + 1).takeWhile(x => fs.exists(commitFile(x))).toSeq
+
   /** Driver-side read of a single commit's actions (metadata-sized). */
   def readActions(v: Long): Seq[DeltaAction] = {
     val in = fs.open(commitFile(v))

@@ -148,6 +148,20 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         col("path"), col("partitionValues"), col("size"), col("stats"),
         coalesce(col("deletionVector.cardinality"), lit(0L)).as("deleted_rows"))
 
+  /** Number of live files — sizes the streaming source's
+    * initial-snapshot chunking. */
+  def snapshotFileCount(asOf: Option[Long] = None): Int =
+    log.snapshotFilesDF(asOf).count().toInt
+
+  /** Deterministic slice `chunk` of `totalChunks` over the snapshot's
+    * live files (modulo over the path-sorted manifest): the streaming
+    * source's initial-snapshot admission control. */
+  def snapshotChunkDF(asOf: Option[Long], chunk: Int, totalChunks: Int): DataFrame =
+    (asOf match {
+      case Some(v) => scanAsOf(v)
+      case None    => scan
+    }).chunk(chunk, totalChunks).toDF()
+
   def scan: DeltaScanBuilder = new DeltaScanBuilder(spark, this, None)
   def scanAsOf(version: Long): DeltaScanBuilder = new DeltaScanBuilder(spark, this, Some(version))
   def scanAsOfTimestamp(tsMillis: Long): DeltaScanBuilder =
@@ -1232,6 +1246,16 @@ final class DeltaScanBuilder(
 
   private var partitionPredicates: Seq[(String, Set[String])] = Seq.empty
   private var rangePredicates: Seq[(String, Option[String], Option[String])] = Seq.empty
+  private var chunkSpec: Option[(Int, Int)] = None
+
+  /** Read only deterministic slice `k` of `of` over the snapshot's
+    * files (modulo over the path-sorted manifest) — the streaming
+    * source's initial-snapshot admission control. */
+  def chunk(k: Int, of: Int): DeltaScanBuilder = {
+    require(of > 0 && k >= 0 && k < of, s"bad snapshot chunk $k/$of")
+    chunkSpec = Some((k, of))
+    this
+  }
 
   /** Keep only files whose partition value for `column` is in `values`. */
   def partitionIn(column: String, values: Set[String]): DeltaScanBuilder = {
@@ -1309,9 +1333,14 @@ final class DeltaScanBuilder(
     * callers still apply the row-level filter on the result. */
   def toDF(): DataFrame = {
     val (schema, partCols) = table.schemaAt(asOfVersion)
-    val rows = files()
+    val allRows = files()
       .select("path", "size", "modificationTime", "partitionValues", "deletionVector")
       .collect().toSeq
+    val rows = chunkSpec match {
+      case Some((k, n)) => allRows.sortBy(_.getString(0))
+        .zipWithIndex.collect { case (r, i) if i % n == k => r }
+      case None => allRows
+    }
     val pruned = DeltaTable.manifestFiles(rows).zip(rows.map(DeltaTable.dvAt(_, 4)))
     table.physicalShape(asOfVersion) match {
       case None =>

@@ -187,6 +187,23 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
   def hasLogFiles(asOf: Option[String] = None): Boolean =
     isMor && fileSlices(asOf).exists(_.logs.nonEmpty)
 
+  /** Number of live file slices — sizes the streaming source's
+    * initial-snapshot chunking. */
+  def snapshotFileCount(asOf: Option[String] = None): Int = fileSlices(asOf).size
+
+  /** Deterministic slice `chunk` of `totalChunks` over the snapshot's
+    * live file groups (modulo over the sorted slice list): the streaming
+    * source's initial-snapshot admission control. A MOR group's base and
+    * log files stay in the same chunk, so the per-key merge is complete
+    * within each chunk. */
+  def snapshotChunkDF(asOf: Option[String], chunk: Int, totalChunks: Int): DataFrame = {
+    require(totalChunks > 0 && chunk >= 0 && chunk < totalChunks,
+      s"bad snapshot chunk $chunk/$totalChunks")
+    val slices = fileSlices(asOf).sortBy(s => (s.partitionPath, s.fileId))
+    val mine = slices.zipWithIndex.collect { case (s, i) if i % totalChunks == chunk => s }
+    mergedRead(mine, asOf)
+  }
+
   /** The read-optimized view: base files only, log mutations invisible —
     * what the reference syncs for MOR sources (ref
     * `HudiDataFileExtractor.java` getLatestBaseFiles). */

@@ -202,6 +202,27 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     * row positions (applicable when `delete.seq >= data.seq`); equality
     * deletes anti-match on their key columns against data files with
     * `data.seq < delete.seq` (null keys match null values, per spec). */
+  /** Number of live data files — sizes the streaming source's
+    * initial-snapshot chunking. */
+  def snapshotFileCount(asOf: Option[Long] = None): Int =
+    liveEntries(asOf).count(_.content == ManifestEntry.ContentData)
+
+  /** Deterministic slice `chunk` of `totalChunks` over the snapshot's
+    * live data files (modulo over the path-sorted entry list); every
+    * chunk sees ALL delete files, so v2 deletes apply completely within
+    * each chunk. The streaming source's initial-snapshot admission
+    * control. */
+  def snapshotChunkDF(asOf: Option[Long], chunk: Int, totalChunks: Int): DataFrame = {
+    require(totalChunks > 0 && chunk >= 0 && chunk < totalChunks,
+      s"bad snapshot chunk $chunk/$totalChunks")
+    val (dels, data) = liveEntries(asOf).partition(_.content > 0)
+    val mine = data.sortBy(_.filePath)
+      .zipWithIndex.collect { case (e, i) if i % totalChunks == chunk => e }
+    if (mine.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+    else readEntries(mine ++ dels)
+  }
+
   private[iceberg] def readEntries(entries: Seq[ManifestEntry]): DataFrame = {
     val (dels, data) = entries.partition(_.content > 0)
     if (dels.isEmpty) readFiles(data) else applyDeletes(data, dels)

@@ -71,7 +71,17 @@ final class GraftDataSource
       providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val (fmt, path) = streamSource(sqlContext.sparkSession, parameters)
-    new org.apache.spark.sql.graftshim.GraftChangeSource(sqlContext.sparkSession, fmt, path)
+    val opts = caseInsensitive(parameters)
+    def intOpt(k: String): Option[Int] = opts.get(k.toLowerCase).map { v =>
+      val n = v.toInt
+      require(n > 0, s"$k must be positive, got $v")
+      n
+    }
+    new org.apache.spark.sql.graftshim.GraftChangeSource(
+      sqlContext.sparkSession, fmt, path,
+      metadataPath = Some(metadataPath),
+      maxCommitsPerTrigger = intOpt("maxCommitsPerTrigger"),
+      maxFilesPerTrigger = intOpt("maxFilesPerTrigger"))
   }
 
   // `df.writeStream.format("graft")` — each micro-batch lands as one

@@ -10,19 +10,60 @@ import graft.delta.DeltaTable
 import graft.hudi.HudiTable
 import graft.iceberg.IcebergTable
 
-/** A commit token as a streaming offset (JSON = the token itself). */
-final case class GraftStreamOffset(token: String) extends OffsetV1 {
-  override def json: String = token
+/**
+ * A stream position: `snap` is the snapshot the stream started from,
+ * emitted as `chunks` file-group chunks of which `[0..chunk]` are done;
+ * `tail` is the newest commit token whose changes have been emitted.
+ * Invariant: while the snapshot is incomplete, `tail == snap`.
+ *
+ * JSON form: the bare tail token when trivially unchunked (back-compat
+ * with pre-admission-control checkpoints, whose offsets were bare
+ * tokens), else a stable `{"s":..,"n":..,"c":..,"t":..}` object.
+ */
+final case class GraftStreamOffset(
+    snap: String, chunks: Int, chunk: Int, tail: String) extends OffsetV1 {
+  def complete: Boolean = chunk >= chunks - 1
+  override def json: String =
+    if (chunks == 1) tail
+    else s"""{"s":"$snap","n":$chunks,"c":$chunk,"t":"$tail"}"""
+}
+
+object GraftStreamOffset {
+  def parse(json: String): GraftStreamOffset =
+    if (json.startsWith("{")) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      GraftStreamOffset(node.get("s").asText(), node.get("n").asInt(),
+        node.get("c").asInt(), node.get("t").asText())
+    } else GraftStreamOffset(json, 1, 0, json)
 }
 
 /**
  * V1 Structured Streaming source over a table's commit log — the change
- * feed (`changesAsDF`) as micro-batches: batch 0 is the snapshot at the
- * stream's first observed commit, each later batch is the rows added by
- * the commits in `(startToken, endToken]`. The same shape for all three
+ * feed (`changesAsDF`) as micro-batches: the initial snapshot first
+ * (chunked by file groups when `maxFilesPerTrigger` is set), then the
+ * rows added by each span of commits. The same shape for all three
  * formats (Delta versions, Iceberg snapshot ids, Hudi instants) — the
  * streaming twin of the reference's incremental sync pipeline (ref
  * `api/.../spi/extractor/ExtractFromSource.java:40-52`, SURVEY.md §2.9).
+ *
+ * Admission control (the 100 TB posture):
+ *  - `maxFilesPerTrigger` splits batch 0 — otherwise the ENTIRE table
+ *    snapshot funnels through one micro-batch and one checkpoint
+ *    barrier — into `ceil(files / max)` deterministic file-group
+ *    chunks, one per trigger.
+ *  - `maxCommitsPerTrigger` caps how many commits each later batch
+ *    spans, so a restart after a long gap drains the backlog in bounded
+ *    batches instead of one cluster-sized replay.
+ *  - the tail poll is incremental where the format allows it: Delta
+ *    probes only versions after the current position (contiguous
+ *    numbering) instead of re-listing the full `_delta_log`; Iceberg
+ *    reads one metadata.json; Hudi lists the active timeline only
+ *    (archival keeps it bounded).
+ *
+ * Offsets are self-describing ([[GraftStreamOffset]]), so a restart
+ * that lost the in-memory position replays correctly from the engine's
+ * offset log alone: `getBatch` derives every batch purely from the
+ * (start, end] offset pair.
  *
  * COW append/overwrite semantics: batches carry ADDED rows only
  * (removals are metadata); a Hudi rollback that revokes an instant the
@@ -30,13 +71,32 @@ final case class GraftStreamOffset(token: String) extends OffsetV1 {
  * any non-replayable history gap.
  */
 final class GraftChangeSource(
-    spark: SparkSession, fmt: String, path: String) extends Source {
+    spark: SparkSession, fmt: String, path: String,
+    /** The engine-provided source-private state dir; None = schema-only use. */
+    metadataPath: Option[String] = None,
+    maxCommitsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None) extends Source {
 
-  /** Commit tokens oldest → newest, re-listed per micro-batch. */
+  import java.nio.charset.StandardCharsets.UTF_8
+  import org.apache.hadoop.fs.Path
+
+  /** Commit tokens oldest → newest (full listing — stream start only). */
   private def tokens: Seq[String] = fmt match {
     case "delta"   => DeltaTable.forPath(spark, path).log.listVersions().map(_.toString)
     case "iceberg" => IcebergTable.forPath(spark, path).snapshotIds.map(_.toString)
     case "hudi"    => HudiTable.forPath(spark, path).instants
+  }
+
+  /** Tokens strictly after `tail` — the per-trigger poll. */
+  private def tokensAfter(tail: String): Seq[String] = fmt match {
+    case "delta" =>
+      DeltaTable.forPath(spark, path).log.listVersionsAfter(tail.toLong).map(_.toString)
+    case _ =>
+      // iceberg: one metadata.json read; hudi: active-timeline listing.
+      // Snapshot ids are not ordered by value — split on log position.
+      val ts = tokens
+      val i = ts.indexOf(tail)
+      if (i >= 0) ts.drop(i + 1) else ts.filter(_ > tail)
   }
 
   override val schema: StructType = fmt match {
@@ -45,20 +105,108 @@ final class GraftChangeSource(
     case "hudi"    => HudiTable.forPath(spark, path).toDF().schema
   }
 
-  override def getOffset: Option[OffsetV1] = tokens.lastOption.map(GraftStreamOffset)
+  /**
+   * The source's position, persisted under `metadataPath` across
+   * restarts (the V1 source-private-state pattern). Advisory only:
+   * every batch is derived purely from its (start, end] offsets, so a
+   * lost or torn position file can never lose or duplicate data — it
+   * only downgrades the NEXT proposal to an unchunked (but correct)
+   * one. `initializedBefore` distinguishes a genuinely fresh stream
+   * (chunked initial snapshot allowed) from a restart with a lost
+   * position (propose plain offsets; getBatch reconciles).
+   */
+  private val posPath: Option[Path] = metadataPath.map(m => new Path(m, "graft-pos"))
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+  private val (initialPos, initializedBefore): (Option[GraftStreamOffset], Boolean) =
+    posPath match {
+      case None => (None, false)
+      case Some(p) =>
+        val fsys = p.getFileSystem(hadoopConf)
+        if (!fsys.exists(p)) (None, false)
+        else (scala.util.Try {
+          val in = fsys.open(p)
+          try GraftStreamOffset.parse(new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), UTF_8))
+          finally in.close()
+        }.toOption, true)
+    }
+  @volatile private var lastSeen: Option[GraftStreamOffset] = initialPos
 
-  /** Works for live [[GraftStreamOffset]]s and the serialized offsets
-    * the runtime replays from the offset log (json IS the token). */
-  private def tokenOf(o: OffsetV1): String = o.json
+  private def advance(p: GraftStreamOffset): Unit = synchronized {
+    lastSeen = Some(p)
+    posPath.foreach { t =>
+      val fsys = t.getFileSystem(hadoopConf)
+      fsys.mkdirs(t.getParent)
+      val tmp = new Path(t.getParent, ".graft-pos-tmp")
+      val out = fsys.create(tmp, true)
+      try out.write(p.json.getBytes(UTF_8)) finally out.close()
+      fsys.delete(t, false)
+      fsys.rename(tmp, t)
+    }
+  }
+
+  private def chunksFor(snapTok: String): Int = maxFilesPerTrigger match {
+    case None => 1
+    case Some(m) =>
+      val files = fmt match {
+        case "delta"   => DeltaTable.forPath(spark, path).snapshotFileCount(Some(snapTok.toLong))
+        case "iceberg" => IcebergTable.forPath(spark, path).snapshotFileCount(Some(snapTok.toLong))
+        case "hudi"    => HudiTable.forPath(spark, path).snapshotFileCount(Some(snapTok))
+      }
+      math.max(1, math.ceil(files.toDouble / m).toInt)
+  }
+
+  override def getOffset: Option[OffsetV1] = synchronized {
+    val next = lastSeen match {
+      case None =>
+        tokens.lastOption.map { snapTok =>
+          // chunked batch 0 only on a genuinely fresh stream; after a
+          // lost position file, propose a plain offset — getBatch then
+          // derives the correct span from the engine's own offsets
+          if (initializedBefore) GraftStreamOffset(snapTok, 1, 0, snapTok)
+          else GraftStreamOffset(snapTok, chunksFor(snapTok), 0, snapTok)
+        }
+      case Some(p) if !p.complete =>
+        Some(p.copy(chunk = p.chunk + 1))
+      case Some(p) =>
+        val fresh = tokensAfter(p.tail)
+        if (fresh.isEmpty) Some(p) // unchanged json → engine sees no new data
+        else {
+          val step = maxCommitsPerTrigger.map(fresh.take).getOrElse(fresh)
+          Some(p.copy(tail = step.last))
+        }
+    }
+    next.foreach(advance)
+    next
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val endTok = tokenOf(end)
-    val batch = start.map(tokenOf) match {
-      case Some(s) if s == endTok =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(s) => changesBetween(s, endTok)
-      case None => snapshotAt(endTok)
+    val endP = GraftStreamOffset.parse(end.json)
+    val startP = start.map(o => GraftStreamOffset.parse(o.json))
+    // snapshot chunks still owed, derived from the offsets alone
+    val (snapOwner, chunkRange): (GraftStreamOffset, Range) = startP match {
+      case None => (endP, 0 to endP.chunk)
+      case Some(p) if !p.complete =>
+        // same snapshot: advance to end's chunk; a different end token
+        // means the in-memory position was lost mid-snapshot (restart) —
+        // finish this snapshot now, then the tail below covers the rest
+        if (p.snap == endP.snap) (p, (p.chunk + 1) to endP.chunk)
+        else (p, (p.chunk + 1) until p.chunks)
+      case Some(p) => (p, 0 until 0)
     }
+    val tailFrom = startP.map(_.tail).getOrElse(endP.snap)
+    val tailTo = endP.tail
+    val parts =
+      chunkRange.map(k => snapshotChunk(snapOwner.snap, k, snapOwner.chunks)) ++
+        (if (tailTo != tailFrom) Seq(changesBetween(tailFrom, tailTo)) else Seq.empty)
+    val batch = parts.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    // keep the advisory position in sync with what the engine replayed
+    advance(startP match {
+      case Some(p) if !p.complete && p.snap != endP.snap =>
+        p.copy(chunk = p.chunks - 1, tail = endP.tail)
+      case _ => endP
+    })
     // a stream's schema is fixed at start; evolved batches project back
     val aligned = batch.select(schema.fieldNames.map(col).toSeq: _*)
     // V1 contract: the returned frame must be a streaming Dataset
@@ -72,10 +220,10 @@ final class GraftChangeSource(
     case "hudi"    => HudiTable.forPath(spark, path).changesAsDF(fromExclusive, toInclusive)
   }
 
-  private def snapshotAt(token: String): DataFrame = fmt match {
-    case "delta"   => DeltaTable.forPath(spark, path).toDF(Some(token.toLong))
-    case "iceberg" => IcebergTable.forPath(spark, path).toDF(Some(token.toLong))
-    case "hudi"    => HudiTable.forPath(spark, path).toDF(Some(token))
+  private def snapshotChunk(token: String, chunk: Int, totalChunks: Int): DataFrame = fmt match {
+    case "delta"   => DeltaTable.forPath(spark, path).snapshotChunkDF(Some(token.toLong), chunk, totalChunks)
+    case "iceberg" => IcebergTable.forPath(spark, path).snapshotChunkDF(Some(token.toLong), chunk, totalChunks)
+    case "hudi"    => HudiTable.forPath(spark, path).snapshotChunkDF(Some(token), chunk, totalChunks)
   }
 
   override def commit(end: OffsetV1): Unit = ()

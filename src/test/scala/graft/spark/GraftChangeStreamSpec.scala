@@ -51,6 +51,93 @@ class GraftChangeStreamSpec extends SparkTestBase {
     assert(spark.table("s_hudi").count() == o.count())
   }
 
+  test("maxCommitsPerTrigger drains a 50-commit backlog in bounded batches") {
+    val dir = tmpDir("stream_admission")
+    val o = orders.limit(500)
+    val t = DeltaTable.create(spark, s"$dir/t", o.limit(10))
+    (1 to 50).foreach(i => t.append(o.limit(10), Seq.empty)) // 51 commits total
+    val q = spark.readStream.format("graft")
+      .option("maxCommitsPerTrigger", "10")
+      .load(s"$dir/t")
+      .writeStream.format("memory").queryName("s_admission")
+      .trigger(Trigger.ProcessingTime(10))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("s_admission").count() == 51 * 10)
+    // the backlog must NOT arrive as one batch: snapshot batch covers
+    // the stream-start commit, then ceil(0 remaining)/… — here all 51
+    // commits exist at start, so batch 0 is the snapshot and there are
+    // no tail commits; instead assert bounded TAIL draining below
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.nonEmpty)
+
+    // now a live backlog: 30 fresh commits against a running position
+    val q2 = spark.readStream.format("graft")
+      .option("maxCommitsPerTrigger", "10")
+      .load(s"$dir/t")
+      .writeStream.format("memory").queryName("s_admission2")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .trigger(Trigger.ProcessingTime(10))
+      .start()
+    q2.processAllAvailable() // snapshot lands
+    (1 to 30).foreach(_ => t.append(o.limit(10), Seq.empty))
+    q2.processAllAvailable() // backlog drains
+    q2.stop()
+    assert(spark.table("s_admission2").count() == 81 * 10)
+    val tail = q2.recentProgress.filter(_.numInputRows > 0).drop(1) // skip snapshot batch
+    assert(tail.length >= 3, s"30-commit backlog should take >=3 bounded batches, " +
+      s"took ${tail.length}: ${tail.map(_.numInputRows).mkString(",")}")
+    assert(tail.forall(_.numInputRows <= 10 * 10L),
+      s"a batch exceeded the 10-commit cap: ${tail.map(_.numInputRows).mkString(",")}")
+  }
+
+  test("maxFilesPerTrigger chunks the initial snapshot by file groups") {
+    val dir = tmpDir("stream_chunks")
+    val o = orders.limit(400)
+    DeltaTable.create(spark, s"$dir/t", o.repartition(8)) // 8 files
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "2")
+      .load(s"$dir/t")
+      .writeStream.format("memory").queryName("s_chunks")
+      .trigger(Trigger.ProcessingTime(10))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("s_chunks").count() == o.count())
+    assert(spark.table("s_chunks").select(sum(col("o_orderkey"))).head.getLong(0) ==
+      o.select(sum(col("o_orderkey"))).head.getLong(0))
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 4, // 8 files / 2 per trigger
+      s"snapshot should arrive as 4 chunks, got ${batches.length}: " +
+        batches.map(_.numInputRows).mkString(","))
+  }
+
+  test("chunked snapshot + checkpoint: restart resumes exactly, no re-delivery") {
+    val dir = tmpDir("stream_chunk_ckpt")
+    val o = orders.limit(400)
+    val t = DeltaTable.create(spark, s"$dir/t", o.repartition(6).filter(col("o_orderkey") % 2 === 0))
+    val ckpt = s"$dir/ckpt"
+    val out = s"$dir/out"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "2")
+        .option("maxCommitsPerTrigger", "1")
+        .load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(10)).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == o.filter(col("o_orderkey") % 2 === 0).count())
+    t.append(o.filter(col("o_orderkey") % 2 === 1), Seq.empty)
+    t.append(o.limit(7).withColumn("o_orderkey", col("o_orderkey") + 9000000L), Seq.empty)
+    drain()
+    assert(spark.read.parquet(out).count() == o.count() + 7)
+  }
+
   test("a checkpointed stream resumes from its offset, not from scratch") {
     val dir = tmpDir("stream_ckpt")
     val o = orders
