@@ -488,6 +488,31 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       extraActions = newAdds)
   }
 
+  /**
+   * ALTER TABLE-style schema replacement: commits `newSchema` verbatim —
+   * column drops and in-place updates allowed (the additive merge guards
+   * only implicit evolution-by-append). Partition columns must survive.
+   * NOTE: re-adding a previously dropped NAME reads old files' values
+   * back by name on a non-column-mapped table (Delta itself requires
+   * column mapping for true drop semantics); incremental sync replays
+   * schemas per commit, so targets still apply the drop before the
+   * re-add and retire field ids correctly.
+   */
+  def replaceSchema(newSchema: StructType): Long = {
+    requireWritable(mutation = false)
+    val (meta, _) = log.metadataAt(None)
+    meta.partitionColumns.foreach(c => require(newSchema.fieldNames.contains(c),
+      s"cannot drop partition column $c of $tablePath"))
+    val v = latestVersion + 1
+    require(log.commit(v, Seq(
+      meta.copy(schemaString = newSchema.json),
+      CommitInfo(System.currentTimeMillis(), "REPLACE COLUMNS",
+        Map("columns" -> newSchema.fieldNames.mkString(","))))),
+      s"concurrent commit detected at version $v of $tablePath; re-run the operation")
+    log.maybeCheckpoint(v)
+    v
+  }
+
   /** REORG-style purge: physically rewrite every file that carries a
     * deletion vector (deletes applied), in one commit — after which the
     * snapshot is DV-free and metadata-only sync is possible again. */

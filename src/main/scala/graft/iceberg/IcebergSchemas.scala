@@ -129,9 +129,16 @@ object IcebergSchemas {
    * reused even across drops (ref add-column path
    * `core/.../iceberg/IcebergSchemaSync.java:46-135`). Dropped columns
    * simply leave the current schema; their ids stay retired.
+   *
+   * `historicalLastId` is the table's persisted `last-column-id`: after
+   * a DROP, the current schema's max id can be LOWER than ids the table
+   * once assigned, and flooring only at the schema would let a re-added
+   * column resurrect a retired id (found by SchemaCodecProperties).
    */
-  def evolveSchema(existing: StructType, incoming: StructType): StructType = {
-    var next = lastAssignedId(existing)
+  def evolveSchema(
+      existing: StructType, incoming: StructType,
+      historicalLastId: Int = 0): StructType = {
+    var next = math.max(lastAssignedId(existing), historicalLastId)
     def nextId(): Int = { next += 1; next }
     def walkStruct(ex: Option[StructType], in: StructType): StructType =
       StructType(in.fields.map { f =>
@@ -158,7 +165,8 @@ object IcebergSchemas {
     }
     // floor at the table's historical max id so reallocation (new
     // fields, shape changes) can never resurrect a retired id
-    ensureCollectionIds(walkStruct(Some(existing), incoming), lastAssignedId(existing))
+    ensureCollectionIds(walkStruct(Some(existing), incoming),
+      math.max(lastAssignedId(existing), historicalLastId))
   }
 
   def fieldId(f: StructField): Option[Int] =

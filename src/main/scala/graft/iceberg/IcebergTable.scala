@@ -689,7 +689,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // produces a new schema entry with stable ids for matching fields
     // (was: silent drop of the changed schema)
     val idSchema = prev match {
-      case Some((_, m)) => IcebergSchemas.evolveSchema(m.schema, df.schema)
+      case Some((_, m)) => IcebergSchemas.evolveSchema(m.schema, df.schema, m.lastColumnId)
       case None => IcebergSchemas.assignFieldIds(df.schema)
     }
     // hidden partitioning: transform fields materialize only as
@@ -774,7 +774,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
           Thread.sleep(scala.util.Random.nextInt(20 * attempt) + 1L)
           prevState = log.readLatest()
           val fresh = prevState match {
-            case Some((_, m)) => IcebergSchemas.evolveSchema(m.schema, df.schema)
+            case Some((_, m)) => IcebergSchemas.evolveSchema(m.schema, df.schema, m.lastColumnId)
             case None => IcebergSchemas.assignFieldIds(df.schema)
           }
           require(fresh.json == idSchema.json,
@@ -938,7 +938,9 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val next = base.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
-      lastColumnId = IcebergSchemas.lastAssignedId(idSchema),
+      // monotonic across drops: last-column-id is the table's HISTORY,
+      // not the current schema's max (retired ids stay retired)
+      lastColumnId = math.max(base.lastColumnId, IcebergSchemas.lastAssignedId(idSchema)),
       currentSchemaId = schemaId,
       schema = idSchema,
       partitionSpec = specFields,
@@ -1122,7 +1124,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val defByName = defs.map(d => d.fieldName -> d).toMap
     val identityCols = defs.filter(_.isIdentity).map(_.fieldName).toSet
     val idSchema = prev match {
-      case Some((_, m)) => IcebergSchemas.evolveSchema(m.schema, schema)
+      case Some((_, m)) => IcebergSchemas.evolveSchema(m.schema, schema, m.lastColumnId)
       case None => IcebergSchemas.assignFieldIds(schema)
     }
     val entries = adds.map { f =>

@@ -94,6 +94,28 @@ object SyncQueries {
         //    spark.read/write.format("graft") (format auto-detected)
         o.write.format("graft").option("format", "iceberg").save(s"$root/ds_tbl")
 
+        // 8. schema drop + re-add replay (ref IcebergSchemaSync.java:46-135
+        //    deletes-first): the Delta source drops o_totalprice, overwrites
+        //    with narrower files, re-adds the name, appends wider files —
+        //    the incremental sync replays each commit's OWN schema, so the
+        //    Iceberg target retires the old field id before the re-add
+        //    mints a fresh one
+        val o3 = o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val sdSrc = DeltaTable.create(spark, s"$root/sd_src",
+          o3.filter(col("o_orderkey") % 3 === 0))
+        SyncEngine.sync(
+          SyncEngine.deltaSource(sdSrc), SyncEngine.icebergTarget(spark, s"$root/sd_tgt"))
+        val narrow = StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType)))
+        sdSrc.replaceSchema(narrow)
+        sdSrc.overwrite(o3.filter(col("o_orderkey") % 3 === 1).drop("o_totalprice"), Seq.empty)
+        sdSrc.replaceSchema(StructType(narrow.fields :+
+          StructField("o_totalprice", DoubleType)))
+        sdSrc.append(o3.filter(col("o_orderkey") % 3 === 2), Seq.empty)
+        val r8 = SyncEngine.sync(
+          SyncEngine.deltaSource(sdSrc), SyncEngine.icebergTarget(spark, s"$root/sd_tgt"))
+        require(r8.mode == "incremental", s"expected incremental sd replay, got ${r8.mode}")
+
         root
       })
     }
@@ -211,6 +233,34 @@ object SyncQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM (SELECT 'delta' AS fmt UNION ALL SELECT 'hudi' UNION ALL SELECT 'iceberg') fmts, orders
         |GROUP BY fmt, o_orderstatus ORDER BY fmt, o_orderstatus""".stripMargin),
+
+    // Schema drops replay onto the target: after the source dropped,
+    // overwrote, re-added, and appended, the target's rows from files
+    // written while the column was dropped read back NULL — never the
+    // resurrected old values (the re-added column is a NEW field id).
+    QueryDef.sql(
+      "x08_schema_drop_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        IcebergTable.forPath(spark, s"$root/sd_tgt").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            count(col("o_totalprice")).as("price_rows"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  COUNT(o_totalprice) AS price_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 2
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     // The registered DataSource: a table written AND read back through
     // format("graft") answers identically to DuckDB on the source rows.

@@ -98,7 +98,9 @@ object SyncEngine {
         val (adds, removes) = source.changes(v)
         // a late replay never regresses the watermark
         highWater = source.laterOf(highWater, v)
-        target.commit(source.schema, source.partitionColumns, source.dataRoot,
+        // the schema AT v, not the current one: drops replay before
+        // re-adds, so retired field ids stay retired on the target
+        target.commit(source.schemaAtVersion(v), source.partitionColumns, source.dataRoot,
           adds, removes,
           keyProps ++ Map(SourceIdProp -> source.sourceId, VersionProp -> highWater,
             InflightProp -> stillInflight.mkString(",")),
@@ -201,6 +203,13 @@ trait SyncSource {
   def isCompleted(v: String): Boolean = versionExists(v)
   /** Versions strictly after `v`, oldest first. */
   def versionsAfter(v: String): Seq[String]
+  /** Schema AT a replayed version — incremental replay must apply each
+    * commit's schema in order (deletes FIRST), or a column dropped and
+    * later re-added would keep its retired field id on the target and
+    * resurrect old data (ref `core/.../iceberg/IcebergSchemaSync.java:46-135`
+    * emits deletes before adds). Falls back to the current schema for
+    * formats that don't version schemas per commit. */
+  def schemaAtVersion(v: String): StructType = schema
   def snapshotFiles(): Seq[InternalDataFile]
   /** Adds + removed paths of one version. */
   def changes(v: String): (Seq[InternalDataFile], Seq[String])
@@ -263,12 +272,16 @@ private final class DeltaSource(t: DeltaTable) extends SyncSource {
   }
   /** Source data schema: generated transform columns are the TARGET
     * codec's concern (hidden in Iceberg, regenerated for Delta). */
-  def schema: StructType = {
-    val gen = defs.filterNot(_.isIdentity).map(_.fieldName).toSet
-    StructType(t.schemaAt(None)._1
+  private def schemaFor(asOf: Option[Long]): StructType = {
+    val (sch, partCols) = t.schemaAt(asOf)
+    val gen = DeltaTable.partitionDefsOf(sch, partCols)
+      .filterNot(_.isIdentity).map(_.fieldName).toSet
+    StructType(sch
       .filterNot(f => gen.contains(f.name))
       .map(_.copy(metadata = Metadata.empty)))
   }
+  def schema: StructType = schemaFor(None)
+  override def schemaAtVersion(v: String): StructType = schemaFor(Some(v.toLong))
   def partitionColumns: Seq[String] = defs.map(_.spec)
   def currentVersion: String = t.latestVersion.toString
   def versionExists(v: String): Boolean =
@@ -388,6 +401,7 @@ private final class HudiSource(t: HudiTable) extends SyncSource {
   def sourceId = s"hudi:${t.tablePath}"
   def dataRoot: String = t.dataRoot
   def schema: StructType = t.schemaAt(None)
+  override def schemaAtVersion(v: String): StructType = t.schemaAt(Some(v))
   def partitionColumns: Seq[String] = t.partitionColumns
   /** Newest feed instant — maintenance instants advance the watermark
     * too, so a rollback is never replayed twice. */

@@ -164,6 +164,36 @@ object SchemaCodecProperties extends Properties("SchemaCodecs") {
       stable && fresh
     }
 
+  property("iceberg evolution is idempotent: re-applying the same incoming schema is a no-op") =
+    forAll(icebergSchemaGen, icebergSchemaGen) { (a, b) =>
+      val base = IcebergSchemas.assignFieldIds(a)
+      val once = IcebergSchemas.evolveSchema(base, b)
+      val twice = IcebergSchemas.evolveSchema(once, b)
+      once.json == twice.json
+    }
+
+  property("iceberg evolution: a dropped-then-readded column gets a FRESH id (deletes-first)") =
+    forAll(icebergSchemaGen) { a =>
+      // a duplicate of the victim's name surviving the drop would keep
+      // the name alive — only distinct-name schemas exercise the claim
+      if (a.fields.length < 2 || a.fieldNames.distinct.length != a.fields.length) true
+      else {
+        val base = IcebergSchemas.assignFieldIds(a)
+        val victim = base.fields.head
+        val victimId = victim.metadata.getLong(IcebergSchemas.FieldIdKey).toInt
+        // replay with the persisted last-column-id as the floor, the way
+        // the table does: drop the column, then re-add the name + type
+        val lastId = IcebergSchemas.lastAssignedId(base)
+        val dropped = IcebergSchemas.evolveSchema(base, StructType(a.fields.tail), lastId)
+        val readded = IcebergSchemas.evolveSchema(
+          dropped, StructType(dropped.fields.map(f => f.copy(metadata = Metadata.empty)) :+
+            victim.copy(metadata = Metadata.empty)),
+          math.max(lastId, IcebergSchemas.lastAssignedId(dropped)))
+        val newId = readded.fields.last.metadata.getLong(IcebergSchemas.FieldIdKey).toInt
+        newId != victimId && newId > lastId
+      }
+    }
+
   // -------------------------------------------------- delta stats codec
 
   private def statValueGen(dt: DataType): Gen[String] = dt match {

@@ -54,6 +54,38 @@ class SyncEngineSpec extends SparkTestBase {
     assert(checksum(tgt.toDF()) == checksum(src.toDF()))
   }
 
+  test("schema drop + re-add replays deletes-first: target retires the field id") {
+    val dir = tmpDir("sync_schema_drop")
+    import org.apache.spark.sql.types._
+    val src = DeltaTable.create(spark, s"$dir/src", orders.filter(col("o_orderkey") % 3 === 0))
+    SyncEngine.sync(SyncEngine.deltaSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    val tgt0 = IcebergTable.forPath(spark, s"$dir/tgt")
+    val priceId0 = graft.iceberg.IcebergSchemas.fieldId(
+      tgt0.currentMetadata.schema("o_totalprice")).get
+    // source: drop the column, overwrite with narrower files, re-add, append
+    val narrow = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType)))
+    src.replaceSchema(narrow)
+    src.overwrite(orders.filter(col("o_orderkey") % 3 === 1)
+      .drop("o_totalprice"), Seq.empty)
+    src.replaceSchema(StructType(narrow.fields :+ StructField("o_totalprice", DoubleType)))
+    src.append(orders.filter(col("o_orderkey") % 3 === 2)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")), Seq.empty)
+    val res = SyncEngine.sync(
+      SyncEngine.deltaSource(src), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    assert(res.mode == "incremental")
+    val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
+    // deletes-first: the re-added column is a NEW Iceberg column
+    val priceId1 = graft.iceberg.IcebergSchemas.fieldId(
+      tgt.currentMetadata.schema("o_totalprice")).get
+    assert(priceId1 != priceId0, "re-added column kept its retired field id")
+    // rows written while the column was dropped read back NULL
+    val out = tgt.toDF()
+    assert(out.filter(col("o_orderkey") % 3 === 1 && col("o_totalprice").isNotNull).count() == 0)
+    assert(out.filter(col("o_orderkey") % 3 === 2 && col("o_totalprice").isNull).count() == 0)
+    assert(out.count() == orders.filter(col("o_orderkey") % 3 =!= 0).count())
+  }
+
   test("full Iceberg -> Delta sync round-trips stats so skipping still works") {
     val dir = tmpDir("sync_i2d")
     val src = IcebergTable.create(spark, s"$dir/src",
