@@ -37,8 +37,20 @@ final case class HudiCleanMetadata(
   def deletedFiles: Seq[String] = partitionToDeleteFiles.values.flatten.toSeq
 }
 
+/** Savepoint-instant metadata: the data instant it guards and the files
+  * live at that instant, per partition (HoodieSavepointMetadata shape:
+  * savepointedAt + partitionMetadata.savepointDataFile). Rollback,
+  * restore, and archival must leave savepointed history untouched; the
+  * sync backlog excludes savepoints entirely (ref
+  * `core/.../hudi/HudiClient.java:233-252`). */
+final case class HudiSavepointMetadata(
+    savepointedAt: String,
+    partitionToFiles: Map[String, Seq[String]]) {
+  def files: Seq[String] = partitionToFiles.values.flatten.toSeq
+}
+
 /**
- * Jackson codecs for the three maintenance-instant JSON shapes. Field
+ * Jackson codecs for the maintenance-instant JSON shapes. Field
  * names follow the Hudi avro record fields (commitsRollback,
  * partitionMetadata.successDeleteFiles, earliestCommitToRetain, …) so
  * the files read like their native counterparts.
@@ -136,5 +148,34 @@ object HudiMaintenanceCodec {
       earliestCommitToRetain =
         Option(root.get("earliestCommitToRetain")).map(_.asText()).getOrElse(""),
       partitionToDeleteFiles = parts)
+  }
+
+  // ------------------------------------------------------------ savepoint
+
+  def savepointToJson(m: HudiSavepointMetadata): String = {
+    val root = mapper.createObjectNode()
+    root.put("savepointedAt", m.savepointedAt)
+    root.put("savepointedBy", "graft")
+    val pm = root.putObject("partitionMetadata")
+    m.partitionToFiles.toSeq.sortBy(_._1).foreach { case (pp, files) =>
+      val n = pm.putObject(pp)
+      n.put("partitionPath", pp)
+      val arr = n.putArray("savepointDataFile")
+      files.foreach(arr.add)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def savepointFromJson(json: String): HudiSavepointMetadata = {
+    val root = mapper.readTree(json)
+    val parts = Option(root.get("partitionMetadata")).map { node =>
+      node.properties().asScala.map { e =>
+        e.getKey -> Option(e.getValue.get("savepointDataFile")).toSeq
+          .flatMap(_.elements().asScala.map(_.asText()))
+      }.toMap
+    }.getOrElse(Map.empty)
+    HudiSavepointMetadata(
+      savepointedAt = Option(root.get("savepointedAt")).map(_.asText()).getOrElse(""),
+      partitionToFiles = parts)
   }
 }

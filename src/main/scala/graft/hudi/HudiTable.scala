@@ -747,12 +747,59 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
   def rollback(): String = {
     val target = timeline.completedInstants().lastOption.getOrElse(
       throw new IllegalStateException(s"nothing to roll back on $tablePath"))
+    require(!savepointedInstants.contains(target.time),
+      s"cannot roll back ${target.time} of $tablePath: it is savepointed; " +
+        "delete the savepoint first")
     val rollbackTime = timeline.nextInstantTime()
     val meta = rollbackOne(target)
     require(timeline.commitJson(HudiInstant(rollbackTime, "rollback"),
       HudiMaintenanceCodec.rollbackToJson(rollbackTime, meta)),
       s"concurrent hudi commit at $rollbackTime of $tablePath")
     rollbackTime
+  }
+
+  /**
+   * Savepoint the table at `atInstant` (default: the latest data
+   * instant): a `.savepoint` timeline instant recording the files live
+   * at that instant. Savepointed history is untouchable — rollback and
+   * restore refuse to revoke it, archival keeps it on the active
+   * timeline, and the incremental sync backlog ignores savepoints
+   * entirely (ref `core/.../hudi/HudiClient.java:233-252`). Returns the
+   * savepoint's instant time.
+   */
+  def savepoint(atInstant: Option[String] = None): String = {
+    val at = atInstant.getOrElse(latestInstant)
+    require(instants.contains(at), s"no data instant $at on $tablePath")
+    val byPartition = fileSlices(Some(at))
+      .flatMap(s => (s.basePath +: s.logs.map(_.path)).map(p => s.partitionPath -> absoluteOf(p)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val spTime = timeline.nextInstantTime()
+    require(timeline.commitJson(HudiInstant(spTime, "savepoint"),
+      HudiMaintenanceCodec.savepointToJson(HudiSavepointMetadata(at, byPartition))),
+      s"concurrent hudi commit at $spTime of $tablePath")
+    spTime
+  }
+
+  /** Active savepoints as (savepoint time, savepointed data instant). */
+  def savepoints: Seq[(String, String)] =
+    timeline.allCompletedInstants().filter(_.action == "savepoint")
+      .map(i => i.time ->
+        HudiMaintenanceCodec.savepointFromJson(timeline.readInstantJson(i)).savepointedAt)
+
+  /** Data instants some active savepoint guards. */
+  def savepointedInstants: Set[String] = savepoints.map(_._2).toSet
+
+  /** Files (normalized URI paths) any active savepoint protects. */
+  private def savepointedFiles: Set[String] =
+    timeline.allCompletedInstants().filter(_.action == "savepoint")
+      .flatMap(i => HudiMaintenanceCodec.savepointFromJson(timeline.readInstantJson(i)).files)
+      .map(p => new Path(p).toUri.getPath).toSet
+
+  /** Drop a savepoint, making its history rollback-eligible again. */
+  def deleteSavepoint(savepointTime: String): Unit = {
+    require(savepoints.exists(_._1 == savepointTime),
+      s"no savepoint $savepointTime on $tablePath")
+    timeline.deleteInstant(HudiInstant(savepointTime, "savepoint"))
   }
 
   /**
@@ -766,6 +813,10 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     require(instants.contains(toInstant), s"no instant $toInstant on $tablePath")
     val doomed = instants.filter(_ > toInstant).reverse
       .map(t => timeline.completedInstants().find(_.time == t).get)
+    val guarded = doomed.map(_.time).filter(savepointedInstants.contains)
+    require(guarded.isEmpty,
+      s"cannot restore $tablePath to $toInstant: instants ${guarded.mkString(", ")} " +
+        "are savepointed; delete the savepoint(s) first")
     val restoreTime = timeline.nextInstantTime()
     val rollbacks = doomed.map(rollbackOne)
     require(timeline.commitJson(HudiInstant(restoreTime, "restore"),
@@ -783,9 +834,13 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val byPartition = meta.partitionToWriteStats.map { case (pp, stats) =>
       pp -> stats.map(ws => absoluteOf(ws.path))
     }
+    // belt to the instant-level guards: never delete a file some active
+    // savepoint recorded, whatever instant is being revoked
+    val guardedFiles = savepointedFiles
     byPartition.valuesIterator.flatten.foreach { p =>
       val path = new Path(p)
-      if (path.toUri.getPath.startsWith(baseUriPath)) fs.delete(path, false)
+      if (path.toUri.getPath.startsWith(baseUriPath) &&
+          !guardedFiles.contains(path.toUri.getPath)) fs.delete(path, false)
     }
     timeline.deleteInstant(target)
     // the revoked instant's stats must not outlive it

@@ -222,7 +222,14 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
     require(minActive <= maxActive, s"minActive $minActive > maxActive $maxActive")
     val active = activeCompletedInstants()
     if (active.size <= maxActive) return 0
+    // real-Hudi archival discipline: never archive a savepoint instant,
+    // and never archive at-or-past the earliest SAVEPOINTED data
+    // instant — the history a savepoint guards stays active
+    val savepointFence = active.filter(_.action == "savepoint")
+      .map(i => HudiMaintenanceCodec.savepointFromJson(readInstantJson(i)).savepointedAt)
+      .minOption
     val toArchive = active.dropRight(minActive)
+      .filter(i => i.action != "savepoint" && savepointFence.forall(i.time < _))
     fs.mkdirs(archivedDir)
     toArchive.foreach { i =>
       fs.rename(new Path(hoodieDir, i.fileName), new Path(archivedDir, i.fileName))
@@ -251,7 +258,7 @@ object HudiTimeline {
 
   private val CompletedRe = "^(\\d{14}|\\d{17})\\.(commit|replacecommit|deltacommit)$".r
   private val AnyCompletedRe =
-    "^(\\d{14}|\\d{17})\\.(commit|replacecommit|deltacommit|rollback|restore|clean)$".r
+    "^(\\d{14}|\\d{17})\\.(commit|replacecommit|deltacommit|rollback|restore|clean|savepoint)$".r
 
   private val Utc = ZoneId.of("UTC")
   private val MillisFormatter: DateTimeFormatter =

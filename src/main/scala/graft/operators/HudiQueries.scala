@@ -108,6 +108,23 @@ object HudiQueries {
         buildMor(s"$root/orders_mor")
         buildMor(s"$root/orders_mor_compacted").compactMor()
 
+        // 9. savepointed timeline (h13): savepoint the two-commit state,
+        //    append junk, roll the junk back (allowed: not savepointed),
+        //    verify the savepointed instant itself REFUSES rollback —
+        //    reads over a savepoint-bearing timeline must be unaffected
+        //    (real Hudi protects savepointed history; the sync backlog
+        //    ignores savepoints, ref HudiClient.java:233-252)
+        val t9 = HudiTable.create(
+          spark, s"$root/orders_savepointed", o.filter(col("o_orderkey") % 2 === 0))
+        t9.append(o.filter(col("o_orderkey") % 2 === 1))
+        t9.savepoint(None)
+        t9.append(o.limit(100).withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+        t9.rollback() // junk commit is not savepointed: allowed
+        val blocked = // the savepointed instant must refuse revocation
+          try { t9.rollback(); false }
+          catch { case e: IllegalArgumentException => e.getMessage.contains("savepointed") }
+        require(blocked, "h13 fixture: rollback of a savepointed instant must fail")
+
         root
       })
     }
@@ -368,6 +385,26 @@ object HudiQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM feed GROUP BY _change_type, o_orderstatus
         |ORDER BY _change_type, o_orderstatus""".stripMargin),
+
+    // Savepointed timeline: after savepoint + junk-append + rollback
+    // (and a REFUSED rollback of the savepointed instant), the snapshot
+    // still answers exactly the pre-junk state — savepoints are timeline
+    // no-ops for reads and diffs, fences for destructive maintenance.
+    QueryDef.sql(
+      "h13_hudi_savepoint",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "orders_savepointed")
+        t.toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     QueryDef.sql(
       "x04_tri_format_equality",

@@ -234,4 +234,50 @@ class HudiTableSpec extends SparkTestBase {
     assert(t.instantForTimestamp(ts0) == i0)
     assert(t.instantForTimestamp(System.currentTimeMillis() + 10000) == t.instants.last)
   }
+
+  test("savepoint blocks rollback/restore of guarded instants; deleteSavepoint re-enables") {
+    val dir = tmpDir("hudi_sp")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val t = HudiTable.create(spark, s"$dir/t", src.filter(col("o_orderkey") % 2 === 0))
+    val i0 = t.latestInstant
+    t.append(src.filter(col("o_orderkey") % 2 === 1))
+    val sp = t.savepoint(None) // guards the odd-keys commit
+    assert(t.savepoints == Seq(sp -> t.latestInstant))
+    val before = t.toDF().count()
+    // the guarded instant refuses rollback; restore across it refuses too
+    val e = intercept[IllegalArgumentException](t.rollback())
+    assert(e.getMessage.contains("savepointed"))
+    val e2 = intercept[IllegalArgumentException](t.restoreTo(i0))
+    assert(e2.getMessage.contains("savepointed"))
+    assert(t.toDF().count() == before, "refused maintenance must not touch data")
+    // an unguarded later commit still rolls back fine
+    t.append(src.limit(50).withColumn("o_orderkey", col("o_orderkey") + 7000000L))
+    t.rollback()
+    assert(t.toDF().count() == before)
+    // dropping the savepoint re-enables rollback of the guarded instant
+    t.deleteSavepoint(sp)
+    t.rollback()
+    assert(t.toDF().count() == src.filter(col("o_orderkey") % 2 === 0).count())
+  }
+
+  test("archival never moves a savepoint or the history it guards off the active timeline") {
+    val dir = tmpDir("hudi_sp_archive")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus")).limit(200)
+    val t = HudiTable.create(spark, s"$dir/t", src.limit(20))
+    val guardedInstant = t.latestInstant
+    t.savepoint(None) // guards the very first commit
+    (1 to 12).foreach(_ => t.append(src.limit(5)))
+    val archived = t.timeline.archiveIfNeeded(maxActive = 6, minActive = 3)
+    val active = t.timeline.activeCompletedInstants()
+    // the savepoint AND its guarded instant stay active
+    assert(active.exists(_.action == "savepoint"))
+    assert(active.exists(i => i.time == guardedInstant))
+    // nothing at-or-after the guarded instant was archived — here that
+    // means nothing at all, savepointing the first commit
+    assert(archived == 0)
+    // reads still correct with the savepoint on the timeline
+    assert(t.toDF().count() == 20 + 12 * 5)
+  }
 }
