@@ -63,12 +63,19 @@ object HudiColStats {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = dir(tablePath).getFileSystem(hconf)
     fs.mkdirs(dir(tablePath))
-    val staging = new Path(dir(tablePath), s".staging-$instant")
+    // uuid-suffixed staging: two optimistic writers racing the same
+    // instant time must not clobber each other's staging dir
+    val staging = new Path(dir(tablePath),
+      s".staging-$instant-${java.util.UUID.randomUUID().toString.take(8)}")
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), IndexSchema)
       .write.mode("overwrite").parquet(staging.toString)
     val part = fs.listStatus(staging).map(_.getPath)
       .find(p => p.getName.endsWith(".parquet")).get
+    // an existing target can only be an orphan of a FAILED commit of
+    // this same instant time (readers resolve through the completed
+    // timeline) — replace it
+    fs.delete(indexFile(tablePath, instant), false)
     require(fs.rename(part, indexFile(tablePath, instant)),
       s"failed to place col_stats index for $instant")
     fs.delete(staging, true)

@@ -410,7 +410,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     var inserts = routed.filter(col("__fid").isNull)
     if (hasTomb) inserts = inserts.filter(!coalesce(col("_hoodie_is_deleted"), lit(false)))
     val insertDF = inserts.select(dataCols.map(n => col(s"`$n`")): _*)
-    val placedStats = writeBaseFiles(insertDF, partitionColumns, instant)
+    val (placedStats, placedColStats) = writeBaseFiles(insertDF, partitionColumns, instant)
     val logWriteStats = logStats.map { case (pp, fid, rel, size, count) =>
       pp -> HudiWriteStat(fileId = fid, path = rel,
         prevCommit = instants.lastOption.getOrElse("null"),
@@ -428,6 +428,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       operationType = "UPSERT")
     require(timeline.commit(HudiInstant(instant, "deltacommit"), meta),
       s"concurrent hudi commit at $instant of $tablePath")
+    HudiColStats.write(spark, tablePath, instant, placedColStats)
     instant
   }
 
@@ -615,9 +616,10 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     * from a failed commit is unreachable), and return the write stats
     * keyed by partition path. */
   private def writeBaseFiles(
-      df: DataFrame, partCols: Seq[String], instant: String): Seq[(String, HudiWriteStat)] = {
+      df: DataFrame, partCols: Seq[String], instant: String):
+      (Seq[(String, HudiWriteStat)], Seq[(String, String, Seq[graft.model.ColumnStatRow])]) = {
     val placed = StagedWrites.writeAndPlace(df, tablePath, partCols)
-    if (placed.isEmpty) return Seq.empty
+    if (placed.isEmpty) return (Seq.empty, Seq.empty)
     val fs = new Path(tablePath).getFileSystem(hconf)
     val renamed = placed.map { p =>
       val src = new Path(p)
@@ -643,11 +645,15 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         numWrites = st.recordCount,
         fileSizeInBytes = st.fileSizeBytes)
     }
-    HudiColStats.write(spark, tablePath, instant, stats.map { st =>
+    // col_stats rows are RETURNED, not written here: the optimistic
+    // commit loop may rebase onto a fresh instant, and the index file is
+    // keyed by the instant that actually wins (stats absence never
+    // excludes files, so post-commit placement is always safe)
+    val colStats = stats.map { st =>
       val rel = new Path(st.path).toUri.getPath.stripPrefix(base)
       (rel.split("/").dropRight(1).mkString("/"), new Path(st.path).getName, st.columns)
-    })
-    writeStats
+    }
+    (writeStats, colStats)
   }
 
   private def write(
@@ -686,50 +692,96 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val partCols = defs.map(_.fieldName)
     val dfWithGen = genDefs.foldLeft(df)((d, t) =>
       d.withColumn(t.fieldName, graft.model.PartitionTransform.valueExpr(t)))
-    val instant = timeline.nextInstantTime()
-    val writeStats = writeBaseFiles(dfWithGen, partCols, instant)
-    val replaceIds: Map[String, Seq[String]] =
-      if (overwrite && instants.nonEmpty)
-        fileSlicesDF(None).select("partitionPath", "fileId").collect().toSeq
-          .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
-      else if (replacing.nonEmpty && instants.nonEmpty) {
-        val rs = replacing.map(HudiTable.normalize).toSet
-        fileSlicesDF(None).select("partitionPath", "fileId", "path").collect().toSeq
-          .filter(r => rs.contains(HudiTable.normalize(absoluteOf(r.getString(2)))))
-          .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
-      } else Map.empty
-    // createMor pre-writes MOR properties before the first commit —
-    // never clobber an existing hoodie.properties
-    if (instants.isEmpty && !timeline.exists)
-      timeline.writeProperties(HudiTable.tableProperties(tablePath, partCols,
-        if (genDefs.isEmpty) Map.empty
-        else Map(HudiTable.PartitionSpecsProp -> defs.map(_.spec).mkString(";"))))
-    // additive schema evolution, same contract as the Delta path: a
-    // narrower append never drops existing columns, type changes are
-    // rejected, new columns join at the end
-    val storedSchema =
-      if (instants.isEmpty) dfWithGen.schema
-      else HudiTable.mergeSchemas(schemaAt(None), dfWithGen.schema, tablePath)
-    val meta = HudiCommitMetadata(
-      partitionToWriteStats = writeStats.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
-      partitionToReplaceFileIds = replaceIds,
-      // partition fields (incl. materialized transforms) are part of the
-      // Hudi table schema, matching the hive-style layout convention
-      extraMetadata = Map("schema" -> AvroSchemaConverters.toAvro(storedSchema).toString)
-        ++ commitProps,
-      operationType =
-        if (overwrite) "INSERT_OVERWRITE_TABLE"
-        else if (replacing.nonEmpty) "CLUSTER"
-        else "INSERT")
-    // MOR data writes land as deltacommits (Hudi convention); replaces
-    // (clustering/compaction/overwrite) stay replacecommits on both types
-    val action =
-      if (replaceIds.nonEmpty) "replacecommit"
-      else if (isMor) "deltacommit"
-      else "commit"
-    require(timeline.commit(HudiInstant(instant, action), meta),
-      s"concurrent hudi commit at $instant of $tablePath")
+    var instant = timeline.nextInstantTime()
+    var (writeStats, colStats) = writeBaseFiles(dfWithGen, partCols, instant)
+    // Optimistic-concurrency loop, same shape as the Delta/Iceberg
+    // writers: Hudi commits are keyed by INSTANT TIME, so losing the
+    // put-if-absent race means rebasing onto a fresh instant — the
+    // staged base files are renamed (their names embed the commit
+    // instant) and snapshot-dependent state (replace set, schema merge,
+    // prevCommit) is re-derived against the racer's timeline.
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      val replaceIds: Map[String, Seq[String]] =
+        if (overwrite && instants.nonEmpty)
+          fileSlicesDF(None).select("partitionPath", "fileId").collect().toSeq
+            .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+        else if (replacing.nonEmpty && instants.nonEmpty) {
+          val rs = replacing.map(HudiTable.normalize).toSet
+          val live = fileSlicesDF(None).select("partitionPath", "fileId", "path").collect().toSeq
+            .filter(r => rs.contains(HudiTable.normalize(absoluteOf(r.getString(2)))))
+          require(live.size == replacing.size,
+            s"compaction conflict at $tablePath: a concurrent commit replaced " +
+              "file groups this clustering rewrote")
+          live.groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+        } else Map.empty
+      // createMor pre-writes MOR properties before the first commit —
+      // never clobber an existing hoodie.properties
+      if (instants.isEmpty && !timeline.exists)
+        timeline.writeProperties(HudiTable.tableProperties(tablePath, partCols,
+          if (genDefs.isEmpty) Map.empty
+          else Map(HudiTable.PartitionSpecsProp -> defs.map(_.spec).mkString(";"))))
+      // additive schema evolution, same contract as the Delta path: a
+      // narrower append never drops existing columns, type changes are
+      // rejected, new columns join at the end
+      val storedSchema =
+        if (instants.isEmpty) dfWithGen.schema
+        else HudiTable.mergeSchemas(schemaAt(None), dfWithGen.schema, tablePath)
+      val meta = HudiCommitMetadata(
+        partitionToWriteStats = writeStats.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
+        partitionToReplaceFileIds = replaceIds,
+        // partition fields (incl. materialized transforms) are part of the
+        // Hudi table schema, matching the hive-style layout convention
+        extraMetadata = Map("schema" -> AvroSchemaConverters.toAvro(storedSchema).toString)
+          ++ commitProps,
+        operationType =
+          if (overwrite) "INSERT_OVERWRITE_TABLE"
+          else if (replacing.nonEmpty) "CLUSTER"
+          else "INSERT")
+      // MOR data writes land as deltacommits (Hudi convention); replaces
+      // (clustering/compaction/overwrite) stay replacecommits on both types
+      val action =
+        if (replaceIds.nonEmpty) "replacecommit"
+        else if (isMor) "deltacommit"
+        else "commit"
+      if (timeline.commit(HudiInstant(instant, action), meta)) {
+        // the index file is keyed by the instant that actually WON;
+        // post-commit placement is safe (stats absence never excludes)
+        HudiColStats.write(spark, tablePath, instant, colStats)
+        committed = true
+      } else {
+        require(attempt < 10,
+          s"concurrent commit contention at $tablePath: 10 attempts lost the race")
+        // jittered backoff de-synchronizes lockstep racers
+        Thread.sleep(scala.util.Random.nextInt(20 * attempt) + 1L)
+        val fresh = timeline.nextInstantTime()
+        writeStats = rebaseStats(writeStats, instant, fresh)
+        colStats = colStats.map { case (pp, name, cols) =>
+          (pp, name.replace(s"_$instant.", s"_$fresh."), cols) }
+        instant = fresh
+      }
+    }
     instant
+  }
+
+  /** Rebase staged base files onto a fresh commit instant after a lost
+    * race: base-file names embed the instant (`<fileId>_<token>_<instant>
+    * .parquet`), so each file is renamed and its write stat updated. */
+  private def rebaseStats(
+      stats: Seq[(String, HudiWriteStat)], from: String, to: String): Seq[(String, HudiWriteStat)] = {
+    val fs = new Path(tablePath).getFileSystem(hconf)
+    stats.map { case (pp, ws) =>
+      val oldPath = new Path(absoluteOf(ws.path))
+      val newName = oldPath.getName.replace(s"_$from.", s"_$to.")
+      val newPath = new Path(oldPath.getParent, newName)
+      require(fs.rename(oldPath, newPath),
+        s"failed to rebase staged file $oldPath onto instant $to")
+      pp -> ws.copy(
+        path = ws.path.replace(s"_$from.", s"_$to."),
+        prevCommit = instants.lastOption.getOrElse("null"))
+    }
   }
 
   // ---------------------------------------------------------- maintenance

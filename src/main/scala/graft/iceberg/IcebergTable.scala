@@ -505,7 +505,13 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
    */
   def deleteWhere(predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
-    val meta = currentMetadata
+    // pin the state the tombstones are derived AGAINST: committing on a
+    // re-read parent would let a concurrent rewrite land in between and
+    // leave these position deletes pointing at replaced files — inert,
+    // silently resurrecting the rows (no version conflict would fire)
+    val prevState = this.log.readLatest()
+    val meta = prevState.map(_._2).getOrElse(
+      throw new IllegalStateException(s"not an iceberg table: $tablePath"))
     val current = meta.currentSnapshotId.getOrElse(
       throw new IllegalStateException(s"empty iceberg table: $tablePath"))
     val data = liveEntries(None).filter(_.content == ManifestEntry.ContentData)
@@ -554,7 +560,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val entries = stats.map(st =>
       IcebergTable.entryFor(st, meta.schema, defs, tablePath)
         .copy(content = ManifestEntry.ContentPositionDeletes))
-    commitSnapshot(this.log.readLatest(), meta.schema, defs, entries, Seq.empty,
+    commitSnapshot(prevState, meta.schema, defs, entries, Seq.empty,
       carryPrevious = true, operation = "delete",
       extraProps = Map.empty)
       .getOrElse(throw new IllegalStateException(
@@ -569,7 +575,12 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
    * match null columns, per spec.
    */
   def deleteByEquality(keys: DataFrame): Long = {
-    val meta = currentMetadata
+    // pinned like deleteWhere: equality deletes are value-based and
+    // would survive a racing rewrite, but committing against the read
+    // state keeps the concurrency contract uniform (losers retry)
+    val prevState = log.readLatest()
+    val meta = prevState.map(_._2).getOrElse(
+      throw new IllegalStateException(s"not an iceberg table: $tablePath"))
     val current = meta.currentSnapshotId.getOrElse(
       throw new IllegalStateException(s"empty iceberg table: $tablePath"))
     val schemaByName = meta.schema.fields.map(f => f.name -> f).toMap
@@ -589,7 +600,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val entries = stats.map(st =>
       IcebergTable.entryFor(st, meta.schema, defs, tablePath)
         .copy(content = ManifestEntry.ContentEqualityDeletes, equalityIds = ids))
-    commitSnapshot(this.log.readLatest(), meta.schema, defs, entries, Seq.empty,
+    commitSnapshot(prevState, meta.schema, defs, entries, Seq.empty,
       carryPrevious = true, operation = "delete", extraProps = Map.empty)
       .getOrElse(throw new IllegalStateException(
         s"concurrent commit detected on $tablePath; re-run deleteByEquality"))

@@ -64,6 +64,21 @@ class ConcurrencySpec extends SparkTestBase {
     assert(t.currentMetadata.snapshots.size == writers + 1)
   }
 
+  test("hudi: concurrent appends all land via instant rebase, no rows lost") {
+    val dir = tmpDir("hudi-race")
+    val base = spark.range(0, 10).select(col("id"), lit("seed").as("tag"))
+    val t = graft.hudi.HudiTable.create(spark, dir, base)
+    race { i =>
+      val df = spark.range(100L * i, 100L * i + 10)
+        .select(col("id"), lit(s"w$i").as("tag"))
+      graft.hudi.HudiTable.forPath(spark, dir).append(df)
+    }
+    val got = t.toDF()
+    assert(got.count() == 10 + writers * 10)
+    assert(got.select("tag").distinct().count() == writers + 1)
+    assert(t.instants.size == writers + 1)
+  }
+
   /** Race a bin-packing compaction against a row-level delete. Outcome
     * may be either order, or a compaction abort on the conflict check —
     * but the delete must NEVER be resurrected by the rewrite. */
@@ -84,8 +99,9 @@ class ConcurrencySpec extends SparkTestBase {
       while (!done) { // single-shot optimistic delete may lose the log race; retry
         try { doDelete(); done = true }
         catch {
-          case e: IllegalArgumentException
-              if e.getMessage.contains("concurrent commit") && tries < 20 =>
+          case e: Exception
+              if e.getMessage != null && e.getMessage.contains("concurrent commit")
+                && tries < 20 =>
             tries += 1; Thread.sleep(10)
           case t: Throwable => errs.add(t); done = true
         }
