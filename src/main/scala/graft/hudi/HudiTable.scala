@@ -429,6 +429,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     require(timeline.commit(HudiInstant(instant, "deltacommit"), meta),
       s"concurrent hudi commit at $instant of $tablePath")
     HudiColStats.write(spark, tablePath, instant, placedColStats)
+    recordInMetadataTable(instant, logWriteStats ++ placedStats)
     instant
   }
 
@@ -704,10 +705,9 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     var committed = false
     while (!committed) {
       attempt += 1
-      val replaceIds: Map[String, Seq[String]] =
+      val replacedRows: Seq[org.apache.spark.sql.Row] =
         if (overwrite && instants.nonEmpty)
-          fileSlicesDF(None).select("partitionPath", "fileId").collect().toSeq
-            .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+          fileSlicesDF(None).select("partitionPath", "fileId", "path").collect().toSeq
         else if (replacing.nonEmpty && instants.nonEmpty) {
           val rs = replacing.map(HudiTable.normalize).toSet
           val live = fileSlicesDF(None).select("partitionPath", "fileId", "path").collect().toSeq
@@ -715,8 +715,14 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
           require(live.size == replacing.size,
             s"compaction conflict at $tablePath: a concurrent commit replaced " +
               "file groups this clustering rewrote")
-          live.groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
-        } else Map.empty
+          live
+        } else Seq.empty
+      val replaceIds: Map[String, Seq[String]] = replacedRows
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+      // replaced file names, tombstoned in the metadata table's listing
+      val replacedFiles: Map[String, Seq[String]] = replacedRows
+        .groupBy(_.getString(0)).view
+        .mapValues(_.map(r => new Path(r.getString(2)).getName).toSeq).toMap
       // createMor pre-writes MOR properties before the first commit —
       // never clobber an existing hoodie.properties
       if (instants.isEmpty && !timeline.exists)
@@ -750,6 +756,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         // the index file is keyed by the instant that actually WON;
         // post-commit placement is safe (stats absence never excludes)
         HudiColStats.write(spark, tablePath, instant, colStats)
+        recordInMetadataTable(instant, writeStats, replacedFiles)
         committed = true
       } else {
         require(attempt < 10,
@@ -764,6 +771,22 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       }
     }
     instant
+  }
+
+  /** Mirror a committed instant into the `.hoodie/metadata` files
+    * partition (real-layout listing native readers consume instead of
+    * an FS listing). Managed-layout tables only: converted tables'
+    * files live outside the root and keep timeline-driven listings. */
+  private def recordInMetadataTable(
+      instant: String,
+      stats: Seq[(String, HudiWriteStat)],
+      removes: Map[String, Seq[String]] = Map.empty): Unit = {
+    if (properties.contains("graft.converted.from")) return
+    val fs = new Path(tablePath).getFileSystem(hconf)
+    val adds = stats.groupBy(_._1).map { case (pp, ws) =>
+      pp -> ws.map(w => (new Path(w._2.path).getName, w._2.fileSizeInBytes))
+    }
+    HudiMetadataTable.update(fs, hconf, tablePath, instant, adds, removes)
   }
 
   /** Rebase staged base files onto a fresh commit instant after a lost
@@ -807,6 +830,9 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     require(timeline.commitJson(HudiInstant(rollbackTime, "rollback"),
       HudiMaintenanceCodec.rollbackToJson(rollbackTime, meta)),
       s"concurrent hudi commit at $rollbackTime of $tablePath")
+    recordInMetadataTable(rollbackTime, Seq.empty,
+      removes = meta.partitionToDeleteFiles.map { case (pp, fs_) =>
+        pp -> fs_.map(p => new Path(p).getName) })
     rollbackTime
   }
 
@@ -875,6 +901,10 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       HudiMaintenanceCodec.restoreToJson(restoreTime,
         HudiRestoreMetadata(toInstant, doomed.map(_.time), rollbacks))),
       s"concurrent hudi commit at $restoreTime of $tablePath")
+    recordInMetadataTable(restoreTime, Seq.empty,
+      removes = rollbacks.flatMap(_.partitionToDeleteFiles.toSeq)
+        .groupBy(_._1).map { case (pp, entries) =>
+          pp -> entries.flatMap(_._2).map(p => new Path(p).getName) })
     restoreTime
   }
 
