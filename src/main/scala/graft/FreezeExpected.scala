@@ -3,7 +3,7 @@ package graft
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Multimodal}
 
 /**
  * Freezes the deterministic-but-not-SQL-expressible query outputs
@@ -14,25 +14,28 @@ import graft.operators.Dedup
  * engines compute identically) matches the dataset under test, so one
  * oracle string serves every scale factor.
  *
- * Usage: `runMain graft.FreezeExpected <sfDir> [expectedDir]`
- * Re-run per sfDir whenever the d03/d05 pipelines or their constants
- * change, and commit the refreshed files.
+ * Usage: `runMain graft.FreezeExpected <sfDir> [expectedDir] [names]`
+ * (`names` = comma-separated subset; default all). Re-run per sfDir
+ * whenever a frozen pipeline or its constants change, and commit the
+ * refreshed files.
  */
 object FreezeExpected {
 
   val Frozen: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
     Seq(
       "d03_simhash_dedup" -> (Dedup.simhashPairs _),
-      "d05_embedding_near_dup" -> (Dedup.embeddingNearDupPairs _))
+      "d05_embedding_near_dup" -> (Dedup.embeddingNearDupPairs _),
+      "m02b_feature_bins" -> (Multimodal.featureBins _))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args.lift(1).getOrElse("expected")
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     val key = spark.read.parquet(s"$sfDir/documents.parquet")
       .agg(sum(col("n_chars"))).head.getLong(0)
     val conf = spark.sparkContext.hadoopConfiguration
-    Frozen.foreach { case (name, fn) =>
+    Frozen.filter(f => only.forall(_.contains(f._1))).foreach { case (name, fn) =>
       val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_freeze_$name"
       fn(spark, sfDir).withColumn("src_key", lit(key))
         .coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -116,6 +116,17 @@ object Multimodal {
         length(col("content")).cast(LongType).as("orig_len"),
         size(col("resized")).cast(LongType).as("resized_len"))
 
+  /** The full 16-bin histogram per document, bins as rounded doubles —
+    * the frozen-expectation surface for m02b (bin VALUES have no SQL
+    * form; the committed expectation pins them against decoder drift,
+    * while byte_len cross-checks against the oracle's own octet_length). */
+  def featureBins(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, dir)
+      .select(Seq(col("doc_id"), col("byte_len")) ++
+        (0 until featureDim).map(i =>
+          round(col("features").getItem(i).cast("double"), 4).as(f"b$i%02d")): _*)
+      .orderBy(col("doc_id"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "m01_binary_metadata",
@@ -151,6 +162,23 @@ object Multimodal {
         |  CAST(16 AS BIGINT) AS feature_dim,
         |  CAST(CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 0 ELSE 1 END AS DOUBLE) AS l1_norm
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // The full bin values, pinned by a committed frozen expectation
+    // (FreezeExpected) keyed on the exact-integer dataset invariant —
+    // decoder drift now fails the driver compare, not just sbt. byte_len
+    // stays independently computed by the oracle (octet_length join), so
+    // the frozen file cannot mask a doc-coverage or length regression.
+    QueryDef.sql(
+      "m02b_feature_bins",
+      (spark, dir) => featureBins(spark, dir),
+      ("""SELECT f.doc_id,
+         |  CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS byte_len,
+         |""".stripMargin +
+        (0 until 16).map(i => f"  f.b$i%02d").mkString(",\n") + "\n" +
+        """FROM '/root/repo/expected/m02b_feature_bins_*.parquet' f
+          |JOIN documents d ON f.doc_id = d.doc_id
+          |WHERE f.src_key = (SELECT SUM(n_chars) FROM documents)
+          |ORDER BY f.doc_id""".stripMargin)),
 
     // Frame sampling fan-out: the slicing arithmetic is deterministic,
     // so the oracle reproduces the (doc, frame, offset, ts) rows with a
