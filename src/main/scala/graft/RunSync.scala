@@ -21,6 +21,8 @@ import graft.sync.SyncEngine
  * catalog:                                 # optional named-table root
  *   name: graft
  *   warehouse: /data/warehouse             # tables at <warehouse>/<ns>/<name>_<fmt>
+ *   impl: com.corp.MyCatalog               # optional GraftCatalog plug-in;
+ *                                          #   extra keys pass to its ctor
  * clients:                                 # optional per-format config,
  *   iceberg:                               # persisted as target table
  *     commit.retry.num-retries: "4"        # properties (ref ClientConfig
@@ -57,10 +59,21 @@ object RunSync {
       tableName: Option[String] = None,
       namespace: Option[String] = None,
       partitionSpec: Option[String] = None)
-  /** Path-rooted catalog: names resolve under a warehouse directory —
-    * the engine's HadoopTables-style analog of the reference's pluggable
-    * `catalogImpl` (an external service client has no offline parity). */
-  final case class Catalog(name: String, warehouse: String)
+  /** The YAML `catalog:` section. `impl` names a [[graft.sync.GraftCatalog]]
+    * class to reflection-load (the reference's `catalogImpl` seam, ref
+    * `RunSync.java:136-140`, `IcebergCatalogConfig.java`); absent, the
+    * path-rooted [[graft.sync.WarehouseCatalog]] resolves names under
+    * `warehouse`. `extra` keys pass to the impl's constructor verbatim. */
+  final case class Catalog(
+      name: String,
+      warehouse: String,
+      impl: Option[String] = None,
+      extra: Map[String, String] = Map.empty) {
+    lazy val resolved: graft.sync.GraftCatalog = graft.sync.GraftCatalog.load(
+      extra ++
+        Map("name" -> name, "warehouse" -> warehouse).filter(_._2.nonEmpty) ++
+        impl.map("impl" -> _))
+  }
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args.toList, Map.empty)
@@ -117,8 +130,7 @@ object RunSync {
     (ds.targetPathPrefix, ds.tableName, config.catalog) match {
       case (Some(p), _, _) => s"${p}_$targetFormat"
       case (None, Some(name), Some(cat)) =>
-        val ns = ds.namespace.map(_.split("\\.").mkString("/") + "/").getOrElse("")
-        s"${cat.warehouse.stripSuffix("/")}/$ns${name}_$targetFormat"
+        cat.resolved.locate(ds.namespace, name, targetFormat)
       case _ => s"${ds.sourcePath.stripSuffix("/")}_$targetFormat"
     }
 
@@ -135,7 +147,7 @@ object RunSync {
         // catalog identity persist as target table properties
         val identity = (config.catalog, ds.tableName) match {
           case (Some(cat), Some(name)) => Map(
-            "graft.catalog.name" -> cat.name,
+            "graft.catalog.name" -> cat.resolved.name,
             "graft.catalog.table" -> (ds.namespace.map(_ + ".").getOrElse("") + name))
           case _ => Map.empty[String, String]
         }
@@ -232,11 +244,17 @@ object RunSync {
     require(sourceFormat.nonEmpty, "config missing sourceFormat")
     require(targetFormats.nonEmpty, "config missing targetFormats")
     require(datasets.nonEmpty, "config missing datasets")
-    val cat = (catalog.get("name"), catalog.get("warehouse")) match {
-      case (Some(n), Some(w)) => Some(Catalog(n, w))
-      case (None, None) => None
+    val cat = (catalog.get("name"), catalog.get("warehouse"), catalog.get("impl")) match {
+      case (Some(n), Some(w), impl) =>
+        Some(Catalog(n, w, impl, catalog -- Seq("name", "warehouse", "impl")))
+      case (n, w, Some(impl)) =>
+        // a custom impl defines its own config vocabulary — name and
+        // warehouse are optional and it validates what it needs
+        Some(Catalog(n.getOrElse(""), w.getOrElse(""), Some(impl),
+          catalog -- Seq("name", "warehouse", "impl")))
+      case (None, None, None) => None
       case _ => throw new IllegalArgumentException(
-        "catalog section needs both `name` and `warehouse`")
+        "catalog section needs both `name` and `warehouse` (or an `impl`)")
     }
     Config(sourceFormat, targetFormats,
       datasets.map(m => Dataset(

@@ -7,7 +7,18 @@ import org.apache.spark.sql.functions._
 import graft.delta.DeltaTable
 import graft.hudi.HudiTable
 import graft.iceberg.IcebergTable
-import graft.sync.SyncEngine
+import graft.sync.{GraftCatalog, SyncEngine}
+
+/** Proof of the catalog plug-in seam: a flat layout that ignores
+  * namespaces and prefixes every table under a configured root. Loaded
+  * by class name via the YAML `impl:` key (reflection, like the
+  * reference's `catalogImpl`). */
+class FlatTestCatalog(props: Map[String, String]) extends GraftCatalog {
+  require(props.contains("root"), "FlatTestCatalog needs `root`")
+  val name: String = props.getOrElse("name", "flat")
+  def locate(namespace: Option[String], tableName: String, format: String): String =
+    s"${props("root").stripSuffix("/")}/flat_${tableName}_$format"
+}
 
 class RunSyncSpec extends SparkTestBase {
 
@@ -109,6 +120,51 @@ class RunSyncSpec extends SparkTestBase {
     val hud = HudiTable.forPath(spark, s"$dir/wh/sales/na/orders_hudi")
     assert(checksum(hud.toDF()) == checksum(src.toDF()))
     assert(hud.latestCommitExtraMetadata.get("graft.catalog.table").contains("sales.na.orders"))
+  }
+
+  test("a custom catalog impl loads by class name and drives table placement") {
+    val dir = tmpDir("runsync_impl")
+    val yaml =
+      s"""sourceFormat: delta
+         |targetFormats:
+         |  - iceberg
+         |catalog:
+         |  impl: graft.FlatTestCatalog
+         |  root: $dir/cat
+         |  name: corp
+         |datasets:
+         |  - sourcePath: $dir/src
+         |    tableName: orders
+         |    namespace: sales.na
+         |""".stripMargin
+    val c = RunSync.parseConfig(yaml)
+    assert(c.catalog.get.impl.contains("graft.FlatTestCatalog"))
+    // extra keys reach the impl's constructor; namespace is ignored by
+    // this layout, proving resolution went through the plug-in
+    assert(RunSync.targetPathFor(c, c.datasets.head, "iceberg") ==
+      s"$dir/cat/flat_orders_iceberg")
+    val o = spark.read.parquet(s"$sf0001/region.parquet")
+    DeltaTable.create(spark, s"$dir/src", o)
+    assert(RunSync.run(spark, c, SyncEngine.Auto) == 0)
+    val ice = IcebergTable.forPath(spark, s"$dir/cat/flat_orders_iceberg")
+    assert(checksum(ice.toDF()) == checksum(o))
+    assert(ice.currentMetadata.properties.get("graft.catalog.name").contains("corp"))
+  }
+
+  test("an unknown or malformed catalog impl fails fast with the class named") {
+    val base = RunSync.Config("delta", Seq("iceberg"),
+      Seq(RunSync.Dataset("/s", tableName = Some("t"))))
+    val missing = base.copy(catalog =
+      Some(RunSync.Catalog("", "", Some("graft.NoSuchCatalog"))))
+    val e1 = intercept[IllegalArgumentException](
+      RunSync.targetPathFor(missing, missing.datasets.head, "iceberg"))
+    assert(e1.getMessage.contains("graft.NoSuchCatalog"))
+    // a real class that is not a GraftCatalog is rejected, not cast
+    val wrong = base.copy(catalog =
+      Some(RunSync.Catalog("", "", Some("java.lang.String"))))
+    val e2 = intercept[IllegalArgumentException](
+      RunSync.targetPathFor(wrong, wrong.datasets.head, "iceberg"))
+    assert(e2.getMessage.contains("does not implement"))
   }
 
   test("a partitionSpec override drives the target's partition layout") {
