@@ -90,27 +90,147 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
 
   // ----------------------------------------------------------- checkpoints
 
-  /** Delta protocol checkpoint: `%020d.checkpoint.parquet` holds the
-    * reconciled live state at version N, `_last_checkpoint` points at
-    * it, and replay reads checkpoint + post-checkpoint JSON only — so a
-    * 10^4-commit table plans from one parquet file plus a handful of
-    * JSON commits instead of replaying every commit since v0 (public
-    * Delta checkpoint spec; the reference leans on DeltaLog's
-    * equivalent). */
+  /** Delta protocol checkpoints: the reconciled live state at version N,
+    * discoverable from `_last_checkpoint`, so replay reads checkpoint +
+    * post-checkpoint JSON only — a 10^4-commit table plans from parquet
+    * plus a handful of JSON commits instead of every commit since v0.
+    * All three public layouts are spoken (Delta PROTOCOL.md):
+    * classic single-file `%020d.checkpoint.parquet`, classic multi-part
+    * `%020d.checkpoint.%010d.%010d.parquet` (one file per part — the
+    * write fans out, and at 100 TB a single-file checkpoint is itself a
+    * bottleneck), and V2 (`v2Checkpoint` reader feature): a top-level
+    * `%020d.checkpoint.<uniq>.{json|parquet}` holding the non-file
+    * actions plus `sidecar` pointers into `_delta_log/_sidecars/`, where
+    * the file actions live as parquet read distributed. */
   private def checkpointFile(v: Long): Path =
     new Path(logPath, f"$v%020d.checkpoint.parquet")
+  private def multiPartFile(v: Long, part: Int, parts: Int): Path =
+    new Path(logPath, f"$v%020d.checkpoint.$part%010d.$parts%010d.parquet")
+  private def sidecarDir = new Path(logPath, "_sidecars")
   private val lastCheckpointPath = new Path(logPath, "_last_checkpoint")
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Version of the newest checkpoint, if any. */
-  def lastCheckpoint(): Option[Long] = {
+  def lastCheckpoint(): Option[Long] = lastCheckpointNode().map(_._1)
+
+  private def lastCheckpointNode(): Option[(Long, Option[Int])] = {
     if (!fs.exists(lastCheckpointPath)) return None
     val in = fs.open(lastCheckpointPath)
     try {
       val content = new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(content)
-      Option(node.get("version")).map(_.asLong())
+      val node = mapper.readTree(content)
+      Option(node.get("version")).map(v =>
+        (v.asLong(), Option(node.get("parts")).filterNot(_.isNull).map(_.asInt())))
     } finally in.close()
+  }
+
+  /** Discover the newest checkpoint at or before `asOf` and its layout.
+    * `parts` in `_last_checkpoint` names a multi-part checkpoint; else a
+    * classic single file; else a V2 top-level file found by pattern
+    * (smallest unique-suffix name wins, deterministically). */
+  private[delta] def resolveCheckpoint(asOf: Option[Long]): Option[DeltaLog.Checkpoint] =
+    lastCheckpointNode().filter { case (v, _) => asOf.forall(v <= _) }.map {
+      case (v, Some(parts)) if parts > 1 => DeltaLog.MultiPartCheckpoint(v, parts)
+      case (v, _) if fs.exists(checkpointFile(v)) => DeltaLog.ClassicCheckpoint(v)
+      // a multi-part write can land as a single part on a small table
+      case (v, Some(1)) if fs.exists(multiPartFile(v, 1, 1)) =>
+        DeltaLog.MultiPartCheckpoint(v, 1)
+      case (v, _) =>
+        val pattern = (f"$v%020d" + "\\.checkpoint\\.[^.]+\\.(json|parquet)").r
+        val tops = fs.listStatus(logPath).toSeq.map(_.getPath)
+          .filter(p => pattern.pattern.matcher(p.getName).matches())
+          .sortBy(_.getName)
+        require(tops.nonEmpty,
+          s"_last_checkpoint names v$v but no checkpoint file for it exists in $logPath")
+        DeltaLog.V2Checkpoint(v, tops.head)
+    }
+
+  /** Parquet file set of a checkpoint's FILE actions (V2: the sidecars,
+    * plus the top-level if it is parquet — a V2 checkpoint without
+    * sidecars carries its file actions inline). */
+  private def checkpointDataFiles(ck: DeltaLog.Checkpoint): Seq[String] = ck match {
+    case DeltaLog.ClassicCheckpoint(v) => Seq(checkpointFile(v).toString)
+    case DeltaLog.MultiPartCheckpoint(v, parts) =>
+      (1 to parts).map(p => multiPartFile(v, p, parts).toString)
+    case DeltaLog.V2Checkpoint(_, top) =>
+      val sidecars = v2SidecarNames(top).map(n => new Path(sidecarDir, n).toString)
+      if (top.getName.endsWith(".parquet")) top.toString +: sidecars else sidecars
+  }
+
+  /** Sidecar file names referenced by a V2 top-level checkpoint
+    * (driver-side, metadata-sized). */
+  private def v2SidecarNames(top: Path): Seq[String] =
+    if (top.getName.endsWith(".json"))
+      readJsonLines(top).flatMap { line =>
+        val n = mapper.readTree(line)
+        Option(n.get("sidecar")).filterNot(_.isNull).map(_.get("path").asText())
+      }
+    else {
+      val df = spark.read.parquet(top.toString)
+      if (!df.schema.fieldNames.contains("sidecar")) Seq.empty
+      else df.filter(col("sidecar.path").isNotNull)
+        .select(col("sidecar.path")).collect().map(_.getString(0)).toSeq
+    }
+
+  private def readJsonLines(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    finally in.close()
+  }
+
+  /** Non-file actions of a checkpoint (metaData + protocol), layout-
+    * aware: V2 keeps them in the top-level file; classic layouts carry
+    * them as rows in (any part of) the checkpoint parquet. */
+  private def checkpointHeader(ck: DeltaLog.Checkpoint): (Option[DeltaMetadata], Option[Protocol]) =
+    ck match {
+      case DeltaLog.V2Checkpoint(_, top) if top.getName.endsWith(".json") =>
+        // sidecar/checkpointMetadata lines fall through the codec as None
+        val actions = readJsonLines(top).flatMap(DeltaActionCodec.fromJsonLine)
+        (actions.collectFirst { case m: DeltaMetadata => m },
+          actions.collectFirst { case p: Protocol => p })
+      case DeltaLog.V2Checkpoint(_, top) => parquetHeader(Seq(top.toString))
+      case other => parquetHeader(checkpointDataFiles(other))
+    }
+
+  private def parquetHeader(paths: Seq[String]): (Option[DeltaMetadata], Option[Protocol]) = {
+    val df = spark.read.parquet(paths: _*)
+    val meta =
+      if (!df.schema.fieldNames.contains("metaData")) None
+      else df.filter(col("metaData.id").isNotNull)
+        .select("metaData.id", "metaData.schemaString", "metaData.partitionColumns",
+          "metaData.configuration", "metaData.createdTime")
+        .collect().headOption.map(r => DeltaMetadata(
+          id = r.getString(0),
+          schemaString = r.getString(1),
+          partitionColumns = r.getSeq[String](2),
+          configuration = if (r.isNullAt(3)) Map.empty else r.getMap[String, String](3).toMap,
+          createdTime = if (r.isNullAt(4)) 0L else r.getLong(4)))
+    val proto =
+      if (!df.schema.fieldNames.contains("protocol")) None
+      else {
+        // feature columns are absent in checkpoints written before the
+        // table-features upgrade shipped
+        val hasFeatureCols = df.schema("protocol").dataType match {
+          case s: StructType => s.fieldNames.contains("readerFeatures")
+          case _ => false
+        }
+        val rows =
+          if (hasFeatureCols)
+            df.filter(col("protocol.minReaderVersion").isNotNull).select(
+              col("protocol.minReaderVersion"), col("protocol.minWriterVersion"),
+              col("protocol.readerFeatures"), col("protocol.writerFeatures")).collect()
+          else
+            df.filter(col("protocol.minReaderVersion").isNotNull).select(
+              col("protocol.minReaderVersion"), col("protocol.minWriterVersion"),
+              lit(null).cast(ArrayType(StringType)), lit(null).cast(ArrayType(StringType))).collect()
+        rows.headOption.map(r => Protocol(
+          r.getInt(0), r.getInt(1),
+          if (r.isNullAt(2)) None else Some(r.getSeq[String](2)),
+          if (r.isNullAt(3)) None else Some(r.getSeq[String](3))))
+      }
+    (meta, proto)
   }
 
   /** Checkpoint interval (Delta's default). */
@@ -119,35 +239,32 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
   def maybeCheckpoint(v: Long): Unit =
     if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(v)
 
-  /** Write the reconciled snapshot at `v` as a single checkpoint parquet
-    * + `_last_checkpoint`. Tombstones are omitted (nothing vacuums data
-    * files out from under readers here); replay ordering stays correct
-    * because post-checkpoint removes outrank checkpoint adds by
-    * version. */
-  def writeCheckpoint(v: Long): Unit = {
-    val (meta, _) = metadataAt(Some(v))
-    val protoRow = protocolAt(Some(v))
-    val metaSchema = StructType(Seq(
-      StructField("id", StringType),
-      StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType)),
-      StructField("configuration", MapType(StringType, StringType)),
-      StructField("createdTime", LongType)))
-    val protoSchema = StructType(Seq(
-      StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType),
-      StructField("readerFeatures", ArrayType(StringType)),
-      StructField("writerFeatures", ArrayType(StringType))))
-    val addType = actionSchema("add").dataType
-    val adds = snapshotFilesDF(Some(v)).select(
+  private def metaSchema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType)),
+    StructField("configuration", MapType(StringType, StringType)),
+    StructField("createdTime", LongType)))
+  private def protoSchema = StructType(Seq(
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType),
+    StructField("readerFeatures", ArrayType(StringType)),
+    StructField("writerFeatures", ArrayType(StringType))))
+
+  /** The reconciled add rows at `v` as checkpoint-shaped structs. */
+  private def checkpointAddsDF(v: Long): DataFrame =
+    snapshotFilesDF(Some(v)).select(
       struct(
         col("path"), col("partitionValues"), col("size"),
         col("modificationTime"), lit(true).as("dataChange"), col("stats"),
-        col("deletionVector")).as("add"),
-      lit(null).cast(metaSchema).as("metaData"),
-      lit(null).cast(protoSchema).as("protocol"))
-    val single = spark.range(1).select(
-      lit(null).cast(addType).as("add"),
+        col("deletionVector")).as("add"))
+
+  /** One row carrying the metaData + protocol of the snapshot at `v`. */
+  private def headerRowDF(v: Long): DataFrame = {
+    val (meta, _) = metadataAt(Some(v))
+    val protoRow = protocolAt(Some(v))
+    spark.range(1).select(
+      lit(null).cast(actionSchema("add").dataType).as("add"),
       struct(
         lit(meta.id).as("id"),
         lit(meta.schemaString).as("schemaString"),
@@ -159,15 +276,94 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
         lit(protoRow.minWriterVersion).as("minWriterVersion"),
         typedlit(protoRow.readerFeatures).as("readerFeatures"),
         typedlit(protoRow.writerFeatures).as("writerFeatures")).as("protocol"))
+  }
+
+  /** Write the reconciled snapshot at `v` as a classic checkpoint +
+    * `_last_checkpoint` — single-file by default, multi-part when
+    * `parts > 1` (`%020d.checkpoint.%010d.%010d.parquet`; each part
+    * writes from its own task, so checkpointing a 100 TB table's
+    * million-add state fans out instead of funneling through one
+    * writer). Tombstones are omitted (nothing vacuums data files out
+    * from under readers here); replay ordering stays correct because
+    * post-checkpoint removes outrank checkpoint adds by version. */
+  def writeCheckpoint(v: Long, parts: Int = 1): Unit = {
+    val adds = checkpointAddsDF(v).select(
+      col("add"),
+      lit(null).cast(metaSchema).as("metaData"),
+      lit(null).cast(protoSchema).as("protocol"))
     val staging = new Path(logPath, s".cp-staging-${java.util.UUID.randomUUID()}")
-    adds.unionByName(single).repartition(1).write.parquet(staging.toString)
-    val part = fs.listStatus(staging).map(_.getPath)
-      .find(p => p.getName.endsWith(".parquet")).get
-    fs.delete(checkpointFile(v), false)
-    require(fs.rename(part, checkpointFile(v)), s"failed to place checkpoint $v")
+    adds.unionByName(headerRowDF(v)).repartition(math.max(1, parts))
+      .write.parquet(staging.toString)
+    val written = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    // empty partitions write no file, so the real part count is what
+    // landed — the names (i, n) must agree with it, not with `parts`
+    val n = written.length
+    if (n == 1 && parts == 1) {
+      fs.delete(checkpointFile(v), false)
+      require(fs.rename(written.head, checkpointFile(v)), s"failed to place checkpoint $v")
+    } else {
+      written.zipWithIndex.foreach { case (p, i) =>
+        fs.delete(multiPartFile(v, i + 1, n), false)
+        require(fs.rename(p, multiPartFile(v, i + 1, n)),
+          s"failed to place checkpoint $v part ${i + 1}/$n")
+      }
+    }
     fs.delete(staging, true)
+    val partsField = if (n == 1 && parts == 1) "" else s""","parts":$n"""
+    writeLastCheckpoint(s"""{"version":$v,"size":$n$partsField}""")
+  }
+
+  /**
+   * Write the snapshot at `v` as a V2 checkpoint (`v2Checkpoint` reader
+   * feature, which the caller's protocol must already declare): file
+   * actions land as parquet sidecars under `_delta_log/_sidecars/` (one
+   * per shuffle partition — the fan-out layout for checkpoints too big
+   * for one file), and a top-level `%020d.checkpoint.<uuid>.json` holds
+   * protocol, metaData, `checkpointMetadata`, and one `sidecar` pointer
+   * per file.
+   */
+  def writeCheckpointV2(v: Long, sidecarParts: Int = 1): Unit = {
+    val staging = new Path(logPath, s".cp-staging-${java.util.UUID.randomUUID()}")
+    checkpointAddsDF(v)
+      .select(col("add"), lit(null).cast(actionSchema("remove").dataType).as("remove"))
+      .repartition(math.max(1, sidecarParts))
+      .write.parquet(staging.toString)
+    fs.mkdirs(sidecarDir)
+    val sidecars = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map { p =>
+        val dest = new Path(sidecarDir, s"${java.util.UUID.randomUUID()}.parquet")
+        require(fs.rename(p, dest), s"failed to place sidecar for checkpoint $v")
+        dest
+      }.toSeq
+    fs.delete(staging, true)
+    val (meta, _) = metadataAt(Some(v))
+    val protoRow = protocolAt(Some(v))
+    val lines = Seq(
+      DeltaActionCodec.toJsonLine(protoRow),
+      DeltaActionCodec.toJsonLine(meta),
+      s"""{"checkpointMetadata":{"version":$v,"tags":{}}}""") ++
+      sidecars.map { p =>
+        val st = fs.getFileStatus(p)
+        val node = mapper.createObjectNode()
+        val s = node.putObject("sidecar")
+        s.put("path", p.getName)
+        s.put("sizeInBytes", st.getLen)
+        s.put("modificationTime", st.getModificationTime)
+        mapper.writeValueAsString(node)
+      }
+    val top = new Path(logPath,
+      f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(top, /*overwrite=*/ false)
+    try out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    writeLastCheckpoint(s"""{"version":$v,"size":${sidecars.size + 3}}""")
+  }
+
+  private def writeLastCheckpoint(json: String): Unit = {
     val out = fs.create(lastCheckpointPath, /*overwrite=*/ true)
-    try out.write(s"""{"version":$v,"size":1}""".getBytes(StandardCharsets.UTF_8))
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -187,7 +383,8 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
   /** Latest metadata + protocol at or before `asOf`. */
   def metadataAt(asOf: Option[Long]): (DeltaMetadata, Long) = {
     val versions = listVersions()
-    val cp = lastCheckpoint().filter(c => asOf.forall(c <= _))
+    val ck = resolveCheckpoint(asOf)
+    val cp = ck.map(_.version)
     require(versions.nonEmpty || cp.nonEmpty,
       s"not a Delta table (no _delta_log): $tablePath")
     val upTo = asOf.map(a => versions.filter(_ <= a)).getOrElse(versions)
@@ -199,18 +396,7 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
     val fromJson = tail.reverse.iterator
       .map(v => readActions(v).collectFirst { case m: DeltaMetadata => m })
       .collectFirst { case Some(m) => m }
-    val meta = fromJson.orElse(cp.flatMap { c =>
-      spark.read.parquet(checkpointFile(c).toString)
-        .filter(col("metaData").isNotNull)
-        .select("metaData.id", "metaData.schemaString", "metaData.partitionColumns",
-          "metaData.configuration", "metaData.createdTime")
-        .collect().headOption.map(r => DeltaMetadata(
-          id = r.getString(0),
-          schemaString = r.getString(1),
-          partitionColumns = r.getSeq[String](2),
-          configuration = if (r.isNullAt(3)) Map.empty else r.getMap[String, String](3).toMap,
-          createdTime = if (r.isNullAt(4)) 0L else r.getLong(4)))
-    })
+    val meta = fromJson.orElse(ck.flatMap(c => checkpointHeader(c)._1))
     (meta.getOrElse(throw new IllegalStateException(s"no metaData action in $tablePath")),
       (upTo ++ cp).max)
   }
@@ -225,34 +411,14 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
    */
   def protocolAt(asOf: Option[Long]): Protocol = {
     val versions = listVersions()
-    val cp = lastCheckpoint().filter(c => asOf.forall(c <= _))
+    val ck = resolveCheckpoint(asOf)
+    val cp = ck.map(_.version)
     val upTo = asOf.map(a => versions.filter(_ <= a)).getOrElse(versions)
     val tail = upTo.filter(v => cp.forall(v > _))
     val fromJson = tail.reverse.iterator
       .map(v => readActions(v).collectFirst { case p: Protocol => p })
       .collectFirst { case Some(p) => p }
-    fromJson.orElse(cp.flatMap { c =>
-      val df = spark.read.parquet(checkpointFile(c).toString)
-      // feature columns are absent in checkpoints written before the
-      // table-features upgrade shipped
-      val hasFeatureCols = df.schema("protocol").dataType match {
-        case s: StructType => s.fieldNames.contains("readerFeatures")
-        case _ => false
-      }
-      val rows =
-        if (hasFeatureCols)
-          df.filter(col("protocol").isNotNull).select(
-            col("protocol.minReaderVersion"), col("protocol.minWriterVersion"),
-            col("protocol.readerFeatures"), col("protocol.writerFeatures")).collect()
-        else
-          df.filter(col("protocol").isNotNull).select(
-            col("protocol.minReaderVersion"), col("protocol.minWriterVersion"),
-            lit(null).cast(ArrayType(StringType)), lit(null).cast(ArrayType(StringType))).collect()
-      rows.headOption.map(r => Protocol(
-        r.getInt(0), r.getInt(1),
-        if (r.isNullAt(2)) None else Some(r.getSeq[String](2)),
-        if (r.isNullAt(3)) None else Some(r.getSeq[String](3))))
-    }).getOrElse(Protocol())
+    fromJson.orElse(ck.flatMap(c => checkpointHeader(c)._2)).getOrElse(Protocol())
   }
 
   /** Commit timestamps (from commitInfo, fallback file mtime) per version. */
@@ -292,7 +458,8 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
   def actionsDF(asOf: Option[Long]): DataFrame = {
     val all = listVersions()
     // replay = checkpoint base (if one applies at/before asOf) + JSON tail
-    val cp = lastCheckpoint().filter(c => asOf.forall(c <= _))
+    val ck = resolveCheckpoint(asOf)
+    val cp = ck.map(_.version)
     val versions = all
       .filter(v => asOf.forall(v <= _))
       .filter(v => cp.forall(v > _))
@@ -308,10 +475,35 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
           .select(col("version"), col("action.add").as("add"), col("action.remove").as("remove"))
           .filter(col("add").isNotNull || col("remove").isNotNull)
       }
-    val base: Option[DataFrame] = cp.map { c =>
-      spark.read.parquet(checkpointFile(c).toString)
-        .filter(col("add").isNotNull)
-        .select(lit(c).as("version"), col("add"),
+    val base: Option[DataFrame] = ck.map { c =>
+      val df = spark.read.parquet(checkpointDataFiles(c): _*)
+      // normalize to this engine's add shape: a foreign checkpoint may
+      // lack optional subfields (stats, deletionVector) or carry extras
+      // (tags, baseRowId) the replay doesn't consume
+      val addType = df.schema("add").dataType.asInstanceOf[StructType]
+      def sub(name: String, t: DataType) =
+        if (addType.fieldNames.contains(name)) col(s"add.$name").cast(t)
+        else lit(null).cast(t)
+      // field-wise rebuild (not a struct cast): a foreign descriptor may
+      // carry extras like maxRowIndex, and struct casts demand equal arity
+      val dv =
+        if (!addType.fieldNames.contains("deletionVector")) lit(null).cast(dvSchema)
+        else when(col("add.deletionVector.storageType").isNotNull, struct(
+          col("add.deletionVector.storageType").as("storageType"),
+          col("add.deletionVector.pathOrInlineDv").as("pathOrInlineDv"),
+          col("add.deletionVector.offset").cast(IntegerType).as("offset"),
+          col("add.deletionVector.sizeInBytes").cast(IntegerType).as("sizeInBytes"),
+          col("add.deletionVector.cardinality").cast(LongType).as("cardinality")))
+      df.filter(col("add.path").isNotNull)
+        .select(lit(c.version).as("version"),
+          struct(
+            col("add.path").as("path"),
+            col("add.partitionValues").as("partitionValues"),
+            col("add.size").as("size"),
+            sub("modificationTime", LongType).as("modificationTime"),
+            sub("dataChange", BooleanType).as("dataChange"),
+            sub("stats", StringType).as("stats"),
+            dv.as("deletionVector")).as("add"),
           lit(null).cast(actionSchema("remove").dataType).as("remove"))
     }
     (base, jsonTail) match {
@@ -378,4 +570,11 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
 object DeltaLog {
   def forTable(spark: SparkSession, tablePath: String): DeltaLog =
     new DeltaLog(tablePath, spark)
+
+  /** A discovered checkpoint and its on-disk layout. */
+  private[delta] sealed trait Checkpoint { def version: Long }
+  private[delta] final case class ClassicCheckpoint(version: Long) extends Checkpoint
+  private[delta] final case class MultiPartCheckpoint(version: Long, parts: Int) extends Checkpoint
+  private[delta] final case class V2Checkpoint(
+      version: Long, topLevel: org.apache.hadoop.fs.Path) extends Checkpoint
 }

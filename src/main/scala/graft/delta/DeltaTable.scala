@@ -592,6 +592,37 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       replacing = smalls.map(s => s._1.path -> s._2)))
   }
 
+  /** Write a classic checkpoint of the latest version — multi-part when
+    * `parts > 1` (the fan-out layout for tables whose reconciled state
+    * is too big for one file). */
+  def checkpoint(parts: Int = 1): Unit = {
+    requireReadable(None)
+    log.writeCheckpoint(latestVersion, parts)
+  }
+
+  /**
+   * Write a V2 checkpoint (sidecar layout) of the latest version. The
+   * first V2 checkpoint upgrades the protocol to declare the
+   * `v2Checkpoint` feature (its own commit, like the deletionVectors
+   * upgrade) — the spec requires readers be gated BEFORE a checkpoint
+   * they cannot decode exists, and the upgrade must land in the commit
+   * JSON so pre-upgrade readers fail fast on the protocol, not on a
+   * missing file set.
+   */
+  def checkpointV2(sidecarParts: Int = 1): Unit = {
+    requireWritable(mutation = false)
+    val p = log.protocolAt(None)
+    if (!p.readerFeatures.exists(_.contains("v2Checkpoint"))) {
+      val v = latestVersion + 1
+      require(log.commit(v, Seq(
+        DeltaTable.upgradeWithFeature(p, "v2Checkpoint"),
+        CommitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL",
+          Map("feature" -> "v2Checkpoint")))),
+        s"concurrent commit detected at version $v of $tablePath; re-run the operation")
+    }
+    log.writeCheckpointV2(latestVersion, sidecarParts)
+  }
+
   /**
    * VACUUM: physically delete data files under the table root that the
    * CURRENT snapshot no longer references and whose modification time
@@ -925,9 +956,12 @@ object DeltaTable {
 
   /** Reader features this engine implements (Delta PROTOCOL.md table
     * features). `vacuumProtocolCheck` imposes no read-time behavior;
-    * `timestampNtz` reads natively as Spark's TimestampNTZType. */
+    * `timestampNtz` reads natively as Spark's TimestampNTZType;
+    * `v2Checkpoint` replay resolves the top-level checkpoint file and
+    * its sidecars (DeltaLog.resolveCheckpoint). */
   val SupportedReaderFeatures: Set[String] =
-    Set("columnMapping", "deletionVectors", "timestampNtz", "vacuumProtocolCheck")
+    Set("columnMapping", "deletionVectors", "timestampNtz", "vacuumProtocolCheck",
+      "v2Checkpoint")
 
   /** Writer features this engine can write alongside. Metadata-activated
     * features (appendOnly, changeDataFeed, invariants, checkConstraints,
@@ -936,7 +970,7 @@ object DeltaTable {
   val SupportedWriterFeatures: Set[String] = Set(
     "columnMapping", "deletionVectors", "timestampNtz", "vacuumProtocolCheck",
     "generatedColumns", "appendOnly", "invariants", "checkConstraints",
-    "changeDataFeed", "identityColumns")
+    "changeDataFeed", "identityColumns", "v2Checkpoint")
 
   /** Writer features a legacy minWriterVersion implies (PROTOCOL.md
     * feature-version mapping). */
