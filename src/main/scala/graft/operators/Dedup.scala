@@ -276,6 +276,47 @@ object Dedup {
   }
 
   /**
+   * Semantic dedup (the SemDeDup shape: cluster the embedding corpus,
+   * then prune near-identical pairs WITHIN each cluster): k-means
+   * assignment reuses [[Similarity.kmeansAssignments]]'s exact-integer
+   * Lloyd run, and the in-cluster similarity test is EXACT — integer
+   * dot/norms on the fixed-point vectors, threshold compared by
+   * cross-multiplication in DECIMAL(38,0), so no float boundary can
+   * disagree between engines. Emits each pruned vector with its cluster
+   * and the surviving representative (lowest id among its ≥τ partners).
+   *
+   * Scale: the cluster count is the knob — clusters bound the candidate
+   * set, so in-cluster pairing is (N/k)² per cluster, the SemDeDup
+   * contract (production k grows with the corpus like `planesFor`; the
+   * oracle-replayed Lloyd run pins k=8 at test scale). The pair join
+   * shuffles (cid, fp) once; nothing is driver-side.
+   */
+  def semanticDedup(
+      spark: SparkSession, dir: String,
+      // τ = 0.40 (τ² as an exact rational): production SemDeDup runs at
+      // 0.95+, but the synthetic corpus' max pair cosine is ~0.5-0.6, so
+      // the test threshold sits where the fixture actually has neighbors
+      tauSqNum: Long = 1600, tauSqDen: Long = 10000): DataFrame = {
+    val assigned = Similarity.kmeansAssignments(spark, dir)
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"), col("fp").as("fp_a"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vec_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("cid")).filter(col("vec_a") < col("vec_b"))
+      // fp components are ~1e6, so per-term products are ~1e12 and the
+      // 64-term sums fit a long with room to spare
+      .withColumn("dot", expr(
+        "aggregate(zip_with(fp_a, fp_b, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("na", expr("aggregate(fp_a, 0L, (acc, x) -> acc + x*x)"))
+      .withColumn("nb", expr("aggregate(fp_b, 0L, (acc, x) -> acc + x*x)"))
+      .filter(col("dot") > 0 && expr(
+        s"""cast(dot AS DECIMAL(38,0)) * cast(dot AS DECIMAL(38,0)) * $tauSqDen >=
+           |cast(na AS DECIMAL(38,0)) * cast(nb AS DECIMAL(38,0)) * $tauSqNum""".stripMargin))
+      .groupBy(col("cid"), col("vec_b"))
+      .agg(min(col("vec_a")).as("kept_by"))
+      .select(col("vec_b").as("vec_id"), col("cid").as("cluster_id"), col("kept_by"))
+      .orderBy(col("vec_id"))
+  }
+
+  /**
    * Duplicate-GROUP resolution: near-dup PAIRS (d02's verified MinHash
    * output) are only half of dedup — a pipeline must pick one survivor
    * per connected component of the duplicate graph. Hash-to-min label
@@ -421,6 +462,25 @@ object Dedup {
       """SELECT * EXCLUDE (src_key)
         |FROM '/root/repo/expected/d05_embedding_near_dup_*.parquet'
         |WHERE src_key = (SELECT SUM(n_chars) FROM documents)
-        |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin)
+        |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin),
+    // The oracle replays the IDENTICAL pipeline: the shared Lloyd CTE
+    // chain reproduces the cluster assignment bit-for-bit, and the ≥τ
+    // test is exact integer cross-multiplication (HUGEINT there,
+    // DECIMAL(38,0) here) — no float boundary to disagree on.
+    QueryDef.sql(
+      "d07_semantic_dedup",
+      (spark, dir) => semanticDedup(spark, dir),
+      s"""${Similarity.kmeansOracleCtes()},
+         |pairs AS (
+         |  SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    list_sum(list_transform(range(1,65), i -> a.fp[i]*b.fp[i])) AS dot,
+         |    list_sum(list_transform(range(1,65), i -> a.fp[i]*a.fp[i])) AS na,
+         |    list_sum(list_transform(range(1,65), i -> b.fp[i]*b.fp[i])) AS nb
+         |  FROM final a JOIN final b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT vec_b AS vec_id, cid AS cluster_id, MIN(vec_a) AS kept_by
+         |FROM pairs
+         |WHERE dot > 0 AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 10000 >=
+         |  CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) * 1600
+         |GROUP BY vec_b, cid ORDER BY vec_id""".stripMargin)
   )
 }

@@ -101,6 +101,18 @@ object Similarity {
    * (cid, pos) sum shuffle; empty clusters drop, matching the oracle.
    */
   def kmeansClusters(
+      spark: SparkSession, dir: String, k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansAssignments(spark, dir, k, iters)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
+      .select(col("cid").as("cluster_id"), col("n"), col("inertia"))
+      .orderBy(col("cluster_id"))
+
+  /** The final Lloyd-round assignment per vector: (vec_id, fp, cid,
+    * dist) — k-means' per-point output, shared by s03's cluster summary
+    * and d07's within-cluster semantic dedup. Deterministic and
+    * bit-reproducible (see [[kmeansClusters]]). */
+  private[operators] def kmeansAssignments(
       spark: SparkSession, dir: String, k: Int = 8, iters: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
@@ -133,12 +145,35 @@ object Similarity {
       }
     }
     val out = assign(cents)
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
-      .select(col("cid").as("cluster_id"), col("n"), col("inertia"))
-      .orderBy(col("cluster_id"))
     e.unpersist()
     out
+  }
+
+  /** DuckDB CTE chain replaying the identical 3-round Lloyd run; ends
+    * with `final` = (vec_id, fp, cid, d) — the oracle-side twin of
+    * [[kmeansAssignments]], shared by the s03 and d07 oracles. */
+  private[operators] def kmeansOracleCtes(k: Int = 8): String = {
+    val iterTpl = (n: Int, p: Int) =>
+      s"""a$n AS (SELECT vec_id, fp, cid, d FROM (
+         |  SELECT e.vec_id, e.fp, c.cid,
+         |    list_sum(list_transform(range(1,65), i -> (e.fp[i]-c.cent[i])*(e.fp[i]-c.cent[i]))) AS d,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_sum(list_transform(range(1,65), i -> (e.fp[i]-c.cent[i])*(e.fp[i]-c.cent[i]))), c.cid) AS rn
+         |  FROM e, c$p c) WHERE rn = 1),
+         |c$n AS (SELECT cid, list(fd ORDER BY pos) AS cent FROM (
+         |  SELECT cid, i AS pos, CAST(SUM(fp[i]) // COUNT(*) AS BIGINT) AS fd
+         |  FROM a$n, range(1,65) t(i) GROUP BY cid, i) GROUP BY cid)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fp
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, fp AS cent FROM e WHERE vec_id < $k),
+       |${Seq((1, 0), (2, 1), (3, 2)).map { case (n, p) => iterTpl(n, p) }.mkString(",\n")},
+       |final AS (SELECT vec_id, fp, cid, d FROM (
+       |  SELECT e.vec_id, e.fp, c.cid,
+       |    list_sum(list_transform(range(1,65), i -> (e.fp[i]-c.cent[i])*(e.fp[i]-c.cent[i]))) AS d,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(range(1,65), i -> (e.fp[i]-c.cent[i])*(e.fp[i]-c.cent[i]))), c.cid) AS rn
+       |  FROM e, c3 c) WHERE rn = 1)""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -194,30 +229,8 @@ object Similarity {
     QueryDef.sql(
       "s03_kmeans_clusters",
       (spark, dir) => kmeansClusters(spark, dir),
-      {
-        val iterTpl = (n: Int, p: Int) =>
-          s"""a$n AS (SELECT vec_id, fp, cid, d FROM (
-             |  SELECT e.vec_id, e.fp, c.cid,
-             |    list_sum(list_transform(range(1,65), i -> (e.fp[i]-c.cent[i])*(e.fp[i]-c.cent[i]))) AS d,
-             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             |      list_sum(list_transform(range(1,65), i -> (e.fp[i]-c.cent[i])*(e.fp[i]-c.cent[i]))), c.cid) AS rn
-             |  FROM e, c$p c) WHERE rn = 1),
-             |c$n AS (SELECT cid, list(fd ORDER BY pos) AS cent FROM (
-             |  SELECT cid, i AS pos, CAST(SUM(fp[i]) // COUNT(*) AS BIGINT) AS fd
-             |  FROM a$n, range(1,65) t(i) GROUP BY cid, i) GROUP BY cid)""".stripMargin
-        s"""WITH e AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fp
-           |  FROM embeddings),
-           |c0 AS (SELECT vec_id AS cid, fp AS cent FROM e WHERE vec_id < 8),
-           |${Seq((1, 0), (2, 1), (3, 2)).map { case (n, p) => iterTpl(n, p) }.mkString(",\n")},
-           |final AS (SELECT vec_id, cid, d FROM (
-           |  SELECT e.vec_id, c.cid,
-           |    list_sum(list_transform(range(1,65), i -> (e.fp[i]-c.cent[i])*(e.fp[i]-c.cent[i]))) AS d,
-           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-           |      list_sum(list_transform(range(1,65), i -> (e.fp[i]-c.cent[i])*(e.fp[i]-c.cent[i]))), c.cid) AS rn
-           |  FROM e, c3 c) WHERE rn = 1)
-           |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS inertia
-           |FROM final GROUP BY cid ORDER BY cluster_id""".stripMargin
-      })
+      s"""${kmeansOracleCtes()}
+         |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS inertia
+         |FROM final GROUP BY cid ORDER BY cluster_id""".stripMargin)
   )
 }

@@ -192,6 +192,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Sequence packing for LLM pretraining: concatenate each (lang,
+   * shard)'s documents in doc_id order and slice the token stream into
+   * fixed `blockTokens` blocks — emitting, per document, the block span
+   * it lands in and its offset into the first block (the concat-then-
+   * chunk layout most pretraining loaders use; documents may span block
+   * boundaries). Sharding is the scale knob: packing is inherently
+   * sequential WITHIN a stream, so streams are bounded at `shardDocs`
+   * documents (shard = doc_id div shardDocs — contiguous, so the oracle
+   * replays it exactly, unlike a hash-bucket) and all (lang, shard)
+   * streams pack in parallel with one shuffle and a running-sum window
+   * each. Token counts are t01's whitespace tokenizer.
+   */
+  def sequencePacking(
+      spark: SparkSession, dir: String,
+      blockTokens: Int = 512, shardDocs: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"doc_id div $shardDocs").as("shard"),
+        size(split(col("text"), " ")).cast("bigint").as("tokens"))
+      .withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col("lang"), col("shard"), col("doc_id"), col("tokens"),
+        expr(s"cum_before div $blockTokens").as("start_block"),
+        expr(s"(cum_before + tokens - 1) div $blockTokens").as("end_block"),
+        (col("cum_before") % blockTokens).as("block_offset"))
+      .orderBy(col("lang"), col("shard"), col("doc_id"))
+  }
+
   /** MD5 fingerprint of punctuation/case-normalized text (the
     * engine-portable digest; xxhash64 variants live in Dedup). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
@@ -322,6 +353,23 @@ object TextOps {
         |  FROM documents),
         |target AS (SELECT MIN(cnt) AS t FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang))
         |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
-        |FROM ranked, target WHERE rn <= t ORDER BY doc_id""".stripMargin)
+        |FROM ranked, target WHERE rn <= t ORDER BY doc_id""".stripMargin),
+    QueryDef.sql(
+      "t09_sequence_packing",
+      (spark, dir) => sequencePacking(spark, dir),
+      """WITH t AS (
+        |  SELECT doc_id, lang, doc_id // 128 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, shard, doc_id, tokens,
+        |    COALESCE(SUM(tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT lang, CAST(shard AS BIGINT) AS shard, doc_id, tokens,
+        |  CAST(cum_before // 512 AS BIGINT) AS start_block,
+        |  CAST((cum_before + tokens - 1) // 512 AS BIGINT) AS end_block,
+        |  CAST(cum_before % 512 AS BIGINT) AS block_offset
+        |FROM c ORDER BY lang, shard, doc_id""".stripMargin)
   )
 }

@@ -159,4 +159,49 @@ class PipelineOpsSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(ids1.sameElements(ids2))
   }
+
+  test("semantic dedup prunes toward lower ids within one cluster, pairs really clear tau") {
+    val pruned = Dedup.semanticDedup(spark, sf0001).collect()
+    assert(pruned.nonEmpty, "fixture must contain >= tau in-cluster pairs")
+    val cluster = Similarity.kmeansAssignments(spark, sf0001)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute each claimed pair's cosine exactly (double) and check tau
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    pruned.foreach { r =>
+      val (vec, cid, keptBy) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(keptBy < vec, "representative must be the lower id")
+      assert(cluster(vec) == cid && cluster(keptBy) == cid,
+        "pruned vector and its representative must share the cluster")
+      val (a, b) = (emb(vec), emb(keptBy))
+      val cos = a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(y => y * y).sum))
+      // fixed-point flooring can push a borderline pair across tau by at
+      // most ~1e-5; anything further below tau is a real bug
+      assert(cos >= 0.40 - 1e-4, s"pair ($vec, $keptBy) cosine $cos below tau")
+    }
+    // one row per pruned vector (min-id representative, not one per pair)
+    assert(pruned.map(_.getLong(0)).distinct.length == pruned.length)
+  }
+
+  test("sequence packing tiles each (lang, shard) stream contiguously") {
+    val rows = TextOps.sequencePacking(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_.getLong(2))
+      // first doc of every stream starts the stream at block 0, offset 0
+      assert(sorted.head.getLong(4) == 0L && sorted.head.getLong(6) == 0L)
+      var cum = 0L
+      sorted.foreach { r =>
+        val (tokens, start, end, off) =
+          (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+        assert(tokens >= 1)
+        assert(start == cum / 512 && off == cum % 512,
+          "doc must start exactly where the previous one ended")
+        assert(end == (cum + tokens - 1) / 512 && end >= start)
+        cum += tokens
+      }
+    }
+  }
 }
