@@ -119,6 +119,28 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         "file_size_in_bytes", "sequence_number")
   }
 
+  /** Per-partition rollup of the current snapshot (the `partitions`
+    * metadata table): data record/file/byte counts plus delete-file
+    * count, keyed by the hive-style partition string (sorted by field
+    * name — maps can't be grouped on directly, and the canonical string
+    * doubles as the human-readable key). */
+  def partitionsDF(): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    liveEntries(None)
+      .map(e => (
+        e.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
+        e.content, e.recordCount, e.fileSizeBytes))
+      .toDF("partition", "content", "rc", "bytes")
+      .groupBy(col("partition"))
+      .agg(
+        sum(when(col("content") === 0, col("rc")).otherwise(0L)).as("record_count"),
+        count(when(col("content") === 0, 1)).cast("long").as("file_count"),
+        sum(when(col("content") === 0, col("bytes")).otherwise(0L)).as("total_size_bytes"),
+        count(when(col("content") =!= 0, 1)).cast("long").as("delete_file_count"))
+      .orderBy(col("partition"))
+  }
+
   def scan: IcebergScanBuilder = new IcebergScanBuilder(spark, this, None)
   def scanAsOf(snapshotId: Long): IcebergScanBuilder =
     new IcebergScanBuilder(spark, this, Some(snapshotId))

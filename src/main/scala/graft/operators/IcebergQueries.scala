@@ -454,6 +454,20 @@ object IcebergQueries {
         |FROM feed GROUP BY _change_type, o_orderstatus
         |ORDER BY _change_type, o_orderstatus""".stripMargin),
 
+    // The `partitions` inspection table: per-partition record counts
+    // must agree with grouping the raw data — the manifests' rollup IS
+    // the data's rollup. File/byte counts are layout-dependent, so the
+    // oracle pins the data-derivable projection.
+    QueryDef.sql(
+      "i15_iceberg_partitions_table",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "lineitem_part").partitionsDF()
+          .select(col("partition"), col("record_count"))
+          .orderBy(col("partition")),
+      """SELECT 'l_returnflag=' || l_returnflag AS partition,
+        |  COUNT(*) AS record_count
+        |FROM lineitem GROUP BY l_returnflag ORDER BY partition""".stripMargin),
+
     QueryDef.sql(
       "x01_cross_format_equality",
       (spark, dir) => {

@@ -223,6 +223,43 @@ object TextOps {
       .orderBy(col("lang"), col("shard"), col("doc_id"))
   }
 
+  /**
+   * Gopher-style composite quality filter: the rule battery large
+   * pretraining pipelines run per document (word-count bounds, mean
+   * word-length bounds, stopword evidence, single-word repetition cap),
+   * each emitted as its own boolean plus the conjunction — pipelines
+   * keep the per-rule bits for ablation, not just the verdict. Every
+   * boundary is tested in EXACT integer arithmetic (cross-multiplied
+   * rationals: `chars*1 >= 4*wc` instead of `chars/wc >= 4.0`), so no
+   * float rounding can flip a rule between engines. Bounds are
+   * calibrated to the synthetic corpus (real Gopher uses 50..100k words
+   * etc. — the thresholds are the parameters, the shape is the
+   * operator). Pure per-row codegen'd pipeline, shuffle-free.
+   */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val sw = stopwords.map("'" + _ + "'").mkString(",")
+    Tables.documents(spark, dir)
+      .withColumn("words", split(lower(col("text")), " "))
+      .withColumn("wc", size(col("words")).cast("bigint"))
+      // chars excluding separators: exact (length minus the wc-1 spaces)
+      .withColumn("chars", (length(col("text")) - (col("wc") - 1)).cast("bigint"))
+      .withColumn("n_stop",
+        size(expr(s"array_distinct(filter(words, w -> w IN ($sw)))")).cast("bigint"))
+      .withColumn("max_freq", expr(
+        "cast(array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w)))) AS bigint)"))
+      .select(
+        col("doc_id"), col("wc"),
+        (col("wc") >= 30 && col("wc") <= 90).as("wc_ok"),
+        // 4.0 <= mean word length <= 5.0, cross-multiplied
+        (col("chars") >= col("wc") * 4 && col("chars") <= col("wc") * 5).as("mwl_ok"),
+        (col("n_stop") >= 2).as("stop_ok"),
+        // no single word above 1/8 of the document
+        (col("max_freq") * 8 <= col("wc")).as("rep_ok"))
+      .withColumn("passes",
+        col("wc_ok") && col("mwl_ok") && col("stop_ok") && col("rep_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MD5 fingerprint of punctuation/case-normalized text (the
     * engine-portable digest; xxhash64 variants live in Dedup). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
@@ -354,6 +391,27 @@ object TextOps {
         |target AS (SELECT MIN(cnt) AS t FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang))
         |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
         |FROM ranked, target WHERE rn <= t ORDER BY doc_id""".stripMargin),
+    QueryDef.sql(
+      "t10_quality_filter",
+      qualityFilter,
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS words,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+         |    CAST(len(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS chars
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, wc, chars,
+         |    CAST(len(list_distinct(list_filter(words, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")})))) AS BIGINT) AS n_stop,
+         |    CAST(list_max(list_transform(list_distinct(words), w -> len(list_filter(words, x -> x = w)))) AS BIGINT) AS max_freq
+         |  FROM w)
+         |SELECT doc_id, wc,
+         |  wc >= 30 AND wc <= 90 AS wc_ok,
+         |  chars >= wc * 4 AND chars <= wc * 5 AS mwl_ok,
+         |  n_stop >= 2 AS stop_ok,
+         |  max_freq * 8 <= wc AS rep_ok,
+         |  (wc >= 30 AND wc <= 90) AND (chars >= wc * 4 AND chars <= wc * 5)
+         |    AND n_stop >= 2 AND max_freq * 8 <= wc AS passes
+         |FROM f ORDER BY doc_id""".stripMargin),
     QueryDef.sql(
       "t09_sequence_packing",
       (spark, dir) => sequencePacking(spark, dir),

@@ -44,6 +44,23 @@ class IcebergDeleteSpec extends SparkTestBase {
     assert(p == expect)
   }
 
+  test("partitionsDF rolls up data and delete files per partition string") {
+    val dir = tmpDir("ice_parts")
+    val t = IcebergTable.create(spark, s"$dir/t", orders, Seq("o_orderstatus"))
+    val expect = orders.groupBy(col("o_orderstatus")).count().collect()
+      .map(r => s"o_orderstatus=${r.getString(0)}" -> r.getLong(1)).toMap
+    val parts0 = t.partitionsDF().collect()
+    assert(parts0.map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+    assert(parts0.forall(r => r.getLong(2) >= 1 && r.getLong(3) > 0)) // files, bytes
+    assert(parts0.forall(_.getLong(4) == 0)) // no delete files yet
+    t.deleteWhere(col("o_orderkey") % 4 === 1)
+    val parts1 = t.partitionsDF().collect()
+    // record_count is the manifests' rollup: position deletes don't
+    // rewrite data entries, so counts stand while delete files appear
+    assert(parts1.map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+    assert(parts1.exists(_.getLong(4) > 0))
+  }
+
   test("repeated deleteWhere is idempotent under overlap") {
     val dir = tmpDir("ice_del_twice")
     val t = IcebergTable.create(spark, s"$dir/t", orders.repartition(2))

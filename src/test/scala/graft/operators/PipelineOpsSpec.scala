@@ -185,6 +185,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pruned.map(_.getLong(0)).distinct.length == pruned.length)
   }
 
+  test("quality filter: verdict is the rule conjunction and every rule discriminates") {
+    val rows = TextOps.qualityFilter(spark, sf0001).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (wc, mwl, stop, rep, passes) =
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))
+      assert(passes == (wc && mwl && stop && rep))
+    }
+    // a filter where some rule never fires is a rule miscalibrated
+    // against its corpus — catch that drift here
+    (2 to 5).foreach { i =>
+      val fired = rows.count(_.getBoolean(i))
+      assert(fired > 0 && fired < rows.length, s"rule at column $i does not discriminate")
+    }
+  }
+
   test("sequence packing tiles each (lang, shard) stream contiguously") {
     val rows = TextOps.sequencePacking(spark, sf0001).collect()
     assert(rows.nonEmpty)
