@@ -116,13 +116,43 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     require(!(mutation && conf.get("delta.enableChangeDataFeed").contains("true")),
       s"cannot run row-level writes on $tablePath: delta.enableChangeDataFeed " +
         "requires _change_data files this engine does not produce")
-    require(!conf.keys.exists(_.startsWith("delta.constraints.")),
-      s"cannot write $tablePath: CHECK constraints are not validated by this engine")
     val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
-    require(!schema.fields.exists(_.metadata.contains("delta.invariants")),
-      s"cannot write $tablePath: column invariants are not validated by this engine")
     require(!schema.fields.exists(_.metadata.contains("delta.identity.start")),
       s"cannot write $tablePath: identity-column high watermarks are not maintained by this engine")
+  }
+
+  /**
+   * Enforce the table's CHECK constraints (`delta.constraints.*`
+   * configuration) and column invariants (`delta.invariants` field
+   * metadata) on incoming rows — SQL CHECK semantics: a row violates
+   * only when the expression is FALSE (NULL passes). One distributed
+   * pass over the incoming frame (the violations of every rule count in
+   * a single job); per-rule attribution runs only on the failure path.
+   */
+  private def validateIncoming(df: DataFrame): Unit = {
+    val meta = log.metadataAt(None)._1
+    val checks: Seq[(String, String)] =
+      meta.configuration.collect {
+        case (k, v) if k.startsWith("delta.constraints.") =>
+          k.stripPrefix("delta.constraints.") -> v
+      }.toSeq ++ {
+        val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+        schema.fields.filter(_.metadata.contains("delta.invariants")).map { f =>
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(f.metadata.getString("delta.invariants"))
+          s"invariant(${f.name})" -> node.path("expression").path("expression").asText()
+        }.toSeq
+      }
+    if (checks.isEmpty) return
+    def violations(sql: String) = df.filter(not(coalesce(expr(sql), lit(true))))
+    val total = checks.map(c => violations(c._2)).reduce(_ unionAll _).count()
+    if (total > 0) {
+      val broken = checks.filter(c => violations(c._2).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"write to $tablePath violates CHECK constraint(s) " +
+          broken.map { case (n, e) => s"$n ($e)" }.mkString(", ") +
+          s": $total violating row(s)")
+    }
   }
 
   /** Commit history, newest first (DESCRIBE HISTORY): one row per
@@ -465,6 +495,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val genDefs = defs.filterNot(_.isIdentity)
     val withGen = genDefs.foldLeft(ordered)((d, t) =>
       d.withColumn(t.fieldName, graft.model.PartitionTransform.valueExpr(t)))
+    validateIncoming(withGen)
     val newFiles = graft.util.StagedWrites.writeAndPlace(withGen, tablePath, partCols)
     val stats = ParquetFooterStats.collect(spark, newFiles)
     val dataSchema = StructType(withGen.schema.filterNot(f => partCols.contains(f.name)))
@@ -688,6 +719,9 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val partitionColumns = defs.map(_.fieldName)
     val dfWithGen = genDefs.foldLeft(df)((d, t) =>
       d.withColumn(t.fieldName, graft.model.PartitionTransform.valueExpr(t)))
+    // compaction rewrites rows already in the table — only NEW rows
+    // (append/overwrite) go through constraint validation
+    if (log.latestVersion().nonEmpty && replacing.isEmpty) validateIncoming(dfWithGen)
     val newFiles = graft.util.StagedWrites.writeAndPlace(dfWithGen, tablePath, partitionColumns)
     val stats = ParquetFooterStats.collect(spark, newFiles)
 

@@ -297,7 +297,10 @@ object Dedup {
       // 0.95+, but the synthetic corpus' max pair cosine is ~0.5-0.6, so
       // the test threshold sits where the fixture actually has neighbors
       tauSqNum: Long = 1600, tauSqDen: Long = 10000): DataFrame = {
+    // both sides of the self-join read the same assignment — cache it
+    // once instead of replaying the argmin projection per side
     val assigned = Similarity.kmeansAssignments(spark, dir)
+      .select(col("cid"), col("vec_id"), col("fp")).persist()
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"), col("fp").as("fp_a"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_b"), col("fp").as("fp_b"))
     a.join(b, Seq("cid")).filter(col("vec_a") < col("vec_b"))

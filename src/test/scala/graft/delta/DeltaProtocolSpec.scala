@@ -100,7 +100,7 @@ class DeltaProtocolSpec extends SparkTestBase {
     assert(t.schemaAt(None)._1("ts").dataType == TimestampNTZType)
   }
 
-  test("metadata-activated switches: appendOnly blocks deletes, constraints block writes") {
+  test("metadata-activated switches: appendOnly blocks deletes, constraints validate rows") {
     val dir = tmpDir("proto_meta")
     val t = DeltaTable.create(spark, s"$dir/t", orders.limit(100))
     val meta = t.log.metadataAt(None)._1
@@ -116,8 +116,41 @@ class DeltaProtocolSpec extends SparkTestBase {
       meta.copy(configuration =
         meta.configuration + ("delta.constraints.minprice" -> "o_totalprice > 0")),
       CommitInfo(System.currentTimeMillis(), "ADD CONSTRAINT", Map.empty))))
-    val e2 = intercept[IllegalArgumentException](t.append(orders.limit(5), Seq.empty))
-    assert(e2.getMessage.contains("CHECK constraints"))
+    // conforming rows append fine; violating rows fail with the
+    // constraint NAMED and nothing committed (SQL CHECK: NULL passes)
+    val okV = t.append(orders.limit(5), Seq.empty)
+    val e2 = intercept[IllegalArgumentException](
+      t.append(orders.limit(5).withColumn("o_totalprice", lit(-1.0)), Seq.empty))
+    assert(e2.getMessage.contains("minprice") && e2.getMessage.contains("o_totalprice > 0"))
+    assert(t.latestVersion == okV, "violating append must not commit")
+    t.append(orders.limit(3).withColumn("o_totalprice", lit(null).cast("double")), Seq.empty)
+  }
+
+  test("column invariants validate like constraints; upserts validate too") {
+    val dir = tmpDir("proto_inv")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.limit(50))
+    val meta = t.log.metadataAt(None)._1
+    val schema = t.schemaAt(None)._1
+    val withInv = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      if (f.name == "o_orderkey")
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("delta.invariants",
+            """{"expression":{"expression":"o_orderkey < 1000000"}}""").build())
+      else f
+    })
+    val v = t.latestVersion + 1
+    assert(t.log.commit(v, Seq(
+      meta.copy(schemaString = withInv.json),
+      CommitInfo(System.currentTimeMillis(), "ADD INVARIANT", Map.empty))))
+    t.append(orders.limit(5), Seq.empty)
+    val e = intercept[IllegalArgumentException](
+      t.append(orders.limit(2).withColumn("o_orderkey", lit(2000000L)), Seq.empty))
+    assert(e.getMessage.contains("invariant(o_orderkey)"))
+    // the MERGE path validates its source the same way
+    val e2 = intercept[IllegalArgumentException](
+      t.upsert(orders.limit(2).withColumn("o_orderkey", lit(3000000L)), Seq("o_orderkey")))
+    assert(e2.getMessage.contains("invariant(o_orderkey)"))
   }
 
   test("compaction aborts when a concurrent delete changed a replaced file's DV") {
