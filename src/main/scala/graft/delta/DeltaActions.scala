@@ -46,6 +46,17 @@ final case class RemoveFile(
     dataChange: Boolean,
     deletionVector: Option[DeletionVectorDescriptor] = None) extends DeltaAction
 
+/** Change-data file (Delta protocol "Add CDC File"): the row-level
+  * change records of ONE commit, stored as `_change_data/` parquet with
+  * a `_change_type` column. Never table state — readers of the snapshot
+  * ignore it; change-feed readers of a commit that carries any `cdc`
+  * action use those files EXCLUSIVELY (per the protocol) instead of
+  * deriving changes from add/remove actions. */
+final case class AddCDCFile(
+    path: String,
+    partitionValues: Map[String, String],
+    size: Long) extends DeltaAction
+
 final case class CommitInfo(
     timestamp: Long,
     operation: String,
@@ -122,6 +133,12 @@ object DeltaActionCodec {
         n.put("deletionTimestamp", r.deletionTimestamp)
         n.put("dataChange", r.dataChange)
         r.deletionVector.foreach(putDv(n, _))
+      case f: AddCDCFile =>
+        val n = root.putObject("cdc")
+        n.put("path", f.path)
+        strMap(n, "partitionValues", f.partitionValues)
+        n.put("size", f.size)
+        n.put("dataChange", false) // per spec: cdc never changes table state
       case c: CommitInfo =>
         val n = root.putObject("commitInfo")
         n.put("timestamp", c.timestamp)
@@ -172,6 +189,12 @@ object DeltaActionCodec {
         deletionTimestamp = if (n.has("deletionTimestamp")) n.get("deletionTimestamp").asLong else 0L,
         dataChange = if (n.has("dataChange")) n.get("dataChange").asBoolean else true,
         deletionVector = getDv(n)))
+    } else if (root.has("cdc")) {
+      val n = root.get("cdc")
+      Some(AddCDCFile(
+        path = n.get("path").asText(),
+        partitionValues = strMapOf(n.get("partitionValues")),
+        size = n.get("size").asLong))
     } else if (root.has("commitInfo")) {
       val n = root.get("commitInfo")
       Some(CommitInfo(

@@ -113,9 +113,8 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val conf = meta.configuration
     require(!(mutation && conf.get("delta.appendOnly").contains("true")),
       s"cannot delete from $tablePath: delta.appendOnly is enabled")
-    require(!(mutation && conf.get("delta.enableChangeDataFeed").contains("true")),
-      s"cannot run row-level writes on $tablePath: delta.enableChangeDataFeed " +
-        "requires _change_data files this engine does not produce")
+    // delta.enableChangeDataFeed: row-level writes produce _change_data
+    // files + cdc actions (deleteWhere), so CDF tables are writable
     val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
     require(!schema.fields.exists(_.metadata.contains("delta.identity.start")),
       s"cannot write $tablePath: identity-column high watermarks are not maintained by this engine")
@@ -268,6 +267,19 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       partitionValues = if (r.isNullAt(3)) Map.empty else r.getMap[String, String](3).toMap)
     val parts: Seq[DataFrame] = versions.flatMap { v =>
       val actions = log.readActions(v)
+      // a commit carrying cdc actions is read EXCLUSIVELY from its
+      // _change_data files (Delta protocol): the writer already
+      // materialized every change row with its _change_type
+      val cdcs = actions.collect { case c: AddCDCFile => c }
+      if (cdcs.nonEmpty) {
+        val files = cdcs.map(c => graft.sources.ManifestFile(
+          DeltaTable.metadataFilePath(tablePath, c.path), c.size, 0L, c.partitionValues))
+        val readSchema = StructType(
+          schema.fields :+ StructField("_change_type", StringType))
+        Seq(graft.sources.ManifestFileIndex.read(
+            spark, tablePath, files, readSchema, partCols)
+          .withColumn("_commit_version", lit(v)))
+      } else {
       val adds = actions.collect { case a: AddFile => a }
       val removePaths = actions.collect { case r: RemoveFile => r.path }.toSet
       val addPaths = adds.map(_.path).toSet
@@ -322,6 +334,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
             "delete", v))
         }
       Seq(insertDF, removeDF, rewriteDF).flatten
+      }
     }
     parts.reduceOption(_ unionByName _).getOrElse {
       val empty = StructType(schema.fields ++ Seq(
@@ -382,7 +395,11 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       selectMatching: DataFrame => DataFrame,
       info: CommitInfo,
       /** extra actions committed atomically (MERGE's new files) */
-      extraActions: Seq[DeltaAction] = Seq.empty): Long = {
+      extraActions: Seq[DeltaAction] = Seq.empty,
+      /** MERGE's incoming rows, for the change feed: when the table
+        * enables CDF these land in `_change_data` as `insert` records
+        * alongside the delete pre-images. */
+      cdcInserts: Option[DataFrame] = None): Long = {
     requireWritable(mutation = true)
     require(columnMappingMode(None) == "none",
       s"row-level writes on a column-mapped table are not supported: $tablePath")
@@ -404,14 +421,26 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         partitionValues = if (r.isNullAt(3)) Map.empty else r.getMap[String, String](3).toMap)
     }
     import spark.implicits._
-    val perFile: Seq[(String, Array[Byte])] =
-      if (mfs.isEmpty) Seq.empty // nothing to tombstone in an empty snapshot
-      else selectMatching(graft.sources.ManifestFileIndex.read(
+    val cdfEnabled = log.metadataAt(None)._1.configuration
+      .get("delta.enableChangeDataFeed").contains("true")
+    // physical matches (existing deletes not applied); the CDF path
+    // reads this twice (position bitmaps + change rows), so persist the
+    // matched SUBSET — never the table — for that case only
+    val matched: Option[DataFrame] =
+      if (mfs.isEmpty) None // nothing to tombstone in an empty snapshot
+      else Some {
+        val m = selectMatching(graft.sources.ManifestFileIndex.read(
           spark, readBasePath(None), mfs, schema, partCols, withRowPositions = true))
-        .select(col("__graft_file").as[String], col("__graft_pos").as[Long])
-        .groupByKey(_._1)
-        .mapGroups((f, it) => (f, RoaringBitmapArray.serialize(it.map(_._2).toArray)))
-        .collect().toSeq
+        if (cdfEnabled) m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else m
+      }
+    try {
+    val perFile: Seq[(String, Array[Byte])] =
+      matched.map(
+        _.select(col("__graft_file").as[String], col("__graft_pos").as[Long])
+          .groupByKey(_._1)
+          .mapGroups((f, it) => (f, RoaringBitmapArray.serialize(it.map(_._2).toArray)))
+          .collect().toSeq).getOrElse(Seq.empty)
     if (perFile.isEmpty && extraActions.isEmpty) return latest
     val now = System.currentTimeMillis()
     val conf = spark.sparkContext.hadoopConfiguration
@@ -454,6 +483,45 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
           deletionVector = Some(DeletionVectorDescriptor(
             "u", Z85.encodeUuid(uuid), Some(off), size, cardinality)))
     }
+    // Change data feed (Delta protocol "Change Data Files"): a CDF
+    // table's row-level commit must carry its changes as _change_data
+    // parquet + cdc actions — readers of a commit with ANY cdc action
+    // use those files exclusively, so both the delete pre-images (the
+    // matches that were LIVE, i.e. not already under a file's old DV)
+    // and the MERGE's insert rows are written here, partitioned like
+    // the data so the actions carry real partitionValues.
+    val cdcActions: Seq[DeltaAction] =
+      if (!cdfEnabled || (perFile.isEmpty && cdcInserts.isEmpty)) Seq.empty
+      else {
+        val tableCols = schema.fieldNames.map(n => col(s"`$n`")).toSeq
+        val deletesDF: Option[DataFrame] = matched.filter(_ => perFile.nonEmpty).map { m =>
+          val oldDvs = perFile.flatMap { case (metaPath, _) =>
+            DeltaTable.dvAt(byMetaPath(metaPath), 5).map(d =>
+              (graft.sources.ManifestFile(metaPath, 0L, 0L, Map.empty), d))
+          }
+          val live =
+            if (oldDvs.isEmpty) m
+            else {
+              val already = DeltaTable.deletedPositionsDF(spark, tablePath, oldDvs)
+              val small = oldDvs.map(_._2.cardinality).sum <= 4000000L
+              m.join(if (small) broadcast(already) else already,
+                Seq("__graft_file", "__graft_pos"), "left_anti")
+            }
+          live.select(tableCols: _*).withColumn("_change_type", lit("delete"))
+        }
+        val insertsDF = cdcInserts.map(
+          _.select(tableCols: _*).withColumn("_change_type", lit("insert")))
+        val changeRows = (deletesDF.toSeq ++ insertsDF.toSeq).reduce(_ unionByName _)
+        val cdcRoot = new Path(tablePath, "_change_data").toString
+        val placed = graft.util.StagedWrites.writeAndPlace(changeRows, cdcRoot, partCols)
+        ParquetFooterStats.collect(spark, placed).filter(_.recordCount > 0).map { st =>
+          val rel = DeltaTable.relativize(cdcRoot, st.path)
+          AddCDCFile(
+            path = DeltaTable.encodeLogPath(s"_change_data/$rel"),
+            partitionValues = DeltaTable.partitionValuesFromPath(rel, partCols),
+            size = st.fileSizeBytes)
+        }
+      }
     // first DV on the table upgrades the protocol to the table-features
     // form the spec requires for deletionVectors; the CURRENT protocol
     // comes from snapshot replay (v0 always carries the default and may
@@ -465,10 +533,11 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       if (perFile.isEmpty || hasDvFeature) Seq.empty
       else Seq(DeltaTable.upgradeWithFeature(currentProtocol, "deletionVectors"))
     val v = latest + 1
-    require(log.commit(v, protocolUpgrade ++ removes ++ adds ++ extraActions :+ info),
+    require(log.commit(v, protocolUpgrade ++ removes ++ adds ++ cdcActions ++ extraActions :+ info),
       s"concurrent commit detected at version $v of $tablePath; re-run the operation")
     log.maybeCheckpoint(v)
     v
+    } finally matched.foreach(m => if (cdfEnabled) m.unpersist())
   }
 
   private def r2l(row: org.apache.spark.sql.Row, i: Int): Long =
@@ -516,7 +585,8 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       data => data
         .join(keys, keyCols.map(c => data(c) <=> keys(c)).reduce(_ && _), "left_semi"),
       CommitInfo(System.currentTimeMillis(), "MERGE", Map("matchedAction" -> "delete")),
-      extraActions = newAdds)
+      extraActions = newAdds,
+      cdcInserts = Some(withGen))
   }
 
   /**
@@ -539,6 +609,35 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       meta.copy(schemaString = newSchema.json),
       CommitInfo(System.currentTimeMillis(), "REPLACE COLUMNS",
         Map("columns" -> newSchema.fieldNames.mkString(","))))),
+      s"concurrent commit detected at version $v of $tablePath; re-run the operation")
+    log.maybeCheckpoint(v)
+    v
+  }
+
+  /**
+   * ALTER TABLE SET TBLPROPERTIES: merge `props` into the table
+   * configuration in one metadata commit. Enabling
+   * `delta.enableChangeDataFeed` also upgrades the protocol to declare
+   * the `changeDataFeed` writer feature (legacy writer v4, or the
+   * explicit feature on a table-features protocol) — the spec's
+   * precondition for commits that carry cdc actions.
+   */
+  def setProperties(props: Map[String, String]): Long = {
+    requireWritable(mutation = false)
+    val (meta, _) = log.metadataAt(None)
+    val p = log.protocolAt(None)
+    val declared = p.writerFeatures.map(_.toSet)
+      .getOrElse(DeltaTable.legacyWriterFeatures(p.minWriterVersion).toSet)
+    val upgrade: Seq[DeltaAction] =
+      if (!props.get("delta.enableChangeDataFeed").contains("true") ||
+          declared("changeDataFeed")) Seq.empty
+      else if (p.writerFeatures.isDefined)
+        Seq(p.copy(writerFeatures = Some((p.writerFeatures.get :+ "changeDataFeed").distinct)))
+      else Seq(Protocol(p.minReaderVersion, 4)) // legacy v4 implies changeDataFeed
+    val v = latestVersion + 1
+    require(log.commit(v, upgrade ++ Seq(
+      meta.copy(configuration = meta.configuration ++ props),
+      CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES", props))),
       s"concurrent commit detected at version $v of $tablePath; re-run the operation")
     log.maybeCheckpoint(v)
     v

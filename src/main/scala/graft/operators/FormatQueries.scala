@@ -94,6 +94,20 @@ object FormatQueries {
               .withColumn("o_orderkey", col("o_orderkey") + 10000000L)),
           Seq("o_orderkey"))
 
+        // 10. CDF-enabled orders: after the property flips on, every
+        //     row-level commit writes real `_change_data` parquet + cdc
+        //     actions (Delta CDF write path). v1 = SET TBLPROPERTIES,
+        //     v2 = DELETE (keys % 7), v3 = MERGE over the surviving rows
+        val t10 = DeltaTable.create(spark, s"$root/orders_cdf", o.repartition(4))
+        t10.setProperties(Map("delta.enableChangeDataFeed" -> "true"))
+        t10.delete(col("o_orderkey") % 7 === 0)
+        t10.upsert(
+          o.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+            .unionByName(o.filter(col("o_orderkey") % 100 === 0)
+              .withColumn("o_orderkey", col("o_orderkey") + 10000000L)),
+          Seq("o_orderkey"))
+
         root
       })
     }
@@ -314,6 +328,41 @@ object FormatQueries {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM feed GROUP BY _change_type, o_orderstatus
-        |ORDER BY _change_type, o_orderstatus""".stripMargin)
+        |ORDER BY _change_type, o_orderstatus""".stripMargin),
+
+    // CDF WRITE path: unlike f16's log-derived feed, these commits carry
+    // real `_change_data` files + cdc actions (the table enables
+    // delta.enableChangeDataFeed), and the feed reads them exclusively.
+    // v2's DELETE pre-images are the % 7 keys; v3's MERGE deletes only
+    // the % 3 keys still live (% 21 died at v2 — the already-deleted
+    // anti-join must keep them out) and inserts every source row.
+    QueryDef.sql(
+      "f17_delta_cdf_write",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_cdf").changeFeed(1L, 3L)
+          .groupBy(col("_change_type"), col("_commit_version"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("_change_type"), col("_commit_version")),
+      """WITH feed AS (
+        |  SELECT 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version,
+        |    o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'delete', 3, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'insert', 3, o_orderkey, o_totalprice + 100000.0
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'insert', 3, o_orderkey + 10000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT _change_type, _commit_version, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM feed GROUP BY _change_type, _commit_version
+        |ORDER BY _change_type, _commit_version""".stripMargin)
   )
 }
