@@ -2,6 +2,7 @@ package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
@@ -75,7 +76,8 @@ final class GraftChangeSource(
     /** The engine-provided source-private state dir; None = schema-only use. */
     metadataPath: Option[String] = None,
     maxCommitsPerTrigger: Option[Int] = None,
-    maxFilesPerTrigger: Option[Int] = None) extends Source {
+    maxFilesPerTrigger: Option[Int] = None)
+  extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   import java.nio.charset.StandardCharsets.UTF_8
   import org.apache.hadoop.fs.Path
@@ -156,10 +158,41 @@ final class GraftChangeSource(
       math.max(1, math.ceil(files.toDouble / m).toInt)
   }
 
-  override def getOffset: Option[OffsetV1] = synchronized {
+  // ------------------------------------------------ Trigger.AvailableNow
+  /** Fence for Trigger.AvailableNow: the newest token at query start.
+    * [[nextOffset]] never proposes past it, so the drain runs its
+    * bounded batches (snapshot chunks + capped commit spans) and
+    * terminates deterministically even while writers keep committing. */
+  @volatile private var availableNowFence: Option[String] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowFence = tokens.lastOption
+  }
+
+  /** The per-trigger caps are constructor options (`maxFilesPerTrigger`
+    * / `maxCommitsPerTrigger`), applied inside [[nextOffset]]; the
+    * engine-level ReadLimit stays allAvailable. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): OffsetV2 =
+    tokens.lastOption.map(t => GraftStreamOffset(t, 1, 0, t)).orNull
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = synchronized {
+    // the engine's own start offset is authoritative when the
+    // source-private position was lost across a restart
+    if (lastSeen.isEmpty && start != null)
+      lastSeen = Some(GraftStreamOffset.parse(start.json))
+    nextOffset().orNull
+  }
+
+  override def getOffset: Option[OffsetV1] = synchronized(nextOffset())
+
+  private def nextOffset(): Option[GraftStreamOffset] = {
     val next = lastSeen match {
       case None =>
-        tokens.lastOption.map { snapTok =>
+        // under AvailableNow, snapshot the fence token (not a commit
+        // that may have landed since prepare)
+        availableNowFence.orElse(tokens.lastOption).map { snapTok =>
           // chunked batch 0 only on a genuinely fresh stream; after a
           // lost position file, propose a plain offset — getBatch then
           // derives the correct span from the engine's own offsets
@@ -169,7 +202,13 @@ final class GraftChangeSource(
       case Some(p) if !p.complete =>
         Some(p.copy(chunk = p.chunk + 1))
       case Some(p) =>
-        val fresh = tokensAfter(p.tail)
+        val after = tokensAfter(p.tail)
+        val fresh = availableNowFence match {
+          case Some(f) =>
+            val i = after.indexOf(f)
+            if (i >= 0) after.take(i + 1) else Seq.empty // fence reached: drained
+          case None => after
+        }
         if (fresh.isEmpty) Some(p) // unchanged json → engine sees no new data
         else {
           val step = maxCommitsPerTrigger.map(fresh.take).getOrElse(fresh)

@@ -138,6 +138,38 @@ class GraftChangeStreamSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == o.count() + 7)
   }
 
+  test("Trigger.AvailableNow drains a commit backlog in bounded batches, then terminates") {
+    val dir = tmpDir("stream_availnow")
+    val o = orders.limit(300)
+    val t = DeltaTable.create(spark, s"$dir/t", o.limit(10))
+    (1 to 20).foreach(_ => t.append(o.limit(10), Seq.empty)) // 21 commits at start
+    val ckpt = s"$dir/ckpt"
+    val out = s"$dir/out"
+    def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream.format("graft")
+        .option("maxCommitsPerTrigger", "5")
+        .load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "AvailableNow drain did not terminate")
+      q
+    }
+    drain() // fresh stream: batch 0 is the snapshot
+    assert(spark.read.parquet(out).count() == 21 * 10)
+    // a 12-commit backlog must drain as >= 3 batches of <= 5 commits —
+    // the single-batch fallback (pre-SupportsTriggerAvailableNow) would
+    // deliver all 120 rows in one batch and fail both assertions
+    (1 to 12).foreach(_ => t.append(o.limit(10), Seq.empty))
+    val q2 = drain()
+    assert(spark.read.parquet(out).count() == 33 * 10)
+    val batches = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3, s"12-commit backlog should take >=3 bounded batches, " +
+      s"took ${batches.length}: ${batches.map(_.numInputRows).mkString(",")}")
+    assert(batches.forall(_.numInputRows <= 5 * 10L),
+      s"a batch exceeded the 5-commit cap: ${batches.map(_.numInputRows).mkString(",")}")
+  }
+
   test("a checkpointed stream resumes from its offset, not from scratch") {
     val dir = tmpDir("stream_ckpt")
     val o = orders
