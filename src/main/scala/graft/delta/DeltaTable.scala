@@ -252,10 +252,19 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val versions = log.listVersions().filter(v => v > fromExclusive && v <= toInclusive)
     require(versions.nonEmpty, s"no commits in ($fromExclusive, $toInclusive] of $tablePath")
     val asOf = Some(toInclusive)
-    require(columnMappingMode(asOf) == "none",
-      s"changeFeed on a column-mapped table is not supported: $tablePath")
     val (schema, partCols) = schemaAt(asOf)
+    // column-mapped feeds read physical and project back to logical
+    val physOpt = physicalShape(asOf)
+    val (rSchema, rParts) = physOpt.getOrElse((schema, partCols))
     val base = readBasePath(asOf)
+    def toLogical(df: DataFrame, extra: Seq[String]): DataFrame = physOpt match {
+      case None => df
+      case Some((ps, _)) =>
+        val logical = DeltaTable.logicalClean(schema)
+        df.select(ps.fields.zip(logical.fields).map { case (pf, lf) =>
+          col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+        }.toSeq ++ extra.map(n => col(n)): _*)
+    }
     def finish(df: DataFrame, t: String, v: Long): DataFrame =
       df.select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
         .withColumn("_change_type", lit(t))
@@ -275,9 +284,9 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         val files = cdcs.map(c => graft.sources.ManifestFile(
           DeltaTable.metadataFilePath(tablePath, c.path), c.size, 0L, c.partitionValues))
         val readSchema = StructType(
-          schema.fields :+ StructField("_change_type", StringType))
-        Seq(graft.sources.ManifestFileIndex.read(
-            spark, tablePath, files, readSchema, partCols)
+          rSchema.fields :+ StructField("_change_type", StringType))
+        Seq(toLogical(graft.sources.ManifestFileIndex.read(
+            spark, tablePath, files, readSchema, rParts), Seq("_change_type"))
           .withColumn("_commit_version", lit(v)))
       } else {
       val adds = actions.collect { case a: AddFile => a }
@@ -297,16 +306,16 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       }
       val insertDF =
         if (inserts.isEmpty) None
-        else Some(finish(DeltaTable.readFilesWithDeletes(
-          spark, tablePath, base, inserts, schema, partCols), "insert", v))
+        else Some(finish(toLogical(DeltaTable.readFilesWithDeletes(
+          spark, tablePath, base, inserts, rSchema, rParts), Seq.empty), "insert", v))
 
       val fullRemoves = prevRows.view.filterKeys(p => !addPaths.contains(p)).values.toSeq
       val removeDF =
         if (fullRemoves.isEmpty) None
-        else Some(finish(DeltaTable.readFilesWithDeletes(
+        else Some(finish(toLogical(DeltaTable.readFilesWithDeletes(
           spark, tablePath, base,
-          fullRemoves.map(r => (mfOf(r), DeltaTable.dvAt(r, 5))), schema, partCols),
-          "delete", v))
+          fullRemoves.map(r => (mfOf(r), DeltaTable.dvAt(r, 5))), rSchema, rParts),
+          Seq.empty), "delete", v))
 
       // DV rewrites: remove+add of the same path — the delete set is the
       // new vector minus the old one
@@ -317,8 +326,9 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
           val files = rewrites.map { a =>
             mfOf(prevRows(a.path)).copy(path = DeltaTable.metadataFilePath(tablePath, a.path))
           }
-          val data = graft.sources.ManifestFileIndex.read(
-            spark, base, files, schema, partCols, withRowPositions = true)
+          val data = toLogical(graft.sources.ManifestFileIndex.read(
+            spark, base, files, rSchema, rParts, withRowPositions = true),
+            Seq("__graft_file", "__graft_pos"))
           def posDF(dvs: Seq[(String, Option[DeletionVectorDescriptor])]) =
             DeltaTable.deletedPositionsDF(spark, tablePath,
               dvs.collect { case (p, Some(d)) =>
@@ -401,9 +411,10 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         * alongside the delete pre-images. */
       cdcInserts: Option[DataFrame] = None): Long = {
     requireWritable(mutation = true)
-    require(columnMappingMode(None) == "none",
-      s"row-level writes on a column-mapped table are not supported: $tablePath")
     val (schema, partCols) = schemaAt(None)
+    // column-mapped tables scan physical, match logical: the predicate /
+    // key join sees logical names, the position bitmaps key on file+pos
+    val physShape = physicalShape(None)
     val snapRows = log.snapshotFilesDF()
       .select("path", "size", "modificationTime", "partitionValues", "stats", "deletionVector")
       .collect().toSeq
@@ -429,8 +440,18 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val matched: Option[DataFrame] =
       if (mfs.isEmpty) None // nothing to tombstone in an empty snapshot
       else Some {
-        val m = selectMatching(graft.sources.ManifestFileIndex.read(
-          spark, readBasePath(None), mfs, schema, partCols, withRowPositions = true))
+        val (rSchema, rParts) = physShape.getOrElse((schema, partCols))
+        val raw = graft.sources.ManifestFileIndex.read(
+          spark, readBasePath(None), mfs, rSchema, rParts, withRowPositions = true)
+        val logicalView = physShape match {
+          case None => raw
+          case Some((ps, _)) =>
+            val logical = DeltaTable.logicalClean(schema)
+            raw.select(ps.fields.zip(logical.fields).map { case (pf, lf) =>
+              col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+            }.toSeq ++ Seq(col("__graft_file"), col("__graft_pos")): _*)
+        }
+        val m = selectMatching(logicalView)
         if (cdfEnabled) m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else m
       }
@@ -444,7 +465,11 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     if (perFile.isEmpty && extraActions.isEmpty) return latest
     val now = System.currentTimeMillis()
     val conf = spark.sparkContext.hadoopConfiguration
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    // stats JSON speaks physical names on mapped tables
+    val dataSchema = physShape match {
+      case Some((ps, pp)) => StructType(ps.filterNot(f => pp.contains(f.name)))
+      case None => StructType(schema.filterNot(f => partCols.contains(f.name)))
+    }
     // merge with each file's existing DV; split fully-deleted files out
     val planned = perFile.map { case (metaPath, newBits) =>
       val row = byMetaPath(metaPath)
@@ -512,13 +537,22 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         val insertsDF = cdcInserts.map(
           _.select(tableCols: _*).withColumn("_change_type", lit("insert")))
         val changeRows = (deletesDF.toSeq ++ insertsDF.toSeq).reduce(_ unionByName _)
+        // cdc files speak physical names on mapped tables, like data files
+        val (stageRows, stageParts) = physShape match {
+          case None => (changeRows, partCols)
+          case Some((ps, pp)) =>
+            val logical = DeltaTable.logicalClean(schema)
+            (changeRows.select(logical.fields.zip(ps.fields).map { case (lf, pf) =>
+              col(s"`${lf.name}`").cast(pf.dataType).as(pf.name)
+            }.toSeq :+ col("_change_type"): _*), pp)
+        }
         val cdcRoot = new Path(tablePath, "_change_data").toString
-        val placed = graft.util.StagedWrites.writeAndPlace(changeRows, cdcRoot, partCols)
+        val placed = graft.util.StagedWrites.writeAndPlace(stageRows, cdcRoot, stageParts)
         ParquetFooterStats.collect(spark, placed).filter(_.recordCount > 0).map { st =>
           val rel = DeltaTable.relativize(cdcRoot, st.path)
           AddCDCFile(
             path = DeltaTable.encodeLogPath(s"_change_data/$rel"),
-            partitionValues = DeltaTable.partitionValuesFromPath(rel, partCols),
+            partitionValues = DeltaTable.partitionValuesFromPath(rel, stageParts),
             size = st.fileSizeBytes)
         }
       }
@@ -565,14 +599,22 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val withGen = genDefs.foldLeft(ordered)((d, t) =>
       d.withColumn(t.fieldName, graft.model.PartitionTransform.valueExpr(t)))
     validateIncoming(withGen)
-    val newFiles = graft.util.StagedWrites.writeAndPlace(withGen, tablePath, partCols)
+    // mapped tables stage physical names (same translation as write())
+    val (stageFrame, stageParts) = physicalShape(None) match {
+      case None => (withGen, partCols)
+      case Some((ps, pp)) =>
+        (withGen.select(withGen.schema.fieldNames.zip(ps.fields).map { case (ln, pf) =>
+          col(s"`$ln`").cast(pf.dataType).as(pf.name)
+        }.toSeq: _*), pp)
+    }
+    val newFiles = graft.util.StagedWrites.writeAndPlace(stageFrame, tablePath, stageParts)
     val stats = ParquetFooterStats.collect(spark, newFiles)
-    val dataSchema = StructType(withGen.schema.filterNot(f => partCols.contains(f.name)))
+    val dataSchema = StructType(stageFrame.schema.filterNot(f => stageParts.contains(f.name)))
     val newAdds: Seq[DeltaAction] = stats.filter(_.recordCount > 0).map { st =>
       val rel = DeltaTable.relativize(tablePath, st.path)
       AddFile(
         path = DeltaTable.encodeLogPath(rel),
-        partitionValues = DeltaTable.partitionValuesFromPath(rel, partCols),
+        partitionValues = DeltaTable.partitionValuesFromPath(rel, stageParts),
         size = st.fileSizeBytes,
         modificationTime = st.modificationTime,
         dataChange = true,
@@ -638,6 +680,140 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     require(log.commit(v, upgrade ++ Seq(
       meta.copy(configuration = meta.configuration ++ props),
       CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES", props))),
+      s"concurrent commit detected at version $v of $tablePath; re-run the operation")
+    log.maybeCheckpoint(v)
+    v
+  }
+
+  // ------------------------------------------------------ column mapping
+
+  private def maxColumnId(meta: DeltaMetadata): Long =
+    meta.configuration.get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L)
+
+  /** Refuse schema surgery on a column a generated partition column is
+    * computed from (its generationExpression would dangle). */
+  private def requireNotGenerated(schema: StructType, name: String, op: String): Unit =
+    require(!schema.fields.exists(f => f.metadata.contains("delta.generationExpression") &&
+      f.metadata.getString("delta.generationExpression").contains(name)),
+      s"cannot $op $name on $tablePath: referenced by a generated column")
+
+  /**
+   * ALTER TABLE ... SET 'delta.columnMapping.mode' = 'name', the switch
+   * that unlocks TRUE rename/drop semantics ([[renameColumn]],
+   * [[dropColumn]]). Metadata-only: existing fields keep their logical
+   * names as physical names (the data files already carry them); columns
+   * born later get `col-<uuid>` physical names. Protocol moves to
+   * reader 2 / writer 5 — or gains the columnMapping feature when
+   * already in table-features form.
+   */
+  def enableColumnMapping(): Long = {
+    requireWritable(mutation = false)
+    require(columnMappingMode(None) == "none",
+      s"column mapping already enabled on $tablePath")
+    val (meta, _) = log.metadataAt(None)
+    val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+    val (mapped, maxId) = DeltaTable.assignColumnMapping(schema, 0L, _.name)
+    val p = log.protocolAt(None)
+    val upgrade: Seq[DeltaAction] =
+      if (p.minReaderVersion >= 3 || p.writerFeatures.isDefined)
+        Seq(Protocol(3, 7,
+          Some((p.readerFeatures.getOrElse(
+            DeltaTable.legacyReaderFeatures(p.minReaderVersion)) :+ "columnMapping").distinct),
+          Some((p.writerFeatures.getOrElse(
+            DeltaTable.legacyWriterFeatures(p.minWriterVersion)) :+ "columnMapping").distinct)))
+      else if (p.minReaderVersion >= 2 && p.minWriterVersion >= 5) Seq.empty
+      else Seq(Protocol(math.max(2, p.minReaderVersion), math.max(5, p.minWriterVersion)))
+    val v = latestVersion + 1
+    require(log.commit(v, upgrade ++ Seq(
+      meta.copy(
+        schemaString = mapped.json,
+        configuration = meta.configuration ++ Map(
+          "delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> maxId.toString)),
+      CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
+        Map("delta.columnMapping.mode" -> "name")))),
+      s"concurrent commit detected at version $v of $tablePath; re-run the operation")
+    log.maybeCheckpoint(v)
+    v
+  }
+
+  /** Metadata-only column RENAME (requires column mapping): the logical
+    * name changes; the physical name — what the files carry — doesn't,
+    * so no data moves and history keeps reading. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    requireWritable(mutation = false)
+    require(columnMappingMode(None) != "none",
+      s"renameColumn requires column mapping on $tablePath (run enableColumnMapping())")
+    val (meta, _) = log.metadataAt(None)
+    val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(oldName), s"no column $oldName in $tablePath")
+    require(!schema.fieldNames.contains(newName),
+      s"column $newName already exists in $tablePath")
+    requireNotGenerated(schema, oldName, "rename")
+    val renamed = StructType(
+      schema.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
+    val v = latestVersion + 1
+    require(log.commit(v, Seq(
+      meta.copy(
+        schemaString = renamed.json,
+        partitionColumns = meta.partitionColumns.map(c => if (c == oldName) newName else c)),
+      CommitInfo(System.currentTimeMillis(), "RENAME COLUMN",
+        Map("from" -> oldName, "to" -> newName)))),
+      s"concurrent commit detected at version $v of $tablePath; re-run the operation")
+    log.maybeCheckpoint(v)
+    v
+  }
+
+  /** Metadata-only column DROP (requires column mapping): the field id
+    * retires with the column, so re-adding the same LOGICAL name later
+    * gets a fresh physical name and reads historical files as NULL —
+    * Delta's true drop semantics (what [[replaceSchema]] on an unmapped
+    * table cannot promise). */
+  def dropColumn(name: String): Long = {
+    requireWritable(mutation = false)
+    require(columnMappingMode(None) != "none",
+      s"dropColumn requires column mapping on $tablePath (run enableColumnMapping())")
+    val (meta, _) = log.metadataAt(None)
+    val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name), s"no column $name in $tablePath")
+    require(!meta.partitionColumns.contains(name),
+      s"cannot drop partition column $name of $tablePath")
+    requireNotGenerated(schema, name, "drop")
+    val remaining = StructType(schema.fields.filterNot(_.name == name))
+    require(remaining.nonEmpty, s"cannot drop the last column of $tablePath")
+    val v = latestVersion + 1
+    require(log.commit(v, Seq(
+      meta.copy(schemaString = remaining.json),
+      CommitInfo(System.currentTimeMillis(), "DROP COLUMNS", Map("column" -> name)))),
+      s"concurrent commit detected at version $v of $tablePath; re-run the operation")
+    log.maybeCheckpoint(v)
+    v
+  }
+
+  /** Add a nullable column at the end of the schema. On a column-mapped
+    * table the new field gets a fresh id + `col-<uuid>` physical name,
+    * so old files read NULL even when the logical name was used (and
+    * dropped) before. */
+  def addColumn(field: StructField): Long = {
+    requireWritable(mutation = false)
+    val (meta, _) = log.metadataAt(None)
+    val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+    require(!schema.fieldNames.contains(field.name),
+      s"column ${field.name} already exists in $tablePath")
+    val nullable = field.copy(nullable = true)
+    val (newSchema, newConf) =
+      if (columnMappingMode(None) == "none")
+        (StructType(schema.fields :+ nullable), meta.configuration)
+      else {
+        val (mappedOne, maxId) = DeltaTable.assignColumnMapping(
+          StructType(Seq(nullable)), maxColumnId(meta), _ => s"col-${UUID.randomUUID()}")
+        (StructType(schema.fields ++ mappedOne.fields),
+          meta.configuration + ("delta.columnMapping.maxColumnId" -> maxId.toString))
+      }
+    val v = latestVersion + 1
+    require(log.commit(v, Seq(
+      meta.copy(schemaString = newSchema.json, configuration = newConf),
+      CommitInfo(System.currentTimeMillis(), "ADD COLUMNS", Map("column" -> field.name)))),
       s"concurrent commit detected at version $v of $tablePath; re-run the operation")
     log.maybeCheckpoint(v)
     v
@@ -821,7 +997,31 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     // compaction rewrites rows already in the table — only NEW rows
     // (append/overwrite) go through constraint validation
     if (log.latestVersion().nonEmpty && replacing.isEmpty) validateIncoming(dfWithGen)
-    val newFiles = graft.util.StagedWrites.writeAndPlace(dfWithGen, tablePath, partitionColumns)
+    // column-mapped tables stage PHYSICAL names: existing columns map
+    // through the schema metadata; brand-new columns (append evolution)
+    // get their col-<uuid> physical names up front, so the staged files
+    // and the commit's schema assignment below agree
+    val mappingOn = log.latestVersion().nonEmpty && columnMappingMode(None) != "none"
+    val newPhysNames: Map[String, String] =
+      if (!mappingOn) Map.empty
+      else {
+        val existing = schemaAt(None)._1.fieldNames.toSet
+        dfWithGen.schema.fieldNames.filterNot(existing.contains)
+          .map(n => n -> s"col-${UUID.randomUUID()}").toMap
+      }
+    val (stageFrame, stagePartCols) =
+      if (!mappingOn) (dfWithGen, partitionColumns)
+      else {
+        val byName = schemaAt(None)._1.fieldNames.zip(physicalShape(None).get._1.fields).toMap
+        (dfWithGen.select(dfWithGen.schema.fieldNames.map { n =>
+          byName.get(n) match {
+            case Some(pf) => col(s"`$n`").cast(pf.dataType).as(pf.name)
+            case None => col(s"`$n`").as(newPhysNames(n))
+          }
+        }.toSeq: _*),
+          partitionColumns.map(c => byName.get(c).map(_.name).getOrElse(newPhysNames(c))))
+      }
+    val newFiles = graft.util.StagedWrites.writeAndPlace(stageFrame, tablePath, stagePartCols)
     val stats = ParquetFooterStats.collect(spark, newFiles)
 
     // schema stored in the log: generated columns carry their
@@ -834,12 +1034,14 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         case None => f
       }
     })
-    val dataSchema = StructType(dfWithGen.schema.filterNot(f => partitionColumns.contains(f.name)))
+    // the log's file entries (partitionValues keys, stats JSON) speak
+    // the staged — physical when mapped — column names
+    val dataSchema = StructType(stageFrame.schema.filterNot(f => stagePartCols.contains(f.name)))
     val adds = stats.map { st =>
       val rel = DeltaTable.relativize(tablePath, st.path)
       AddFile(
         path = DeltaTable.encodeLogPath(rel),
-        partitionValues = DeltaTable.partitionValuesFromPath(rel, partitionColumns),
+        partitionValues = DeltaTable.partitionValuesFromPath(rel, stagePartCols),
         size = st.fileSizeBytes,
         modificationTime = st.modificationTime,
         dataChange = true,
@@ -900,9 +1102,23 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
             s"partition spec changed concurrently at $tablePath: " +
               s"$existingPartCols != $partitionColumns")
           val full = StructType(existing.fields)
-          val merged = graft.model.SchemaMerge.additive(existing, schemaForMeta, tablePath)
-          if (full.json != merged.json)
-            Seq(log.metadataAt(None)._1.copy(schemaString = merged.json))
+          val merged0 = graft.model.SchemaMerge.additive(existing, schemaForMeta, tablePath)
+          // mapped tables: columns the merge just added need their field
+          // id + the physical name the staged files were written under
+          val metaNow = log.metadataAt(None)._1
+          val (merged, confChange) =
+            if (!mappingOn) (merged0, None)
+            else {
+              val (m, maxId) = DeltaTable.assignColumnMapping(
+                merged0, maxColumnId(metaNow), f => newPhysNames.getOrElse(f.name, f.name))
+              (m, if (maxId == maxColumnId(metaNow)) None
+                  else Some(metaNow.configuration +
+                    ("delta.columnMapping.maxColumnId" -> maxId.toString)))
+            }
+          if (full.json != merged.json || confChange.nonEmpty)
+            Seq(metaNow.copy(
+              schemaString = merged.json,
+              configuration = confChange.getOrElse(metaNow.configuration)))
           else Seq.empty
         }
       val info = CommitInfo(
@@ -1212,6 +1428,40 @@ object DeltaTable {
       CommitInfo(System.currentTimeMillis(), "CONVERT", Map("source" -> sourceLocation))
     require(t.log.commit(0L, actions), s"table already exists: $tablePath")
     t
+  }
+
+  /** Column-mapping assignment: give every (nested) field that lacks
+    * mapping metadata a fresh field id and a physical name; existing
+    * assignments are preserved byte-for-byte. `physicalTop` names newly
+    * mapped TOP-LEVEL fields (the logical name when enabling mapping on
+    * an existing table — its files already carry those names;
+    * `col-<uuid>` for columns born afterwards); nested fields record
+    * their display name as the physical name (legal per the protocol —
+    * the mapping is just explicit). Returns the mapped schema and the
+    * new max column id. */
+  private[delta] def assignColumnMapping(
+      schema: StructType,
+      startMaxId: Long,
+      physicalTop: StructField => String): (StructType, Long) = {
+    var maxId = startMaxId
+    def mapField(f: StructField, phys: String): StructField = {
+      val meta =
+        if (f.metadata.contains("delta.columnMapping.id")) f.metadata
+        else {
+          maxId += 1
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", maxId)
+            .putString("delta.columnMapping.physicalName", phys).build()
+        }
+      f.copy(dataType = mapNested(f.dataType), metadata = meta)
+    }
+    def mapNested(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f => mapField(f, f.name)))
+      case a: ArrayType => a.copy(elementType = mapNested(a.elementType))
+      case m: MapType => m.copy(keyType = mapNested(m.keyType), valueType = mapNested(m.valueType))
+      case other => other
+    }
+    (StructType(schema.fields.map(f => mapField(f, physicalTop(f)))), maxId)
   }
 
   // ------------------------------------------------------------- utilities

@@ -108,6 +108,24 @@ object FormatQueries {
               .withColumn("o_orderkey", col("o_orderkey") + 10000000L)),
           Seq("o_orderkey"))
 
+        // 11. column-mapped orders: mapping enabled on an existing
+        //     table, o_totalprice RENAMED to price (logical-only),
+        //     o_orderstatus DROPPED then re-added as o_note with a
+        //     fresh field id (old rows read NULL — true drop
+        //     semantics), % 5 keys deleted row-level, shifted rows
+        //     appended under the evolved logical names
+        val oSlim = o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val t11 = DeltaTable.create(spark, s"$root/orders_mapped", oSlim.repartition(4))
+        t11.enableColumnMapping()
+        t11.renameColumn("o_totalprice", "price")
+        t11.dropColumn("o_orderstatus")
+        t11.addColumn(StructField("o_note", StringType))
+        t11.delete(col("o_orderkey") % 5 === 0)
+        t11.append(oSlim.filter(col("o_orderkey") % 100 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            (col("o_totalprice") * 2).as("price"),
+            upper(col("o_orderstatus")).as("o_note")), Seq.empty)
+
         root
       })
     }
@@ -363,6 +381,25 @@ object FormatQueries {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM feed GROUP BY _change_type, _commit_version
-        |ORDER BY _change_type, _commit_version""".stripMargin)
+        |ORDER BY _change_type, _commit_version""".stripMargin),
+
+    // Column-mapping write plane: rename + true drop + re-add + row-level
+    // delete + append, all through physical-name staging; the oracle
+    // rebuilds the surviving rows algebraically (dropped o_orderstatus
+    // must NOT resurrect into o_note for historical rows).
+    QueryDef.sql(
+      "f18_delta_column_mapping",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_mapped").toDF()
+          .select(col("o_orderkey"), col("price"), col("o_note"))
+          .orderBy(col("o_orderkey")),
+      """SELECT o_orderkey, price, o_note FROM (
+        |  SELECT o_orderkey, o_totalprice AS price,
+        |    CAST(NULL AS VARCHAR) AS o_note
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_totalprice * 2, UPPER(o_orderstatus)
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }
