@@ -685,6 +685,76 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     v
   }
 
+  /**
+   * RESTORE TABLE ... TO VERSION AS OF `version`: one commit that flips
+   * the live file set (and metadata, if it changed) back to the target
+   * version's state — files added since are removed, files removed
+   * since are re-added with their stats and deletion-vector state of
+   * that version. History is preserved (the restore is itself a new
+   * version; time travel past it still works) and the protocol is never
+   * downgraded. Fails fast when a to-be-restored file was vacuumed —
+   * the existence check is a distributed job, not a driver loop.
+   */
+  def restoreTo(version: Long): Long = {
+    requireWritable(mutation = true)
+    val latest = latestVersion
+    require(log.listVersions().contains(version),
+      s"version $version does not exist on $tablePath")
+    if (version == latest) return latest
+    val cols = Seq("path", "size", "modificationTime", "partitionValues", "stats", "deletionVector")
+    val nowRows = log.snapshotFilesDF().select(cols.head, cols.tail: _*).collect().toSeq
+    val thenRows = log.snapshotFilesDF(Some(version)).select(cols.head, cols.tail: _*).collect().toSeq
+    val nowBy = nowRows.map(r => r.getString(0) -> r).toMap
+    val thenBy = thenRows.map(r => r.getString(0) -> r).toMap
+    val now = System.currentTimeMillis()
+    val removes: Seq[DeltaAction] = nowRows.filterNot(r => thenBy.contains(r.getString(0)))
+      .map(r => RemoveFile(r.getString(0), now, dataChange = true,
+        deletionVector = DeltaTable.dvAt(r, 5)))
+    // re-add files missing now, plus files whose DV state changed since
+    val adds: Seq[DeltaAction] = thenRows.filter { r =>
+      nowBy.get(r.getString(0)).forall(n => DeltaTable.dvAt(n, 5) != DeltaTable.dvAt(r, 5))
+    }.map { r =>
+      AddFile(
+        path = r.getString(0),
+        partitionValues = if (r.isNullAt(3)) Map.empty else r.getMap[String, String](3).toMap,
+        size = if (r.isNullAt(1)) 0L else r.getLong(1),
+        modificationTime = r2l(r, 2),
+        dataChange = true,
+        stats = Option(r.getString(4)),
+        deletionVector = DeltaTable.dvAt(r, 5))
+    }
+    if (removes.isEmpty && adds.isEmpty) return latest
+    // vacuum safety: every re-added file must still exist
+    val addPaths = adds.collect { case a: AddFile => DeltaTable.metadataFilePath(tablePath, a.path) }
+    if (addPaths.nonEmpty) {
+      import spark.implicits._
+      val sconf = new graft.util.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      val missing = spark.createDataset(addPaths)
+        .mapPartitions { it =>
+          it.filterNot { p =>
+            val hp = new Path(p)
+            hp.getFileSystem(sconf.value).exists(hp)
+          }
+        }.take(1)
+      require(missing.isEmpty,
+        s"cannot restore $tablePath to version $version: data file ${missing.head} " +
+          "no longer exists (vacuumed); restore past the vacuum horizon is impossible")
+    }
+    val metaNow = log.metadataAt(None)._1
+    val metaThen = log.metadataAt(Some(version))._1
+    val metaOpt: Seq[DeltaAction] =
+      if (metaNow.schemaString != metaThen.schemaString ||
+          metaNow.partitionColumns != metaThen.partitionColumns ||
+          metaNow.configuration != metaThen.configuration) Seq(metaThen)
+      else Seq.empty
+    val v = latest + 1
+    require(log.commit(v, metaOpt ++ removes ++ adds :+
+      CommitInfo(now, "RESTORE", Map("version" -> version.toString))),
+      s"concurrent commit detected at version $v of $tablePath; re-run the operation")
+    log.maybeCheckpoint(v)
+    v
+  }
+
   // ------------------------------------------------------ column mapping
 
   private def maxColumnId(meta: DeltaMetadata): Long =

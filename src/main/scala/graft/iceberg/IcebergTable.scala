@@ -86,6 +86,30 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       s"concurrent iceberg commit on $tablePath")
   }
 
+  /**
+   * Roll the table back to an ancestor snapshot (Iceberg's
+   * `rollback_to_snapshot` procedure): metadata-only — the current
+   * snapshot pointer moves, and the snapshot-log truncates to the
+   * target (the spec requires log entries to be deleted "when the
+   * current snapshot is rolled back"). Abandoned snapshots stay in the
+   * `snapshots` list — still reachable by id or ref — until
+   * [[expireSnapshots]] retires them.
+   */
+  def rollbackTo(snapshotId: Long): Unit = {
+    val (v, meta) = log.readLatest().getOrElse(
+      throw new IllegalStateException(s"not an iceberg table: $tablePath"))
+    meta.snapshot(snapshotId) // validates existence
+    val i = meta.snapshotLog.indexWhere(_._2 == snapshotId)
+    require(i >= 0,
+      s"snapshot $snapshotId is not an ancestor in the snapshot log of $tablePath")
+    if (meta.currentSnapshotId.contains(snapshotId)) return
+    require(log.commit(v + 1, meta.copy(
+      currentSnapshotId = Some(snapshotId),
+      snapshotLog = meta.snapshotLog.take(i + 1),
+      lastUpdatedMs = System.currentTimeMillis())),
+      s"concurrent iceberg commit on $tablePath")
+  }
+
   /** Resolve a ref name to its snapshot id (`main` → current). */
   def refSnapshot(name: String): Long =
     if (name == "main")

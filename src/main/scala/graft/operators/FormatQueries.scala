@@ -126,6 +126,15 @@ object FormatQueries {
             (col("o_totalprice") * 2).as("price"),
             upper(col("o_orderstatus")).as("o_note")), Seq.empty)
 
+        // 12. RESTORE: v0 = even keys, v1 += odd, v2 = row-level DELETE
+        //     (% 3 keys behind DVs), v3 = restore to v1 — one commit
+        //     re-adds the files at their pre-delete DV state
+        val t12 = DeltaTable.create(
+          spark, s"$root/orders_restored", o.filter(col("o_orderkey") % 2 === 0))
+        t12.append(o.filter(col("o_orderkey") % 2 === 1), Seq.empty)
+        t12.delete(col("o_orderkey") % 3 === 0)
+        t12.restoreTo(1L)
+
         root
       })
     }
@@ -400,6 +409,25 @@ object FormatQueries {
         |  UNION ALL
         |  SELECT o_orderkey + 20000000, o_totalprice * 2, UPPER(o_orderstatus)
         |  FROM orders WHERE o_orderkey % 100 = 0)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // RESTORE TABLE ... VERSION AS OF: the row-level delete's deletion
+    // vectors unwind in one commit, so the table reads as the full
+    // orders set again (the oracle is the raw table — the % 3 delete
+    // must leave no trace).
+    QueryDef.sql(
+      "f19_delta_restore",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_restored").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   )
 }

@@ -143,6 +143,19 @@ object IcebergQueries {
               .withColumn("o_orderkey", col("o_orderkey") + 10000000L)),
           Seq("o_orderkey"))
 
+        // 14. rollback_to_snapshot: snap0 = even keys, snap1 += odd,
+        //     snap2 = position-delete of % 3 keys — rollbackTo(snap1)
+        //     unwinds the delete metadata-only (snapshot-log truncates
+        //     per spec), and a fresh append lands on the restored head
+        val t14 = IcebergTable.create(
+          spark, s"$root/orders_rolledback", o.filter(col("o_orderkey") % 2 === 0))
+        t14.append(o.filter(col("o_orderkey") % 2 === 1))
+        val headBeforeDelete = t14.currentMetadata.currentSnapshotId.get
+        t14.deleteWhere(col("o_orderkey") % 3 === 0)
+        t14.rollbackTo(headBeforeDelete)
+        t14.append(o.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+
         root
       })
     }
@@ -467,6 +480,29 @@ object IcebergQueries {
       """SELECT 'l_returnflag=' || l_returnflag AS partition,
         |  COUNT(*) AS record_count
         |FROM lineitem GROUP BY l_returnflag ORDER BY partition""".stripMargin),
+
+    // rollback_to_snapshot: the % 3 position-delete must leave no trace
+    // (metadata-only unwind), and the post-rollback append's shifted
+    // rows land on the restored head.
+    QueryDef.sql(
+      "i16_iceberg_rollback",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_rolledback").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     QueryDef.sql(
       "x01_cross_format_equality",

@@ -25,6 +25,31 @@ class IcebergRefsSpec extends SparkTestBase {
       orders.filter(col("o_orderkey") % 2 === 0).count())
   }
 
+  test("rollbackTo unwinds a delete metadata-only; snapshot-log truncates; appends continue") {
+    val dir = tmpDir("refs_rollback")
+    val t = IcebergTable.create(spark, s"$dir/t", orders.filter(col("o_orderkey") % 2 === 0))
+    t.append(orders.filter(col("o_orderkey") % 2 === 1))
+    val head = t.currentMetadata.currentSnapshotId.get
+    val logLen = t.currentMetadata.snapshotLog.length
+    t.deleteWhere(col("o_orderkey") % 3 === 0)
+    assert(t.toDF().count() == orders.filter(col("o_orderkey") % 3 =!= 0).count())
+    t.rollbackTo(head)
+    assert(t.toDF().count() == orders.count())
+    val meta = t.currentMetadata
+    assert(meta.currentSnapshotId.contains(head))
+    assert(meta.snapshotLog.length == logLen) // truncated per spec
+    // the abandoned snapshot stays reachable by id until expiry
+    assert(meta.snapshots.length == logLen + 1)
+    // a fresh append lands on the restored head
+    t.append(orders.limit(5).withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    assert(t.toDF().count() == orders.count() + 5)
+    assert(t.currentMetadata.currentSnapshot.get.parentId.contains(head))
+    // rolling back to a snapshot outside the log lineage is refused
+    val abandoned = (meta.snapshots.map(_.snapshotId).toSet --
+      meta.snapshotLog.map(_._2).toSet).head
+    intercept[IllegalArgumentException](t.rollbackTo(abandoned))
+  }
+
   test("tags are immutable; branches move; main is reserved") {
     val dir = tmpDir("refs_rules")
     val t = IcebergTable.create(spark, s"$dir/t", orders)
