@@ -1010,6 +1010,85 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   }
 
   /**
+   * rewrite_manifests (Iceberg maintenance): collapse the current
+   * snapshot's manifest list into ONE consolidated manifest per content
+   * kind, every entry EXISTING with its original snapshot id and
+   * sequence number — delete-file applicability is sequence-based and
+   * must survive the rewrite byte-for-byte. Metadata-only `replace`
+   * snapshot; no data file moves. Why it matters at scale: after N
+   * incremental commits the manifest list carries O(N) manifests and
+   * every scan pays O(N) avro opens before pruning; this restores O(1)
+   * while history (and incremental reads, which filter on ADDED status)
+   * stay intact.
+   */
+  def rewriteManifests(): Option[Long] = {
+    val (v, meta) = log.readLatest().getOrElse(
+      throw new IllegalStateException(s"not an iceberg table: $tablePath"))
+    val current = meta.currentSnapshot.getOrElse(return None)
+    val manifests = IcebergManifests.readManifestList(hconf, new Path(current.manifestList))
+    // one data manifest (+ maybe one delete manifest) is already tight
+    if (manifests.size <= 2) return None
+    val live = liveEntries(None).map(_.copy(status = ManifestEntry.StatusExisting))
+    val now = System.currentTimeMillis()
+    val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
+    val seq = meta.lastSequenceNumber + 1
+    val specFields = meta.partitionSpec
+    val partFieldTypes = specFields.map { f =>
+      val sf = meta.schema.fields.find(x => IcebergSchemas.fieldId(x).contains(f.sourceId)).get
+      val dt =
+        if (f.transform == "identity" || f.transform.startsWith("truncate[")) sf.dataType
+        else IntegerType
+      (f.name, dt, f.fieldId)
+    }
+    val entrySchema = IcebergManifests.entrySchema(partFieldTypes)
+    val manifestHeaders = Map(
+      "schema" -> IcebergSchemas.toJson(meta.schema, meta.currentSchemaId).toString,
+      "partition-spec" -> IcebergMetadataCodec.specJson(specFields),
+      "partition-spec-id" -> "0")
+    val rewritten: Seq[ManifestFileInfo] =
+      live.groupBy(e => if (e.content > 0) 1 else 0).toSeq.sortBy(_._1).map {
+        case (content, group) =>
+          val mp = new Path(log.metadataDir, s"${UUID.randomUUID()}-rw-c$content.avro")
+          val len = IcebergManifests.writeManifest(hconf, mp, entrySchema, group,
+            manifestHeaders + ("content" -> (if (content == 1) "deletes" else "data")))
+          ManifestFileInfo(
+            manifestPath = mp.toString,
+            manifestLength = len,
+            sequenceNumber = seq,
+            minSequenceNumber = group.map(_.sequenceNumber).min,
+            addedSnapshotId = snapshotId,
+            addedFilesCount = 0,
+            existingFilesCount = group.size,
+            deletedFilesCount = 0,
+            addedRowsCount = 0L,
+            existingRowsCount = group.map(_.recordCount).sum,
+            deletedRowsCount = 0L,
+            content = content)
+      }
+    val listPath = new Path(log.metadataDir, s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
+    IcebergManifests.writeManifestList(hconf, listPath, rewritten)
+    val snap = IcebergSnapshot(
+      snapshotId = snapshotId,
+      parentId = meta.currentSnapshotId,
+      sequenceNumber = seq,
+      timestampMs = now,
+      manifestList = listPath.toString,
+      schemaId = meta.currentSchemaId,
+      operation = "replace",
+      summary = Map(
+        "manifests-replaced" -> manifests.size.toString,
+        "manifests-created" -> rewritten.size.toString))
+    require(log.commit(v + 1, meta.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapshotId),
+      snapshots = meta.snapshots :+ snap,
+      snapshotLog = meta.snapshotLog :+ (now, snapshotId))),
+      s"concurrent iceberg commit on $tablePath")
+    Some(snapshotId)
+  }
+
+  /**
    * Snapshot expiry (ref `core/.../iceberg/IcebergClient.java:218-237`):
    * drop snapshots older than `olderThanMs` from the metadata (the
    * current snapshot always survives), delete their manifest lists, and

@@ -155,6 +155,9 @@ object IcebergQueries {
         t14.rollbackTo(headBeforeDelete)
         t14.append(o.filter(col("o_orderkey") % 100 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        // consolidate the manifest tree (rewrite_manifests): i16 then
+        // reads through the single EXISTING-entry manifest
+        t14.rewriteManifests()
 
         root
       })
