@@ -114,14 +114,22 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
   def lastCheckpoint(): Option[Long] = lastCheckpointNode().map(_._1)
 
   private def lastCheckpointNode(): Option[(Long, Option[Int])] = {
-    if (!fs.exists(lastCheckpointPath)) return None
-    val in = fs.open(lastCheckpointPath)
+    // torn-read safe: the writer publishes via tmp + rename, so the
+    // file is either absent or complete. Absence (including the
+    // delete→rename gap of a concurrent publish) and any residual tear
+    // on filesystems without atomic rename degrade to None — full JSON
+    // replay, slower but never wrong.
+    val in = try fs.open(lastCheckpointPath) catch {
+      case _: java.io.FileNotFoundException => return None
+    }
     try {
       val content = new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
       val node = mapper.readTree(content)
       Option(node.get("version")).map(v =>
         (v.asLong(), Option(node.get("parts")).filterNot(_.isNull).map(_.asInt())))
+    } catch {
+      case _: java.io.EOFException | _: com.fasterxml.jackson.core.JacksonException => None
     } finally in.close()
   }
 
@@ -362,9 +370,17 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
   }
 
   private def writeLastCheckpoint(json: String): Unit = {
-    val out = fs.create(lastCheckpointPath, /*overwrite=*/ true)
+    // never create() in place: a concurrent reader would see a torn or
+    // empty file. Stage fully, then delete+rename — readers observe
+    // either the old pointer, a brief absence (→ JSON replay), or the
+    // new pointer, all of which replay correctly.
+    val tmp = new Path(logPath, s".last_checkpoint-${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, /*overwrite=*/ true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(lastCheckpointPath, false)
+    require(fs.rename(tmp, lastCheckpointPath),
+      s"failed to publish _last_checkpoint in $logPath")
   }
 
   /** Delete JSON commits strictly before `version` — log retention

@@ -755,6 +755,10 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     v
   }
 
+  /** RESTORE TABLE ... TO TIMESTAMP AS OF (same resolution rule as
+    * [[versionForTimestamp]]). */
+  def restoreToTimestamp(tsMillis: Long): Long = restoreTo(versionForTimestamp(tsMillis))
+
   // ------------------------------------------------------ column mapping
 
   private def maxColumnId(meta: DeltaMetadata): Long =

@@ -165,6 +165,22 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       .orderBy(col("partition"))
   }
 
+  /** The `manifests` metadata table: one row per manifest of the
+    * current snapshot — the observable for [[rewriteManifests]]. */
+  def manifestsDF(): DataFrame = {
+    import spark.implicits._
+    val snap = currentMetadata.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"empty iceberg table: $tablePath"))
+    IcebergManifests.readManifestList(hconf, new Path(snap.manifestList)).map { m =>
+      (m.manifestPath, m.manifestLength, m.content, m.sequenceNumber, m.minSequenceNumber,
+        m.addedSnapshotId, m.addedFilesCount, m.existingFilesCount, m.deletedFilesCount,
+        m.addedRowsCount, m.existingRowsCount, m.deletedRowsCount)
+    }.toDF("path", "length", "content", "sequence_number", "min_sequence_number",
+      "added_snapshot_id", "added_data_files_count", "existing_data_files_count",
+      "deleted_data_files_count", "added_rows_count", "existing_rows_count",
+      "deleted_rows_count")
+  }
+
   def scan: IcebergScanBuilder = new IcebergScanBuilder(spark, this, None)
   def scanAsOf(snapshotId: Long): IcebergScanBuilder =
     new IcebergScanBuilder(spark, this, Some(snapshotId))

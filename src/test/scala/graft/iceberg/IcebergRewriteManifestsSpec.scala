@@ -42,6 +42,10 @@ class IcebergRewriteManifestsSpec extends SparkTestBase {
     assert(t.toDF(snapshotAsOf = Some(preRewriteSnap)).count() == expect.size)
     // a second rewrite is a no-op
     assert(t.rewriteManifests().isEmpty)
+    // the manifests metadata table reflects the consolidation
+    val m = t.manifestsDF()
+    assert(m.count() <= 2)
+    assert(m.agg(sum(col("existing_data_files_count"))).head.getLong(0) > 0)
   }
 
   test("incremental reads across a rewrite do not re-deliver existing files") {
