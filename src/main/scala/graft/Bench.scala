@@ -22,6 +22,7 @@ object Bench {
     graft.operators.HudiQueries.fixtureDir(spark, sfDir)
     graft.operators.SyncQueries.fixtureDir(spark, sfDir)
     graft.operators.Dedup.primeCorpusSize(spark, sfDir)
+    graft.operators.Similarity.primeKmeans(spark, sfDir)
     val fixtureSec = (System.nanoTime() - tFix0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // best-of-2: each query runs twice and reports the min — a single

@@ -298,18 +298,29 @@ object Dedup {
       // the test threshold sits where the fixture actually has neighbors
       tauSqNum: Long = 1600, tauSqDen: Long = 10000): DataFrame = {
     // both sides of the self-join read the same assignment — cache it
-    // once instead of replaying the argmin projection per side
+    // once instead of replaying the argmin projection per side. Norms
+    // are per-VECTOR state: computed once here (N × 64 ops), not per
+    // pair in the join below (which would be N²/k × 128).
     val assigned = Similarity.kmeansAssignments(spark, dir)
-      .select(col("cid"), col("vec_id"), col("fp")).persist()
-    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"), col("fp").as("fp_a"))
-    val b = assigned.select(col("cid"), col("vec_id").as("vec_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("cid")).filter(col("vec_a") < col("vec_b"))
+      .select(col("cid"), col("vec_id"), col("fp"))
+      .withColumn("nrm", expr("aggregate(fp, 0L, (acc, x) -> acc + x*x)"))
+      .persist()
+    // salt the in-cluster all-pairs join: keyed on cid alone its
+    // parallelism is bounded by k (8 tasks on a 1000-core cluster);
+    // salting the left side and replicating the right restores
+    // cluster-width parallelism without changing the pair set
+    val nSalts = math.max(1, spark.sparkContext.defaultParallelism)
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
+        col("fp").as("fp_a"), col("nrm").as("na"))
+      .withColumn("salt", pmod(col("vec_a"), lit(nSalts)))
+    val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
+        col("fp").as("fp_b"), col("nrm").as("nb"))
+      .withColumn("salt", explode(typedLit((0 until nSalts).toArray)))
+    a.join(b, Seq("cid", "salt")).filter(col("vec_a") < col("vec_b"))
       // fp components are ~1e6, so per-term products are ~1e12 and the
       // 64-term sums fit a long with room to spare
       .withColumn("dot", expr(
         "aggregate(zip_with(fp_a, fp_b, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
-      .withColumn("na", expr("aggregate(fp_a, 0L, (acc, x) -> acc + x*x)"))
-      .withColumn("nb", expr("aggregate(fp_b, 0L, (acc, x) -> acc + x*x)"))
       .filter(col("dot") > 0 && expr(
         s"""cast(dot AS DECIMAL(38,0)) * cast(dot AS DECIMAL(38,0)) * $tauSqDen >=
            |cast(na AS DECIMAL(38,0)) * cast(nb AS DECIMAL(38,0)) * $tauSqNum""".stripMargin))
