@@ -115,9 +115,8 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       s"cannot delete from $tablePath: delta.appendOnly is enabled")
     // delta.enableChangeDataFeed: row-level writes produce _change_data
     // files + cdc actions (deleteWhere), so CDF tables are writable
-    val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
-    require(!schema.fields.exists(_.metadata.contains("delta.identity.start")),
-      s"cannot write $tablePath: identity-column high watermarks are not maintained by this engine")
+    // identity columns: write() assigns values from the high watermark
+    // and advances it in the same commit, so identity tables are writable
   }
 
   /**
@@ -1066,8 +1065,46 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         "columns support identity and year/month/day/hour"))
     val genDefs = defs.filterNot(_.isIdentity)
     val partitionColumns = defs.map(_.fieldName)
-    val dfWithGen = genDefs.foldLeft(df)((d, t) =>
+    val dfWithGen0 = genDefs.foldLeft(df)((d, t) =>
       d.withColumn(t.fieldName, graft.model.PartitionTransform.valueExpr(t)))
+    // Identity columns (`delta.identity.*` field metadata): rows
+    // arriving WITHOUT the column get `watermark + step*(i+1)` via a
+    // contiguous zipWithIndex (one extra pass — the price of gap-free
+    // assignment); rows arriving WITH it need allowExplicitInsert
+    // (GENERATED ALWAYS semantics) and only ratchet the watermark. The
+    // watermark advances in this same commit's metadata below.
+    val identityFields: Seq[StructField] =
+      if (log.latestVersion().isEmpty || replacing.nonEmpty) Seq.empty
+      else schemaAt(None)._1.fields.filter(_.metadata.contains("delta.identity.start")).toSeq
+    val explicitIdMax = scala.collection.mutable.Map[String, Long]()
+    val assignedFrom = scala.collection.mutable.Map[String, Long]()
+    val dfWithGen = identityFields.foldLeft(dfWithGen0) { (frame, f) =>
+      val step = f.metadata.getLong("delta.identity.step")
+      val wm =
+        if (f.metadata.contains("delta.identity.highWaterMark"))
+          f.metadata.getLong("delta.identity.highWaterMark")
+        else f.metadata.getLong("delta.identity.start") - step
+      if (frame.schema.fieldNames.contains(f.name)) {
+        require(f.metadata.contains("delta.identity.allowExplicitInsert") &&
+            f.metadata.getBoolean("delta.identity.allowExplicitInsert"),
+          s"column ${f.name} of $tablePath is GENERATED ALWAYS AS IDENTITY; " +
+            "explicit values are not allowed")
+        val mx = frame.agg(max(col(s"`${f.name}`"))).head
+        if (!mx.isNullAt(0)) {
+          val m = mx.getLong(0)
+          if ((step > 0 && m > wm) || (step < 0 && m < wm)) explicitIdMax(f.name) = m
+        }
+        frame
+      } else {
+        assignedFrom(f.name) = wm
+        val out = StructType(frame.schema.fields :+
+          StructField(f.name, LongType, nullable = false))
+        spark.createDataFrame(
+          frame.rdd.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (wm + step * (i + 1))) },
+          out)
+      }
+    }
     // compaction rewrites rows already in the table — only NEW rows
     // (append/overwrite) go through constraint validation
     if (log.latestVersion().nonEmpty && replacing.isEmpty) validateIncoming(dfWithGen)
@@ -1097,6 +1134,13 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       }
     val newFiles = graft.util.StagedWrites.writeAndPlace(stageFrame, tablePath, stagePartCols)
     val stats = ParquetFooterStats.collect(spark, newFiles)
+    // watermark each identity column must record after this commit
+    val totalNewRows = stats.map(_.recordCount).sum
+    val wmUpdates: Map[String, Long] = identityFields.flatMap { f =>
+      val step = f.metadata.getLong("delta.identity.step")
+      assignedFrom.get(f.name).map(wm => f.name -> (wm + step * totalNewRows))
+        .orElse(explicitIdMax.get(f.name).map(f.name -> _))
+    }.toMap
 
     // schema stored in the log: generated columns carry their
     // generationExpression so readers (and sync) recover the transform
@@ -1175,12 +1219,24 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
           require(existingPartCols == partitionColumns,
             s"partition spec changed concurrently at $tablePath: " +
               s"$existingPartCols != $partitionColumns")
+          // identity assignment is computed ONCE from the pre-staging
+          // watermark; a racing identity writer landing first would make
+          // these ids overlap, so a stale watermark aborts, never rebases
+          assignedFrom.foreach { case (name, wm) =>
+            val nowF = existing.fields.find(_.name == name)
+            val nowWm = nowF.filter(_.metadata.contains("delta.identity.highWaterMark"))
+              .map(_.metadata.getLong("delta.identity.highWaterMark"))
+              .getOrElse(nowF.map(f => f.metadata.getLong("delta.identity.start") -
+                f.metadata.getLong("delta.identity.step")).getOrElse(wm))
+            require(nowWm == wm,
+              s"concurrent identity assignment on $tablePath (column $name); re-run the append")
+          }
           val full = StructType(existing.fields)
           val merged0 = graft.model.SchemaMerge.additive(existing, schemaForMeta, tablePath)
           // mapped tables: columns the merge just added need their field
           // id + the physical name the staged files were written under
           val metaNow = log.metadataAt(None)._1
-          val (merged, confChange) =
+          val (merged1, confChange) =
             if (!mappingOn) (merged0, None)
             else {
               val (m, maxId) = DeltaTable.assignColumnMapping(
@@ -1189,6 +1245,15 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
                   else Some(metaNow.configuration +
                     ("delta.columnMapping.maxColumnId" -> maxId.toString)))
             }
+          // advance identity high watermarks in the same commit
+          val merged =
+            if (wmUpdates.isEmpty) merged1
+            else StructType(merged1.fields.map { f =>
+              wmUpdates.get(f.name).map { w =>
+                f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+                  .putLong("delta.identity.highWaterMark", w).build())
+              }.getOrElse(f)
+            })
           if (full.json != merged.json || confChange.nonEmpty)
             Seq(metaNow.copy(
               schemaString = merged.json,
@@ -1433,11 +1498,14 @@ object DeltaTable {
       case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
       case _ => false
     }
+    val hasIdentity = schema.fields.exists(_.metadata.contains("delta.identity.start"))
     if (hasNtz(schema)) {
       val writers = Seq("timestampNtz") ++
-        (if (hasGenerated) Seq("generatedColumns") else Seq.empty) ++ legacyWriterFeatures(2)
+        (if (hasGenerated) Seq("generatedColumns") else Seq.empty) ++
+        (if (hasIdentity) Seq("identityColumns") else Seq.empty) ++ legacyWriterFeatures(2)
       Protocol(3, 7, Some(Seq("timestampNtz")), Some(writers.distinct))
-    } else if (hasGenerated) Protocol(1, 4)
+    } else if (hasIdentity) Protocol(1, 6) // legacy v6 implies identityColumns
+    else if (hasGenerated) Protocol(1, 4)
     else Protocol()
   }
 
@@ -1450,6 +1518,40 @@ object DeltaTable {
     val t = forPath(spark, tablePath)
     require(t.log.latestVersion().isEmpty, s"table already exists: $tablePath")
     t.append(df, partitionColumns)
+    t
+  }
+
+  /** CREATE TABLE without data: version 0 carries only protocol +
+    * metadata. The way to declare identity columns
+    * (`delta.identity.start`/`step`[/`allowExplicitInsert`] field
+    * metadata, BIGINT only) before the first rows arrive — appends then
+    * assign values from the high watermark. */
+  def createEmpty(
+      spark: SparkSession,
+      tablePath: String,
+      schema: StructType,
+      partitionColumns: Seq[String] = Seq.empty): DeltaTable = {
+    val t = forPath(spark, tablePath)
+    require(t.log.latestVersion().isEmpty, s"table already exists: $tablePath")
+    schema.fields.filter(_.metadata.contains("delta.identity.start")).foreach { f =>
+      require(f.dataType == LongType, s"identity column ${f.name} must be BIGINT")
+      require(f.metadata.contains("delta.identity.step") &&
+          f.metadata.getLong("delta.identity.step") != 0L,
+        s"identity column ${f.name} needs a non-zero delta.identity.step")
+    }
+    partitionColumns.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c missing from the schema of $tablePath"))
+    val now = System.currentTimeMillis()
+    require(t.log.commit(0L, Seq(
+      protocolFor(schema, hasGenerated = false),
+      DeltaMetadata(
+        id = UUID.randomUUID().toString,
+        schemaString = schema.json,
+        partitionColumns = partitionColumns,
+        configuration = Map("graft.engine" -> "onetablespark"),
+        createdTime = now),
+      CommitInfo(now, "CREATE TABLE", Map.empty))),
+      s"table already exists: $tablePath")
     t
   }
 

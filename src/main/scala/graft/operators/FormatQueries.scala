@@ -135,6 +135,22 @@ object FormatQueries {
         t12.delete(col("o_orderkey") % 3 === 0)
         t12.restoreTo(1L)
 
+        // 13. identity column: empty-create with a GENERATED ALWAYS
+        //     row_id (start 1000, step 2), then two sorted appends —
+        //     assignment is watermarked and gap-free across commits,
+        //     and sorting the frames makes it a deterministic function
+        //     of o_orderkey the oracle can replay with ROW_NUMBER
+        val t13 = DeltaTable.createEmpty(spark, s"$root/orders_identity", StructType(Seq(
+          StructField("row_id", LongType, nullable = false,
+            metadata = new MetadataBuilder()
+              .putLong("delta.identity.start", 1000L)
+              .putLong("delta.identity.step", 2L).build()),
+          StructField("o_orderkey", LongType),
+          StructField("o_totalprice", DoubleType))))
+        val oId = o.select(col("o_orderkey"), col("o_totalprice").cast(DoubleType))
+        t13.append(oId.filter(col("o_orderkey") % 2 === 0).orderBy(col("o_orderkey")), Seq.empty)
+        t13.append(oId.filter(col("o_orderkey") % 2 === 1).orderBy(col("o_orderkey")), Seq.empty)
+
         root
       })
     }
@@ -428,6 +444,26 @@ object FormatQueries {
       """SELECT o_orderstatus, COUNT(*) AS cnt,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Identity columns: GENERATED ALWAYS row_id assigned from the high
+    // watermark across two commits — the oracle replays the exact
+    // assignment (commit 1 = even keys in key order, commit 2 = odd
+    // keys continuing where the watermark left off).
+    QueryDef.sql(
+      "f20_delta_identity",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_identity").toDF()
+          .select(col("row_id"), col("o_orderkey"))
+          .orderBy(col("row_id")),
+      """WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 1),
+        |ids AS (
+        |  SELECT 998 + 2 * ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id,
+        |    o_orderkey FROM a
+        |  UNION ALL
+        |  SELECT 998 + 2 * (SELECT COUNT(*) FROM a)
+        |    + 2 * ROW_NUMBER() OVER (ORDER BY o_orderkey), o_orderkey FROM b)
+        |SELECT row_id, o_orderkey FROM ids ORDER BY row_id""".stripMargin)
   )
 }
