@@ -116,6 +116,21 @@ object SyncQueries {
           SyncEngine.deltaSource(sdSrc), SyncEngine.icebergTarget(spark, s"$root/sd_tgt"))
         require(r8.mode == "incremental", s"expected incremental sd replay, got ${r8.mode}")
 
+        // column-mapped source: mapping enabled, o_totalprice RENAMED
+        // to price (rename is logical-only, so every parquet file —
+        // old and new — physically carries o_totalprice), then more
+        // rows appended under the new logical name; the Iceberg target
+        // resolves the physical name through its name mapping
+        val cmSrc = DeltaTable.create(spark, s"$root/cm_src",
+          o3.filter(col("o_orderkey") % 2 === 0))
+        cmSrc.enableColumnMapping()
+        cmSrc.renameColumn("o_totalprice", "price")
+        cmSrc.append(o3.filter(col("o_orderkey") % 2 === 1)
+          .withColumnRenamed("o_totalprice", "price"), Seq.empty)
+        val r9 = SyncEngine.sync(
+          SyncEngine.deltaSource(cmSrc), SyncEngine.icebergTarget(spark, s"$root/cm_tgt"))
+        require(r9.filesAdded > 0, s"x09 fixture: empty mapped sync: $r9")
+
         root
       })
     }
@@ -261,6 +276,26 @@ object SyncQueries {
         |  SELECT o_orderkey, o_orderstatus, o_totalprice
         |  FROM orders WHERE o_orderkey % 3 = 2
         |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Column-mapped Delta source → Iceberg target: the files physically
+    // carry the pre-rename column name; the target's name mapping must
+    // resolve the renamed logical column for BOTH vintages of files.
+    QueryDef.sql(
+      "x09_column_mapped_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        IcebergTable.forPath(spark, s"$root/cm_tgt").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("price").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     // The registered DataSource: a table written AND read back through
     // format("graft") answers identically to DuckDB on the source rows.
