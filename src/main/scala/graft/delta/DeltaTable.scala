@@ -598,6 +598,41 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val withGen = genDefs.foldLeft(ordered)((d, t) =>
       d.withColumn(t.fieldName, graft.model.PartitionTransform.valueExpr(t)))
     validateIncoming(withGen)
+    // identity columns: a MERGE source necessarily carries the column
+    // explicitly (it joins on keys), so it needs allowExplicitInsert,
+    // and the watermark ratchets past the source's maxima in the same
+    // commit (a metadata action riding extraActions below)
+    val identityMeta: Seq[DeltaAction] = {
+      val idFields = schema.fields.filter(_.metadata.contains("delta.identity.start")).toSeq
+      idFields.foreach(f => require(
+        f.metadata.contains("delta.identity.allowExplicitInsert") &&
+          f.metadata.getBoolean("delta.identity.allowExplicitInsert"),
+        s"column ${f.name} of $tablePath is GENERATED ALWAYS AS IDENTITY; " +
+          "MERGE sources carry explicit values, which are not allowed"))
+      val updates = idFields.flatMap { f =>
+        val step = f.metadata.getLong("delta.identity.step")
+        val wm =
+          if (f.metadata.contains("delta.identity.highWaterMark"))
+            f.metadata.getLong("delta.identity.highWaterMark")
+          else f.metadata.getLong("delta.identity.start") - step
+        val mx = ordered.agg(max(col(s"`${f.name}`"))).head
+        if (mx.isNullAt(0)) None
+        else {
+          val m = mx.getLong(0)
+          if ((step > 0 && m > wm) || (step < 0 && m < wm)) Some(f.name -> m) else None
+        }
+      }.toMap
+      if (updates.isEmpty) Seq.empty
+      else {
+        val meta = log.metadataAt(None)._1
+        val bumped = StructType(schema.fields.map { f =>
+          updates.get(f.name).map(w =>
+            f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong("delta.identity.highWaterMark", w).build())).getOrElse(f)
+        })
+        Seq(meta.copy(schemaString = bumped.json))
+      }
+    }
     // mapped tables stage physical names (same translation as write())
     val (stageFrame, stageParts) = physicalShape(None) match {
       case None => (withGen, partCols)
@@ -626,7 +661,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       data => data
         .join(keys, keyCols.map(c => data(c) <=> keys(c)).reduce(_ && _), "left_semi"),
       CommitInfo(System.currentTimeMillis(), "MERGE", Map("matchedAction" -> "delete")),
-      extraActions = newAdds,
+      extraActions = identityMeta ++ newAdds,
       cdcInserts = Some(withGen))
   }
 

@@ -77,6 +77,25 @@ class DeltaIdentitySpec extends SparkTestBase {
     assert(t.toDF().filter(col("tag") === "a").count() == 2)
   }
 
+  test("upsert refuses GENERATED ALWAYS; ratchets watermark when explicit insert allowed") {
+    val dir = tmpDir("ident_merge")
+    import spark.implicits._
+    val tAlways = DeltaTable.createEmpty(spark, s"$dir/always", schemaWithId())
+    tAlways.append(Seq("a", "b").toDF("tag"), Seq.empty)
+    val e = intercept[IllegalArgumentException](
+      tAlways.upsert(Seq((100L, "a2")).toDF("id", "tag"), Seq("id")))
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+
+    val t = DeltaTable.createEmpty(spark, s"$dir/ok", schemaWithId(explicitOk = true))
+    t.append(Seq("a", "b").toDF("tag"), Seq.empty) // ids 100, 110
+    t.upsert(Seq((110L, "b2"), (900L, "new")).toDF("id", "tag"), Seq("id"))
+    assert(ids(t) == Seq(100L, 110L, 900L))
+    assert(watermark(t) == 900L)
+    // generated values continue past the merged maximum
+    t.append(Seq("c").toDF("tag"), Seq.empty)
+    assert(ids(t) == Seq(100L, 110L, 900L, 910L))
+  }
+
   test("identity survives row-level delete and restore") {
     val dir = tmpDir("ident_delete")
     val t = DeltaTable.createEmpty(spark, s"$dir/t", schemaWithId())
