@@ -168,6 +168,24 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       .orderBy(col("version").desc)
   }
 
+  /** DESCRIBE DETAIL: one row of table-level facts (format, id, created
+    * time, partition columns, live file count/bytes, properties,
+    * protocol versions) — all from log replay, no filesystem listing. */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val (meta, _) = log.metadataAt(None)
+    val p = log.protocolAt(None)
+    val files = log.snapshotFilesDF().agg(
+      count(lit(1)), sum(coalesce(col("size"), lit(0L)))).head
+    Seq((
+      "delta", meta.id, tablePath, meta.createdTime,
+      meta.partitionColumns, files.getLong(0),
+      if (files.isNullAt(1)) 0L else files.getLong(1),
+      meta.configuration, p.minReaderVersion, p.minWriterVersion
+    )).toDF("format", "id", "location", "createdAt", "partitionColumns",
+      "numFiles", "sizeInBytes", "properties", "minReaderVersion", "minWriterVersion")
+  }
+
   /** Live files of the current snapshot as a DataFrame (path, partition
     * values, size, stats JSON, deletion-vector cardinality). */
   def filesDF(): DataFrame =

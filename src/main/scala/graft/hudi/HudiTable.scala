@@ -153,6 +153,23 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
   def recordKeyField: Option[String] =
     properties.get("hoodie.table.recordkey.fields").filter(_.nonEmpty)
 
+  /** DESCRIBE DETAIL: one row of table-level facts from the timeline +
+    * latest file slices — no raw filesystem listing. */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val slices = fileSlicesDF(None).agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.coalesce(
+        col("size"), org.apache.spark.sql.functions.lit(0L)))).head
+    Seq((
+      "hudi", properties.getOrElse("hoodie.table.name", ""), tablePath, tableType,
+      properties.getOrElse("hoodie.table.partition.fields", ""),
+      slices.getLong(0), if (slices.isNullAt(1)) 0L else slices.getLong(1),
+      properties, instants.lastOption.getOrElse("")
+    )).toDF("format", "name", "location", "tableType", "partitionFields",
+      "numFiles", "sizeInBytes", "properties", "latestInstant")
+  }
+
   /** Live file slices with their attached log files: a log belongs to
     * the slice whose base instant its name carries (Hudi file-slice
     * rule), so logs of a replaced/compacted group never leak forward. */

@@ -132,6 +132,21 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       .orderBy(col("sequence_number").desc)
   }
 
+  /** DESCRIBE DETAIL: one row of table-level facts from the current
+    * metadata — no filesystem listing. */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val m = currentMetadata
+    val data = liveEntries(None).filter(_.content == ManifestEntry.ContentData)
+    Seq((
+      "iceberg", m.tableUuid, tablePath, m.lastUpdatedMs,
+      m.partitionSpec.map(f => s"${f.transform}(${f.name})"),
+      data.size.toLong, data.map(_.fileSizeBytes).sum,
+      m.properties, m.currentSnapshotId, m.lastSequenceNumber
+    )).toDF("format", "id", "location", "lastUpdatedAt", "partitionSpec",
+      "numFiles", "sizeInBytes", "properties", "currentSnapshotId", "lastSequenceNumber")
+  }
+
   /** Live files of the current snapshot as a DataFrame (the `files`
     * metadata table): content kind, path, partition, counts, size. */
   def filesDF(): DataFrame = {

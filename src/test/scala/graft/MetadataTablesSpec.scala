@@ -53,4 +53,25 @@ class MetadataTablesSpec extends SparkTestBase {
     val f = t.filesDF()
     assert(f.filter(col("log_files") > 0 && col("log_bytes") > 0).count() > 0)
   }
+
+  test("detail() reports one truthful summary row per format") {
+    val dir = tmpDir("meta_detail")
+    val td = DeltaTable.create(spark, s"$dir/d", orders, Seq("o_orderstatus"))
+    val dd = td.detail().head
+    assert(dd.getString(0) == "delta")
+    assert(dd.getSeq[String](4) == Seq("o_orderstatus"))
+    assert(dd.getLong(5) == td.scan.files().count())
+    assert(dd.getLong(6) > 0L)
+
+    val ti = IcebergTable.create(spark, s"$dir/i", orders, Seq("o_orderstatus"))
+    val di = ti.detail().head
+    assert(di.getString(0) == "iceberg")
+    assert(di.getSeq[String](4) == Seq("identity(o_orderstatus)"))
+    assert(di.getLong(5) == ti.filesDF().filter(col("content") === 0).count())
+
+    val th = HudiTable.create(spark, s"$dir/h", orders)
+    val dh = th.detail().head
+    assert(dh.getString(0) == "hudi" && dh.getString(3) == "COPY_ON_WRITE")
+    assert(dh.getLong(5) > 0L && dh.getString(8).nonEmpty)
+  }
 }
