@@ -21,9 +21,15 @@ object Bench {
     graft.operators.IcebergQueries.fixtureDir(spark, sfDir)
     graft.operators.HudiQueries.fixtureDir(spark, sfDir)
     graft.operators.SyncQueries.fixtureDir(spark, sfDir)
+    val fixtureSec = (System.nanoTime() - tFix0) / 1e9
+    // index/model builds (d05 corpus count, s03/d07 Lloyd training) are
+    // reported SEPARATELY from fixture I/O: they are work the queries
+    // themselves previously paid, so cross-round comparisons need the
+    // number visible, not silently moved out of the timed section
+    val tIdx0 = System.nanoTime()
     graft.operators.Dedup.primeCorpusSize(spark, sfDir)
     graft.operators.Similarity.primeKmeans(spark, sfDir)
-    val fixtureSec = (System.nanoTime() - tFix0) / 1e9
+    val indexBuildSec = (System.nanoTime() - tIdx0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // best-of-2: each query runs twice and reports the min — a single
       // timing on a contended box measures the contention, not the plan,
@@ -39,12 +45,16 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> attempts.min
+      // min is the reported time; max/min spread flags contended runs
+      // (spread >> 1 on many queries ⇒ the box, not the plans, moved)
+      name -> (attempts.min, attempts.max / math.max(attempts.min, 1e-9))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"fixture_build_sec":$fixtureSec,"sf":"$sfDir"}""")
+    val spreads = results.map { case (k, (_, s)) => "\"" + k + "\":" + f"$s%.2f" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"fixture_build_sec":$fixtureSec,"index_build_sec":$indexBuildSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -131,7 +131,20 @@ object RunSync {
       case (Some(p), _, _) => s"${p}_$targetFormat"
       case (None, Some(name), Some(cat)) =>
         cat.resolved.locate(ds.namespace, name, targetFormat)
-      case _ => s"${ds.sourcePath.stripSuffix("/")}_$targetFormat"
+      case _ => s"${sourcePathFor(config, ds).stripSuffix("/")}_$targetFormat"
+    }
+
+  /** Source location: an explicit `sourcePath` wins; a named dataset
+    * with no path resolves through the catalog under the SOURCE format
+    * — both ends of a sync can be catalog identities, the reference's
+    * table-identifier shape (ref `RunSync.java:150-166`). */
+  def sourcePathFor(config: Config, ds: Dataset): String =
+    if (ds.sourcePath.nonEmpty) ds.sourcePath
+    else (ds.tableName, config.catalog) match {
+      case (Some(name), Some(cat)) =>
+        cat.resolved.locate(ds.namespace, name, config.sourceFormat)
+      case _ => sys.error(
+        s"dataset ${ds.tableName.getOrElse("?")} has no sourcePath and no catalog to resolve it")
     }
 
   /** Runs every (dataset × target) sync; returns the failure count. */
@@ -139,8 +152,9 @@ object RunSync {
     var failures = 0
     for (ds <- config.datasets; targetFormat <- config.targetFormats) {
       val targetPath = targetPathFor(config, ds, targetFormat)
+      val sourcePath = sourcePathFor(config, ds)
       try {
-        val source = SyncEngine.sourceFor(spark, config.sourceFormat, ds.sourcePath,
+        val source = SyncEngine.sourceFor(spark, config.sourceFormat, sourcePath,
           ds.partitionSpec.map(_.split("[;,]").toSeq.map(_.trim).filter(_.nonEmpty)))
         val target = SyncEngine.targetFor(spark, targetFormat, targetPath)
         // the client registry's per-format configuration plus the
@@ -153,13 +167,13 @@ object RunSync {
         }
         val props = config.clients.getOrElse(targetFormat, Map.empty) ++ identity
         val res = SyncEngine.sync(source, target, mode, props)
-        println(s"SYNC OK ${config.sourceFormat}:${ds.sourcePath} -> $targetFormat:$targetPath " +
+        println(s"SYNC OK ${config.sourceFormat}:$sourcePath -> $targetFormat:$targetPath " +
           s"mode=${res.mode} versions=${res.versionsSynced.mkString(",")} " +
           s"added=${res.filesAdded} removed=${res.filesRemoved}")
       } catch {
         case e: Exception =>
           failures += 1
-          println(s"SYNC FAILED ${config.sourceFormat}:${ds.sourcePath} -> " +
+          println(s"SYNC FAILED ${config.sourceFormat}:$sourcePath -> " +
             s"$targetFormat:$targetPath: ${e.getMessage}")
       }
     }
@@ -258,8 +272,13 @@ object RunSync {
     }
     Config(sourceFormat, targetFormats,
       datasets.map(m => Dataset(
-        m.get("sourcePath").orElse(m.get("tableBasePath"))
-          .getOrElse(sys.error("dataset missing sourcePath/tableBasePath")),
+        m.get("sourcePath").orElse(m.get("tableBasePath")).getOrElse {
+          // a named dataset may omit the path and resolve it through
+          // the catalog at run time (see sourcePathFor)
+          require(m.contains("tableName") && cat.nonEmpty,
+            "dataset missing sourcePath/tableBasePath (or tableName + catalog)")
+          ""
+        },
         m.get("targetPathPrefix"),
         m.get("tableName"),
         m.get("namespace"),

@@ -300,6 +300,9 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
       lit(null).cast(metaSchema).as("metaData"),
       lit(null).cast(protoSchema).as("protocol"))
     val staging = new Path(logPath, s".cp-staging-${java.util.UUID.randomUUID()}")
+    // the spec's `size` is the number of ACTIONS in the checkpoint, not
+    // the part-file count — foreign readers use it for sanity checks
+    val addCount = adds.count()
     adds.unionByName(headerRowDF(v)).repartition(math.max(1, parts))
       .write.parquet(staging.toString)
     val written = fs.listStatus(staging).map(_.getPath)
@@ -319,7 +322,8 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
     }
     fs.delete(staging, true)
     val partsField = if (n == 1 && parts == 1) "" else s""","parts":$n"""
-    writeLastCheckpoint(s"""{"version":$v,"size":$n$partsField}""")
+    // adds + 1 metaData + 1 protocol; `parts` stays the FILE count
+    writeLastCheckpoint(s"""{"version":$v,"size":${addCount + 2}$partsField}""")
   }
 
   /**
@@ -333,7 +337,9 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
    */
   def writeCheckpointV2(v: Long, sidecarParts: Int = 1): Unit = {
     val staging = new Path(logPath, s".cp-staging-${java.util.UUID.randomUUID()}")
-    checkpointAddsDF(v)
+    val addsDF = checkpointAddsDF(v)
+    val addCount = addsDF.count()
+    addsDF
       .select(col("add"), lit(null).cast(actionSchema("remove").dataType).as("remove"))
       .repartition(math.max(1, sidecarParts))
       .write.parquet(staging.toString)
@@ -366,7 +372,9 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
     val out = fs.create(top, /*overwrite=*/ false)
     try out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    writeLastCheckpoint(s"""{"version":$v,"size":${sidecars.size + 3}}""")
+    // action count: sidecar file actions + protocol + metaData +
+    // checkpointMetadata (the spec's `size` is actions, not files)
+    writeLastCheckpoint(s"""{"version":$v,"size":${addCount + 3}}""")
   }
 
   private def writeLastCheckpoint(json: String): Unit = {

@@ -94,12 +94,34 @@ object HudiColStats {
   }
 
   /** The index rows of the given instants as a DataFrame (columns of
-    * [[IndexSchema]]); None when none are covered. */
+    * [[IndexSchema]]); None when none are covered. The per-instant
+    * parquet sidecar is the fast path; absent it (a table whose index
+    * was maintained only in the real metadata-table layout), rows come
+    * from the metadata table's `column_stats` partition, joined to the
+    * `files` listing for partition paths — either index answers
+    * identically (ref read preference `HudiFileStatsExtractor.java:96-103`). */
   def read(spark: SparkSession, tablePath: String, instants: Seq[String]): Option[DataFrame] = {
     val covered = coveredInstants(spark, tablePath, instants)
-    if (covered.isEmpty) None
-    else Some(spark.read.schema(IndexSchema).parquet(
-      covered.map(i => indexFile(tablePath, i).toString): _*))
+    if (covered.nonEmpty)
+      return Some(spark.read.schema(IndexSchema).parquet(
+        covered.map(i => indexFile(tablePath, i).toString): _*))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = dir(tablePath).getFileSystem(hconf)
+    if (!HudiMetadataTable.hasColumnStats(fs, tablePath)) return None
+    val byFile = HudiMetadataTable.readColumnStats(fs, hconf, tablePath)
+    if (byFile.isEmpty) return None
+    val partitionOfFile: Map[String, String] =
+      HudiMetadataTable.readFiles(fs, hconf, tablePath).toSeq.flatMap { case (pp, files) =>
+        files.keysIterator.map(_ -> (if (pp == ".") "" else pp))
+      }.toMap
+    val rows = byFile.flatMap { case (fileName, c) =>
+      partitionOfFile.get(fileName).map(pp => org.apache.spark.sql.Row(
+        pp, fileName, c.column, c.minValue.orNull, c.maxValue.orNull,
+        c.numNulls, c.numValues, c.totalSize))
+    }
+    if (rows.isEmpty) None
+    else Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), IndexSchema))
   }
 
   /** Drop a rolled-back instant's index file (with [[graft.hudi

@@ -73,6 +73,18 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     properties.get("hoodie.table.partition.fields").filter(_.nonEmpty)
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
 
+  /** Data layout: hive `k=v` dirs (default) vs slash-delimited partition
+    * VALUES (`DIR_HIERARCHY_PARTITION_VALUES`, ref
+    * `api/.../storage/DataLayoutStrategy.java:29-33`). Real Hudi tables
+    * very often use the value-only layout (`2023-10/...`). */
+  def hiveStyleLayout: Boolean =
+    !timeline.exists ||
+      properties.getOrElse("hoodie.datasource.write.hive_style_partitioning", "true") != "false"
+
+  /** Partition path → values using THIS table's layout + field list. */
+  private[graft] def parsePartition(pp: String): Map[String, String] =
+    HudiTable.parsePartitionPath(pp, partitionColumns)
+
   /** Table schema at an instant: Avro schema from the latest commit's
     * extraMetadata (Hudi's schema-evolution channel). */
   def schemaAt(asOf: Option[String] = None): StructType = {
@@ -551,7 +563,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         path = if (f.startsWith("/") || f.contains(":/")) f else new Path(tablePath, f).toString,
         size = size,
         modificationTime = 0L,
-        partitionValues = HudiTable.parsePartitionPath(pp))
+        partitionValues = parsePartition(pp))
     }
     graft.sources.ManifestFileIndex.read(
       spark, readBasePath, manifest, schema, partitionColumns,
@@ -636,7 +648,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
   private def writeBaseFiles(
       df: DataFrame, partCols: Seq[String], instant: String):
       (Seq[(String, HudiWriteStat)], Seq[(String, String, Seq[graft.model.ColumnStatRow])]) = {
-    val placed = StagedWrites.writeAndPlace(df, tablePath, partCols)
+    val placed = StagedWrites.writeAndPlace(df, tablePath, partCols, hiveStyleLayout)
     if (placed.isEmpty) return (Seq.empty, Seq.empty)
     val fs = new Path(tablePath).getFileSystem(hconf)
     val renamed = placed.map { p =>
@@ -769,11 +781,20 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         if (replaceIds.nonEmpty) "replacecommit"
         else if (isMor) "deltacommit"
         else "commit"
-      if (timeline.commit(HudiInstant(instant, action), meta)) {
+      // A FileAlreadyExists surfacing from the commit protocol means a
+      // racer holds this instant token — semantically identical to
+      // losing the completed-file put-if-absent: rebase, don't die.
+      val won =
+        try timeline.commit(HudiInstant(instant, action), meta)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      if (won) {
         // the index file is keyed by the instant that actually WON;
         // post-commit placement is safe (stats absence never excludes)
         HudiColStats.write(spark, tablePath, instant, colStats)
-        recordInMetadataTable(instant, writeStats, replacedFiles)
+        recordInMetadataTable(instant, writeStats, replacedFiles, colStats)
         committed = true
       } else {
         require(attempt < 10,
@@ -792,18 +813,21 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
 
   /** Mirror a committed instant into the `.hoodie/metadata` files
     * partition (real-layout listing native readers consume instead of
-    * an FS listing). Managed-layout tables only: converted tables'
-    * files live outside the root and keep timeline-driven listings. */
+    * an FS listing) and, when the commit carries footer stats, its
+    * `column_stats` partition (the real-layout skipping index).
+    * Managed-layout tables only: converted tables' files live outside
+    * the root and keep timeline-driven listings. */
   private def recordInMetadataTable(
       instant: String,
       stats: Seq[(String, HudiWriteStat)],
-      removes: Map[String, Seq[String]] = Map.empty): Unit = {
+      removes: Map[String, Seq[String]] = Map.empty,
+      colStats: Seq[(String, String, Seq[graft.model.ColumnStatRow])] = Seq.empty): Unit = {
     if (properties.contains("graft.converted.from")) return
     val fs = new Path(tablePath).getFileSystem(hconf)
     val adds = stats.groupBy(_._1).map { case (pp, ws) =>
       pp -> ws.map(w => (new Path(w._2.path).getName, w._2.fileSizeInBytes))
     }
-    HudiMetadataTable.update(fs, hconf, tablePath, instant, adds, removes)
+    HudiMetadataTable.update(fs, hconf, tablePath, instant, adds, removes, colStats)
   }
 
   /** Rebase staged base files onto a fresh commit instant after a lost
@@ -1018,7 +1042,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       val abs = absoluteOf(r.getString(1))
       graft.model.InternalDataFile(
         physicalPath = abs,
-        partitionValues = HudiTable.parsePartitionPath(r.getString(0)),
+        partitionValues = parsePartition(r.getString(0)),
         fileSizeBytes = if (r.isNullAt(2)) 0L else r.getLong(2),
         recordCount = counts.getOrElse(HudiTable.normalize(abs), -1L),
         columnStats = statsByFile.getOrElse(
@@ -1054,7 +1078,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val adds = meta.partitionToWriteStats.toSeq.flatMap { case (pp, stats) =>
       stats.map(ws => graft.model.InternalDataFile(
         physicalPath = absoluteOf(ws.path),
-        partitionValues = HudiTable.parsePartitionPath(pp),
+        partitionValues = parsePartition(pp),
         fileSizeBytes = ws.fileSizeInBytes,
         recordCount = ws.numWrites,
         columnStats = Seq.empty,
@@ -1110,8 +1134,11 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         tablePath, fieldNames,
         keyProps ++ specProps + ("graft.converted.from" -> sourceDataRoot)))
     }
+    // honor the target table's configured layout (a pre-existing
+    // non-hive target keeps its value-only partition paths)
+    val hiveStyle = hiveStyleLayout
     val writeStats = adds.map { f =>
-      val pp = HudiTable.buildPartitionPath(f.partitionValues, fieldNames)
+      val pp = HudiTable.buildPartitionPath(f.partitionValues, fieldNames, hiveStyle)
       pp -> HudiWriteStat(
         fileId = HudiTable.fileIdOf(f.physicalPath),
         path = new Path(f.physicalPath).toUri.toString,
@@ -1141,7 +1168,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     // skipping index its native readers expect)
     HudiColStats.write(spark, tablePath, instant, adds
       .filter(_.columnStats.nonEmpty)
-      .map(f => (HudiTable.buildPartitionPath(f.partitionValues, fieldNames),
+      .map(f => (HudiTable.buildPartitionPath(f.partitionValues, fieldNames, hiveStyle),
         new Path(f.physicalPath).getName, f.columnStats)))
     val meta = HudiCommitMetadata(
       partitionToWriteStats = writeStats.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
@@ -1200,9 +1227,23 @@ object HudiTable {
       spark: SparkSession,
       tablePath: String,
       df: DataFrame,
-      partitionColumns: Seq[String] = Seq.empty): HudiTable = {
+      partitionColumns: Seq[String] = Seq.empty,
+      /** false → DIR_HIERARCHY_PARTITION_VALUES: slash-delimited
+        * partition values, no `key=` prefixes (ref
+        * `api/.../storage/DataLayoutStrategy.java:29-33`). */
+      hiveStylePartitioning: Boolean = true): HudiTable = {
     val t = forPath(spark, tablePath)
     require(!t.timeline.exists, s"table already exists: $tablePath")
+    if (!hiveStylePartitioning) {
+      // pre-write the layout flag so the first append places its base
+      // files (and keys its write stats) in the value-only layout
+      val defs = graft.model.PartitionTransform.parseAll(partitionColumns)
+      t.timeline.writeProperties(tableProperties(tablePath, defs.map(_.fieldName),
+        Map("hoodie.datasource.write.hive_style_partitioning" -> "false") ++
+          (if (defs.exists(!_.isIdentity))
+            Map(PartitionSpecsProp -> defs.map(_.spec).mkString(";"))
+          else Map.empty)))
+    }
     t.append(df, partitionColumns)
     t
   }
@@ -1240,7 +1281,16 @@ object HudiTable {
   }
 
   private[hudi] def tableProperties(
-      tablePath: String, partCols: Seq[String], extra: Map[String, String]): Map[String, String] =
+      tablePath: String, partCols: Seq[String], extra: Map[String, String]): Map[String, String] = {
+    // the keygen choice matrix real Hudi writers appending to this
+    // table will honor (ref `core/.../hudi/HudiTableManager.java:123-152`):
+    // transforms ride in via PartitionSpecsProp, record keys via the
+    // native recordkey property — both land in `extra`
+    val defs = extra.get(PartitionSpecsProp)
+      .map(s => graft.model.PartitionTransform.parseAll(s.split(";").toSeq.filter(_.nonEmpty)))
+      .getOrElse(partCols.map(graft.model.PartitionFieldDef(_, "identity")))
+    val recordKeys = extra.get("hoodie.table.recordkey.fields")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     Map(
       "hoodie.table.name" -> new Path(tablePath).getName,
       "hoodie.table.type" -> "COPY_ON_WRITE",
@@ -1248,7 +1298,24 @@ object HudiTable {
       "hoodie.timeline.layout.version" -> "1",
       "hoodie.table.base.file.format" -> "PARQUET",
       "hoodie.datasource.write.hive_style_partitioning" -> "true",
+      "hoodie.table.keygenerator.class" -> keyGeneratorClass(defs, recordKeys),
       "hoodie.table.partition.fields" -> partCols.mkString(",")) ++ extra
+  }
+
+  /** Keygen class real Hudi writers select from the partition/record-key
+    * shape (ref `core/.../hudi/HudiTableManager.java:123-152`): no
+    * partition fields → Nonpartitioned; any time-based transform →
+    * Timestamp (single field) or Custom (multiple); otherwise Complex
+    * when either side is compound, Simple for the 1×1 case. */
+  private[graft] def keyGeneratorClass(
+      partDefs: Seq[graft.model.PartitionFieldDef], recordKeys: Seq[String]): String =
+    if (partDefs.isEmpty) "org.apache.hudi.keygen.NonpartitionedKeyGenerator"
+    else if (partDefs.exists(_.isTime))
+      if (partDefs.size > 1) "org.apache.hudi.keygen.CustomKeyGenerator"
+      else "org.apache.hudi.keygen.TimestampBasedKeyGenerator"
+    else if (recordKeys.size > 1 || partDefs.size > 1)
+      "org.apache.hudi.keygen.ComplexKeyGenerator"
+    else "org.apache.hudi.keygen.SimpleKeyGenerator"
 
   /** Property recording the table's partition SPECS (incl. transforms)
     * so appends inherit them without name heuristics. */
@@ -1278,22 +1345,56 @@ object HudiTable {
   /** The string form the scan's `_metadata.file_path` reports. */
   private[hudi] def metaPathForm(abs: String): String = new Path(abs).toUri.toString
 
-  /** Hive `k=v` partition path → values (ref
-    * `core/.../hudi/HudiPartitionValuesExtractor.java:47-173`). */
+  private[graft] val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  private def decodePathValue(v: String): String = {
+    val d = graft.util.PathCodec.unescapePathName(v)
+    if (d == HiveDefaultPartition) null else d
+  }
+
+  /** Hive `k=v` partition path → values. Kept for contexts with no
+    * partition-field list (parquet-dir conversion), where hive keys are
+    * the only way values are discoverable. */
   private[graft] def parsePartitionPath(pp: String): Map[String, String] =
     if (pp == null || pp.isEmpty) Map.empty
     else pp.split("/").flatMap(_.split("=", 2) match {
-      case Array(k, v) =>
-        val d = graft.util.PathCodec.unescapePathName(v)
-        Some(k -> (if (d == "__HIVE_DEFAULT_PARTITION__") null else d))
+      case Array(k, v) => Some(k -> decodePathValue(v))
       case _ => None
     }).toMap
 
+  /** Partition path → values for BOTH layouts, driven by the configured
+    * field list: per field, a `field=` prefix is stripped when present
+    * (hive style), otherwise the next slash segment IS the value —
+    * and a single partition field consumes the whole remaining path
+    * even if the value contains slashes (custom partition logic), the
+    * reference's per-field walk (ref
+    * `core/.../hudi/HudiPartitionValuesExtractor.java:47-118`). */
+  private[graft] def parsePartitionPath(pp: String, partCols: Seq[String]): Map[String, String] = {
+    if (pp == null || pp.isEmpty || partCols.isEmpty) return parsePartitionPath(pp)
+    val out = Map.newBuilder[String, String]
+    var remaining = pp
+    var i = 0
+    while (i < partCols.size && remaining.nonEmpty) {
+      val c = partCols(i)
+      if (remaining.startsWith(c + "=")) remaining = remaining.substring(c.length + 1)
+      val isLast = i == partCols.size - 1
+      val cut = remaining.indexOf('/')
+      // a single/last partition field keeps trailing slashes in its value
+      val raw = if (isLast || cut < 0) remaining else remaining.substring(0, cut)
+      out += c -> decodePathValue(raw)
+      remaining = if (cut < 0 || isLast) "" else remaining.substring(cut + 1)
+      i += 1
+    }
+    out.result()
+  }
+
   private[graft] def buildPartitionPath(
-      values: Map[String, String], partCols: Seq[String]): String =
+      values: Map[String, String], partCols: Seq[String],
+      hiveStyle: Boolean = true): String =
     partCols.map { c =>
-      val v = values.get(c).flatMap(Option(_)).getOrElse("__HIVE_DEFAULT_PARTITION__")
-      s"$c=${graft.util.PathCodec.escapePathName(v)}"
+      val v = values.get(c).flatMap(Option(_)).getOrElse(HiveDefaultPartition)
+      val ev = graft.util.PathCodec.escapePathName(v)
+      if (hiveStyle) s"$c=$ev" else ev
     }.mkString("/")
 
   /** Deterministic file-group id for an externally-referenced file. */
@@ -1381,13 +1482,27 @@ final class HudiScanBuilder(
   def files(): DataFrame = {
     var df = table.fileSlicesDF(asOfInstant)
     partitionPredicates.foreach { case (c, vs) =>
-      // compare whole `k=v` path segments with the wanted values
-      // path-ESCAPED (str_to_map splitting broke on values containing
-      // ',' or hive %XX escapes — silent row loss)
-      val tokens = vs.toSeq.map(v =>
-        s"$c=${graft.util.PathCodec.escapePathName(if (v == null) "__HIVE_DEFAULT_PARTITION__" else v)}")
-      df = df.filter(arrays_overlap(
-        split(col("partitionPath"), "/"), array(tokens.map(lit): _*)))
+      val esc = vs.toSeq.map(v => graft.util.PathCodec.escapePathName(
+        if (v == null) HudiTable.HiveDefaultPartition else v))
+      if (table.hiveStyleLayout) {
+        // compare whole `k=v` path segments with the wanted values
+        // path-ESCAPED (str_to_map splitting broke on values containing
+        // ',' or hive %XX escapes — silent row loss)
+        val tokens = esc.map(ev => s"$c=$ev")
+        df = df.filter(arrays_overlap(
+          split(col("partitionPath"), "/"), array(tokens.map(lit): _*)))
+      } else {
+        // value-only layout: the field's value is its POSITIONAL path
+        // segment (the last field keeps any trailing slashes — custom
+        // single-field partition values may contain them)
+        val idx = table.partitionColumns.indexOf(c)
+        require(idx >= 0, s"$c is not a partition field of ${table.tablePath}")
+        val valueExpr =
+          if (idx == table.partitionColumns.size - 1)
+            array_join(slice(split(col("partitionPath"), "/"), idx + 1, Int.MaxValue), "/")
+          else element_at(split(col("partitionPath"), "/"), idx + 1)
+        df = df.filter(valueExpr.isInCollection(esc))
+      }
     }
     if (rangePredicates.nonEmpty) {
       val visible = asOfInstant match {
@@ -1438,7 +1553,7 @@ final class HudiScanBuilder(
 
   /** Driver-side twin of the partition-token filter in [[files]]. */
   private def partitionOk(pp: String): Boolean = {
-    val vals = HudiTable.parsePartitionPath(pp)
+    val vals = table.parsePartition(pp)
     partitionPredicates.forall { case (c, vs) => vs.contains(vals.get(c).orNull) }
   }
 }

@@ -187,8 +187,19 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
     graft.util.AtomicPublish.putIfAbsent(fs, conf, tmp, target)
   }
 
+  /** Create an empty state-transition marker if absent. Markers are
+    * idempotent — two writers racing the same instant may both try to
+    * create them, and losing that create race is benign: the completed
+    * instant file's put-if-absent ([[commitJson]]) is the only
+    * arbitration point, so a concurrent-create here must never escape
+    * as an exception (it did pre-round-6 and killed racing writers). */
   private def touch(p: Path): Unit =
-    if (!fs.exists(p)) { val o = fs.create(p, false); o.close() }
+    try { if (!fs.exists(p)) { val o = fs.create(p, false); o.close() } }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.nio.file.FileAlreadyExistsException => ()
+      case e: java.io.IOException if fs.exists(p) => () // HDFS-style plain IOE on existing path
+    }
 
   /** Remove a completed instant and its state-transition markers from
     * the timeline — the rollback primitive (real Hudi rollback revokes
@@ -242,19 +253,35 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
     toArchive.size
   }
 
-  /** A fresh instant time strictly after every existing instant (of
-    * any action — a rollback or clean must not collide either). */
+  /** A fresh instant time strictly after every STARTED instant — of any
+    * action, completed or merely marked requested/inflight: a rollback
+    * or clean must not collide, and neither may a concurrent writer
+    * whose markers are already on the timeline. In-process allocations
+    * additionally serialize through a per-table atomic high-water mark,
+    * so two threads can never be handed the same token even inside one
+    * millisecond (the pre-round-6 race). Cross-process, a residual
+    * collision is still resolved by the completed-file put-if-absent in
+    * [[commitJson]] plus the writers' rebase loops. */
   def nextInstantTime(): String = {
-    val now = formatInstant(Instant.ofEpochMilli(System.currentTimeMillis()))
-    allCompletedInstants().lastOption match {
-      case Some(last) if last.time >= now =>
-        formatInstant(parseInstant(last.time).plusMillis(1))
-      case _ => now
-    }
+    val started = (allCompletedInstants().map(_.time) ++ pendingInstants()).maxOption
+      .map(t => parseInstant(t).toEpochMilli + 1L).getOrElse(0L)
+    val candidate = math.max(System.currentTimeMillis(), started)
+    formatInstant(Instant.ofEpochMilli(reserveInstantMillis(tablePath, candidate)))
   }
 }
 
 object HudiTimeline {
+
+  /** Per-table high-water mark of allocated instant millis (JVM-wide).
+    * `updateAndGet(max(prev+1, candidate))` makes same-millisecond
+    * allocations by concurrent threads strictly increasing. */
+  private val allocated =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def reserveInstantMillis(tablePath: String, candidate: Long): Long =
+    allocated
+      .computeIfAbsent(tablePath, _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .updateAndGet(prev => math.max(prev + 1L, candidate))
 
   private val CompletedRe = "^(\\d{14}|\\d{17})\\.(commit|replacecommit|deltacommit)$".r
   private val AnyCompletedRe =

@@ -316,7 +316,7 @@ object Dedup {
     val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
         col("fp").as("fp_b"), col("nrm").as("nb"))
       .withColumn("salt", explode(typedLit((0 until nSalts).toArray)))
-    a.join(b, Seq("cid", "salt")).filter(col("vec_a") < col("vec_b"))
+    val resolved = a.join(b, Seq("cid", "salt")).filter(col("vec_a") < col("vec_b"))
       // fp components are ~1e6, so per-term products are ~1e12 and the
       // 64-term sums fit a long with room to spare
       .withColumn("dot", expr(
@@ -327,7 +327,13 @@ object Dedup {
       .groupBy(col("cid"), col("vec_b"))
       .agg(min(col("vec_a")).as("kept_by"))
       .select(col("vec_b").as("vec_id"), col("cid").as("cluster_id"), col("kept_by"))
-      .orderBy(col("vec_id"))
+      // eagerly materialize the (duplicate-sized, << corpus-sized)
+      // result so the assignment cache can be RELEASED here rather than
+      // leaking until session end — CacheManager pins persisted plans
+      // forever, while localCheckpoint blocks are GC'd with the frame
+      .localCheckpoint()
+    assigned.unpersist(false)
+    resolved.orderBy(col("vec_id"))
   }
 
   /**

@@ -664,6 +664,42 @@ object Relational {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         |  AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 60000000
-        |ORDER BY a.user_id, ev_a, ev_b""".stripMargin)
+        |ORDER BY a.user_id, ev_a, ev_b""".stripMargin),
+
+    // ---- statistical aggregate family -----------------------------------
+    // corr / covariance / stddev / variance / linear regression, the
+    // scalar-statistics surface a real analytics user reaches for next
+    // after percentiles. Small-magnitude columns (quantity ≤ 50,
+    // discount ≤ 0.1) keep the 6-decimal round far above float merge
+    // noise (~1e-10) in both engines.
+    QueryDef.sql(
+      "q34_statistical_functions",
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
+            round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_s_qd"),
+            round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covar_p_qd"),
+            round(stddev_samp(col("l_quantity")), 6).as("stddev_s_q"),
+            round(stddev_pop(col("l_quantity")), 6).as("stddev_p_q"),
+            round(var_samp(col("l_discount")), 6).as("var_s_d"),
+            round(var_pop(col("l_discount")), 6).as("var_p_d"),
+            round(expr("regr_slope(l_quantity, l_discount)"), 6).as("regr_slope_qd"),
+            round(expr("regr_intercept(l_quantity, l_discount)"), 6).as("regr_icpt_qd"),
+            expr("regr_count(l_quantity, l_discount)").cast(LongType).as("regr_n"))
+          .orderBy(col("l_returnflag")),
+      """SELECT l_returnflag,
+        |  ROUND(CORR(l_quantity, l_discount), 6) AS corr_qd,
+        |  ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_s_qd,
+        |  ROUND(COVAR_POP(l_quantity, l_discount), 6) AS covar_p_qd,
+        |  ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev_s_q,
+        |  ROUND(STDDEV_POP(l_quantity), 6) AS stddev_p_q,
+        |  ROUND(VAR_SAMP(l_discount), 6) AS var_s_d,
+        |  ROUND(VAR_POP(l_discount), 6) AS var_p_d,
+        |  ROUND(REGR_SLOPE(l_quantity, l_discount), 6) AS regr_slope_qd,
+        |  ROUND(REGR_INTERCEPT(l_quantity, l_discount), 6) AS regr_icpt_qd,
+        |  CAST(REGR_COUNT(l_quantity, l_discount) AS BIGINT) AS regr_n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 }

@@ -131,6 +131,23 @@ object SyncQueries {
           SyncEngine.deltaSource(cmSrc), SyncEngine.icebergTarget(spark, s"$root/cm_tgt"))
         require(r9.filesAdded > 0, s"x09 fixture: empty mapped sync: $r9")
 
+        // 10. non-hive-layout Hudi source (DIR_HIERARCHY_PARTITION_VALUES:
+        //     slash-delimited partition VALUES, no `key=` dirs — ref
+        //     `api/.../storage/DataLayoutStrategy.java:29-33`) → Iceberg:
+        //     partition values are recovered POSITIONALLY from the
+        //     configured field list (ref
+        //     `core/.../hudi/HudiPartitionValuesExtractor.java:47-118`),
+        //     full sync then an incremental replay
+        val nhSrc = HudiTable.create(spark, s"$root/nh_src",
+          o.filter(col("o_orderkey") % 2 === 0), Seq("o_orderstatus"),
+          hiveStylePartitioning = false)
+        SyncEngine.sync(
+          SyncEngine.hudiSource(nhSrc), SyncEngine.icebergTarget(spark, s"$root/nh_tgt"))
+        nhSrc.append(o.filter(col("o_orderkey") % 2 === 1))
+        val r10 = SyncEngine.sync(
+          SyncEngine.hudiSource(nhSrc), SyncEngine.icebergTarget(spark, s"$root/nh_tgt"))
+        require(r10.mode == "incremental", s"expected incremental nh replay, got ${r10.mode}")
+
         root
       })
     }
@@ -296,6 +313,28 @@ object SyncQueries {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Non-hive (value-only) partition layout Hudi source → Iceberg: the
+    // slash-delimited partition values survived the sync, and the
+    // TARGET's scan prunes on them — only o_orderstatus='O' files read.
+    QueryDef.sql(
+      "x10_nonhive_layout_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        IcebergTable.forPath(spark, s"$root/nh_tgt")
+          .scan.partitionIn("o_orderstatus", Set("O")).toDF()
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
     // The registered DataSource: a table written AND read back through
     // format("graft") answers identically to DuckDB on the source rows.

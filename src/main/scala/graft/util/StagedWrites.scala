@@ -16,11 +16,19 @@ import org.apache.spark.sql.DataFrame
  */
 object StagedWrites {
 
-  /** Returns fully-qualified final paths of the files written. */
+  /** Returns fully-qualified final paths of the files written.
+    *
+    * `hiveStylePartitionPaths = false` places files under slash-delimited
+    * partition VALUES (`2023-10/part-...parquet`) instead of hive `k=v`
+    * dirs — Hudi's DIR_HIERARCHY_PARTITION_VALUES layout (ref
+    * `api/.../storage/DataLayoutStrategy.java:29-33`). Spark always
+    * stages hive-style; placement strips the `key=` prefix, so the
+    * escaped value spelling is identical in both layouts. */
   def writeAndPlace(
       df: DataFrame,
       tableRoot: String,
-      partitionColumns: Seq[String]): Seq[String] = {
+      partitionColumns: Seq[String],
+      hiveStylePartitionPaths: Boolean = true): Seq[String] = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new Path(tableRoot)
@@ -39,7 +47,15 @@ object StagedWrites {
         else Seq.empty
       }
     val placed = walk(staging).map { f =>
-      val rel = f.toUri.getPath.stripPrefix(stagingBase)
+      val relHive = f.toUri.getPath.stripPrefix(stagingBase)
+      val rel =
+        if (hiveStylePartitionPaths) relHive
+        else relHive.split("/").map { seg =>
+          seg.split("=", 2) match {
+            case Array(k, v) if partitionColumns.contains(k) => v
+            case _ => seg
+          }
+        }.mkString("/")
       val dest = new Path(root, rel)
       fs.mkdirs(dest.getParent)
       require(fs.rename(f, dest), s"failed to place $rel into $tableRoot")

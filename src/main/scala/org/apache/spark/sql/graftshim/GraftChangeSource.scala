@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 
 import graft.delta.DeltaTable
@@ -98,7 +98,22 @@ final class GraftChangeSource(
       // Snapshot ids are not ordered by value — split on log position.
       val ts = tokens
       val i = ts.indexOf(tail)
-      if (i >= 0) ts.drop(i + 1) else ts.filter(_ > tail)
+      if (i >= 0) ts.drop(i + 1)
+      else if (fmt == "hudi")
+        // Hudi instants are time-ordered strings, so a tail that has
+        // been archived off the active timeline still orders correctly
+        // against the instants that remain.
+        ts.filter(_ > tail)
+      else
+        // Iceberg snapshot ids are random longs: if the tail expired
+        // out of the metadata log there is no order to recover the
+        // unseen suffix from — a value comparison would emit an
+        // arbitrary subset. Fail the stream rather than lose data.
+        throw new IllegalStateException(
+          s"GraftChangeSource[$fmt] $path: stream position $tail is no " +
+          "longer in the table's snapshot log (snapshots expired?). " +
+          "The history gap is not replayable; restart the stream from " +
+          "a fresh checkpoint.")
   }
 
   override val schema: StructType = fmt match {
@@ -246,8 +261,14 @@ final class GraftChangeSource(
         p.copy(chunk = p.chunks - 1, tail = endP.tail)
       case _ => endP
     })
-    // a stream's schema is fixed at start; evolved batches project back
-    val aligned = batch.select(schema.fieldNames.map(col).toSeq: _*)
+    // a stream's schema is fixed at start; evolved batches project back:
+    // columns ADDED upstream are dropped, columns DROPPED upstream read
+    // as null — batches stay schema-stable for the sink's whole life
+    val batchCols = batch.columns.toSet
+    val aligned = batch.select(schema.fields.toSeq.map { f =>
+      if (batchCols.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
     // V1 contract: the returned frame must be a streaming Dataset
     spark.asInstanceOf[ClassicSession]
       .internalCreateDataFrame(aligned.queryExecution.toRdd, schema, isStreaming = true)

@@ -79,6 +79,62 @@ class ConcurrencySpec extends SparkTestBase {
     assert(t.instants.size == writers + 1)
   }
 
+  /** The Hudi maintenance plane (savepoint, savepoint delete, archival)
+    * uses the same marker/put-if-absent timeline primitives as data
+    * commits — racing it against appenders must never leak an FS-level
+    * race (FileAlreadyExists on markers, rename collisions); the only
+    * legal failure is the explicit "concurrent hudi commit" lost-race
+    * abort. */
+  test("hudi: maintenance (savepoint + archival) racing appends leaks no marker races") {
+    val dir = tmpDir("hudi-maint-race")
+    val base = spark.range(0, 10).select(col("id"), lit("seed").as("tag"))
+    val t = graft.hudi.HudiTable.create(spark, dir, base)
+    // tighten the archival cap so archival actually runs mid-race
+    t.timeline.writeProperties(t.properties ++ Map(
+      graft.hudi.HudiTable.MaxActiveInstantsProp -> "4",
+      graft.hudi.HudiTable.MinActiveInstantsProp -> "2"))
+    val appenders = 3
+    val rounds = 3
+    val barrier = new CyclicBarrier(appenders + 1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appendThreads = (0 until appenders).map { i =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          (0 until rounds).foreach { r =>
+            val df = spark.range(1000L * i + 100L * r, 1000L * i + 100L * r + 10)
+              .select(col("id"), lit(s"w${i}_$r").as("tag"))
+            graft.hudi.HudiTable.forPath(spark, dir).append(df)
+          }
+        } catch { case x: Throwable => errs.add(x) }
+      })
+    }
+    val maintenance = new Thread(() => {
+      try {
+        barrier.await()
+        (0 until rounds * 2).foreach { _ =>
+          val tt = graft.hudi.HudiTable.forPath(spark, dir)
+          try {
+            val sp = tt.savepoint()
+            tt.deleteSavepoint(sp)
+            tt.archiveTimeline()
+          } catch {
+            // a concurrent data commit winning the savepoint's instant
+            // slot is a legal single-shot abort, never an FS leak
+            case e: IllegalStateException
+                if e.getMessage != null && e.getMessage.contains("concurrent hudi commit") => ()
+          }
+        }
+      } catch { case x: Throwable => errs.add(x) }
+    })
+    (appendThreads :+ maintenance).foreach(_.start())
+    (appendThreads :+ maintenance).foreach(_.join())
+    assert(errs.isEmpty, s"maintenance race leaked: ${Option(errs.peek()).map(_.toString)}")
+    val got = t.toDF()
+    assert(got.count() == 10 + appenders * rounds * 10)
+    assert(got.select("tag").distinct().count() == appenders * rounds + 1)
+  }
+
   /** Race a bin-packing compaction against a row-level delete. Outcome
     * may be either order, or a compaction abort on the conflict check —
     * but the delete must NEVER be resurrected by the rewrite. */

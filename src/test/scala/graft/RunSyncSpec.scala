@@ -151,6 +151,48 @@ class RunSyncSpec extends SparkTestBase {
     assert(ice.currentMetadata.properties.get("graft.catalog.name").contains("corp"))
   }
 
+  test("both ends catalog-resolved: create under the impl's layout, sync by name only") {
+    val dir = tmpDir("runsync_both_ends")
+    val yaml =
+      s"""sourceFormat: delta
+         |targetFormats:
+         |  - iceberg
+         |catalog:
+         |  impl: graft.FlatTestCatalog
+         |  root: $dir/cat
+         |  name: corp
+         |clients:
+         |  iceberg:
+         |    commit.retry.num-retries: "7"
+         |datasets:
+         |  - tableName: orders
+         |    namespace: sales.na
+         |""".stripMargin
+    val c = RunSync.parseConfig(yaml)
+    // the SOURCE path itself resolves through the plug-in — no path in
+    // the config at all; create the source exactly where the catalog
+    // says it lives
+    val srcPath = RunSync.sourcePathFor(c, c.datasets.head)
+    assert(srcPath == s"$dir/cat/flat_orders_delta")
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val src = DeltaTable.create(spark, srcPath, o.filter(col("o_orderkey") % 2 === 0))
+    assert(RunSync.run(spark, c, SyncEngine.Auto) == 0)
+    val ice = IcebergTable.forPath(spark, s"$dir/cat/flat_orders_iceberg")
+    assert(checksum(ice.toDF()) == checksum(src.toDF()))
+    // catalog identity + client props carried onto the target
+    val props = ice.currentMetadata.properties
+    assert(props.get("graft.catalog.name").contains("corp"))
+    assert(props.get("graft.catalog.table").contains("sales.na.orders"))
+    assert(props.get("commit.retry.num-retries").contains("7"))
+    // append at the catalog-resolved source; the re-run is incremental
+    src.append(o.filter(col("o_orderkey") % 2 === 1), Seq.empty)
+    assert(RunSync.run(spark, c, SyncEngine.Auto) == 0)
+    assert(checksum(IcebergTable.forPath(spark, s"$dir/cat/flat_orders_iceberg").toDF()) ==
+      checksum(src.toDF()))
+    assert(IcebergTable.forPath(spark, s"$dir/cat/flat_orders_iceberg").snapshotIds.size == 2)
+  }
+
   test("an unknown or malformed catalog impl fails fast with the class named") {
     val base = RunSync.Config("delta", Seq("iceberg"),
       Seq(RunSync.Dataset("/s", tableName = Some("t"))))

@@ -69,6 +69,78 @@ class HudiMetadataTableSpec extends SparkTestBase {
     assert(byPart.keys.forall(_.startsWith("o_orderstatus=")))
   }
 
+  test("column_stats partition: real layout, hash-concat keys, ranges match footers") {
+    val dir = tmpDir("hmt_colstats")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val t = HudiTable.create(spark, s"$dir/t", src, Seq("o_orderstatus"))
+    val f = fs(s"$dir/t")
+    val csDir = new Path(s"$dir/t/.hoodie/metadata/column_stats")
+    assert(f.exists(csDir), "stats-bearing commits must maintain column_stats")
+    val logs = f.listStatus(csDir).map(_.getPath.getName).filter(HudiLogFormat.isLogPath)
+    assert(logs.nonEmpty && logs.forall(n => HudiLogFormat.parseLogFileName(n).nonEmpty))
+    // the deltacommit carries the column_stats write stat alongside files
+    val metaTimeline = new HudiTimeline(
+      s"$dir/t/.hoodie/metadata", spark.sparkContext.hadoopConfiguration)
+    val lastMeta = metaTimeline.readCommitMetadata(metaTimeline.completedInstants().last)
+    assert(lastMeta.partitionToWriteStats.keySet ==
+      Set(HudiMetadataTable.FilesPartition, HudiMetadataTable.ColumnStatsPartition))
+    // replayed rows agree with the parquet-footer sidecar on every range
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val replayed = HudiMetadataTable.readColumnStats(f, hconf, s"$dir/t")
+    assert(replayed.nonEmpty)
+    val sidecar = HudiColStats.read(spark, s"$dir/t", t.instants).get
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (Option(r.getString(3)), Option(r.getString(4)), r.getLong(5), r.getLong(6))).toMap
+    replayed.foreach { case (fileName, c) =>
+      val s = sidecar((fileName, c.column))
+      assert((c.minValue, c.maxValue, c.numNulls, c.numValues) == s,
+        s"column_stats row for ($fileName, ${c.column}) diverges from the sidecar")
+    }
+    // keys follow Hudi's concatenated index-ID scheme (3 × base64 of an
+    // 8-byte hash = 3 × 12 chars)
+    val key = HudiMetadataTable.columnStatsKey("o_orderkey", "o_orderstatus=F", "x.parquet")
+    assert(key.length == 36 && key == HudiMetadataTable.columnStatsKey(
+      "o_orderkey", "o_orderstatus=F", "x.parquet"))
+    assert(key != HudiMetadataTable.columnStatsKey("o_orderkey", "o_orderstatus=O", "x.parquet"))
+  }
+
+  test("xxhash64 index IDs match Spark's reference XXH64 implementation") {
+    for (s <- Seq("", "a", "abc", "o_orderkey", "a-longer-string-over-32-bytes-to-hit-the-stripe-loop",
+        "o_orderstatus=F", "2023/10/05")) {
+      val bytes = s.getBytes("UTF-8")
+      val expected = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0L)
+      assert(graft.util.XxHash64.hash(bytes) == expected, s"hash mismatch for '$s'")
+    }
+  }
+
+  test("stats skipping answers from the column_stats partition when the sidecar is gone") {
+    val dir = tmpDir("hmt_skip")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // range-cluster into 4 disjoint files so min/max skipping can prune
+    val t = HudiTable.create(spark, s"$dir/t",
+      src.repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+    val expected = src.filter(col("o_orderkey") <= lit(100)).count()
+    val allFiles = t.scan.files().count()
+    def prunedScan() = t.scan.range("o_orderkey", None, Some(100L))
+    val filesSidecar = prunedScan().files().count()
+    val rowsSidecar = prunedScan().toDF().filter(col("o_orderkey") <= 100).count()
+    assert(filesSidecar < allFiles, s"expected file skipping: $filesSidecar < $allFiles")
+    // remove the parquet sidecar: the scan must fall back to the
+    // metadata table's column_stats partition and prune identically
+    val f = fs(s"$dir/t")
+    f.listStatus(HudiColStats.dir(s"$dir/t")).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).foreach(p => f.delete(p, false))
+    val filesMeta = prunedScan().files().count()
+    val rowsMeta = prunedScan().toDF().filter(col("o_orderkey") <= 100).count()
+    assert(filesMeta == filesSidecar, "either index must prune the same files")
+    assert(rowsSidecar == expected && rowsMeta == expected)
+    // and the fallback path genuinely engages
+    assert(HudiColStats.read(spark, s"$dir/t", t.instants).nonEmpty)
+  }
+
   test("rollback tombstones the revoked files; MOR upsert lists its log files") {
     val dir = tmpDir("hmt_roll")
     val t = HudiTable.createMor(spark, s"$dir/t", orders.limit(100), "o_orderkey")

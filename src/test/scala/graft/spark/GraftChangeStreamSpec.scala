@@ -170,6 +170,39 @@ class GraftChangeStreamSpec extends SparkTestBase {
       s"a batch exceeded the 5-commit cap: ${batches.map(_.numInputRows).mkString(",")}")
   }
 
+  test("schema evolution mid-stream: batches stay on the pinned start schema, no rows lost") {
+    val dir = tmpDir("stream_evolve")
+    val o = orders // (o_orderkey, o_totalprice)
+    val t = DeltaTable.create(spark, s"$dir/t", o.filter(col("o_orderkey") % 3 === 0))
+    val ckpt = s"$dir/ckpt"
+    val out = s"$dir/out"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain() // snapshot batch pins the stream schema
+    // upstream ADDS a column: later files are wider than the pinned schema
+    t.append(o.filter(col("o_orderkey") % 3 === 1).withColumn("extra", lit("x")), Seq.empty)
+    drain()
+    // upstream DROPS o_totalprice and appends narrower files
+    t.replaceSchema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType))))
+    t.append(o.filter(col("o_orderkey") % 3 === 2).select("o_orderkey"), Seq.empty)
+    drain()
+    val got = spark.read.parquet(out)
+    // schema-stable: exactly the pinned start columns, wider batches
+    // trimmed, the dropped column null-filled — and nothing lost
+    assert(got.columns.toSeq.sorted == Seq("o_orderkey", "o_totalprice"))
+    assert(got.count() == o.count())
+    assert(got.select(sum(col("o_orderkey"))).head.getLong(0) ==
+      o.select(sum(col("o_orderkey"))).head.getLong(0))
+    assert(got.filter(col("o_totalprice").isNull).count() ==
+      o.filter(col("o_orderkey") % 3 === 2).count())
+  }
+
   test("a checkpointed stream resumes from its offset, not from scratch") {
     val dir = tmpDir("stream_ckpt")
     val o = orders

@@ -8,6 +8,16 @@ import graft.SparkTestBase
 
 class EventStreamsSpec extends SparkTestBase {
 
+  /** Batch-truth twin of EventStreams' ts normalization: the generated
+    * events table has carried `ts` as BOTH epoch-millis long and
+    * timestamp across driver rounds — adapt like the source does. */
+  private def withTsUs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      case _ => df.withColumn("ts_us", col("ts").cast("timestamp"))
+    }
+
   /** Stage the single-file events table as a 2-file directory so the
     * file source produces two micro-batches (watermark advances between
     * them, which is what lets event-time timeouts fire). */
@@ -44,8 +54,7 @@ class EventStreamsSpec extends SparkTestBase {
     q.awaitTermination(120000)
     val streamed = spark.table("hourly_stream")
       .orderBy("hour", "event_type").collect().toSeq
-    val batch = spark.read.parquet(in)
-      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val batch = withTsUs(spark.read.parquet(in))
       .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
@@ -72,8 +81,7 @@ class EventStreamsSpec extends SparkTestBase {
       .select("user_id", "session_start", "cnt").as[(Long, java.sql.Timestamp, Long)]
       .collect().toSet
     // batch truth: gaps-and-islands sessions per user
-    val batchSessions = spark.read.parquet(in)
-      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val batchSessions = withTsUs(spark.read.parquet(in))
       .selectExpr("user_id", "ts_us", "value")
       .withColumn("prev", lag("ts_us", 1).over(
         org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts_us")))
