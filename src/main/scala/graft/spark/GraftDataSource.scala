@@ -60,8 +60,11 @@ final class GraftDataSource
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val (fmt, path) = streamSource(sqlContext.sparkSession, parameters)
-    ("graft", new org.apache.spark.sql.graftshim.GraftChangeSource(
-      sqlContext.sparkSession, fmt, path).schema)
+    // prefer a schema already pinned by a checkpointed stream over this
+    // table in this JVM, so a restarted stream analyzes on its pinned
+    // start schema even after the table evolved (GraftChangeSource doc)
+    ("graft", org.apache.spark.sql.graftshim.GraftChangeSource
+      .analysisSchema(sqlContext.sparkSession, fmt, path))
   }
 
   override def createSource(

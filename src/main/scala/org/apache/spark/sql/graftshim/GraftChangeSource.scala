@@ -116,10 +116,62 @@ final class GraftChangeSource(
           "a fresh checkpoint.")
   }
 
-  override val schema: StructType = fmt match {
-    case "delta"   => DeltaTable.forPath(spark, path).toDF().schema
-    case "iceberg" => IcebergTable.forPath(spark, path).toDF().schema
-    case "hudi"    => HudiTable.forPath(spark, path).toDF().schema
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+
+  /**
+   * The stream's schema contract: pinned at FIRST start and persisted
+   * as `graft-schema` in the source-private state dir, so a restart —
+   * even after the table evolved upstream — keeps emitting batches on
+   * the start schema for the sink's whole life (the batch projection in
+   * [[getBatch]] trims added columns and null-fills dropped ones).
+   *
+   * The persisted copy is the authority; the companion's
+   * [[GraftChangeSource.pinnedRegistry]] mirrors it in-JVM so that
+   * analysis-time `sourceSchema` (which never sees the checkpoint
+   * path) resolves the same schema on restart. If a restart lands in a
+   * fresh JVM whose analysis already resolved the table's CURRENT
+   * (evolved) schema, the mismatch is detected here and fails with a
+   * descriptive error instead of the engine's opaque arity assert.
+   */
+  override val schema: StructType = metadataPath match {
+    case None => GraftChangeSource.analysisSchema(spark, fmt, path)
+    case Some(m) =>
+      val p = new Path(m, "graft-schema")
+      val fsys = p.getFileSystem(hadoopConf)
+      val persisted: Option[StructType] =
+        if (!fsys.exists(p)) None
+        else scala.util.Try {
+          val in = fsys.open(p)
+          try org.apache.spark.sql.types.DataType.fromJson(new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), UTF_8))
+            .asInstanceOf[StructType]
+          finally in.close()
+        }.toOption
+      val hadRegistryEntry = GraftChangeSource.pinnedRegistry.containsKey((fmt, path))
+      val pinned = persisted.getOrElse {
+        val s = GraftChangeSource.currentTableSchema(spark, fmt, path)
+        fsys.mkdirs(p.getParent)
+        val tmp = new Path(p.getParent, ".graft-schema-tmp")
+        val out = fsys.create(tmp, true)
+        try out.write(s.json.getBytes(UTF_8)) finally out.close()
+        fsys.delete(p, false)
+        fsys.rename(tmp, p)
+        s
+      }
+      GraftChangeSource.pinnedRegistry.put((fmt, path), pinned)
+      // a persisted pin that analysis could not have seen (no in-JVM
+      // registry entry) only works if the table still matches it
+      if (persisted.isDefined && !hadRegistryEntry &&
+          GraftChangeSource.currentTableSchema(spark, fmt, path) != pinned)
+        throw new IllegalStateException(
+          s"GraftChangeSource[$fmt] $path: the table's schema changed " +
+          s"while the stream was down, and this restart runs in a fresh " +
+          s"JVM where the query was analyzed against the table's current " +
+          s"schema instead of the checkpoint's pinned start schema " +
+          s"(${pinned.simpleString}). Retry the stream start (the pinned " +
+          s"schema is now registered in this JVM), or restart from a " +
+          s"fresh checkpoint to adopt the new schema.")
+      pinned
   }
 
   /**
@@ -133,7 +185,6 @@ final class GraftChangeSource(
    * position (propose plain offsets; getBatch reconciles).
    */
   private val posPath: Option[Path] = metadataPath.map(m => new Path(m, "graft-pos"))
-  private def hadoopConf = spark.sparkContext.hadoopConfiguration
   private val (initialPos, initializedBefore): (Option[GraftStreamOffset], Boolean) =
     posPath match {
       case None => (None, false)
@@ -288,4 +339,34 @@ final class GraftChangeSource(
 
   override def commit(end: OffsetV1): Unit = ()
   override def stop(): Unit = ()
+}
+
+object GraftChangeSource {
+  /**
+   * In-JVM mirror of each stream's checkpoint-persisted pinned schema,
+   * keyed by (format, table path). Analysis-time `sourceSchema` has no
+   * access to the checkpoint location, so it consults this registry —
+   * populated whenever a source instance resolves its pin — to keep the
+   * analyzed plan on the pinned schema across in-process restarts.
+   * Advisory only: the `graft-schema` file in the checkpoint is the
+   * durable authority, and a cross-JVM mismatch fails loudly in the
+   * source constructor rather than corrupting the sink.
+   */
+  private[graftshim] val pinnedRegistry =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), StructType]()
+
+  def currentTableSchema(
+      spark: SparkSession, fmt: String, path: String): StructType = fmt match {
+    case "delta"   => DeltaTable.forPath(spark, path).toDF().schema
+    case "iceberg" => IcebergTable.forPath(spark, path).toDF().schema
+    case "hudi"    => HudiTable.forPath(spark, path).toDF().schema
+  }
+
+  /** What analysis should see: the pinned schema when a source over
+    * this table already resolved one in this JVM, else the table's
+    * current schema (a genuinely fresh stream pins exactly that). */
+  def analysisSchema(
+      spark: SparkSession, fmt: String, path: String): StructType =
+    Option(pinnedRegistry.get((fmt, path)))
+      .getOrElse(currentTableSchema(spark, fmt, path))
 }
