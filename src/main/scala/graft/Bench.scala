@@ -49,12 +49,26 @@ object Bench {
       // (spread >> 1 on many queries ⇒ the box, not the plans, moved)
       name -> (attempts.min, attempts.max / math.max(attempts.min, 1e-9))
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    // The driver keeps only the LAST 2000 chars of stdout, so the line
+    // is built to survive that window: ROOT-locale fixed decimals (a
+    // comma-decimal JVM locale would emit invalid JSON), short unique
+    // query keys (the id prefix before the first '_'), spread entries
+    // only for contended outliers, and the queries map LAST so a
+    // truncated tail still retains the per-query numbers.
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    val prefixCounts = results.groupBy(_._1.takeWhile(_ != '_')).view.mapValues(_.size)
+    def keyOf(k: String): String = {
+      val p = k.takeWhile(_ != '_')
+      if (prefixCounts.getOrElse(p, 0) == 1) p else k
+    }
+    val qs = results.map { case (k, (v, _)) => "\"" + keyOf(k) + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, (_, s)) => "\"" + k + "\":" + f"$s%.2f" }
+    val spreads = results.filter(_._2._2 >= 1.5).sortBy(-_._2._2).take(10)
+      .map { case (k, (_, s)) => "\"" + keyOf(k) + "\":" + num(s, 2) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"fixture_build_sec":$fixtureSec,"index_build_sec":$indexBuildSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir","fixture_build_sec":${num(fixtureSec, 3)},"index_build_sec":${num(indexBuildSec, 3)},"spread_outliers":$spreads,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -372,9 +372,10 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
     val out = fs.create(top, /*overwrite=*/ false)
     try out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // action count: sidecar file actions + protocol + metaData +
-    // checkpointMetadata (the spec's `size` is actions, not files)
-    writeLastCheckpoint(s"""{"version":$v,"size":${addCount + 3}}""")
+    // the spec's `size` is the TOTAL action count stored in the
+    // checkpoint: adds in the sidecars + protocol + metaData +
+    // checkpointMetadata + one `sidecar` action per sidecar file
+    writeLastCheckpoint(s"""{"version":$v,"size":${addCount + 3 + sidecars.size}}""")
   }
 
   private def writeLastCheckpoint(json: String): Unit = {

@@ -73,13 +73,36 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     properties.get("hoodie.table.partition.fields").filter(_.nonEmpty)
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
 
-  /** Data layout: hive `k=v` dirs (default) vs slash-delimited partition
-    * VALUES (`DIR_HIERARCHY_PARTITION_VALUES`, ref
-    * `api/.../storage/DataLayoutStrategy.java:29-33`). Real Hudi tables
-    * very often use the value-only layout (`2023-10/...`). */
+  /** Data layout: hive `k=v` dirs vs slash-delimited partition VALUES
+    * (`DIR_HIERARCHY_PARTITION_VALUES`, ref
+    * `api/.../storage/DataLayoutStrategy.java:29-33`). Our own writer
+    * always stamps `hive_style_partitioning` into hoodie.properties;
+    * when the key is ABSENT the table is foreign, and real Hudi's
+    * table-config default for it is false (value-only) — so sniff one
+    * committed partition path for a `field=` prefix (metadata-only, no
+    * FS listing) and fall back to Hudi's value-only default. */
   def hiveStyleLayout: Boolean =
-    !timeline.exists ||
-      properties.getOrElse("hoodie.datasource.write.hive_style_partitioning", "true") != "false"
+    if (!timeline.exists) true // our writer's default for NEW tables
+    else properties.get("hoodie.datasource.write.hive_style_partitioning") match {
+      case Some(v) => v != "false"
+      case None =>
+        val fields = partitionColumns
+        if (fields.isEmpty) true // unpartitioned: layout is moot
+        else sniffedPartitionPath match {
+          case Some(pp) => pp.split('/').headOption.exists(_.startsWith(fields.head + "="))
+          case None     => false // Hudi's HoodieTableConfig default: value-only
+        }
+    }
+
+  /** One partition path from the newest completed commit that wrote any
+    * files — the layout witness for [[hiveStyleLayout]]'s sniff. */
+  private def sniffedPartitionPath: Option[String] =
+    timeline.completedInstants().reverse.iterator
+      .map(i => scala.util.Try(timeline.readCommitMetadata(i)).toOption)
+      .collectFirst {
+        case Some(m) if m.partitionToWriteStats.keys.exists(_.nonEmpty) =>
+          m.partitionToWriteStats.keys.filter(_.nonEmpty).min
+      }
 
   /** Partition path → values using THIS table's layout + field list. */
   private[graft] def parsePartition(pp: String): Map[String, String] =
@@ -1494,14 +1517,22 @@ final class HudiScanBuilder(
       } else {
         // value-only layout: the field's value is its POSITIONAL path
         // segment (the last field keeps any trailing slashes — custom
-        // single-field partition values may contain them)
+        // single-field partition values may contain them). Compare
+        // DECODED segments with the RAW wanted values — foreign tables
+        // write segments unescaped, so matching on the escaped spelling
+        // silently dropped their files; decoding matches the driver
+        // twin [[partitionOk]] exactly.
         val idx = table.partitionColumns.indexOf(c)
         require(idx >= 0, s"$c is not a partition field of ${table.tablePath}")
         val valueExpr =
           if (idx == table.partitionColumns.size - 1)
             array_join(slice(split(col("partitionPath"), "/"), idx + 1, Int.MaxValue), "/")
           else element_at(split(col("partitionPath"), "/"), idx + 1)
-        df = df.filter(valueExpr.isInCollection(esc))
+        val decoded = org.apache.spark.sql.graftshim.GraftExpr.column(
+          graft.functions.UnescapePath(
+            org.apache.spark.sql.graftshim.GraftExpr.expression(valueExpr)))
+        val raws = vs.toSeq.map(v => if (v == null) HudiTable.HiveDefaultPartition else v)
+        df = df.filter(decoded.isInCollection(raws))
       }
     }
     if (rangePredicates.nonEmpty) {

@@ -100,6 +100,92 @@ class HudiLayoutSpec extends SparkTestBase {
       Seq("dt")) == Map("dt" -> "2023/10/05"))
   }
 
+  test("foreign table: absent hive_style key sniffs the layout; raw slash segments prune decoded") {
+    import spark.implicits._
+    val dir = tmpDir("hudi_foreign")
+    val tp = s"$dir/t"
+    val full = Seq((1L, "a", "2023/10/05"), (2L, "b", "2023/10/05"),
+      (3L, "c", "2023/11/07")).toDF("id", "v", "dt")
+    val t = HudiTable.forPath(spark, tp)
+    t.timeline.writeProperties(HudiTable.tableProperties(tp, Seq("dt"), Map.empty))
+    val instant = t.timeline.nextInstantTime()
+    val fsys = fs
+    // a foreign writer's layout: RAW (unescaped) value-only partition
+    // dirs — a slash-valued partition spans real subdirectories
+    val stats = Seq("2023/10/05", "2023/11/07").zipWithIndex.map { case (pv, i) =>
+      val rows = full.filter(col("dt") === pv).drop("dt")
+      val staging = new Path(s"$tp/.staging$i")
+      rows.coalesce(1).write.parquet(staging.toString)
+      val part = fsys.listStatus(staging).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val fileId = s"foreign-$i"
+      val rel = s"$pv/${fileId}_0-0-0_$instant.parquet"
+      val dest = new Path(tp, rel)
+      fsys.mkdirs(dest.getParent)
+      require(fsys.rename(part, dest), s"rename $part -> $dest")
+      fsys.delete(staging, true)
+      pv -> HudiWriteStat(fileId = fileId, path = rel, prevCommit = "null",
+        numWrites = rows.count(), fileSizeInBytes = fsys.getFileStatus(dest).getLen)
+    }
+    val meta = HudiCommitMetadata(
+      partitionToWriteStats = stats.groupBy(_._1).view.mapValues(_.map(_._2)).toMap,
+      partitionToReplaceFileIds = Map.empty,
+      extraMetadata = Map("schema" ->
+        graft.schema.AvroSchemaConverters.toAvro(full.schema).toString),
+      operationType = "BULK_INSERT")
+    assert(t.timeline.commit(HudiInstant(instant, "commit"), meta))
+    // foreign tables often never persisted the hive_style key — strip it
+    val propsFile = new Path(tp, ".hoodie/hoodie.properties")
+    val lines = scala.io.Source.fromInputStream(fsys.open(propsFile)).getLines().toSeq
+    val out = fsys.create(propsFile, true)
+    try out.write(lines
+      .filterNot(_.startsWith("hoodie.datasource.write.hive_style_partitioning"))
+      .mkString("\n").getBytes("UTF-8")) finally out.close()
+
+    val ft = HudiTable.forPath(spark, tp)
+    // Hudi's table-config default is value-only; the sniff on a committed
+    // partition path (no `dt=` prefix) agrees
+    assert(!ft.hiveStyleLayout)
+    val back = ft.toDF()
+    assert(back.count() == 3)
+    assert(back.select("dt").distinct().as[String].collect().toSet ==
+      Set("2023/10/05", "2023/11/07"))
+    // pruning on the RAW wanted value: the plan-side filter decodes the
+    // positional segments, so unescaped foreign paths match exactly
+    assert(ft.scan.partitionIn("dt", Set("2023/10/05")).files().count() == 1)
+    assert(ft.scan.partitionIn("dt", Set("2023/10/05")).toDF().count() == 2)
+    assert(ft.scan.partitionIn("dt", Set("2023/11/07")).toDF().count() == 1)
+
+    // the hive counterpart: strip the key from a hive-layout table and
+    // the `field=` prefix sniff keeps the hive branch
+    val tp2 = s"$dir/t2"
+    HudiTable.create(spark, tp2,
+      spark.read.parquet(s"$sf0001/nation.parquet"), Seq("n_regionkey"))
+    val props2 = new Path(tp2, ".hoodie/hoodie.properties")
+    val lines2 = scala.io.Source.fromInputStream(fsys.open(props2)).getLines().toSeq
+    val out2 = fsys.create(props2, true)
+    try out2.write(lines2
+      .filterNot(_.startsWith("hoodie.datasource.write.hive_style_partitioning"))
+      .mkString("\n").getBytes("UTF-8")) finally out2.close()
+    val ft2 = HudiTable.forPath(spark, tp2)
+    assert(ft2.hiveStyleLayout)
+    assert(ft2.scan.partitionIn("n_regionkey", Set("0")).toDF().count() ==
+      spark.read.parquet(s"$sf0001/nation.parquet")
+        .filter(col("n_regionkey") === 0).count())
+  }
+
+  test("unescape_path expression matches PathCodec on hostile values") {
+    import spark.implicits._
+    val hostile = Seq("plain", "a=b", "x:y", "50%", "a,b", "sp ace", "%41",
+      "a/b", "%", "%G1", "%2F", "2023%2F10%2F05", "__HIVE_DEFAULT_PARTITION__")
+    val vals = hostile ++ hostile.map(graft.util.PathCodec.escapePathName)
+    val got = vals.toDF("s").select(
+      org.apache.spark.sql.graftshim.GraftExpr.column(graft.functions.UnescapePath(
+        org.apache.spark.sql.graftshim.GraftExpr.expression(col("s")))).as("d"))
+      .as[String].collect().toSeq
+    assert(got == vals.map(graft.util.PathCodec.unescapePathName))
+  }
+
   test("keygen matrix matches the reference's class choices") {
     def defs(specs: String*) = PartitionTransform.parseAll(specs.toSeq)
     val kg = HudiTable.keyGeneratorClass _
