@@ -92,7 +92,22 @@ final class GraftChangeSource(
   /** Tokens strictly after `tail` — the per-trigger poll. */
   private def tokensAfter(tail: String): Seq[String] = fmt match {
     case "delta" =>
-      DeltaTable.forPath(spark, path).log.listVersionsAfter(tail.toLong).map(_.toString)
+      val log = DeltaTable.forPath(spark, path).log
+      val after = log.listVersionsAfter(tail.toLong)
+      // the contiguous probe stops at the first hole, so when log
+      // retention expired `tail+1` the poll would return empty FOREVER —
+      // a silent stall. A checkpoint past the tail proves newer versions
+      // exist beyond the hole (log cleanup requires one): fail with the
+      // same non-replayable-gap error as the Iceberg branch below.
+      if (after.isEmpty) log.lastCheckpoint().filter(_ > tail.toLong).foreach { cp =>
+        throw new IllegalStateException(
+          s"GraftChangeSource[$fmt] $path: commits ${tail.toLong + 1}..$cp " +
+          s"were expired by log retention while the stream was down " +
+          s"(version ${tail.toLong + 1} is missing but a checkpoint " +
+          s"exists at $cp). The history gap is not replayable; restart " +
+          "the stream from a fresh checkpoint.")
+      }
+      after.map(_.toString)
     case _ =>
       // iceberg: one metadata.json read; hudi: active-timeline listing.
       // Snapshot ids are not ordered by value — split on log position.
@@ -301,9 +316,26 @@ final class GraftChangeSource(
     }
     val tailFrom = startP.map(_.tail).getOrElse(endP.snap)
     val tailTo = endP.tail
+    // reconstruction reads the table's commit history; when retention
+    // expired it while the stream was down (this call may be the
+    // engine's restart replay of the last batch), fail with a NAMED
+    // gap instead of a raw metadata error — same posture on restart
+    // as the tail poll's in-flight check in tokensAfter
+    def reconstruct[A](what: => A): A = try what catch {
+      case e: IllegalStateException if e.getMessage != null &&
+          e.getMessage.contains("not replayable") => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalStateException(
+          s"GraftChangeSource[$fmt] $path: cannot reconstruct stream " +
+          s"batch (${startP.map(_.json).getOrElse("start")} .. ${endP.json}] — " +
+          s"the commit history backing it was expired by log/snapshot " +
+          s"retention while the stream was down (${e.getMessage}). The " +
+          "history gap is not replayable; restart the stream from a " +
+          "fresh checkpoint.", e)
+    }
     val parts =
-      chunkRange.map(k => snapshotChunk(snapOwner.snap, k, snapOwner.chunks)) ++
-        (if (tailTo != tailFrom) Seq(changesBetween(tailFrom, tailTo)) else Seq.empty)
+      chunkRange.map(k => reconstruct(snapshotChunk(snapOwner.snap, k, snapOwner.chunks))) ++
+        (if (tailTo != tailFrom) Seq(reconstruct(changesBetween(tailFrom, tailTo))) else Seq.empty)
     val batch = parts.reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     // keep the advisory position in sync with what the engine replayed

@@ -203,6 +203,48 @@ class GraftChangeStreamSpec extends SparkTestBase {
       o.filter(col("o_orderkey") % 3 === 2).count())
   }
 
+  test("delta log expiry under a checkpointed stream fails with a named gap, not a silent stall") {
+    val dir = tmpDir("stream_gap")
+    val o = orders
+    val t = DeltaTable.create(spark, s"$dir/t", o.filter(col("o_orderkey") % 2 === 0))
+    val ckpt = s"$dir/ckpt"
+    val out = s"$dir/out"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    drain() // stream position: version 0
+    // while the stream is down: commits v1..v3, checkpoint, expire v0..v2
+    (1 to 3).foreach(_ => t.append(o.limit(5), Seq.empty))
+    t.log.writeCheckpoint(3L)
+    t.log.expireLogBefore(3L)
+    val err = intercept[Throwable] { drain() }
+    val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("not replayable"), msgs)
+  }
+
+  test("running-stream tail poll detects an expired gap and names it") {
+    val dir = tmpDir("stream_gap_poll")
+    val o = orders
+    val t = DeltaTable.create(spark, s"$dir/t", o.limit(10))
+    val src = new org.apache.spark.sql.graftshim.GraftChangeSource(
+      spark, "delta", s"$dir/t", metadataPath = Some(s"$dir/state"))
+    assert(src.getOffset.isDefined) // position: snapshot at version 0
+    // retention expires v1..v2 underneath the running stream; v3 + a
+    // checkpoint remain — the poll must error, not idle forever
+    (1 to 3).foreach(_ => t.append(o.limit(5), Seq.empty))
+    t.log.writeCheckpoint(3L)
+    t.log.expireLogBefore(3L)
+    val err = intercept[IllegalStateException] { src.getOffset }
+    assert(err.getMessage.contains("1..3") && err.getMessage.contains("expired"),
+      err.getMessage)
+  }
+
   test("a checkpointed stream resumes from its offset, not from scratch") {
     val dir = tmpDir("stream_ckpt")
     val o = orders
