@@ -1367,17 +1367,21 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     if (names.isEmpty) cols
     else cols.map(c => c.copy(column = names.getOrElse(c.column, c.column)))
 
-  private def logicalPartValues(
-      pv: Map[String, String], asOf: Option[Long]): Map[String, String] =
-    if (columnMappingMode(asOf) == "none") pv
+  /** Physical→logical partition-name remap at `asOf`, resolved ONCE per
+    * call site — resolving inside a per-file loop replays the log for
+    * every file (quadratic on a 100k-file snapshot). */
+  private def logicalPartValuesFn(
+      asOf: Option[Long]): Map[String, String] => Map[String, String] =
+    if (columnMappingMode(asOf) == "none") identity
     else {
       val m = schemaAt(asOf)._1.fields.map(f => DeltaTable.physicalName(f) -> f.name).toMap
-      pv.map { case (k, v) => m.getOrElse(k, k) -> v }
+      pv => pv.map { case (k, v) => m.getOrElse(k, k) -> v }
     }
 
   def snapshotDataFiles(): Seq[graft.model.InternalDataFile] = {
     requireReadable(None)
     val (dataSchema, names) = syncShape(None)
+    val logicalPart = logicalPartValuesFn(None)
     log.snapshotFilesDF()
       .select("path", "partitionValues", "size", "modificationTime", "stats", "deletionVector")
       .collect().toSeq.map { r =>
@@ -1388,9 +1392,9 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         .map(DeltaStats.fromJson(_, dataSchema)).getOrElse((-1L, Seq.empty))
       graft.model.InternalDataFile(
         physicalPath = absolutePath(r.getString(0)),
-        partitionValues = logicalPartValues(
+        partitionValues = logicalPart(
           if (r.isNullAt(1)) Map.empty
-          else r.getMap[String, String](1).toMap, None),
+          else r.getMap[String, String](1).toMap),
         fileSizeBytes = if (r.isNullAt(2)) 0L else r.getLong(2),
         recordCount = n,
         columnStats = logicalStats(cols, names),
@@ -1403,6 +1407,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
   def changeSet(version: Long): (Seq[graft.model.InternalDataFile], Seq[String]) = {
     val asOf = Some(version)
     val (dataSchema, names) = syncShape(asOf)
+    val logicalPart = logicalPartValuesFn(asOf)
     val actions = log.readActions(version)
     val adds = actions.collect { case a: AddFile =>
       require(a.deletionVector.isEmpty,
@@ -1412,7 +1417,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       val cols = logicalStats(cols0, names)
       graft.model.InternalDataFile(
         physicalPath = absolutePath(a.path),
-        partitionValues = logicalPartValues(a.partitionValues, asOf),
+        partitionValues = logicalPart(a.partitionValues),
         fileSizeBytes = a.size,
         recordCount = n,
         columnStats = cols,

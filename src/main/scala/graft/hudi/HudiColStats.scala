@@ -105,23 +105,33 @@ object HudiColStats {
     if (covered.nonEmpty)
       return Some(spark.read.schema(IndexSchema).parquet(
         covered.map(i => indexFile(tablePath, i).toString): _*))
+    // metadata-table fallback: DISTRIBUTED log replay (blocks decode on
+    // executors — a 100k-file table never builds stat rows driver-side),
+    // restricted to the requested instants so time-travel callers get
+    // exactly the as-of index state, not the current one
+    val statsDf = HudiMetadataTable.readColumnStatsDF(
+      spark, tablePath, Some(instants.toSet)).getOrElse(return None)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = dir(tablePath).getFileSystem(hconf)
-    if (!HudiMetadataTable.hasColumnStats(fs, tablePath)) return None
-    val byFile = HudiMetadataTable.readColumnStats(fs, hconf, tablePath)
-    if (byFile.isEmpty) return None
-    val partitionOfFile: Map[String, String] =
-      HudiMetadataTable.readFiles(fs, hconf, tablePath).toSeq.flatMap { case (pp, files) =>
+    // file → partition path from the files listing (one row per FILE —
+    // bounded — vs. stats at files × columns); broadcast to the join
+    val partitionOfFile = HudiMetadataTable.readFiles(fs, hconf, tablePath)
+      .toSeq.flatMap { case (pp, files) =>
         files.keysIterator.map(_ -> (if (pp == ".") "" else pp))
-      }.toMap
-    val rows = byFile.flatMap { case (fileName, c) =>
-      partitionOfFile.get(fileName).map(pp => org.apache.spark.sql.Row(
-        pp, fileName, c.column, c.minValue.orNull, c.maxValue.orNull,
-        c.numNulls, c.numValues, c.totalSize))
-    }
-    if (rows.isEmpty) None
-    else Some(spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), IndexSchema))
+      }
+    if (partitionOfFile.isEmpty) return None
+    import spark.implicits._
+    val ppDf = partitionOfFile.toDF("fileName", "partitionPath")
+    val joined = statsDf.join(org.apache.spark.sql.functions.broadcast(ppDf), "fileName")
+      .select(org.apache.spark.sql.functions.col("partitionPath"),
+        org.apache.spark.sql.functions.col("fileName"),
+        org.apache.spark.sql.functions.col("column"),
+        org.apache.spark.sql.functions.col("minValue"),
+        org.apache.spark.sql.functions.col("maxValue"),
+        org.apache.spark.sql.functions.col("numNulls"),
+        org.apache.spark.sql.functions.col("numValues"),
+        org.apache.spark.sql.functions.col("totalSize"))
+    if (joined.isEmpty) None else Some(joined)
   }
 
   /** Drop a rolled-back instant's index file (with [[graft.hudi

@@ -38,10 +38,20 @@ import scala.jdk.CollectionConverters._
  * so native readers can skip files from the index (ref
  * `core/.../hudi/BaseFileUpdatesExtractor.java:240-262` builds
  * HoodieColumnRangeMetadata per write stat; `HudiTargetClient.java:569-575`
- * flushes them through Hudi's metadata writer). Documented subset:
- * min/max travel as canonical strings (this engine's cross-format
- * stat form), not Hudi's per-type avro wrapper union.
+ * flushes them through Hudi's metadata writer). Min/max travel in real
+ * Hudi's per-type avro value-wrapper union (see [[ColStatsSchema]]),
+ * so native readers decode typed bounds; logs written by earlier
+ * versions of this engine (plain-string min/max) still decode via
+ * their embedded block schema.
  */
+/** One replayed column_stats record in the distributed merge —
+  * `seq` orders records globally (log-file index << 32 | record index)
+  * so "later block wins" resolves on executors. */
+final case class ColStatsReplayRow(
+    fileName: String, column: String, seq: Long, deleted: Boolean,
+    minValue: String, maxValue: String,
+    numNulls: Long, numValues: Long, totalSize: Long)
+
 object HudiMetadataTable {
 
   val MetadataDir = ".hoodie/metadata"
@@ -67,9 +77,14 @@ object HudiMetadataTable {
       |{"name":"size","type":"long"},
       |{"name":"isDeleted","type":"boolean"}]}}],"default":null}]}""".stripMargin)
 
-  /** HoodieMetadataRecord trimmed to the column_stats fields
-    * (HoodieMetadataColumnStats shape; min/max as canonical strings —
-    * see the class doc). */
+  /** HoodieMetadataRecord trimmed to the column_stats fields, with
+    * min/max as real Hudi's PER-TYPE avro value-wrapper union (the
+    * public `HoodieMetadata.avsc` shape — BooleanWrapper..TimestampMicrosWrapper,
+    * DecimalWrapper bytes at precision 30 / scale 15; the reference
+    * consumes exactly this through `HoodieAvroUtils.unwrapAvroValueWrapper`,
+    * ref `core/.../hudi/HudiFileStatsExtractor.java:62-72,196-210`), so
+    * a native Hudi reader decodes typed bounds rather than this
+    * engine's canonical strings. */
   val ColStatsSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"HoodieMetadataRecord",
       |"namespace":"org.apache.hudi.avro.model","fields":[
@@ -79,12 +94,100 @@ object HudiMetadataTable {
       |{"type":"record","name":"HoodieMetadataColumnStats","fields":[
       |{"name":"fileName","type":"string"},
       |{"name":"columnName","type":"string"},
-      |{"name":"minValue","type":["null","string"],"default":null},
-      |{"name":"maxValue","type":["null","string"],"default":null},
+      |{"name":"minValue","type":["null",
+      |{"type":"record","name":"BooleanWrapper","fields":[{"name":"value","type":"boolean"}]},
+      |{"type":"record","name":"IntWrapper","fields":[{"name":"value","type":"int"}]},
+      |{"type":"record","name":"LongWrapper","fields":[{"name":"value","type":"long"}]},
+      |{"type":"record","name":"FloatWrapper","fields":[{"name":"value","type":"float"}]},
+      |{"type":"record","name":"DoubleWrapper","fields":[{"name":"value","type":"double"}]},
+      |{"type":"record","name":"BytesWrapper","fields":[{"name":"value","type":"bytes"}]},
+      |{"type":"record","name":"StringWrapper","fields":[{"name":"value","type":"string"}]},
+      |{"type":"record","name":"DateWrapper","fields":[{"name":"value","type":"int"}]},
+      |{"type":"record","name":"DecimalWrapper","fields":[{"name":"value","type":
+      |{"type":"bytes","logicalType":"decimal","precision":30,"scale":15}}]},
+      |{"type":"record","name":"TimeMicrosWrapper","fields":[{"name":"value","type":
+      |{"type":"long","logicalType":"time-micros"}}]},
+      |{"type":"record","name":"TimestampMicrosWrapper","fields":[{"name":"value","type":"long"}]}
+      |],"default":null},
+      |{"name":"maxValue","type":["null","BooleanWrapper","IntWrapper","LongWrapper",
+      |"FloatWrapper","DoubleWrapper","BytesWrapper","StringWrapper","DateWrapper",
+      |"DecimalWrapper","TimeMicrosWrapper","TimestampMicrosWrapper"],"default":null},
       |{"name":"valueCount","type":"long"},
       |{"name":"nullCount","type":"long"},
       |{"name":"totalSize","type":"long"},
       |{"name":"isDeleted","type":"boolean"}]}],"default":null}]}""".stripMargin)
+
+  /** Hudi's DecimalWrapper fixed scale (`HudiFileStatsExtractor.java:72`). */
+  val DecimalWrapperScale = 15
+
+  private def wrapperSchema(name: String): Schema = {
+    val union = ColStatsSchema.getField("ColumnStatsMetadata").schema()
+      .getTypes.get(1).getField("minValue").schema()
+    union.getTypes.asScala.find(_.getName == name).get
+  }
+
+  /** Canonical stat string → the typed Hudi wrapper record for the
+    * column's Spark type (write side of the union above). Unknown /
+    * absent types fall back to StringWrapper — still decodable, just
+    * not type-faithful. */
+  def wrapStatValue(
+      canonical: String, dt: Option[org.apache.spark.sql.types.DataType]): GenericRecord = {
+    import org.apache.spark.sql.types._
+    def rec(name: String, v: AnyRef): GenericRecord = {
+      val r = new GenericData.Record(wrapperSchema(name))
+      r.put("value", v)
+      r
+    }
+    def typed: GenericRecord = dt match {
+      case Some(BooleanType) => rec("BooleanWrapper", java.lang.Boolean.valueOf(canonical))
+      case Some(ByteType | ShortType | IntegerType) =>
+        rec("IntWrapper", java.lang.Integer.valueOf(canonical.trim))
+      case Some(LongType) => rec("LongWrapper", java.lang.Long.valueOf(canonical.trim))
+      case Some(FloatType) => rec("FloatWrapper", java.lang.Float.valueOf(canonical))
+      case Some(DoubleType) => rec("DoubleWrapper", java.lang.Double.valueOf(canonical))
+      case Some(BinaryType) => rec("BytesWrapper",
+        java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(canonical)))
+      case Some(DateType) => rec("DateWrapper", java.lang.Integer.valueOf(canonical.trim))
+      case Some(TimestampType | TimestampNTZType) =>
+        rec("TimestampMicrosWrapper", java.lang.Long.valueOf(canonical.trim))
+      case Some(_: DecimalType) =>
+        val unscaled = new java.math.BigDecimal(canonical)
+          .setScale(DecimalWrapperScale, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().toByteArray
+        rec("DecimalWrapper", java.nio.ByteBuffer.wrap(unscaled))
+      case _ => rec("StringWrapper", canonical)
+    }
+    // a canonical value that doesn't parse for its declared type (e.g.
+    // stats captured from a foreign file with an unexpected physical
+    // type) degrades to StringWrapper rather than failing the commit
+    try typed catch {
+      case scala.util.control.NonFatal(_) => rec("StringWrapper", canonical)
+    }
+  }
+
+  /** Typed wrapper (or legacy plain string) → canonical stat string
+    * (read side; the inverse of [[wrapStatValue]]). */
+  def unwrapStatValue(v: AnyRef): String = v match {
+    case null => null
+    case s: CharSequence => s.toString // legacy canonical-string logs
+    case r: GenericRecord =>
+      val value = r.get("value")
+      r.getSchema.getName match {
+        case "BytesWrapper" =>
+          val bb = value.asInstanceOf[java.nio.ByteBuffer].duplicate()
+          val bytes = new Array[Byte](bb.remaining()); bb.get(bytes)
+          java.util.Base64.getEncoder.encodeToString(bytes)
+        case "DecimalWrapper" =>
+          val bb = value.asInstanceOf[java.nio.ByteBuffer].duplicate()
+          val bytes = new Array[Byte](bb.remaining()); bb.get(bytes)
+          new java.math.BigDecimal(
+            new java.math.BigInteger(bytes), DecimalWrapperScale)
+            .stripTrailingZeros().toPlainString
+        case "StringWrapper" => value.toString
+        case _ => value.toString // Boolean/Int/Long/Float/Double/Date/Time/Timestamp
+      }
+    case other => other.toString
+  }
 
   /** Hudi's column-stats record key: concatenated base64 XXHash64 index
     * IDs of column, partition (`.` for the empty partition), and file. */
@@ -114,7 +217,11 @@ object HudiMetadataTable {
       removes: Map[String, Seq[String]] = Map.empty,
       /** (partitionPath, fileName, stat rows) per stats-bearing file —
         * lands in the `column_stats` partition (see class doc). */
-      colStats: Seq[(String, String, Seq[graft.model.ColumnStatRow])] = Seq.empty): Unit = {
+      colStats: Seq[(String, String, Seq[graft.model.ColumnStatRow])] = Seq.empty,
+      /** Column name → Spark type, so min/max encode as real Hudi's
+        * typed wrapper records; columns missing here fall back to
+        * StringWrapper. */
+      colTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): Unit = {
     val timeline = new HudiTimeline(root(tablePath).toString, conf)
     if (!timeline.exists)
       timeline.writeProperties(Map(
@@ -176,8 +283,10 @@ object HudiMetadataTable {
         val cs = new GenericData.Record(csSchema)
         cs.put("fileName", fileName)
         cs.put("columnName", c.column)
-        cs.put("minValue", c.minValue.orNull)
-        cs.put("maxValue", c.maxValue.orNull)
+        cs.put("minValue",
+          c.minValue.map(v => wrapStatValue(v, colTypes.get(c.column))).orNull)
+        cs.put("maxValue",
+          c.maxValue.map(v => wrapStatValue(v, colTypes.get(c.column))).orNull)
         cs.put("valueCount", java.lang.Long.valueOf(c.numValues))
         cs.put("nullCount", java.lang.Long.valueOf(c.numNulls))
         cs.put("totalSize", java.lang.Long.valueOf(c.totalSize))
@@ -250,42 +359,109 @@ object HudiMetadataTable {
    */
   def readColumnStats(
       fs: FileSystem, conf: Configuration,
-      tablePath: String): Seq[(String, graft.model.ColumnStatRow)] = {
+      tablePath: String,
+      /** Restrict the replay to these data-commit instants (the block
+        * header instant — metadata deltacommits share the data commit's
+        * time). None = all completed instants, i.e. current state. */
+      wantedInstants: Option[Set[String]] = None): Seq[(String, graft.model.ColumnStatRow)] = {
     if (!hasColumnStats(fs, tablePath)) return Seq.empty
     val timeline = new HudiTimeline(root(tablePath).toString, conf)
     val completed = timeline.completedInstants().map(_.time).toSet
+    val visible = wantedInstants.map(_.intersect(completed)).getOrElse(completed)
     val logs = fs.listStatus(colStatsDir(tablePath)).toSeq
       .map(_.getPath)
       .filter(p => HudiLogFormat.isLogPath(p.getName))
       .sortBy(_.getName)
     val state = scala.collection.mutable.LinkedHashMap[(String, String), Option[graft.model.ColumnStatRow]]()
     logs.foreach { p =>
-      HudiLogFormat.readBlocks(fs, p)
-        .filter(b => b.blockType == HudiLogFormat.AvroDataBlock &&
-          b.headers.get(HudiLogFormat.HeaderInstantTime).exists(completed.contains))
-        .foreach { b =>
-          val schema = new Schema.Parser().parse(b.headers(HudiLogFormat.HeaderSchema))
-          HudiLogFormat.decodeAvroBlock(b.content, schema).foreach { rec =>
-            Option(rec.get("ColumnStatsMetadata")).foreach { csAny =>
-              val cs = csAny.asInstanceOf[GenericRecord]
-              val fileName = cs.get("fileName").toString
-              val column = cs.get("columnName").toString
-              val deleted = cs.get("isDeleted").asInstanceOf[Boolean]
-              state((fileName, column)) =
-                if (deleted) None
-                else Some(graft.model.ColumnStatRow(
-                  column = column,
-                  minValue = Option(cs.get("minValue")).map(_.toString),
-                  maxValue = Option(cs.get("maxValue")).map(_.toString),
-                  numNulls = cs.get("nullCount").asInstanceOf[Long],
-                  numValues = cs.get("valueCount").asInstanceOf[Long],
-                  totalSize = cs.get("totalSize").asInstanceOf[Long]))
-            }
-          }
-        }
+      decodeColStatsLog(fs, p, visible).foreach { case (key, row) => state(key) = row }
     }
     state.toSeq.collect { case ((fileName, _), Some(row)) => fileName -> row }
   }
+
+  /**
+   * Distributed column_stats replay: one task per log file decodes its
+   * blocks on the EXECUTORS; "last record wins per (fileName, column),
+   * tombstones drop" resolves with one metadata-scale shuffle. The
+   * scale path for a 100k-file × wide-schema table with no parquet
+   * sidecar — millions of stat rows never materialize on the driver
+   * (the driver holds only the log-file list). Returns columns
+   * (fileName, column, minValue, maxValue, numNulls, numValues,
+   * totalSize), or None when the partition is absent/empty.
+   */
+  def readColumnStatsDF(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      wantedInstants: Option[Set[String]] = None): Option[org.apache.spark.sql.DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root(tablePath).getFileSystem(conf)
+    if (!hasColumnStats(fs, tablePath)) return None
+    val timeline = new HudiTimeline(root(tablePath).toString, conf)
+    val completed = timeline.completedInstants().map(_.time).toSet
+    val visible = wantedInstants.map(_.intersect(completed)).getOrElse(completed)
+    val logs = fs.listStatus(colStatsDir(tablePath)).toSeq
+      .map(_.getPath)
+      .filter(p => HudiLogFormat.isLogPath(p.getName))
+      .sortBy(_.getName)
+    if (logs.isEmpty || visible.isEmpty) return None
+    val sconf = new graft.util.SerializableHadoopConf(conf)
+    val visibleB = spark.sparkContext.broadcast(visible)
+    import spark.implicits._
+    val rows = spark.createDataset(logs.map(_.toString).zipWithIndex)
+      .repartition(math.min(logs.size, spark.sparkContext.defaultParallelism))
+      .flatMap { case (pathStr, fileSeq) =>
+        val p = new Path(pathStr)
+        val lfs = p.getFileSystem(sconf.value)
+        decodeColStatsLog(lfs, p, visibleB.value).zipWithIndex.map {
+          case (((fileName, column), row), recSeq) =>
+            ColStatsReplayRow(
+              fileName, column,
+              seq = fileSeq.toLong << 32 | recSeq.toLong,
+              deleted = row.isEmpty,
+              minValue = row.flatMap(_.minValue).orNull,
+              maxValue = row.flatMap(_.maxValue).orNull,
+              numNulls = row.map(_.numNulls).getOrElse(0L),
+              numValues = row.map(_.numValues).getOrElse(0L),
+              totalSize = row.map(_.totalSize).getOrElse(0L))
+        }
+      }
+    val merged = rows.groupByKey(r => (r.fileName, r.column))
+      .reduceGroups((a, b) => if (a.seq >= b.seq) a else b)
+      .map(_._2).filter(r => !r.deleted)
+    Some(merged.toDF().drop("seq", "deleted")
+      .select("fileName", "column", "minValue", "maxValue",
+        "numNulls", "numValues", "totalSize"))
+  }
+
+  /** Decode one column_stats log file: ((fileName, column), row-or-
+    * tombstone) in block order, restricted to `visible` instants.
+    * Pure per-file work — runs on executors in the distributed replay
+    * ([[readColumnStatsDF]]) and on the driver above. */
+  private[hudi] def decodeColStatsLog(
+      fs: FileSystem, p: Path, visible: Set[String]):
+      Seq[((String, String), Option[graft.model.ColumnStatRow])] =
+    HudiLogFormat.readBlocks(fs, p)
+      .filter(b => b.blockType == HudiLogFormat.AvroDataBlock &&
+        b.headers.get(HudiLogFormat.HeaderInstantTime).exists(visible.contains))
+      .flatMap { b =>
+        val schema = new Schema.Parser().parse(b.headers(HudiLogFormat.HeaderSchema))
+        HudiLogFormat.decodeAvroBlock(b.content, schema).flatMap { rec =>
+          Option(rec.get("ColumnStatsMetadata")).map { csAny =>
+            val cs = csAny.asInstanceOf[GenericRecord]
+            val fileName = cs.get("fileName").toString
+            val column = cs.get("columnName").toString
+            val deleted = cs.get("isDeleted").asInstanceOf[Boolean]
+            ((fileName, column),
+              if (deleted) None
+              else Some(graft.model.ColumnStatRow(
+                column = column,
+                minValue = Option(cs.get("minValue")).map(unwrapStatValue),
+                maxValue = Option(cs.get("maxValue")).map(unwrapStatValue),
+                numNulls = cs.get("nullCount").asInstanceOf[Long],
+                numValues = cs.get("valueCount").asInstanceOf[Long],
+                totalSize = cs.get("totalSize").asInstanceOf[Long])))
+          }
+        }
+      }
 
   /**
    * Replay the files partition: merged file listing per partition path

@@ -581,15 +581,19 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val schema = schemaAt(asOf)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // resolve the partition-field list ONCE — `partitionColumns` reads
+    // hoodie.properties, and a 100k-file manifest must not re-read it
+    // per file
+    val partCols = partitionColumns
     val manifest = files.map { case (f, pp, size) =>
       graft.sources.ManifestFile(
         path = if (f.startsWith("/") || f.contains(":/")) f else new Path(tablePath, f).toString,
         size = size,
         modificationTime = 0L,
-        partitionValues = parsePartition(pp))
+        partitionValues = HudiTable.parsePartitionPath(pp, partCols))
     }
     graft.sources.ManifestFileIndex.read(
-      spark, readBasePath, manifest, schema, partitionColumns,
+      spark, readBasePath, manifest, schema, partCols,
       withRowPositions = withRowPositions)
   }
 
@@ -850,7 +854,12 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val adds = stats.groupBy(_._1).map { case (pp, ws) =>
       pp -> ws.map(w => (new Path(w._2.path).getName, w._2.fileSizeInBytes))
     }
-    HudiMetadataTable.update(fs, hconf, tablePath, instant, adds, removes, colStats)
+    // column types let min/max encode as Hudi's typed wrapper records
+    val colTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      if (colStats.isEmpty) Map.empty
+      else scala.util.Try(schemaAt(None).fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+    HudiMetadataTable.update(fs, hconf, tablePath, instant, adds, removes, colStats, colTypes)
   }
 
   /** Rebase staged base files onto a fresh commit instant after a lost
@@ -1042,9 +1051,11 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     require(!hasLogFiles(None),
       s"cannot metadata-sync $tablePath: MOR log files hold row mutations other " +
         "formats cannot express; run compactMor() first")
+    // one timeline listing for the whole loop (listing per instant is
+    // O(commits²) metadata-store round-trips)
+    val completedByTime = timeline.completedInstants().map(i => i.time -> i).toMap
     val counts: Map[String, Long] = instants.flatMap { t =>
-      val m = timeline.readCommitMetadata(
-        timeline.completedInstants().find(_.time == t).get)
+      val m = timeline.readCommitMetadata(completedByTime(t))
       m.partitionToWriteStats.valuesIterator.flatten.map(ws =>
         HudiTable.normalize(absoluteOf(ws.path)) -> ws.numWrites)
     }.toMap
@@ -1061,11 +1072,12 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
             numValues = r.getLong(6),
             totalSize = r.getLong(7))).toSeq).toMap
       }
+    val partCols = partitionColumns
     fileSlicesDF(None).select("partitionPath", "path", "size").collect().toSeq.map { r =>
       val abs = absoluteOf(r.getString(1))
       graft.model.InternalDataFile(
         physicalPath = abs,
-        partitionValues = parsePartition(r.getString(0)),
+        partitionValues = HudiTable.parsePartitionPath(r.getString(0), partCols),
         fileSizeBytes = if (r.isNullAt(2)) 0L else r.getLong(2),
         recordCount = counts.getOrElse(HudiTable.normalize(abs), -1L),
         columnStats = statsByFile.getOrElse(
@@ -1098,10 +1110,12 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         .forall(ws => !HudiLogFormat.isLogPath(ws.path)),
       s"cannot metadata-sync instant $instant of $tablePath: it appends MOR log " +
         "blocks other formats cannot express; run compactMor() first")
+    val partCols = partitionColumns
     val adds = meta.partitionToWriteStats.toSeq.flatMap { case (pp, stats) =>
+      val vals = HudiTable.parsePartitionPath(pp, partCols) // once per partition
       stats.map(ws => graft.model.InternalDataFile(
         physicalPath = absoluteOf(ws.path),
-        partitionValues = parsePartition(pp),
+        partitionValues = vals,
         fileSizeBytes = ws.fileSizeInBytes,
         recordCount = ws.numWrites,
         columnStats = Seq.empty,
@@ -1303,7 +1317,7 @@ object HudiTable {
     t
   }
 
-  private[hudi] def tableProperties(
+  private[graft] def tableProperties(
       tablePath: String, partCols: Seq[String], extra: Map[String, String]): Map[String, String] = {
     // the keygen choice matrix real Hudi writers appending to this
     // table will honor (ref `core/.../hudi/HudiTableManager.java:123-152`):

@@ -86,10 +86,14 @@ object ParquetFooterStats {
           }
         }
       }
+      // INT96 (legacy Spark timestamps): parquet's min/max ordering for
+      // the type is broken/deprecated — record counts but never ranges
+      val rangeOk = statsOk &&
+        primitive.getPrimitiveTypeName != PrimitiveTypeName.INT96
       ColumnStatRow(
         column = dotPath,
-        minValue = if (statsOk) min.map(v => canonical(primitive, v)) else None,
-        maxValue = if (statsOk) max.map(v => canonical(primitive, v)) else None,
+        minValue = if (rangeOk) min.map(v => canonical(primitive, v)) else None,
+        maxValue = if (rangeOk) max.map(v => canonical(primitive, v)) else None,
         numNulls = if (statsOk) nulls else -1L,
         numValues = values,
         totalSize = size)

@@ -105,6 +105,75 @@ class HudiMetadataTableSpec extends SparkTestBase {
     assert(key != HudiMetadataTable.columnStatsKey("o_orderkey", "o_orderstatus=O", "x.parquet"))
   }
 
+  test("column_stats min/max encode as Hudi's typed wrapper records per column type") {
+    import spark.implicits._
+    val dir = tmpDir("hmt_typed")
+    val df = Seq(
+      (1, 10L, 1.5d, BigDecimal("12.34"), java.sql.Date.valueOf("2023-10-05"),
+        java.sql.Timestamp.valueOf("2023-10-05 12:00:00"), "alpha"),
+      (5, 99L, 9.75d, BigDecimal("99.01"), java.sql.Date.valueOf("2024-01-31"),
+        java.sql.Timestamp.valueOf("2024-01-31 23:59:59"), "zulu")
+    ).toDF("i", "l", "d", "dec", "dt", "ts", "s")
+    // one data file → one stats record per column (the wrappers map
+    // below keys by column name). Timestamps must land as int64 micros:
+    // the INT96 legacy form carries no usable footer range, so its
+    // bounds are (correctly) never indexed.
+    val prevTs = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try HudiTable.create(spark, s"$dir/t", df.coalesce(1))
+    finally prevTs match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val f = fs(s"$dir/t")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val csDir = new Path(s"$dir/t/.hoodie/metadata/column_stats")
+    val logs = f.listStatus(csDir).map(_.getPath)
+      .filter(p => HudiLogFormat.isLogPath(p.getName))
+    // raw records: minValue must be the per-type wrapper record a native
+    // Hudi reader unwraps (HoodieMetadata.avsc union; ref
+    // HudiFileStatsExtractor.java:196-210)
+    val wrappers = logs.flatMap { p =>
+      HudiLogFormat.readBlocks(f, p).flatMap { b =>
+        val schema = new org.apache.avro.Schema.Parser()
+          .parse(b.headers(HudiLogFormat.HeaderSchema))
+        HudiLogFormat.decodeAvroBlock(b.content, schema)
+      }
+    }.flatMap { rec =>
+      Option(rec.get("ColumnStatsMetadata"))
+        .map(_.asInstanceOf[org.apache.avro.generic.GenericRecord])
+    }.map { cs =>
+      cs.get("columnName").toString ->
+        cs.get("minValue").asInstanceOf[org.apache.avro.generic.GenericRecord]
+    }.toMap
+    assert(wrappers("i").getSchema.getName == "IntWrapper")
+    assert(wrappers("l").getSchema.getName == "LongWrapper")
+    assert(wrappers("d").getSchema.getName == "DoubleWrapper")
+    assert(wrappers("dec").getSchema.getName == "DecimalWrapper")
+    assert(wrappers("dt").getSchema.getName == "DateWrapper")
+    assert(wrappers("ts").getSchema.getName == "TimestampMicrosWrapper")
+    assert(wrappers("s").getSchema.getName == "StringWrapper")
+    assert(wrappers("i").get("value") == 1)
+    assert(wrappers("l").get("value") == 10L)
+    assert(wrappers("d").get("value") == 1.5d)
+    assert(wrappers("dt").get("value") ==
+      java.time.LocalDate.parse("2023-10-05").toEpochDay.toInt)
+    assert(wrappers("s").get("value").toString == "alpha")
+    val decBuf = wrappers("dec").get("value").asInstanceOf[java.nio.ByteBuffer].duplicate()
+    val decBytes = new Array[Byte](decBuf.remaining()); decBuf.get(decBytes)
+    assert(new java.math.BigDecimal(new java.math.BigInteger(decBytes),
+      HudiMetadataTable.DecimalWrapperScale).compareTo(new java.math.BigDecimal("12.34")) == 0)
+    // the replay unwraps back to this engine's canonical stat strings
+    val replayed = HudiMetadataTable.readColumnStats(f, hconf, s"$dir/t")
+      .map { case (_, c) => c.column -> c.minValue.get }.toMap
+    assert(replayed("i") == "1" && replayed("l") == "10")
+    assert(replayed("dec") == "12.34")
+    assert(replayed("dt") ==
+      java.time.LocalDate.parse("2023-10-05").toEpochDay.toString)
+    assert(replayed("ts") == wrappers("ts").get("value").toString)
+    assert(replayed("s") == "alpha")
+  }
+
   test("xxhash64 index IDs match Spark's reference XXH64 implementation") {
     for (s <- Seq("", "a", "abc", "o_orderkey", "a-longer-string-over-32-bytes-to-hit-the-stripe-loop",
         "o_orderstatus=F", "2023/10/05")) {

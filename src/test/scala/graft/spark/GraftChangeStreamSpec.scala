@@ -170,6 +170,97 @@ class GraftChangeStreamSpec extends SparkTestBase {
       s"a batch exceeded the 5-commit cap: ${batches.map(_.numInputRows).mkString(",")}")
   }
 
+  // the same admission-control matrix as the Delta tests above —
+  // chunked snapshot, capped commit spans, checkpointed restart with no
+  // re-delivery — run against the other two formats under one contract
+  for (fmt <- Seq("iceberg", "hudi")) {
+    test(s"$fmt: admission matrix — chunked snapshot, capped commits, exact restart") {
+      val dir = tmpDir(s"stream_matrix_$fmt")
+      val o = orders.limit(400)
+      val tp = s"$dir/t"
+      val even = o.filter(col("o_orderkey") % 2 === 0).repartition(6)
+      val append: org.apache.spark.sql.DataFrame => Unit = fmt match {
+        case "iceberg" =>
+          val t = IcebergTable.create(spark, tp, even); df => { t.append(df); () }
+        case "hudi" =>
+          val t = HudiTable.create(spark, tp, even); df => { t.append(df); () }
+      }
+      val ckpt = s"$dir/ckpt"
+      val out = s"$dir/out"
+      def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val q = spark.readStream.format("graft")
+          .option("maxFilesPerTrigger", "2")
+          .option("maxCommitsPerTrigger", "1")
+          .load(tp)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(120000), s"$fmt AvailableNow drain did not terminate")
+        q.exception.foreach(throw _)
+        q
+      }
+      val q1 = drain()
+      assert(spark.read.parquet(out).count() == even.count())
+      // 6 snapshot files at 2 per trigger → 3 chunked batches
+      val chunks = q1.recentProgress.filter(_.numInputRows > 0)
+      assert(chunks.length == 3,
+        s"$fmt snapshot should arrive as 3 chunks, got ${chunks.length}: " +
+          chunks.map(_.numInputRows).mkString(","))
+      // a 3-commit backlog drains as one batch per commit (cap 1),
+      // resuming from the checkpoint with nothing re-delivered
+      val odd = o.filter(col("o_orderkey") % 2 === 1)
+      append(odd.limit(50))
+      append(odd.filter(col("o_orderkey") > 100).limit(50))
+      append(o.limit(7).withColumn("o_orderkey", col("o_orderkey") + 9000000L))
+      val q2 = drain()
+      val expected = even.count() + 50 + 50 + 7
+      assert(spark.read.parquet(out).count() == expected,
+        s"$fmt restart must deliver exactly the new commits")
+      val tailBatches = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(tailBatches.length == 3,
+        s"$fmt 3-commit backlog at cap 1 should be 3 batches, got " +
+          s"${tailBatches.length}: ${tailBatches.map(_.numInputRows).mkString(",")}")
+    }
+  }
+
+  test("hudi: stream resumes across an archived tail with exactly the un-emitted instants") {
+    val dir = tmpDir("stream_hudi_archive")
+    val o = orders
+    val t = HudiTable.create(spark, s"$dir/t", o.limit(20))
+    val ckpt = s"$dir/ckpt"
+    val out = s"$dir/out"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+      q.exception.foreach(throw _)
+    }
+    drain() // tail = the create instant
+    assert(spark.read.parquet(out).count() == 20)
+    // five more commits, then archive most of the timeline — including
+    // the stream's tail — off the ACTIVE timeline
+    (1 to 5).foreach(i => t.append(o.limit(10)))
+    assert(t.timeline.archiveIfNeeded(maxActive = 2, minActive = 2) > 0)
+    drain() // resumes across the archived boundary
+    assert(spark.read.parquet(out).count() == 20 + 5 * 10)
+    // foreign-archival shape: the tail instant is gone from the listing
+    // entirely (real Hudi folds archived instants into log files) — the
+    // time-ordered fallback must resume with exactly the unseen instants
+    val tail = t.instants.last
+    val f = new org.apache.hadoop.fs.Path(s"$dir/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    t.append(o.limit(9)) // the one unseen commit
+    Seq(s"$dir/t/.hoodie/$tail.commit", s"$dir/t/.hoodie/archived/$tail.commit")
+      .map(new org.apache.hadoop.fs.Path(_))
+      .foreach(p => if (f.exists(p)) f.delete(p, false))
+    assert(!HudiTable.forPath(spark, s"$dir/t").instants.contains(tail))
+    drain()
+    assert(spark.read.parquet(out).count() == 20 + 5 * 10 + 9,
+      "resume across a vanished tail must emit exactly the unseen instants")
+  }
+
   test("schema evolution mid-stream: batches stay on the pinned start schema, no rows lost") {
     val dir = tmpDir("stream_evolve")
     val o = orders // (o_orderkey, o_totalprice)
