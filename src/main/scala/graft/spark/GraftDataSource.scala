@@ -60,11 +60,13 @@ final class GraftDataSource
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val (fmt, path) = streamSource(sqlContext.sparkSession, parameters)
-    // prefer a schema already pinned by a checkpointed stream over this
-    // table in this JVM, so a restarted stream analyzes on its pinned
-    // start schema even after the table evolved (GraftChangeSource doc)
-    ("graft", org.apache.spark.sql.graftshim.GraftChangeSource
-      .analysisSchema(sqlContext.sparkSession, fmt, path))
+    // an explicit .schema(...) is the pin authority (the cross-JVM
+    // restart escape hatch); otherwise prefer a schema already pinned
+    // by a checkpointed stream over this table in this JVM, so a
+    // restarted stream analyzes on its pinned start schema even after
+    // the table evolved (GraftChangeSource doc)
+    ("graft", schema.getOrElse(org.apache.spark.sql.graftshim.GraftChangeSource
+      .analysisSchema(sqlContext.sparkSession, fmt, path)))
   }
 
   override def createSource(
@@ -84,7 +86,8 @@ final class GraftDataSource
       sqlContext.sparkSession, fmt, path,
       metadataPath = Some(metadataPath),
       maxCommitsPerTrigger = intOpt("maxCommitsPerTrigger"),
-      maxFilesPerTrigger = intOpt("maxFilesPerTrigger"))
+      maxFilesPerTrigger = intOpt("maxFilesPerTrigger"),
+      userSchema = schema)
   }
 
   // `df.writeStream.format("graft")` — each micro-batch lands as one

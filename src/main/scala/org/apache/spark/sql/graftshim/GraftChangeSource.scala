@@ -76,7 +76,11 @@ final class GraftChangeSource(
     /** The engine-provided source-private state dir; None = schema-only use. */
     metadataPath: Option[String] = None,
     maxCommitsPerTrigger: Option[Int] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    /** Explicit `.schema(...)` from the reader — the pin authority,
+      * and the cross-JVM restart escape hatch (analysis resolves the
+      * same value, so the two always agree). */
+    userSchema: Option[StructType] = None)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   import java.nio.charset.StandardCharsets.UTF_8
@@ -149,7 +153,8 @@ final class GraftChangeSource(
    * descriptive error instead of the engine's opaque arity assert.
    */
   override val schema: StructType = metadataPath match {
-    case None => GraftChangeSource.analysisSchema(spark, fmt, path)
+    case None => userSchema.getOrElse(
+      GraftChangeSource.analysisSchema(spark, fmt, path))
     case Some(m) =>
       val p = new Path(m, "graft-schema")
       val fsys = p.getFileSystem(hadoopConf)
@@ -163,8 +168,7 @@ final class GraftChangeSource(
           finally in.close()
         }.toOption
       val hadRegistryEntry = GraftChangeSource.pinnedRegistry.containsKey((fmt, path))
-      val pinned = persisted.getOrElse {
-        val s = GraftChangeSource.currentTableSchema(spark, fmt, path)
+      def persist(s: StructType): StructType = {
         fsys.mkdirs(p.getParent)
         val tmp = new Path(p.getParent, ".graft-schema-tmp")
         val out = fsys.create(tmp, true)
@@ -173,10 +177,19 @@ final class GraftChangeSource(
         fsys.rename(tmp, p)
         s
       }
+      // resolution order: explicit .schema(...) (analysis saw the same
+      // value — always consistent, works in any JVM) > the checkpoint's
+      // persisted pin > the table's current schema (fresh stream)
+      val pinned = userSchema match {
+        case Some(u) => if (persisted.contains(u)) u else persist(u)
+        case None => persisted.getOrElse(
+          persist(GraftChangeSource.currentTableSchema(spark, fmt, path)))
+      }
       GraftChangeSource.pinnedRegistry.put((fmt, path), pinned)
       // a persisted pin that analysis could not have seen (no in-JVM
-      // registry entry) only works if the table still matches it
-      if (persisted.isDefined && !hadRegistryEntry &&
+      // registry entry, no explicit schema) only works if the table
+      // still matches it
+      if (userSchema.isEmpty && persisted.isDefined && !hadRegistryEntry &&
           GraftChangeSource.currentTableSchema(spark, fmt, path) != pinned)
         throw new IllegalStateException(
           s"GraftChangeSource[$fmt] $path: the table's schema changed " +
@@ -184,8 +197,9 @@ final class GraftChangeSource(
           s"JVM where the query was analyzed against the table's current " +
           s"schema instead of the checkpoint's pinned start schema " +
           s"(${pinned.simpleString}). Retry the stream start (the pinned " +
-          s"schema is now registered in this JVM), or restart from a " +
-          s"fresh checkpoint to adopt the new schema.")
+          s"schema is now registered in this JVM), pass the pinned " +
+          s"schema explicitly via .schema(...), or restart from a fresh " +
+          s"checkpoint to adopt the new schema.")
       pinned
   }
 
@@ -386,6 +400,11 @@ object GraftChangeSource {
    */
   private[graftshim] val pinnedRegistry =
     new java.util.concurrent.ConcurrentHashMap[(String, String), StructType]()
+
+  /** Drop the in-JVM pin for a table — an ops/test hook that makes the
+    * next stream start behave exactly like a fresh JVM (the durable
+    * checkpoint pin is untouched). */
+  def forgetPin(fmt: String, path: String): Unit = pinnedRegistry.remove((fmt, path))
 
   def currentTableSchema(
       spark: SparkSession, fmt: String, path: String): StructType = fmt match {

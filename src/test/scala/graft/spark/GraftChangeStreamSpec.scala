@@ -336,6 +336,44 @@ class GraftChangeStreamSpec extends SparkTestBase {
       err.getMessage)
   }
 
+  test("fresh-JVM restart after upstream evolution: clear error without .schema, works with it") {
+    val dir = tmpDir("stream_freshjvm")
+    val o = orders // (o_orderkey, o_totalprice)
+    val t = DeltaTable.create(spark, s"$dir/t", o.filter(col("o_orderkey") % 3 === 0))
+    val ckpt = s"$dir/ckpt"
+    val out = s"$dir/out"
+    def drain(schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+      val reader = spark.readStream.format("graft")
+      schema.foreach(reader.schema)
+      val q = reader.load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    drain(None) // pins (o_orderkey, o_totalprice)
+    val pinnedSchema = spark.read.parquet(out).schema
+    t.append(o.filter(col("o_orderkey") % 3 === 1).withColumn("extra", lit("x")), Seq.empty)
+    // simulate a fresh JVM: the in-process pin registry is empty, so
+    // analysis resolves the table's CURRENT (widened) schema while the
+    // checkpoint pin says otherwise — must fail with the descriptive
+    // error, not the engine's arity assert
+    org.apache.spark.sql.graftshim.GraftChangeSource.forgetPin("delta", s"$dir/t")
+    val err = intercept[Throwable] { drain(None) }
+    val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("pinned start schema"), msgs)
+    // the documented escape hatch: pass the pinned schema explicitly —
+    // analysis and source then agree in ANY JVM
+    org.apache.spark.sql.graftshim.GraftChangeSource.forgetPin("delta", s"$dir/t")
+    drain(Some(pinnedSchema))
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq.sorted == Seq("o_orderkey", "o_totalprice"))
+    assert(got.count() == o.filter(col("o_orderkey") % 3 === 0).count() +
+      o.filter(col("o_orderkey") % 3 === 1).count())
+  }
+
   test("a checkpointed stream resumes from its offset, not from scratch") {
     val dir = tmpDir("stream_ckpt")
     val o = orders
