@@ -197,6 +197,69 @@ object Similarity {
        |  FROM e, c3 c) WHERE rn = 1)""".stripMargin
   }
 
+  /**
+   * Product-quantization ANN (Jégou, Douze, Schmid, "Product
+   * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 — the
+   * billion-scale recipe under FAISS's IVF-PQ): the 64-d corpus vector
+   * compresses to M=8 codes (one codeword id per 8-d subspace), and
+   * queries rank by asymmetric distance computed against the codebook,
+   * never against raw corpus vectors. At 100 TB this is the difference
+   * between scanning 256 B/vector and 8 B/vector — the corpus side of
+   * the join carries only `codes`, and the whole encode + ADC pipeline
+   * is codegen'd higher-order expressions (no UDFs).
+   *
+   * Determinism discipline (same as s02/s03): fixed-point floor at
+   * 1e-6, integer distances, codebooks = the first 16 corpus vectors'
+   * subvectors, ties by codeword/neighbor id — so the DuckDB oracle
+   * replays the identical algorithm and must agree exactly,
+   * approximation and all.
+   */
+  def pqTopK(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, subspaces: Int = 8, codewords: Int = 16): DataFrame = {
+    val dims = 64
+    val subDim = dims / subspaces
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
+          .as("fp"))
+    // codebooks: cb[m][kk][dd] = subvector m of corpus vector kk —
+    // subspaces × codewords × subDim longs of broadcast literal state
+    val cbRows = e.filter(col("vec_id") < codewords).orderBy(col("vec_id"))
+      .collect().map(r => r.getSeq[Long](1).toIndexedSeq)
+    val cbs: Seq[Seq[Seq[Long]]] = (0 until subspaces).map(m =>
+      cbRows.toIndexedSeq.map(fp => fp.slice(m * subDim, (m + 1) * subDim): Seq[Long]))
+    // encode: per subspace, the id of the nearest codeword (integer L2,
+    // ties by codeword id) — the corpus compresses to `codes`
+    val encoded = e.withColumn("cb", typedLit(cbs))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${subspaces - 1}), m ->
+           |  array_min(transform(sequence(0, ${codewords - 1}), kk -> named_struct(
+           |    'd', aggregate(sequence(0, ${subDim - 1}), cast(0 AS bigint), (acc, dd) ->
+           |           acc + (fp[m*$subDim+dd] - cb[m][kk][dd]) * (fp[m*$subDim+dd] - cb[m][kk][dd])),
+           |    'kk', kk))).kk)""".stripMargin))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("fp").as("q_fp"))
+    // ADC: distance of the query subvector to the neighbor's CODEWORD
+    // (not its raw vector) summed over subspaces
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    broadcast(queries).crossJoin(encoded)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cb", typedLit(cbs))
+      .withColumn("adist", expr(
+        s"""aggregate(sequence(0, ${subspaces - 1}), cast(0 AS bigint), (acc, m) ->
+           |  acc + aggregate(sequence(0, ${subDim - 1}), cast(0 AS bigint), (a2, dd) ->
+           |    a2 + (q_fp[m*$subDim+dd] - cb[m][codes[m]][dd]) *
+           |         (q_fp[m*$subDim+dd] - cb[m][codes[m]][dd])))""".stripMargin))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "s01_ann_brute_force_topk",
@@ -247,6 +310,35 @@ object Similarity {
     // rounds (fixed-point floor at 1e-6, integer distances, truncating
     // integer-mean division, ties by centroid id), so sizes AND total
     // inertia must match to the last digit.
+    // PQ is fully deterministic (fixed-point integers, codebooks = the
+    // first 16 corpus vectors' subvectors, ties by id), so the oracle
+    // replays the identical encode + asymmetric-distance ranking.
+    QueryDef.sql(
+      "s04_ann_pq_topk",
+      (spark, dir) => pqTopK(spark, dir),
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fp
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS kk, fp FROM e WHERE vec_id < 16),
+        |codes AS (
+        |  SELECT vec_id, m, kk AS code FROM (
+        |    SELECT e.vec_id, t.m, c.kk,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, t.m ORDER BY
+        |        list_sum(list_transform(range(1, 9), i ->
+        |          (e.fp[t.m*8+i] - c.fp[t.m*8+i]) * (e.fp[t.m*8+i] - c.fp[t.m*8+i]))), c.kk) AS rn
+        |    FROM e, range(0, 8) t(m), cb c) WHERE rn = 1),
+        |adc AS (
+        |  SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+        |    CAST(SUM(list_sum(list_transform(range(1, 9), i ->
+        |      (q.fp[s.m*8+i] - c.fp[s.m*8+i]) * (q.fp[s.m*8+i] - c.fp[s.m*8+i])))) AS BIGINT) AS adist
+        |  FROM e q, codes s JOIN cb c ON s.code = c.kk
+        |  WHERE q.vec_id < 10 AND q.vec_id <> s.vec_id
+        |  GROUP BY q.vec_id, s.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist FROM (
+        |  SELECT query_id, neighbor_id, adist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        |  FROM adc) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
     QueryDef.sql(
       "s03_kmeans_clusters",
       (spark, dir) => kmeansClusters(spark, dir),
