@@ -260,6 +260,74 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * IVF-PQ: the two index structures composed — corpus vectors are
+   * bucketed by nearest coarse centroid (integer L2, 16 cells) AND
+   * compressed to PQ codes; queries probe the `nprobe` nearest cells
+   * and rank ONLY those cells' members by asymmetric distance against
+   * the codebook (FAISS's IndexIVFPQ with by_residual=false). The
+   * billion-scale shape: the scan touches nprobe/16 of the corpus and
+   * reads 8 bytes per touched vector. Same determinism discipline as
+   * s02-s04, so the DuckDB oracle replays the identical pipeline.
+   */
+  def ivfpqTopK(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nCells: Int = 16, nprobe: Int = 4,
+      subspaces: Int = 8, codewords: Int = 16): DataFrame = {
+    val dims = 64
+    val subDim = dims / subspaces
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
+          .as("fp"))
+    val first = e.filter(col("vec_id") < math.max(nCells, codewords))
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getSeq[Long](1).toIndexedSeq)
+    val cells: Seq[Seq[Long]] = first.take(nCells).toIndexedSeq
+    val cbs: Seq[Seq[Seq[Long]]] = (0 until subspaces).map(m =>
+      first.take(codewords).toIndexedSeq.map(fp => fp.slice(m * subDim, (m + 1) * subDim): Seq[Long]))
+    def cellExpr(vec: String) =
+      s"""array_min(transform(sequence(0, ${nCells - 1}), cc -> named_struct(
+         |  'd', aggregate(zip_with($vec, cells[cc], (x, y) -> (x-y)*(x-y)),
+         |         cast(0 AS bigint), (acc, v) -> acc + v),
+         |  'cc', cc))).cc""".stripMargin
+    // corpus side: coarse cell + PQ codes — 1 + 8 small ints per vector
+    val encoded = e.withColumn("cells", typedLit(cells)).withColumn("cb", typedLit(cbs))
+      .withColumn("cell", expr(cellExpr("fp")))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${subspaces - 1}), m ->
+           |  array_min(transform(sequence(0, ${codewords - 1}), kk -> named_struct(
+           |    'd', aggregate(sequence(0, ${subDim - 1}), cast(0 AS bigint), (acc, dd) ->
+           |           acc + (fp[m*$subDim+dd] - cb[m][kk][dd]) * (fp[m*$subDim+dd] - cb[m][kk][dd])),
+           |    'kk', kk))).kk)""".stripMargin))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    // query side: the nprobe nearest cells by the same integer L2
+    val probes = e.filter(col("vec_id") < nQueries)
+      .withColumn("cells", typedLit(cells))
+      .withColumn("pcells", expr(
+        s"""transform(slice(array_sort(transform(sequence(0, ${nCells - 1}), cc -> named_struct(
+           |  'd', aggregate(zip_with(fp, cells[cc], (x, y) -> (x-y)*(x-y)),
+           |         cast(0 AS bigint), (acc, v) -> acc + v),
+           |  'cc', cc))), 1, $nprobe), x -> x.cc)""".stripMargin))
+      .select(col("vec_id").as("query_id"), col("fp").as("q_fp"),
+        explode(col("pcells")).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    broadcast(probes).join(encoded, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cb", typedLit(cbs))
+      .withColumn("adist", expr(
+        s"""aggregate(sequence(0, ${subspaces - 1}), cast(0 AS bigint), (acc, m) ->
+           |  acc + aggregate(sequence(0, ${subDim - 1}), cast(0 AS bigint), (a2, dd) ->
+           |    a2 + (q_fp[m*$subDim+dd] - cb[m][codes[m]][dd]) *
+           |         (q_fp[m*$subDim+dd] - cb[m][codes[m]][dd])))""".stripMargin))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "s01_ann_brute_force_topk",
@@ -334,6 +402,52 @@ object Similarity {
         |  FROM e q, codes s JOIN cb c ON s.code = c.kk
         |  WHERE q.vec_id < 10 AND q.vec_id <> s.vec_id
         |  GROUP BY q.vec_id, s.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist FROM (
+        |  SELECT query_id, neighbor_id, adist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        |  FROM adc) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
+    // IVF-PQ composes the s02 coarse quantizer with the s04 codes; the
+    // oracle replays cell assignment, probing, encoding, and ADC
+    // ranking identically (all exact integers, ties by id).
+    QueryDef.sql(
+      "s05_ann_ivfpq_topk",
+      (spark, dir) => ivfpqTopK(spark, dir),
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fp
+        |  FROM embeddings),
+        |cells AS (SELECT vec_id AS cc, fp FROM e WHERE vec_id < 16),
+        |cb AS (SELECT vec_id AS kk, fp FROM e WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, cc AS cell FROM (
+        |    SELECT e.vec_id, c.cc,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> (e.fp[i] - c.fp[i]) * (e.fp[i] - c.fp[i]))), c.cc) AS rn
+        |    FROM e, cells c) WHERE rn = 1),
+        |codes AS (
+        |  SELECT vec_id, m, kk AS code FROM (
+        |    SELECT e.vec_id, t.m, c.kk,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, t.m ORDER BY
+        |        list_sum(list_transform(range(1, 9), i ->
+        |          (e.fp[t.m*8+i] - c.fp[t.m*8+i]) * (e.fp[t.m*8+i] - c.fp[t.m*8+i]))), c.kk) AS rn
+        |    FROM e, range(0, 8) t(m), cb c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cc AS cell FROM (
+        |    SELECT q.vec_id, c.cc,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> (q.fp[i] - c.fp[i]) * (q.fp[i] - c.fp[i]))), c.cc) AS rn
+        |    FROM e q, cells c WHERE q.vec_id < 10) WHERE rn <= 4),
+        |adc AS (
+        |  SELECT p.query_id, s.vec_id AS neighbor_id,
+        |    CAST(SUM(list_sum(list_transform(range(1, 9), i ->
+        |      (q.fp[s.m*8+i] - c.fp[s.m*8+i]) * (q.fp[s.m*8+i] - c.fp[s.m*8+i])))) AS BIGINT) AS adist
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.cell
+        |  JOIN codes s ON s.vec_id = a.vec_id
+        |  JOIN cb c ON s.code = c.kk
+        |  JOIN e q ON q.vec_id = p.query_id
+        |  WHERE p.query_id <> s.vec_id
+        |  GROUP BY p.query_id, s.vec_id)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist FROM (
         |  SELECT query_id, neighbor_id, adist,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank

@@ -260,6 +260,31 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Training-mixture sampling weights per (lang, source) stratum —
+   * temperature-scaled token share (α = 0.5, the multilingual-sampling
+   * exponent of Conneau et al., XLM-R), the step that turns corpus
+   * inventory into loader sampling probabilities. Determinism
+   * discipline: token counts are exact integers, the temperature is
+   * applied as floor(sqrt(tokens)) (IEEE sqrt is exactly rounded, so
+   * the floor is engine-portable), the denominator is an INTEGER sum
+   * (no float-order sensitivity), and the final share is one double
+   * division rounded to 6 places.
+   */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+      .withColumn("wn", floor(sqrt(col("tokens"))).cast("long"))
+    g.withColumn("wd", sum(col("wn")).over(Window.partitionBy()))
+      .select(col("lang"), col("source"), col("docs"), col("tokens"),
+        round(col("wn").cast("double") / col("wd"), 6).as("sample_weight"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** MD5 fingerprint of punctuation/case-normalized text (the
     * engine-portable digest; xxhash64 variants live in Dedup). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
@@ -428,6 +453,20 @@ object TextOps {
         |  CAST(cum_before // 512 AS BIGINT) AS start_block,
         |  CAST((cum_before + tokens - 1) // 512 AS BIGINT) AS end_block,
         |  CAST(cum_before % 512 AS BIGINT) AS block_offset
-        |FROM c ORDER BY lang, shard, doc_id""".stripMargin)
+        |FROM c ORDER BY lang, shard, doc_id""".stripMargin),
+    // Exact-integer temperature weighting: floor(sqrt) numerators, an
+    // integer denominator, one rounded double division — both engines
+    // agree to the last digit (see mixtureWeights doc).
+    QueryDef.sql(
+      "t11_mixture_weights",
+      (spark, dir) => mixtureWeights(spark, dir),
+      """WITH g AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang, source),
+        |w AS (SELECT *, CAST(floor(sqrt(tokens)) AS BIGINT) AS wn FROM g)
+        |SELECT lang, source, docs, tokens,
+        |  ROUND(CAST(wn AS DOUBLE) / (SELECT SUM(wn) FROM w), 6) AS sample_weight
+        |FROM w ORDER BY lang, source""".stripMargin)
   )
 }

@@ -99,6 +99,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall >= 0.15, s"PQ recall too low: $recall")
   }
 
+  test("ivf-pq ANN only ranks probed cells' members; ranks and distances consistent") {
+    val rows = Similarity.ivfpqTopK(spark, sf0001, nQueries = 10, k = 5).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements(1L to sorted.length.toLong))
+      val dists = sorted.map(_.getLong(3))
+      assert(dists.sameElements(dists.sorted))
+    }
+    // identical to the PQ ranking restricted to probed members: every
+    // ivf-pq hit must appear in the full-scan PQ ordering consistently
+    val pqDist = Similarity.pqTopK(spark, sf0001, nQueries = 10, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(pqDist.get(key).forall(_ == r.getLong(3)),
+        s"ivf-pq distance for $key disagrees with the full PQ scan")
+    }
+  }
+
+  test("mixture weights: exact strata inventory, shares sum to ~1, monotone in tokens") {
+    val rows = TextOps.mixtureWeights(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(rows.map(_.getLong(2)).sum == docs.count())
+    val weights = rows.map(_.getDouble(4))
+    assert(math.abs(weights.sum - 1.0) < 1e-3, s"weights sum ${weights.sum}")
+    // temperature scaling: more tokens never means a smaller weight
+    val byTokens = rows.sortBy(_.getLong(3)).map(_.getDouble(4))
+    assert(byTokens.sameElements(byTokens.sorted))
+  }
+
   test("language id emits a prediction for every document") {
     val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
     val preds = TextOps.languageId(spark, sf0001)
