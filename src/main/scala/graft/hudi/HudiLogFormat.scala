@@ -49,6 +49,41 @@ object HudiLogFormat {
       headers: Map[Int, String],
       content: Array[Byte])
 
+  /**
+   * The EFFECTIVE data blocks of one log file. Foreign Hudi writers
+   * append more than data blocks, and both extra kinds change results:
+   *  - a COMMAND block with a rollback target revokes earlier blocks of
+   *    the target instant (appended after a failed mid-append write —
+   *    ignoring it would resurrect the failed write's rows); with no
+   *    target header it revokes the immediately-preceding block.
+   *  - a DELETE block holds a kryo-serialized key list this engine
+   *    cannot decode without the Hudi runtime — skipping it would
+   *    silently resurrect deleted rows, so it fails loudly instead.
+   * Corrupt blocks are unreadable remnants of torn writes: dropped,
+   * like Hudi's own reader does.
+   */
+  def dataBlocks(fs: FileSystem, path: Path): Seq[LogBlock] = {
+    val out = scala.collection.mutable.ArrayBuffer[LogBlock]()
+    readBlocks(fs, path).foreach { b =>
+      b.blockType match {
+        case AvroDataBlock => out += b
+        case CommandBlock => b.headers.get(HeaderTargetInstantTime) match {
+          case Some(t) =>
+            out.filterInPlace(x => !x.headers.get(HeaderInstantTime).contains(t))
+          case None => if (out.nonEmpty) out.remove(out.size - 1)
+        }
+        case DeleteBlock =>
+          throw new IllegalStateException(
+            s"$path contains a Hudi DELETE log block, whose content is a " +
+            "kryo-serialized key list this engine cannot decode without the " +
+            "Hudi runtime. Refusing to read rather than silently resurrect " +
+            "deleted rows — compact the table with a Hudi writer first.")
+        case _ => // corrupt or unknown: skip
+      }
+    }
+    out.toSeq
+  }
+
   /** `.{fileId}_{baseInstant}.log.{version}_{writeToken}` */
   def logFileName(fileId: String, baseInstant: String, version: Int): String =
     s".${fileId}_$baseInstant.log.${version}_0-0-0"

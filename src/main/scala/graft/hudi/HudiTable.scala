@@ -303,8 +303,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       .flatMap { case (p, inst, ver) =>
         val path = new Path(p)
         val fsys = path.getFileSystem(conf.value)
-        HudiLogFormat.readBlocks(fsys, path).iterator
-          .filter(_.blockType == HudiLogFormat.AvroDataBlock)
+        HudiLogFormat.dataBlocks(fsys, path).iterator
           .flatMap { b =>
             val avroSchema = new org.apache.avro.Schema.Parser()
               .parse(b.headers(HudiLogFormat.HeaderSchema))
@@ -361,8 +360,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
             .flatMap { p =>
               val path = new Path(p)
               val fsys = path.getFileSystem(conf.value)
-              HudiLogFormat.readBlocks(fsys, path).iterator
-                .filter(_.blockType == HudiLogFormat.AvroDataBlock)
+              HudiLogFormat.dataBlocks(fsys, path).iterator
                 .flatMap { b =>
                   val avroSchema = new org.apache.avro.Schema.Parser()
                     .parse(b.headers(HudiLogFormat.HeaderSchema))

@@ -19,6 +19,39 @@ class HudiMorSpec extends SparkTestBase {
 
   // ------------------------------------------------------------ log codec
 
+  test("command blocks revoke rolled-back data blocks; delete blocks fail loudly") {
+    val dir = tmpDir("mor_cmd")
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    def data(inst: String, payload: Byte) = HudiLogFormat.LogBlock(
+      HudiLogFormat.AvroDataBlock,
+      Map(HudiLogFormat.HeaderInstantTime -> inst), Array[Byte](payload))
+    // rollback of a NAMED target instant revokes exactly its blocks
+    val p1 = new Path(dir, ".f1_001.log.1_0-0-0")
+    HudiLogFormat.write(fs, p1, Seq(
+      data("001", 1), data("002", 2),
+      HudiLogFormat.LogBlock(HudiLogFormat.CommandBlock,
+        Map(HudiLogFormat.HeaderTargetInstantTime -> "002",
+          HudiLogFormat.HeaderCommandBlockType -> "0"), Array.emptyByteArray),
+      data("003", 3)))
+    val eff1 = HudiLogFormat.dataBlocks(fs, p1)
+    assert(eff1.map(_.content.head).toSeq == Seq[Byte](1, 3))
+    // a command block with no target revokes the preceding block
+    val p2 = new Path(dir, ".f1_001.log.2_0-0-0")
+    HudiLogFormat.write(fs, p2, Seq(
+      data("001", 1),
+      HudiLogFormat.LogBlock(HudiLogFormat.CommandBlock,
+        Map(HudiLogFormat.HeaderCommandBlockType -> "0"), Array.emptyByteArray)))
+    assert(HudiLogFormat.dataBlocks(fs, p2).isEmpty)
+    // an undecodable DELETE block must error, never silently skip
+    val p3 = new Path(dir, ".f1_001.log.3_0-0-0")
+    HudiLogFormat.write(fs, p3, Seq(
+      data("001", 1),
+      HudiLogFormat.LogBlock(HudiLogFormat.DeleteBlock,
+        Map(HudiLogFormat.HeaderInstantTime -> "002"), Array[Byte](0, 0, 0, 1))))
+    val err = intercept[IllegalStateException](HudiLogFormat.dataBlocks(fs, p3))
+    assert(err.getMessage.contains("DELETE log block"))
+  }
+
   test("log format round-trips blocks, tolerates a torn tail") {
     val dir = tmpDir("mor_log")
     val path = new Path(dir, ".f1_001.log.1_0-0-0")
