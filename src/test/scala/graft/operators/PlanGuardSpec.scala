@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+
+import graft.SparkTestBase
+
+/**
+ * Physical-plan guards for the queries whose 100 TB story depends on a
+ * specific plan shape. A correctness-green query whose plan silently
+ * degrades (broadcast → shuffle join, pushdown lost, accidental
+ * cartesian) passes every oracle and still dies at scale — these
+ * assertions fail the build instead.
+ */
+class PlanGuardSpec extends SparkTestBase {
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan
+  }
+
+  /** Full walk across AQE boundaries: materialized query stages and
+    * reused exchanges hold their subtrees outside `children`. */
+  private def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(walk)
+  }
+
+  private def collectAll[A](p: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] =
+    walk(p).collect(f)
+
+  test("q06 broadcast join: the part dimension is broadcast, never shuffled") {
+    val plan = executed(SparkEntryLookup("q06_broadcast_join_part_agg")(spark, sf0001))
+    val bhj = collectAll(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"expected a BroadcastHashJoin in:\n$plan")
+  }
+
+  test("dedup/ANN pipelines never degenerate into a cartesian product") {
+    for (name <- Seq("d02_minhash_lsh_dedup", "d04_ngram_jaccard", "d06_duplicate_groups",
+        "s02_ann_ivf_topk", "s05_ann_ivfpq_topk")) {
+      val plan = executed(SparkEntryLookup(name)(spark, sf0001))
+      val cart = collectAll(plan) { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$name plans a CartesianProduct:\n$plan")
+    }
+  }
+
+  test("t-ops per-row pipelines are shuffle-free below their final aggregation") {
+    // t01/t02 are pure per-row projections + a global sort for output
+    // ordering: at most ONE exchange (the ordering), never a join/agg
+    // shuffle chain
+    for (name <- Seq("t02_quality_scores", "t04_fingerprints")) {
+      val plan = executed(SparkEntryLookup(name)(spark, sf0001))
+      val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size <= 1,
+        s"$name should shuffle at most once (output ordering), " +
+          s"got ${shuffles.size}:\n$plan")
+    }
+  }
+
+  test("d01 exact dedup shuffles digests, not document text") {
+    val plan = executed(SparkEntryLookup("d01_exact_dedup")(spark, sf0001))
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    // no shuffle carries the raw `text` column — only the 32-byte digest
+    shuffles.foreach { s =>
+      val cols = s.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"d01 shuffles the document text: ${cols.mkString(",")}")
+    }
+  }
+}
+
+/** Name → query fn resolution through the driver contract. */
+private object SparkEntryLookup {
+  def apply(name: String): (org.apache.spark.sql.SparkSession, String) => DataFrame =
+    graft.SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(s"no query named $name"))
+}
