@@ -11,7 +11,8 @@ object SparkEntry {
   /** All verifiable operators, each a (Spark impl, optional DuckDB oracle). */
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ FormatQueries.defs ++ IcebergQueries.defs ++ HudiQueries.defs ++
-      SyncQueries.defs ++ Dedup.defs ++ Similarity.defs ++ TextOps.defs ++ Multimodal.defs
+      SyncQueries.defs ++ Dedup.defs ++ Similarity.defs ++ TextOps.defs ++ Multimodal.defs ++
+      Sketches.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -383,6 +383,53 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Substring-span dedup (the Lee et al. "Deduplicating Training Data
+   * Makes Language Models Better" shape, re-expressed relationally):
+   * a document is span-contaminated when any 8-token window of it also
+   * occurs verbatim in ANOTHER document. Per document: its window
+   * count, how many of its distinct windows are shared, the shared
+   * fraction, and the flag pipelines drop/trim on. The suffix-array of
+   * the paper is replaced by the distributed-equivalent groupBy over
+   * window digests: candidate discovery is one linear shuffle of
+   * 32-byte md5 digests (never the text, never all-pairs), then one
+   * digest-keyed join back — both linear in corpus size, the shape that
+   * holds at 100 TB where a suffix array over the corpus cannot be
+   * built on one machine.
+   */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val grams = spread(spark, dir)
+      .withColumn("words", split(lower(col("text")), " "))
+      .filter(size(col("words")) >= k)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(0, size(words)-$k), i -> md5(concat_ws(' ', slice(words, i+1, $k))))"))
+        .as("grams"))
+    val exploded = grams
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    // windows seen in >1 document: (doc_id, g) is distinct per doc, so
+    // a plain count(*) counts documents
+    val dup = exploded
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("docs"))
+      .filter(col("docs") > 1)
+      .select(col("g"))
+    val perDoc = exploded
+      .join(dup, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup"))
+    grams
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("bigint").as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_shared_windows"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / size(col("grams")), 4)
+          .as("shared_frac"),
+        (coalesce(col("n_dup"), lit(0L)) > 0).as("is_span_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "d01_exact_dedup",
@@ -501,6 +548,26 @@ object Dedup {
          |FROM pairs
          |WHERE dot > 0 AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 10000 >=
          |  CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) * 1600
-         |GROUP BY vec_b, cid ORDER BY vec_id""".stripMargin)
+         |GROUP BY vec_b, cid ORDER BY vec_id""".stripMargin),
+    // The oracle replays the window-digest pipeline exactly (same md5
+    // window keys, same >1-document rule) in set-oriented SQL.
+    QueryDef.sql(
+      "d08_substring_dedup",
+      substringDedup,
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, len(words)-7),
+        |    i -> md5(array_to_string(words[i+1:i+8], ' ')))) AS grams
+        |  FROM w WHERE len(words) >= 8),
+        |e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+        |dup AS (SELECT gr FROM e GROUP BY gr HAVING COUNT(*) > 1),
+        |cnt AS (SELECT e.doc_id, COUNT(*) AS n_dup FROM e JOIN dup USING (gr) GROUP BY e.doc_id)
+        |SELECT g.doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_shared_windows,
+        |  ROUND(CAST(COALESCE(n_dup, 0) AS DOUBLE) / len(grams), 4) AS shared_frac,
+        |  COALESCE(n_dup, 0) > 0 AS is_span_dup
+        |FROM g LEFT JOIN cnt ON g.doc_id = cnt.doc_id ORDER BY g.doc_id""".stripMargin)
   )
 }

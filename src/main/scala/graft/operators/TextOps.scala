@@ -285,6 +285,65 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /**
+   * CCNet-style n-gram LM quality scoring: a bigram language model is
+   * trained on the held-out reference slice of the corpus (doc_id % 10
+   * = 0 — the same slice t06 treats as "benchmark"), and every training
+   * document is scored by its mean smoothed bigram probability under
+   * that model; low scores mark out-of-domain/garbled text, the signal
+   * CCNet's KenLM perplexity buckets ("head"/"middle"/"tail") filter
+   * on. The probability is add-one smoothed p(w2|w1) quantized to an
+   * INTEGER per-mille-of-a-million: q = (10^6·(c2+1)) div (c1+V) —
+   * every per-bigram score is exact integer arithmetic and the per-doc
+   * score an integer sum, so no float ordering or libm log variance can
+   * flip a value between engines (the determinism rule that rules out
+   * true log-perplexity; monotonically it ranks the same).
+   *
+   * Scale shape: model training is two linear groupBys over the (small)
+   * reference slice; scoring is the exploded bigram stream joined to
+   * the model tables on (w1,w2)/(w1) — linear shuffles of token pairs,
+   * no self-joins. At 100 TB the model tables are the pruned-vocabulary
+   * LM (bounded), so they broadcast; here they stay as shuffle joins to
+   * keep the plan honest for an unpruned vocabulary.
+   */
+  def lmQualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val spreadN = spark.sparkContext.defaultParallelism * 2
+    def bigrams(d: DataFrame): DataFrame = d
+      .withColumn("words", split(lower(col("text")), " "))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(words)-2), i -> struct(words[i] AS w1, words[i+1] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val ref = docs.filter(col("doc_id") % 10 === 0).repartition(spreadN, col("doc_id"))
+    val refBg = bigrams(ref)
+    val c2 = refBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2v"))
+    val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1v"))
+    // vocabulary = distinct tokens of the reference slice (unigrams,
+    // including final words that never start a bigram)
+    val vocab = ref
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bigrams(docs.filter(col("doc_id") % 10 =!= 0).repartition(spreadN, col("doc_id")))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("(1000000 * (coalesce(c2v, 0) + 1)) div (coalesce(c1v, 0) + v)").as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("lm_score"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("lm_score"),
+        round(col("lm_score").cast("double") / col("n_bigrams"), 4).as("mean_q"),
+        // CCNet's head/middle/tail split, on exact cross-multiplied
+        // integer boundaries
+        when(col("lm_score") >= col("n_bigrams") * 34000, "head")
+          .when(col("lm_score") >= col("n_bigrams") * 31000, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MD5 fingerprint of punctuation/case-normalized text (the
     * engine-portable digest; xxhash64 variants live in Dedup). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
@@ -467,6 +526,41 @@ object TextOps {
         |w AS (SELECT *, CAST(floor(sqrt(tokens)) AS BIGINT) AS wn FROM g)
         |SELECT lang, source, docs, tokens,
         |  ROUND(CAST(wn AS DOUBLE) / (SELECT SUM(wn) FROM w), 6) AS sample_weight
-        |FROM w ORDER BY lang, source""".stripMargin)
+        |FROM w ORDER BY lang, source""".stripMargin),
+    // The oracle replays the quantized-integer LM exactly: same add-one
+    // smoothing, same integer division, same reference slice.
+    QueryDef.sql(
+      "t12_lm_quality_scores",
+      lmQualityScores,
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, len(words)-1),
+        |      i -> {'w1': words[i+1], 'w2': words[i+2]})) AS s
+        |  FROM w WHERE len(words) >= 2),
+        |bg2 AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2v FROM bg2 WHERE doc_id % 10 = 0 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1v FROM bg2 WHERE doc_id % 10 = 0 GROUP BY w1),
+        |vv AS (SELECT COUNT(DISTINCT u) AS v FROM
+        |  (SELECT unnest(words) AS u FROM w WHERE doc_id % 10 = 0)),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    (1000000 * (COALESCE(c2.c2v, 0) + 1)) // (COALESCE(c1.c1v, 0) + vv.v) AS q
+        |  FROM bg2 t
+        |  LEFT JOIN c2 ON t.w1 = c2.w1 AND t.w2 = c2.w2
+        |  LEFT JOIN c1 ON t.w1 = c1.w1
+        |  CROSS JOIN vv
+        |  WHERE t.doc_id % 10 <> 0),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(q) AS BIGINT) AS lm_score
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, lm_score,
+        |  ROUND(CAST(lm_score AS DOUBLE) / n_bigrams, 4) AS mean_q,
+        |  CASE WHEN lm_score >= n_bigrams * 34000 THEN 'head'
+        |       WHEN lm_score >= n_bigrams * 31000 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM agg ORDER BY doc_id""".stripMargin)
   )
 }

@@ -44,6 +44,23 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("cnt"), col("sum_value"))
 
+  /**
+   * Streaming ingest dedup: at-least-once delivery (replays, retried
+   * producers) collapsed to exactly-once rows by event_id. The
+   * `dropDuplicatesWithinWatermark` variant is the 100 TB shape: dedup
+   * state is dropped once the watermark passes an id's event time, so
+   * state size tracks the delay horizon, not the stream's lifetime —
+   * the unbounded-state guard a plain dropDuplicates lacks. Duplicates
+   * delivered farther apart than the horizon are the (documented)
+   * at-most-horizon contract every streaming dedup at scale accepts.
+   */
+  def dedupe(spark: SparkSession, inputDir: String, horizon: String = "1 hour"): DataFrame =
+    read(spark, inputDir)
+      .withWatermark("ts_us", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+
   final case class Evt(user_id: Long, ts_us: Timestamp, value: Double)
   final case class SessionState(startUs: Long, lastUs: Long, cnt: Long, sum: Double)
   final case class SessionOut(

@@ -64,6 +64,49 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops replayed deliveries, in-batch and across batches") {
+    val dir = tmpDir("stream_dedup")
+    val src = spark.read.parquet(s"$sf0001/events.parquet").orderBy("ts")
+    val n = src.count()
+    val firstHalf = src.limit((n / 2).toInt)
+    val secondHalf = src.orderBy(col("ts").desc).limit((n - n / 2).toInt)
+    // batch 1: first half plus an in-batch replay of every 10th event;
+    // batch 2: second half plus a cross-batch replay of batch 1's tail
+    // (those replays land well inside the 1-hour watermark horizon)
+    val tailOfFirst = firstHalf.orderBy(col("ts").desc).limit(20)
+    firstHalf.unionByName(firstHalf.filter(col("event_id") % 10 === 0))
+      .coalesce(1).write.parquet(s"$dir/in_tmp1")
+    secondHalf.unionByName(tailOfFirst)
+      .coalesce(1).write.parquet(s"$dir/in_tmp2")
+    val in = Paths.get(dir, "in")
+    Files.createDirectories(in)
+    var i = 0
+    Seq("in_tmp1", "in_tmp2").foreach { d =>
+      Files.list(Paths.get(dir, d)).filter(_.toString.endsWith(".parquet")).forEach { f =>
+        Files.move(f, in.resolve(f"part$i%03d.parquet"), StandardCopyOption.ATOMIC_MOVE)
+        i += 1
+      }
+    }
+    val q = EventStreams.dedupe(spark, in.toString)
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt_dedup"))
+      .option("maxFilesPerTrigger", "1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    import spark.implicits._
+    val emitted = spark.table("dedup_stream").select("event_id").as[Long].collect().toSeq
+    val expected = spark.read.parquet(in.toString)
+      .select("event_id").distinct().as[Long].collect().toSeq
+    assert(emitted.size === emitted.distinct.size,
+      "a replayed delivery slipped through the dedup state")
+    assert(emitted.toSet === expected.toSet,
+      "dedup emitted a different id set than the batch distinct")
+  }
+
   test("stateful sessionization emits watermark-closed sessions matching batch islands") {
     val in = stageEvents()
     import spark.implicits._
