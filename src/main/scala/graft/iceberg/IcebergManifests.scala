@@ -54,7 +54,11 @@ final case class ManifestFileInfo(
     existingRowsCount: Long,
     deletedRowsCount: Long,
     /** 0 = data manifest, 1 = delete manifest (iceberg v2) */
-    content: Int = 0)
+    content: Int = 0,
+    /** the partition spec this manifest's entries were written under —
+      * carried so spec-evolved tables keep decoding/pruning old-spec
+      * manifests by THEIR spec, not the current default */
+    partitionSpecId: Int = 0)
 
 /**
  * Avro codec for Iceberg v2 manifests and manifest lists, written from
@@ -295,7 +299,7 @@ object IcebergManifests {
       val rec = new GenericData.Record(manifestListSchema)
       rec.put("manifest_path", m.manifestPath)
       rec.put("manifest_length", m.manifestLength)
-      rec.put("partition_spec_id", 0)
+      rec.put("partition_spec_id", m.partitionSpecId)
       rec.put("content", m.content)
       rec.put("sequence_number", m.sequenceNumber)
       rec.put("min_sequence_number", m.minSequenceNumber)
@@ -393,6 +397,7 @@ object IcebergManifests {
         addedRowsCount = longOf(rec, 0L, "added_rows_count"),
         existingRowsCount = longOf(rec, 0L, "existing_rows_count"),
         deletedRowsCount = longOf(rec, 0L, "deleted_rows_count"),
-        content = longOf(rec, 0L, "content").toInt)
+        content = longOf(rec, 0L, "content").toInt,
+        partitionSpecId = longOf(rec, 0L, "partition_spec_id").toInt)
     }
 }

@@ -48,13 +48,25 @@ final case class IcebergTableMetadata(
     lastColumnId: Int,
     currentSchemaId: Int,
     schema: StructType, // id-stamped (IcebergSchemas.FieldIdKey)
+    /** the DEFAULT spec (spec-id = defaultSpecId) — what new writes use */
     partitionSpec: Seq[IcebergPartitionFieldSpec],
     properties: Map[String, String],
     currentSnapshotId: Option[Long],
     snapshots: Seq[IcebergSnapshot],
     snapshotLog: Seq[(Long, Long)], // (timestampMs, snapshotId)
     /** named tags/branches; `main` is implicit (current snapshot) */
-    refs: Map[String, IcebergRef] = Map.empty) {
+    refs: Map[String, IcebergRef] = Map.empty,
+    /** spec evolution: the default spec's id, and every RETIRED spec
+      * still referenced by live manifests (spec `partition-specs`
+      * keeps all of them; manifests address theirs by
+      * `partition-spec-id`) */
+    defaultSpecId: Int = 0,
+    olderSpecs: Seq[(Int, Seq[IcebergPartitionFieldSpec])] = Seq.empty) {
+
+  /** Every known spec by id (older + default). */
+  def allSpecs: Seq[(Int, Seq[IcebergPartitionFieldSpec])] =
+    (olderSpecs.filterNot(_._1 == defaultSpecId) :+ (defaultSpecId -> partitionSpec))
+      .sortBy(_._1)
 
   def snapshot(id: Long): IcebergSnapshot =
     snapshots.find(_.snapshotId == id)
@@ -110,20 +122,22 @@ object IcebergMetadataCodec {
       keyIds.foreach(arr.add)
     }
     schemas.add(schemaNode)
-    root.put("default-spec-id", 0)
+    root.put("default-spec-id", m.defaultSpecId)
     val specs = root.putArray("partition-specs")
-    val spec = specs.addObject()
-    spec.put("spec-id", 0)
-    val sf = spec.putArray("fields")
-    m.partitionSpec.foreach { f =>
-      val n = sf.addObject()
-      n.put("name", f.name)
-      n.put("transform", f.transform)
-      n.put("source-id", f.sourceId)
-      n.put("field-id", f.fieldId)
+    m.allSpecs.foreach { case (id, fields) =>
+      val spec = specs.addObject()
+      spec.put("spec-id", id)
+      val sf = spec.putArray("fields")
+      fields.foreach { f =>
+        val n = sf.addObject()
+        n.put("name", f.name)
+        n.put("transform", f.transform)
+        n.put("source-id", f.sourceId)
+        n.put("field-id", f.fieldId)
+      }
     }
     root.put("last-partition-id",
-      (999 +: m.partitionSpec.map(_.fieldId)).max)
+      (999 +: m.allSpecs.flatMap(_._2.map(_.fieldId))).max)
     root.put("default-sort-order-id", 0)
     val orders = root.putArray("sort-orders")
     val order = orders.addObject()
@@ -183,12 +197,24 @@ object IcebergMetadataCodec {
         .getOrElse(throw new IllegalArgumentException("current schema not found")))
       .orElse(Option(root.get("schema")))
       .getOrElse(throw new IllegalArgumentException("no schema in metadata json"))
-    val specFieldsNode = Option(root.get("partition-specs")).map(_.elements().asScala
-        .find(_.get("spec-id").asInt() == root.get("default-spec-id").asInt())
-        .getOrElse(throw new IllegalArgumentException("default spec not found"))
-        .get("fields"))
-      .orElse(Option(root.get("partition-spec")))
-      .getOrElse(mapper.createArrayNode())
+    def specFieldsOf(fieldsNode: com.fasterxml.jackson.databind.JsonNode) =
+      fieldsNode.elements().asScala.map { f =>
+        IcebergPartitionFieldSpec(
+          f.get("name").asText(),
+          f.get("transform").asText(),
+          f.get("source-id").asInt(),
+          f.get("field-id").asInt())
+      }.toSeq
+    val defaultSpecId =
+      Option(root.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val allSpecs: Seq[(Int, Seq[IcebergPartitionFieldSpec])] =
+      Option(root.get("partition-specs")).map(_.elements().asScala.map { s =>
+          s.get("spec-id").asInt() -> specFieldsOf(s.get("fields"))
+        }.toSeq)
+        .orElse(Option(root.get("partition-spec")).map(n => Seq(0 -> specFieldsOf(n))))
+        .getOrElse(Seq(0 -> Seq.empty))
+    val defaultSpec = allSpecs.find(_._1 == defaultSpecId).map(_._2)
+      .getOrElse(throw new IllegalArgumentException("default spec not found"))
     IcebergTableMetadata(
       tableUuid = root.get("table-uuid").asText(),
       location = root.get("location").asText(),
@@ -198,13 +224,9 @@ object IcebergMetadataCodec {
       lastColumnId = root.get("last-column-id").asInt(),
       currentSchemaId = currentSchemaId,
       schema = IcebergSchemas.fromJson(schemaNode),
-      partitionSpec = specFieldsNode.elements().asScala.map { f =>
-        IcebergPartitionFieldSpec(
-          f.get("name").asText(),
-          f.get("transform").asText(),
-          f.get("source-id").asInt(),
-          f.get("field-id").asInt())
-      }.toSeq,
+      partitionSpec = defaultSpec,
+      defaultSpecId = defaultSpecId,
+      olderSpecs = allSpecs.filterNot(_._1 == defaultSpecId),
       properties = Option(root.get("properties")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
       currentSnapshotId =

@@ -110,6 +110,47 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       s"concurrent iceberg commit on $tablePath")
   }
 
+  /**
+   * Partition-spec evolution (Iceberg's headline "evolve partitioning
+   * without rewriting data"): register a NEW default spec; data already
+   * written stays under its original spec (manifests carry their
+   * `partition-spec-id`), future writes land under the new one, and
+   * scans prune each manifest by ITS spec — an old-spec file is never
+   * pruned on a field it wasn't partitioned by. Metadata-only commit:
+   * no snapshot, no data movement. Spec strings use the create syntax
+   * (`col`, `year(col)`, `bucket[16](col)`, ...).
+   */
+  def evolvePartitionSpec(partitionSpecs: Seq[String]): Unit = {
+    val (v, meta) = log.readLatest().getOrElse(
+      throw new IllegalStateException(s"not an iceberg table: $tablePath"))
+    val defs = graft.model.PartitionTransform.parseAll(partitionSpecs)
+    val proposed = IcebergTable.specFor(meta.schema, defs)
+    def key(f: IcebergPartitionFieldSpec) = (f.sourceId, f.transform, f.name)
+    if (proposed.map(key) == meta.partitionSpec.map(key)) return // no-op
+    // the spec's field-id reuse rule: a field identical to one in ANY
+    // known spec keeps that id; genuinely new fields continue from
+    // last-partition-id
+    val knownIds = meta.allSpecs.flatMap(_._2).map(f => key(f) -> f.fieldId).toMap
+    val (specId, specFields) =
+      meta.allSpecs.find(_._2.map(key) == proposed.map(key)) match {
+        case Some((id, fields)) => (id, fields) // reactivate a retired spec
+        case None =>
+          var nextId = (999 +: meta.allSpecs.flatMap(_._2.map(_.fieldId))).max
+          (meta.allSpecs.map(_._1).max + 1, proposed.map { f =>
+            knownIds.get(key(f)) match {
+              case Some(id) => f.copy(fieldId = id)
+              case None => nextId += 1; f.copy(fieldId = nextId)
+            }
+          })
+      }
+    require(log.commit(v + 1, meta.copy(
+      partitionSpec = specFields,
+      defaultSpecId = specId,
+      olderSpecs = meta.allSpecs.filterNot(_._1 == specId),
+      lastUpdatedMs = System.currentTimeMillis())),
+      s"concurrent iceberg commit on $tablePath")
+  }
+
   /** Resolve a ref name to its snapshot id (`main` → current). */
   def refSnapshot(name: String): Long =
     if (name == "main")
@@ -480,8 +521,16 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val meta = currentMetadata
     // only identity partition columns live in the path (and in the
     // manifest partition struct with their source type); transform
-    // (hidden) partition sources are ordinary data columns in the files
-    val identityCols = IcebergTable.defsOf(meta).filter(_.isIdentity).map(_.fieldName)
+    // (hidden) partition sources are ordinary data columns in the files.
+    // Under spec evolution each file's identity set is ITS spec's — an
+    // old-spec file materializes the old identity column from its
+    // manifest partition value while the new identity column reads from
+    // the data (and vice versa), so the identity set is resolved per
+    // entry from the identity fields of EVERY known spec.
+    val allIdentityCols: Set[String] =
+      meta.allSpecs.flatMap(_._2).filter(_.transform == "identity").map(_.name).toSet
+    def identityColsOf(e: ManifestEntry): Seq[String] =
+      e.partitionValues.keySet.intersect(allIdentityCols).toSeq.sorted
     val logical = sparkSchema
     // honor the table's name mapping: entries whose first listed name
     // differs from the schema name mean the parquet files speak that
@@ -495,10 +544,12 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
     val basePath = meta.properties.getOrElse("graft.converted.from", tablePath)
-    // data files may mix formats (ref FileFormat.java:26-30); plan one
-    // relation per format over the shared index machinery and union
-    val phys = entries.groupBy(e => Option(e.fileFormat).getOrElse("parquet").toLowerCase)
-      .map { case (fmt, group) =>
+    // data files may mix formats (ref FileFormat.java:26-30) and, under
+    // spec evolution, identity sets; plan one relation per (format,
+    // identity-set) group over the shared index machinery and union
+    val phys = entries.groupBy(e =>
+        (Option(e.fileFormat).getOrElse("parquet").toLowerCase, identityColsOf(e)))
+      .map { case ((fmt, identityCols), group) =>
         val files = group.map(e => graft.sources.ManifestFile(
           path = e.filePath,
           size = e.fileSizeBytes,
@@ -903,7 +954,33 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val schemaId = prev.map { case (_, m) =>
       if (m.schema.json != idSchema.json) m.currentSchemaId + 1 else m.currentSchemaId
     }.getOrElse(0)
-    val specFields = IcebergTable.specFor(idSchema, defs)
+    // partition-spec evolution: a commit whose (source, transform) field
+    // list differs from the previous default spec registers a NEW spec
+    // id; fields identical to a previously-known spec field KEEP that
+    // field's id (the spec's reuse rule), new fields continue from
+    // last-partition-id
+    val (specId, specFields) = {
+      val proposed = IcebergTable.specFor(idSchema, defs)
+      prev.map(_._2) match {
+        case None => (0, proposed)
+        case Some(m) =>
+          def key(f: IcebergPartitionFieldSpec) = (f.sourceId, f.transform, f.name)
+          val knownIds = m.allSpecs.flatMap(_._2).map(f => key(f) -> f.fieldId).toMap
+          if (proposed.map(key) == m.partitionSpec.map(key)) (m.defaultSpecId, m.partitionSpec)
+          else m.allSpecs.find(_._2.map(key) == proposed.map(key)) match {
+            case Some((id, fields)) => (id, fields) // back to a retired spec
+            case None =>
+              var nextId = (999 +: m.allSpecs.flatMap(_._2.map(_.fieldId))).max
+              val reconciled = proposed.map { f =>
+                knownIds.get(key(f)) match {
+                  case Some(id) => f.copy(fieldId = id)
+                  case None => nextId += 1; f.copy(fieldId = nextId)
+                }
+              }
+              ((m.allSpecs.map(_._1).max + 1), reconciled)
+          }
+      }
+    }
     // transform partition fields store ordinal ints (Iceberg spec:
     // year/month/day/hour result type is int); identity stores the
     // source type
@@ -922,8 +999,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // format-version/content
     val manifestHeaders = Map(
       "schema" -> IcebergSchemas.toJson(idSchema, schemaId).toString,
-      "partition-spec" -> IcebergMetadataCodec.specJson(specFields),
-      "partition-spec-id" -> "0")
+      "partition-spec" -> IcebergMetadataCodec.specJson(specFields, specId),
+      "partition-spec-id" -> specId.toString)
 
     val stamped = adds.map(_.copy(snapshotId = snapshotId, sequenceNumber = seq))
     // a manifest holds either data files or delete files, never both
@@ -950,7 +1027,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
           addedRowsCount = group.map(_.recordCount).sum,
           existingRowsCount = 0L,
           deletedRowsCount = 0L,
-          content = content)
+          content = content,
+          partitionSpecId = specId)
       }
     }
 
@@ -980,7 +1058,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
             addedRowsCount = 0L,
             existingRowsCount = 0L,
             deletedRowsCount = group.map(_.recordCount).sum,
-            content = content)
+            content = content,
+            partitionSpecId = specId)
       }
     }
     val carried: Seq[ManifestFileInfo] = prev match {
@@ -1032,6 +1111,10 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       currentSchemaId = schemaId,
       schema = idSchema,
       partitionSpec = specFields,
+      defaultSpecId = specId,
+      // every spec that ever existed stays registered (live manifests
+      // may still reference it)
+      olderSpecs = base.allSpecs.filterNot(_._1 == specId),
       properties = base.properties ++ nameMapping ++ extraProps,
       currentSnapshotId = Some(snapshotId),
       snapshots = base.snapshots :+ snap,
@@ -1705,10 +1788,15 @@ object IcebergScanBuilder {
     def apply(e: ManifestEntry): Boolean = {
       partIn.forall { case (c, wanted) =>
         e.partitionValues.get(c) match {
-          // a GLOBAL delete file (null/absent partition — equality
-          // deletes written table-wide) applies to every partition and
-          // must survive partition pruning; data entries stay strict
-          case None | Some(null) => e.content > 0
+          // an entry whose partition struct LACKS the field entirely
+          // cannot be pruned on it: a data file written under an older
+          // partition spec (spec evolution) may hold matching rows, and
+          // a GLOBAL delete file applies to every partition
+          case None => true
+          // a NULL value means the field exists and the file holds only
+          // the null partition: data entries prune strictly, delete
+          // files (table-wide equality deletes) survive
+          case Some(null) => e.content > 0
           case Some(v) => wanted.contains(v)
         }
       } &&

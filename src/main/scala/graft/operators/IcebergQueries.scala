@@ -159,6 +159,19 @@ object IcebergQueries {
         // reads through the single EXISTING-entry manifest
         t14.rewriteManifests()
 
+        // 15. partition-spec evolution (Iceberg's "evolve partitioning
+        //     without rewriting data"): era 1 = identity(o_orderstatus)
+        //     even keys; evolve to identity(o_orderpriority); era 2 =
+        //     odd keys under the NEW spec. Scans must read both eras
+        //     (each era's identity column materializes from its own
+        //     manifest partition struct) and prune old-spec files on
+        //     the old field without dropping new-spec files
+        val t15 = IcebergTable.create(
+          spark, s"$root/orders_specevolved",
+          o.filter(col("o_orderkey") % 2 === 0), Seq("o_orderstatus"))
+        t15.evolvePartitionSpec(Seq("o_orderpriority"))
+        t15.append(o.filter(col("o_orderkey") % 2 === 1))
+
         root
       })
     }
@@ -506,6 +519,29 @@ object IcebergQueries {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Partition-spec evolution: the pruned scan drops only old-spec
+    // files of other statuses (new-spec files lack the status partition
+    // and must be scanned), the residual row filter keeps the answer
+    // exact, and the full-table read proves both eras' identity columns
+    // materialize from their own specs.
+    QueryDef.sql(
+      "i17_partition_spec_evolution",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_specevolved")
+          .scan.partitionIn("o_orderstatus", Set("O")).toDF()
+          .filter(col("o_orderstatus") === "O")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderpriority")),
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
     QueryDef.sql(
       "x01_cross_format_equality",

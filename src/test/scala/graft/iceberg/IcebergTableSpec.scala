@@ -488,4 +488,64 @@ class IcebergTableSpec extends SparkTestBase {
       src.agg(sum(col("o_orderkey"))).head.getLong(0))
     assert(t.snapshotIds == Seq(77L))
   }
+
+  test("partition-spec evolution: both eras read, per-spec pruning, ids reused") {
+    val dir = tmpDir("ice_specevo")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    val t = IcebergTable.create(spark, s"$dir/t",
+      src.filter(col("o_orderkey") % 2 === 0), Seq("o_orderstatus"))
+    t.evolvePartitionSpec(Seq("o_orderpriority"))
+
+    // metadata carries both specs; the new one is default with a fresh
+    // field id, the retired one keeps id 1000
+    val m1 = t.currentMetadata
+    assert(m1.defaultSpecId == 1)
+    assert(m1.partitionSpec.map(f => (f.name, f.fieldId)) == Seq(("o_orderpriority", 1001)))
+    assert(m1.olderSpecs == Seq(0 -> Seq(
+      m1.olderSpecs.head._2.head)) && m1.olderSpecs.head._2.map(_.name) == Seq("o_orderstatus"))
+
+    t.append(src.filter(col("o_orderkey") % 2 === 1))
+
+    // full read: both eras' identity columns materialize correctly
+    val back = t.toDF()
+    assert(back.count() == src.count())
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+
+    // the manifest list references both spec ids
+    val listPath = new org.apache.hadoop.fs.Path(
+      t.currentMetadata.currentSnapshot.get.manifestList)
+    val specIds = IcebergManifests.readManifestList(
+      spark.sparkContext.hadoopConfiguration, listPath).map(_.partitionSpecId).toSet
+    assert(specIds == Set(0, 1), s"manifest list spec ids: $specIds")
+
+    // pruning on the OLD field: old-spec files of other statuses drop,
+    // every new-spec file survives (it cannot be pruned on a field it
+    // was never partitioned by) — and the row answer stays exact
+    val all = t.scan.files()
+    val pruned = t.scan.partitionIn("o_orderstatus", Set("O")).files()
+    val oldSpecAll = all.count(_.partitionValues.contains("o_orderstatus"))
+    val oldSpecPruned = pruned.count(_.partitionValues.contains("o_orderstatus"))
+    val newSpecAll = all.count(_.partitionValues.contains("o_orderpriority"))
+    val newSpecPruned = pruned.count(_.partitionValues.contains("o_orderpriority"))
+    assert(oldSpecPruned < oldSpecAll, "old-spec files were not pruned on the old field")
+    assert(newSpecPruned == newSpecAll, "new-spec files must survive old-field pruning")
+    val got = t.scan.partitionIn("o_orderstatus", Set("O")).toDF()
+      .filter(col("o_orderstatus") === "O")
+      .agg(count(lit(1)), sum(col("o_orderkey"))).head
+    val want = src.filter(col("o_orderstatus") === "O")
+      .agg(count(lit(1)), sum(col("o_orderkey"))).head
+    assert(got == want)
+
+    // pruning on the NEW field symmetrically keeps all old-spec files
+    val prunedNew = t.scan.partitionIn("o_orderpriority", Set("1-URGENT")).files()
+    assert(prunedNew.count(_.partitionValues.contains("o_orderstatus")) == oldSpecAll,
+      "old-spec files must survive new-field pruning")
+
+    // evolving BACK to the original spec reactivates id 0 (no spec spam)
+    t.evolvePartitionSpec(Seq("o_orderstatus"))
+    val m2 = t.currentMetadata
+    assert(m2.defaultSpecId == 0)
+    assert(m2.allSpecs.map(_._1) == Seq(0, 1))
+  }
 }
