@@ -328,6 +328,68 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * ANN index-quality evaluation — recall@k of the IVF probe path
+   * against exact search, the metric every production ANN deployment
+   * tracks before trusting an index (FAISS's eval loop). Ground truth
+   * and candidate ranking both use exact integer L2 on the fixed-point
+   * vectors (ties by neighbor id), so the whole evaluation is
+   * bit-deterministic and the oracle replays it. Shapes: ground truth
+   * is the broadcast-queries × corpus scan (the cost recall eval pays
+   * by definition — runs once per index build, on a sample of queries
+   * at scale); the IVF side probes `nprobe` of `nCells` cells. One
+   * corpus cell-assignment pass is shared by both branches.
+   */
+  def annRecall(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 10, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
+          .as("fp"))
+    val cells: Seq[Seq[Long]] = e.filter(col("vec_id") < nCells).orderBy(col("vec_id"))
+      .collect().map(r => r.getSeq[Long](1).toIndexedSeq: Seq[Long]).toIndexedSeq
+    val l2 = (a: String, b: String) =>
+      s"""aggregate(zip_with($a, $b, (x, y) -> (x-y)*(x-y)),
+         |  cast(0 AS bigint), (acc, v) -> acc + v)""".stripMargin
+    val cellOf = (vec: String) =>
+      s"""array_min(transform(sequence(0, ${nCells - 1}), cc -> named_struct(
+         |  'd', ${l2(vec, "cells[cc]")}, 'cc', cc)))""".stripMargin
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("fp").as("q_fp"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("fp").as("c_fp"))
+      .withColumn("cells", typedLit(cells))
+      .withColumn("cell", expr(s"${cellOf("c_fp")}.cc"))
+      .drop("cells")
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
+    val exact = broadcast(queries).crossJoin(corpus.drop("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", expr(l2("q_fp", "c_fp")))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val probes = queries
+      .withColumn("cells", typedLit(cells))
+      .withColumn("pcells", expr(
+        s"""transform(slice(array_sort(transform(sequence(0, ${nCells - 1}), cc -> named_struct(
+           |  'd', ${l2("q_fp", "cells[cc]")}, 'cc', cc))), 1, $nprobe), x -> x.cc)""".stripMargin))
+      .select(col("query_id"), col("q_fp"), explode(col("pcells")).as("cell"))
+    val approx = broadcast(probes).join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", expr(l2("q_fp", "c_fp")))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 4).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "s01_ann_brute_force_topk",
@@ -458,6 +520,51 @@ object Similarity {
       (spark, dir) => kmeansClusters(spark, dir),
       s"""${kmeansOracleCtes()}
          |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS inertia
-         |FROM final GROUP BY cid ORDER BY cluster_id""".stripMargin)
+         |FROM final GROUP BY cid ORDER BY cluster_id""".stripMargin),
+    // Recall eval is exact-integer end to end (fixed-point L2, ties by
+    // id), so the oracle replays ground truth, probing, and the overlap
+    // count identically.
+    QueryDef.sql(
+      "s06_ann_recall_eval",
+      (spark, dir) => annRecall(spark, dir),
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fp
+        |  FROM embeddings),
+        |cells AS (SELECT vec_id AS cc, fp FROM e WHERE vec_id < 16),
+        |q AS (SELECT vec_id AS query_id, fp AS q_fp FROM e WHERE vec_id < 20),
+        |corpcell AS (
+        |  SELECT vec_id AS neighbor_id, fp AS c_fp, cc AS cell FROM (
+        |    SELECT e.vec_id, e.fp, c.cc,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> (e.fp[i] - c.fp[i]) * (e.fp[i] - c.fp[i]))), c.cc) AS rn
+        |    FROM e, cells c) WHERE rn = 1),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> (q.q_fp[i] - e.fp[i]) * (q.q_fp[i] - e.fp[i]))), e.vec_id) AS rn
+        |    FROM q, e WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+        |probes AS (
+        |  SELECT query_id, cc AS cell FROM (
+        |    SELECT q.query_id, c.cc,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> (q.q_fp[i] - c.fp[i]) * (q.q_fp[i] - c.fp[i]))), c.cc) AS rn
+        |    FROM q, cells c) WHERE rn <= 4),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT p.query_id, cc2.neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> (q.q_fp[i] - cc2.c_fp[i]) * (q.q_fp[i] - cc2.c_fp[i]))), cc2.neighbor_id) AS rn
+        |    FROM probes p
+        |    JOIN corpcell cc2 ON cc2.cell = p.cell
+        |    JOIN q ON q.query_id = p.query_id
+        |    WHERE cc2.neighbor_id <> p.query_id) WHERE rn <= 10),
+        |hits AS (
+        |  SELECT x.query_id, COUNT(*) AS n_hits
+        |  FROM exact x JOIN approx a ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        |  GROUP BY x.query_id)
+        |SELECT q.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        |  ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10, 4) AS recall_at_k
+        |FROM q LEFT JOIN hits ON q.query_id = hits.query_id ORDER BY q.query_id""".stripMargin)
   )
 }
