@@ -398,35 +398,31 @@ object Dedup {
    * built on one machine.
    */
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val k = 8
-    val grams = spread(spark, dir)
+    // single-pass shape (PlanGuardSpec asserts it): text shuffles ONCE
+    // (the linear spread), then the exploded digest stream takes one
+    // per-gram window count and one per-doc groupBy — no self-joins, no
+    // re-reads of the corpus. (doc_id, g) is distinct per doc, so the
+    // window count over `g` counts documents sharing the window.
+    val exploded = spread(spark, dir)
       .withColumn("words", split(lower(col("text")), " "))
       .filter(size(col("words")) >= k)
-      .select(col("doc_id"), array_distinct(expr(
-        s"transform(sequence(0, size(words)-$k), i -> md5(concat_ws(' ', slice(words, i+1, $k))))"))
-        .as("grams"))
-    val exploded = grams
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-    // windows seen in >1 document: (doc_id, g) is distinct per doc, so
-    // a plain count(*) counts documents
-    val dup = exploded
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("docs"))
-      .filter(col("docs") > 1)
-      .select(col("g"))
-    val perDoc = exploded
-      .join(dup, Seq("g"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(words)-$k), i -> md5(concat_ws(' ', slice(words, i+1, $k))))")))
+        .as("g"))
+    exploded
+      .withColumn("docs", count(lit(1)).over(Window.partitionBy(col("g"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup"))
-    grams
-      .join(perDoc, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("docs") > 1, 1L).otherwise(0L)).as("n_shared_windows"))
       .select(
         col("doc_id"),
-        size(col("grams")).cast("bigint").as("n_windows"),
-        coalesce(col("n_dup"), lit(0L)).as("n_shared_windows"),
-        round(coalesce(col("n_dup"), lit(0L)).cast("double") / size(col("grams")), 4)
-          .as("shared_frac"),
-        (coalesce(col("n_dup"), lit(0L)) > 0).as("is_span_dup"))
+        col("n_windows"),
+        col("n_shared_windows"),
+        round(col("n_shared_windows").cast("double") / col("n_windows"), 4).as("shared_frac"),
+        (col("n_shared_windows") > 0).as("is_span_dup"))
       .orderBy(col("doc_id"))
   }
 

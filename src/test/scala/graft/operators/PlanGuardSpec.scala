@@ -65,6 +65,62 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("d08 substring dedup: only the linear corpus spread moves text; gram shuffles carry digests") {
+    val plan = executed(SparkEntryLookup("d08_substring_dedup")(spark, sf0001))
+    val cart = collectAll(plan) { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, s"d08 plans a CartesianProduct:\n$plan")
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    // Dedup.spread's one-time doc_id repartition is the only shuffle
+    // allowed to carry raw text (linear, pre-explode); every shuffle of
+    // the EXPLODED gram stream (output has the gram digest column `g`)
+    // must carry digests only
+    // distinct instances: walk() descends into ReusedExchangeExec, so a
+    // single reused spread exchange shows up once per consumer
+    val textShuffles = shuffles.filter(_.output.map(_.name).contains("text"))
+      .map(s => System.identityHashCode(s)).distinct
+    assert(textShuffles.size <= 1,
+      s"d08 moves raw text through ${textShuffles.size} distinct shuffles:\n$plan")
+    shuffles.filter(_.output.map(_.name).contains("g")).foreach { s =>
+      val cols = s.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"d08's gram-level shuffle carries document text: ${cols.mkString(",")}")
+    }
+  }
+
+  test("t12 LM scoring broadcasts the vocab scalar; model joins stay hash joins") {
+    val plan = executed(SparkEntryLookup("t12_lm_quality_scores")(spark, sf0001))
+    // the vocab-size scalar rides a broadcast nested loop (1 row), and
+    // the c2/c1 model joins must not degenerate into cartesians
+    val cart = collectAll(plan) { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, s"t12 plans a CartesianProduct:\n$plan")
+    val bcast = collectAll(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bcast.nonEmpty, s"expected the broadcast vocab join in:\n$plan")
+  }
+
+  test("q35 HLL sketch aggregates registers, never shuffling raw rows twice") {
+    val plan = executed(SparkEntryLookup("q35_hll_distinct_sketch")(spark, sf0001))
+    // every shuffle below the estimate carries register/bucket columns
+    // or the exact-count branch's group key — none carries the raw
+    // o_custkey hash input column `h`
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      val cols = s.output.map(_.name)
+      assert(!cols.contains("h"),
+        s"q35 shuffles raw hash strings: ${cols.mkString(",")}")
+    }
+  }
+
+  test("s06 recall eval broadcasts queries; corpus is never re-shuffled per branch") {
+    val plan = executed(SparkEntryLookup("s06_ann_recall_eval")(spark, sf0001))
+    val cart = collectAll(plan) { case c: CartesianProductExec => c }
+    // ground truth is an explicit broadcast cross join (queries × corpus)
+    // — allowed; what must NOT appear is a shuffle-side cartesian
+    assert(cart.isEmpty, s"s06 plans a non-broadcast CartesianProduct:\n$plan")
+  }
+
   test("d01 exact dedup shuffles digests, not document text") {
     val plan = executed(SparkEntryLookup("d01_exact_dedup")(spark, sf0001))
     val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
