@@ -1427,11 +1427,14 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     (adds, removes)
   }
 
+  /** Log path → absolute DECODED path (the InternalDataFile contract:
+    * physicalPath never carries percent escapes — each format's writer
+    * re-encodes if its spec demands it). */
   private def absolutePath(logPath: String): String = {
     val p = DeltaTable.decodeLogPath(logPath)
     val abs = if (p.startsWith("/") || p.contains(":/")) p
               else new Path(tablePath, p).toString
-    new Path(abs).toUri.toString
+    new Path(abs).toString
   }
 
   /**
@@ -1737,10 +1740,14 @@ object DeltaTable {
   private[delta] def encodeLogPath(rel: String): String =
     new java.net.URI(null, null, rel, null).toASCIIString
 
-  /** Inverse of [[encodeLogPath]]; absolute URIs decode the same way. */
+  /** Inverse of [[encodeLogPath]]; absolute URIs decode the same way.
+    * The absolute branch must DECODE too: downstream consumers build
+    * `new Path(String)` (which never URI-decodes), so returning the
+    * encoded form would leave literal `%20` in file names — unnoticed
+    * until a partition value contains an escapable character. */
   private[delta] def decodeLogPath(encoded: String): String = {
     val uri = new java.net.URI(encoded)
-    if (uri.getScheme != null) encoded // keep absolute URIs intact for Path(URI)
+    if (uri.getScheme != null) new Path(uri).toString
     else uri.getPath
   }
 

@@ -1657,7 +1657,11 @@ object IcebergTable {
         totalSize = 0L)
     })
     graft.model.InternalDataFile(
-      physicalPath = new Path(e.filePath).toUri.toString,
+      // decoded-path contract: manifests store raw (unescaped) paths,
+      // and InternalDataFile.physicalPath stays unescaped — the Delta
+      // writer is the one place that percent-encodes (its spec requires
+      // it), so encoding here would double-encode downstream
+      physicalPath = new Path(e.filePath).toString,
       fileFormat = e.fileFormat,
       // manifest ordinals → canonical human strings for the sync plane
       partitionValues = e.partitionValues.map { case (k, v) =>

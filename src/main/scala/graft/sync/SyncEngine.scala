@@ -356,8 +356,27 @@ private final class IcebergSource(t: IcebergTable) extends SyncSource {
     val i = ids.indexOf(v.toLong)
     if (i < 0) Seq.empty else ids.drop(i + 1).map(_.toString)
   }
-  def snapshotFiles(): Seq[InternalDataFile] = t.snapshotDataFiles()
-  def changes(v: String): (Seq[InternalDataFile], Seq[String]) = t.changeSet(v.toLong)
+  /** A spec-evolved table's live files disagree on partition fields;
+    * the single-spec targets (Delta/Hudi) cannot represent that without
+    * rewriting data — an identity column of one era lives only in the
+    * log, of the other only in the files, and any one choice of target
+    * partition columns silently nulls one era's column. Refuse loudly
+    * (rewrite/compact onto the current spec first) rather than sync
+    * unreadable metadata. */
+  private def guardSingleSpec(files: Seq[InternalDataFile]): Seq[InternalDataFile] = {
+    val keysets = files.map(_.partitionValues.keySet).distinct
+    require(keysets.size <= 1,
+      s"iceberg source ${t.tablePath} has live files under multiple partition " +
+        s"specs (${keysets.map(_.toSeq.sorted.mkString("+")).mkString(" vs ")}); " +
+        "single-spec targets cannot represent a spec-evolved file mix — " +
+        "compact the table onto its current spec before syncing")
+    files
+  }
+  def snapshotFiles(): Seq[InternalDataFile] = guardSingleSpec(t.snapshotDataFiles())
+  def changes(v: String): (Seq[InternalDataFile], Seq[String]) = {
+    val (adds, removes) = t.changeSet(v.toLong)
+    (guardSingleSpec(adds), removes)
+  }
   override def laterOf(a: String, b: String): String = {
     val ids = t.snapshotIds
     if (ids.indexOf(a.toLong) >= ids.indexOf(b.toLong)) a else b

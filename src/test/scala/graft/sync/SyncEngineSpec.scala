@@ -407,4 +407,25 @@ class SyncEngineSpec extends SparkTestBase {
     val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
     assert(checksum(tgt.toDF()) == checksum(srcB.toDF()))
   }
+
+  test("spec-evolved iceberg source refuses to sync (mixed-spec files are unrepresentable)") {
+    val dir = tmpDir("sync_specevo")
+    val full = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), col("o_orderpriority"))
+    val src = IcebergTable.create(spark, s"$dir/src",
+      full.filter(col("o_orderkey") % 2 === 0), Seq("o_orderstatus"))
+    src.evolvePartitionSpec(Seq("o_orderpriority"))
+    src.append(full.filter(col("o_orderkey") % 2 === 1))
+    val e = intercept[IllegalArgumentException] {
+      SyncEngine.sync(
+        SyncEngine.icebergSource(src), SyncEngine.deltaTarget(spark, s"$dir/tgt"))
+    }
+    assert(e.getMessage.contains("multiple partition specs"))
+    // rewriting onto the current spec makes it syncable again
+    src.overwrite(src.toDF())
+    val res = SyncEngine.sync(
+      SyncEngine.icebergSource(src), SyncEngine.deltaTarget(spark, s"$dir/tgt"))
+    assert(res.mode == "full")
+    assert(checksum(DeltaTable.forPath(spark, s"$dir/tgt").toDF()) == checksum(src.toDF()))
+  }
 }
