@@ -1176,7 +1176,9 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       val pp = HudiTable.buildPartitionPath(f.partitionValues, fieldNames, hiveStyle)
       pp -> HudiWriteStat(
         fileId = HudiTable.fileIdOf(f.physicalPath),
-        path = new Path(f.physicalPath).toUri.toString,
+        // raw (decoded) path: hudi write-stat paths are plain strings
+        // opened verbatim by the scan (see the iceberg syncCommit twin)
+        path = new Path(f.physicalPath).toString,
         prevCommit = instants.lastOption.getOrElse("null"),
         numWrites = f.recordCount,
         fileSizeInBytes = f.fileSizeBytes)

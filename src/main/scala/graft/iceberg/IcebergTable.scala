@@ -1399,7 +1399,10 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         status = ManifestEntry.StatusAdded,
         snapshotId = 0L,
         sequenceNumber = 0L,
-        filePath = new Path(f.physicalPath).toUri.toString,
+        // raw (decoded) path in the manifest: iceberg file_path is a
+        // plain string, and the scan opens it verbatim — an encoded URI
+        // here breaks on the first escapable partition value
+        filePath = new Path(f.physicalPath).toString,
         fileFormat = f.fileFormat,
         partitionValues = f.partitionValues.collect {
           // canonical human strings in → identity as-is, transform

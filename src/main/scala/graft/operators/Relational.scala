@@ -700,6 +700,74 @@ object Relational {
         |  ROUND(REGR_SLOPE(l_quantity, l_discount), 6) AS regr_slope_qd,
         |  ROUND(REGR_INTERCEPT(l_quantity, l_discount), 6) AS regr_icpt_qd,
         |  CAST(REGR_COUNT(l_quantity, l_discount) AS BIGINT) AS regr_n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- correlated subquery (TPC-H Q17 shape) --------------------------
+    // Lineitems whose quantity exceeds 5× ... rather, sits below 1/5 of
+    // their own order's total — the per-group-threshold filter every
+    // warehouse decorrelates into an aggregate + join. Written as SQL so
+    // Catalyst's RewriteCorrelatedScalarSubquery plans it (the explain
+    // shows an Aggregate joined back, never a per-row subplan). The
+    // threshold compares DECIMALs by exact cross-multiplication.
+    QueryDef.sql(
+      "q36_correlated_subquery",
+      (spark, dir) => {
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+            col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+          .createOrReplaceTempView("graft_q36_lineitem")
+        spark.sql(
+          """SELECT l_returnflag, COUNT(*) AS cnt,
+            |  CAST(SUM(price) AS DOUBLE) AS sum_price
+            |FROM graft_q36_lineitem l1
+            |WHERE qty * 5 < (SELECT SUM(qty) FROM graft_q36_lineitem l2
+            |                 WHERE l2.l_orderkey = l1.l_orderkey)
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      """WITH l AS (
+        |  SELECT l_orderkey, l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM l l1
+        |WHERE qty * 5 < (SELECT SUM(qty) FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- window distribution / navigation functions ----------------------
+    // ntile / percent_rank / cume_dist / nth_value with an explicit rows
+    // frame — the ranking-and-distribution battery beyond q08/q09's
+    // row_number/lag. percent_rank and cume_dist are single divisions of
+    // exact rank integers (deterministic), and the order key is total.
+    QueryDef.sql(
+      "q37_window_distribution",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            ntile(8).over(w).cast(LongType).as("bucket8"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"),
+            nth_value(col("o_orderkey"), 3)
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("third_key_so_far"))
+          .filter(col("o_orderkey") % 13 === 0)
+          .orderBy(col("o_orderkey"))
+      },
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(NTILE(8) OVER w AS BIGINT) AS bucket8,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+        |  NTH_VALUE(o_orderkey, 3) OVER
+        |    (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key_so_far
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |QUALIFY o_orderkey % 13 = 0
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }

@@ -148,6 +148,21 @@ object SyncQueries {
           SyncEngine.hudiSource(nhSrc), SyncEngine.icebergTarget(spark, s"$root/nh_tgt"))
         require(r10.mode == "incremental", s"expected incremental nh replay, got ${r10.mode}")
 
+        // 11. escapable partition values end to end: o_orderpriority
+        //     holds '4-NOT SPECIFIED' (a space — hive-escaped on disk,
+        //     percent-encoded in the Delta log) — full Delta sync into
+        //     Iceberg, then an incremental replay; the regression net
+        //     for the decoded-path contract (double-encoded log paths
+        //     were unreadable)
+        val escSrc = DeltaTable.create(spark, s"$root/esc_src",
+          o.filter(col("o_orderkey") % 2 === 0), Seq("o_orderpriority"))
+        SyncEngine.sync(
+          SyncEngine.deltaSource(escSrc), SyncEngine.icebergTarget(spark, s"$root/esc_tgt"))
+        escSrc.append(o.filter(col("o_orderkey") % 2 === 1), Seq.empty)
+        val r11 = SyncEngine.sync(
+          SyncEngine.deltaSource(escSrc), SyncEngine.icebergTarget(spark, s"$root/esc_tgt"))
+        require(r11.mode == "incremental", s"expected incremental esc replay, got ${r11.mode}")
+
         root
       })
     }
@@ -352,6 +367,28 @@ object SyncQueries {
       """SELECT o_orderpriority, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // Escapable partition values survive the whole sync chain: the
+    // priority-partitioned target scans (including the space-valued
+    // '4-NOT SPECIFIED' partition) and prunes on the escaped value.
+    QueryDef.sql(
+      "x11_escaped_partition_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        IcebergTable.forPath(spark, s"$root/esc_tgt")
+          .scan.partitionIn("o_orderpriority", Set("4-NOT SPECIFIED", "1-URGENT")).toDF()
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('4-NOT SPECIFIED', '1-URGENT')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
     // The streaming change feed, end to end: drain a two-commit table
     // through spark.readStream.format("graft") (snapshot batch + one

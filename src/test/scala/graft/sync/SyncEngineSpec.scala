@@ -408,6 +408,28 @@ class SyncEngineSpec extends SparkTestBase {
     assert(checksum(tgt.toDF()) == checksum(srcB.toDF()))
   }
 
+  test("escapable partition values survive sync into every target format") {
+    val dir = tmpDir("sync_escape")
+    val hostile = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    // '4-NOT SPECIFIED' carries a space: hive-escaped on disk,
+    // percent-encoded in the Delta log, raw in iceberg manifests and
+    // hudi write stats — each layer must encode/decode exactly once
+    val src = DeltaTable.create(spark, s"$dir/src", hostile, Seq("o_orderpriority"))
+    SyncEngine.sync(SyncEngine.deltaSource(src), SyncEngine.icebergTarget(spark, s"$dir/ice"))
+    SyncEngine.sync(SyncEngine.deltaSource(src), SyncEngine.hudiTarget(spark, s"$dir/hudi"))
+    val want = checksum(src.toDF())
+    assert(checksum(IcebergTable.forPath(spark, s"$dir/ice").toDF()) == want)
+    assert(checksum(HudiTable.forPath(spark, s"$dir/hudi").toDF()) == want)
+    // a second (incremental) round replays cleanly too — the diff keys
+    // on paths, so an encoding mismatch would re-add every file
+    src.append(hostile.limit(0), Seq.empty)
+    val r = SyncEngine.sync(
+      SyncEngine.deltaSource(src), SyncEngine.icebergTarget(spark, s"$dir/ice"))
+    assert(r.mode == "incremental" && r.filesAdded == 0,
+      s"clean replay expected, got $r")
+  }
+
   test("spec-evolved iceberg source refuses to sync (mixed-spec files are unrepresentable)") {
     val dir = tmpDir("sync_specevo")
     val full = spark.read.parquet(s"$sf0001/orders.parquet")
