@@ -151,6 +151,16 @@ object FormatQueries {
         t13.append(oId.filter(col("o_orderkey") % 2 === 0).orderBy(col("o_orderkey")), Seq.empty)
         t13.append(oId.filter(col("o_orderkey") % 2 === 1).orderBy(col("o_orderkey")), Seq.empty)
 
+        // 14. VACUUM: v0 = full orders, v1 = logical overwrite keeping
+        //     % 3 keys — vacuum at retention 0 physically deletes v0's
+        //     unreferenced files (verified by count), and the CURRENT
+        //     snapshot answers unchanged. Time travel to v0 is
+        //     legitimately dead after this (the vacuum trade).
+        val t14 = DeltaTable.create(spark, s"$root/orders_vacuumed", o)
+        t14.overwrite(o.filter(col("o_orderkey") % 3 === 0), Seq.empty)
+        val vacuumed = t14.vacuum(retentionMs = 0L)
+        require(vacuumed.nonEmpty, "f21 fixture: vacuum(0) must delete v0's files")
+
         root
       })
     }
@@ -464,6 +474,24 @@ object FormatQueries {
         |  UNION ALL
         |  SELECT 998 + 2 * (SELECT COUNT(*) FROM a)
         |    + 2 * ROW_NUMBER() OVER (ORDER BY o_orderkey), o_orderkey FROM b)
-        |SELECT row_id, o_orderkey FROM ids ORDER BY row_id""".stripMargin)
+        |SELECT row_id, o_orderkey FROM ids ORDER BY row_id""".stripMargin),
+
+    // VACUUM physically removed the overwritten files (fixture asserts
+    // the deletion count), and the live snapshot still answers exactly.
+    QueryDef.sql(
+      "f21_delta_vacuum",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_vacuumed").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   )
 }

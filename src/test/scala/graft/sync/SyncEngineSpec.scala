@@ -428,6 +428,19 @@ class SyncEngineSpec extends SparkTestBase {
       SyncEngine.deltaSource(src), SyncEngine.icebergTarget(spark, s"$dir/ice"))
     assert(r.mode == "incremental" && r.filesAdded == 0,
       s"clean replay expected, got $r")
+
+    // fully adversarial values: every hive-escaped character class at
+    // once (space, colon, literal percent, equals, slash) — one
+    // mis-ordered escape/unescape anywhere in the chain shows up as a
+    // checksum mismatch or an unreadable path
+    val weird = spark.range(40).select(col("id").as("k"),
+      expr("element_at(array('plain', 'with space', 'col:on', 'pct%20t', 'a=b', 'sla/sh'), " +
+        "cast(id % 6 + 1 as int))").as("part"))
+    val wsrc = DeltaTable.create(spark, s"$dir/wsrc", weird, Seq("part"))
+    SyncEngine.sync(SyncEngine.deltaSource(wsrc), SyncEngine.icebergTarget(spark, s"$dir/wice"))
+    val wantW = checksum(wsrc.toDF().select(col("k"), col("part")))
+    assert(checksum(IcebergTable.forPath(spark, s"$dir/wice").toDF()
+      .select(col("k"), col("part"))) == wantW)
   }
 
   test("spec-evolved iceberg source refuses to sync (mixed-spec files are unrepresentable)") {
