@@ -574,6 +574,50 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       commitProps: Map[String, String] = Map.empty): Long =
     write(df, partitionColumns, overwrite = false, commitProps = commitProps)
 
+  /**
+   * Write-audit-publish, step 1: append onto a BRANCH — `main` readers
+   * see nothing, the branch stacks on its own head (or main's, when
+   * fresh). Audit via [[scanRef]], publish via [[fastForward]], discard
+   * via [[dropRef]] — the WAP workflow production pipelines run so
+   * unvalidated data is never visible to consumers.
+   */
+  def appendToBranch(df: DataFrame, branch: String,
+      partitionColumns: Seq[String] = Seq.empty): Long =
+    write(df, partitionColumns, overwrite = false, toBranch = Some(branch))
+
+  /**
+   * Write-audit-publish, step 2: fast-forward `main` to a branch head.
+   * Requires the branch to be a DESCENDANT of the current snapshot
+   * (pure fast-forward — diverged branches need a rebase/cherry-pick,
+   * which this engine does not fabricate silently).
+   */
+  def fastForward(branch: String): Unit = {
+    val (v, meta) = log.readLatest().getOrElse(
+      throw new IllegalStateException(s"not an iceberg table: $tablePath"))
+    val head = meta.refs.getOrElse(branch,
+      throw new IllegalArgumentException(s"no ref $branch on $tablePath"))
+    require(head.refType == "branch", s"$branch is a ${head.refType}; only branches publish")
+    // walk parents from the branch head down to main's current snapshot
+    val chain = Iterator.iterate(Option(head.snapshotId))(
+        _.flatMap(id => meta.snapshot(id).parentId))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+    meta.currentSnapshotId.foreach { cur =>
+      require(chain.contains(cur),
+        s"branch $branch does not descend from the current snapshot of " +
+          s"$tablePath — not a fast-forward")
+    }
+    val now = System.currentTimeMillis()
+    // the published lineage (main..branch head, oldest first) joins the
+    // snapshot log, so time travel walks the published history
+    val newLineage = chain
+      .takeWhile(id => !meta.currentSnapshotId.contains(id)).reverse
+    require(log.commit(v + 1, meta.copy(
+      currentSnapshotId = Some(head.snapshotId),
+      snapshotLog = meta.snapshotLog ++ newLineage.map((now, _)),
+      lastUpdatedMs = now)),
+      s"concurrent iceberg commit on $tablePath")
+  }
+
   /** Logical overwrite; old snapshots stay time-travelable. */
   def overwrite(df: DataFrame, partitionColumns: Seq[String] = Seq.empty,
       commitProps: Map[String, String] = Map.empty): Long =
@@ -810,7 +854,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       /** Pre-built entries committed atomically with the data (upsert's
         * equality-delete files). */
       extraAdds: Seq[ManifestEntry] = Seq.empty,
-      operationOverride: Option[String] = None): Long = {
+      operationOverride: Option[String] = None,
+      toBranch: Option[String] = None): Long = {
     val prev = log.readLatest()
     // inherit the table's partition spec when the caller doesn't repeat
     // it; a mismatching explicit spec is an error, never a silent wipe
@@ -904,7 +949,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         carryPrevious = !overwrite,
         operationOverride.getOrElse(
           if (overwrite) "overwrite" else if (replacing.nonEmpty) "replace" else "append"),
-        commitProps) match {
+        commitProps, toBranch = toBranch) match {
         case Some(snapshotId) => result = snapshotId
         case None =>
           require(attempt < 10,
@@ -946,7 +991,16 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       extraProps: Map[String, String],
       /** logical dot-path → physical parquet name (column-mapped sync
         * sources); rides the name mapping so readers resolve the files */
-      physicalNames: Map[String, String] = Map.empty): Option[Long] = {
+      physicalNames: Map[String, String] = Map.empty,
+      /** branch write (WAP): the commit's parent is the BRANCH head,
+        * `main` does not move, and the branch ref advances — readers of
+        * the table see nothing until [[fastForward]] publishes. */
+      toBranch: Option[String] = None): Option[Long] = {
+    toBranch.foreach { b =>
+      require(b != "main", "`main` is the table itself; append directly")
+      prev.foreach { case (_, m) => m.refs.get(b).foreach(r => require(
+        r.refType == "branch", s"ref $b on $tablePath is a ${r.refType}, not a branch")) }
+    }
     val now = System.currentTimeMillis()
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
     val seq = prev.map(_._2.lastSequenceNumber + 1).getOrElse(1L)
@@ -1062,10 +1116,16 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
             partitionSpecId = specId)
       }
     }
+    // a branch write stacks on the BRANCH head (falling back to main
+    // for a fresh branch); a main write stacks on the current snapshot
+    val parentSnapshotId: Option[Long] = prev.flatMap { case (_, m) =>
+      toBranch.flatMap(b => m.refs.get(b).map(_.snapshotId))
+        .orElse(m.currentSnapshotId)
+    }
     val carried: Seq[ManifestFileInfo] = prev match {
-      case Some((_, m)) if carryPrevious && m.currentSnapshotId.nonEmpty =>
+      case Some((_, m)) if carryPrevious && parentSnapshotId.nonEmpty =>
         IcebergManifests.readManifestList(
-          hconf, new Path(m.currentSnapshot.get.manifestList))
+          hconf, new Path(m.snapshot(parentSnapshotId.get).manifestList))
       case _ => Seq.empty
     }
 
@@ -1074,7 +1134,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
 
     val snap = IcebergSnapshot(
       snapshotId = snapshotId,
-      parentId = prev.flatMap(_._2.currentSnapshotId),
+      parentId = parentSnapshotId,
       sequenceNumber = seq,
       timestampMs = now,
       manifestList = listPath.toString,
@@ -1116,9 +1176,19 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       // may still reference it)
       olderSpecs = base.allSpecs.filterNot(_._1 == specId),
       properties = base.properties ++ nameMapping ++ extraProps,
-      currentSnapshotId = Some(snapshotId),
+      // branch write: `main` (current-snapshot-id + snapshot-log, which
+      // per spec tracks only the current lineage) stays put; the branch
+      // ref moves instead
+      currentSnapshotId =
+        if (toBranch.isEmpty) Some(snapshotId) else base.currentSnapshotId,
       snapshots = base.snapshots :+ snap,
-      snapshotLog = base.snapshotLog :+ (now, snapshotId))
+      snapshotLog =
+        if (toBranch.isEmpty) base.snapshotLog :+ (now, snapshotId)
+        else base.snapshotLog,
+      refs = toBranch match {
+        case Some(b) => base.refs + (b -> IcebergRef(snapshotId, "branch"))
+        case None => base.refs
+      })
     val v = prev.map(_._1 + 1).getOrElse(1L)
     if (log.commit(v, next)) Some(snapshotId) else None
   }

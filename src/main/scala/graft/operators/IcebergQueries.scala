@@ -172,6 +172,23 @@ object IcebergQueries {
         t15.evolvePartitionSpec(Seq("o_orderpriority"))
         t15.append(o.filter(col("o_orderkey") % 2 === 1))
 
+        // 16. write-audit-publish: even keys land on main; odd keys are
+        //     staged on the `audit` branch (invisible to main readers —
+        //     asserted here), audited via scanRef, then fast-forwarded.
+        //     A rejected batch on a second branch is dropped unpublished.
+        val t16 = IcebergTable.create(
+          spark, s"$root/orders_wap", o.filter(col("o_orderkey") % 2 === 0))
+        t16.appendToBranch(o.filter(col("o_orderkey") % 2 === 1), "audit")
+        require(t16.toDF().count() ==
+          o.filter(col("o_orderkey") % 2 === 0).count(),
+          "i18 fixture: branch write must be invisible before publish")
+        require(t16.scanRef("audit").toDF().count() == o.count(),
+          "i18 fixture: the audit branch must see both eras")
+        t16.fastForward("audit")
+        t16.appendToBranch(
+          o.limit(5).withColumn("o_orderkey", col("o_orderkey") + 20000000L), "rejected")
+        t16.dropRef("rejected")
+
         root
       })
     }
@@ -542,6 +559,24 @@ object IcebergQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // Write-audit-publish: after the audited branch fast-forwards, main
+    // answers with BOTH eras; the rejected branch's rows never appear
+    // (it was dropped unpublished).
+    QueryDef.sql(
+      "i18_wap_branch_publish",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_wap").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     QueryDef.sql(
       "x01_cross_format_equality",

@@ -489,6 +489,43 @@ class IcebergTableSpec extends SparkTestBase {
     assert(t.snapshotIds == Seq(77L))
   }
 
+  test("branch writes: isolation, stacking, fast-forward publish, divergence refused") {
+    val dir = tmpDir("ice_wap")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    val even = src.filter(col("o_orderkey") % 2 === 0)
+    val odd = src.filter(col("o_orderkey") % 2 === 1)
+    val t = IcebergTable.create(spark, s"$dir/t", even)
+
+    // two stacked branch appends; main never moves
+    t.appendToBranch(odd.filter(col("o_orderkey") % 4 === 1), "audit")
+    t.appendToBranch(odd.filter(col("o_orderkey") % 4 === 3), "audit")
+    assert(t.toDF().count() == even.count())
+    assert(t.scanRef("audit").toDF().count() == src.count())
+    // the branch head's parent chain reaches main's current snapshot
+    val m = t.currentMetadata
+    assert(m.refs("audit").refType == "branch")
+
+    // publish: main == full data; time travel to the pre-publish head
+    // still answers the even half
+    val preMain = t.currentMetadata.currentSnapshotId.get
+    t.fastForward("audit")
+    assert(t.toDF().count() == src.count())
+    assert(t.toDF(snapshotAsOf = Some(preMain)).count() == even.count())
+
+    // a branch created BEFORE main advanced no longer fast-forwards
+    val t2 = IcebergTable.create(spark, s"$dir/t2", even.limit(10))
+    t2.appendToBranch(odd.limit(5), "stale")
+    t2.append(even.limit(3).withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    val e = intercept[IllegalArgumentException](t2.fastForward("stale"))
+    assert(e.getMessage.contains("not a fast-forward"))
+
+    // a tag cannot be written to
+    t2.createTag("pin")
+    val e2 = intercept[IllegalArgumentException](
+      t2.appendToBranch(odd.limit(1), "pin"))
+    assert(e2.getMessage.contains("not a branch"))
+  }
+
   test("partition-spec evolution: both eras read, per-spec pruning, ids reused") {
     val dir = tmpDir("ice_specevo")
     val src = spark.read.parquet(s"$sf0001/orders.parquet")
