@@ -61,6 +61,33 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("event_type"), col("value"))
 
+  /**
+   * Stream-stream interval join: each click joins the SAME user's
+   * purchases within the following 30 minutes — both sides unbounded
+   * streams, so the join is stateful and BOTH watermarks plus the
+   * interval condition bound the state (Spark drops a side's rows once
+   * the other's watermark passes the join range — without the time
+   * bound, stream-stream join state grows forever; this is the shape
+   * that runs indefinitely at event-firehose scale).
+   */
+  def clickPurchaseJoin(spark: SparkSession, inputDir: String): DataFrame = {
+    val events = read(spark, inputDir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts_us").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
   final case class Evt(user_id: Long, ts_us: Timestamp, value: Double)
   final case class SessionState(startUs: Long, lastUs: Long, cnt: Long, sum: Double)
   final case class SessionOut(

@@ -107,6 +107,35 @@ class EventStreamsSpec extends SparkTestBase {
       "dedup emitted a different id set than the batch distinct")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val in = stageEvents()
+    val q = EventStreams.clickPurchaseJoin(spark, in)
+      .writeStream
+      .format("memory")
+      .queryName("ssj_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt_ssj"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    import spark.implicits._
+    val streamed = spark.table("ssj_stream")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    val e = withTsUs(spark.read.parquet(in))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts_us").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(streamed.nonEmpty, "the interval join emitted nothing")
+    assert(streamed == batch)
+  }
+
   test("stateful sessionization emits watermark-closed sessions matching batch islands") {
     val in = stageEvents()
     import spark.implicits._
