@@ -161,6 +161,17 @@ object FormatQueries {
         val vacuumed = t14.vacuum(retentionMs = 0L)
         require(vacuumed.nonEmpty, "f21 fixture: vacuum(0) must delete v0's files")
 
+        // 15. RENAME COLUMN via column mapping: files written BEFORE the
+        //     rename keep their physical column names; reads resolve
+        //     through the mapping under the new logical name, and an
+        //     append AFTER the rename round-trips too
+        val t15 = DeltaTable.create(
+          spark, s"$root/orders_renamed", o.filter(col("o_orderkey") % 2 === 0))
+        t15.enableColumnMapping()
+        t15.renameColumn("o_totalprice", "o_amount")
+        t15.append(o.filter(col("o_orderkey") % 2 === 1)
+          .withColumnRenamed("o_totalprice", "o_amount"), Seq.empty)
+
         root
       })
     }
@@ -492,6 +503,21 @@ object FormatQueries {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 3 = 0
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // RENAME COLUMN: pre-rename files answer under the new logical name
+    // through the column mapping; post-rename appends join them.
+    QueryDef.sql(
+      "f22_delta_rename_column",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_renamed").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_amount").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_amount"))
+          .orderBy(col("o_orderstatus")),
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   )
 }
