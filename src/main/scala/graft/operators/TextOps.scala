@@ -344,6 +344,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * The composed pretraining-data pipeline — exact dedup, then the
+   * Gopher quality gate, then a balanced per-language sample — chained
+   * as ONE lazy plan the optimizer sees whole (the point of composing
+   * operators declaratively: the dedup digest groupBy, the per-row
+   * filter battery, and the sampling window fuse into three shuffles
+   * total, with column pruning reaching the scan because nothing
+   * materializes between stages). Every stage reuses the exact
+   * arithmetic of its standalone twin (d01 / t10 / t07), so the whole
+   * chain stays engine-replayable.
+   */
+  def pipelineSample(spark: SparkSession, dir: String, perLang: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sw = stopwords.map("'" + _ + "'").mkString(",")
+    // stage 1 — exact dedup: keep the smallest doc_id per content digest
+    val w1 = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = Tables.documents(spark, dir)
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") === 1)
+    // stage 2 — t10's integer-exact quality gate
+    val gated = deduped
+      .withColumn("words", split(lower(col("text")), " "))
+      .withColumn("wc", size(col("words")).cast("bigint"))
+      .withColumn("chars", (length(col("text")) - (col("wc") - 1)).cast("bigint"))
+      .filter(col("wc") >= 30 && col("wc") <= 90)
+      .filter(col("chars") >= col("wc") * 4 && col("chars") <= col("wc") * 5)
+      .filter(size(expr(s"array_distinct(filter(words, w -> w IN ($sw)))")) >= 2)
+      .filter(expr(
+        "cast(array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w)))) AS bigint)") * 8
+        <= col("wc"))
+    // stage 3 — t07's deterministic per-language sample
+    val w3 = Window.partitionBy(col("lang"))
+      .orderBy(expr("(doc_id * 2654435761) % 4294967296"), col("doc_id"))
+    gated
+      .withColumn("rank", row_number().over(w3))
+      .filter(col("rank") <= perLang)
+      .select(col("doc_id"), col("lang"), col("rank").cast("long").as("rank"),
+        col("wc").as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MD5 fingerprint of punctuation/case-normalized text (the
     * engine-portable digest; xxhash64 variants live in Dedup). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
@@ -561,6 +602,35 @@ object TextOps {
         |  CASE WHEN lm_score >= n_bigrams * 34000 THEN 'head'
         |       WHEN lm_score >= n_bigrams * 31000 THEN 'middle'
         |       ELSE 'tail' END AS bucket
-        |FROM agg ORDER BY doc_id""".stripMargin)
+        |FROM agg ORDER BY doc_id""".stripMargin),
+    // The composed pipeline's oracle chains the three standalone
+    // oracles' logic in one CTE sequence — same digests, same integer
+    // gates, same Knuth ranking.
+    QueryDef.sql(
+      "t13_pipeline_dedup_filter_sample",
+      (spark, dir) => pipelineSample(spark, dir),
+      s"""WITH dedup AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, text, lang,
+         |      ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn1
+         |    FROM documents) WHERE rn1 = 1),
+         |gate AS (
+         |  SELECT doc_id, lang, wc FROM (
+         |    SELECT doc_id, lang, string_split(lower(text), ' ') AS words,
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+         |      CAST(len(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS chars
+         |    FROM dedup)
+         |  WHERE wc >= 30 AND wc <= 90
+         |    AND chars >= wc * 4 AND chars <= wc * 5
+         |    AND len(list_distinct(list_filter(words, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")})))) >= 2
+         |    AND CAST(list_max(list_transform(list_distinct(words),
+         |      w -> len(list_filter(words, x -> x = w)))) AS BIGINT) * 8 <= wc),
+         |ranked AS (
+         |  SELECT doc_id, lang, wc,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rank
+         |  FROM gate)
+         |SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank, wc AS n_words
+         |FROM ranked WHERE rank <= 25 ORDER BY doc_id""".stripMargin)
   )
 }
