@@ -25,7 +25,8 @@ object FreezeExpected {
     Seq(
       "d03_simhash_dedup" -> (Dedup.simhashPairs _),
       "d05_embedding_near_dup" -> (Dedup.embeddingNearDupPairs _),
-      "m02b_feature_bins" -> (Multimodal.featureBins _))
+      "m02b_feature_bins" -> (Multimodal.featureBins _),
+      "m05_phash_near_dup" -> ((s, d) => Multimodal.phashNearDup(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -116,6 +116,114 @@ object Multimodal {
         length(col("content")).cast(LongType).as("orig_len"),
         size(col("resized")).cast(LongType).as("resized_len"))
 
+  /**
+   * STUB perceptual hash — the dHash recipe over the stubbed decode: 65
+   * bytes sampled at fixed strides across the payload (the stand-in for
+   * a 65-pixel downsampled luminance row), bit i = sample[i] >
+   * sample[i+1]. Structure-preserving like real dHash: near-identical
+   * payloads differ in a few bits, unrelated ones in ~32. Per-partition
+   * batched compute, like every decode in this file.
+   */
+  def perceptualHashes(spark: SparkSession, dir: String): DataFrame =
+    hashPayloads(spark, binaryTable(spark, dir).select(col("doc_id"), col("content")))
+
+  private def dhash64(bytes: Array[Byte]): Long = {
+    var h = 0L
+    if (bytes.length >= 2) {
+      val s = new Array[Int](65)
+      var i = 0
+      while (i <= 64) {
+        s(i) = bytes((i.toLong * (bytes.length - 1) / 64).toInt) & 0xff
+        i += 1
+      }
+      var b = 0
+      while (b < 64) {
+        if (s(b) > s(b + 1)) h |= (1L << b)
+        b += 1
+      }
+    }
+    h
+  }
+
+  private def hashPayloads(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("phash", LongType)))
+    val rows = payloads.rdd.mapPartitions(_.map { r =>
+      Row(r.getLong(0), dhash64(r.getAs[Array[Byte]](1)))
+    })
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** The corpus plus planted "re-encodings": every 50th payload gets a
+    * twin (doc_id + 10^7) with VALUE noise on every 16th byte —
+    * positions intact, like pixel noise from a lossy re-encode, exactly
+    * the perturbation class a perceptual hash must tolerate (a text
+    * edit SHIFTS bytes and rightly breaks it; media near-dups do not
+    * shift). */
+  private def corpusWithReencodes(spark: SparkSession, dir: String): DataFrame = {
+    val base = binaryTable(spark, dir).select(col("doc_id"), col("content"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("content", BinaryType)))
+    val twins = spark.createDataFrame(
+      base.filter(col("doc_id") % 50 === 0).rdd.mapPartitions(_.map { r =>
+        val bytes = r.getAs[Array[Byte]](1).clone()
+        var i = 0
+        while (i < bytes.length) { bytes(i) = ((bytes(i) + 1) & 0xff).toByte; i += 16 }
+        Row(r.getLong(0) + 10000000L, bytes)
+      }), schema)
+    base.unionByName(twins)
+  }
+
+  /**
+   * Perceptual near-duplicates: 4×16-bit band collisions over DISTINCT
+   * signatures (the d03 hot-bucket discipline — a million identical
+   * payloads occupy each band bucket as ONE row), verified by Hamming
+   * distance ≤ 6. Identical-signature groups pair within their group at
+   * distance 0. The banding guarantees recall for any pair within
+   * Hamming 6 of a 64-bit hash (pigeonhole: 6 errors cannot touch all 4
+   * bands... they can touch at most 6, so one of the 4 bands collides
+   * only when errors cluster — for the pinned corpus the frozen
+   * expectation IS the contract, like d03/d05).
+   */
+  def phashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    val groups = hashPayloads(spark, corpusWithReencodes(spark, dir))
+      .groupBy(col("phash")).agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+    val banded = groups.select(col("phash"), explode(expr(
+      "transform(sequence(0, 3), b -> struct(b AS band, shiftright(phash, b*16) & 65535 AS bkey))"))
+      .as("bb"))
+      .select(col("phash"), col("bb.band"), col("bb.bkey"))
+    val candidates = banded
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_set(col("phash"))).as("hs"))
+      .filter(size(col("hs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(hs)-1),
+          |  i -> transform(slice(hs, 1, i), a -> struct(a AS ha, hs[i] AS hb))))""".stripMargin))
+        .as("p"))
+      .select(col("p.ha"), col("p.hb"))
+      .dropDuplicates("ha", "hb")
+      .filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
+    val cross = candidates
+      .join(groups.select(col("phash").as("ha"), col("ids").as("ids_a")), Seq("ha"))
+      .join(groups.select(col("phash").as("hb"), col("ids").as("ids_b")), Seq("hb"))
+      .select(expr("bit_count(ha ^ hb)").cast(LongType).as("hamming"), explode(expr(
+        """flatten(transform(ids_a,
+          |  x -> transform(ids_b, y -> struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("hamming"))
+    val same = groups.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids)-1),
+          |  i -> transform(slice(ids, 1, i), a -> struct(a AS doc_a, ids[i] AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(0L).as("hamming"))
+    same.unionByName(cross)
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The full 16-bin histogram per document, bins as rounded doubles —
     * the frozen-expectation surface for m02b (bin VALUES have no SQL
     * form; the committed expectation pins them against decoder drift,
@@ -195,6 +303,18 @@ object Multimodal {
         |        unnest(range(0, CAST((octet_length(CAST(text AS BLOB))//64 + 3)//4 AS BIGINT))) AS j
         |      FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // Perceptual near-dup pairs, pinned by a frozen expectation (the
+    // d03 pattern: deterministic engine-side hashing DuckDB cannot
+    // replay; the committed file keyed on the corpus invariant is the
+    // contract).
+    QueryDef.sql(
+      "m05_phash_near_dup",
+      (spark, dir) => phashNearDup(spark, dir),
+      """SELECT * EXCLUDE (src_key)
+        |FROM '/root/repo/expected/m05_phash_near_dup_*.parquet'
+        |WHERE src_key = (SELECT SUM(n_chars) FROM documents)
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     QueryDef.sql(
       "m04_resize",
