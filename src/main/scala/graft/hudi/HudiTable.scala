@@ -397,6 +397,57 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
    * executors); brand-new keys become new base files. One atomic
    * `deltacommit` covers both. Returns the instant time.
    */
+  /**
+   * The Bloom-index-shaped routing prune (what Hudi's record-key index
+   * exists for): a slice whose base file's record-key range provably
+   * excludes EVERY incoming key cannot own any of them, so the routing
+   * scan skips it — at 100 TB the difference between reading the whole
+   * table's key columns per upsert and reading the few file groups a
+   * key batch actually touches. Ranges come from the col_stats index
+   * (metadata-sized, broadcast); files without indexed key stats, and
+   * key types whose canonical stat form isn't directly comparable,
+   * stay candidates — pruning is only ever an optimization, never a
+   * correctness dependency. Sound because every live key exists in
+   * some BASE file (inserts always create base files; log blocks only
+   * mutate keys already in their group's base).
+   */
+  private[hudi] def upsertCandidateSlices(
+      df: DataFrame, key: String, keyDt: DataType): Seq[HudiFileSlice] = {
+    val comparable = keyDt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           FloatType | DoubleType | _: DecimalType => true
+      case _ => false
+    }
+    if (!comparable) return fileSlices(None)
+    val slices = fileSlices(None)
+    HudiColStats.read(spark, tablePath, instants) match {
+      case None => slices
+      case Some(idx) =>
+        val ranges = idx
+          .filter(col("column") === key &&
+            col("minValue").isNotNull && col("maxValue").isNotNull)
+          .select(col("partitionPath"), col("fileName"), col("minValue"), col("maxValue"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+        if (ranges.isEmpty) return slices
+        // distributed per-file hit test: EXISTS an incoming key within
+        // the file's [kmin, kmax] — incoming keys stay distributed, the
+        // metadata-sized range table broadcasts
+        val rdf = spark.createDataFrame(ranges.toSeq)
+          .toDF("__pp", "__fn", "__kmin", "__kmax")
+        val kmin = HudiColStats.typedCanon(col("__kmin"), keyDt)
+        val kmax = HudiColStats.typedCanon(col("__kmax"), keyDt)
+        val hits = df.select(col(s"`$key`").as("__k")).distinct()
+          .join(broadcast(rdf), col("__k") >= kmin && col("__k") <= kmax)
+          .select(col("__pp"), col("__fn")).distinct()
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        val covered = ranges.map(t => (t._1, t._2)).toSet
+        slices.filter { s =>
+          val id = (s.partitionPath, new Path(s.basePath).getName)
+          !covered(id) || hits(id)
+        }
+    }
+  }
+
   def upsert(df: DataFrame, commitProps: Map[String, String] = Map.empty): String = {
     require(isMor, s"upsert needs a MERGE_ON_READ table: $tablePath is $tableType")
     val key = recordKeyField.getOrElse(throw new IllegalStateException(
@@ -406,12 +457,19 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val dataCols = schema.fieldNames.toSeq
     require(dataCols.forall(df.schema.fieldNames.contains),
       s"upsert frame must carry every table column of $tablePath")
-    val slices = fileSlices(None)
-    // key -> owning slice, resolved distributed (scan of base keys)
-    val baseKeys = readFiles(
-        slices.map(s => (s.basePath, s.partitionPath, s.baseSize)), None,
-        withRowPositions = true)
-      .select(col(s"`$key`"), col("__graft_file"))
+    val slices = upsertCandidateSlices(df, key, schema(key).dataType)
+    // key -> owning slice, resolved distributed (scan of base keys —
+    // candidate slices only, see upsertCandidateSlices; every slice
+    // pruned ⇒ a pure-insert batch with an empty routing side)
+    val baseKeys =
+      if (slices.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(Seq(
+          schema(key).copy(name = key), StructField("__graft_file", StringType))))
+      else readFiles(
+          slices.map(s => (s.basePath, s.partitionPath, s.baseSize)), None,
+          withRowPositions = true)
+        .select(col(s"`$key`"), col("__graft_file"))
     val metaDF = spark.createDataFrame(slices.map(s =>
         (HudiTable.metaPathForm(absoluteOf(s.basePath)), s.partitionPath, s.fileId, s.baseInstant)))
       .toDF("__graft_file", "__pp", "__fid", "__binst")

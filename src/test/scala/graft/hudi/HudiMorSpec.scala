@@ -107,6 +107,34 @@ class HudiMorSpec extends SparkTestBase {
     assert(t.toDF().filter(col("o_orderkey") >= 10000000L).count() == 10)
   }
 
+  test("upsert routing prunes slices by record-key range; answers stay exact") {
+    val dir = tmpDir("mor_keyprune")
+    // 8 range-clustered base files → disjoint o_orderkey ranges in the
+    // col_stats index
+    val t = HudiTable.createMor(spark, s"$dir/t",
+      orders.repartitionByRange(8, col("o_orderkey")), "o_orderkey")
+    val all = t.fileSlices().size
+    assert(all >= 8)
+    // a narrow key band must route through a strict subset of slices
+    val narrow = orders.orderBy(col("o_orderkey")).limit(20)
+      .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+    val cands = t.upsertCandidateSlices(narrow, "o_orderkey",
+      org.apache.spark.sql.types.LongType)
+    assert(cands.size < all,
+      s"expected key-range pruning: ${cands.size} of $all slices")
+    // and the real upsert through the pruned routing is exact
+    t.upsert(narrow)
+    assert(t.toDF().count() == orders.count())
+    val updatedKeys = narrow.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val gotMin = t.toDF().filter(col("o_orderkey").isInCollection(updatedKeys))
+      .agg(min(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(gotMin >= 100000.0, s"updated keys not routed: min price $gotMin")
+    // keys outside every range still insert (no candidate file)
+    val fresh = orders.limit(3).withColumn("o_orderkey", col("o_orderkey") + 30000000L)
+    t.upsert(fresh)
+    assert(t.toDF().count() == orders.count() + 3)
+  }
+
   test("second upsert of the same keys wins (latest instant)") {
     val dir = tmpDir("mor_twice")
     val t = HudiTable.createMor(spark, s"$dir/t", orders, "o_orderkey")
