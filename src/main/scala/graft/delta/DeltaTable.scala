@@ -426,7 +426,15 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       /** MERGE's incoming rows, for the change feed: when the table
         * enables CDF these land in `_change_data` as `insert` records
         * alongside the delete pre-images. */
-      cdcInserts: Option[DataFrame] = None): Long = {
+      cdcInserts: Option[DataFrame] = None,
+      /** MERGE key pruning: (key columns, incoming key frame). A file
+        * whose per-file stats prove NO incoming value falls inside a
+        * key column's [min,max] cannot hold a match — skip scanning it
+        * (the Delta-side twin of the Hudi upsert routing prune; at
+        * scale, a keyed MERGE reads the touched files, not the table).
+        * Per-column interval tests are a sound over-approximation for
+        * composite keys; files without stats stay candidates. */
+      pruneByKeys: Option[(Seq[String], DataFrame)] = None): Long = {
     requireWritable(mutation = true)
     val (schema, partCols) = schemaAt(None)
     // column-mapped tables scan physical, match logical: the predicate /
@@ -441,12 +449,46 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       snapRows.map(r => DeltaTable.metadataFilePath(tablePath, r.getString(0)) -> r).toMap
     // scan PHYSICAL rows (existing deletes not applied: re-marking an
     // already-deleted position is idempotent under bitmap union)
-    val mfs = snapRows.map { r =>
+    val allMfs = snapRows.map { r =>
       graft.sources.ManifestFile(
         path = DeltaTable.metadataFilePath(tablePath, r.getString(0)),
         size = if (r.isNullAt(1)) 0L else r.getLong(1),
         modificationTime = if (r.isNullAt(2)) 0L else r.getLong(2),
         partitionValues = if (r.isNullAt(3)) Map.empty else r.getMap[String, String](3).toMap)
+    }
+    val mfs = pruneByKeys match {
+      case None => allMfs
+      case Some((kc, keys)) =>
+        import org.apache.spark.sql.functions.{broadcast, from_json}
+        def pName(c: String): String = physShape match {
+          case None => c
+          case Some(_) => DeltaTable.physicalName(schema(c))
+        }
+        val statCols = StructType(
+          kc.map(c => StructField(pName(c), schema(c).dataType)))
+        val statsSchema = StructType(Seq(
+          StructField("minValues", statCols), StructField("maxValues", statCols)))
+        val filesDF = spark.createDataFrame(snapRows.map(r =>
+            (DeltaTable.metadataFilePath(tablePath, r.getString(0)),
+              if (r.isNullAt(4)) null else r.getString(4))))
+          .toDF("__path", "__stats")
+          .withColumn("st", from_json(col("__stats"), statsSchema))
+          .persist()
+        var cand = allMfs.map(_.path).toSet
+        kc.foreach { c =>
+          val minC = col(s"st.minValues.`${pName(c)}`")
+          val maxC = col(s"st.maxValues.`${pName(c)}`")
+          val known = filesDF.filter(minC.isNotNull && maxC.isNotNull)
+            .select(col("__path"), minC.as("__kmin"), maxC.as("__kmax"))
+          val knownSet = known.select("__path").collect().map(_.getString(0)).toSet
+          val hit = keys.select(col(s"`$c`").as("__k")).distinct()
+            .join(broadcast(known),
+              col("__k") >= col("__kmin") && col("__k") <= col("__kmax"))
+            .select("__path").distinct().collect().map(_.getString(0)).toSet
+          cand = cand.filter(p => !knownSet(p) || hit(p))
+        }
+        filesDF.unpersist()
+        allMfs.filter(f => cand(f.path))
     }
     import spark.implicits._
     val cdfEnabled = log.metadataAt(None)._1.configuration
@@ -680,7 +722,8 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         .join(keys, keyCols.map(c => data(c) <=> keys(c)).reduce(_ && _), "left_semi"),
       CommitInfo(System.currentTimeMillis(), "MERGE", Map("matchedAction" -> "delete")),
       extraActions = identityMeta ++ newAdds,
-      cdcInserts = Some(withGen))
+      cdcInserts = Some(withGen),
+      pruneByKeys = Some((keyCols, keys)))
   }
 
   /**

@@ -223,4 +223,36 @@ class DeltaDeleteSpec extends SparkTestBase {
     assert(t.log.commit(v + 1, inlineActions))
     assert(keys(DeltaTable.forPath(spark, s"$dir/t")) == expect)
   }
+
+  test("MERGE prunes non-candidate files by key stats (proved: pruned file is never read)") {
+    val dir = tmpDir("merge_prune")
+    // 8 range-clustered files → disjoint o_orderkey stats ranges
+    val t = DeltaTable.create(spark, s"$dir/t",
+      orders.repartitionByRange(8, col("o_orderkey")))
+    val files = t.scan.files().select("path").collect().map(_.getString(0))
+    assert(files.length >= 8)
+    // physically delete the file holding the HIGHEST keys; its log entry
+    // (and stats) stay — any scan touching it would fail loudly
+    val withMax = t.scan.files()
+      .select(col("path"), get_json_object(col("stats"), "$.maxValues.o_orderkey").cast("long").as("mx"))
+      .orderBy(col("mx").desc).limit(1).collect()(0)
+    val victim = new org.apache.hadoop.fs.Path(s"$dir/t", withMax.getString(0))
+    val fs = victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(victim, false))
+    // an upsert touching only LOW keys succeeds — the stats prune keeps
+    // the missing file out of the matched-scan entirely
+    val low = orders.orderBy(col("o_orderkey")).limit(10)
+      .withColumn("o_totalprice", col("o_totalprice") + 500000.0)
+    t.upsert(low, Seq("o_orderkey"))
+    val lowKeys = low.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    // (full reads would now fail on the missing file, so check the
+    // touched band through the pruned scan)
+    val gotMin = t.scan.range("o_orderkey", Some(lowKeys.min), Some(lowKeys.max)).toDF()
+      .filter(col("o_orderkey").isInCollection(lowKeys))
+      .agg(min(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(gotMin >= 500000.0, s"low-band keys not merged: $gotMin")
+    // and an upsert touching the victim's band DOES try to read it
+    val high = orders.orderBy(col("o_orderkey").desc).limit(5)
+    intercept[Exception](t.upsert(high, Seq("o_orderkey")))
+  }
 }
