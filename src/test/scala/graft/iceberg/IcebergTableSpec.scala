@@ -489,6 +489,31 @@ class IcebergTableSpec extends SparkTestBase {
     assert(t.snapshotIds == Seq(77L))
   }
 
+  test("spec-evolved table plans from metadata only: file selection with data deleted") {
+    val dir = tmpDir("ice_specevo_plan")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    val t = IcebergTable.create(spark, s"$dir/t",
+      src.filter(col("o_orderkey") % 2 === 0), Seq("o_orderstatus"))
+    t.evolvePartitionSpec(Seq("o_orderpriority"))
+    t.append(src.filter(col("o_orderkey") % 2 === 1))
+    val nLive = t.scan.files().size
+    // constructive zero-FS-planning proof (the ManifestFileIndexSpec
+    // pattern applied to a REAL mixed-spec table): delete every data
+    // file; planning — including each era relation's file selection —
+    // must still succeed because it reads only manifests
+    val root = new org.apache.hadoop.fs.Path(s"$dir/t")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).filter(_.getPath.getName != "metadata")
+      .foreach(st => fs.delete(st.getPath, true))
+    val scans = t.toDF().queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 2, s"one relation per spec era, got ${scans.size}")
+    val selected = scans.map(_.selectedPartitions.toPartitionArray.length).sum
+    assert(selected == nLive, s"planned $selected of $nLive live files")
+  }
+
   test("branch writes: isolation, stacking, fast-forward publish, divergence refused") {
     val dir = tmpDir("ice_wap")
     val src = spark.read.parquet(s"$sf0001/orders.parquet")
