@@ -433,6 +433,9 @@ class SyncEngineSpec extends SparkTestBase {
     // once (space, colon, literal percent, equals, slash) — one
     // mis-ordered escape/unescape anywhere in the chain shows up as a
     // checksum mismatch or an unreadable path
+    // (non-ASCII values are excluded: this JVM's sun.jnu.encoding cannot
+    // represent them in OS paths, so Spark's own partition write fails
+    // before any engine code runs)
     val weird = spark.range(40).select(col("id").as("k"),
       expr("element_at(array('plain', 'with space', 'col:on', 'pct%20t', 'a=b', 'sla/sh'), " +
         "cast(id % 6 + 1 as int))").as("part"))
