@@ -768,6 +768,40 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |QUALIFY o_orderkey % 13 = 0
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // ---- map / struct scalar functions -----------------------------------
+    // The map-construction + extraction + introspection battery (and a
+    // struct round trip), with SCALAR outputs so the hash compare stays
+    // engine-portable (map/struct column encodings differ between
+    // engines; their contents do not).
+    QueryDef.sql(
+      "q38_map_struct_functions",
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .filter(col("l_orderkey") % 7 === 0)
+          .withColumn("m", map_from_arrays(
+            array(lit("qty"), lit("tax")),
+            array(col("l_quantity").cast(DecimalType(18, 2)),
+              col("l_tax").cast(DecimalType(18, 2)))))
+          .withColumn("s", struct(col("l_orderkey").as("k"), col("l_linenumber").as("n")))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            element_at(col("m"), "qty").cast(DoubleType).as("qty_val"),
+            size(col("m")).cast(LongType).as("n_entries"),
+            concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"),
+            (col("s.k") * 10 + col("s.n")).as("packed"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(map_extract(MAP(['qty','tax'],
+        |    [CAST(l_quantity AS DECIMAL(18,2)), CAST(l_tax AS DECIMAL(18,2))]), 'qty')[1] AS DOUBLE) AS qty_val,
+        |  CAST(cardinality(MAP(['qty','tax'],
+        |    [CAST(l_quantity AS DECIMAL(18,2)), CAST(l_tax AS DECIMAL(18,2))])) AS BIGINT) AS n_entries,
+        |  array_to_string(list_sort(map_keys(MAP(['qty','tax'],
+        |    [CAST(l_quantity AS DECIMAL(18,2)), CAST(l_tax AS DECIMAL(18,2))]))), ',') AS keys_csv,
+        |  CAST({'k': l_orderkey, 'n': l_linenumber}.k * 10
+        |    + {'k': l_orderkey, 'n': l_linenumber}.n AS BIGINT) AS packed
+        |FROM lineitem WHERE l_orderkey % 7 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
   )
 }
