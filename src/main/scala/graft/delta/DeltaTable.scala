@@ -467,7 +467,9 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         val statCols = StructType(
           kc.map(c => StructField(pName(c), schema(c).dataType)))
         val statsSchema = StructType(Seq(
-          StructField("minValues", statCols), StructField("maxValues", statCols)))
+          StructField("minValues", statCols), StructField("maxValues", statCols),
+          StructField("nullCount", StructType(
+            kc.map(c => StructField(pName(c), LongType))))))
         val filesDF = spark.createDataFrame(snapRows.map(r =>
             (DeltaTable.metadataFilePath(tablePath, r.getString(0)),
               if (r.isNullAt(4)) null else r.getString(4))))
@@ -478,11 +480,20 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         kc.foreach { c =>
           val minC = col(s"st.minValues.`${pName(c)}`")
           val maxC = col(s"st.maxValues.`${pName(c)}`")
-          val known = filesDF.filter(minC.isNotNull && maxC.isNotNull)
+          val nullsC = col(s"st.nullCount.`${pName(c)}`")
+          val kDistinct = keys.select(col(s"`$c`").as("__k")).distinct()
+          // MERGE matches with null-safe equality: a null incoming key
+          // matches rows where c IS NULL, which min/max never witness.
+          // With a null key present, only files PROVEN all-non-null
+          // (nullCount known and zero) remain range-prunable; the range
+          // join itself uses non-null keys only.
+          val hasNullKey = kDistinct.filter(col("__k").isNull).limit(1).count() > 0
+          val prunable = filesDF.filter(minC.isNotNull && maxC.isNotNull &&
+              (if (hasNullKey) nullsC.isNotNull && nullsC === 0L else lit(true)))
             .select(col("__path"), minC.as("__kmin"), maxC.as("__kmax"))
-          val knownSet = known.select("__path").collect().map(_.getString(0)).toSet
-          val hit = keys.select(col(s"`$c`").as("__k")).distinct()
-            .join(broadcast(known),
+          val knownSet = prunable.select("__path").collect().map(_.getString(0)).toSet
+          val hit = kDistinct.filter(col("__k").isNotNull)
+            .join(broadcast(prunable),
               col("__k") >= col("__kmin") && col("__k") <= col("__kmax"))
             .select("__path").distinct().collect().map(_.getString(0)).toSet
           cand = cand.filter(p => !knownSet(p) || hit(p))

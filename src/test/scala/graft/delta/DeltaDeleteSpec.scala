@@ -255,4 +255,25 @@ class DeltaDeleteSpec extends SparkTestBase {
     val high = orders.orderBy(col("o_orderkey").desc).limit(5)
     intercept[Exception](t.upsert(high, Seq("o_orderkey")))
   }
+
+  test("MERGE with a null incoming key still rewrites files holding null-key rows") {
+    val dir = tmpDir("merge_prune_null")
+    import spark.implicits._
+    // file A: low keys only; file B: high keys plus a null-key row.
+    // B's [min,max] misses every non-null incoming key, so a range-only
+    // prune would drop B and leave its null-key row as a stale duplicate.
+    val t = DeltaTable.create(spark, s"$dir/t",
+      (1L to 100L).map(k => (Option(k), s"a$k")).toDF("k", "v").coalesce(1))
+    t.append(((1000L to 1100L).map(k => (Option(k), s"b$k")) :+
+      ((Option.empty[Long], "stale"))).toDF("k", "v").coalesce(1), Seq.empty)
+    assert(t.scan.files().count() == 2)
+    t.upsert(Seq((Option(1L), "A1"), (Option.empty[Long], "fresh")).toDF("k", "v"), Seq("k"))
+    val nullRows = t.toDF().filter(col("k").isNull).select("v")
+      .collect().map(_.getString(0)).toSeq
+    assert(nullRows == Seq("fresh"), s"stale null-key row survived: $nullRows")
+    assert(t.toDF().filter(col("k") === 1L).select("v").collect().map(_.getString(0)).toSeq
+      == Seq("A1"))
+    // the range prune still works for the all-non-null file on non-null keys
+    assert(t.toDF().count() == 100 + 101 + 1)
+  }
 }
