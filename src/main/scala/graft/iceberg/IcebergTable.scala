@@ -597,9 +597,12 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val head = meta.refs.getOrElse(branch,
       throw new IllegalArgumentException(s"no ref $branch on $tablePath"))
     require(head.refType == "branch", s"$branch is a ${head.refType}; only branches publish")
-    // walk parents from the branch head down to main's current snapshot
+    // walk parents from the branch head down to main's current snapshot;
+    // the walk ends (rather than throwing) at an expired ancestor — the
+    // chain below main's head is legitimately expirable history
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
     val chain = Iterator.iterate(Option(head.snapshotId))(
-        _.flatMap(id => meta.snapshot(id).parentId))
+        _.flatMap(byId.get).flatMap(_.parentId))
       .takeWhile(_.isDefined).map(_.get).toSeq
     meta.currentSnapshotId.foreach { cur =>
       require(chain.contains(cur),
@@ -1210,31 +1213,60 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       throw new IllegalStateException(s"not an iceberg table: $tablePath"))
     val current = meta.currentSnapshot.getOrElse(return None)
     val manifests = IcebergManifests.readManifestList(hconf, new Path(current.manifestList))
-    // one data manifest (+ maybe one delete manifest) is already tight
-    if (manifests.size <= 2) return None
-    val live = liveEntries(None).map(_.copy(status = ManifestEntry.StatusExisting))
+    // already tight: one manifest per (content kind, partition spec) is
+    // the floor the per-spec rewrite below can reach
+    if (manifests.size <=
+      manifests.map(m => (math.min(m.content, 1), m.partitionSpecId)).distinct.size) return None
+    // spec evolution: an entry's partition tuple is shaped by the spec of
+    // the manifest that carried it, and reads materialize identity values
+    // per the manifest's partition-spec-id — so the consolidation must
+    // stay per-spec. Replay latest-sequence-wins like liveEntries, but
+    // carry each winning entry's manifest spec id through.
+    val conf = new SerializableConfiguration(hconf)
+    def newer(a: (Int, ManifestEntry), b: (Int, ManifestEntry)): (Int, ManifestEntry) =
+      if (a._2.sequenceNumber != b._2.sequenceNumber) {
+        if (a._2.sequenceNumber > b._2.sequenceNumber) a else b
+      } else if (a._2.status == ManifestEntry.StatusDeleted) a else b
+    val live: Seq[(Int, ManifestEntry)] = spark.sparkContext
+      .parallelize(manifests.map(m => (m.manifestPath, m.partitionSpecId)),
+        math.min(manifests.size, 64))
+      .flatMap { case (p, sid) =>
+        IcebergManifests.readManifest(conf.value, new Path(p)).map(e => (sid, e)) }
+      .map { case (sid, e) => (e.filePath, (sid, e)) }
+      .reduceByKey(newer)
+      .values
+      .filter(_._2.status != ManifestEntry.StatusDeleted)
+      .map { case (sid, e) => (sid, e.copy(status = ManifestEntry.StatusExisting)) }
+      .collect().toSeq
     val now = System.currentTimeMillis()
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
     val seq = meta.lastSequenceNumber + 1
-    val specFields = meta.partitionSpec
-    val partFieldTypes = specFields.map { f =>
-      val sf = meta.schema.fields.find(x => IcebergSchemas.fieldId(x).contains(f.sourceId)).get
-      val dt =
-        if (f.transform == "identity" || f.transform.startsWith("truncate[")) sf.dataType
-        else IntegerType
-      (f.name, dt, f.fieldId)
-    }
-    val entrySchema = IcebergManifests.entrySchema(partFieldTypes)
-    val manifestHeaders = Map(
-      "schema" -> IcebergSchemas.toJson(meta.schema, meta.currentSchemaId).toString,
-      "partition-spec" -> IcebergMetadataCodec.specJson(specFields),
-      "partition-spec-id" -> "0")
+    val specsById = meta.allSpecs.toMap
     val rewritten: Seq[ManifestFileInfo] =
-      live.groupBy(e => if (e.content > 0) 1 else 0).toSeq.sortBy(_._1).map {
-        case (content, group) =>
-          val mp = new Path(log.metadataDir, s"${UUID.randomUUID()}-rw-c$content.avro")
-          val len = IcebergManifests.writeManifest(hconf, mp, entrySchema, group,
-            manifestHeaders + ("content" -> (if (content == 1) "deletes" else "data")))
+      live.groupBy { case (sid, e) => (if (e.content > 0) 1 else 0, sid) }
+        .toSeq.sortBy(_._1).map { case ((content, sid), tagged) =>
+          val group = tagged.map(_._2)
+          val specFields = specsById.getOrElse(sid, throw new IllegalStateException(
+            s"manifest references unknown partition spec $sid on $tablePath"))
+          val partFieldTypes = specFields.map { f =>
+            val sf = meta.schema.fields
+              .find(x => IcebergSchemas.fieldId(x).contains(f.sourceId))
+              .getOrElse(throw new IllegalStateException(
+                s"partition source field ${f.sourceId} of spec $sid missing from " +
+                  s"current schema of $tablePath; cannot rewrite manifests"))
+            val dt =
+              if (f.transform == "identity" || f.transform.startsWith("truncate[")) sf.dataType
+              else IntegerType
+            (f.name, dt, f.fieldId)
+          }
+          val entrySchema = IcebergManifests.entrySchema(partFieldTypes)
+          val manifestHeaders = Map(
+            "schema" -> IcebergSchemas.toJson(meta.schema, meta.currentSchemaId).toString,
+            "partition-spec" -> IcebergMetadataCodec.specJson(specFields),
+            "partition-spec-id" -> sid.toString,
+            "content" -> (if (content == 1) "deletes" else "data"))
+          val mp = new Path(log.metadataDir, s"${UUID.randomUUID()}-rw-s$sid-c$content.avro")
+          val len = IcebergManifests.writeManifest(hconf, mp, entrySchema, group, manifestHeaders)
           ManifestFileInfo(
             manifestPath = mp.toString,
             manifestLength = len,
@@ -1247,8 +1279,9 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
             addedRowsCount = 0L,
             existingRowsCount = group.map(_.recordCount).sum,
             deletedRowsCount = 0L,
-            content = content)
-      }
+            content = content,
+            partitionSpecId = sid)
+        }
     val listPath = new Path(log.metadataDir, s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
     IcebergManifests.writeManifestList(hconf, listPath, rewritten)
     val snap = IcebergSnapshot(
@@ -1287,8 +1320,21 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val current = meta.currentSnapshotId.getOrElse(
       throw new IllegalStateException(s"no current snapshot on $tablePath"))
     // snapshots pinned by a tag or branch never expire (spec ref
-    // retention: a ref keeps its snapshot reachable)
-    val pinned = meta.refs.values.map(_.snapshotId).toSet + current
+    // retention: a ref keeps its snapshot reachable) — and a BRANCH pins
+    // its whole unpublished lineage down to where it meets main's
+    // ancestry, or fastForward's parent-chain walk would hit an expired
+    // snapshot and strand the branch
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    def chainFrom(id: Long): Iterator[Long] =
+      Iterator.iterate(Option(id))(_.flatMap(byId.get).flatMap(_.parentId))
+        .takeWhile(_.isDefined).map(_.get)
+    val mainAncestry = chainFrom(current).toSet
+    val branchLineage = meta.refs.values.filter(_.refType == "branch")
+      .flatMap { r =>
+        val (unpublished, rest) = chainFrom(r.snapshotId).span(!mainAncestry(_))
+        unpublished.toSeq ++ rest.take(1) // fork point (or main head) included
+      }.toSet
+    val pinned = meta.refs.values.map(_.snapshotId).toSet ++ branchLineage + current
     val (dead, live) = meta.snapshots.partition(s =>
       !pinned.contains(s.snapshotId) && s.timestampMs < olderThanMs)
     if (dead.isEmpty) return 0

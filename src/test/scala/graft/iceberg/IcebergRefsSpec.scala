@@ -80,4 +80,19 @@ class IcebergRefsSpec extends SparkTestBase {
     assert(t.scanRef("keep").toDF().count() == 100)
     assert(t.toDF().count() == 175)
   }
+
+  test("expiry pins an unpublished branch's whole lineage; fastForward still publishes") {
+    val dir = tmpDir("refs_expire_branch")
+    val t = IcebergTable.create(spark, s"$dir/t", orders.limit(100))
+    t.append(orders.limit(50)) // s0 (create) becomes expirable main history
+    // two STACKED branch commits: the intermediate one is head's parent,
+    // pinned by nothing but the branch lineage rule
+    t.appendToBranch(orders.limit(10), "audit")
+    t.appendToBranch(orders.limit(5), "audit")
+    val expired = t.expireSnapshots(System.currentTimeMillis() + 1000000)
+    // only the pre-append main snapshot dies; fork point + branch chain live
+    assert(expired == 1)
+    t.fastForward("audit") // would throw "no snapshot" if the chain broke
+    assert(t.toDF().count() == 165)
+  }
 }

@@ -48,6 +48,43 @@ class IcebergRewriteManifestsSpec extends SparkTestBase {
     assert(m.agg(sum(col("existing_data_files_count"))).head.getLong(0) > 0)
   }
 
+  test("spec-evolved table: rewrite consolidates PER SPEC, old-spec partition values intact") {
+    val dir = tmpDir("rw_specevo")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    val t = IcebergTable.create(spark, s"$dir/t",
+      src.filter(col("o_orderkey") % 2 === 0), Seq("o_orderstatus"))
+    t.evolvePartitionSpec(Seq("o_orderpriority"))
+    t.append(src.filter(col("o_orderkey") % 4 === 1))
+    t.append(src.filter(col("o_orderkey") % 4 === 3))
+    val expect = t.toDF().select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(manifestCount(t) > 2)
+
+    assert(t.rewriteManifests().nonEmpty)
+    // one manifest per (content kind, spec), each addressed by ITS spec id
+    val list = IcebergManifests.readManifestList(
+      spark.sparkContext.hadoopConfiguration,
+      new Path(t.currentMetadata.currentSnapshot.get.manifestList))
+    assert(list.map(m => (m.content, m.partitionSpecId)).sorted == Seq((0, 0), (0, 1)),
+      s"got ${list.map(m => (m.content, m.partitionSpecId))}")
+    // rows identical, and BOTH eras' identity partition values survive
+    // the rewrite (a single-spec rewrite would drop the old-spec tuples)
+    val back = t.toDF()
+    assert(back.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq == expect)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+    val files = t.scan.files()
+    assert(files.exists(_.partitionValues.contains("o_orderstatus")))
+    assert(files.exists(_.partitionValues.contains("o_orderpriority")))
+    // old-field pruning still prunes old-spec files and keeps new-spec ones
+    val pruned = t.scan.partitionIn("o_orderstatus", Set("O")).files()
+    assert(pruned.count(_.partitionValues.contains("o_orderstatus")) <
+      files.count(_.partitionValues.contains("o_orderstatus")))
+    assert(pruned.count(_.partitionValues.contains("o_orderpriority")) ==
+      files.count(_.partitionValues.contains("o_orderpriority")))
+    // a second rewrite on the consolidated tree is a no-op
+    assert(t.rewriteManifests().isEmpty)
+  }
+
   test("incremental reads across a rewrite do not re-deliver existing files") {
     val dir = tmpDir("rw_incr")
     val o = orders
