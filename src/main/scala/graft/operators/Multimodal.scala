@@ -145,7 +145,7 @@ object Multimodal {
     h
   }
 
-  private def hashPayloads(spark: SparkSession, payloads: DataFrame): DataFrame = {
+  private[operators] def hashPayloads(spark: SparkSession, payloads: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("phash", LongType)))
@@ -161,7 +161,7 @@ object Multimodal {
     * the perturbation class a perceptual hash must tolerate (a text
     * edit SHIFTS bytes and rightly breaks it; media near-dups do not
     * shift). */
-  private def corpusWithReencodes(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def corpusWithReencodes(spark: SparkSession, dir: String): DataFrame = {
     val base = binaryTable(spark, dir).select(col("doc_id"), col("content"))
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -177,21 +177,34 @@ object Multimodal {
   }
 
   /**
-   * Perceptual near-duplicates: 4×16-bit band collisions over DISTINCT
-   * signatures (the d03 hot-bucket discipline — a million identical
-   * payloads occupy each band bucket as ONE row), verified by Hamming
-   * distance ≤ 6. Identical-signature groups pair within their group at
-   * distance 0. The banding guarantees recall for any pair within
-   * Hamming 6 of a 64-bit hash (pigeonhole: 6 errors cannot touch all 4
-   * bands... they can touch at most 6, so one of the 4 bands collides
-   * only when errors cluster — for the pinned corpus the frozen
-   * expectation IS the contract, like d03/d05).
+   * Perceptual near-duplicates: band collisions over DISTINCT signatures
+   * (the d03 hot-bucket discipline — a million identical payloads occupy
+   * each band bucket as ONE row), verified by Hamming distance ≤
+   * `maxHamming`. Identical-signature groups pair within their group at
+   * distance 0.
+   *
+   * Recall contract: disjoint bands over a 64-bit hash GUARANTEE a band
+   * collision only for pairs within Hamming `bands - 1` (pigeonhole —
+   * `bands` or more scattered bit flips can land one per band); pairs
+   * between `bands` and `maxHamming` are found only when their flips
+   * cluster into fewer than `bands` bands, i.e. probabilistically. The
+   * default 4 bands × 16-bit keys is the SCALE configuration: 65,536
+   * buckets per band keeps the in-bucket pair explosion flat at corpus
+   * scale, and the frozen expectation pins its behavior on the test
+   * corpus (like d03/d05). Callers needing guaranteed recall up to the
+   * default `maxHamming = 8` pass `bands = 9` (7-bit keys — 128 buckets
+   * per band, a small-corpus / per-shard configuration).
    */
-  def phashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+  def phashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 8,
+      bands: Int = 4): DataFrame = {
+    require(bands >= 1 && bands <= 64, s"bands must be in [1,64]: $bands")
+    val bandBits = 64 / bands // disjoint; high leftover bits touch no band
+    val bandMask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
     val groups = hashPayloads(spark, corpusWithReencodes(spark, dir))
       .groupBy(col("phash")).agg(sort_array(collect_set(col("doc_id"))).as("ids"))
     val banded = groups.select(col("phash"), explode(expr(
-      "transform(sequence(0, 3), b -> struct(b AS band, shiftright(phash, b*16) & 65535 AS bkey))"))
+      s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> struct(b AS band, shiftright(phash, b*$bandBits) & $bandMask AS bkey))"))
       .as("bb"))
       .select(col("phash"), col("bb.band"), col("bb.bkey"))
     val candidates = banded

@@ -274,4 +274,30 @@ class PipelineOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("phash banding: 9 bands guarantee full recall at Hamming <= 8; 4 bands are a sound subset") {
+    // ground truth: brute force over the distinct 64-bit signatures
+    val sigGroups = Multimodal.hashPayloads(spark,
+        Multimodal.corpusWithReencodes(spark, sf0001))
+      .groupBy(col("phash")).agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    def pairsOf(as: Seq[Long], bs: Seq[Long]): Seq[(Long, Long)] =
+      for (a <- as; b <- bs; if a != b) yield (math.min(a, b), math.max(a, b))
+    val truth: Set[(Long, Long)] = (
+      sigGroups.flatMap { case (_, ids) => pairsOf(ids, ids) } ++
+      (for {
+        i <- sigGroups.indices; j <- (i + 1) until sigGroups.length
+        if java.lang.Long.bitCount(sigGroups(i)._1 ^ sigGroups(j)._1) <= 8
+        p <- pairsOf(sigGroups(i)._2, sigGroups(j)._2)
+      } yield p)).toSet
+    assert(truth.nonEmpty)
+    def found(bands: Int): Set[(Long, Long)] =
+      Multimodal.phashNearDup(spark, sf0001, bands = bands).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 9 disjoint bands over 64 bits: 8 flips cannot touch all 9 → exact
+    assert(found(9) == truth)
+    // the scale default is probabilistic above bands-1 flips but never
+    // invents a pair
+    assert(found(4).subsetOf(truth))
+  }
 }
