@@ -247,6 +247,17 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
   def maybeCheckpoint(v: Long): Unit =
     if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(v)
 
+  /** Deferred-cadence checkpoint: one checkpoint at the CURRENT version
+    * if the interval has elapsed since the last written one. A sync
+    * batch replaying N commits calls this ONCE at the end instead of
+    * paying an O(table) checkpoint write every `checkpointInterval`
+    * commits mid-replay. */
+  def checkpointIfDue(): Unit =
+    latestVersion().foreach { v =>
+      if (v > 0 && v - lastCheckpoint().getOrElse(-1L) >= checkpointInterval)
+        writeCheckpoint(v)
+    }
+
   private def metaSchema = StructType(Seq(
     StructField("id", StringType),
     StructField("schemaString", StringType),

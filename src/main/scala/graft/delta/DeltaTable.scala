@@ -1464,7 +1464,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val logicalPart = logicalPartValuesFn(asOf)
     val actions = log.readActions(version)
     val adds = actions.collect { case a: AddFile =>
-      require(a.deletionVector.isEmpty,
+      if (a.deletionVector.nonEmpty) throw new graft.model.UnsyncableChangeException(
         s"cannot metadata-sync version $version of $tablePath: ${a.path} carries a " +
           "deletion vector other formats cannot express; run purgeDeletes() first")
       val (n, cols0) = a.stats.map(DeltaStats.fromJson(_, dataSchema)).getOrElse((-1L, Seq.empty))
@@ -1505,7 +1505,10 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       sourceDataRoot: String,
       adds: Seq[graft.model.InternalDataFile],
       removePaths: Seq[String],
-      syncProps: Map[String, String]): Long = {
+      syncProps: Map[String, String],
+      /** Skip the per-commit interval checkpoint — a batch replay writes
+        * one at the end via [[DeltaLog.checkpointIfDue]] instead. */
+      deferCheckpoint: Boolean = false): Long = {
     val now = System.currentTimeMillis()
     val defs = graft.model.PartitionTransform.parseAll(partitionColumns)
     val cleanSchema = StructType(schema.fields.map(f => f.copy(metadata = Metadata.empty)))
@@ -1547,7 +1550,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val info = CommitInfo(now, "SYNC", Map("mode" -> "Sync"))
     require(log.commit(v, metaActions ++ removeActions ++ addActions :+ info),
       s"concurrent commit detected at version $v of $tablePath")
-    log.maybeCheckpoint(v)
+    if (!deferCheckpoint) log.maybeCheckpoint(v)
     v
   }
 }
@@ -1907,8 +1910,7 @@ object DeltaTable {
     * the scan's `_metadata.file_path` reports (Path → URI). */
   private[delta] def metadataFilePath(tablePath: String, logPath: String): String = {
     val p = decodeLogPath(logPath)
-    val abs = if (p.startsWith("/") || p.contains(":/")) p else new Path(tablePath, p).toString
-    new Path(abs).toUri.toString
+    if (p.startsWith("/") || p.contains(":/")) p else new Path(tablePath, p).toString
   }
 
   /** `(file_path, row_index)` pairs of every deleted row — the DV

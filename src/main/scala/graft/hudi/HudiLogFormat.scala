@@ -50,38 +50,141 @@ object HudiLogFormat {
       content: Array[Byte])
 
   /**
-   * The EFFECTIVE data blocks of one log file. Foreign Hudi writers
-   * append more than data blocks, and both extra kinds change results:
+   * The EFFECTIVE blocks of one log file — data AND delete blocks, with
+   * command-block revocation applied to both. Foreign Hudi writers
+   * append more than data blocks, and every extra kind changes results:
    *  - a COMMAND block with a rollback target revokes earlier blocks of
    *    the target instant (appended after a failed mid-append write —
    *    ignoring it would resurrect the failed write's rows); with no
    *    target header it revokes the immediately-preceding block.
-   *  - a DELETE block holds a kryo-serialized key list this engine
-   *    cannot decode without the Hudi runtime — skipping it would
-   *    silently resurrect deleted rows, so it fails loudly instead.
+   *  - a DELETE block tombstones a key list; callers decode its content
+   *    via [[decodeDeleteBlock]] (v3 avro layout decodes; kryo-era
+   *    blocks refuse loudly there).
    * Corrupt blocks are unreadable remnants of torn writes: dropped,
    * like Hudi's own reader does.
    */
-  def dataBlocks(fs: FileSystem, path: Path): Seq[LogBlock] = {
+  def effectiveBlocks(fs: FileSystem, path: Path): Seq[LogBlock] = {
     val out = scala.collection.mutable.ArrayBuffer[LogBlock]()
     readBlocks(fs, path).foreach { b =>
       b.blockType match {
-        case AvroDataBlock => out += b
+        case AvroDataBlock | DeleteBlock => out += b
         case CommandBlock => b.headers.get(HeaderTargetInstantTime) match {
           case Some(t) =>
             out.filterInPlace(x => !x.headers.get(HeaderInstantTime).contains(t))
           case None => if (out.nonEmpty) out.remove(out.size - 1)
         }
-        case DeleteBlock =>
-          throw new IllegalStateException(
-            s"$path contains a Hudi DELETE log block, whose content is a " +
-            "kryo-serialized key list this engine cannot decode without the " +
-            "Hudi runtime. Refusing to read rather than silently resurrect " +
-            "deleted rows — compact the table with a Hudi writer first.")
         case _ => // corrupt or unknown: skip
       }
     }
     out.toSeq
+  }
+
+  /** Effective DATA blocks only — refuses delete blocks for callers
+    * that cannot apply tombstones (skipping one would silently
+    * resurrect deleted rows). */
+  def dataBlocks(fs: FileSystem, path: Path): Seq[LogBlock] = {
+    val eff = effectiveBlocks(fs, path)
+    eff.find(_.blockType == DeleteBlock).foreach { b =>
+      throw new IllegalStateException(
+        s"$path contains a Hudi DELETE log block at instant " +
+        s"${b.headers.getOrElse(HeaderInstantTime, "?")} that this read path " +
+        "cannot apply. Use a merged (snapshot) read, or compact the table first.")
+    }
+    eff
+  }
+
+  /** Reconstructed from Hudi's public `HoodieDeleteRecordList.avsc`
+    * (delete blocks serialize with this schema since format version 3,
+    * HUDI-5760 / release 0.14; earlier versions used kryo). */
+  val DeleteRecordListSchema: org.apache.avro.Schema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"HoodieDeleteRecordList",
+      |"namespace":"org.apache.hudi.avro.model","fields":[
+      |{"name":"deleteRecordList","type":{"type":"array","items":
+      |{"type":"record","name":"HoodieDeleteRecord","fields":[
+      |{"name":"recordKey","type":["null","string"],"default":null},
+      |{"name":"partitionPath","type":["null","string"],"default":null},
+      |{"name":"orderingVal","type":["null","boolean","int","long","float",
+      |"double","bytes","string"],"default":null}]}}}]}""".stripMargin)
+
+  /** Delete-block payload in the v3 (avro) layout:
+    * `[int version][int length][binary-avro HoodieDeleteRecordList]`. */
+  def encodeDeleteBlock(keys: Seq[(String, String)]): Array[Byte] = {
+    val item = DeleteRecordListSchema.getField("deleteRecordList")
+      .schema().getElementType
+    val list = new GenericData.Record(DeleteRecordListSchema)
+    val arr = new GenericData.Array[GenericRecord](keys.size,
+      DeleteRecordListSchema.getField("deleteRecordList").schema())
+    keys.foreach { case (rk, pp) =>
+      val r = new GenericData.Record(item)
+      r.put("recordKey", rk)
+      r.put("partitionPath", pp)
+      arr.add(r)
+    }
+    list.put("deleteRecordList", arr)
+    val recBos = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(recBos, null)
+    new GenericDatumWriter[GenericRecord](DeleteRecordListSchema).write(list, enc)
+    enc.flush()
+    val payload = recBos.toByteArray
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(3)
+    out.writeInt(payload.length)
+    out.write(payload)
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** recordKey string → the key column's Spark-typed value (delete
+    * blocks carry keys as strings; merged reads tombstone by the typed
+    * key column). */
+  def keyFromString(rk: String, dt: DataType): Any = dt match {
+    case LongType => rk.toLong
+    case IntegerType => rk.toInt
+    case ShortType => rk.toShort
+    case ByteType => rk.toByte
+    case DoubleType => rk.toDouble
+    case FloatType => rk.toFloat
+    case _: DecimalType => new java.math.BigDecimal(rk)
+    case BooleanType => rk.toBoolean
+    case _ => rk
+  }
+
+  /** Decode a delete block's tombstoned `(recordKey, partitionPath)`
+    * list. Format version >= 3 decodes via the public avro schema; the
+    * kryo-era layouts (versions 1-2) are undecodable without the Hudi
+    * runtime and refuse loudly — naming the log file so the user can
+    * compact with a Hudi writer. Any malformed payload refuses the same
+    * way rather than risk resurrecting or over-deleting rows. */
+  def decodeDeleteBlock(content: Array[Byte], where: String): Seq[(String, String)] = {
+    def refuse(why: String): Nothing = throw new IllegalStateException(
+      s"$where contains a Hudi DELETE log block this engine cannot decode ($why). " +
+      "Refusing to read rather than silently resurrect deleted rows — " +
+      "compact the table with a Hudi writer first.")
+    val in = new DataInputStream(new ByteArrayInputStream(content))
+    val version = try in.readInt() catch { case _: java.io.IOException => refuse("truncated") }
+    if (version < 3) refuse(s"format version $version serializes keys with kryo")
+    try {
+      val len = in.readInt()
+      val payload = new Array[Byte](len)
+      in.readFully(payload)
+      val rec = new GenericDatumReader[GenericRecord](DeleteRecordListSchema)
+        .read(null, DecoderFactory.get().binaryDecoder(payload, null))
+      val arr = rec.get("deleteRecordList").asInstanceOf[java.util.Collection[_]]
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      arr.forEach { itemAny =>
+        val item = itemAny.asInstanceOf[GenericRecord]
+        val rk = item.get("recordKey")
+        if (rk == null) refuse("a delete record carries no recordKey")
+        out += ((rk.toString,
+          Option(item.get("partitionPath")).map(_.toString).getOrElse("")))
+      }
+      out.toSeq
+    } catch {
+      case e: IllegalStateException => throw e
+      case scala.util.control.NonFatal(e) =>
+        refuse(s"avro payload did not parse: ${e.getClass.getSimpleName}")
+    }
   }
 
   /** `.{fileId}_{baseInstant}.log.{version}_{writeToken}` */

@@ -1,5 +1,7 @@
 package graft.hudi
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericData, GenericRecord}
 import org.apache.hadoop.conf.Configuration
@@ -52,18 +54,66 @@ final case class ColStatsReplayRow(
     minValue: String, maxValue: String,
     numNulls: Long, numValues: Long, totalSize: Long)
 
+/** One replayed record_index record in the distributed merge (same
+  * ordering discipline as [[ColStatsReplayRow]]). */
+final case class RecordIndexReplayRow(
+    key: String, seq: Long, deleted: Boolean,
+    partitionPath: String, fileId: String)
+
+/** One record-index entry to write: record key → (partition, file group),
+  * or a tombstone. */
+final case class RecordIndexEntry(
+    key: String, partitionPath: String, fileId: String, deleted: Boolean = false)
+
 object HudiMetadataTable {
 
   val MetadataDir = ".hoodie/metadata"
   val FilesPartition = "files"
   val ColumnStatsPartition = "column_stats"
+  val RecordIndexPartition = "record_index"
   val AllPartitionsKey = "__all_partitions__"
   /** HoodieMetadataRecord.type for filesystem metadata records. */
   val TypeFilesystemMetadata = 2
   /** HoodieMetadataRecord.type for column-stats records. */
   val TypeColumnStats = 3
+  /** HoodieMetadataRecord.type for record-index records. */
+  val TypeRecordIndex = 5
   private val FilesFileId = "files-0000"
   private val ColStatsFileId = "col-stats-0000"
+
+  /** HoodieMetadataRecord trimmed to the record-index fields — the
+    * public `HoodieMetadata.avsc` HoodieRecordIndexInfo shape (record
+    * key → file group location; ref Hudi RFC-37 / release 0.14 record
+    * level index). This engine writes `fileIdEncoding = 1` (raw fileId
+    * string) and decodes encoding 0 (UUID packed in high/low bits +
+    * fileIndex) for logs written by real Hudi. A record with null
+    * `recordIndexMetadata` is a key tombstone. */
+  val RecordIndexSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"HoodieMetadataRecord",
+      |"namespace":"org.apache.hudi.avro.model","fields":[
+      |{"name":"key","type":"string"},
+      |{"name":"type","type":"int"},
+      |{"name":"recordIndexMetadata","type":["null",
+      |{"type":"record","name":"HoodieRecordIndexInfo","fields":[
+      |{"name":"partitionName","type":["null","string"],"default":null},
+      |{"name":"fileIdHighBits","type":["null","long"],"default":null},
+      |{"name":"fileIdLowBits","type":["null","long"],"default":null},
+      |{"name":"fileIndex","type":["null","int"],"default":null},
+      |{"name":"fileId","type":["null","string"],"default":null},
+      |{"name":"instantTime","type":["null","long"],"default":null},
+      |{"name":"fileIdEncoding","type":"int","default":0}]}],
+      |"default":null}]}""".stripMargin)
+
+  /** Record key → index file group ordinal. This engine's mapping is
+    * the seed-0 XXHash64 of the key's UTF-8 bytes mod `numGroups`
+    * (real Hudi hashes with its own HashID scheme; the mapping only
+    * has to be consistent between this engine's writes and reads — the
+    * replay merges ALL groups, so lookups never depend on it). */
+  def recordIndexGroup(key: String, numGroups: Int): Int =
+    math.floorMod(
+      graft.util.XxHash64.hash(key.getBytes(StandardCharsets.UTF_8)), numGroups.toLong).toInt
+
+  def recordIndexFileId(group: Int): String = f"record-index-$group%04d"
 
   /** HoodieMetadataRecord avro schema (the public Hudi shape, trimmed
     * to the files-partition fields). */
@@ -199,6 +249,7 @@ object HudiMetadataTable {
   private def root(tablePath: String) = new Path(tablePath, MetadataDir)
   private def filesDir(tablePath: String) = new Path(root(tablePath), FilesPartition)
   private def colStatsDir(tablePath: String) = new Path(root(tablePath), ColumnStatsPartition)
+  private def recordIndexDir(tablePath: String) = new Path(root(tablePath), RecordIndexPartition)
 
   /**
    * Record one data-table commit in the metadata table: `adds` and
@@ -221,7 +272,11 @@ object HudiMetadataTable {
       /** Column name → Spark type, so min/max encode as real Hudi's
         * typed wrapper records; columns missing here fall back to
         * StringWrapper. */
-      colTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): Unit = {
+      colTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+      /** record-index entries (key → location / tombstone) — land in
+        * the `record_index` partition, written DISTRIBUTED (one log per
+        * index file group, from executors). */
+      recordIndex: Option[RecordIndexUpdate] = None): Unit = {
     val timeline = new HudiTimeline(root(tablePath).toString, conf)
     if (!timeline.exists)
       timeline.writeProperties(Map(
@@ -231,8 +286,8 @@ object HudiMetadataTable {
         "hoodie.table.partition.fields" -> "",
         "hoodie.populate.meta.fields" -> "false"))
     val touched = (adds.keySet ++ removes.keySet).toSeq.sorted
-    if (touched.isEmpty) return
-    val records: Seq[GenericRecord] = touched.map { pp =>
+    if (touched.isEmpty && recordIndex.isEmpty) return
+    val records: Seq[GenericRecord] = if (touched.isEmpty) Seq.empty else touched.map { pp =>
       val rec = new GenericData.Record(RecordSchema)
       rec.put("key", if (pp.isEmpty) "." else pp)
       rec.put("type", TypeFilesystemMetadata)
@@ -270,9 +325,13 @@ object HudiMetadataTable {
       rec.put("filesystemMetadata", m)
       rec
     }
-    val filesLog = writeLogFile(fs, filesDir(tablePath), FilesFileId, instant,
-      RecordSchema, records)
-    if (filesLog.isEmpty) return // a racer already recorded this instant
+    val filesLog =
+      if (touched.isEmpty) None
+      else writeLogFile(fs, filesDir(tablePath), FilesFileId, instant,
+        RecordSchema, records.iterator) match {
+        case None => return // a racer already recorded this instant
+        case some => some
+      }
     val statRecords: Seq[GenericRecord] = colStats.flatMap { case (pp, fileName, cols) =>
       cols.map { c =>
         val rec = new GenericData.Record(ColStatsSchema)
@@ -298,7 +357,46 @@ object HudiMetadataTable {
     val statsLog =
       if (statRecords.isEmpty) None
       else writeLogFile(fs, colStatsDir(tablePath), ColStatsFileId, instant,
-        ColStatsSchema, statRecords)
+        ColStatsSchema, statRecords.iterator)
+    // record-index logs: repartitioned by index file group, each group's
+    // log written by ITS executor task — the index is row-scale (one
+    // record per table row), so entries never collect to the driver
+    val riStats: Seq[(String, String, Long)] = recordIndex match {
+      case None => Seq.empty
+      case Some(ri) =>
+        import ri.spark.implicits._
+        val riDir = recordIndexDir(tablePath).toString
+        val nGroups = ri.numGroups
+        val sconf = new graft.util.SerializableHadoopConf(conf)
+        ri.entries
+          .groupByKey(e => recordIndexGroup(e.key, nGroups))
+          .flatMapGroups { (g, it) =>
+            val dir = new Path(riDir)
+            val lfs = dir.getFileSystem(sconf.value)
+            val recs = it.map { e =>
+              val rec = new GenericData.Record(RecordIndexSchema)
+              rec.put("key", e.key)
+              rec.put("type", TypeRecordIndex)
+              if (!e.deleted) {
+                val infoSchema = RecordIndexSchema.getField("recordIndexMetadata")
+                  .schema().getTypes.get(1)
+                val info = new GenericData.Record(infoSchema)
+                info.put("partitionName", e.partitionPath)
+                info.put("fileId", e.fileId)
+                info.put("fileIdEncoding", java.lang.Integer.valueOf(1))
+                rec.put("recordIndexMetadata", info)
+              }
+              rec
+            }
+            writeLogFile(lfs, dir, recordIndexFileId(g), instant,
+              RecordIndexSchema, recs) match {
+              case Some(p) =>
+                Iterator((recordIndexFileId(g), p.getName, lfs.getFileStatus(p).getLen))
+              case None => Iterator.empty
+            }
+          }
+          .collect().toSeq
+    }
     val prev = timeline.completedInstants().lastOption.map(_.time).getOrElse("null")
     def stat(fileId: String, partition: String, p: Path, n: Long) = HudiWriteStat(
       fileId = fileId,
@@ -306,12 +404,21 @@ object HudiMetadataTable {
       prevCommit = prev,
       numWrites = n,
       fileSizeInBytes = fs.getFileStatus(p).getLen)
+    val riWriteStats =
+      if (riStats.isEmpty) Map.empty[String, Seq[HudiWriteStat]]
+      else Map(RecordIndexPartition -> riStats.map { case (fid, name, size) =>
+        HudiWriteStat(fileId = fid, path = s"$RecordIndexPartition/$name",
+          prevCommit = prev, numWrites = 0L, fileSizeInBytes = size)
+      })
+    val filesWriteStats = filesLog.map(p => FilesPartition ->
+      Seq(stat(FilesFileId, FilesPartition, p, records.size.toLong))).toMap
+    if (filesWriteStats.isEmpty && statsLog.isEmpty && riWriteStats.isEmpty) return
     val meta = HudiCommitMetadata(
       partitionToWriteStats =
-        Map(FilesPartition ->
-          Seq(stat(FilesFileId, FilesPartition, filesLog.get, records.size.toLong))) ++
+        filesWriteStats ++
           statsLog.map(p => ColumnStatsPartition ->
-            Seq(stat(ColStatsFileId, ColumnStatsPartition, p, statRecords.size.toLong))),
+            Seq(stat(ColStatsFileId, ColumnStatsPartition, p, statRecords.size.toLong))).toMap ++
+          riWriteStats,
       partitionToReplaceFileIds = Map.empty,
       extraMetadata = Map.empty,
       operationType = "UPSERT")
@@ -319,19 +426,26 @@ object HudiMetadataTable {
     timeline.commit(HudiInstant(instant, "deltacommit"), meta)
   }
 
+  /** Record-index update payload: `entries` is a row-scale distributed
+    * dataset of key locations / tombstones. */
+  final case class RecordIndexUpdate(
+      spark: org.apache.spark.sql.SparkSession,
+      entries: org.apache.spark.sql.Dataset[RecordIndexEntry],
+      numGroups: Int)
+
   /** Append one AVRO-block log file to a metadata partition; None when
     * a racer already wrote this instant's log (idempotent per instant:
     * same records, keep theirs — invisible anyway until the
     * deltacommit completes). */
   private def writeLogFile(
       fs: FileSystem, dir: Path, fileId: String, instant: String,
-      schema: Schema, records: Seq[GenericRecord]): Option[Path] = {
+      schema: Schema, records: Iterator[GenericRecord]): Option[Path] = {
     val block = HudiLogFormat.LogBlock(
       HudiLogFormat.AvroDataBlock,
       Map(
         HudiLogFormat.HeaderInstantTime -> instant,
         HudiLogFormat.HeaderSchema -> schema.toString),
-      HudiLogFormat.encodeAvroBlock(schema, records.iterator))
+      HudiLogFormat.encodeAvroBlock(schema, records))
     fs.mkdirs(dir)
     val version = 1 + fs.listStatus(dir) // next log version
       .count(st => HudiLogFormat.isLogPath(st.getPath.getName))
@@ -351,6 +465,108 @@ object HudiMetadataTable {
   /** True when the metadata table carries a column_stats partition. */
   def hasColumnStats(fs: FileSystem, tablePath: String): Boolean =
     fs.exists(colStatsDir(tablePath))
+
+  /** True when the metadata table carries a record_index partition. */
+  def hasRecordIndex(fs: FileSystem, tablePath: String): Boolean =
+    fs.exists(recordIndexDir(tablePath))
+
+  /**
+   * Distributed record_index replay: one task per index log decodes its
+   * blocks on the executors, "last record wins per key, tombstones
+   * drop" resolves with one metadata-scale shuffle (same discipline as
+   * [[readColumnStatsDF]] — the index is row-scale, so entries never
+   * materialize on the driver). Returns (key, partitionPath, fileId)
+   * for every live key, or None when the partition is absent/empty.
+   */
+  def readRecordIndexDF(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Option[org.apache.spark.sql.DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root(tablePath).getFileSystem(conf)
+    if (!hasRecordIndex(fs, tablePath)) return None
+    val timeline = new HudiTimeline(root(tablePath).toString, conf)
+    val completed = timeline.completedInstants().map(_.time).toSet
+    val logs = fs.listStatus(recordIndexDir(tablePath)).toSeq
+      .map(_.getPath)
+      .filter(p => HudiLogFormat.isLogPath(p.getName))
+      .sortBy(_.getName)
+    if (logs.isEmpty || completed.isEmpty) return None
+    val sconf = new graft.util.SerializableHadoopConf(conf)
+    val visibleB = spark.sparkContext.broadcast(completed)
+    import spark.implicits._
+    val rows = spark.createDataset(logs.map(_.toString).zipWithIndex)
+      .repartition(math.min(logs.size, spark.sparkContext.defaultParallelism))
+      .flatMap { case (pathStr, fileSeq) =>
+        val p = new Path(pathStr)
+        val lfs = p.getFileSystem(sconf.value)
+        decodeRecordIndexLog(lfs, p, visibleB.value).zipWithIndex.map {
+          case ((key, loc), recSeq) =>
+            RecordIndexReplayRow(
+              key,
+              seq = fileSeq.toLong << 32 | recSeq.toLong,
+              deleted = loc.isEmpty,
+              partitionPath = loc.map(_._1).getOrElse(""),
+              fileId = loc.map(_._2).getOrElse(""))
+        }
+      }
+    val merged = rows.groupByKey(_.key)
+      .reduceGroups((a, b) => if (a.seq >= b.seq) a else b)
+      .map(_._2).filter(r => !r.deleted)
+    Some(merged.toDF().select("key", "partitionPath", "fileId"))
+  }
+
+  /** Decode one record_index log: (key, Some((partition, fileId)) or
+    * tombstone) in block order, restricted to completed instants.
+    * Decodes both fileId encodings: 1 = raw string (this engine's
+    * writes), 0 = UUID packed in high/low bits + fileIndex (real Hudi). */
+  private[hudi] def decodeRecordIndexLog(
+      fs: FileSystem, p: Path, visible: Set[String]):
+      Seq[(String, Option[(String, String)])] =
+    HudiLogFormat.readBlocks(fs, p)
+      .filter(b => b.blockType == HudiLogFormat.AvroDataBlock &&
+        b.headers.get(HudiLogFormat.HeaderInstantTime).exists(visible.contains))
+      .flatMap { b =>
+        val schema = new Schema.Parser().parse(b.headers(HudiLogFormat.HeaderSchema))
+        HudiLogFormat.decodeAvroBlock(b.content, schema).map { rec =>
+          val key = rec.get("key").toString
+          val loc = Option(rec.get("recordIndexMetadata")).map { riAny =>
+            val ri = riAny.asInstanceOf[GenericRecord]
+            val part = Option(ri.get("partitionName")).map(_.toString).getOrElse("")
+            val enc = Option(ri.get("fileIdEncoding")).map(_.asInstanceOf[Int]).getOrElse(0)
+            val fileId =
+              if (enc == 1 || ri.get("fileId") != null)
+                Option(ri.get("fileId")).map(_.toString).getOrElse("")
+              else {
+                val hi = ri.get("fileIdHighBits").asInstanceOf[java.lang.Long]
+                val lo = ri.get("fileIdLowBits").asInstanceOf[java.lang.Long]
+                val idx = Option(ri.get("fileIndex")).map(_.asInstanceOf[Int]).getOrElse(-1)
+                val base = new java.util.UUID(hi, lo).toString
+                if (idx >= 0) s"$base-$idx" else base
+              }
+            (part, fileId)
+          }
+          (key, loc)
+        }
+      }
+
+  /**
+   * Record-index coverage fence: the set of data-table instants whose
+   * metadata deltacommit carried record_index write stats — read from
+   * the metadata timeline alone (no log opens). Routing may trust the
+   * index only when every data WRITE instant after the first covered
+   * instant (the index build) is in this set; an uncovered structural
+   * instant (rollback/restore, or a write committed while the index
+   * wasn't maintained) means stale file ids could hide live keys, so
+   * callers must fall back to range pruning.
+   */
+  def recordIndexCoverage(conf: Configuration, tablePath: String): Set[String] = {
+    val timeline = new HudiTimeline(root(tablePath).toString, conf)
+    if (!timeline.exists) return Set.empty
+    timeline.completedInstants().filter { i =>
+      scala.util.Try(timeline.readCommitMetadata(i))
+        .toOption.exists(_.partitionToWriteStats.contains(RecordIndexPartition))
+    }.map(_.time).toSet
+  }
 
   /**
    * Replay the column_stats partition: merged stat rows per

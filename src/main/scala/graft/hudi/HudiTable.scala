@@ -280,6 +280,8 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     if (withLogs.isEmpty) return plainDF
     val key = recordKeyField.getOrElse(throw new IllegalStateException(
       s"MOR table $tablePath has no hoodie.table.recordkey.fields"))
+    val keyName = key
+    val keyDt = schema(key).dataType
     val ordCols = Seq(
       StructField("__inst", StringType), StructField("__ver", IntegerType),
       StructField("__idx", LongType), StructField("__del", BooleanType))
@@ -303,8 +305,19 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       .flatMap { case (p, inst, ver) =>
         val path = new Path(p)
         val fsys = path.getFileSystem(conf.value)
-        HudiLogFormat.dataBlocks(fsys, path).iterator
+        HudiLogFormat.effectiveBlocks(fsys, path).iterator
           .flatMap { b =>
+            if (b.blockType == HudiLogFormat.DeleteBlock) {
+              // foreign-writer delete block: each tombstoned key becomes
+              // a delete row ranked like any log mutation
+              HudiLogFormat.decodeDeleteBlock(b.content, p)
+                .iterator.zipWithIndex.map { case ((rk, _), i) =>
+                  org.apache.spark.sql.Row.fromSeq(
+                    schema.fields.map(f =>
+                      if (f.name == keyName) HudiLogFormat.keyFromString(rk, keyDt)
+                      else null).toSeq ++ Seq(inst, ver, i.toLong, true))
+                }
+            } else {
             val avroSchema = new org.apache.avro.Schema.Parser()
               .parse(b.headers(HudiLogFormat.HeaderSchema))
             HudiLogFormat.decodeAvroBlock(b.content, avroSchema)
@@ -316,6 +329,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
                   HudiLogFormat.fromAvroRecord(rec, schema).toSeq ++
                     Seq(inst, ver, i.toLong, del))
               }
+            }
           }
       }
     val logDF = spark.createDataFrame(rowsRdd, ordSchema)
@@ -354,14 +368,26 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         if (logs.isEmpty) None
         else {
           val conf = new graft.util.SerializableHadoopConf(hconf)
+          val cfKeyName = recordKeyField.orNull
+          val cfKeyDt = recordKeyField.map(k => schema(k).dataType).getOrElse(StringType)
           val descs = logs.map(f => absoluteOf(f._1))
           val rows = spark.sparkContext
             .parallelize(descs, math.max(1, math.min(descs.size, spark.sparkContext.defaultParallelism * 2)))
             .flatMap { p =>
               val path = new Path(p)
               val fsys = path.getFileSystem(conf.value)
-              HudiLogFormat.dataBlocks(fsys, path).iterator
+              HudiLogFormat.effectiveBlocks(fsys, path).iterator
                 .flatMap { b =>
+                  if (b.blockType == HudiLogFormat.DeleteBlock)
+                    HudiLogFormat.decodeDeleteBlock(b.content, p).iterator.map {
+                      case (rk, _) =>
+                        org.apache.spark.sql.Row.fromSeq(
+                          schema.fields.map(f =>
+                            if (f.name == cfKeyName)
+                              HudiLogFormat.keyFromString(rk, cfKeyDt)
+                            else null).toSeq :+ true)
+                    }
+                  else {
                   val avroSchema = new org.apache.avro.Schema.Parser()
                     .parse(b.headers(HudiLogFormat.HeaderSchema))
                   HudiLogFormat.decodeAvroBlock(b.content, avroSchema).iterator.map { rec =>
@@ -370,6 +396,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
                       .contains(java.lang.Boolean.TRUE)
                     org.apache.spark.sql.Row.fromSeq(
                       HudiLogFormat.fromAvroRecord(rec, schema).toSeq :+ del)
+                  }
                   }
                 }
             }
@@ -413,6 +440,23 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
    */
   private[hudi] def upsertCandidateSlices(
       df: DataFrame, key: String, keyDt: DataType): Seq[HudiFileSlice] = {
+    // record-level index first: EXACT key→fileId routing (only true hit
+    // file groups are touched — the difference between range-overlapping
+    // candidates and actual hits at scale). The incoming batch's
+    // distinct keys broadcast against the row-scale index; keys absent
+    // from the index are pure inserts and need no candidate.
+    if (recordIndexUsable()) {
+      HudiMetadataTable.readRecordIndexDF(spark, tablePath) match {
+        case Some(idx) =>
+          val hitIds = idx.join(
+              broadcast(df.select(col(s"`$key`").cast(StringType).as("key")).distinct()),
+              Seq("key"))
+            .select("fileId").distinct()
+            .collect().map(_.getString(0)).toSet
+          return fileSlices(None).filter(s => hitIds.contains(s.fileId))
+        case None => ()
+      }
+    }
     val comparable = keyDt match {
       case ByteType | ShortType | IntegerType | LongType | StringType |
            FloatType | DoubleType | _: DecimalType => true
@@ -915,7 +959,117 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       if (colStats.isEmpty) Map.empty
       else scala.util.Try(schemaAt(None).fields.map(f => f.name -> f.dataType).toMap)
         .getOrElse(Map.empty)
-    HudiMetadataTable.update(fs, hconf, tablePath, instant, adds, removes, colStats, colTypes)
+    // record-index maintenance: when the index exists, re-map every key
+    // of the commit's NEW base files (a read-back of just-written data).
+    // Updates live in log files and never move a key between groups;
+    // compaction/overwrite rewrites are fully covered by their new base
+    // files, later-record-wins resolves moved keys; keys dropped by a
+    // rewrite go stale pointing at dead file ids, which routing treats
+    // as absent — sound either way.
+    val riUpdate = recordIndexEntriesFor(stats)
+    HudiMetadataTable.update(fs, hconf, tablePath, instant, adds, removes, colStats, colTypes,
+      riUpdate)
+  }
+
+  /** Key→location entries for a commit's new base files (None when no
+    * index exists, no record key is configured, or the commit wrote
+    * only log files). */
+  private def recordIndexEntriesFor(
+      stats: Seq[(String, HudiWriteStat)]): Option[HudiMetadataTable.RecordIndexUpdate] = {
+    val fs = new Path(tablePath).getFileSystem(hconf)
+    if (!HudiMetadataTable.hasRecordIndex(fs, tablePath)) return None
+    recordKeyField.flatMap { key =>
+      val baseFiles = stats
+        .filter { case (_, ws) => !HudiLogFormat.isLogPath(ws.path) }
+        .map { case (pp, ws) => (absoluteOf(ws.path), pp, ws.fileId) }
+      if (baseFiles.isEmpty) None
+      else Some(recordIndexScan(key, baseFiles))
+    }
+  }
+
+  /** Distributed (key, partition, fileId) extraction from base files:
+    * one parquet read of `files` (path, partition, file GROUP id), key
+    * column only. */
+  private def recordIndexScan(
+      key: String, files: Seq[(String, String, String)]): HudiMetadataTable.RecordIndexUpdate = {
+    val byPath: Map[String, (String, String)] = files.map { case (p, pp, fid) =>
+      HudiTable.normalize(p) -> (pp, fid)
+    }.toMap
+    val lookup = spark.sparkContext.broadcast(byPath)
+    import spark.implicits._
+    val entries = spark.read.parquet(files.map(_._1): _*)
+      .select(col(s"`$key`").cast(StringType).as("__k"), input_file_name().as("__f"))
+      .as[(String, String)]
+      .map { case (k, f) =>
+        val (pp, fid) = lookup.value(HudiTable.normalize(f))
+        RecordIndexEntry(k, pp, fid)
+      }
+    HudiMetadataTable.RecordIndexUpdate(spark, entries, recordIndexGroups)
+  }
+
+  private def recordIndexGroups: Int =
+    properties.get("graft.record.index.groups").map(_.toInt).getOrElse(4)
+
+  /**
+   * Build the `record_index` metadata partition (Hudi's record-level
+   * index, RFC-37): one full distributed scan of the live base files
+   * maps every record key to its (partition, file group); entries land
+   * sharded across index file groups, written from executors. From then
+   * on every write commit maintains the index through its metadata
+   * mirror, and [[upsertCandidateSlices]] routes keyed mutations by
+   * EXACT key→fileId lookup instead of col_stats range
+   * over-approximation. Managed-layout tables with a record key only.
+   */
+  def buildRecordIndex(numGroups: Int = 4): Unit = {
+    require(!properties.contains("graft.converted.from"),
+      s"record index needs a managed-layout table: $tablePath is converted")
+    val key = recordKeyField.getOrElse(throw new IllegalStateException(
+      s"record index needs hoodie.table.recordkey.fields on $tablePath"))
+    timeline.writeProperties(timeline.readProperties() +
+      ("graft.record.index.groups" -> numGroups.toString))
+    val files = fileSlices(None).map(s =>
+      (absoluteOf(s.basePath), s.partitionPath, s.fileId))
+    val fs = new Path(tablePath).getFileSystem(hconf)
+    // the build instant is fresh (now-based, above every data instant):
+    // instants at or below it are covered by this full scan
+    val instant = timeline.nextInstantTime()
+    HudiMetadataTable.update(fs, hconf, tablePath, instant,
+      Map.empty, Map.empty, Seq.empty, Map.empty,
+      if (files.isEmpty)
+        Some(HudiMetadataTable.RecordIndexUpdate(spark,
+          spark.emptyDataset[RecordIndexEntry](
+            org.apache.spark.sql.Encoders.product[RecordIndexEntry]), numGroups))
+      else Some(recordIndexScan(key, files)))
+  }
+
+  /**
+   * Coverage fence for the record index: usable only when every
+   * completed instant after the build is either index-covered (its
+   * metadata deltacommit carries record_index stats) or provably unable
+   * to move a key between file groups (log-only deltacommits, cleans,
+   * savepoints). Rollback/restore after the build — or any write that
+   * slipped past maintenance — fails the fence and routing falls back
+   * to col_stats ranges.
+   */
+  private[hudi] def recordIndexUsable(): Boolean = {
+    val fs = new Path(tablePath).getFileSystem(hconf)
+    if (!HudiMetadataTable.hasRecordIndex(fs, tablePath)) return false
+    val covered = HudiMetadataTable.recordIndexCoverage(hconf, tablePath)
+    if (covered.isEmpty) return false
+    val build = covered.min
+    // ALL instant kinds: a rollback/restore is exactly what must fail
+    // the fence (it can revive a pre-compaction file layout the index
+    // no longer describes)
+    timeline.allCompletedInstants().filter(_.time > build).forall { i =>
+      covered.contains(i.time) || (i.action match {
+        case "commit" | "deltacommit" =>
+          scala.util.Try(timeline.readCommitMetadata(i)).toOption.exists(
+            _.partitionToWriteStats.valuesIterator.flatten
+              .forall(ws => HudiLogFormat.isLogPath(ws.path)))
+        case "clean" | "savepoint" => true
+        case _ => false
+      })
+    }
   }
 
   /** Rebase staged base files onto a fresh commit instant after a lost
@@ -1162,10 +1316,11 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         return (Seq.empty, Seq.empty)
     }
     val meta = timeline.readCommitMetadata(inst)
-    require(meta.partitionToWriteStats.valuesIterator.flatten
-        .forall(ws => !HudiLogFormat.isLogPath(ws.path)),
-      s"cannot metadata-sync instant $instant of $tablePath: it appends MOR log " +
-        "blocks other formats cannot express; run compactMor() first")
+    if (!meta.partitionToWriteStats.valuesIterator.flatten
+        .forall(ws => !HudiLogFormat.isLogPath(ws.path)))
+      throw new graft.model.UnsyncableChangeException(
+        s"cannot metadata-sync instant $instant of $tablePath: it appends MOR log " +
+          "blocks other formats cannot express; run compactMor() first")
     val partCols = partitionColumns
     val adds = meta.partitionToWriteStats.toSeq.flatMap { case (pp, stats) =>
       val vals = HudiTable.parsePartitionPath(pp, partCols) // once per partition
@@ -1226,6 +1381,34 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       timeline.writeProperties(HudiTable.tableProperties(
         tablePath, fieldNames,
         keyProps ++ specProps + ("graft.converted.from" -> sourceDataRoot)))
+    }
+    // a partition-field change (source spec evolution) is representable
+    // only when this commit replaces EVERY live file of the old layout
+    // (the full-sync shape after the source rewrote onto its new spec):
+    // one hoodie.table.partition.fields property cannot parse two
+    // layouts, so a mixed result refuses loudly instead of silently
+    // misreading old-era paths
+    val configuredFields = if (!timeline.exists) fieldNames
+      else properties.get("hoodie.table.partition.fields")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    if (timeline.exists && instants.nonEmpty && configuredFields != fieldNames) {
+      val removeSet = removePaths.map(HudiTable.normalize).toSet
+      val stale = fileSlices(None).map(s => HudiTable.normalize(absoluteOf(s.basePath)))
+        .filterNot(removeSet.contains)
+      require(stale.isEmpty,
+        s"cannot sync a partition-field change (${configuredFields.mkString(",")} -> " +
+          s"${fieldNames.mkString(",")}) onto hudi target $tablePath: ${stale.size} live " +
+          "files keep the old layout; rewrite the source onto one spec and sync again")
+      val props = timeline.readProperties()
+      val specProps =
+        if (syncDefs.forall(_.isIdentity)) props - HudiTable.PartitionSpecsProp
+        else props + (HudiTable.PartitionSpecsProp -> syncDefs.map(_.spec).mkString(";"))
+      timeline.writeProperties(specProps +
+        ("hoodie.table.partition.fields" -> fieldNames.mkString(",")) +
+        ("hoodie.table.keygenerator.class" -> HudiTable.keyGeneratorClass(
+          syncDefs,
+          props.get("hoodie.table.recordkey.fields")
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty))))
     }
     // honor the target table's configured layout (a pre-existing
     // non-hive target keeps its value-only partition paths)
@@ -1438,7 +1621,9 @@ object HudiTable {
   private[graft] def normalize(p: String): String = new Path(p).toUri.getPath
 
   /** The string form the scan's `_metadata.file_path` reports. */
-  private[hudi] def metaPathForm(abs: String): String = new Path(abs).toUri.toString
+  /** The DECODED real path — the `__graft_file` join form (the scan
+    * decodes `_metadata.file_path` at the source). */
+  private[hudi] def metaPathForm(abs: String): String = new Path(abs).toString
 
   private[graft] val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 

@@ -370,7 +370,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // per-data-file sequence numbers ride a broadcast join keyed on the
     // scan's _metadata file path form
     val seqDF = spark.createDataFrame(
-      data.map(e => (new Path(e.filePath).toUri.toString, e.sequenceNumber))).toDF("__graft_file", "__graft_dseq")
+      data.map(e => (new Path(e.filePath).toString, e.sequenceNumber))).toDF("__graft_file", "__graft_dseq")
     var out = dataDF.join(broadcast(seqDF), Seq("__graft_file"), "left")
 
     val pos = dels.filter(_.content == ManifestEntry.ContentPositionDeletes)
@@ -382,7 +382,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       val raw = graft.sources.ManifestFileIndex.read(
         spark, tablePath, posFiles, posSchema, Seq.empty, "parquet", withRowPositions = true)
       val delSeqDF = spark.createDataFrame(
-        pos.map(e => (new Path(e.filePath).toUri.toString, e.sequenceNumber))).toDF("__graft_file", "__del_seq")
+        pos.map(e => (new Path(e.filePath).toString, e.sequenceNumber))).toDF("__graft_file", "__del_seq")
       val applicable = raw
         .join(broadcast(delSeqDF), Seq("__graft_file"))
         .select(col("file_path").as("__del_file"), col("pos").as("__del_pos"), col("__del_seq"))
@@ -621,6 +621,46 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       s"concurrent iceberg commit on $tablePath")
   }
 
+  /**
+   * Publish a branch onto main even when main has ADVANCED since the
+   * branch forked — the WAP case fastForward refuses. Fast-forwards
+   * when possible; otherwise CHERRY-PICKS: each branch-only snapshot is
+   * re-committed onto the current main head, oldest first, as a
+   * metadata-only append of the same data files (Iceberg's cherry-pick
+   * semantics). Refuses on true conflicts: a branch snapshot that
+   * removes or rewrites files cannot replay safely over a moved main.
+   * The branch ref ends up at the new main head.
+   */
+  def publishBranch(branch: String): Unit = {
+    val meta = currentMetadata
+    val head = meta.refs.getOrElse(branch,
+      throw new IllegalArgumentException(s"no ref $branch on $tablePath"))
+    require(head.refType == "branch", s"$branch is a ${head.refType}; only branches publish")
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    def chainFrom(id: Long): Seq[Long] =
+      Iterator.iterate(Option(id))(_.flatMap(byId.get).flatMap(_.parentId))
+        .takeWhile(_.isDefined).map(_.get).toSeq
+    val chain = chainFrom(head.snapshotId)
+    if (meta.currentSnapshotId.forall(chain.contains)) { fastForward(branch); return }
+    val mainAncestry = meta.currentSnapshotId.map(chainFrom(_).toSet).getOrElse(Set.empty)
+    val branchOnly = chain.takeWhile(!mainAncestry(_)).reverse // oldest first
+    val defs = IcebergTable.defsOf(meta).map(_.spec)
+    branchOnly.foreach { id =>
+      val snap = byId.getOrElse(id, throw new IllegalStateException(
+        s"branch $branch references expired snapshot $id on $tablePath"))
+      require(snap.operation == "append",
+        s"cannot cherry-pick branch $branch of $tablePath: snapshot $id is a " +
+          s"'${snap.operation}', not an append — main advanced since the fork, and " +
+          "replaying a rewrite could drop or resurrect rows; rebase the branch instead")
+      val (adds, removes) = changeSet(id)
+      require(removes.isEmpty,
+        s"cannot cherry-pick branch $branch of $tablePath: snapshot $id removes " +
+          s"${removes.size} files — not replayable over an advanced main")
+      syncCommit(sparkSchema, defs, dataRoot, adds, Seq.empty, Map.empty)
+    }
+    createBranch(branch) // re-point the published branch at the new head
+  }
+
   /** Logical overwrite; old snapshots stay time-travelable. */
   def overwrite(df: DataFrame, partitionColumns: Seq[String] = Seq.empty,
       commitProps: Map[String, String] = Map.empty): Long =
@@ -707,7 +747,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         val partSchema = StructType(StructField("file_path", StringType) +:
           identityCols.map(c => StructField(s"__p_$c", StringType)))
         val partRows = data.map(e => org.apache.spark.sql.Row.fromSeq(
-          new Path(e.filePath).toUri.toString +:
+          new Path(e.filePath).toString +:
             identityCols.map(c => e.partitionValues.get(c).orNull)))
         val partDF = spark.createDataFrame(
           spark.sparkContext.parallelize(partRows.toSeq, 1), partSchema)
@@ -835,7 +875,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val maxEqSeq = dels.filter(_.content == ManifestEntry.ContentEqualityDeletes)
       .map(_.sequenceNumber).maxOption.getOrElse(Long.MinValue)
     val affected = data.filter(e =>
-      posTargets.contains(new Path(e.filePath).toUri.toString) ||
+      posTargets.contains(new Path(e.filePath).toString) ||
         e.sequenceNumber < maxEqSeq)
     val df = applyDeletes(affected, dels)
     Some(write(df, Seq.empty, overwrite = false,
@@ -1460,14 +1500,19 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       .collect().toSeq
     val schemaAt = meta // bounds decode against current schema by field id
     val defs = IcebergTable.defsOf(meta)
-    require(entries.forall(e =>
-        e.content == ManifestEntry.ContentData || e.status == ManifestEntry.StatusDeleted),
-      s"cannot metadata-sync snapshot $snapshotId of $tablePath: it adds v2 delete " +
-        "files other formats cannot express; run purgeDeletes() first")
+    if (!entries.forall(e =>
+        e.content == ManifestEntry.ContentData || e.status == ManifestEntry.StatusDeleted))
+      throw new graft.model.UnsyncableChangeException(
+        s"cannot metadata-sync snapshot $snapshotId of $tablePath: it adds v2 delete " +
+          "files other formats cannot express; run purgeDeletes() first")
     val adds = entries.filter(_.status == ManifestEntry.StatusAdded)
       .map(e => IcebergTable.internalFile(e, schemaAt.schema, defs))
     val removed = entries.filter(_.status == ManifestEntry.StatusDeleted)
-      .map(e => new Path(e.filePath).toUri.toString)
+      // decoded-path contract (see internalFile): remove paths must match
+      // the raw physicalPath form targets registered — toUri.toString
+      // here percent-encoded hostile partition segments, so targets
+      // silently kept replaced files in escapable partitions
+      .map(e => new Path(e.filePath).toString)
     (adds, removed)
   }
 

@@ -159,3 +159,14 @@ object SyncMetadata {
     SyncMetadata(parts(0).toLong, pending)
   }
 }
+
+/**
+ * A single commit's change set cannot be expressed in other formats
+ * (deletion vectors, v2 delete files, MOR log blocks). Distinct from a
+ * plain require so [[graft.sync.SyncEngine]]'s Auto mode can apply the
+ * incremental safety fence — fall back to a full snapshot sync, which IS
+ * expressible once the mutation has been purged/compacted — while an
+ * explicit Incremental request still fails loudly.
+ */
+final class UnsyncableChangeException(msg: String)
+  extends IllegalArgumentException(msg)

@@ -189,6 +189,16 @@ object IcebergQueries {
           o.limit(5).withColumn("o_orderkey", col("o_orderkey") + 20000000L), "rejected")
         t16.dropRef("rejected")
 
+        // i19: WAP with a DIVERGED branch — main advances while the
+        // audit branch is unpublished, so the publish cherry-picks
+        val t17 = IcebergTable.create(
+          spark, s"$root/orders_wap_diverged", o.filter(col("o_orderkey") % 3 === 0))
+        t17.appendToBranch(o.filter(col("o_orderkey") % 3 === 1), "audit")
+        t17.append(o.filter(col("o_orderkey") % 3 === 2)) // main moves on
+        t17.publishBranch("audit")
+        require(t17.toDF().count() == o.count(),
+          "i19 fixture: cherry-picked publish must surface all three slices")
+
         root
       })
     }
@@ -567,6 +577,25 @@ object IcebergQueries {
       "i18_wap_branch_publish",
       (spark, dir) =>
         Fixtures.table(spark, dir, "orders_wap").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // WAP with divergence: main advanced during the audit, so the
+    // publish CHERRY-PICKS the branch's appends onto the moved main —
+    // afterwards main answers with all three slices, identically to
+    // DuckDB over the raw orders.
+    QueryDef.sql(
+      "i19_wap_cherry_pick_publish",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_wap_diverged").toDF()
           .groupBy(col("o_orderstatus"))
           .agg(
             count(lit(1)).as("cnt"),

@@ -120,7 +120,16 @@ object ManifestFileIndex {
     val cols = schema.fieldNames.map(col).toSeq
     if (withRowPositions)
       rel.select(cols ++ Seq(
-        col("_metadata.file_path").as("__graft_file"),
+        // decoded-path contract: `_metadata.file_path` is URL-encoded
+        // (SparkPath), so hostile partition dirs like `part=x%3Dy`
+        // surface as `part=x%253Dy`; every join partner (Delta
+        // metadataFilePath, Hudi metaPathForm, Iceberg delete-seq
+        // frames) carries the DECODED real path, so decode here at the
+        // source — a codegen'd native expression, not a UDF
+        org.apache.spark.sql.graftshim.GraftExpr.column(
+          graft.functions.UnescapePath(
+            org.apache.spark.sql.graftshim.GraftExpr.expression(
+              col("_metadata.file_path")))).as("__graft_file"),
         col("_metadata.row_index").as("__graft_pos")): _*)
     else rel.select(cols: _*)
   }

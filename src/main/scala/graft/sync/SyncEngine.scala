@@ -86,7 +86,7 @@ object SyncEngine {
     val keyProps = targetProps ++
       (if (source.recordKeyFields.isEmpty) Map.empty[String, String]
        else Map(RecordKeyProp -> source.recordKeyFields.mkString(",")))
-    if (incremental) {
+    def runIncremental(): SyncResult = {
       // backlog = commits after the watermark PLUS previously-inflight
       // commits that have since completed (their times may sort BELOW
       // the watermark — the late-data case)
@@ -94,7 +94,8 @@ object SyncEngine {
       val pending = (lateCompleted ++ source.versionsAfter(wm.get)).distinct
       var added, removed = 0
       var highWater = wm.get
-      pending.foreach { v =>
+      target.beginBatch()
+      try pending.foreach { v =>
         val (adds, removes) = source.changes(v)
         // a late replay never regresses the watermark
         highWater = source.laterOf(highWater, v)
@@ -106,9 +107,10 @@ object SyncEngine {
             InflightProp -> stillInflight.mkString(",")),
           source.physicalNames)
         added += adds.size; removed += removes.size
-      }
+      } finally target.endBatch()
       SyncResult("incremental", pending, added, removed)
-    } else {
+    }
+    def runFull(): SyncResult = {
       val files = source.snapshotFiles()
       val byPath = files.map(f => norm(f.physicalPath) -> f).toMap
       val live = target.livePaths()
@@ -121,6 +123,19 @@ object SyncEngine {
           InflightProp -> stillInflight.mkString(",")),
         source.physicalNames)
       SyncResult("full", Seq(source.currentVersion), adds.size, removes.size)
+    }
+    if (!incremental) runFull()
+    else if (mode == Incremental) runIncremental()
+    else try runIncremental() catch {
+      // safety fence, same shape as the retention fallback: a pending
+      // commit carries changes other formats cannot express (deletion
+      // vectors, v2 delete files, MOR log blocks), but the CURRENT
+      // snapshot is expressible once the mutation has been purged or
+      // compacted — reconcile to it wholesale. changes(v) throws BEFORE
+      // that version commits to the target, so the target sits
+      // consistently at an earlier version and the file-set diff
+      // completes the catch-up in one commit.
+      case _: graft.model.UnsyncableChangeException => runFull()
     }
   }
 
@@ -250,6 +265,10 @@ trait SyncTarget {
   }
   /** Currently-live physical paths (empty for a fresh target). */
   def livePaths(): Set[String]
+  /** Batch replay bracket: targets may defer per-commit maintenance
+    * (Delta's interval checkpoint) until [[endBatch]]. Default no-op. */
+  def beginBatch(): Unit = ()
+  def endBatch(): Unit = ()
   def commit(
       schema: StructType,
       partitionColumns: Seq[String],
@@ -327,6 +346,14 @@ private final class DeltaTarget(spark: SparkSession, val targetPath: String) ext
     if (!exists) Map.empty else table.log.metadataAt(None)._1.configuration
   def livePaths(): Set[String] =
     if (!exists) Set.empty else table.snapshotDataFiles().map(_.physicalPath).toSet
+  // a batch replay pays ONE end-of-batch checkpoint instead of an
+  // O(table) checkpoint write every interval-th replayed commit
+  private var deferring = false
+  override def beginBatch(): Unit = deferring = true
+  override def endBatch(): Unit = {
+    deferring = false
+    if (exists) table.log.checkpointIfDue()
+  }
   def commit(
       schema: StructType, partitionColumns: Seq[String], sourceDataRoot: String,
       adds: Seq[InternalDataFile], removePaths: Seq[String],
@@ -336,7 +363,8 @@ private final class DeltaTarget(spark: SparkSession, val targetPath: String) ext
       s"cannot sync a column-mapped source to a Delta target at $targetPath: " +
         "the shared files' physical names are only representable via an " +
         "Iceberg name mapping")
-    table.syncCommit(schema, partitionColumns, sourceDataRoot, adds, removePaths, watermark)
+    table.syncCommit(schema, partitionColumns, sourceDataRoot, adds, removePaths, watermark,
+      deferCheckpoint = deferring)
   }
 }
 

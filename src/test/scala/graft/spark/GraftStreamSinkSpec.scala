@@ -44,25 +44,43 @@ class GraftStreamSinkSpec extends SparkTestBase {
     }
   }
 
-  test("a replayed batch id is skipped, never double-committed") {
-    val dir = tmpDir("sink_replay")
-    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext = session.sqlContext
-    val src = MemoryStream[Long]
-    src.addData(10L, 20L)
-    drain(src, "delta", s"$dir/t", s"$dir/ckpt")
-    // simulate the crash-replay window: hand the sink the same batch id
-    // again directly
-    val sink = new org.apache.spark.sql.graftshim.GraftStreamSink(
-      spark, "delta", s"$dir/t", Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
-    val dup = spark.range(100, 102).select(col("id"))
-    sink.addBatch(0L, dup)
-    assert(DeltaTable.forPath(spark, s"$dir/t").toDF().count() == 2)
-    // a NEW batch id lands
-    sink.addBatch(1L, dup)
-    assert(DeltaTable.forPath(spark, s"$dir/t").toDF().count() == 4)
-    assert(DeltaTable.forPath(spark, s"$dir/t")
-      .lastCommitProp("graft.stream.batchId").contains("1"))
-  }
+  for (fmt <- Seq("delta", "iceberg", "hudi"))
+    test(s"$fmt: crash-replay window — replayed batch skipped, restart stays exactly-once") {
+      val dir = tmpDir(s"sink_replay_$fmt")
+      implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext = session.sqlContext
+      val src = MemoryStream[Long]
+      src.addData(10L, 20L)
+      drain(src, fmt, s"$dir/t", s"$dir/ckpt")
+      def count(): Long = spark.read.format("graft").load(s"$dir/t").count()
+      def lastBatch: Option[String] = fmt match {
+        case "delta" => DeltaTable.forPath(spark, s"$dir/t").lastCommitProp("graft.stream.batchId")
+        case "iceberg" => IcebergTable.forPath(spark, s"$dir/t").tableProperty("graft.stream.batchId")
+        case "hudi" => HudiTable.forPath(spark, s"$dir/t").lastCommitProp("graft.stream.batchId")
+      }
+      assert(count() == 2)
+      // the kill-mid-batch window: data COMMITTED for a batch id, but the
+      // checkpoint never advanced — on restart the runtime re-delivers the
+      // same batch id, which must be a no-op
+      val sink = new org.apache.spark.sql.graftshim.GraftStreamSink(
+        spark, fmt, s"$dir/t", Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+      val dup = spark.range(100, 102).select(col("id"))
+      sink.addBatch(0L, dup)
+      assert(count() == 2, s"$fmt: replayed batch 0 must be skipped")
+      // a REAL restart through the same checkpoint continues cleanly
+      src.addData(30L, 40L, 50L)
+      drain(src, fmt, s"$dir/t", s"$dir/ckpt")
+      assert(count() == 5, s"$fmt: restart drained exactly the new rows")
+      // replay of the just-landed batch (crash between sink commit and
+      // checkpoint advance) is a no-op; the NEXT id lands exactly once
+      sink.addBatch(1L, dup)
+      assert(count() == 5, s"$fmt: replayed batch 1 must be skipped")
+      sink.addBatch(2L, dup)
+      assert(count() == 7)
+      assert(lastBatch.contains("2"), s"$fmt batch watermark: $lastBatch")
+      val back = spark.read.format("graft").load(s"$dir/t")
+      assert(back.groupBy(col("id")).count().filter(col("count") > 1).count() == 0,
+        s"$fmt: duplicated ids after crash-replay + restart")
+    }
 
   test("iceberg and hudi record the batch id in commit metadata") {
     val dir = tmpDir("sink_props")

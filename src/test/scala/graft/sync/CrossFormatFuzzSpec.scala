@@ -1,0 +1,309 @@
+package graft.sync
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.delta.DeltaTable
+import graft.hudi.HudiTable
+import graft.iceberg.IcebergTable
+
+/**
+ * Randomized cross-format differential fuzzer — the reference's scenario
+ * matrix (ref `core/src/test/java/io/onetable/ITOneTableClient.java:
+ * 177-262`) generalized into seeded random op sequences: a random source
+ * format takes 8-12 random operations (append / upsert / delete /
+ * overwrite / compact / add-column / rename-column / partition-spec
+ * evolution / branch write-audit-publish, with hostile partition values
+ * mixed in), syncing through a random topology (fan-out or chain) after
+ * EVERY op and asserting the three formats answer identically each time.
+ *
+ * The default run covers `GRAFT_FUZZ_N` (default 8) seeded sequences;
+ * CI-tagged full runs set GRAFT_FUZZ_N=100+. Failures print the seed and
+ * the full op trace so a failing sequence can be replayed and shrunk;
+ * shrunken cases get pinned as named tests below.
+ */
+class CrossFormatFuzzSpec extends SparkTestBase {
+
+  // ------------------------------------------------------------- pool
+
+  /** Row universe: orders keyed by k, with a hostile-valued partition
+    * column (spaces, '=', pre-encoded-looking '%25', dots and colons —
+    * the x11 class; ASCII only, the forked JVM cannot OS-encode more). */
+  private lazy val pool: DataFrame = {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    o.select(
+      col("o_orderkey").as("k"),
+      col("o_totalprice").as("price"),
+      col("o_orderstatus").as("status"),
+      element_at(
+        map(
+          lit("1-URGENT"), lit("urgent"),
+          lit("2-HIGH"), lit("a b"),
+          lit("3-MEDIUM"), lit("x=y"),
+          lit("4-NOT SPECIFIED"), lit("pct%25"),
+          lit("5-LOW"), lit("dot.:colon")),
+        col("o_orderpriority")).as("part"))
+      .localCheckpoint()
+  }
+
+  private def slice(rng: Random, dense: Boolean = false): DataFrame = {
+    val m = if (dense) 2 + rng.nextInt(3) else 3 + rng.nextInt(5)
+    val r = rng.nextInt(m)
+    pool.filter(col("k") % m === r)
+  }
+
+  // ------------------------------------------------------- adapters
+
+  /** Uniform mutation surface over the three native writers. A None
+    * return from an op means the format cannot express it (never chosen
+    * for that source). */
+  private abstract class Src(val fmt: String, val path: String,
+      val partCols: Seq[String]) {
+    var cols: Seq[String] = Seq("k", "price", "status", "part")
+    /** Shape a pool batch to the CURRENT table schema: materialize the
+      * evolved `extra` column and follow renames before selecting. */
+    def align(df: DataFrame): DataFrame = {
+      var b = df
+      if (cols.contains("extra") && !b.columns.contains("extra"))
+        b = b.withColumn("extra", col("k") * 2)
+      if (cols.contains("price2") && b.columns.contains("price"))
+        b = b.withColumnRenamed("price", "price2")
+      b.select(cols.map(c => col(s"`$c`")): _*)
+    }
+    def append(df: DataFrame): Unit
+    def upsert(df: DataFrame): Unit
+    def delete(keys: DataFrame): Unit
+    def overwrite(df: DataFrame): Unit
+    def compact(): Unit
+    /** add nullable long column `extra`; df carries it */
+    def addColumn(df: DataFrame): Unit = sys.error(s"$fmt: no addColumn")
+    def renameColumn(from: String, to: String): Unit = sys.error(s"$fmt: no rename")
+    def evolveSpec(to: Seq[String], rows: DataFrame): Unit = sys.error(s"$fmt: no spec evolve")
+    def branchPublish(df: DataFrame): Unit = sys.error(s"$fmt: no branches")
+    def caps: Set[String]
+    def source: SyncSource
+    def df: DataFrame
+  }
+
+  private final class DeltaSrc(spark: SparkSession, path: String, init: DataFrame,
+      partCols: Seq[String], renameOk: Boolean) extends Src("delta", path, partCols) {
+    val t = DeltaTable.create(spark, path, init, partCols)
+    private var liveParts = partCols
+    def append(df: DataFrame): Unit = t.append(align(df), liveParts)
+    // deletion-vector-carrying commits refuse metadata sync by design
+    // (DeltaTable.scala "carries a deletion vector"), so mutation ops
+    // purge to rewritten files before the next sync point
+    def upsert(df: DataFrame): Unit = { t.upsert(align(df), Seq("k")); t.purgeDeletes() }
+    def delete(keys: DataFrame): Unit = { t.deleteMatching(keys, Seq("k")); t.purgeDeletes() }
+    def overwrite(df: DataFrame): Unit = t.overwrite(align(df), liveParts)
+    def compact(): Unit = t.compact(smallFileBytes = 256L << 20)
+    override def addColumn(df: DataFrame): Unit = {
+      t.addColumn(StructField("extra", LongType))
+      cols = cols :+ "extra"
+      t.append(align(df), liveParts)
+    }
+    private var mapped = false
+    override def renameColumn(from: String, to: String): Unit = {
+      if (!mapped) { t.enableColumnMapping(); mapped = true }
+      t.renameColumn(from, to)
+      cols = cols.map(c => if (c == from) to else c)
+      liveParts = liveParts.map(c => if (c == from) to else c)
+    }
+    // column-mapped sources are refused by Delta and Hudi targets
+    // (physical names need an Iceberg name mapping), so rename only
+    // fuzzes the iceberg-only bi topology
+    def caps = Set("append", "upsert", "delete", "overwrite", "compact",
+      "addcol") ++ (if (renameOk) Set("rename") else Set.empty)
+    def source: SyncSource = SyncEngine.deltaSource(t)
+    def df: DataFrame = t.toDF()
+  }
+
+  private final class IcebergSrc(spark: SparkSession, path: String, init: DataFrame,
+      partCols: Seq[String]) extends Src("iceberg", path, partCols) {
+    val t = IcebergTable.create(spark, path, init, partCols)
+    def append(df: DataFrame): Unit = t.append(align(df))
+    // v2 delete files cannot be expressed in other formats; the sync
+    // refuses them by design, so mutation ops purge before a sync point
+    def upsert(df: DataFrame): Unit = { t.upsert(align(df), Seq("k")); t.purgeDeletes() }
+    def delete(keys: DataFrame): Unit = { t.deleteByEquality(keys); t.purgeDeletes() }
+    def overwrite(df: DataFrame): Unit = t.overwrite(align(df))
+    def compact(): Unit = t.compact(smallFileBytes = 256L << 20)
+    override def addColumn(df: DataFrame): Unit = {
+      cols = cols :+ "extra"
+      t.append(align(df)) // iceberg appends evolve the schema in place
+    }
+    override def evolveSpec(to: Seq[String], rows: DataFrame): Unit = {
+      t.evolvePartitionSpec(to)
+      // rewrite everything onto the new spec: sync refuses mixed-spec
+      // file sets by design (SyncEngine.guardSingleSpec)
+      t.overwrite(align(rows))
+    }
+    override def branchPublish(df: DataFrame): Unit = {
+      t.appendToBranch(align(df), "wap")
+      t.fastForward("wap")
+      t.dropRef("wap")
+    }
+    def caps = Set("append", "upsert", "delete", "overwrite", "compact",
+      "addcol", "branch") ++ (if (partCols.nonEmpty) Set("specevolve") else Set.empty)
+    def source: SyncSource = SyncEngine.icebergSource(t)
+    def df: DataFrame = t.toDF()
+  }
+
+  private final class HudiSrc(spark: SparkSession, path: String, init: DataFrame,
+      partCols: Seq[String]) extends Src("hudi", path, partCols) {
+    // COW: a MOR source's log-block instants refuse metadata sync by
+    // design (even when a later compaction covers them, the instant
+    // itself stays in the incremental feed), so the Hudi fuzz surface is
+    // the COW op set the sync engine actually supports
+    val t = HudiTable.create(spark, path, init, partCols)
+    def append(df: DataFrame): Unit = t.append(align(df), partCols)
+    def upsert(df: DataFrame): Unit = sys.error("hudi COW: no upsert")
+    def delete(keys: DataFrame): Unit = sys.error("hudi COW: no delete")
+    def overwrite(df: DataFrame): Unit = t.overwrite(align(df), partCols)
+    def compact(): Unit = t.compact(smallFileBytes = 256L << 20)
+    def caps = Set("append", "overwrite", "compact")
+    def source: SyncSource = SyncEngine.hudiSource(t)
+    def df: DataFrame = t.toDF()
+  }
+
+  // ------------------------------------------------------ harness
+
+  private def readAs(fmt: String, path: String): DataFrame = fmt match {
+    case "delta" => DeltaTable.forPath(spark, path).toDF()
+    case "iceberg" => IcebergTable.forPath(spark, path).toDF()
+    case "hudi" => HudiTable.forPath(spark, path).toDF()
+  }
+
+  private def snap(df: DataFrame): (Long, Long, Seq[String]) = {
+    val cs = df.columns.sorted.toSeq
+    val n = df.count()
+    val h = if (n == 0) 0L
+      else df.select(sum(hash(cs.map(c => col(s"`$c`")): _*)).cast("long")).head.getLong(0)
+    (n, h, cs)
+  }
+
+  private def runSequence(seed: Long): Unit = {
+    val rng = new Random(seed)
+    val dir = tmpDir(s"fuzz_s$seed")
+    val fmts = Seq("delta", "iceberg", "hudi")
+    val srcFmt = fmts(rng.nextInt(3))
+    val partitioned = rng.nextBoolean()
+    val partCols = if (partitioned) Seq("part") else Seq.empty
+    val Seq(fmtA, fmtB) = rng.shuffle(fmts.filterNot(_ == srcFmt))
+    // topologies: fan-out src->{A,B}, chain src->A->B, or bi src->iceberg
+    // (the only shape where a column-mapped delta source is legal)
+    val topo = rng.nextInt(4) match {
+      case 0 => "chain"
+      case 1 if srcFmt == "delta" => "bi"
+      case 1 => "fanout"
+      case _ => "fanout"
+    }
+    val biTgt = "iceberg"
+    val trace = new StringBuilder(s"seed=$seed src=$srcFmt parts=$partCols topo=" + (topo match {
+      case "chain" => s"$srcFmt->$fmtA->$fmtB"
+      case "bi" => s"$srcFmt->$biTgt"
+      case _ => s"$srcFmt->{$fmtA,$fmtB}"
+    }))
+    val init = slice(rng, dense = true)
+    val src: Src = srcFmt match {
+      case "delta" => new DeltaSrc(spark, s"$dir/src", init, partCols,
+        renameOk = topo == "bi")
+      case "iceberg" => new IcebergSrc(spark, s"$dir/src", init, partCols)
+      case "hudi" => new HudiSrc(spark, s"$dir/src", init, partCols)
+    }
+    val pathA = s"$dir/tgt_a"
+    val pathB = s"$dir/tgt_b"
+
+    def syncAll(): Unit = topo match {
+      case "bi" =>
+        SyncEngine.sync(src.source, SyncEngine.targetFor(spark, biTgt, pathA))
+      case "chain" =>
+        SyncEngine.sync(src.source, SyncEngine.targetFor(spark, fmtA, pathA))
+        SyncEngine.sync(
+          SyncEngine.sourceFor(spark, fmtA, pathA),
+          SyncEngine.targetFor(spark, fmtB, pathB))
+      case _ =>
+        SyncEngine.sync(src.source, SyncEngine.targetFor(spark, fmtA, pathA))
+        SyncEngine.sync(src.source, SyncEngine.targetFor(spark, fmtB, pathB))
+    }
+
+    def compare(step: String): Unit = {
+      val s0 = snap(src.df)
+      val sA = snap(readAs(if (topo == "bi") biTgt else fmtA, pathA))
+      val sB = if (topo == "bi") sA else snap(readAs(fmtB, pathB))
+      if (s0 != sA || s0 != sB) {
+        val bad = if (s0 != sA) readAs(if (topo == "bi") biTgt else fmtA, pathA)
+          else readAs(fmtB, pathB)
+        val cs = src.df.columns.sorted.toSeq.map(c => col(s"`$c`"))
+        val missing = src.df.select(cs: _*).exceptAll(bad.select(cs: _*)).limit(5).collect()
+        val extra = bad.select(cs: _*).exceptAll(src.df.select(cs: _*)).limit(5).collect()
+        fail(s"cross-format divergence after [$step]\n$trace\n  src=$s0\n  a=$sA\n  b=$sB\n" +
+          s"  src-only rows: ${missing.mkString(" | ")}\n  tgt-only rows: ${extra.mkString(" | ")}")
+      }
+    }
+
+    try runOps() catch {
+      case e: org.scalatest.exceptions.TestFailedException => throw e
+      case e: Throwable =>
+        fail(s"sequence blew up: $trace\n  ${e.getClass.getSimpleName}: ${e.getMessage}", e)
+    }
+    def runOps(): Unit = {
+    syncAll(); compare("init")
+    val nOps = 8 + rng.nextInt(5)
+    for (i <- 1 to nOps) {
+      val op = {
+        val c = src.caps.toSeq.sorted
+        c(rng.nextInt(c.size))
+      }
+      trace.append(s" $i:$op")
+      op match {
+        case "append" => src.append(slice(rng))
+        case "upsert" => src.upsert(slice(rng).withColumn("price", col("price") + 1000.0))
+        case "delete" =>
+          // never empty the table: delete a sparse key set
+          val m = 17 + rng.nextInt(7)
+          src.delete(pool.filter(col("k") % m === rng.nextInt(m)).select("k"))
+        case "overwrite" => src.overwrite(slice(rng, dense = true))
+        case "compact" => src.compact()
+        case "addcol" =>
+          if (src.cols.contains("extra")) src.append(slice(rng))
+          else src.addColumn(slice(rng).withColumn("extra", col("k") * 2))
+        case "rename" =>
+          val from = if (src.cols.contains("price")) "price" else "price2"
+          val to = if (from == "price") "price2" else "price"
+          src.renameColumn(from, to)
+        case "specevolve" =>
+          val cur = src.df
+          val to = if (rng.nextBoolean()) Seq("status") else Seq("part")
+          src.evolveSpec(to, cur.localCheckpoint())
+        case "branch" => src.branchPublish(slice(rng))
+      }
+      syncAll()
+      compare(s"$i:$op")
+    }
+    }
+  }
+
+  private val fuzzN = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(8)
+
+  (1 to fuzzN).foreach { seed =>
+    test(s"fuzz sequence seed=$seed") { runSequence(seed.toLong) }
+  }
+
+  test("mixed-spec iceberg source refuses sync until rewritten onto one spec") {
+    val dir = tmpDir("fuzz_mixedspec")
+    val t = IcebergTable.create(spark, s"$dir/src",
+      pool.filter(col("k") % 3 === 0), Seq("part"))
+    t.evolvePartitionSpec(Seq("status"))
+    t.append(pool.filter(col("k") % 3 === 1))
+    val e = intercept[IllegalArgumentException] {
+      SyncEngine.sync(
+        SyncEngine.icebergSource(t), SyncEngine.deltaTarget(spark, s"$dir/tgt"))
+    }
+    assert(e.getMessage.contains("multiple partition specs"))
+  }
+}
