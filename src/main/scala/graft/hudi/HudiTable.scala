@@ -1051,7 +1051,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
    * slipped past maintenance — fails the fence and routing falls back
    * to col_stats ranges.
    */
-  private[hudi] def recordIndexUsable(): Boolean = {
+  private[graft] def recordIndexUsable(): Boolean = {
     val fs = new Path(tablePath).getFileSystem(hconf)
     if (!HudiMetadataTable.hasRecordIndex(fs, tablePath)) return false
     val covered = HudiMetadataTable.recordIndexCoverage(hconf, tablePath)

@@ -5,7 +5,7 @@ import java.nio.file.Paths
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.hudi.HudiTable
+import graft.hudi.{HudiCommitMetadata, HudiInstant, HudiLogFormat, HudiTable, HudiWriteStat}
 import graft.sources.Tables
 
 /**
@@ -107,6 +107,51 @@ object HudiQueries {
         }
         buildMor(s"$root/orders_mor")
         buildMor(s"$root/orders_mor_compacted").compactMor()
+
+        // 8b. record-level index (h14): build the record_index metadata
+        //     partition, then run EXACT-routed mutations through it —
+        //     update, tombstone, compaction, post-compaction inserts —
+        //     with the coverage fence intact at every step
+        val t8b = HudiTable.createMor(
+          spark, s"$root/orders_mor_rli", o.repartition(4), "o_orderkey")
+        t8b.buildRecordIndex()
+        t8b.upsert(o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 50000.0))
+        t8b.deleteKeys(o.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"))
+        t8b.compactMor()
+        t8b.upsert(o.filter(col("o_orderkey") % 50 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+        require(t8b.recordIndexUsable(),
+          "h14 fixture: the record index must stay covered through the mutations")
+
+        // 8c. foreign-writer DELETE log block (h15): a single-group MOR
+        //     table gets a v3 (avro HoodieDeleteRecordList) delete block
+        //     appended by hand, exactly as a real Hudi writer would
+        val t8c = HudiTable.createMor(
+          spark, s"$root/orders_mor_delblock", o.coalesce(1), "o_orderkey")
+        locally {
+          val slice = t8c.fileSlices(None).head
+          val victims = o.filter(col("o_orderkey") % 9 === 0)
+            .select("o_orderkey").collect().map(_.getLong(0).toString).toSeq
+          val inst = t8c.timeline.nextInstantTime()
+          val logName = HudiLogFormat.logFileName(slice.fileId, slice.baseInstant, 1)
+          val rel = if (slice.partitionPath.isEmpty) logName
+            else s"${slice.partitionPath}/$logName"
+          val logPath = new org.apache.hadoop.fs.Path(s"$root/orders_mor_delblock", rel)
+          val lfs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val size = HudiLogFormat.write(lfs, logPath, Seq(HudiLogFormat.LogBlock(
+            HudiLogFormat.DeleteBlock,
+            Map(HudiLogFormat.HeaderInstantTime -> inst),
+            HudiLogFormat.encodeDeleteBlock(victims.map((_, slice.partitionPath))))))
+          require(t8c.timeline.commit(HudiInstant(inst, "deltacommit"), HudiCommitMetadata(
+            partitionToWriteStats = Map(slice.partitionPath -> Seq(HudiWriteStat(
+              fileId = slice.fileId, path = rel,
+              prevCommit = slice.baseInstant, numWrites = victims.size.toLong,
+              fileSizeInBytes = size))),
+            partitionToReplaceFileIds = Map.empty,
+            extraMetadata = Map.empty,
+            operationType = "DELETE")), "h15 fixture: delete-block deltacommit lost a race")
+        }
 
         // 9. savepointed timeline (h13): savepoint the two-commit state,
         //    append junk, roll the junk back (allowed: not savepointed),
@@ -405,6 +450,53 @@ object HudiQueries {
       """SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Record-level index (RFC-37): every mutation in the fixture routed
+    // by EXACT key->fileId lookups from the record_index metadata
+    // partition (the fixture requires the coverage fence held) — and the
+    // final table still answers identically to DuckDB's replay of the
+    // same mutations over the raw orders.
+    QueryDef.sql(
+      "h14_hudi_record_index_upsert",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_mor_rli").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 50 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM snap GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Foreign-writer DELETE log block: the merged snapshot applies the
+    // v3 avro tombstone list a real Hudi writer appends — the read
+    // answers as if the keys were deleted by any other means.
+    QueryDef.sql(
+      "h15_hudi_delete_block_read",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_mor_delblock").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 9 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     QueryDef.sql(
       "x04_tri_format_equality",
