@@ -11,8 +11,19 @@ import scala.jdk.CollectionConverters._
   * and feeds `successDeleteFiles` into the change feed as removals). */
 final case class HudiRollbackMetadata(
     commitsRollback: Seq[String],
-    partitionToDeleteFiles: Map[String, Seq[String]]) {
+    partitionToDeleteFiles: Map[String, Seq[String]],
+    /** rolled-back instant time -> its ACTION (real Hudi's
+      * `instantsRollback` HoodieInstantInfo) — lets a replay tell a
+      * removal-only append rollback from a replace rollback that
+      * REVIVES files a removal-only replay cannot express. Empty for
+      * legacy/foreign JSONs lacking the field. */
+    instantActions: Map[String, String] = Map.empty) {
   def deletedFiles: Seq[String] = partitionToDeleteFiles.values.flatten.toSeq
+  /** True when a removal-only replay is provably sufficient: every
+    * rolled-back instant is KNOWN to be a pure-add commit. */
+  def removalOnlyReplayable: Boolean =
+    commitsRollback.forall(t =>
+      instantActions.get(t).exists(a => a == "commit" || a == "deltacommit"))
 }
 
 /** Restore = an ordered series of rollbacks down to a restore point
@@ -66,6 +77,12 @@ object HudiMaintenanceCodec {
     root.put("totalFilesDeleted", m.deletedFiles.size)
     val cr = root.putArray("commitsRollback")
     m.commitsRollback.foreach(cr.add)
+    val ir = root.putArray("instantsRollback")
+    m.commitsRollback.foreach { t =>
+      val n = ir.addObject()
+      n.put("commitTime", t)
+      m.instantActions.get(t).foreach(a => n.put("action", a))
+    }
     val pm = root.putObject("partitionMetadata")
     m.partitionToDeleteFiles.toSeq.sortBy(_._1).foreach { case (pp, files) =>
       val n = pm.putObject(pp)
@@ -87,7 +104,15 @@ object HudiMaintenanceCodec {
           .flatMap(_.elements().asScala.map(_.asText()))
       }.toMap
     }.getOrElse(Map.empty)
-    HudiRollbackMetadata(commits, parts)
+    val actions = Option(root.get("instantsRollback")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap { n =>
+        for {
+          t <- Option(n.get("commitTime")).map(_.asText())
+          a <- Option(n.get("action")).map(_.asText())
+        } yield t -> a
+      }.toMap
+    HudiRollbackMetadata(commits, parts, actions)
   }
 
   // -------------------------------------------------------------- restore

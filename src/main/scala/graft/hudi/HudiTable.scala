@@ -1210,7 +1210,8 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     timeline.deleteInstant(target)
     // the revoked instant's stats must not outlive it
     HudiColStats.delete(spark, tablePath, target.time)
-    HudiRollbackMetadata(Seq(target.time), byPartition)
+    HudiRollbackMetadata(Seq(target.time), byPartition,
+      Map(target.time -> target.action))
   }
 
   /** Expose archival for writer tables (the sync target archives
@@ -1307,11 +1308,25 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     inst.action match {
       case "commit" | "replacecommit" | "deltacommit" => // data replay below
       case "rollback" =>
-        return (Seq.empty, HudiMaintenanceCodec
-          .rollbackFromJson(timeline.readInstantJson(inst)).deletedFiles.map(absoluteOf))
+        val rb = HudiMaintenanceCodec.rollbackFromJson(timeline.readInstantJson(inst))
+        // a rollback of a REPLACE (overwrite/clustering/compaction)
+        // revives the replaced files — a removal-only replay would strip
+        // the target bare; only a full file-set reconcile re-adds them
+        if (!rb.removalOnlyReplayable)
+          throw new graft.model.UnsyncableChangeException(
+            s"cannot metadata-sync rollback $instant of $tablePath incrementally: " +
+              s"it revokes ${rb.commitsRollback.mkString(",")} whose action is not a " +
+              "pure-add commit, so files it replaced come back to life — " +
+              "a full reconcile is required")
+        return (Seq.empty, rb.deletedFiles.map(absoluteOf))
       case "restore" =>
-        return (Seq.empty, HudiMaintenanceCodec
-          .restoreFromJson(timeline.readInstantJson(inst)).deletedFiles.map(absoluteOf))
+        val rs = HudiMaintenanceCodec.restoreFromJson(timeline.readInstantJson(inst))
+        if (!rs.rollbacks.forall(_.removalOnlyReplayable))
+          throw new graft.model.UnsyncableChangeException(
+            s"cannot metadata-sync restore $instant of $tablePath incrementally: " +
+              "it revokes non-pure-add instants, so replaced files come back to " +
+              "life — a full reconcile is required")
+        return (Seq.empty, rs.deletedFiles.map(absoluteOf))
       case _ =>
         return (Seq.empty, Seq.empty)
     }

@@ -61,12 +61,28 @@ final case class IcebergTableMetadata(
       * keeps all of them; manifests address theirs by
       * `partition-spec-id`) */
     defaultSpecId: Int = 0,
-    olderSpecs: Seq[(Int, Seq[IcebergPartitionFieldSpec])] = Seq.empty) {
+    olderSpecs: Seq[(Int, Seq[IcebergPartitionFieldSpec])] = Seq.empty,
+    /** schema evolution history: every RETIRED schema by id (spec
+      * `schemas` keeps all of them; snapshots address theirs by
+      * `schema-id`, and time travel presents the snapshot's schema). */
+    olderSchemas: Seq[(Int, StructType)] = Seq.empty) {
 
   /** Every known spec by id (older + default). */
   def allSpecs: Seq[(Int, Seq[IcebergPartitionFieldSpec])] =
     (olderSpecs.filterNot(_._1 == defaultSpecId) :+ (defaultSpecId -> partitionSpec))
       .sortBy(_._1)
+
+  /** Every known schema by id (older + current). */
+  def allSchemas: Seq[(Int, StructType)] =
+    (olderSchemas.filterNot(_._1 == currentSchemaId) :+ (currentSchemaId -> schema))
+      .sortBy(_._1)
+
+  /** The schema a snapshot was committed under (current schema when the
+    * id is unknown — metadata written before schema history landed). */
+  def schemaForSnapshot(snapshotId: Long): StructType = {
+    val sid = snapshot(snapshotId).schemaId
+    allSchemas.find(_._1 == sid).map(_._2).getOrElse(schema)
+  }
 
   def snapshot(id: Long): IcebergSnapshot =
     snapshots.find(_.snapshotId == id)
@@ -120,6 +136,10 @@ object IcebergMetadataCodec {
     if (keyIds.nonEmpty) {
       val arr = schemaNode.putArray("identifier-field-ids")
       keyIds.foreach(arr.add)
+    }
+    // retired schemas first, current last — snapshots address theirs by id
+    m.olderSchemas.filterNot(_._1 == m.currentSchemaId).sortBy(_._1).foreach {
+      case (id, s) => schemas.add(IcebergSchemas.toJson(s, id))
     }
     schemas.add(schemaNode)
     root.put("default-spec-id", m.defaultSpecId)
@@ -227,6 +247,10 @@ object IcebergMetadataCodec {
       partitionSpec = defaultSpec,
       defaultSpecId = defaultSpecId,
       olderSpecs = allSpecs.filterNot(_._1 == defaultSpecId),
+      olderSchemas = Option(root.get("schemas")).toSeq
+        .flatMap(_.elements().asScala)
+        .filter(n => n.get("schema-id").asInt() != currentSchemaId)
+        .map(n => n.get("schema-id").asInt() -> IcebergSchemas.fromJson(n)).toSeq,
       properties = Option(root.get("properties")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
       currentSnapshotId =

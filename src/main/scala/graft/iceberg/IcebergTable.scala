@@ -1218,6 +1218,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       // every spec that ever existed stays registered (live manifests
       // may still reference it)
       olderSpecs = base.allSpecs.filterNot(_._1 == specId),
+      // every schema likewise: snapshots address theirs by schema-id
+      olderSchemas = base.allSchemas.filterNot(_._1 == schemaId),
       properties = base.properties ++ nameMapping ++ extraProps,
       // branch write: `main` (current-snapshot-id + snapshot-log, which
       // per spec tracks only the current lineage) stays put; the branch
@@ -1932,7 +1934,28 @@ final class IcebergScanBuilder(
       IcebergScanBuilder.EntryPredicate(partIn ++ derivedPartIn, ordinalRanges, boundsRanges))
   }
 
-  def toDF(): DataFrame = table.readEntries(files())
+  def toDF(): DataFrame = {
+    val df = table.readEntries(files())
+    // spec: a snapshot read presents the SNAPSHOT'S schema, not the
+    // current one — time travel to a pre-evolution snapshot must not
+    // grow later columns (or keep later drops). Projection by name;
+    // a column the current read cannot produce (dropped then read
+    // before the drop) presents as null.
+    asOfSnapshot match {
+      case None => df
+      case Some(id) =>
+        val meta = table.currentMetadata
+        if (meta.snapshot(id).schemaId == meta.currentSchemaId) df
+        else {
+          import org.apache.spark.sql.functions.{col, lit}
+          val snapSchema = meta.schemaForSnapshot(id)
+          df.select(snapSchema.fields.map { f =>
+            if (df.columns.contains(f.name)) col(s"`${f.name}`").cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+        }
+    }
+  }
 }
 
 object IcebergScanBuilder {

@@ -84,6 +84,13 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     def renameColumn(from: String, to: String): Unit = sys.error(s"$fmt: no rename")
     def evolveSpec(to: Seq[String], rows: DataFrame): Unit = sys.error(s"$fmt: no spec evolve")
     def branchPublish(df: DataFrame): Unit = sys.error(s"$fmt: no branches")
+    /** opaque marker of the CURRENT committed state */
+    def version: String
+    /** read the table as of a recorded marker */
+    def dfAsOf(v: String): DataFrame
+    /** roll the table back to marker v (delta RESTORE / iceberg
+      * rollbackTo / hudi rollback-of-last) */
+    def restoreTo(v: String): Unit = sys.error(s"$fmt: no restore")
     def caps: Set[String]
     def source: SyncSource
     def df: DataFrame
@@ -118,6 +125,9 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     // fuzzes the iceberg-only bi topology
     def caps = Set("append", "upsert", "delete", "overwrite", "compact",
       "addcol") ++ (if (renameOk) Set("rename") else Set.empty)
+    def version: String = t.latestVersion.toString
+    def dfAsOf(v: String): DataFrame = t.toDF(versionAsOf = Some(v.toLong))
+    override def restoreTo(v: String): Unit = t.restoreTo(v.toLong)
     def source: SyncSource = SyncEngine.deltaSource(t)
     def df: DataFrame = t.toDF()
   }
@@ -149,6 +159,9 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     }
     def caps = Set("append", "upsert", "delete", "overwrite", "compact",
       "addcol", "branch") ++ (if (partCols.nonEmpty) Set("specevolve") else Set.empty)
+    def version: String = t.currentMetadata.currentSnapshotId.get.toString
+    def dfAsOf(v: String): DataFrame = t.toDF(snapshotAsOf = Some(v.toLong))
+    override def restoreTo(v: String): Unit = t.rollbackTo(v.toLong)
     def source: SyncSource = SyncEngine.icebergSource(t)
     def df: DataFrame = t.toDF()
   }
@@ -166,6 +179,12 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     def overwrite(df: DataFrame): Unit = t.overwrite(align(df), partCols)
     def compact(): Unit = t.compact(smallFileBytes = 256L << 20)
     def caps = Set("append", "overwrite", "compact")
+    def version: String = t.latestInstant
+    def dfAsOf(v: String): DataFrame = t.toDF(asOf = Some(v))
+    override def restoreTo(v: String): Unit = {
+      // hudi rolls back one completed instant at a time
+      while (t.latestInstant != v) t.rollback()
+    }
     def source: SyncSource = SyncEngine.hudiSource(t)
     def df: DataFrame = t.toDF()
   }
@@ -252,11 +271,23 @@ class CrossFormatFuzzSpec extends SparkTestBase {
         fail(s"sequence blew up: $trace\n  ${e.getClass.getSimpleName}: ${e.getMessage}", e)
     }
     def runOps(): Unit = {
-    syncAll(); compare("init")
+    // (marker, expected snapshot) per committed state — the time-travel
+    // audit at the end replays every surviving marker
+    val history = scala.collection.mutable.ArrayBuffer[(String, (Long, Long, Seq[String]))]()
+    val baseCols = src.cols
+    def record(): Unit = {
+      val v = src.version
+      if (!history.lastOption.exists(_._1 == v)) history += v -> snap(src.df)
+    }
+    syncAll(); compare("init"); record()
     val nOps = 8 + rng.nextInt(5)
     for (i <- 1 to nOps) {
       val op = {
-        val c = src.caps.toSeq.sorted
+        // restore fuzzes replay ordering, but only while the schema is
+        // still the original (restoring across addcol/rename would need
+        // adapter schema-state rollback too)
+        val restorable = history.size >= 2 && src.cols == baseCols
+        val c = (src.caps ++ (if (restorable) Set("restore") else Set.empty)).toSeq.sorted
         c(rng.nextInt(c.size))
       }
       trace.append(s" $i:$op")
@@ -281,9 +312,26 @@ class CrossFormatFuzzSpec extends SparkTestBase {
           val to = if (rng.nextBoolean()) Seq("status") else Seq("part")
           src.evolveSpec(to, cur.localCheckpoint())
         case "branch" => src.branchPublish(slice(rng))
+        case "restore" =>
+          // roll back to a random earlier recorded state; markers after
+          // it leave the travelable history (iceberg truncates its
+          // snapshot log; hudi revokes the instants; delta RESTORE is a
+          // new version so prior versions all stay readable)
+          val targetIdx = rng.nextInt(history.size - 1)
+          val target = history(targetIdx)._1
+          trace.append(s"->$target")
+          src.restoreTo(target)
+          if (srcFmt != "delta") history.takeInPlace(targetIdx + 1)
       }
       syncAll()
       compare(s"$i:$op")
+      record()
+    }
+    // time-travel audit: every surviving marker still answers exactly
+    // what it answered when it was current
+    history.foreach { case (v, expected) =>
+      assert(snap(src.dfAsOf(v)) == expected,
+        s"time travel to $v drifted after the op mix\n$trace")
     }
     }
   }
