@@ -1469,6 +1469,24 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
 
   // ----------------------------------------------------------------- sync
 
+  /** Partition defs of the spec the CURRENT snapshot's manifests
+    * uniformly use. After a rollback across a partition-spec evolution,
+    * the DEFAULT spec can describe a layout none of the live files use —
+    * sync must describe the live file set's spec, or targets record
+    * partition columns that match nothing. Mixed-spec snapshots return
+    * the default (the file-level single-spec guard refuses those syncs
+    * anyway). */
+  private[graft] def liveSpecDefs: Seq[graft.model.PartitionFieldDef] = {
+    val meta = currentMetadata
+    val specId = meta.currentSnapshot.map { snap =>
+      val ids = IcebergManifests.readManifestList(hconf, new Path(snap.manifestList))
+        .filter(_.content == 0).map(_.partitionSpecId).distinct
+      if (ids.size == 1) ids.head else meta.defaultSpecId
+    }.getOrElse(meta.defaultSpecId)
+    val fields = meta.allSpecs.find(_._1 == specId).map(_._2).getOrElse(meta.partitionSpec)
+    IcebergTable.defsForFields(meta, fields)
+  }
+
   /** Root the data files live under (for cross-format sync targets). */
   def dataRoot: String =
     currentMetadata.properties.getOrElse("graft.converted.from", tablePath)
@@ -1727,7 +1745,12 @@ object IcebergTable {
 
   /** Reconstruct partition field defs from a table's current spec. */
   private[graft] def defsOf(m: IcebergTableMetadata): Seq[graft.model.PartitionFieldDef] =
-    m.partitionSpec.map { f =>
+    defsForFields(m, m.partitionSpec)
+
+  private[graft] def defsForFields(
+      m: IcebergTableMetadata,
+      fields: Seq[IcebergPartitionFieldSpec]): Seq[graft.model.PartitionFieldDef] =
+    fields.map { f =>
       val src = m.schema.fields.find(x => IcebergSchemas.fieldId(x).contains(f.sourceId))
         .map(_.name).getOrElse(f.name)
       graft.model.PartitionFieldDef(src, f.transform, Some(f.name))

@@ -375,7 +375,9 @@ private final class IcebergSource(t: IcebergTable) extends SyncSource {
   def sourceId = s"iceberg:${t.tablePath}"
   def dataRoot: String = t.dataRoot
   def schema: StructType = t.sparkSchema
-  def partitionColumns: Seq[String] = IcebergTable.defsOf(t.currentMetadata).map(_.spec)
+  // the LIVE file set's spec, not the default: a rollback across a spec
+  // evolution leaves the default describing a layout no live file uses
+  def partitionColumns: Seq[String] = t.liveSpecDefs.map(_.spec)
   def currentVersion: String = t.snapshotIds.last.toString
   def versionExists(v: String): Boolean =
     v.toLongOption.exists(t.snapshotIds.contains)

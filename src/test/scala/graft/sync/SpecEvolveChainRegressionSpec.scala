@@ -72,6 +72,29 @@ class SpecEvolveChainRegressionSpec extends SparkTestBase {
     assertSame(t.toDF(), h.toDF(), "hudi hop")
   }
 
+  test("rollback across a spec evolution: sync describes the LIVE files' spec, not the default") {
+    val dir = tmpDir("regr_specevo_rollback")
+    val t = IcebergTable.create(spark, s"$dir/src", pool.filter(col("k") % 2 === 0), Seq("part"))
+    val preEvo = t.currentMetadata.currentSnapshotId.get
+    def syncAll(): Unit = {
+      SyncEngine.sync(SyncEngine.icebergSource(t), SyncEngine.targetFor(spark, "delta", s"$dir/a"))
+      SyncEngine.sync(SyncEngine.sourceFor(spark, "delta", s"$dir/a"),
+        SyncEngine.targetFor(spark, "hudi", s"$dir/b"))
+    }
+    syncAll()
+    t.evolvePartitionSpec(Seq("status"))
+    t.overwrite(t.toDF().localCheckpoint())
+    syncAll()
+    // roll main back to the pre-evolution snapshot: live files are
+    // old-spec again while the DEFAULT spec stays evolved
+    t.rollbackTo(preEvo)
+    syncAll()
+    val d = DeltaTable.forPath(spark, s"$dir/a")
+    assert(d.schemaAt(None)._2 == Seq("part"), s"delta partCols=${d.schemaAt(None)._2}")
+    assertSame(t.toDF(), d.toDF(), "delta hop after rollback")
+    assertSame(t.toDF(), HudiTable.forPath(spark, s"$dir/b").toDF(), "hudi hop after rollback")
+  }
+
   test("hudi target refuses a partition-field change that leaves old-layout files live") {
     val dir = tmpDir("regr_specevo_mixed")
     val t = IcebergTable.create(spark, s"$dir/src", pool.filter(col("k") % 3 === 0), Seq("part"))
