@@ -74,7 +74,12 @@ object Bench {
       .map { case (k, (_, s)) => "\"" + keyOf(k) + "\":" + num(s, 2) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir","fixture_build_sec":${num(fixtureSec, 3)},"index_build_sec":${num(indexBuildSec, 3)},"spread_outliers":$spreads,"queries":$qs}""")
+    // per-pass totals let a reader separate box drift from plan drift at
+    // a glance: both passes slow ⇒ the box was busy for the whole run;
+    // one pass slow ⇒ transient contention the min already absorbed
+    val p1Total = named.map(n => pass1(n._1)).sum
+    val p2Total = named.map(n => pass2(n._1)).sum
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir","fixture_build_sec":${num(fixtureSec, 3)},"index_build_sec":${num(indexBuildSec, 3)},"pass1_total":${num(p1Total, 3)},"pass2_total":${num(p2Total, 3)},"spread_outliers":$spreads,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -492,10 +492,35 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     }
   }
 
-  def upsert(df: DataFrame, commitProps: Map[String, String] = Map.empty): String = {
+  /**
+   * Executor-side null-record-key fence for keyed tables. Real Hudi
+   * refuses null keys at write time (`HoodieKeyException` thrown during
+   * key generation on the executor); without the fence every downstream
+   * assumption breaks silently — the upsert routing join never matches
+   * a null key (duplicate insert instead of update) and the merged
+   * read's `Window.partitionBy(key)` collapses distinct null-key rows
+   * into one. The fence rides the write scan itself (`coalesce(key,
+   * raise_error)`) so a 100-TB batch pays zero extra passes: the first
+   * null key aborts the job before the commit lands.
+   */
+  private def requireNonNullKeys(df: DataFrame): DataFrame =
+    // first write of an un-keyed create: no hoodie.properties yet (a
+    // keyed createMor pre-writes them, so its fence still engages)
+    (if (timeline.exists) recordKeyField else None) match {
+      case Some(key) if df.schema.fieldNames.contains(key) =>
+        val dt = df.schema(df.schema.fieldIndex(key)).dataType
+        df.withColumn(key, coalesce(col(s"`$key`"),
+          raise_error(lit(s"null record key: column '$key' of keyed table " +
+            s"$tablePath must be non-null (Hudi refuses null record keys " +
+            "at write time: HoodieKeyException)")).cast(dt)))
+      case _ => df
+    }
+
+  def upsert(dfIn: DataFrame, commitProps: Map[String, String] = Map.empty): String = {
     require(isMor, s"upsert needs a MERGE_ON_READ table: $tablePath is $tableType")
     val key = recordKeyField.getOrElse(throw new IllegalStateException(
       s"MOR table $tablePath has no hoodie.table.recordkey.fields"))
+    val df = requireNonNullKeys(dfIn)
     val schema = schemaAt(None)
     val hasTomb = df.schema.fieldNames.contains("_hoodie_is_deleted")
     val dataCols = schema.fieldNames.toSeq
@@ -814,12 +839,15 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
   }
 
   private def write(
-      df: DataFrame,
+      dfIn: DataFrame,
       partSpecsIn: Seq[String],
       overwrite: Boolean,
       /** Base-file paths whose file groups this commit replaces. */
       replacing: Seq[String] = Seq.empty,
       commitProps: Map[String, String] = Map.empty): String = {
+    // keyed tables (MOR, or COW created with recordkey fields) never
+    // admit a null key — see requireNonNullKeys
+    val df = requireNonNullKeys(dfIn)
     // same spec handling as the Delta/Iceberg write paths: parse
     // identity/transform specs, inherit the table's fields when the
     // caller passes none, and REJECT a mismatching explicit spec
@@ -1040,6 +1068,9 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
           spark.emptyDataset[RecordIndexEntry](
             org.apache.spark.sql.Encoders.product[RecordIndexEntry]), numGroups))
       else Some(recordIndexScan(key, files)))
+    // the build adds NO data-timeline instant, so the fence memo (keyed
+    // by the timeline) must drop its now-stale verdict explicitly
+    HudiTable.fenceCache.keySet.removeIf(_._1 == tablePath)
   }
 
   /**
@@ -1052,6 +1083,28 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
    * to col_stats ranges.
    */
   private[graft] def recordIndexUsable(): Boolean = {
+    // memoized per (table, newest completed instant, instant count): the
+    // fence's verdict only changes when the timeline does, so a hot
+    // upsert loop pays ONE timeline listing per call (needed for the key
+    // anyway) but re-reads the per-commit metadata JSONs only when
+    // something actually committed. Every operation that can BREAK the
+    // index (commit/rollback/restore) lands a completed instant and so
+    // changes the key; operations that only IMPROVE coverage without a
+    // data instant (buildRecordIndex) invalidate explicitly — and a
+    // stale `false` from another process is merely conservative (the
+    // col_stats fallback is always correct).
+    val completed = timeline.allCompletedInstants()
+    val key = (tablePath, completed.lastOption.map(_.time).getOrElse(""), completed.size)
+    val cached = HudiTable.fenceCache.get(key)
+    if (cached != null) return cached
+    if (HudiTable.fenceCache.size > 1024) HudiTable.fenceCache.clear()
+    val v = evalRecordIndexFence(completed)
+    HudiTable.fenceCache.put(key, v)
+    v
+  }
+
+  private def evalRecordIndexFence(completed: Seq[HudiInstant]): Boolean = {
+    HudiTable.fenceEvaluations.incrementAndGet()
     val fs = new Path(tablePath).getFileSystem(hconf)
     if (!HudiMetadataTable.hasRecordIndex(fs, tablePath)) return false
     val covered = HudiMetadataTable.recordIndexCoverage(hconf, tablePath)
@@ -1060,7 +1113,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     // ALL instant kinds: a rollback/restore is exactly what must fail
     // the fence (it can revive a pre-compaction file layout the index
     // no longer describes)
-    timeline.allCompletedInstants().filter(_.time > build).forall { i =>
+    completed.filter(_.time > build).forall { i =>
       covered.contains(i.time) || (i.action match {
         case "commit" | "deltacommit" =>
           scala.util.Try(timeline.readCommitMetadata(i)).toOption.exists(
@@ -1258,10 +1311,21 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     * footers otherwise); an index-less table — e.g. written by an engine
     * that didn't maintain stats — yields empty `columnStats`, and the
     * sync layer translates what exists rather than re-reading footers. */
-  def snapshotDataFiles(): Seq[graft.model.InternalDataFile] = {
-    require(!hasLogFiles(None),
+  def snapshotDataFiles(
+      /** true → sync the READ-OPTIMIZED view of a MOR table: latest
+        * base file per group, log files skipped (ref
+        * `HudiDataFileExtractor.java:113-124` getLatestBaseFiles /
+        * `website/docs/features-and-limitations.md:26-27`). The target
+        * then diverges from the MOR snapshot by exactly the un-compacted
+        * log mutations — the reference's documented MOR contract. The
+        * default refuses instead: an RO sync silently drops row
+        * mutations, so it must be an explicit opt-in. */
+      readOptimized: Boolean = false): Seq[graft.model.InternalDataFile] = {
+    require(readOptimized || !hasLogFiles(None),
       s"cannot metadata-sync $tablePath: MOR log files hold row mutations other " +
-        "formats cannot express; run compactMor() first")
+        "formats cannot express; run compactMor() first, or opt into the " +
+        "read-optimized view (hudiSource(t, readOptimized = true)) whose target " +
+        "lags the snapshot by the un-compacted log mutations")
     // one timeline listing for the whole loop (listing per instant is
     // O(commits²) metadata-store round-trips)
     val completedByTime = timeline.completedInstants().map(i => i.time -> i).toMap
@@ -1302,7 +1366,12 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     * instants contribute pure removals: the files their metadata
     * records as deleted (ref `:207-243`); other non-data actions are
     * no-ops (ref `:244-250`). */
-  def changeSet(instant: String): (Seq[graft.model.InternalDataFile], Seq[String]) = {
+  def changeSet(
+      instant: String,
+      /** true → read-optimized replay: log-block write stats drop out
+        * of the feed (a log-only deltacommit becomes a no-op) and only
+        * base files move — see [[snapshotDataFiles]]. */
+      readOptimized: Boolean = false): (Seq[graft.model.InternalDataFile], Seq[String]) = {
     val inst = timeline.allCompletedInstants().find(_.time == instant)
       .getOrElse(throw new IllegalArgumentException(s"no instant $instant on $tablePath"))
     inst.action match {
@@ -1331,13 +1400,16 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         return (Seq.empty, Seq.empty)
     }
     val meta = timeline.readCommitMetadata(inst)
-    if (!meta.partitionToWriteStats.valuesIterator.flatten
+    if (!readOptimized && !meta.partitionToWriteStats.valuesIterator.flatten
         .forall(ws => !HudiLogFormat.isLogPath(ws.path)))
       throw new graft.model.UnsyncableChangeException(
         s"cannot metadata-sync instant $instant of $tablePath: it appends MOR log " +
-          "blocks other formats cannot express; run compactMor() first")
+          "blocks other formats cannot express; run compactMor() first, or opt " +
+          "into the read-optimized view (hudiSource(t, readOptimized = true))")
     val partCols = partitionColumns
-    val adds = meta.partitionToWriteStats.toSeq.flatMap { case (pp, stats) =>
+    val adds = meta.partitionToWriteStats.toSeq.flatMap { case (pp, statsAll) =>
+      val stats = if (readOptimized) statsAll.filterNot(ws => HudiLogFormat.isLogPath(ws.path))
+        else statsAll
       val vals = HudiTable.parsePartitionPath(pp, partCols) // once per partition
       stats.map(ws => graft.model.InternalDataFile(
         physicalPath = absoluteOf(ws.path),
@@ -1512,6 +1584,13 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
 }
 
 object HudiTable {
+
+  /** recordIndexUsable memo — see the method's contract note. */
+  private[hudi] val fenceCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), java.lang.Boolean]()
+  /** Full fence evaluations (timeline JSON walks) — observable so a spec
+    * can prove one walk per new instant, not one per routed upsert. */
+  private[graft] val fenceEvaluations = new java.util.concurrent.atomic.AtomicLong(0)
 
   def forPath(spark: SparkSession, tablePath: String): HudiTable =
     new HudiTable(spark, new HudiTimeline(tablePath, spark.sparkContext.hadoopConfiguration))

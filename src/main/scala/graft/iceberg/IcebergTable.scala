@@ -632,33 +632,79 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
    * The branch ref ends up at the new main head.
    */
   def publishBranch(branch: String): Unit = {
-    val meta = currentMetadata
-    val head = meta.refs.getOrElse(branch,
-      throw new IllegalArgumentException(s"no ref $branch on $tablePath"))
-    require(head.refType == "branch", s"$branch is a ${head.refType}; only branches publish")
-    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
-    def chainFrom(id: Long): Seq[Long] =
-      Iterator.iterate(Option(id))(_.flatMap(byId.get).flatMap(_.parentId))
-        .takeWhile(_.isDefined).map(_.get).toSeq
-    val chain = chainFrom(head.snapshotId)
-    if (meta.currentSnapshotId.forall(chain.contains)) { fastForward(branch); return }
-    val mainAncestry = meta.currentSnapshotId.map(chainFrom(_).toSet).getOrElse(Set.empty)
-    val branchOnly = chain.takeWhile(!mainAncestry(_)).reverse // oldest first
-    val defs = IcebergTable.defsOf(meta).map(_.spec)
-    branchOnly.foreach { id =>
-      val snap = byId.getOrElse(id, throw new IllegalStateException(
-        s"branch $branch references expired snapshot $id on $tablePath"))
-      require(snap.operation == "append",
-        s"cannot cherry-pick branch $branch of $tablePath: snapshot $id is a " +
-          s"'${snap.operation}', not an append — main advanced since the fork, and " +
-          "replaying a rewrite could drop or resurrect rows; rebase the branch instead")
-      val (adds, removes) = changeSet(id)
-      require(removes.isEmpty,
-        s"cannot cherry-pick branch $branch of $tablePath: snapshot $id removes " +
-          s"${removes.size} files — not replayable over an advanced main")
-      syncCommit(sparkSchema, defs, dataRoot, adds, Seq.empty, Map.empty)
+    // analyze-commit-reanalyze loop: the ancestry/conflict analysis is
+    // only valid against the metadata the commit actually lands on, so
+    // each cherry-pick commits ONE snapshot and then re-reads. A main
+    // commit racing in makes that syncCommit throw (its CAS is
+    // fail-loud) — caught here, and the whole analysis re-runs against
+    // the moved main. Because a cherry-pick mints a NEW snapshot id,
+    // progress is tracked by FILE CONTENT, not ancestry: a branch
+    // snapshot whose added files are all live on main is already
+    // published and drops out, so a retry never duplicates rows.
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 16,
+        s"publishBranch($branch) on $tablePath lost the commit race $attempts times")
+      val meta = currentMetadata
+      val head = meta.refs.getOrElse(branch,
+        throw new IllegalArgumentException(s"no ref $branch on $tablePath"))
+      require(head.refType == "branch", s"$branch is a ${head.refType}; only branches publish")
+      val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+      def chainFrom(id: Long): Seq[Long] =
+        Iterator.iterate(Option(id))(_.flatMap(byId.get).flatMap(_.parentId))
+          .takeWhile(_.isDefined).map(_.get).toSeq
+      val chain = chainFrom(head.snapshotId)
+      // syncCommit CAS-loss → IllegalStateException("concurrent commit…");
+      // fastForward/createBranch CAS-loss → require's
+      // IllegalArgumentException("concurrent iceberg commit…")
+      val concurrentCommit: PartialFunction[Throwable, Unit] = {
+        case e @ (_: IllegalStateException | _: IllegalArgumentException)
+          if Option(e.getMessage).exists(_.contains("concurrent")) => ()
+      }
+      if (meta.currentSnapshotId.forall(chain.contains)) {
+        // fast-forwardable against THIS metadata; fastForward re-reads
+        // and CAS-fails if main moved meanwhile — that's a lost race,
+        // not an error: re-analyze (the branch may no longer descend)
+        try { fastForward(branch); return }
+        catch {
+          case e: Throwable if concurrentCommit.isDefinedAt(e) ||
+            Option(e.getMessage).exists(_.contains("not a fast-forward")) => ()
+        }
+      } else {
+        val mainAncestry = meta.currentSnapshotId.map(chainFrom(_).toSet).getOrElse(Set.empty)
+        val candidates = chain.takeWhile(!mainAncestry(_)).reverse // oldest first
+        // validate the WHOLE lineage before committing any of it
+        candidates.foreach { id =>
+          val snap = byId.getOrElse(id, throw new IllegalStateException(
+            s"branch $branch references expired snapshot $id on $tablePath"))
+          require(snap.operation == "append",
+            s"cannot cherry-pick branch $branch of $tablePath: snapshot $id is a " +
+              s"'${snap.operation}', not an append — main advanced since the fork, and " +
+              "replaying a rewrite could drop or resurrect rows; rebase the branch instead")
+        }
+        val mainLive: Set[String] =
+          liveEntries(None).map(e => new Path(e.filePath).toUri.toString).toSet
+        val pending = candidates.map(id => id -> changeSet(id)).filterNot {
+          case (_, (adds, _)) =>
+            adds.nonEmpty && adds.forall(f =>
+              mainLive.contains(new Path(f.physicalPath).toUri.toString))
+        }
+        pending.foreach { case (id, (_, removes)) =>
+          require(removes.isEmpty,
+            s"cannot cherry-pick branch $branch of $tablePath: snapshot $id removes " +
+              s"${removes.size} files — not replayable over an advanced main")
+        }
+        val defs = IcebergTable.defsOf(meta).map(_.spec)
+        try {
+          pending.foreach { case (_, (adds, _)) =>
+            syncCommit(sparkSchema, defs, dataRoot, adds, Seq.empty, Map.empty)
+          }
+          createBranch(branch) // re-point the published branch at the new head
+          return
+        } catch concurrentCommit // lost a race mid-lineage: re-analyze, resume
+      }
     }
-    createBranch(branch) // re-point the published branch at the new head
   }
 
   /** Logical overwrite; old snapshots stay time-travelable. */

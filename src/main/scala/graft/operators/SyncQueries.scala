@@ -163,6 +163,35 @@ object SyncQueries {
           SyncEngine.deltaSource(escSrc), SyncEngine.icebergTarget(spark, s"$root/esc_tgt"))
         require(r11.mode == "incremental", s"expected incremental esc replay, got ${r11.mode}")
 
+        // 12. MOR read-optimized sync (ref the reference's MOR contract,
+        //     `website/docs/features-and-limitations.md:26-27` +
+        //     `HudiDataFileExtractor.java:113-124` getLatestBaseFiles):
+        //     an UNCOMPACTED MOR source syncs its base files only —
+        //     upserted log mutations stay invisible, while insert base
+        //     files (even from the same mixed deltacommit) and appends
+        //     flow through. Full sync, then an incremental replay across
+        //     the mixed upsert + append, into BOTH Delta and Iceberg.
+        val om = o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val morSrc = HudiTable.createMor(spark, s"$root/mor_src",
+          om.filter(col("o_orderkey") % 2 === 0), "o_orderkey")
+        SyncEngine.sync(SyncEngine.hudiSource(morSrc, readOptimized = true),
+          SyncEngine.icebergTarget(spark, s"$root/mor_tgt_i"))
+        SyncEngine.sync(SyncEngine.hudiSource(morSrc, readOptimized = true),
+          SyncEngine.deltaTarget(spark, s"$root/mor_tgt_d"))
+        // mixed deltacommit: k%4==0 are UPDATES (log blocks, invisible
+        // under RO), k%4==1 are INSERTS (new base files, visible)
+        morSrc.upsert(
+          om.filter(col("o_orderkey") % 4 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+            .unionByName(om.filter(col("o_orderkey") % 4 === 1)))
+        morSrc.append(om.filter(col("o_orderkey") % 4 === 3))
+        val r12i = SyncEngine.sync(SyncEngine.hudiSource(morSrc, readOptimized = true),
+          SyncEngine.icebergTarget(spark, s"$root/mor_tgt_i"))
+        require(r12i.mode == "incremental", s"expected incremental mor replay, got ${r12i.mode}")
+        val r12d = SyncEngine.sync(SyncEngine.hudiSource(morSrc, readOptimized = true),
+          SyncEngine.deltaTarget(spark, s"$root/mor_tgt_d"))
+        require(r12d.mode == "incremental", s"expected incremental mor replay, got ${r12d.mode}")
+
         root
       })
     }
@@ -389,6 +418,40 @@ object SyncQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderpriority IN ('4-NOT SPECIFIED', '1-URGENT')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // MOR read-optimized sync: both targets hold every order key at its
+    // ORIGINAL price — the k%4==0 price updates live only in log files
+    // the RO view skips, while the same deltacommit's insert base files
+    // (k%4==1) and the later append (k%4==3) arrived incrementally. The
+    // oracle is therefore the plain orders table: any leaked log
+    // mutation (or dropped base file) breaks the sums.
+    QueryDef.sql(
+      "x12_mor_readoptimized_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) = df
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .withColumn("target", lit(tag))
+        agg(IcebergTable.forPath(spark, s"$root/mor_tgt_i").toDF(), "iceberg")
+          .unionByName(agg(DeltaTable.forPath(spark, s"$root/mor_tgt_d").toDF(), "delta"))
+          .orderBy(col("target"), col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  'delta' AS target
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT o_orderstatus, COUNT(*),
+        |  CAST(SUM(o_orderkey) AS BIGINT),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |  'iceberg'
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY target, o_orderstatus""".stripMargin),
 
     // The streaming change feed, end to end: drain a two-commit table
     // through spark.readStream.format("graft") (snapshot batch + one

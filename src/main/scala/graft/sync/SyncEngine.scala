@@ -143,7 +143,8 @@ object SyncEngine {
 
   def deltaSource(t: DeltaTable): SyncSource = new DeltaSource(t)
   def icebergSource(t: IcebergTable): SyncSource = new IcebergSource(t)
-  def hudiSource(t: HudiTable): SyncSource = new HudiSource(t)
+  def hudiSource(t: HudiTable, readOptimized: Boolean = false): SyncSource =
+    new HudiSource(t, readOptimized)
   def deltaTarget(spark: SparkSession, path: String): SyncTarget = new DeltaTarget(spark, path)
   def icebergTarget(spark: SparkSession, path: String): SyncTarget = new IcebergTarget(spark, path)
   def hudiTarget(spark: SparkSession, path: String): SyncTarget = new HudiTarget(spark, path)
@@ -445,7 +446,15 @@ private final class IcebergTarget(spark: SparkSession, val targetPath: String) e
 
 // ----------------------------------------------------------------- Hudi
 
-private final class HudiSource(t: HudiTable) extends SyncSource {
+private final class HudiSource(t: HudiTable,
+    /** Sync the MOR read-optimized view (base files only; the target
+      * lags the snapshot by un-compacted log mutations — the
+      * reference's documented MOR contract, ref
+      * `features-and-limitations.md:26-27`). The sourceId stays the
+      * same either way: once a compaction folds the logs in, its
+      * replacecommit replays through the SAME incremental feed and the
+      * views re-converge — no watermark reset needed. */
+    readOptimized: Boolean = false) extends SyncSource {
   def format = "hudi"
   def sourceId = s"hudi:${t.tablePath}"
   def dataRoot: String = t.dataRoot
@@ -470,8 +479,8 @@ private final class HudiSource(t: HudiTable) extends SyncSource {
     * the inflight backlog until it actually completes. */
   override def isCompleted(v: String): Boolean = t.syncInstants.contains(v)
   def versionsAfter(v: String): Seq[String] = t.syncInstants.filter(_ > v)
-  def snapshotFiles(): Seq[InternalDataFile] = t.snapshotDataFiles()
-  def changes(v: String): (Seq[InternalDataFile], Seq[String]) = t.changeSet(v)
+  def snapshotFiles(): Seq[InternalDataFile] = t.snapshotDataFiles(readOptimized)
+  def changes(v: String): (Seq[InternalDataFile], Seq[String]) = t.changeSet(v, readOptimized)
   override def inflightVersions: Seq[String] = t.timeline.pendingInstants()
   override def recordKeyFields: Seq[String] =
     t.properties.get("hoodie.table.recordkey.fields")

@@ -221,6 +221,49 @@ class HudiMorSpec extends SparkTestBase {
     }
   }
 
+  test("read-optimized sync opt-in: base files flow, log mutations stay invisible") {
+    import graft.sync.SyncEngine
+    val dir = tmpDir("mor_ro")
+    val t = HudiTable.createMor(spark, s"$dir/t", orders, "o_orderkey")
+    val target = s"$dir/ice"
+    SyncEngine.sync(SyncEngine.hudiSource(t, readOptimized = true),
+      SyncEngine.icebergTarget(spark, target))
+    // mixed deltacommit: updates (log blocks) + inserts (base files)
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 99.0)
+      .unionByName(orders.limit(10).withColumn("o_orderkey", col("o_orderkey") + 9000000L)))
+    // the DEFAULT source still refuses the log-bearing table, and the
+    // refusal names the opt-in
+    val e = intercept[Exception] {
+      SyncEngine.sync(SyncEngine.hudiSource(t), SyncEngine.icebergTarget(spark, s"$dir/ice2"))
+    }
+    assert(e.getMessage.contains("readOptimized = true"), e.getMessage)
+    val r = SyncEngine.sync(SyncEngine.hudiSource(t, readOptimized = true),
+      SyncEngine.icebergTarget(spark, target))
+    assert(r.mode == "incremental" && r.filesAdded > 0)
+    val got = graft.iceberg.IcebergTable.forPath(spark, target).toDF()
+    // target == the table's own read-optimized view: inserts visible at
+    // original prices, the +99.0 updates invisible
+    assert(got.count() == orders.count() + 10)
+    assert(got.filter(col("o_totalprice") =!= col("o_totalprice").cast("long") + 0.0).count()
+      == got.filter(col("o_totalprice") =!= col("o_totalprice").cast("long") + 0.0).count())
+    val roView = t.readOptimizedDF()
+    assert(got.select("o_orderkey", "o_totalprice").exceptAll(
+      roView.select("o_orderkey", "o_totalprice")).count() == 0)
+    assert(roView.select("o_orderkey", "o_totalprice").exceptAll(
+      got.select("o_orderkey", "o_totalprice")).count() == 0)
+    // once compacted, the SAME feed replays the compaction and the
+    // target re-converges with the full snapshot — no watermark reset
+    assert(t.compactMor().nonEmpty)
+    val r2 = SyncEngine.sync(SyncEngine.hudiSource(t, readOptimized = true),
+      SyncEngine.icebergTarget(spark, target))
+    assert(r2.mode == "incremental")
+    val conv = graft.iceberg.IcebergTable.forPath(spark, target).toDF()
+    assert(conv.select("o_orderkey", "o_totalprice").exceptAll(
+      t.toDF().select("o_orderkey", "o_totalprice")).count() == 0)
+    assert(conv.count() == t.toDF().count())
+  }
+
   test("changeFeed streams log records as upserts/deletes and base adds as inserts") {
     val dir = tmpDir("mor_cdf")
     val t = HudiTable.createMor(spark, s"$dir/t", orders, "o_orderkey")

@@ -125,4 +125,28 @@ class HudiRecordIndexSpec extends SparkTestBase {
     assert(t.toDF().count() == before)
     assert(t.toDF().filter(col("o_totalprice") === 7.0).count() == 15)
   }
+
+  test("fence memo: one timeline JSON walk per new instant, not per routed upsert") {
+    val dir = tmpDir("ri_memo")
+    val t = HudiTable.createMor(spark, s"$dir/t", orders.repartition(3), "o_orderkey")
+    t.buildRecordIndex()
+    assert(t.recordIndexUsable()) // prime the memo for this timeline state
+    val n0 = HudiTable.fenceEvaluations.get()
+    (1 to 5).foreach(_ => assert(t.recordIndexUsable()))
+    assert(HudiTable.fenceEvaluations.get() == n0,
+      "repeated fence checks on an unchanged timeline must not re-walk it")
+    // a fresh handle to the same table (new process shape) hits the
+    // shared memo too — the key is the table path + timeline state
+    assert(HudiTable.forPath(spark, s"$dir/t").recordIndexUsable())
+    assert(HudiTable.fenceEvaluations.get() == n0)
+    // a new instant changes the key: exactly one new evaluation however
+    // many routed upserts follow
+    t.upsert(orders.limit(5).withColumn("o_totalprice", lit(3.0)))
+    (1 to 3).foreach(_ => assert(t.recordIndexUsable()))
+    assert(HudiTable.fenceEvaluations.get() == n0 + 1,
+      "a new instant must cost exactly one fence re-evaluation")
+    // rollback lands a completed instant too → fresh verdict, not stale
+    t.rollback()
+    assert(!t.recordIndexUsable(), "rollback must fail the fence through the memo")
+  }
 }

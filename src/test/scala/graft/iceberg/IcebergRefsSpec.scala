@@ -113,6 +113,55 @@ class IcebergRefsSpec extends SparkTestBase {
     assert(t.toDF().count() == n3 + 5 + 3 + 2)
   }
 
+  test("publishBranch against a concurrently-advancing main: no lost or duplicated rows") {
+    // two writers on the same table path (the metadata CAS is a
+    // filesystem put-if-absent, so same-JVM threads race for real): one
+    // publishes a 5-snapshot branch while the other lands main appends.
+    // publishBranch must re-analyze on every lost race — published rows
+    // appear exactly once, concurrent appends survive, and the final
+    // count is exact.
+    val dir = tmpDir("refs_race")
+    val base = orders.filter(col("o_orderkey") % 4 === 0)
+    val t = IcebergTable.create(spark, s"$dir/t", base)
+    val branchBatches = (0 until 5).map(i =>
+      orders.limit(8).withColumn("o_orderkey", col("o_orderkey") + lit((i + 1) * 10000000L))
+        .localCheckpoint())
+    branchBatches.foreach(b => t.appendToBranch(b, "wap"))
+    t.append(orders.limit(3).withColumn("o_orderkey", col("o_orderkey") + 90000000L))
+    val mainBatches = (0 until 6).map(i =>
+      orders.limit(2).withColumn("o_orderkey", col("o_orderkey") + lit((i + 20) * 10000000L))
+        .localCheckpoint())
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val publisher = new Thread(() =>
+      try IcebergTable.forPath(spark, s"$dir/t").publishBranch("wap")
+      catch { case e: Throwable => errs.add(e) })
+    val appender = new Thread(() =>
+      try {
+        val mine = IcebergTable.forPath(spark, s"$dir/t")
+        mainBatches.foreach { b =>
+          // appends retry their own CAS or throw; retry loudly here
+          var done = false
+          var tries = 0
+          while (!done) {
+            tries += 1
+            try { mine.append(b); done = true }
+            catch {
+              case e: Exception if tries < 20 &&
+                Option(e.getMessage).exists(_.contains("concurrent")) => ()
+            }
+          }
+        }
+      } catch { case e: Throwable => errs.add(e) })
+    publisher.start(); appender.start()
+    publisher.join(180000); appender.join(180000)
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    val got = IcebergTable.forPath(spark, s"$dir/t").toDF()
+    val expected = base.count() + 5 * 8 + 3 + 6 * 2
+    assert(got.count() == expected, s"expected $expected rows, got ${got.count()}")
+    // exactly-once: no key appears twice
+    assert(got.groupBy("o_orderkey").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("expiry pins an unpublished branch's whole lineage; fastForward still publishes") {
     val dir = tmpDir("refs_expire_branch")
     val t = IcebergTable.create(spark, s"$dir/t", orders.limit(100))

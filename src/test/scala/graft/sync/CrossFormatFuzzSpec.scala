@@ -94,6 +94,11 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     /** retention maintenance: iceberg expireSnapshots / delta VACUUM /
       * hudi timeline archival */
     def retire(): Unit = sys.error(s"$fmt: no retire")
+    /** adapter-side schema state snapshotted per marker so a restore op
+      * can roll the ADAPTER back alongside the table (lets restore fuzz
+      * across addcol/rename instead of only pre-evolution states) */
+    def schemaState: AnyRef = cols
+    def restoreSchemaState(s: AnyRef): Unit = { cols = s.asInstanceOf[Seq[String]] }
     /** recorded markers still time-travelable after retire() */
     def surviving(ms: Seq[String]): Seq[String] = ms
     def caps: Set[String]
@@ -130,6 +135,13 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     // fuzzes the iceberg-only bi topology
     def caps = Set("append", "upsert", "delete", "overwrite", "compact",
       "addcol", "retire") ++ (if (renameOk) Set("rename") else Set.empty)
+    // restore reverts Delta metadata too (schema, column-mapping mode),
+    // so liveParts and the mapped flag roll back with the marker
+    override def schemaState: AnyRef = (cols, liveParts, mapped)
+    override def restoreSchemaState(s: AnyRef): Unit = {
+      val (c, lp, m) = s.asInstanceOf[(Seq[String], Seq[String], Boolean)]
+      cols = c; liveParts = lp; mapped = m
+    }
     def version: String = t.latestVersion.toString
     def dfAsOf(v: String): DataFrame = t.toDF(versionAsOf = Some(v.toLong))
     override def restoreTo(v: String): Unit = t.restoreTo(v.toLong)
@@ -297,28 +309,53 @@ class CrossFormatFuzzSpec extends SparkTestBase {
         fail(s"sequence blew up: $trace\n  ${e.getClass.getSimpleName}: ${e.getMessage}", e)
     }
     def runOps(): Unit = {
-    // (marker, expected snapshot) per committed state — the time-travel
-    // audit at the end replays every surviving marker
-    val history = scala.collection.mutable.ArrayBuffer[(String, (Long, Long, Seq[String]))]()
-    val baseCols = src.cols
+    // (marker, expected snapshot, adapter schema state) per committed
+    // state — the time-travel audit at the end replays every surviving
+    // marker, and restore rolls the adapter state back with the table
+    val history =
+      scala.collection.mutable.ArrayBuffer[(String, (Long, Long, Seq[String]), AnyRef)]()
     def record(): Unit = {
       val v = src.version
-      if (!history.lastOption.exists(_._1 == v)) history += v -> snap(src.df)
+      if (!history.lastOption.exists(_._1 == v))
+        history += ((v, snap(src.df), src.schemaState))
     }
+    // a unique key outside the pool's o_orderkey range per injected row
+    var injectKey = -1L
     syncAll(); compare("init"); record()
     val nOps = 8 + rng.nextInt(5)
     for (i <- 1 to nOps) {
       val op = {
-        // restore fuzzes replay ordering, but only while the schema is
-        // still the original (restoring across addcol/rename would need
-        // adapter schema-state rollback too)
-        val restorable = history.size >= 2 && src.cols == baseCols
-        val c = (src.caps ++ (if (restorable) Set("restore") else Set.empty)).toSeq.sorted
+        val restorable = history.size >= 2
+        val c = (src.caps ++ Set("nullrow", "emptybatch") ++
+          (if (restorable) Set("restore") else Set.empty)).toSeq.sorted
         c(rng.nextInt(c.size))
       }
       trace.append(s" $i:$op")
       op match {
         case "append" => src.append(slice(rng))
+        case "nullrow" =>
+          // null-value injection: nulls in every non-key column,
+          // INCLUDING the partition column (default-partition path) —
+          // rides append so all three formats take it; k stays unique
+          // and non-null (a null k is legal data for these un-keyed
+          // sources but would collide across injections)
+          val row = pool.limit(1).select(
+            lit(injectKey).as("k"),
+            lit(null).cast("double").as("price"),
+            lit(null).cast("string").as("status"),
+            lit(null).cast("string").as("part"))
+          injectKey -= 1
+          src.append(row)
+        case "emptybatch" =>
+          // zero-row batches through each mutating verb the source has
+          val empty = pool.limit(0)
+          rng.shuffle(Seq("append", "upsert", "delete", "overwrite")
+            .filter(src.caps)).headOption.getOrElse("append") match {
+            case "append" => src.append(empty)
+            case "upsert" => src.upsert(empty)
+            case "delete" => src.delete(empty.select("k"))
+            case "overwrite" => src.append(empty) // empty OVERWRITE would empty the table; append keeps the invariant
+          }
         case "upsert" => src.upsert(slice(rng).withColumn("price", col("price") + 1000.0))
         case "delete" =>
           // never empty the table: delete a sparse key set
@@ -343,14 +380,17 @@ class CrossFormatFuzzSpec extends SparkTestBase {
           val keep = src.surviving(history.map(_._1).toSeq).toSet
           history.filterInPlace(h => keep(h._1))
         case "restore" =>
-          // roll back to a random earlier recorded state; markers after
-          // it leave the travelable history (iceberg truncates its
-          // snapshot log; hudi revokes the instants; delta RESTORE is a
-          // new version so prior versions all stay readable)
+          // roll back to a random earlier recorded state — including
+          // across addcol/rename/spec-evolve: the adapter's schema
+          // state recorded at the marker rolls back with it. Markers
+          // after it leave the travelable history (iceberg truncates
+          // its snapshot log; hudi revokes the instants; delta RESTORE
+          // is a new version so prior versions all stay readable)
           val targetIdx = rng.nextInt(history.size - 1)
           val target = history(targetIdx)._1
           trace.append(s"->$target")
           src.restoreTo(target)
+          src.restoreSchemaState(history(targetIdx)._3)
           if (srcFmt != "delta") history.takeInPlace(targetIdx + 1)
       }
       syncAll()
@@ -359,7 +399,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     }
     // time-travel audit: every surviving marker still answers exactly
     // what it answered when it was current
-    history.foreach { case (v, expected) =>
+    history.foreach { case (v, expected, _) =>
       assert(snap(src.dfAsOf(v)) == expected,
         s"time travel to $v drifted after the op mix\n$trace")
     }
@@ -370,6 +410,31 @@ class CrossFormatFuzzSpec extends SparkTestBase {
 
   (1 to fuzzN).foreach { seed =>
     test(s"fuzz sequence seed=$seed") { runSequence(seed.toLong) }
+  }
+
+  test("null-key injection into a keyed hudi table refuses; table stays syncable") {
+    // the injection the un-keyed fuzz sources can't express: a keyed
+    // MOR table must REFUSE a null record key at every write (the
+    // routing join and merged-read window both silently corrupt on
+    // null keys otherwise) — and the refused write must leave no
+    // commit behind, so the table still syncs cleanly afterwards
+    val dir = tmpDir("fuzz_nullkey")
+    val base = pool.filter(col("k") % 3 === 0)
+    val t = HudiTable.createMor(spark, s"$dir/src", base, "k")
+    val poisoned = base.limit(3).select(
+      lit(null).cast("long").as("k"), col("price"), col("status"), col("part"))
+    val e = intercept[Throwable](t.upsert(base.limit(2).unionByName(poisoned)))
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("null record key"), msgs)
+    val e2 = intercept[Throwable](t.append(poisoned))
+    val msgs2 = Iterator.iterate[Throwable](e2)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs2.contains("null record key"), msgs2)
+    // nothing committed by the refused writes; the table still syncs
+    SyncEngine.sync(SyncEngine.hudiSource(t), SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    val got = graft.iceberg.IcebergTable.forPath(spark, s"$dir/tgt").toDF()
+    assert(got.count() == base.count())
   }
 
   test("mixed-spec iceberg source refuses sync until rewritten onto one spec") {
