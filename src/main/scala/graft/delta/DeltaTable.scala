@@ -458,7 +458,15 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     }
     val mfs = pruneByKeys match {
       case None => allMfs
+      // exact routing via the key index when it can answer (see
+      // DeltaKeyIndex): only files that genuinely hold an incoming key
+      // stay candidates — per-file ranges keep every file once key
+      // ranges interleave, the index does not. None (absent index,
+      // failed fence, composite/null keys) falls through to ranges.
       case Some((kc, keys)) =>
+        keyIndexRouteFiles(kc, keys) match {
+          case Some(hit) => allMfs.filter(f => hit(f.path))
+          case None =>
         import org.apache.spark.sql.functions.{broadcast, from_json}
         def pName(c: String): String = physShape match {
           case None => c
@@ -500,6 +508,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         }
         filesDF.unpersist()
         allMfs.filter(f => cand(f.path))
+        }
     }
     import spark.implicits._
     val cdfEnabled = log.metadataAt(None)._1.configuration
@@ -640,6 +649,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     require(log.commit(v, protocolUpgrade ++ removes ++ adds ++ cdcActions ++ extraActions :+ info),
       s"concurrent commit detected at version $v of $tablePath; re-run the operation")
     log.maybeCheckpoint(v)
+    maintainKeyIndex(v, extraActions) // MERGE's new files; DVs move no keys
     v
     } finally matched.foreach(m => if (cdfEnabled) m.unpersist())
   }
@@ -858,12 +868,130 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       CommitInfo(now, "RESTORE", Map("version" -> version.toString))),
       s"concurrent commit detected at version $v of $tablePath; re-run the operation")
     log.maybeCheckpoint(v)
+    maintainKeyIndex(v, adds) // re-added files read back like any add
     v
   }
 
   /** RESTORE TABLE ... TO TIMESTAMP AS OF (same resolution rule as
     * [[versionForTimestamp]]). */
   def restoreToTimestamp(tsMillis: Long): Long = restoreTo(versionForTimestamp(tsMillis))
+
+  // ------------------------------------------------------- key index
+
+  /**
+   * Build the record-key index for EXACT MERGE routing (see
+   * [[DeltaKeyIndex]]): one distributed scan of the live snapshot's key
+   * column, attributed per file, installed as the build batch. From
+   * then on every add-bearing commit appends a maintenance batch
+   * (post-commit read-back of the new files, the Hudi RFC-37 shape),
+   * and `upsert`/`deleteMatching` route by exact key membership instead
+   * of per-file min/max ranges. Opt-in: costs one extra columnar read
+   * of each commit's NEW files.
+   */
+  def buildKeyIndex(keyCol: String): Unit = {
+    requireWritable(mutation = false)
+    val (schema, partCols) = schemaAt(None)
+    require(schema.fieldNames.contains(keyCol),
+      s"key column $keyCol missing from the schema of $tablePath")
+    require(!partCols.contains(keyCol),
+      s"key column $keyCol is a partition column of $tablePath; the index reads " +
+        "keys back from data files, so the key must be a data column")
+    val v = latestVersion
+    val snapRows = log.snapshotFilesDF()
+      .select("path", "size", "modificationTime", "partitionValues").collect().toSeq
+    val mfs = snapRows.map(r => graft.sources.ManifestFile(
+      path = DeltaTable.metadataFilePath(tablePath, r.getString(0)),
+      size = if (r.isNullAt(1)) 0L else r.getLong(1),
+      modificationTime = if (r.isNullAt(2)) 0L else r.getLong(2),
+      partitionValues = if (r.isNullAt(3)) Map.empty else r.getMap[String, String](3).toMap))
+    DeltaKeyIndex.replaceAll(spark, tablePath,
+      DeltaKeyIndex.Config(keyCol, v), keyEntriesFor(mfs, keyCol))
+    DeltaKeyIndex.invalidate(tablePath)
+  }
+
+  def dropKeyIndex(): Unit = {
+    DeltaKeyIndex.drop(spark.sparkContext.hadoopConfiguration, tablePath)
+    DeltaKeyIndex.invalidate(tablePath)
+  }
+
+  /** Distinct `(key, file)` pairs of the given files — a distributed
+    * key-column scan attributed by `__graft_file` (the same metadata
+    * path form the MERGE candidate set keys on). */
+  private def keyEntriesFor(
+      mfs: Seq[graft.sources.ManifestFile], keyCol: String): org.apache.spark.sql.DataFrame = {
+    val (schema, partCols) = schemaAt(None)
+    if (mfs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("key", StringType), StructField("file", StringType))))
+    val physShape = physicalShape(None)
+    val (rSchema, rParts) = physShape.getOrElse((schema, partCols))
+    val physKey = physShape match {
+      case None => keyCol
+      case Some(_) => DeltaTable.physicalName(schema(keyCol))
+    }
+    graft.sources.ManifestFileIndex.read(
+        spark, readBasePath(None), mfs, rSchema, rParts, withRowPositions = true)
+      .select(col(s"`$physKey`").cast(StringType).as("key"), col("__graft_file").as("file"))
+      .distinct()
+  }
+
+  /** Post-commit index maintenance: a batch of the commit's newly added
+    * files' keys. Runs only when an index is configured; a failure here
+    * surfaces loudly (the data commit already landed), and the missing
+    * batch merely fails the fence — routing falls back, never lies. */
+  private def maintainKeyIndex(
+      v: Long,
+      /** actions that may carry NEW-KEY files; DV-only re-adds and
+        * key-free commits pass empty and get a coverage marker (the
+        * fence audits the commit's raw AddFile actions, which a DV
+        * re-add also carries — it moved no keys, so mark, don't scan) */
+      actions: Seq[DeltaAction]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    DeltaKeyIndex.readConfig(conf, tablePath).foreach { cfg =>
+      val adds = actions.collect { case a: AddFile => a }
+      val (schema, _) = schemaAt(None)
+      // key column dropped/renamed since the build: stop maintaining;
+      // the fence fails on this uncovered version and stays failed
+      if (adds.isEmpty) DeltaKeyIndex.markCovered(conf, tablePath, v)
+      else if (schema.fieldNames.contains(cfg.keyCol)) {
+        val mfs = adds.map(a => graft.sources.ManifestFile(
+          path = DeltaTable.metadataFilePath(tablePath, a.path),
+          size = a.size, modificationTime = a.modificationTime,
+          partitionValues = a.partitionValues))
+        DeltaKeyIndex.writeBatch(tablePath, v, keyEntriesFor(mfs, cfg.keyCol))
+      }
+      DeltaKeyIndex.invalidate(tablePath)
+    }
+  }
+
+  /** Exact MERGE routing: the set of candidate metadata paths for the
+    * incoming keys, or None when the index cannot answer (absent,
+    * fence-failed, composite key, different key column, or null keys —
+    * null-safe matching is the range path's job). */
+  private def keyIndexRouteFiles(kc: Seq[String], keys: DataFrame): Option[Set[String]] = {
+    if (kc.size != 1) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cfg = DeltaKeyIndex.readConfig(conf, tablePath) match {
+      case Some(c) if c.keyCol == kc.head => c
+      case _ => return None
+    }
+    if (!DeltaKeyIndex.usable(log, conf, tablePath, latestVersion)) return None
+    val (schema, _) = schemaAt(None)
+    // canonicalize through the TABLE column's type first: the stored
+    // strings came from table-typed values, and an incoming frame with
+    // a different numeric type must not miss on formatting ("1.0" vs
+    // "1.00")
+    val kD = keys
+      .select(col(s"`${kc.head}`").cast(schema(cfg.keyCol).dataType)
+        .cast(StringType).as("__k")).distinct()
+    if (kD.filter(col("__k").isNull).limit(1).count() > 0) return None
+    val entries = DeltaKeyIndex.entriesDF(spark, tablePath)
+    // distributed equi-join (both sides can be large); only the matched
+    // FILE set — metadata-scale — collects
+    Some(entries.join(kD, entries("key") === col("__k"))
+      .select("file").distinct().collect().map(_.getString(0)).toSet)
+  }
 
   // ------------------------------------------------------ column mapping
 
@@ -1373,6 +1501,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         Map("mode" -> (if (overwrite) "Overwrite" else "Append")) ++ commitProps)
       if (log.commit(v, metaActions ++ removes ++ adds :+ info)) {
         log.maybeCheckpoint(v)
+        maintainKeyIndex(v, adds)
         committed = v
       } else {
         require(attempt < 10,
@@ -1551,6 +1680,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     require(log.commit(v, metaActions ++ removeActions ++ addActions :+ info),
       s"concurrent commit detected at version $v of $tablePath")
     if (!deferCheckpoint) log.maybeCheckpoint(v)
+    maintainKeyIndex(v, addActions)
     v
   }
 }

@@ -172,6 +172,45 @@ object FormatQueries {
         t15.append(o.filter(col("o_orderkey") % 2 === 1)
           .withColumnRenamed("o_totalprice", "o_amount"), Seq.empty)
 
+        // 16. record-key index MERGE (DeltaKeyIndex): keys interleave
+        //     across files by residue (every file's [min,max] spans the
+        //     whole domain, so RANGE pruning keeps every file for any
+        //     key set) and the MERGE's keys are one residue class. The
+        //     exactness proof is constructive, the h14 victim trick:
+        //     every live file holding NO incoming key is physically
+        //     hidden during the MERGE — index routing never opens them
+        //     (range pruning provably would: each victim's range
+        //     overlaps the keys, checked below) — then restored for the
+        //     oracle read.
+        val o16 = o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val t16 = DeltaTable.create(spark, s"$root/orders_keyindex",
+          o16.repartition(4, pmod(col("o_orderkey"), lit(4))))
+        t16.buildKeyIndex("o_orderkey")
+        val incoming16 = o16.filter(col("o_orderkey") % 4 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 50000.0)
+          .localCheckpoint()
+        val kMin = incoming16.agg(min("o_orderkey")).head.getLong(0)
+        val kMax = incoming16.agg(max("o_orderkey")).head.getLong(0)
+        val fs16 = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files16 = t16.log.snapshotFilesDF().select("path").collect()
+          .map(r => s"$root/orders_keyindex/${r.getString(0)}").toSeq
+        val victims16 = files16.filter { f =>
+          val mm = spark.read.parquet(f)
+            .agg(min("o_orderkey"), max("o_orderkey"),
+              sum((col("o_orderkey") % 4 === 1).cast("int"))).head
+          mm.getLong(2) == 0L && mm.getLong(0) <= kMax && mm.getLong(1) >= kMin
+        }
+        require(victims16.nonEmpty,
+          "f23 fixture: residue layout must yield range-overlapping non-hit files")
+        val aside16 = victims16.map { v =>
+          val p = new org.apache.hadoop.fs.Path(v)
+          val a = new org.apache.hadoop.fs.Path(v + ".aside")
+          require(fs16.rename(p, a), s"f23 fixture: cannot hide $v"); (a, p)
+        }
+        try t16.upsert(incoming16, Seq("o_orderkey"))
+        finally aside16.foreach { case (a, p) => require(fs16.rename(a, p)) }
+
         root
       })
     }
@@ -518,6 +557,28 @@ object FormatQueries {
           .orderBy(col("o_orderstatus")),
       """SELECT o_orderstatus, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Record-key-index MERGE: the fixture ran the upsert with every
+    // non-hit file physically hidden (index routing opened only true
+    // hit files — range pruning provably keeps every file, their key
+    // ranges all overlap). The oracle replays the MERGE arithmetic:
+    // +50000 on exactly the keys ≡ 1 (mod 4).
+    QueryDef.sql(
+      "f23_delta_key_index_merge",
+      (spark, dir) =>
+        Fixtures.table(spark, dir, "orders_keyindex").toDF()
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus")),
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey % 4 = 1
+        |    THEN o_totalprice + 50000.0 ELSE o_totalprice END
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   )
 }

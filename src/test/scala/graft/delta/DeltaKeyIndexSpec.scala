@@ -1,0 +1,176 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/**
+ * Record-key index for exact Delta MERGE routing (DeltaKeyIndex): build
+ * scan, exact routing proven constructively (victim files physically
+ * removed — a routed MERGE never opens them, while range pruning
+ * provably would), write-path maintenance, the coverage fence with its
+ * range fallback, and the fence memo.
+ */
+class DeltaKeyIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  private def fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Live data-file paths of the table (absolute). */
+  private def liveFiles(t: DeltaTable, dir: String): Seq[String] =
+    t.log.snapshotFilesDF().select("path").collect()
+      .map(r => new Path(s"$dir/${r.getString(0)}").toString).toSeq
+
+  /** Interleave keys across files: residue class by key so every file's
+    * [min,max] spans the whole domain — range pruning keeps ALL files
+    * for any key set, the index keeps only true holders. */
+  private def interleaved = orders.repartition(4, pmod(col("o_orderkey"), lit(4)))
+
+  test("routed MERGE opens only true hit files; range pruning provably would crash") {
+    val dir = tmpDir("ki_route")
+    val t = DeltaTable.create(spark, s"$dir/t", interleaved)
+    t.buildKeyIndex("o_orderkey")
+    val files = liveFiles(t, s"$dir/t")
+    assert(files.size >= 2, s"need interleaved files, got ${files.size}")
+    // incoming keys: every key of ONE file
+    val hitFile = files.head
+    val incoming = spark.read.parquet(hitFile)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .withColumn("o_totalprice", col("o_totalprice") + 50000.0)
+      .localCheckpoint()
+    val incomingKeys = incoming.select("o_orderkey").as[Long].collect().toSet
+    // victims: live files holding NONE of the incoming keys — but whose
+    // key RANGE overlaps them (so range pruning provably keeps them)
+    val victims = files.tail.filter { f =>
+      val ks = spark.read.parquet(f).select("o_orderkey").as[Long].collect()
+      ks.toSet.intersect(incomingKeys).isEmpty &&
+        ks.min <= incomingKeys.max && ks.max >= incomingKeys.min
+    }
+    assert(victims.nonEmpty, "fixture must produce range-overlapping non-hit files")
+    // physically hide the victims: any scan that touches them crashes
+    val aside = victims.map { v =>
+      val p = new Path(v); val a = new Path(v + ".aside")
+      require(fs.rename(p, a)); (a, p)
+    }
+    try {
+      t.upsert(incoming, Seq("o_orderkey")) // index-routed: never opens victims
+    } finally aside.foreach { case (a, p) => fs.rename(a, p) }
+    val got = t.toDF()
+    assert(got.count() == orders.count())
+    val bumped = got.filter(col("o_totalprice") >= 50000.0 + 900.0).count()
+    assert(got.join(incoming.select(col("o_orderkey"), col("o_totalprice").as("want")),
+      Seq("o_orderkey")).filter(col("o_totalprice") =!= col("want")).count() == 0,
+      s"updated rows must carry the merged price (bumped=$bumped)")
+    // the same MERGE without the index provably touches the victims:
+    // break the fence (drop a batch) and watch the range path crash on
+    // the hidden files
+    aside.foreach { case (a, p) => require(fs.rename(p, a)) }
+    try {
+      t.dropKeyIndex()
+      intercept[Exception](t.upsert(incoming, Seq("o_orderkey")))
+    } finally aside.foreach { case (a, p) => fs.rename(a, p) }
+    // nothing committed by the crashed attempt; fallback works with the
+    // files back in place
+    assert(t.toDF().count() == orders.count())
+    t.upsert(incoming, Seq("o_orderkey"))
+    assert(t.toDF().count() == orders.count())
+  }
+
+  test("maintenance covers appends, deletes, purges, restores; routing stays exact") {
+    val dir = tmpDir("ki_maint")
+    val t = DeltaTable.create(spark, s"$dir/t", interleaved)
+    t.buildKeyIndex("o_orderkey")
+    val conf = spark.sparkContext.hadoopConfiguration
+    // append: new file read back into a batch; new keys route to it
+    t.append(orders.limit(10).withColumn("o_orderkey", col("o_orderkey") + 5000000L), Seq.empty)
+    assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion), "append must stay covered")
+    // DV delete: no keys move — coverage marker, fence holds
+    t.deleteMatching(Seq(5000001L).toDF("o_orderkey"), Seq("o_orderkey"))
+    assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion), "DV delete must stay covered")
+    // purge rewrites files — read back, still covered
+    t.purgeDeletes()
+    assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion), "purge must stay covered")
+    val vBefore = t.latestVersion
+    t.append(orders.limit(5).withColumn("o_orderkey", col("o_orderkey") + 6000000L), Seq.empty)
+    t.restoreTo(vBefore)
+    assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion), "restore must stay covered")
+    // routing after the churn: keys of one file only, victims hidden
+    val files = liveFiles(t, s"$dir/t")
+    val hitFile = files.head
+    val incoming = spark.read.parquet(hitFile)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").limit(50)
+      .withColumn("o_totalprice", lit(1.25)).localCheckpoint()
+    val incomingKeys = incoming.select("o_orderkey").as[Long].collect().toSet
+    val victims = files.tail.filter { f =>
+      spark.read.parquet(f).select("o_orderkey").as[Long].collect()
+        .toSet.intersect(incomingKeys).isEmpty
+    }
+    val aside = victims.map { v =>
+      val p = new Path(v); val a = new Path(v + ".aside")
+      require(fs.rename(p, a)); (a, p)
+    }
+    try t.upsert(incoming, Seq("o_orderkey"))
+    finally aside.foreach { case (a, p) => fs.rename(a, p) }
+    assert(t.toDF().filter(col("o_totalprice") === 1.25).count() == incomingKeys.size)
+  }
+
+  test("fence: an uncovered add-bearing version falls back to ranges, stays correct") {
+    val dir = tmpDir("ki_fence")
+    val t = DeltaTable.create(spark, s"$dir/t", interleaved)
+    t.buildKeyIndex("o_orderkey")
+    t.append(orders.limit(10).withColumn("o_orderkey", col("o_orderkey") + 7000000L), Seq.empty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion))
+    // simulate a writer that bypassed maintenance: delete the append's
+    // batch dir — the add-bearing version is now uncovered
+    val batches = fs.listStatus(new Path(s"$dir/t/_graft/index/batches")).map(_.getPath)
+    val appendBatch = batches.filter(_.getName.stripPrefix("v").takeWhile(_.isDigit).toLong > 0)
+    appendBatch.foreach(p => fs.delete(p, true))
+    DeltaKeyIndex.invalidate(s"$dir/t")
+    assert(!DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion),
+      "uncovered add-bearing version must fail the fence")
+    // MERGE still answers correctly through the range fallback
+    val upd = orders.limit(20).withColumn("o_totalprice", lit(9.75))
+    t.upsert(upd, Seq("o_orderkey"))
+    assert(t.toDF().filter(col("o_totalprice") === 9.75).count() == 20)
+    // rebuild restores exact routing
+    t.buildKeyIndex("o_orderkey")
+    assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion))
+  }
+
+  test("null incoming keys bypass the index (null-safe matching is the range path's)") {
+    val dir = tmpDir("ki_null")
+    val withNull = interleaved.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "N", 1.0)).toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+        .select(col("o_orderkey").cast("long"), col("o_orderstatus"), col("o_totalprice")))
+    val dirT = s"$dir/t"
+    val t = DeltaTable.create(spark, dirT, withNull)
+    t.buildKeyIndex("o_orderkey")
+    // a null incoming key must reach the null-key row (null-safe match)
+    t.deleteMatching(Seq(null.asInstanceOf[java.lang.Long]).toDF("o_orderkey"), Seq("o_orderkey"))
+    assert(t.toDF().filter(col("o_orderkey").isNull).count() == 0)
+    assert(t.toDF().count() == orders.count())
+  }
+
+  test("fence memo: one evaluation per version, shared across handles") {
+    val dir = tmpDir("ki_memo")
+    val t = DeltaTable.create(spark, s"$dir/t", interleaved)
+    t.buildKeyIndex("o_orderkey")
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion))
+    val n0 = DeltaKeyIndex.fenceEvaluations.get()
+    (1 to 5).foreach(_ =>
+      assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion)))
+    assert(DeltaKeyIndex.fenceEvaluations.get() == n0,
+      "unchanged version must not re-audit the log")
+    t.append(orders.limit(3).withColumn("o_orderkey", col("o_orderkey") + 8000000L), Seq.empty)
+    (1 to 3).foreach(_ =>
+      assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion)))
+    assert(DeltaKeyIndex.fenceEvaluations.get() == n0 + 1,
+      "a new version must cost exactly one re-audit")
+  }
+}
