@@ -141,6 +141,30 @@ object DeltaKeyIndex {
     if (fs.exists(dir)) fs.delete(dir, true)
   }
 
+  /**
+   * Fold every batch into one, installed as a fresh build at `version`
+   * — METADATA-ONLY (the table's data files are never re-read; the
+   * entries themselves are scanned, semi-joined to the live file set to
+   * shed long-dead files, and rewritten). Ordering is crash-safe by
+   * over-approximation: the compacted batch lands FIRST (readers
+   * briefly see duplicates — harmless), old batches drop, config moves
+   * last; a crash anywhere leaves either extra entries or a failed
+   * fence, never a hidden key. Assumes a single index maintainer: a
+   * concurrent writer's fresh batch could be swept with the old ones,
+   * which FAILS the fence (safe) rather than lying.
+   */
+  def compactInto(
+      spark: SparkSession, tablePath: String, keyCol: String, version: Long,
+      liveFiles: DataFrame): Unit = {
+    val fs = indexDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = listBatches(fs, tablePath).map(_._2).toSet
+    val compacted = entriesDF(spark, tablePath)
+      .join(liveFiles.select(col("file")), Seq("file"), "left_semi")
+    writeBatch(tablePath, version, compacted)
+    before.foreach(p => fs.delete(p, true))
+    writeConfig(fs, tablePath, Config(keyCol, version))
+  }
+
   // ------------------------------------------------------------ fence
 
   /** usable-verdict memo, keyed by (table, latest version): one commit

@@ -914,6 +914,26 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     DeltaKeyIndex.invalidate(tablePath)
   }
 
+  /** Fold the key index's per-commit batches into one (see
+    * [[DeltaKeyIndex.compactInto]]): after thousands of commits the
+    * entry scan unions thousands of batch dirs — compaction is a
+    * metadata-only Spark job over the ENTRIES (no table data re-read),
+    * shedding entries whose files left the snapshot. Requires a usable
+    * index (compacting an unaudited one would launder its gaps). */
+  def compactKeyIndex(): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cfg = DeltaKeyIndex.readConfig(conf, tablePath).getOrElse(
+      throw new IllegalStateException(s"no key index on $tablePath"))
+    val v = latestVersion
+    require(DeltaKeyIndex.usable(log, conf, tablePath, v),
+      s"cannot compact an unusable key index on $tablePath; rebuild with buildKeyIndex")
+    import spark.implicits._
+    val live = log.snapshotFilesDF().select("path").as[String].collect()
+      .map(p => DeltaTable.metadataFilePath(tablePath, p)).toSeq.toDF("file")
+    DeltaKeyIndex.compactInto(spark, tablePath, cfg.keyCol, v, live)
+    DeltaKeyIndex.invalidate(tablePath)
+  }
+
   /** Distinct `(key, file)` pairs of the given files — a distributed
     * key-column scan attributed by `__graft_file` (the same metadata
     * path form the MERGE candidate set keys on). */

@@ -593,8 +593,13 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         prevCommit = instants.lastOption.getOrElse("null"),
         numWrites = count, fileSizeInBytes = size)
     }
-    require(logWriteStats.nonEmpty || placedStats.nonEmpty,
-      s"upsert matched no rows and inserted none on $tablePath")
+    if (logWriteStats.isEmpty && placedStats.isEmpty)
+      // a no-op batch — empty frame, or tombstones aimed at keys the
+      // table doesn't hold (real Hudi ignores those): commit nothing,
+      // abandon the reserved instant (nothing was written under it),
+      // and report the unchanged latest instant
+      return instants.lastOption.getOrElse(
+        throw new IllegalStateException(s"empty MOR table $tablePath"))
     val meta = HudiCommitMetadata(
       partitionToWriteStats = (logWriteStats ++ placedStats)
         .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,

@@ -156,6 +156,42 @@ class DeltaKeyIndexSpec extends SparkTestBase {
     assert(t.toDF().count() == orders.count())
   }
 
+  test("compaction folds batches into one; routing stays exact; maintenance resumes") {
+    val dir = tmpDir("ki_compact")
+    val t = DeltaTable.create(spark, s"$dir/t", interleaved)
+    t.buildKeyIndex("o_orderkey")
+    (1 to 4).foreach(i => t.append(
+      orders.limit(6).withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000L)), Seq.empty))
+    t.upsert(orders.limit(10).withColumn("o_totalprice", lit(2.5)), Seq("o_orderkey"))
+    val batchesDir = new Path(s"$dir/t/_graft/index/batches")
+    assert(fs.listStatus(batchesDir).length >= 6, "per-commit batches must accumulate")
+    t.compactKeyIndex()
+    assert(fs.listStatus(batchesDir).length == 1, "compaction must fold to one batch")
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion))
+    // compacted index still routes exactly: victims hidden, MERGE lands
+    val files = liveFiles(t, s"$dir/t")
+    val hitFile = files.head
+    val incoming = spark.read.parquet(hitFile)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").limit(40)
+      .withColumn("o_totalprice", lit(4.75)).localCheckpoint()
+    val incomingKeys = incoming.select("o_orderkey").as[Long].collect().toSet
+    val victims = files.tail.filter(f =>
+      spark.read.parquet(f).select("o_orderkey").as[Long].collect()
+        .toSet.intersect(incomingKeys).isEmpty)
+    assert(victims.nonEmpty)
+    val aside = victims.map { v =>
+      val p = new Path(v); val a = new Path(v + ".aside")
+      require(fs.rename(p, a)); (a, p)
+    }
+    try t.upsert(incoming, Seq("o_orderkey"))
+    finally aside.foreach { case (a, p) => fs.rename(a, p) }
+    assert(t.toDF().filter(col("o_totalprice") === 4.75).count() == incomingKeys.size)
+    // maintenance keeps covering commits after the compaction
+    t.append(orders.limit(3).withColumn("o_orderkey", col("o_orderkey") + 9100000L), Seq.empty)
+    assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion))
+  }
+
   test("fence memo: one evaluation per version, shared across handles") {
     val dir = tmpDir("ki_memo")
     val t = DeltaTable.create(spark, s"$dir/t", interleaved)

@@ -147,6 +147,21 @@ class HudiMorSpec extends SparkTestBase {
     assert(t.toDF().count() == orders.count())
   }
 
+  test("all-absent deleteKeys and empty upserts are commit-free no-ops") {
+    val dir = tmpDir("mor_noop")
+    val t = HudiTable.createMor(spark, s"$dir/t", orders, "o_orderkey")
+    val v0 = t.latestInstant
+    val n0 = t.toDF().count()
+    import spark.implicits._
+    // every key absent → documented "absent keys are ignored", and no
+    // commit lands (previously this threw "matched no rows")
+    assert(t.deleteKeys(Seq(99999991L, 99999992L).toDF("o_orderkey")) == v0)
+    // an empty frame is equally a no-op
+    assert(t.upsert(orders.limit(0)) == v0)
+    assert(t.latestInstant == v0, "no-op batches must not commit")
+    assert(t.toDF().count() == n0)
+  }
+
   test("deleteKeys tombstones rows; absent keys are no-ops") {
     val dir = tmpDir("mor_delete")
     val t = HudiTable.createMor(spark, s"$dir/t", orders.repartition(2), "o_orderkey")

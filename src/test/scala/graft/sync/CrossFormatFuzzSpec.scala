@@ -217,6 +217,35 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     def df: DataFrame = t.toDF()
   }
 
+  /** Keyed MERGE_ON_READ Hudi source: the row-mutation plane (upsert /
+    * deleteKeys via log blocks) that the COW adapter can't express.
+    * Sync rides the READ-OPTIMIZED incremental feed with a compactMor()
+    * before every sync point, so the RO view == the snapshot at each
+    * compare and the log-writing deltacommits replay incrementally
+    * (their log stats drop from the RO feed; the compaction
+    * replacecommit carries the merged result). */
+  private final class HudiMorSrc(spark: SparkSession, path: String, init: DataFrame,
+      partCols: Seq[String]) extends Src("hudi-mor", path, partCols) {
+    val t = HudiTable.createMor(spark, path, init, "k", partCols)
+    def append(df: DataFrame): Unit = t.append(align(df), partCols)
+    def upsert(df: DataFrame): Unit = t.upsert(align(df))
+    def delete(keys: DataFrame): Unit = t.deleteKeys(keys)
+    def overwrite(df: DataFrame): Unit = t.overwrite(align(df), partCols)
+    def compact(): Unit = { t.compactMor(); t.compact(smallFileBytes = 256L << 20) }
+    def caps = Set("append", "upsert", "delete", "overwrite", "compact", "retire")
+    def version: String = t.latestInstant
+    def dfAsOf(v: String): DataFrame = t.toDF(asOf = Some(v))
+    override def retire(): Unit = t.archiveTimeline()
+    override def restoreTo(v: String): Unit = {
+      while (t.latestInstant != v) t.rollback()
+    }
+    def source: SyncSource = {
+      t.compactMor() // RO view == snapshot at every sync point
+      SyncEngine.hudiSource(t, readOptimized = true)
+    }
+    def df: DataFrame = t.toDF()
+  }
+
   // ------------------------------------------------------ harness
 
   private def readAs(fmt: String, path: String): DataFrame = fmt match {
@@ -234,13 +263,26 @@ class CrossFormatFuzzSpec extends SparkTestBase {
   }
 
   private def runSequence(seed: Long): Unit = {
-    val rng = new Random(seed)
+    // SplitMix64 scramble: java.util.Random's FIRST draw with a
+    // power-of-2 bound is degenerate for small sequential seeds (seeds
+    // 1..100 all yielded the same nextInt(4)), which silently pinned
+    // every sequence to one source format — scrambling restores an even
+    // first-draw distribution while keeping seed → sequence determinism
+    val rng = {
+      var z = seed * -7046029254386353131L
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      new Random(z ^ (z >>> 31))
+    }
     val dir = tmpDir(s"fuzz_s$seed")
     val fmts = Seq("delta", "iceberg", "hudi")
-    val srcFmt = fmts(rng.nextInt(3))
+    // hudi-mor is a 4th SOURCE kind (the keyed row-mutation plane);
+    // targets are always the three file formats
+    val srcFmt = (fmts :+ "hudi-mor")(rng.nextInt(4))
     val partitioned = rng.nextBoolean()
     val partCols = if (partitioned) Seq("part") else Seq.empty
-    val Seq(fmtA, fmtB) = rng.shuffle(fmts.filterNot(_ == srcFmt))
+    val Seq(fmtA, fmtB) = rng.shuffle(
+      fmts.filterNot(_ == (if (srcFmt == "hudi-mor") "hudi" else srcFmt)))
     // topologies: fan-out src->{A,B}, chain src->A->B, or bi src->iceberg
     // (the only shape where a column-mapped delta source is legal)
     val topo = rng.nextInt(4) match {
@@ -261,6 +303,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
         renameOk = topo == "bi")
       case "iceberg" => new IcebergSrc(spark, s"$dir/src", init, partCols)
       case "hudi" => new HudiSrc(spark, s"$dir/src", init, partCols)
+      case "hudi-mor" => new HudiMorSrc(spark, s"$dir/src", init, partCols)
     }
     val pathA = s"$dir/tgt_a"
     val pathB = s"$dir/tgt_b"
