@@ -192,6 +192,44 @@ class DeltaKeyIndexSpec extends SparkTestBase {
     assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion))
   }
 
+  test("scale: routing over 200 batch dirs x 5k entries; compaction folds to one") {
+    assume(sys.env.contains("GRAFT_SCALE_TESTS"),
+      "scale harness — set GRAFT_SCALE_TESTS=1 to run")
+    // 1M fabricated entries across 200 per-commit batch dirs — the
+    // 100-TB shape (thousands of commits) without table data: synthetic
+    // batches ride at version 0 (below the build, so the fence ignores
+    // them; their fabricated files aren't live, so over-approximation
+    // keeps routing exact)
+    val dir = tmpDir("ki_scale")
+    val t = DeltaTable.create(spark, s"$dir/t", interleaved)
+    t.buildKeyIndex("o_orderkey")
+    (1 to 200).foreach { b =>
+      DeltaKeyIndex.writeBatch(s"$dir/t", 0L,
+        spark.range(b * 100000L, b * 100000L + 5000L)
+          .select(col("id").cast("string").as("key"),
+            concat(lit(s"$dir/t/fake_"), col("id") % 50).as("file")))
+    }
+    val batchesDir = new Path(s"$dir/t/_graft/index/batches")
+    assert(fs.listStatus(batchesDir).length >= 201)
+    def timed[A](what: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      info(f"$what took ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+      r
+    }
+    val incoming = spark.read.parquet(liveFiles(t, s"$dir/t").head)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").limit(100)
+      .withColumn("o_totalprice", lit(6.5)).localCheckpoint()
+    timed("routed MERGE over 201 batch dirs")(t.upsert(incoming, Seq("o_orderkey")))
+    assert(t.toDF().filter(col("o_totalprice") === 6.5).count() == 100)
+    timed("metadata-only compaction of 1M entries")(t.compactKeyIndex())
+    assert(fs.listStatus(batchesDir).length == 1)
+    // fabricated entries (files never live) are gone; routing unchanged
+    val incoming2 = incoming.withColumn("o_totalprice", lit(7.5))
+    timed("routed MERGE after compaction")(t.upsert(incoming2, Seq("o_orderkey")))
+    assert(t.toDF().filter(col("o_totalprice") === 7.5).count() == 100)
+  }
+
   test("fence memo: one evaluation per version, shared across handles") {
     val dir = tmpDir("ki_memo")
     val t = DeltaTable.create(spark, s"$dir/t", interleaved)
