@@ -1034,7 +1034,12 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       .select(col(s"`$key`").cast(StringType).as("__k"), input_file_name().as("__f"))
       .as[(String, String)]
       .map { case (k, f) =>
-        val (pp, fid) = lookup.value(HudiTable.normalize(f))
+        // input_file_name() is URL-ENCODED ("part=a b" → "part=a%20b",
+        // on-disk "pct%2525" → "pct%252525") while the lookup is keyed
+        // by raw on-disk paths (Hadoop Path never percent-decodes) —
+        // decode through java.net.URI or hostile partition values miss
+        // (fuzz seeds 3 and 14 found this; pinned in HudiRecordIndexSpec)
+        val (pp, fid) = lookup.value(HudiTable.decodeFileUri(f))
         RecordIndexEntry(k, pp, fid)
       }
     HudiMetadataTable.RecordIndexUpdate(spark, entries, recordIndexGroups)
@@ -1718,6 +1723,15 @@ object HudiTable {
 
   /** Scheme-insensitive path form for set membership (file:/x vs /x). */
   private[graft] def normalize(p: String): String = new Path(p).toUri.getPath
+
+  /** Decode `input_file_name()`'s URL-ENCODED URI back to the raw
+    * on-disk path ([[normalize]]'s form): Spark reports "part=a%20b"
+    * for the on-disk dir "part=a b", and Hadoop Path treats strings as
+    * raw (never percent-decodes), so the two forms only meet through a
+    * real java.net.URI parse. */
+  private[graft] def decodeFileUri(f: String): String =
+    try new java.net.URI(f).getPath
+    catch { case _: Exception => normalize(f) }
 
   /** The string form the scan's `_metadata.file_path` reports. */
   /** The DECODED real path — the `__graft_file` join form (the scan

@@ -230,6 +230,46 @@ class DeltaKeyIndexSpec extends SparkTestBase {
     assert(t.toDF().filter(col("o_totalprice") === 7.5).count() == 100)
   }
 
+  test("column mapping: index reads physical names, key renames route correctly") {
+    val dir = tmpDir("ki_mapped")
+    val t = DeltaTable.create(spark, s"$dir/t", interleaved)
+    t.enableColumnMapping()
+    t.renameColumn("o_totalprice", "amount") // files still carry o_totalprice
+    t.buildKeyIndex("o_orderkey")
+    def routedUpsert(keyCol: String, price: Double): Long = {
+      val files = liveFiles(t, s"$dir/t")
+      val hitFile = files.head
+      val incoming = spark.read.parquet(hitFile)
+        .select(col("o_orderkey").as(keyCol), col("o_orderstatus"),
+          col("o_totalprice").as("amount")).limit(30)
+        .withColumn("amount", lit(price)).localCheckpoint()
+      val ks = incoming.select(keyCol).as[Long].collect().toSet
+      val victims = files.tail.filter(f =>
+        spark.read.parquet(f).select("o_orderkey").as[Long].collect()
+          .toSet.intersect(ks).isEmpty)
+      assert(victims.nonEmpty)
+      val aside = victims.map { v =>
+        val p = new Path(v); val a = new Path(v + ".aside")
+        require(fs.rename(p, a)); (a, p)
+      }
+      try t.upsert(incoming, Seq(keyCol))
+      finally aside.foreach { case (a, p) => fs.rename(a, p) }
+      ks.size.toLong
+    }
+    // mapped table, pre-mapping files: physical name == logical here
+    val n1 = routedUpsert("o_orderkey", 3.25)
+    assert(t.toDF().filter(col("amount") === 3.25).count() == n1)
+    // rename the KEY column itself: the stale config no longer answers
+    // (fallback, correct), then a rebuild under the new logical name
+    // still reads the files' PHYSICAL o_orderkey column
+    t.renameColumn("o_orderkey", "id")
+    t.upsert(t.toDF().limit(10).withColumn("amount", lit(4.5)).localCheckpoint(), Seq("id"))
+    assert(t.toDF().filter(col("amount") === 4.5).count() == 10)
+    t.buildKeyIndex("id")
+    val n2 = routedUpsert("id", 5.75)
+    assert(t.toDF().filter(col("amount") === 5.75).count() == n2)
+  }
+
   test("fence memo: one evaluation per version, shared across handles") {
     val dir = tmpDir("ki_memo")
     val t = DeltaTable.create(spark, s"$dir/t", interleaved)

@@ -126,6 +126,27 @@ class HudiRecordIndexSpec extends SparkTestBase {
     assert(t.toDF().filter(col("o_totalprice") === 7.0).count() == 15)
   }
 
+  test("hostile partition values: build scan decodes input_file_name (fuzz seeds 3/14)") {
+    // on-disk dirs "part=a b" (space) and "part=pct%2525" (hive-escaped
+    // percent) come back from input_file_name() as "a%20b" /
+    // "pct%252525" — the build scan must decode before keying files,
+    // or every hostile-partition key lookup throws
+    val dir = tmpDir("ri_hostile")
+    val df = orders.withColumn("part",
+      when(col("o_orderkey") % 3 === 0, lit("a b"))
+        .when(col("o_orderkey") % 3 === 1, lit("pct%25"))
+        .otherwise(lit("x=y")))
+    val t = HudiTable.createMor(spark, s"$dir/t", df, "o_orderkey", Seq("part"))
+    t.buildRecordIndex()
+    assert(t.recordIndexUsable())
+    val idx = HudiMetadataTable.readRecordIndexDF(spark, s"$dir/t").get
+    assert(idx.count() == orders.count())
+    // routed upsert through the hostile layout stays exact
+    t.upsert(df.limit(25).withColumn("o_totalprice", lit(8.5)))
+    assert(t.toDF().filter(col("o_totalprice") === 8.5).count() == 25)
+    assert(t.toDF().count() == orders.count())
+  }
+
   test("fence memo: one timeline JSON walk per new instant, not per routed upsert") {
     val dir = tmpDir("ri_memo")
     val t = HudiTable.createMor(spark, s"$dir/t", orders.repartition(3), "o_orderkey")

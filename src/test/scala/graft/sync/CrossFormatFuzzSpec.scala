@@ -94,6 +94,10 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     /** retention maintenance: iceberg expireSnapshots / delta VACUUM /
       * hudi timeline archival */
     def retire(): Unit = sys.error(s"$fmt: no retire")
+    /** build/refresh a record-key index (Delta key index / Hudi
+      * record_index) — subsequent keyed mutations route through it, and
+      * restores/rollbacks exercise its coverage fence */
+    def index(): Unit = sys.error(s"$fmt: no index")
     /** adapter-side schema state snapshotted per marker so a restore op
       * can roll the ADAPTER back alongside the table (lets restore fuzz
       * across addcol/rename instead of only pre-evolution states) */
@@ -118,6 +122,12 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     def delete(keys: DataFrame): Unit = { t.deleteMatching(keys, Seq("k")); t.purgeDeletes() }
     def overwrite(df: DataFrame): Unit = t.overwrite(align(df), liveParts)
     def compact(): Unit = t.compact(smallFileBytes = 256L << 20)
+    // key-index lifecycle under random op mixes: build (or rebuild)
+    // routes subsequent upserts/deletes exactly; restores/retires then
+    // exercise the coverage fence and its range fallback
+    override def index(): Unit =
+      if (!cols.contains("k")) () // renamed away — nothing to index
+      else t.buildKeyIndex("k")
     override def addColumn(df: DataFrame): Unit = {
       t.addColumn(StructField("extra", LongType))
       cols = cols :+ "extra"
@@ -134,7 +144,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     // (physical names need an Iceberg name mapping), so rename only
     // fuzzes the iceberg-only bi topology
     def caps = Set("append", "upsert", "delete", "overwrite", "compact",
-      "addcol", "retire") ++ (if (renameOk) Set("rename") else Set.empty)
+      "addcol", "retire", "index") ++ (if (renameOk) Set("rename") else Set.empty)
     // restore reverts Delta metadata too (schema, column-mapping mode),
     // so liveParts and the mapped flag roll back with the marker
     override def schemaState: AnyRef = (cols, liveParts, mapped)
@@ -232,7 +242,8 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     def delete(keys: DataFrame): Unit = t.deleteKeys(keys)
     def overwrite(df: DataFrame): Unit = t.overwrite(align(df), partCols)
     def compact(): Unit = { t.compactMor(); t.compact(smallFileBytes = 256L << 20) }
-    def caps = Set("append", "upsert", "delete", "overwrite", "compact", "retire")
+    override def index(): Unit = t.buildRecordIndex()
+    def caps = Set("append", "upsert", "delete", "overwrite", "compact", "retire", "index")
     def version: String = t.latestInstant
     def dfAsOf(v: String): DataFrame = t.toDF(asOf = Some(v))
     override def retire(): Unit = t.archiveTimeline()
@@ -376,6 +387,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
       trace.append(s" $i:$op")
       op match {
         case "append" => src.append(slice(rng))
+        case "index" => src.index()
         case "nullrow" =>
           // null-value injection: nulls in every non-key column,
           // INCLUDING the partition column (default-partition path) —
