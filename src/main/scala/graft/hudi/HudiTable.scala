@@ -1724,14 +1724,10 @@ object HudiTable {
   /** Scheme-insensitive path form for set membership (file:/x vs /x). */
   private[graft] def normalize(p: String): String = new Path(p).toUri.getPath
 
-  /** Decode `input_file_name()`'s URL-ENCODED URI back to the raw
-    * on-disk path ([[normalize]]'s form): Spark reports "part=a%20b"
-    * for the on-disk dir "part=a b", and Hadoop Path treats strings as
-    * raw (never percent-decodes), so the two forms only meet through a
-    * real java.net.URI parse. */
+  /** [[graft.util.PathCodec.decodeFileUri]] — input_file_name()'s
+    * encoded URI back to [[normalize]]'s raw on-disk form. */
   private[graft] def decodeFileUri(f: String): String =
-    try new java.net.URI(f).getPath
-    catch { case _: Exception => normalize(f) }
+    graft.util.PathCodec.decodeFileUri(f)
 
   /** The string form the scan's `_metadata.file_path` reports. */
   /** The DECODED real path — the `__graft_file` join form (the scan

@@ -184,7 +184,9 @@ object AvroDataFiles {
     val rows = df.groupBy(input_file_name().as("_path")).agg(aggs.head, aggs.tail.toSeq: _*)
       .collect()
     rows.toSeq.map { r =>
-      val path = r.getString(r.fieldIndex("_path"))
+      // input_file_name() is URL-encoded; downstream manifests must
+      // carry the RAW on-disk path or escapable dirs break the scan
+      val path = graft.util.PathCodec.decodeFileUri(r.getString(r.fieldIndex("_path")))
       val rowCount = r.getLong(r.fieldIndex("_rows"))
       val cols = scalars.toSeq.map { f =>
         val minV = Option(r.get(r.fieldIndex(s"${f.name}__min"))).map(canonical(f.dataType, _))
@@ -198,7 +200,7 @@ object AvroDataFiles {
           numValues = rowCount,
           totalSize = 0L)
       }
-      // input_file_name yields the qualified URI; key sizes tolerantly
+      // path is decoded above; tolerate scheme differences only
       val size = sizes.getOrElse(path,
         sizes.collectFirst { case (k, v) if new Path(k).toUri.getPath ==
           new Path(path).toUri.getPath => v }.getOrElse(0L))

@@ -14,6 +14,15 @@ object PathCodec {
   private val NeedsEscape: Set[Char] =
     ((0 until 32).map(_.toChar) ++ "\u007F\"#%'*/:=?\\{[]^").toSet
 
+  /** Decode `input_file_name()`'s URL-ENCODED URI back to the raw
+    * on-disk path: Spark reports "part=a%20b" for the on-disk dir
+    * "part=a b" (and "pct%252525" for on-disk "pct%2525"), while Hadoop
+    * Path treats strings as raw and never percent-decodes — the two
+    * forms only meet through a real java.net.URI parse. */
+  def decodeFileUri(f: String): String =
+    try new java.net.URI(f).getPath
+    catch { case _: Exception => new org.apache.hadoop.fs.Path(f).toUri.getPath }
+
   def escapePathName(s: String): String = {
     val sb = new StringBuilder(s.length)
     s.foreach { c =>

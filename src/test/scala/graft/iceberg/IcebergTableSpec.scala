@@ -198,6 +198,21 @@ class IcebergTableSpec extends SparkTestBase {
     assert(t.log.commit(v + 1, m))
   }
 
+  test("avro conversion under an escapable source dir keeps raw paths and sizes") {
+    // input_file_name() URL-encodes ("a b" → "a%20b"); the stats job
+    // must decode before the manifests carry the path, or the scan
+    // opens a nonexistent encoded path and every size resolves to 0
+    val dir = tmpDir("ice_avro_esc")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").repartition(2)
+    graft.sources.AvroDataFiles.write(src, s"$dir/a b%25/avro")
+    val t = IcebergTable.convertFromAvro(spark, s"$dir/a b%25/avro", s"$dir/t")
+    val back = t.toDF()
+    assert(back.count() == src.count())
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+    assert(t.scan.files().forall(_.fileSizeBytes > 0L), "sizes must key through decoded paths")
+  }
+
   test("avro data files: distributed write, metadata-only convert, identical read, stats prune") {
     val dir = tmpDir("ice_avro")
     val src = spark.read.parquet(s"$sf0001/orders.parquet")
