@@ -28,6 +28,7 @@ object Bench {
     // number visible, not silently moved out of the timed section
     val tIdx0 = System.nanoTime()
     graft.operators.Dedup.primeCorpusSize(spark, sfDir)
+    graft.operators.Dedup.primeBucketIndex(spark, sfDir)
     graft.operators.Similarity.primeKmeans(spark, sfDir)
     val indexBuildSec = (System.nanoTime() - tIdx0) / 1e9
     // best-of-2, DECORRELATED: attempt 1 runs for every query, then

@@ -34,6 +34,17 @@ object Dedup {
       .withColumn("shingles", expr(
         "array_distinct(transform(sequence(0, size(words)-3), i -> concat_ws(' ', slice(words, i+1, 3))))"))
 
+  /** The 16-band × 4-row LSH banding of a (id, sig) frame: rows of
+    * (id, band, bkey), 24 bytes each — the unit both the in-corpus
+    * pair search (d02) and the persisted bucket index (d09) hash on. */
+  private def bandKeys(sig: DataFrame, idCol: String): DataFrame =
+    sig
+      .select(col(idCol),
+        explode(expr(
+          "transform(sequence(0, 15), b -> struct(b AS band, xxhash64(b, slice(sig, b*4+1, 4)) AS bkey))"))
+          .as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bkey"))
+
   /**
    * MinHash (64 perms) + LSH banding (16 bands × 4 rows) candidate pairs,
    * verified with exact shingle-set Jaccard. Threshold 0.5.
@@ -56,12 +67,7 @@ object Dedup {
     // candidates come from ONE pass (groupBy bucket + in-bucket pair
     // expansion) instead of a self-join, so the 64-perm MinHash pipeline
     // is computed once, not once per join side.
-    val banded = sig
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(0, 15), b -> struct(b AS band, xxhash64(b, slice(sig, b*4+1, 4)) AS bkey))"))
-          .as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val banded = bandKeys(sig, "doc_id")
 
     val candidates = banded
       .groupBy(col("band"), col("bkey"))
@@ -426,6 +432,83 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** LSH bucket-index stores built once per (JVM, sfDir): the standing
+    * corpus' banded MinHash buckets persisted as a Delta table via the
+    * native writer — the index an incremental ingest dedups against. */
+  private object BucketIndex {
+    private val built = scala.collection.mutable.Map[String, String]()
+    def ensure(spark: SparkSession, dir: String, corpusBands: => DataFrame): String =
+      synchronized {
+        built.getOrElseUpdate(dir, {
+          val name = dir.replaceAll("[^A-Za-z0-9.]", "_")
+          val root = java.nio.file.Paths.get(
+            sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_dedup_index", name).toString
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+          graft.delta.DeltaTable.create(spark, root, corpusBands)
+          root
+        })
+      }
+  }
+
+  /**
+   * Incremental-ingest dedup — the shape a standing 100 TB corpus
+   * actually runs: the corpus' LSH bucket index (16 bands × 4 rows of
+   * each 64-perm MinHash signature → `(dup_of, band, bkey)` rows,
+   * 24 bytes per band per document) is PERSISTED once as a Delta table
+   * through the native writer, and each incoming batch dedups against
+   * the STORE — corpus text is never re-shingled at ingest, and the
+   * equi-join on (band, bkey) is linear in batch size. Exact
+   * shingle-Jaccard verification re-reads only candidate corpus
+   * documents (a keyed join, candidate-sized). Batch = doc_id % 4 == 1;
+   * corpus = the rest; emits every (batch doc, corpus doc) pair with
+   * Jaccard ≥ 0.5 — the docs an ingest pipeline would reject or link.
+   */
+  /** Membership predicate of the incoming batch; the store covers the
+    * complement (the standing corpus). */
+  private val isBatch = col("doc_id") % 4 === 1
+
+  /** Build (once) and return the corpus bucket-index path. */
+  private def corpusIndexPath(spark: SparkSession, dir: String): String =
+    BucketIndex.ensure(spark, dir,
+      bandKeys(
+        shingled(spark, dir).filter(!isBatch)
+          .withColumn("sig", expr("minhash_sig(shingles)"))
+          .select(col("doc_id").as("dup_of"), col("sig")),
+        "dup_of"))
+
+  /** Pre-build the d09 corpus bucket index (bench/Verify fixture phase). */
+  def primeBucketIndex(spark: SparkSession, dir: String): Unit = {
+    corpusIndexPath(spark, dir); ()
+  }
+
+  def incrementalIngestDedup(spark: SparkSession, dir: String): DataFrame = {
+    // index build (once per corpus): banded buckets via the SAME
+    // banding as d02, persisted through the native Delta writer
+    val store = graft.delta.DeltaTable.forPath(spark, corpusIndexPath(spark, dir)).toDF()
+    // ingest: batch signatures band against the store — one equi-join
+    val batchBands = bandKeys(
+      shingled(spark, dir).filter(isBatch)
+        .withColumn("sig", expr("minhash_sig(shingles)"))
+        .select(col("doc_id"), col("sig")),
+      "doc_id")
+    val candidates = batchBands.join(store, Seq("band", "bkey"))
+      .select(col("doc_id"), col("dup_of"))
+      .dropDuplicates("doc_id", "dup_of")
+    // exact verification: shingles re-join per candidate end
+    val sh = shingled(spark, dir).select(col("doc_id"), col("shingles"))
+    candidates
+      .join(sh.select(col("doc_id"), col("shingles").as("sh_a")), Seq("doc_id"))
+      .join(sh.select(col("doc_id").as("dup_of"), col("shingles").as("sh_b")), Seq("dup_of"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_id"), col("dup_of"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_id"), col("dup_of"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "d01_exact_dedup",
@@ -459,6 +542,27 @@ object Dedup {
         |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // Same recall rationale as d02 (near-identical pairs collide with
+    // certainty under 16×4 banding), restricted to batch × corpus: the
+    // oracle is the exact all-pairs Jaccard ≥ 0.5 across the split, so
+    // a store-side miss OR a stale/incomplete persisted index would
+    // surface as a hash mismatch.
+    QueryDef.sql(
+      "d09_incremental_ingest_dedup",
+      incrementalIngestDedup,
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, len(string_split(lower(text),' '))-2),
+        |    i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' '))) AS shingles
+        |  FROM documents WHERE len(string_split(lower(text),' ')) >= 3
+        |)
+        |SELECT b.doc_id AS doc_id, c.doc_id AS dup_of,
+        |  round(CAST(len(list_intersect(b.shingles, c.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(b.shingles, c.shingles))), 4) AS jaccard
+        |FROM sh b, sh c
+        |WHERE b.doc_id % 4 = 1 AND c.doc_id % 4 <> 1
+        |  AND CAST(len(list_intersect(b.shingles, c.shingles)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(b.shingles, c.shingles))) >= 0.5
+        |ORDER BY doc_id, dup_of""".stripMargin),
     // SimHash rides engine-native hash exprs DuckDB cannot replay, but
     // the pipeline is fully deterministic — the oracle is a frozen
     // expectation (graft.FreezeExpected) keyed to the dataset by an

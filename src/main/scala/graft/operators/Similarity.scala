@@ -329,6 +329,71 @@ object Similarity {
   }
 
   /**
+   * Scalar-quantized ANN (SQ8 — FAISS's `IndexScalarQuantizer(QT_8bit)`
+   * shape): each dimension compresses to ONE byte via per-dimension
+   * corpus min/max ranges, the candidate scan ranks by integer L2 in
+   * code space (64 B/vector instead of 512 B), and the top `rerank`
+   * candidates per query re-rank by EXACT integer L2 on the full
+   * vectors — the coarse-scan + exact-rerank pattern every production
+   * ANN serving stack uses. At 100 TB the corpus side of the scan
+   * carries only (id, codes); full vectors are re-joined for the
+   * candidate-sized rerank set only.
+   *
+   * Determinism discipline (same as s02-s06): fixed-point floor at
+   * 1e-6, integer quantization `((fp-lo)*255) div span` (non-negative
+   * operands, so Spark `div` and DuckDB `//` agree), ties by neighbor
+   * id at both stages — the DuckDB oracle replays the identical
+   * train/encode/scan/rerank pipeline and must agree exactly.
+   */
+  def sq8TopK(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, rerank: Int = 20): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
+          .as("fp"))
+    // "train" = per-dimension corpus (lo, span) — 64 pairs of longs of
+    // broadcast index state (the SQ analog of s02's centroid list)
+    val rng = e.select(posexplode(col("fp")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("lo"), greatest(lit(1L), max(col("v")) - min(col("v"))).as("span"))
+      .orderBy(col("pos")).collect()
+    val los: Seq[Long] = rng.map(_.getLong(1)).toIndexedSeq
+    val spans: Seq[Long] = rng.map(_.getLong(2)).toIndexedSeq
+    val codeExpr = expr(
+      "transform(sequence(0, 63), i -> ((fp[i] - los[i]) * 255) div spans[i])")
+    val encoded = e.withColumn("los", typedLit(los)).withColumn("spans", typedLit(spans))
+      .withColumn("code", codeExpr)
+      .select(col("vec_id").as("neighbor_id"), col("code"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .withColumn("los", typedLit(los)).withColumn("spans", typedLit(spans))
+      .withColumn("q_code", codeExpr)
+      .select(col("vec_id").as("query_id"), col("fp").as("q_fp"), col("q_code"))
+    // coarse scan in code space: 1 byte/dim on the corpus side
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("neighbor_id"))
+    val candidates = broadcast(queries).crossJoin(encoded)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cdist", expr(
+        "aggregate(zip_with(q_code, code, (x, y) -> (x-y)*(x-y)), cast(0 AS bigint), (acc, v) -> acc + v)"))
+      .withColumn("crn", row_number().over(wCoarse))
+      .filter(col("crn") <= rerank)
+      .select(col("query_id"), col("q_fp"), col("neighbor_id"))
+    // exact rerank on the candidate-sized set: full vectors re-join here
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("d"), col("neighbor_id"))
+    candidates
+      .join(e.select(col("vec_id").as("neighbor_id"), col("fp").as("c_fp")), Seq("neighbor_id"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(q_fp, c_fp, (x, y) -> (x-y)*(x-y)), cast(0 AS bigint), (acc, v) -> acc + v)"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("d"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
    * ANN index-quality evaluation — recall@k of the IVF probe path
    * against exact search, the metric every production ANN deployment
    * tracks before trusting an index (FAISS's eval loop). Ground truth
@@ -521,6 +586,40 @@ object Similarity {
       s"""${kmeansOracleCtes()}
          |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS inertia
          |FROM final GROUP BY cid ORDER BY cluster_id""".stripMargin),
+    // SQ8 is fully deterministic (fixed-point integers, per-dimension
+    // integer quantization with non-negative operands, ties by id at
+    // coarse scan and rerank alike), so the oracle replays the
+    // identical train → encode → code-space scan → exact-rerank chain.
+    QueryDef.sql(
+      "s07_ann_sq8_topk",
+      (spark, dir) => sq8TopK(spark, dir),
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fp
+        |  FROM embeddings),
+        |rng AS (
+        |  SELECT i, MIN(fp[i]) AS lo, GREATEST(1, MAX(fp[i]) - MIN(fp[i])) AS span
+        |  FROM e, range(1, 65) t(i) GROUP BY i),
+        |codes AS (
+        |  SELECT e.vec_id, list(((fp[i] - lo) * 255) // span ORDER BY i) AS code
+        |  FROM e, rng GROUP BY e.vec_id, e.fp),
+        |coarse AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> (q.code[i] - c.code[i]) * (q.code[i] - c.code[i]))),
+        |        c.vec_id) AS crn
+        |    FROM codes q, codes c
+        |    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE crn <= 20)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, CAST(d AS BIGINT) AS d FROM (
+        |  SELECT cc.query_id, cc.neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> (q.fp[i] - c.fp[i]) * (q.fp[i] - c.fp[i]))) AS d,
+        |    ROW_NUMBER() OVER (PARTITION BY cc.query_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i -> (q.fp[i] - c.fp[i]) * (q.fp[i] - c.fp[i]))),
+        |      cc.neighbor_id) AS rank
+        |  FROM coarse cc
+        |  JOIN e q ON q.vec_id = cc.query_id
+        |  JOIN e c ON c.vec_id = cc.neighbor_id) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
     // Recall eval is exact-integer end to end (fixed-point L2, ties by
     // id), so the oracle replays ground truth, probing, and the overlap
     // count identically.

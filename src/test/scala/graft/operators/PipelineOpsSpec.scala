@@ -300,4 +300,51 @@ class PipelineOpsSpec extends SparkTestBase {
     // invents a pair
     assert(found(4).subsetOf(truth))
   }
+
+  test("sq8 ANN reranks with exact distances and near-exact recall") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint)) AS fp")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val rows = Similarity.sq8TopK(spark, sf0001).collect()
+    // 5 ranks per query, ascending exact distance, and every reported d
+    // IS the exact integer L2 (the rerank stage's contract)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(3)).toSeq == sorted.map(_.getLong(3)).sorted.toSeq)
+      sorted.foreach(r => assert(r.getLong(3) == l2(e(q), e(r.getLong(2)))))
+    }
+    // recall vs exact top-5: SQ8 + rerank-20 over this corpus should
+    // recover nearly all true neighbors
+    val truth = rows.map(_.getLong(0)).distinct.flatMap { q =>
+      e.toSeq.filter(_._1 != q)
+        .map { case (id, fp) => (l2(e(q), fp), id) }.sorted.take(5)
+        .map { case (_, id) => (q, id) }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.8, s"SQ8 recall too low: $recall")
+  }
+
+  test("incremental ingest dedup equals the in-corpus pair search restricted to batch x corpus") {
+    val expected = Dedup.minhashPairs(spark, sf0001).collect().flatMap { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      if (a % 4 == 1 && b % 4 != 1) Some((a, b, j))
+      else if (b % 4 == 1 && a % 4 != 1) Some((b, a, j))
+      else None
+    }.toSet
+    val got = Dedup.incrementalIngestDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"store-routed ingest dedup diverged: missing=${expected -- got} extra=${got -- expected}")
+    // and the persisted index really is a native Delta table
+    val store = graft.delta.DeltaTable.forPath(spark,
+      java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_dedup_index", sf0001.replaceAll("[^A-Za-z0-9.]", "_")).toString).toDF()
+    assert(store.columns.sorted.toSeq == Seq("band", "bkey", "dup_of"))
+    assert(store.count() > 0)
+  }
 }

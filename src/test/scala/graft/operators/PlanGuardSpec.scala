@@ -121,6 +121,27 @@ class PlanGuardSpec extends SparkTestBase {
     assert(cart.isEmpty, s"s06 plans a non-broadcast CartesianProduct:\n$plan")
   }
 
+  test("s07 SQ8: broadcast-only candidate scan, no shuffle-side cartesian") {
+    val plan = executed(SparkEntryLookup("s07_ann_sq8_topk")(spark, sf0001))
+    val cart = collectAll(plan) { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, s"s07 plans a non-broadcast CartesianProduct:\n$plan")
+  }
+
+  test("d09 ingest dedup: the store join shuffles band keys, never document text") {
+    val plan = executed(SparkEntryLookup("d09_incremental_ingest_dedup")(spark, sf0001))
+    val cart = collectAll(plan) { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, s"d09 plans a CartesianProduct:\n$plan")
+    // any shuffle carrying a band key must not carry raw text: the
+    // store side is (dup_of, band, bkey) rows and the batch side bands
+    // are (doc_id, band, bkey) — 24-byte rows at any corpus size
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    shuffles.filter(_.output.map(_.name).contains("bkey")).foreach { s =>
+      val cols = s.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"d09's band-key shuffle carries document text: ${cols.mkString(",")}")
+    }
+  }
+
   test("d01 exact dedup shuffles digests, not document text") {
     val plan = executed(SparkEntryLookup("d01_exact_dedup")(spark, sf0001))
     val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }

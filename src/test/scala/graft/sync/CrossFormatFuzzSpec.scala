@@ -265,6 +265,15 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     case "hudi" => HudiTable.forPath(spark, path).toDF()
   }
 
+  /** Opaque current-version marker of a TARGET table (idempotency op). */
+  private def versionOf(fmt: String, path: String): String = fmt match {
+    case "delta" => DeltaTable.forPath(spark, path).latestVersion.toString
+    case "iceberg" =>
+      IcebergTable.forPath(spark, path).currentMetadata.currentSnapshotId
+        .map(_.toString).getOrElse("")
+    case "hudi" => HudiTable.forPath(spark, path).latestInstant
+  }
+
   private def snap(df: DataFrame): (Long, Long, Seq[String]) = {
     val cs = df.columns.sorted.toSeq
     val n = df.count()
@@ -380,7 +389,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     for (i <- 1 to nOps) {
       val op = {
         val restorable = history.size >= 2
-        val c = (src.caps ++ Set("nullrow", "emptybatch") ++
+        val c = (src.caps ++ Set("nullrow", "emptybatch", "resync") ++
           (if (restorable) Set("restore") else Set.empty)).toSeq.sorted
         c(rng.nextInt(c.size))
       }
@@ -411,6 +420,19 @@ class CrossFormatFuzzSpec extends SparkTestBase {
             case "delete" => src.delete(empty.select("k"))
             case "overwrite" => src.append(empty) // empty OVERWRITE would empty the table; append keeps the invariant
           }
+        case "resync" =>
+          // idempotency fence: every target is already caught up (the
+          // loop syncs after every op), so THIS sync must move no
+          // target version — zero pending commits, no empty commit, no
+          // compaction churn from the MOR source's pre-sync compactMor
+          val tgts =
+            if (topo == "bi") Seq(biTgt -> pathA)
+            else Seq(fmtA -> pathA, fmtB -> pathB)
+          val before = tgts.map { case (f, p) => versionOf(f, p) }
+          syncAll()
+          val after = tgts.map { case (f, p) => versionOf(f, p) }
+          assert(before == after,
+            s"no-op resync advanced a target: $before -> $after\n$trace")
         case "upsert" => src.upsert(slice(rng).withColumn("price", col("price") + 1000.0))
         case "delete" =>
           // never empty the table: delete a sparse key set
