@@ -1657,7 +1657,12 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       syncProps: Map[String, String],
       /** Skip the per-commit interval checkpoint — a batch replay writes
         * one at the end via [[DeltaLog.checkpointIfDue]] instead. */
-      deferCheckpoint: Boolean = false): Long = {
+      deferCheckpoint: Boolean = false,
+      /** Watermark CAS: validated against the configuration read in the
+        * SAME pass that allocates this commit's version, so the version
+        * file's put-if-absent closes the validate→publish window — any
+        * foreign commit after the read collides on the slot. */
+      cas: Option[graft.model.SyncCas] = None): Long = {
     val now = System.currentTimeMillis()
     val defs = graft.model.PartitionTransform.parseAll(partitionColumns)
     val cleanSchema = StructType(schema.fields.map(f => f.copy(metadata = Metadata.empty)))
@@ -1688,6 +1693,10 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val v = log.latestVersion().map(_ + 1).getOrElse(0L)
     val baseConfig = if (v == 0L) Map.empty[String, String]
                      else log.metadataAt(None)._1.configuration
+    // the config read above is at-or-after version v-1; a commit landing
+    // after it takes slot v, so our log.commit(v, …) below fails the
+    // put-if-absent rather than stacking a stale diff
+    cas.foreach(_.validate(baseConfig, s"delta target $tablePath"))
     val meta = DeltaMetadata(
       id = if (v == 0L) UUID.randomUUID().toString else log.metadataAt(None)._1.id,
       schemaString = schemaForMeta.json,

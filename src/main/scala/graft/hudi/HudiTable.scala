@@ -1460,7 +1460,17 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       sourceDataRoot: String,
       adds: Seq[graft.model.InternalDataFile],
       removePaths: Seq[String],
-      syncProps: Map[String, String]): String = {
+      syncProps: Map[String, String],
+      /** Watermark CAS, validated under the per-table in-process lock
+        * immediately before the instant publish. Unlike the
+        * Delta/Iceberg targets (where the version slot's put-if-absent
+        * makes the check airtight across processes), two Hudi sync
+        * commits write DIFFERENT instant filenames and cannot collide —
+        * the in-process lock makes validate→publish atomic within one
+        * JVM (the InProcessLockProvider analog); across processes the
+        * gap needs an external lock provider
+        * (hoodie.write.lock.provider), exactly as real Hudi does. */
+      cas: Option[graft.model.SyncCas] = None): String = {
     val instant = timeline.nextInstantTime()
     // partition specs may carry time transforms (`month(c)`); Hudi has
     // no transform concept, so the materialized field names become plain
@@ -1552,8 +1562,15 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         ("schema" -> AvroSchemaConverters.toAvro(schemaWithPartFields).toString),
       operationType = if (replaceIds.nonEmpty) "INSERT_OVERWRITE" else "INSERT")
     val action = if (replaceIds.nonEmpty) "replacecommit" else "commit"
-    require(timeline.commit(HudiInstant(instant, action), meta),
-      s"concurrent hudi commit at $instant of $tablePath")
+    // validate+publish under the in-process table lock: a same-JVM
+    // competitor cannot slip a commit into the gap (cross-process, the
+    // gap stays open without an external lock provider — see the cas
+    // parameter's doc)
+    HudiTable.syncLock(tablePath).synchronized {
+      cas.foreach(_.validate(latestCommitExtraMetadata, s"hudi target $tablePath"))
+      require(timeline.commit(HudiInstant(instant, action), meta),
+        s"concurrent hudi commit at $instant of $tablePath")
+    }
     // post-commit maintenance, mirroring the reference target loop (ref
     // `HudiTargetClient.java:414-545`): a synthetic CLEAN instant
     // records the files this sync removed so native Hudi readers learn
@@ -1594,6 +1611,17 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
 }
 
 object HudiTable {
+
+  /** Per-table monitor making a sync commit's validate→publish atomic
+    * WITHIN one JVM — the analog of real Hudi's InProcessLockProvider
+    * (two Hudi sync commits write different instant filenames, so the
+    * put-if-absent that arbitrates Delta/Iceberg version slots cannot
+    * arbitrate here). Cross-process multi-writer Hudi targets still
+    * need an external lock provider, exactly as real Hudi does. */
+  private val syncLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[hudi] def syncLock(tablePath: String): Object =
+    syncLocks.computeIfAbsent(tablePath, _ => new Object)
 
   /** recordIndexUsable memo — see the method's contract note. */
   private[hudi] val fenceCache =

@@ -1595,8 +1595,15 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       adds: Seq[graft.model.InternalDataFile],
       removePaths: Seq[String],
       syncProps: Map[String, String],
-      physicalNames: Map[String, String] = Map.empty): Long = {
+      physicalNames: Map[String, String] = Map.empty,
+      /** Watermark CAS: validated against the SAME `readLatest()` that
+        * fixes this commit's version slot, so `log.commit(prev+1, …)`'s
+        * put-if-absent closes the validate→publish window — any foreign
+        * commit after the read collides on the slot. */
+      cas: Option[graft.model.SyncCas] = None): Long = {
     val prev = log.readLatest()
+    cas.foreach(_.validate(
+      prev.map(_._2.properties).getOrElse(Map.empty), s"iceberg target $tablePath"))
     val defs = graft.model.PartitionTransform.parseAll(partitionColumns)
     val defByName = defs.map(d => d.fieldName -> d).toMap
     val identityCols = defs.filter(_.isIdentity).map(_.fieldName).toSet

@@ -170,3 +170,41 @@ object SyncMetadata {
  */
 final class UnsyncableChangeException(msg: String)
   extends IllegalArgumentException(msg)
+
+/**
+ * A sync commit lost its compare-and-set: between planning (reading the
+ * target's watermark + live files) and committing, another process
+ * synced the same target. The plan is stale — committing it would
+ * duplicate adds (double-counting rows on an Iceberg target) or regress
+ * the watermark. [[graft.sync.SyncEngine.sync]] catches this and
+ * re-plans from fresh target state.
+ */
+final class ConcurrentSyncException(msg: String)
+  extends IllegalStateException(msg)
+
+/**
+ * Compare-and-set guard carried by a sync commit: the watermark the
+ * planner observed on the target for `sourceId` (`None` = no watermark
+ * for this source). Each target validates it against CURRENT state in
+ * the same read that allocates the commit's version slot, so the
+ * version file's put-if-absent closes the validate→publish window: any
+ * foreign commit landing after the read collides on the slot instead of
+ * silently stacking a stale diff (two schedulers running one pipeline
+ * is the reference's own deployment shape, ref
+ * `core/.../client/OneTableClient.java:95-247` — which leaves this race
+ * to the caller).
+ */
+final case class SyncCas(sourceId: String, expected: Option[String]) {
+  def validate(state: Map[String, String], targetDesc: String): Unit = {
+    val cur = state.get(SyncCas.SourceIdProp).filter(_ == sourceId)
+      .flatMap(_ => state.get(SyncCas.VersionProp))
+    if (cur != expected) throw new ConcurrentSyncException(
+      s"concurrent sync detected on $targetDesc: planned against watermark " +
+        s"$expected for $sourceId but the target now carries $cur — re-plan and retry")
+  }
+}
+object SyncCas {
+  /** Canonical watermark property keys (aliased by SyncEngine). */
+  val SourceIdProp = "graft.sync.source.id"
+  val VersionProp = "graft.sync.last.synced.version"
+}

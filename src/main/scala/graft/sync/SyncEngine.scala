@@ -36,9 +36,12 @@ import graft.model.InternalDataFile
  */
 object SyncEngine {
 
-  /** Watermark property keys persisted in target metadata. */
-  val SourceIdProp = "graft.sync.source.id"
-  val VersionProp = "graft.sync.last.synced.version"
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Watermark property keys persisted in target metadata (canonical
+    * definitions live with the CAS that validates them). */
+  val SourceIdProp = graft.model.SyncCas.SourceIdProp
+  val VersionProp = graft.model.SyncCas.VersionProp
   /** Source versions in flight at sync time (started, not completed) —
     * carried so a commit that completes LATE, below the watermark, is
     * still replayed next sync (ref `CommitsBacklog.java:28-86`). */
@@ -72,6 +75,37 @@ object SyncEngine {
         * identity ride here (ref `RunSync.java:203-216`,
         * `onetable-client-defaults.yaml`). */
       targetProps: Map[String, String] = Map.empty): SyncResult = {
+    // two schedulers running one pipeline is a supported deployment:
+    // every commit carries a watermark CAS (validated inside the same
+    // state read that fixes the commit's version slot), and losing it —
+    // or losing a raw version-slot race — re-plans from fresh target
+    // state. Bounded: persistent contention past 5 attempts surfaces.
+    var attempt = 0
+    while (true) {
+      try return syncOnce(source, target, mode, targetProps)
+      catch {
+        case e: graft.model.ConcurrentSyncException if attempt < 4 =>
+          attempt += 1
+          logger.warn(s"sync of ${source.sourceId} -> ${target.format}:" +
+            s"${target.targetPath} lost its watermark CAS (attempt $attempt), re-planning: " +
+            e.getMessage)
+        case e: RuntimeException // require() / IllegalState from a lost version-slot CAS
+          if attempt < 4 && !e.isInstanceOf[graft.model.UnsyncableChangeException] &&
+            Option(e.getMessage).exists(_.contains("concurrent")) =>
+          attempt += 1
+          logger.warn(s"sync of ${source.sourceId} -> ${target.format}:" +
+            s"${target.targetPath} lost a version-slot race (attempt $attempt), re-planning: " +
+            e.getMessage)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def syncOnce(
+      source: SyncSource,
+      target: SyncTarget,
+      mode: Mode,
+      targetProps: Map[String, String]): SyncResult = {
     val wm = target.watermarkFor(source.sourceId)
     val canIncrement = wm.exists(source.versionExists)
     val incremental = mode match {
@@ -94,6 +128,10 @@ object SyncEngine {
       val pending = (lateCompleted ++ source.versionsAfter(wm.get)).distinct
       var added, removed = 0
       var highWater = wm.get
+      // per-commit CAS chain: the first replayed commit expects the
+      // watermark planning observed; each subsequent one expects the
+      // value the PREVIOUS commit wrote
+      var expectedWm = wm
       target.beginBatch()
       try pending.foreach { v =>
         val (adds, removes) = source.changes(v)
@@ -105,7 +143,9 @@ object SyncEngine {
           adds, removes,
           keyProps ++ Map(SourceIdProp -> source.sourceId, VersionProp -> highWater,
             InflightProp -> stillInflight.mkString(",")),
-          source.physicalNames)
+          source.physicalNames,
+          Some(graft.model.SyncCas(source.sourceId, expectedWm)))
+        expectedWm = Some(highWater)
         added += adds.size; removed += removes.size
       } finally target.endBatch()
       SyncResult("incremental", pending, added, removed)
@@ -121,7 +161,10 @@ object SyncEngine {
         adds, removes,
         keyProps ++ Map(SourceIdProp -> source.sourceId, VersionProp -> source.currentVersion,
           InflightProp -> stillInflight.mkString(",")),
-        source.physicalNames)
+        source.physicalNames,
+        // the full plan diffed against livePaths() read under THIS
+        // watermark — a moved watermark means a stale diff
+        Some(graft.model.SyncCas(source.sourceId, wm)))
       SyncResult("full", Seq(source.currentVersion), adds.size, removes.size)
     }
     if (!incremental) runFull()
@@ -277,7 +320,12 @@ trait SyncTarget {
       adds: Seq[InternalDataFile],
       removePaths: Seq[String],
       watermark: Map[String, String],
-      physicalNames: Map[String, String] = Map.empty): Unit
+      physicalNames: Map[String, String] = Map.empty,
+      /** Watermark CAS the planner observed — the target validates it
+        * inside the state read that fixes the commit's version slot and
+        * throws [[graft.model.ConcurrentSyncException]] on mismatch, so
+        * a concurrent sync can never stack a stale diff. */
+      cas: Option[graft.model.SyncCas] = None): Unit
 }
 
 // ---------------------------------------------------------------- Delta
@@ -359,13 +407,14 @@ private final class DeltaTarget(spark: SparkSession, val targetPath: String) ext
       schema: StructType, partitionColumns: Seq[String], sourceDataRoot: String,
       adds: Seq[InternalDataFile], removePaths: Seq[String],
       watermark: Map[String, String],
-      physicalNames: Map[String, String] = Map.empty): Unit = {
+      physicalNames: Map[String, String] = Map.empty,
+      cas: Option[graft.model.SyncCas] = None): Unit = {
     require(physicalNames.isEmpty,
       s"cannot sync a column-mapped source to a Delta target at $targetPath: " +
         "the shared files' physical names are only representable via an " +
         "Iceberg name mapping")
     table.syncCommit(schema, partitionColumns, sourceDataRoot, adds, removePaths, watermark,
-      deferCheckpoint = deferring)
+      deferCheckpoint = deferring, cas = cas)
   }
 }
 
@@ -439,9 +488,10 @@ private final class IcebergTarget(spark: SparkSession, val targetPath: String) e
       schema: StructType, partitionColumns: Seq[String], sourceDataRoot: String,
       adds: Seq[InternalDataFile], removePaths: Seq[String],
       watermark: Map[String, String],
-      physicalNames: Map[String, String] = Map.empty): Unit =
+      physicalNames: Map[String, String] = Map.empty,
+      cas: Option[graft.model.SyncCas] = None): Unit =
     table.syncCommit(schema, partitionColumns, sourceDataRoot, adds, removePaths, watermark,
-      physicalNames)
+      physicalNames, cas)
 }
 
 // ----------------------------------------------------------------- Hudi
@@ -500,11 +550,13 @@ private final class HudiTarget(spark: SparkSession, val targetPath: String) exte
       schema: StructType, partitionColumns: Seq[String], sourceDataRoot: String,
       adds: Seq[InternalDataFile], removePaths: Seq[String],
       watermark: Map[String, String],
-      physicalNames: Map[String, String] = Map.empty): Unit = {
+      physicalNames: Map[String, String] = Map.empty,
+      cas: Option[graft.model.SyncCas] = None): Unit = {
     require(physicalNames.isEmpty,
       s"cannot sync a column-mapped source to a Hudi target at $targetPath: " +
         "the shared files' physical names are only representable via an " +
         "Iceberg name mapping")
-    table.syncCommit(schema, partitionColumns, sourceDataRoot, adds, removePaths, watermark)
+    table.syncCommit(schema, partitionColumns, sourceDataRoot, adds, removePaths, watermark,
+      cas = cas)
   }
 }
