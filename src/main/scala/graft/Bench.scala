@@ -80,7 +80,12 @@ object Bench {
     // one pass slow ⇒ transient contention the min already absorbed
     val p1Total = named.map(n => pass1(n._1)).sum
     val p2Total = named.map(n => pass2(n._1)).sum
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir","fixture_build_sec":${num(fixtureSec, 3)},"index_build_sec":${num(indexBuildSec, 3)},"pass1_total":${num(p1Total, 3)},"pass2_total":${num(p2Total, 3)},"spread_outliers":$spreads,"queries":$qs}""")
+    val line = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir","fixture_build_sec":${num(fixtureSec, 3)},"index_build_sec":${num(indexBuildSec, 3)},"pass1_total":${num(p1Total, 3)},"pass2_total":${num(p2Total, 3)},"spread_outliers":$spreads,"queries":$qs}"""
+    // the JSON is this process's FINAL stdout line: spark.stop() first,
+    // so no shutdown logging can trail it and a line-oriented parser
+    // (not just a regex scrape) finds it
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -41,7 +41,19 @@ import org.apache.spark.sql.types._
  */
 object DeltaKeyIndex {
 
-  final case class Config(keyCol: String, buildVersion: Long)
+  final case class Config(
+      keyCol: String,
+      buildVersion: Long,
+      /** Catalog string of the key column's type AT BUILD TIME. The
+        * stored entry strings are casts of table-typed values, so a
+        * metadata-only type change (replaceSchema long→double) changes
+        * probe formatting ("1" vs "1.0") without any AddFile the fence
+        * could catch — routing refuses when the current type differs. */
+      keyType: Option[String] = None,
+      /** spark.sql.session.timeZone at build time: a TimestampType key
+        * formats through it, so probes from a session in another zone
+        * would silently miss stored strings. */
+      timeZone: Option[String] = None)
 
   private def indexDir(tablePath: String) = new Path(tablePath, "_graft/index")
   private def configPath(tablePath: String) = new Path(indexDir(tablePath), "config.json")
@@ -58,13 +70,16 @@ object DeltaKeyIndex {
     def field(k: String): Option[String] =
       s""""$k"\\s*:\\s*("([^"]*)"|(\\d+))""".r.findFirstMatchIn(s)
         .map(m => Option(m.group(2)).getOrElse(m.group(3)))
-    for { k <- field("keyCol"); v <- field("buildVersion") } yield Config(k, v.toLong)
+    for { k <- field("keyCol"); v <- field("buildVersion") }
+      yield Config(k, v.toLong, field("keyType"), field("timeZone"))
   }
 
   private def writeConfig(fs: FileSystem, tablePath: String, cfg: Config): Unit = {
     val out = fs.create(configPath(tablePath), true)
+    val extras = cfg.keyType.map(t => s""","keyType":"$t"""").getOrElse("") +
+      cfg.timeZone.map(z => s""","timeZone":"$z"""").getOrElse("")
     try out.write(
-      s"""{"keyCol":"${cfg.keyCol}","buildVersion":${cfg.buildVersion}}"""
+      s"""{"keyCol":"${cfg.keyCol}","buildVersion":${cfg.buildVersion}$extras}"""
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -154,7 +169,7 @@ object DeltaKeyIndex {
    * which FAILS the fence (safe) rather than lying.
    */
   def compactInto(
-      spark: SparkSession, tablePath: String, keyCol: String, version: Long,
+      spark: SparkSession, tablePath: String, cfg: Config, version: Long,
       liveFiles: DataFrame): Unit = {
     val fs = indexDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = listBatches(fs, tablePath).map(_._2).toSet
@@ -162,7 +177,9 @@ object DeltaKeyIndex {
       .join(liveFiles.select(col("file")), Seq("file"), "left_semi")
     writeBatch(tablePath, version, compacted)
     before.foreach(p => fs.delete(p, true))
-    writeConfig(fs, tablePath, Config(keyCol, version))
+    // the build-time key type/zone carry over: compaction rewrites the
+    // same strings, it never re-formats them
+    writeConfig(fs, tablePath, cfg.copy(buildVersion = version))
   }
 
   // ------------------------------------------------------------ fence

@@ -412,7 +412,12 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       data => data.join(distinctKeys,
         keyCols.map(c => data(c) <=> distinctKeys(c)).reduce(_ && _), "left_semi"),
       CommitInfo(System.currentTimeMillis(), "DELETE",
-        Map("predicate" -> s"keys in (${keyCols.mkString(", ")})")))
+        Map("predicate" -> s"keys in (${keyCols.mkString(", ")})")),
+      // key routing, same as MERGE: with an index (or usable ranges)
+      // the delete scans candidate files, not the table — the null-key
+      // bailout in keyIndexRouteFiles keeps <=> semantics sound (a null
+      // key falls back to the range path, which keeps all candidates)
+      pruneByKeys = Some((keyCols, distinctKeys)))
   }
 
   /** DELETE where the matching rows come from a caller-supplied
@@ -905,7 +910,10 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       modificationTime = if (r.isNullAt(2)) 0L else r.getLong(2),
       partitionValues = if (r.isNullAt(3)) Map.empty else r.getMap[String, String](3).toMap))
     DeltaKeyIndex.replaceAll(spark, tablePath,
-      DeltaKeyIndex.Config(keyCol, v), keyEntriesFor(mfs, keyCol))
+      DeltaKeyIndex.Config(keyCol, v,
+        keyType = Some(schema(keyCol).dataType.catalogString),
+        timeZone = Some(spark.sessionState.conf.sessionLocalTimeZone)),
+      keyEntriesFor(mfs, keyCol))
     DeltaKeyIndex.invalidate(tablePath)
   }
 
@@ -930,7 +938,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     import spark.implicits._
     val live = log.snapshotFilesDF().select("path").as[String].collect()
       .map(p => DeltaTable.metadataFilePath(tablePath, p)).toSeq.toDF("file")
-    DeltaKeyIndex.compactInto(spark, tablePath, cfg.keyCol, v, live)
+    DeltaKeyIndex.compactInto(spark, tablePath, cfg, v, live)
     DeltaKeyIndex.invalidate(tablePath)
   }
 
@@ -972,9 +980,18 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       val adds = actions.collect { case a: AddFile => a }
       val (schema, _) = schemaAt(None)
       // key column dropped/renamed since the build: stop maintaining;
-      // the fence fails on this uncovered version and stays failed
+      // the fence fails on this uncovered version and stays failed.
+      // A TYPE change (or, for zone-formatted types, a session-zone
+      // change) is the same poison with different symptoms: new batches
+      // would mix string formats with the stored ones — skip the batch
+      // so the fence fails instead of the index lying
+      val formatStable =
+        cfg.keyType.contains(schema.fieldNames.find(_ == cfg.keyCol)
+          .map(n => schema(n).dataType.catalogString).getOrElse("")) &&
+        (!zoneSensitive(schema, cfg.keyCol) ||
+          cfg.timeZone.contains(spark.sessionState.conf.sessionLocalTimeZone))
       if (adds.isEmpty) DeltaKeyIndex.markCovered(conf, tablePath, v)
-      else if (schema.fieldNames.contains(cfg.keyCol)) {
+      else if (schema.fieldNames.contains(cfg.keyCol) && formatStable) {
         val mfs = adds.map(a => graft.sources.ManifestFile(
           path = DeltaTable.metadataFilePath(tablePath, a.path),
           size = a.size, modificationTime = a.modificationTime,
@@ -985,11 +1002,17 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     }
   }
 
+  /** True iff the column's cast-to-string goes through the session
+    * time zone (TimestampType; NTZ and DateType format zone-free). */
+  private def zoneSensitive(schema: StructType, colName: String): Boolean =
+    schema.fieldNames.contains(colName) &&
+      schema(colName).dataType == org.apache.spark.sql.types.TimestampType
+
   /** Exact MERGE routing: the set of candidate metadata paths for the
     * incoming keys, or None when the index cannot answer (absent,
     * fence-failed, composite key, different key column, or null keys —
     * null-safe matching is the range path's job). */
-  private def keyIndexRouteFiles(kc: Seq[String], keys: DataFrame): Option[Set[String]] = {
+  private[delta] def keyIndexRouteFiles(kc: Seq[String], keys: DataFrame): Option[Set[String]] = {
     if (kc.size != 1) return None
     val conf = spark.sparkContext.hadoopConfiguration
     val cfg = DeltaKeyIndex.readConfig(conf, tablePath) match {
@@ -998,6 +1021,14 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     }
     if (!DeltaKeyIndex.usable(log, conf, tablePath, latestVersion)) return None
     val (schema, _) = schemaAt(None)
+    // the stored strings are only probe-able when the key column's
+    // TYPE still matches the build-time type (a metadata-only
+    // replaceSchema changes formatting with no AddFile for the fence
+    // to catch) and, for zone-formatted types, the session zone does
+    // too — otherwise refuse and fall back to range pruning
+    if (!cfg.keyType.contains(schema(cfg.keyCol).dataType.catalogString)) return None
+    if (zoneSensitive(schema, cfg.keyCol) &&
+        !cfg.timeZone.contains(spark.sessionState.conf.sessionLocalTimeZone)) return None
     // canonicalize through the TABLE column's type first: the stored
     // strings came from table-typed values, and an incoming frame with
     // a different numeric type must not miss on formatting ("1.0" vs
@@ -1706,8 +1737,12 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val metaActions: Seq[DeltaAction] =
       if (v == 0L) Seq(Protocol(), meta) else Seq(meta)
     val info = CommitInfo(now, "SYNC", Map("mode" -> "Sync"))
-    require(log.commit(v, metaActions ++ removeActions ++ addActions :+ info),
-      s"concurrent commit detected at version $v of $tablePath")
+    if (!log.commit(v, metaActions ++ removeActions ++ addActions :+ info))
+      // a lost version-slot race IS a concurrent sync — typed so the
+      // engine's re-plan loop classifies it structurally
+      throw new graft.model.ConcurrentSyncException(
+        s"concurrent sync detected on delta target $tablePath: version slot $v " +
+          "was taken — re-plan and retry")
     if (!deferCheckpoint) log.maybeCheckpoint(v)
     maintainKeyIndex(v, addActions)
     v

@@ -168,6 +168,18 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
    */
   def fileSlicesDF(asOf: Option[String] = None): DataFrame = {
     val upTo = asOf.map(a => instants.filter(_ <= a)).getOrElse(instants)
+    // A created-but-never-committed table (hoodie.properties present,
+    // zero completed instants — the concurrent-bootstrap window where
+    // another writer has started but not finished its first commit) is
+    // an EMPTY table, not an error: a racing reader must see no live
+    // slices rather than crash on `no instants selected`.
+    if (upTo.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("instant", StringType), StructField("partitionPath", StringType),
+          StructField("fileId", StringType), StructField("path", StringType),
+          StructField("size", LongType))))
     val w = Window.partitionBy(col("partitionPath"), col("fileId"))
       .orderBy(col("instant").desc)
     actionsDF(upTo)
@@ -1461,16 +1473,18 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       adds: Seq[graft.model.InternalDataFile],
       removePaths: Seq[String],
       syncProps: Map[String, String],
-      /** Watermark CAS, validated under the per-table in-process lock
-        * immediately before the instant publish. Unlike the
-        * Delta/Iceberg targets (where the version slot's put-if-absent
-        * makes the check airtight across processes), two Hudi sync
-        * commits write DIFFERENT instant filenames and cannot collide —
-        * the in-process lock makes validate→publish atomic within one
-        * JVM (the InProcessLockProvider analog); across processes the
-        * gap needs an external lock provider
-        * (hoodie.write.lock.provider), exactly as real Hudi does. */
-      cas: Option[graft.model.SyncCas] = None): String = {
+      /** Watermark CAS, validated under `lock` immediately before the
+        * instant publish. Unlike the Delta/Iceberg targets (where the
+        * version slot's put-if-absent makes the check airtight across
+        * processes), two Hudi sync commits write DIFFERENT instant
+        * filenames and cannot collide — validate→publish must run
+        * under one mutual-exclusion scope, exactly real Hudi's
+        * hoodie.write.lock.provider posture. */
+      cas: Option[graft.model.SyncCas] = None,
+      /** Lock scope for validate→publish; the default file lock closes
+        * the window across processes on a shared POSIX filesystem (see
+        * [[HudiLockProvider]]). */
+      lock: HudiLockProvider = HudiLockProvider.FileLock): String = {
     val instant = timeline.nextInstantTime()
     // partition specs may carry time transforms (`month(c)`); Hudi has
     // no transform concept, so the materialized field names become plain
@@ -1562,14 +1576,19 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         ("schema" -> AvroSchemaConverters.toAvro(schemaWithPartFields).toString),
       operationType = if (replaceIds.nonEmpty) "INSERT_OVERWRITE" else "INSERT")
     val action = if (replaceIds.nonEmpty) "replacecommit" else "commit"
-    // validate+publish under the in-process table lock: a same-JVM
-    // competitor cannot slip a commit into the gap (cross-process, the
-    // gap stays open without an external lock provider — see the cas
-    // parameter's doc)
-    HudiTable.syncLock(tablePath).synchronized {
+    // validate+publish under the configured lock provider: a competitor
+    // cannot slip a commit into the gap (cross-process too, when the
+    // provider spans processes — the default file lock does on a shared
+    // POSIX filesystem)
+    lock.withLock(tablePath) {
       cas.foreach(_.validate(latestCommitExtraMetadata, s"hudi target $tablePath"))
-      require(timeline.commit(HudiInstant(instant, action), meta),
-        s"concurrent hudi commit at $instant of $tablePath")
+      if (!timeline.commit(HudiInstant(instant, action), meta))
+        // a lost instant-slot race IS a concurrent sync — typed so the
+        // engine's re-plan loop classifies it structurally, never by
+        // message text
+        throw new graft.model.ConcurrentSyncException(
+          s"concurrent sync detected on hudi target $tablePath: instant $instant " +
+            "lost its timeline slot — re-plan and retry")
     }
     // post-commit maintenance, mirroring the reference target loop (ref
     // `HudiTargetClient.java:414-545`): a synthetic CLEAN instant
@@ -1616,8 +1635,9 @@ object HudiTable {
     * WITHIN one JVM — the analog of real Hudi's InProcessLockProvider
     * (two Hudi sync commits write different instant filenames, so the
     * put-if-absent that arbitrates Delta/Iceberg version slots cannot
-    * arbitrate here). Cross-process multi-writer Hudi targets still
-    * need an external lock provider, exactly as real Hudi does. */
+    * arbitrate here). Cross-process scope layers on top via
+    * [[HudiLockProvider]] (file lock by default on local filesystems;
+    * external service locks are the pluggable seam, as in real Hudi). */
   private val syncLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[hudi] def syncLock(tablePath: String): Object =

@@ -683,9 +683,14 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
               s"'${snap.operation}', not an append — main advanced since the fork, and " +
               "replaying a rewrite could drop or resurrect rows; rebase the branch instead")
         }
+        // positively-tracked publications survive any later main rewrite
+        val published: Set[Long] = meta.snapshots
+          .flatMap(_.summary.get(IcebergTable.CherryPickedFromKey))
+          .flatMap(x => scala.util.Try(x.toLong).toOption).toSet
         val mainLive: Set[String] =
           liveEntries(None).map(e => new Path(e.filePath).toUri.toString).toSet
-        val pending = candidates.map(id => id -> changeSet(id)).filterNot {
+        val pending = candidates.filterNot(published)
+          .map(id => id -> changeSet(id)).filterNot {
           case (_, (adds, _)) =>
             adds.nonEmpty && adds.forall(f =>
               mainLive.contains(new Path(f.physicalPath).toUri.toString))
@@ -697,8 +702,9 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         }
         val defs = IcebergTable.defsOf(meta).map(_.spec)
         try {
-          pending.foreach { case (_, (adds, _)) =>
-            syncCommit(sparkSchema, defs, dataRoot, adds, Seq.empty, Map.empty)
+          pending.foreach { case (id, (adds, _)) =>
+            syncCommit(sparkSchema, defs, dataRoot, adds, Seq.empty, Map.empty,
+              extraSummary = Map(IcebergTable.CherryPickedFromKey -> id.toString))
           }
           createBranch(branch) // re-point the published branch at the new head
           return
@@ -1084,7 +1090,9 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       /** branch write (WAP): the commit's parent is the BRANCH head,
         * `main` does not move, and the branch ref advances — readers of
         * the table see nothing until [[fastForward]] publishes. */
-      toBranch: Option[String] = None): Option[Long] = {
+      toBranch: Option[String] = None,
+      /** extra snapshot-summary entries (cherry-pick provenance). */
+      extraSummary: Map[String, String] = Map.empty): Option[Long] = {
     toBranch.foreach { b =>
       require(b != "main", "`main` is the table itself; append directly")
       prev.foreach { case (_, m) => m.refs.get(b).foreach(r => require(
@@ -1231,7 +1239,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       operation = operation,
       summary = Map(
         "added-data-files" -> adds.size.toString,
-        "added-records" -> adds.map(_.recordCount).sum.toString))
+        "added-records" -> adds.map(_.recordCount).sum.toString) ++ extraSummary)
 
     val base = prev.map(_._2).getOrElse(IcebergTableMetadata(
       tableUuid = UUID.randomUUID().toString,
@@ -1600,7 +1608,9 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         * fixes this commit's version slot, so `log.commit(prev+1, …)`'s
         * put-if-absent closes the validate→publish window — any foreign
         * commit after the read collides on the slot. */
-      cas: Option[graft.model.SyncCas] = None): Long = {
+      cas: Option[graft.model.SyncCas] = None,
+      /** extra snapshot-summary entries (cherry-pick provenance). */
+      extraSummary: Map[String, String] = Map.empty): Long = {
     val prev = log.readLatest()
     cas.foreach(_.validate(
       prev.map(_._2.properties).getOrElse(Map.empty), s"iceberg target $tablePath"))
@@ -1662,14 +1672,19 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       carryPrevious = true,
       operation = if (removes.nonEmpty) "overwrite" else "append",
       extraProps = syncProps + ("graft.converted.from" -> sourceDataRoot),
-      physicalNames = physicalNames)
-      .getOrElse(throw new IllegalStateException(
-        s"concurrent commit on sync target $tablePath: sync targets are " +
-          "single-writer; re-run the sync"))
+      physicalNames = physicalNames,
+      extraSummary = extraSummary)
+      .getOrElse(throw new graft.model.ConcurrentSyncException(
+        s"concurrent sync detected on iceberg target $tablePath: the version " +
+          "slot was taken — re-plan and retry"))
   }
 }
 
 object IcebergTable {
+
+  /** Snapshot-summary key recording which branch snapshot a cherry-pick
+    * replays — publishBranch's positive progress marker. */
+  val CherryPickedFromKey = "graft.cherry-picked-from"
 
   def forPath(spark: SparkSession, tablePath: String): IcebergTable =
     new IcebergTable(spark, new IcebergMetadataLog(tablePath, spark.sparkContext))

@@ -194,13 +194,27 @@ final class ConcurrentSyncException(msg: String)
  * `core/.../client/OneTableClient.java:95-247` — which leaves this race
  * to the caller).
  */
-final case class SyncCas(sourceId: String, expected: Option[String]) {
+final case class SyncCas(
+    sourceId: String,
+    /** The raw (source-id, version) watermark pair the planner observed
+      * on the target — whatever source wrote it, `None` = no sync state
+      * at all. Comparing the FULL pair (not just this source's slice)
+      * distinguishes "never synced" from "last synced by a different
+      * source": a fresh-target full plan must NOT validate against a
+      * target another source synced in between (on a Hudi target no
+      * version slot would arbitrate that stack), and a deliberate
+      * source switch re-plans once and then commits against the
+      * now-observed foreign pair. */
+    observed: Option[(String, String)]) {
   def validate(state: Map[String, String], targetDesc: String): Unit = {
-    val cur = state.get(SyncCas.SourceIdProp).filter(_ == sourceId)
-      .flatMap(_ => state.get(SyncCas.VersionProp))
-    if (cur != expected) throw new ConcurrentSyncException(
-      s"concurrent sync detected on $targetDesc: planned against watermark " +
-        s"$expected for $sourceId but the target now carries $cur — re-plan and retry")
+    val cur = for {
+      s <- state.get(SyncCas.SourceIdProp)
+      v <- state.get(SyncCas.VersionProp)
+    } yield (s, v)
+    if (cur != observed) throw new ConcurrentSyncException(
+      s"concurrent sync detected on $targetDesc: planned for $sourceId against " +
+        s"observed sync state $observed but the target now carries $cur — " +
+        "re-plan and retry")
   }
 }
 object SyncCas {

@@ -84,17 +84,13 @@ object SyncEngine {
     while (true) {
       try return syncOnce(source, target, mode, targetProps)
       catch {
+        // the ONLY race classifier: every lost watermark CAS and lost
+        // version/instant slot throws this type (message text is for
+        // humans, never matched)
         case e: graft.model.ConcurrentSyncException if attempt < 4 =>
           attempt += 1
           logger.warn(s"sync of ${source.sourceId} -> ${target.format}:" +
             s"${target.targetPath} lost its watermark CAS (attempt $attempt), re-planning: " +
-            e.getMessage)
-        case e: RuntimeException // require() / IllegalState from a lost version-slot CAS
-          if attempt < 4 && !e.isInstanceOf[graft.model.UnsyncableChangeException] &&
-            Option(e.getMessage).exists(_.contains("concurrent")) =>
-          attempt += 1
-          logger.warn(s"sync of ${source.sourceId} -> ${target.format}:" +
-            s"${target.targetPath} lost a version-slot race (attempt $attempt), re-planning: " +
             e.getMessage)
       }
     }
@@ -106,7 +102,16 @@ object SyncEngine {
       target: SyncTarget,
       mode: Mode,
       targetProps: Map[String, String]): SyncResult = {
-    val wm = target.watermarkFor(source.sourceId)
+    // ONE state read plans the round: the watermark for THIS source,
+    // plus the raw observed (source-id, version) pair — any source's —
+    // that every commit's CAS validates in full (a fresh-target plan
+    // must not validate against a target some OTHER source synced in
+    // between; on a Hudi target no version slot would arbitrate that)
+    val st0 = target.syncState()
+    val observed0 = for {
+      s <- st0.get(SourceIdProp); v <- st0.get(VersionProp)
+    } yield (s, v)
+    val wm = observed0.collect { case (s, v) if s == source.sourceId => v }
     val canIncrement = wm.exists(source.versionExists)
     val incremental = mode match {
       case Full        => false
@@ -144,14 +149,34 @@ object SyncEngine {
           keyProps ++ Map(SourceIdProp -> source.sourceId, VersionProp -> highWater,
             InflightProp -> stillInflight.mkString(",")),
           source.physicalNames,
-          Some(graft.model.SyncCas(source.sourceId, expectedWm)))
+          Some(graft.model.SyncCas(source.sourceId,
+            expectedWm.map(source.sourceId -> _))))
         expectedWm = Some(highWater)
         added += adds.size; removed += removes.size
       } finally target.endBatch()
       SyncResult("incremental", pending, added, removed)
     }
     def runFull(): SyncResult = {
-      val files = source.snapshotFiles()
+      // Stabilized source read: currentVersion is re-read AFTER the
+      // snapshot listing and must match the pre-read value, else the
+      // snapshot is re-taken. Without this, an append landing between
+      // snapshotFiles() and currentVersion stamps a watermark PAST
+      // versions whose files were never listed — every later
+      // incremental sync then skips them and the target silently loses
+      // rows (found by the 4-thread stochastic CAS spec).
+      var version = source.currentVersion
+      var files = source.snapshotFiles()
+      var settled = false
+      var spins = 0
+      while (!settled) {
+        val after = source.currentVersion
+        if (after == version) settled = true
+        else if (spins >= 9)
+          throw new graft.model.ConcurrentSyncException(
+            s"source ${source.sourceId} kept advancing during full-sync planning " +
+              s"($version -> $after after $spins re-reads) — re-plan and retry")
+        else { spins += 1; version = after; files = source.snapshotFiles() }
+      }
       val byPath = files.map(f => norm(f.physicalPath) -> f).toMap
       val live = target.livePaths()
       val liveNorm = live.map(norm)
@@ -159,13 +184,14 @@ object SyncEngine {
       val removes = live.filterNot(p => byPath.contains(norm(p))).toSeq.sorted
       target.commit(source.schema, source.partitionColumns, source.dataRoot,
         adds, removes,
-        keyProps ++ Map(SourceIdProp -> source.sourceId, VersionProp -> source.currentVersion,
+        keyProps ++ Map(SourceIdProp -> source.sourceId, VersionProp -> version,
           InflightProp -> stillInflight.mkString(",")),
         source.physicalNames,
         // the full plan diffed against livePaths() read under THIS
-        // watermark — a moved watermark means a stale diff
-        Some(graft.model.SyncCas(source.sourceId, wm)))
-      SyncResult("full", Seq(source.currentVersion), adds.size, removes.size)
+        // observed state — ANY movement (even another source's sync)
+        // means a stale diff
+        Some(graft.model.SyncCas(source.sourceId, observed0)))
+      SyncResult("full", Seq(version), adds.size, removes.size)
     }
     if (!incremental) runFull()
     else if (mode == Incremental) runIncremental()
@@ -557,6 +583,6 @@ private final class HudiTarget(spark: SparkSession, val targetPath: String) exte
         "the shared files' physical names are only representable via an " +
         "Iceberg name mapping")
     table.syncCommit(schema, partitionColumns, sourceDataRoot, adds, removePaths, watermark,
-      cas = cas)
+      cas = cas, lock = graft.hudi.HudiLockProvider.forTable(spark, targetPath))
   }
 }

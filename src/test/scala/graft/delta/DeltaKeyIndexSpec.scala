@@ -270,6 +270,96 @@ class DeltaKeyIndexSpec extends SparkTestBase {
     assert(t.toDF().filter(col("amount") === 5.75).count() == n2)
   }
 
+  test("timestamp key: routing refuses under a foreign session zone; maintenance fences") {
+    // the stored entry strings are casts of table-typed values, and a
+    // TimestampType key formats through spark.sql.session.timeZone —
+    // build in one zone, probe in another, and the strings differ.
+    // The config persists the build zone; routing/maintenance refuse on
+    // a mismatch instead of silently under-approximating.
+    val dir = tmpDir("ki_zone")
+    val t = DeltaTable.create(spark, s"$dir/t",
+      orders.withColumn("ts", timestamp_seconds(col("o_orderkey")))
+        .repartition(4, pmod(col("o_orderkey"), lit(4))))
+    t.buildKeyIndex("ts")
+    val zone0 = spark.conf.get("spark.sql.session.timeZone")
+    val other = if (zone0 == "America/New_York") "UTC" else "America/New_York"
+    val probe = t.toDF().select("ts").limit(20).localCheckpoint()
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(t.keyIndexRouteFiles(Seq("ts"), probe).isDefined,
+      "in the build zone the index must answer")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", other)
+      assert(t.keyIndexRouteFiles(Seq("ts"), probe).isEmpty,
+        "a foreign session zone re-formats timestamp probes — the index must refuse")
+      // a MERGE in the foreign zone lands correctly through the fallback
+      val upd = t.toDF().limit(15).withColumn("o_totalprice", lit(8.25)).localCheckpoint()
+      t.upsert(upd, Seq("ts"))
+      assert(t.toDF().filter(col("o_totalprice") === 8.25).count() == 15)
+      // …but its add-bearing commit cannot be indexed in this zone: the
+      // maintenance batch is skipped and the fence fails (safe), rather
+      // than mixing string formats inside one index
+      assert(!DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion),
+        "a foreign-zone write must fail the fence, not poison the index")
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+    // back in the build zone the uncovered version keeps the fence
+    // failed (safe); a rebuild restores exact routing
+    t.buildKeyIndex("ts")
+    assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion))
+    assert(t.keyIndexRouteFiles(Seq("ts"), probe).isDefined)
+  }
+
+  test("metadata-only key type change: routing refuses though the fence is covered") {
+    // replaceSchema long→double ships NO AddFile, so the coverage fence
+    // cannot catch it — but the stored strings are long-formatted ("1")
+    // while double probes format as "1.0". The persisted build-time
+    // keyType is the guard.
+    val dir = tmpDir("ki_type")
+    val t = DeltaTable.create(spark, s"$dir/t", interleaved)
+    t.buildKeyIndex("o_orderkey")
+    val probe = Seq(1L, 2L, 3L).toDF("o_orderkey")
+    assert(t.keyIndexRouteFiles(Seq("o_orderkey"), probe).isDefined)
+    val widened = org.apache.spark.sql.types.StructType(t.toDF().schema.fields.map(f =>
+      if (f.name == "o_orderkey") f.copy(dataType = org.apache.spark.sql.types.DoubleType)
+      else f))
+    t.replaceSchema(widened)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion),
+      "the metadata-only commit carries no adds — the fence alone stays covered")
+    assert(t.keyIndexRouteFiles(Seq("o_orderkey"), probe).isEmpty,
+      "stored strings are bigint-formatted; a double-typed key must refuse")
+    // an add under the changed type skips maintenance → fence fails
+    t.append(orders.limit(3)
+      .withColumn("o_orderkey", (col("o_orderkey") + 9500000L).cast("double")), Seq.empty)
+    assert(!DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion),
+      "an add-bearing commit under a changed key type must fail the fence")
+  }
+
+  test("deleteMatching routes through the index: non-hit files never opened") {
+    val dir = tmpDir("ki_delroute")
+    val t = DeltaTable.create(spark, s"$dir/t", interleaved)
+    t.buildKeyIndex("o_orderkey")
+    val files = liveFiles(t, s"$dir/t")
+    val delKeys = spark.read.parquet(files.head)
+      .select("o_orderkey").limit(50).localCheckpoint()
+    val ks = delKeys.as[Long].collect().toSet
+    // victims: range-overlapping files holding NONE of the delete keys —
+    // range pruning provably keeps them, exact routing provably skips
+    val victims = files.tail.filter { f =>
+      val kk = spark.read.parquet(f).select("o_orderkey").as[Long].collect()
+      kk.toSet.intersect(ks).isEmpty && kk.min <= ks.max && kk.max >= ks.min
+    }
+    assert(victims.nonEmpty, "fixture must produce range-overlapping non-hit files")
+    val aside = victims.map { v =>
+      val p = new Path(v); val a = new Path(v + ".aside")
+      require(fs.rename(p, a)); (a, p)
+    }
+    try t.deleteMatching(delKeys, Seq("o_orderkey"))
+    finally aside.foreach { case (a, p) => fs.rename(a, p) }
+    assert(t.toDF().count() == orders.count() - ks.size)
+    assert(t.toDF().join(delKeys, Seq("o_orderkey"), "left_semi").count() == 0,
+      "every keyed row must be gone")
+  }
+
   test("fence memo: one evaluation per version, shared across handles") {
     val dir = tmpDir("ki_memo")
     val t = DeltaTable.create(spark, s"$dir/t", interleaved)

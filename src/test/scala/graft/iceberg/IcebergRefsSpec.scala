@@ -113,6 +113,37 @@ class IcebergRefsSpec extends SparkTestBase {
     assert(t.toDF().count() == n3 + 5 + 3 + 2)
   }
 
+  test("cherry-pick provenance survives a main rewrite: re-analysis never re-commits published snapshots") {
+    // publishBranch used to track progress by FILE liveness alone: a
+    // main compaction that rewrites already-published files made the
+    // re-analysis reclassify those snapshots as pending and duplicate
+    // their rows. The cherry-pick summary marker is the positive record
+    // that must survive any rewrite.
+    val dir = tmpDir("refs_provenance")
+    val t = IcebergTable.create(spark, s"$dir/t",
+      orders.filter(col("o_orderkey") % 3 === 0))
+    t.appendToBranch(orders.filter(col("o_orderkey") % 3 === 1).limit(60), "wap")
+    t.appendToBranch(orders.filter(col("o_orderkey") % 3 === 2).limit(40), "wap")
+    val branchHead = t.refs("wap").snapshotId
+    t.append(orders.limit(10).withColumn("o_orderkey", col("o_orderkey") + 30000000L))
+    t.publishBranch("wap") // diverged → cherry-picks both branch snapshots
+    val nPublished = t.toDF().count()
+    // a main rewrite: every live file (including the published picks)
+    // folds into fresh compacted files — file liveness now says the
+    // picked snapshots were "never published"
+    assert(t.compact(smallFileBytes = 1L << 30).isDefined,
+      "compaction must rewrite the published files")
+    assert(t.toDF().count() == nPublished)
+    // the mid-retry analysis state: branch still pointing at the picks
+    // (exactly what a publishBranch retry sees after losing its CAS to
+    // the compactor)
+    t.createBranch("wap", Some(branchHead))
+    t.publishBranch("wap")
+    assert(t.toDF().count() == nPublished,
+      "re-analysis re-committed already-published snapshots — duplicated rows")
+    assert(t.refs("wap").snapshotId == t.currentMetadata.currentSnapshotId.get)
+  }
+
   test("publishBranch against a concurrently-advancing main: no lost or duplicated rows") {
     // two writers on the same table path (the metadata CAS is a
     // filesystem put-if-absent, so same-JVM threads race for real): one

@@ -143,6 +143,56 @@ class SyncCasSpec extends SparkTestBase {
     }
   }
 
+  test("hudi target bootstrap window: timeline created, nothing completed — reads empty, sync succeeds") {
+    val dir = tmpDir("cas_bootstrap_hudi")
+    val src = DeltaTable.create(spark, s"$dir/src", orders.limit(10))
+    // simulate a concurrent writer that has created the timeline
+    // (hoodie.properties) but not yet COMPLETED its first commit — the
+    // exact window the stochastic test kept hitting: exists=true,
+    // completed instants=∅
+    val half = HudiTable.forPath(spark, s"$dir/tgt")
+    half.timeline.writeProperties(Map(
+      "hoodie.table.name" -> "tgt",
+      "hoodie.table.type" -> "COPY_ON_WRITE",
+      "hoodie.table.version" -> "6"))
+    assert(half.timeline.exists)
+    // a racing reader sees an EMPTY table, not `no instants selected`
+    assert(half.snapshotDataFiles().isEmpty)
+    assert(targetFor("hudi", s"$dir/tgt").livePaths().isEmpty)
+    // and a racing scheduler's sync completes as a plain full sync
+    val source = SyncEngine.deltaSource(src)
+    SyncEngine.sync(source, targetFor("hudi", s"$dir/tgt"))
+    assert(checksum(readTarget("hudi", s"$dir/tgt")) == checksum(src.toDF()))
+    assert(targetFor("hudi", s"$dir/tgt").watermarkFor(source.sourceId)
+      .contains(src.latestVersion.toString))
+  }
+
+  test("full sync observing NO sync state refuses when another SOURCE synced the target in between") {
+    val dir = tmpDir("cas_foreign_source")
+    import spark.implicits._
+    val srcA = DeltaTable.create(spark, s"$dir/srcA", Seq((1L, "a")).toDF("id", "tag"))
+    val srcB = DeltaTable.create(spark, s"$dir/srcB", Seq((2L, "b")).toDF("id", "tag"))
+    for (fmt <- Seq("delta", "iceberg", "hudi")) {
+      val tgt = s"$dir/tgt_$fmt"
+      // scheduler A plans a full sync against the FRESH target, but
+      // source B's sync lands before A's commit: A's observed state
+      // (None) no longer matches — even though A's own watermark slice
+      // is None both before and after (the round-9 blind spot)
+      val t = new InterleavingTarget(
+        targetFor(fmt, tgt), injectBefore = 1,
+        () => SyncEngine.sync(SyncEngine.deltaSource(srcB), targetFor(fmt, tgt)))
+      SyncEngine.sync(SyncEngine.deltaSource(srcA), t)
+      assert(t.injected)
+      // the retried plan observed B's pair, so the final state is a
+      // clean A-sync: exactly srcA's content, no stacked duplicates
+      val paths = livePaths(fmt, tgt)
+      assert(paths.distinct.size == paths.size,
+        s"duplicate live files on $fmt target:\n${paths.sorted.mkString("\n")}")
+      assert(checksum(readTarget(fmt, tgt)) == checksum(srcA.toDF()),
+        s"$fmt target content is not srcA's after the re-planned sync")
+    }
+  }
+
   test("stochastic: 4 threads append+sync one source into shared tri-format targets — convergence, exactly-once files") {
     val dir = tmpDir("cas_threads")
     import spark.implicits._
