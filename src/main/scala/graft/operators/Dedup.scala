@@ -390,6 +390,36 @@ object Dedup {
   }
 
   /**
+   * d10: canonical-document selection — the retention step an ingest
+   * pipeline runs after duplicate grouping: each d06 group keeps its
+   * BEST member by an integer quality key (most words; ties → lowest
+   * doc_id) instead of d06's min-id convention, because near-dup
+   * clusters usually hold one full document plus truncated/mangled
+   * copies. One row per group: the kept doc, its word count, and the
+   * member count (the complement is the drop list). Scale shape: d06's
+   * label propagation plus one integer projection on the grouped docs
+   * and a per-group top-1 window — the extra work is group-sized, and
+   * the quality key is exact integers so the pick is deterministic.
+   */
+  def canonicalSelection(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = duplicateGroups(spark, dir).select(col("doc_id"), col("group_id"))
+    val nWords = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("bigint").as("n_words"))
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("n_words").desc, col("doc_id"))
+    groups.join(nWords, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("group_id"))
+      .agg(
+        max(when(col("rn") === 1, col("doc_id"))).as("keep_doc_id"),
+        max(when(col("rn") === 1, col("n_words"))).as("keep_n_words"),
+        count(lit(1)).as("n_members"))
+      .select(col("group_id"), col("keep_doc_id"), col("keep_n_words"), col("n_members"))
+      .orderBy(col("group_id"))
+  }
+
+  /**
    * Substring-span dedup (the Lee et al. "Deduplicating Training Data
    * Makes Language Models Better" shape, re-expressed relationally):
    * a document is span-contaminated when any 8-token window of it also
@@ -436,8 +466,16 @@ object Dedup {
     * corpus' banded MinHash buckets persisted as a Delta table via the
     * native writer — the index an incremental ingest dedups against. */
   private object BucketIndex {
-    private val built = scala.collection.mutable.Map[String, String]()
-    def ensure(spark: SparkSession, dir: String, corpusBands: => DataFrame): String =
+    private val built = scala.collection.mutable.Map[String, (String, String)]()
+    /** Build (once per (JVM, sfDir)) the corpus' persisted ingest
+      * stores, from ONE pass over the corpus text: `<root>/shingles` —
+      * the shingle store `(dup_of, shingles)` the exact-verify pass
+      * reads instead of re-tokenizing the corpus — and `<root>/bands` —
+      * the LSH bucket index `(dup_of, band, bkey)`, derived FROM the
+      * persisted shingle store so corpus text is tokenized exactly
+      * once at build time. Returns (bandsPath, shinglesPath). */
+    def ensure(spark: SparkSession, dir: String,
+               corpusShingles: => DataFrame): (String, String) =
       synchronized {
         built.getOrElseUpdate(dir, {
           val name = dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -446,8 +484,16 @@ object Dedup {
           val p = new org.apache.hadoop.fs.Path(root)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(p)) fs.delete(p, true)
-          graft.delta.DeltaTable.create(spark, root, corpusBands)
-          root
+          val shinglesPath = s"$root/shingles"
+          val bandsPath = s"$root/bands"
+          graft.delta.DeltaTable.create(spark, shinglesPath, corpusShingles)
+          graft.delta.DeltaTable.create(spark, bandsPath,
+            bandKeys(
+              graft.delta.DeltaTable.forPath(spark, shinglesPath).toDF()
+                .withColumn("sig", expr("minhash_sig(shingles)"))
+                .select(col("dup_of"), col("sig")),
+              "dup_of"))
+          (bandsPath, shinglesPath)
         })
       }
   }
@@ -460,8 +506,9 @@ object Dedup {
    * through the native writer, and each incoming batch dedups against
    * the STORE — corpus text is never re-shingled at ingest, and the
    * equi-join on (band, bkey) is linear in batch size. Exact
-   * shingle-Jaccard verification re-reads only candidate corpus
-   * documents (a keyed join, candidate-sized). Batch = doc_id % 4 == 1;
+   * shingle-Jaccard verification reads candidate shingle sets from the
+   * PERSISTED store (a keyed join, candidate-sized — the corpus text is
+   * never re-tokenized at ingest). Batch = doc_id % 4 == 1;
    * corpus = the rest; emits every (batch doc, corpus doc) pair with
    * Jaccard ≥ 0.5 — the docs an ingest pipeline would reject or link.
    */
@@ -469,38 +516,42 @@ object Dedup {
     * complement (the standing corpus). */
   private val isBatch = col("doc_id") % 4 === 1
 
-  /** Build (once) and return the corpus bucket-index path. */
-  private def corpusIndexPath(spark: SparkSession, dir: String): String =
+  /** Build (once) and return the corpus (bands, shingles) store paths. */
+  private def corpusStores(spark: SparkSession, dir: String): (String, String) =
     BucketIndex.ensure(spark, dir,
-      bandKeys(
-        shingled(spark, dir).filter(!isBatch)
-          .withColumn("sig", expr("minhash_sig(shingles)"))
-          .select(col("doc_id").as("dup_of"), col("sig")),
-        "dup_of"))
+      shingled(spark, dir).filter(!isBatch)
+        .select(col("doc_id").as("dup_of"), col("shingles")))
 
-  /** Pre-build the d09 corpus bucket index (bench/Verify fixture phase). */
+  /** Pre-build the d09 corpus stores (bench/Verify fixture phase). */
   def primeBucketIndex(spark: SparkSession, dir: String): Unit = {
-    corpusIndexPath(spark, dir); ()
+    corpusStores(spark, dir); ()
   }
 
   def incrementalIngestDedup(spark: SparkSession, dir: String): DataFrame = {
-    // index build (once per corpus): banded buckets via the SAME
-    // banding as d02, persisted through the native Delta writer
-    val store = graft.delta.DeltaTable.forPath(spark, corpusIndexPath(spark, dir)).toDF()
-    // ingest: batch signatures band against the store — one equi-join
+    // store build (once per corpus): the shingle store plus its banded
+    // bucket index, persisted through the native Delta writer
+    val (bandsPath, shinglesPath) = corpusStores(spark, dir)
+    val store = graft.delta.DeltaTable.forPath(spark, bandsPath).toDF()
+    // ingest: batch signatures band against the store — one equi-join.
+    // Only the BATCH is tokenized at ingest (batch-sized work).
+    val batch = shingled(spark, dir).filter(isBatch)
+      .select(col("doc_id"), col("shingles"))
     val batchBands = bandKeys(
-      shingled(spark, dir).filter(isBatch)
-        .withColumn("sig", expr("minhash_sig(shingles)"))
+      batch.withColumn("sig", expr("minhash_sig(shingles)"))
         .select(col("doc_id"), col("sig")),
       "doc_id")
     val candidates = batchBands.join(store, Seq("band", "bkey"))
       .select(col("doc_id"), col("dup_of"))
       .dropDuplicates("doc_id", "dup_of")
-    // exact verification: shingles re-join per candidate end
-    val sh = shingled(spark, dir).select(col("doc_id"), col("shingles"))
+    // exact verification: the corpus side comes from the PERSISTED
+    // shingle store — the corpus is never re-tokenized at ingest, and
+    // the candidate join prunes the store read to candidate keys
+    // (file-skipping on dup_of at scale; PlanGuardSpec asserts no
+    // documents scan feeds this side)
+    val corpusSh = graft.delta.DeltaTable.forPath(spark, shinglesPath).toDF()
     candidates
-      .join(sh.select(col("doc_id"), col("shingles").as("sh_a")), Seq("doc_id"))
-      .join(sh.select(col("doc_id").as("dup_of"), col("shingles").as("sh_b")), Seq("dup_of"))
+      .join(batch.select(col("doc_id"), col("shingles").as("sh_a")), Seq("doc_id"))
+      .join(corpusSh.select(col("dup_of"), col("shingles").as("sh_b")), Seq("dup_of"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -618,6 +669,45 @@ object Dedup {
         |)
         |SELECT node AS doc_id, MIN(lbl) AS group_id, MIN(lbl) = node AS is_canonical
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+    // d10 replays d06's grouping fixpoint, then the quality pick is
+    // exact integers (word count desc, doc_id asc) — deterministic in
+    // both engines.
+    QueryDef.sql(
+      "d10_canonical_selection",
+      canonicalSelection,
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, len(string_split(lower(text),' '))-2),
+        |    i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' '))) AS shingles
+        |  FROM documents WHERE len(string_split(lower(text),' ')) >= 3
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+        |),
+        |grp AS (SELECT node AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY node),
+        |nw AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS BIGINT) AS n_words
+        |       FROM documents),
+        |ranked AS (
+        |  SELECT g.group_id, g.doc_id, nw.n_words,
+        |    ROW_NUMBER() OVER (PARTITION BY g.group_id
+        |      ORDER BY nw.n_words DESC, g.doc_id) AS rn
+        |  FROM grp g JOIN nw ON nw.doc_id = g.doc_id)
+        |SELECT group_id,
+        |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+        |  MAX(CASE WHEN rn = 1 THEN n_words END) AS keep_n_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM ranked GROUP BY group_id ORDER BY group_id""".stripMargin),
     // Same frozen-expectation oracle as d03: hyperplane signatures are
     // engine-native, the output is deterministic, and recall against
     // exact all-pairs is NOT expected (this corpus has no planted

@@ -455,6 +455,57 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /**
+   * k-NN JOIN — every vector of a corpus-scale query SET
+   * (`vec_id % 7 == 3`, ~14% of the table) finds its k nearest corpus
+   * neighbors. The new scale shape vs s01–s07: those broadcast a small
+   * query set; here NOTHING corpus-sized broadcasts — only the nCells
+   * cell centers (16×64 longs) ride as a literal. Both sides
+   * cell-assign with one codegen'd argmin PROJECTION (no join at all),
+   * queries replicate to their `nprobe` nearest cells, and the only
+   * data movement is the (cell) equi-join plus the per-query top-k
+   * window — O(N·nprobe/nCells) candidate pairs, never O(N²). Probed
+   * cells partition the corpus disjointly, so no candidate dedup is
+   * needed. At 100 TB: a hot cell is an AQE skew-join split, and the
+   * batch-vs-corpus variant swaps the query filter for a second table.
+   * Exact integer arithmetic end to end (fixed-point floor at 1e-6,
+   * integer L2, ties by neighbor id) — the DuckDB oracle replays it.
+   */
+  def knnJoin(
+      spark: SparkSession, dir: String,
+      k: Int = 3, nCells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
+          .as("fp"))
+    val cells: Seq[Seq[Long]] = e.filter(col("vec_id") < nCells).orderBy(col("vec_id"))
+      .collect().map(r => r.getSeq[Long](1).toIndexedSeq: Seq[Long]).toIndexedSeq
+    val l2 = (a: String, b: String) =>
+      s"""aggregate(zip_with($a, $b, (x, y) -> (x-y)*(x-y)),
+         |  cast(0 AS bigint), (acc, v) -> acc + v)""".stripMargin
+    val cellsOf = (vec: String, n: Int) =>
+      s"""transform(slice(array_sort(transform(sequence(0, ${nCells - 1}), cc -> named_struct(
+         |  'd', ${l2(vec, "cells[cc]")}, 'cc', cc))), 1, $n), x -> x.cc)""".stripMargin
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("fp").as("c_fp"))
+      .withColumn("cells", typedLit(cells))
+      .withColumn("cell", expr(s"${cellsOf("c_fp", 1)}[0]"))
+      .drop("cells")
+    val queries = e.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("query_id"), col("fp").as("q_fp"))
+      .withColumn("cells", typedLit(cells))
+      .withColumn("cell", explode(expr(cellsOf("q_fp", nprobe))))
+      .drop("cells")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
+    queries.join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", expr(l2("q_fp", "c_fp")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("d"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "s01_ann_brute_force_topk",
@@ -664,6 +715,36 @@ object Similarity {
         |  GROUP BY x.query_id)
         |SELECT q.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
         |  ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10, 4) AS recall_at_k
-        |FROM q LEFT JOIN hits ON q.query_id = hits.query_id ORDER BY q.query_id""".stripMargin)
+        |FROM q LEFT JOIN hits ON q.query_id = hits.query_id ORDER BY q.query_id""".stripMargin),
+    // The k-NN join is exact-integer end to end (fixed-point L2, cells
+    // = first 16 corpus vectors, ties by id at every stage), so the
+    // oracle replays assignment, probing, and ranking identically.
+    QueryDef.sql(
+      "s08_knn_join",
+      (spark, dir) => knnJoin(spark, dir),
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fp
+        |  FROM embeddings),
+        |cells AS (SELECT vec_id AS cc, fp FROM e WHERE vec_id < 16),
+        |corpcell AS (
+        |  SELECT vec_id AS neighbor_id, fp AS c_fp, cc AS cell FROM (
+        |    SELECT e.vec_id, e.fp, c.cc,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> (e.fp[i] - c.fp[i]) * (e.fp[i] - c.fp[i]))), c.cc) AS rn
+        |    FROM e, cells c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, q_fp, cc AS cell FROM (
+        |    SELECT q.vec_id AS query_id, q.fp AS q_fp, c.cc,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> (q.fp[i] - c.fp[i]) * (q.fp[i] - c.fp[i]))), c.cc) AS rn
+        |    FROM e q, cells c WHERE q.vec_id % 7 = 3) WHERE rn <= 2)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, CAST(d AS BIGINT) AS d FROM (
+        |  SELECT p.query_id, cc2.neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> (p.q_fp[i] - cc2.c_fp[i]) * (p.q_fp[i] - cc2.c_fp[i]))) AS d,
+        |    ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i -> (p.q_fp[i] - cc2.c_fp[i]) * (p.q_fp[i] - cc2.c_fp[i]))), cc2.neighbor_id) AS rank
+        |  FROM probes p JOIN corpcell cc2 ON cc2.cell = p.cell
+        |  WHERE cc2.neighbor_id <> p.query_id) WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin)
   )
 }

@@ -329,6 +329,48 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"SQ8 recall too low: $recall")
   }
 
+  test("knn join replays exactly: cell assignment, nprobe probes, integer-L2 ranking") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint)) AS fp")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cells = (0L until 16L).map(e)
+    def nearestCells(fp: Seq[Long], n: Int): Seq[Int] =
+      cells.zipWithIndex.map { case (c, i) => (l2(fp, c), i) }.sorted.take(n).map(_._2)
+    val cellOf: Map[Long, Int] = e.map { case (id, fp) => id -> nearestCells(fp, 1).head }
+    val expected = e.keys.filter(_ % 7 == 3).flatMap { q =>
+      val probed = nearestCells(e(q), 2).toSet
+      e.keys.filter(c => c != q && probed(cellOf(c))).toSeq
+        .map(c => (l2(e(q), e(c)), c)).sorted.take(3).zipWithIndex
+        .map { case ((d, c), i) => (q, (i + 1).toLong, c, d) }
+    }.toSet
+    val got = Similarity.knnJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"knn join diverged: missing=${expected -- got} extra=${got -- expected}")
+    // query coverage: every batch vector with >=1 candidate appears
+    assert(got.map(_._1) == expected.map(_._1))
+  }
+
+  test("canonical selection keeps the wordiest member of every duplicate group") {
+    val nWords = graft.sources.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "cast(size(split(lower(text), ' ')) AS bigint) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groups = Dedup.duplicateGroups(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = groups.groupBy(_._2).map { case (g, members) =>
+      val ids = members.map(_._1)
+      val keep = ids.map(id => (-nWords(id), id)).min._2
+      (g, keep, nWords(keep), ids.length.toLong)
+    }.toSet
+    val got = Dedup.canonicalSelection(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"canonical selection diverged: missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("incremental ingest dedup equals the in-corpus pair search restricted to batch x corpus") {
     val expected = Dedup.minhashPairs(spark, sf0001).collect().flatMap { r =>
       val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
@@ -340,11 +382,16 @@ class PipelineOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == expected,
       s"store-routed ingest dedup diverged: missing=${expected -- got} extra=${got -- expected}")
-    // and the persisted index really is a native Delta table
-    val store = graft.delta.DeltaTable.forPath(spark,
-      java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        "graft_dedup_index", sf0001.replaceAll("[^A-Za-z0-9.]", "_")).toString).toDF()
-    assert(store.columns.sorted.toSeq == Seq("band", "bkey", "dup_of"))
-    assert(store.count() > 0)
+    // and the persisted stores really are native Delta tables: the
+    // banded bucket index plus the shingle store the verify pass reads
+    // instead of re-tokenizing the corpus
+    val root = java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_dedup_index", sf0001.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val bands = graft.delta.DeltaTable.forPath(spark, s"$root/bands").toDF()
+    assert(bands.columns.sorted.toSeq == Seq("band", "bkey", "dup_of"))
+    assert(bands.count() > 0)
+    val shingles = graft.delta.DeltaTable.forPath(spark, s"$root/shingles").toDF()
+    assert(shingles.columns.sorted.toSeq == Seq("dup_of", "shingles"))
+    assert(shingles.count() > 0)
   }
 }

@@ -52,6 +52,20 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("s08 knn join: no broadcast of the corpus-scale query set, no nested-loop join") {
+    // the k-NN JOIN's query side is ~14% of the corpus — the plan must
+    // be cell-assign projections + ONE equi-join on cell, with no
+    // cartesian and no BroadcastNestedLoopJoin anywhere (s01-s07's
+    // broadcast-queries crossJoin shape would OOM the driver here)
+    val plan = executed(SparkEntryLookup("s08_knn_join")(spark, sf0001))
+    val cart = collectAll(plan) { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, s"s08 plans a CartesianProduct:\n$plan")
+    val bnlj = collectAll(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnlj.isEmpty, s"s08 plans a BroadcastNestedLoopJoin:\n$plan")
+  }
+
   test("t-ops per-row pipelines are shuffle-free below their final aggregation") {
     // t01/t02 are pure per-row projections + a global sort for output
     // ordering: at most ONE exchange (the ordering), never a join/agg
@@ -139,6 +153,27 @@ class PlanGuardSpec extends SparkTestBase {
       val cols = s.output.map(_.name)
       assert(!cols.contains("text"),
         s"d09's band-key shuffle carries document text: ${cols.mkString(",")}")
+    }
+    // the exact-verify pass is STORE-resident: its corpus side scans
+    // the persisted shingle store, and every scan of the raw documents
+    // table serves the BATCH only — ingest cost is candidate/batch-
+    // proportional, never corpus-proportional (no per-ingest
+    // re-tokenization of the corpus)
+    val scans = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val scanPaths = scans.map(_.relation.location.rootPaths.mkString(","))
+    assert(scanPaths.exists(_.contains("graft_dedup_index")),
+      s"d09's verify pass reads no persisted store; scans:\n${scanPaths.mkString("\n")}")
+    assert(scanPaths.exists(_.contains("shingles")),
+      s"d09's verify pass does not read the shingle store; scans:\n${scanPaths.mkString("\n")}")
+    val docScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("documents.parquet")))
+    docScans.foreach { f =>
+      val filters = f.dataFilters.map(_.sql).mkString(" AND ")
+      assert(filters.contains("% 4") || filters.contains("%4"),
+        s"d09 scans the documents table WITHOUT the batch predicate — the corpus " +
+          s"is being re-read at ingest. dataFilters: [$filters]\n$plan")
     }
   }
 
