@@ -193,6 +193,57 @@ class SyncCasSpec extends SparkTestBase {
     }
   }
 
+  test("full sync re-takes the snapshot when the source advances during planning") {
+    // the race: an append lands AFTER snapshotFiles() but BEFORE the
+    // version stamp — an unstabilized plan would commit a watermark
+    // PAST the append while its files are missing from the diff, and
+    // every later incremental sync would skip them (silent row loss)
+    val dir = tmpDir("cas_moving_src")
+    import spark.implicits._
+    val src = DeltaTable.create(spark, s"$dir/src", Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    val inner = SyncEngine.deltaSource(src)
+    var nextLate = 3L
+    var injected = true
+    val moving: SyncSource = new SyncSource {
+      def format = inner.format
+      def sourceId = inner.sourceId
+      def dataRoot = inner.dataRoot
+      def schema = inner.schema
+      def partitionColumns = inner.partitionColumns
+      def currentVersion = inner.currentVersion
+      def versionExists(v: String) = inner.versionExists(v)
+      override def isCompleted(v: String) = inner.isCompleted(v)
+      def versionsAfter(v: String) = inner.versionsAfter(v)
+      override def schemaAtVersion(v: String) = inner.schemaAtVersion(v)
+      def snapshotFiles() = {
+        val files = inner.snapshotFiles()
+        if (!injected) {
+          injected = true
+          DeltaTable.forPath(spark, s"$dir/src")
+            .append(Seq((nextLate, "late")).toDF("id", "tag"), Seq.empty)
+          nextLate += 1
+        }
+        files
+      }
+      def changes(v: String) = inner.changes(v)
+      override def inflightVersions = inner.inflightVersions
+      override def recordKeyFields = inner.recordKeyFields
+      override def physicalNames = inner.physicalNames
+      override def laterOf(a: String, b: String) = inner.laterOf(a, b)
+    }
+    for (fmt <- Seq("delta", "iceberg", "hudi")) {
+      injected = false // arm one mid-planning append for this target
+      SyncEngine.sync(moving, targetFor(fmt, s"$dir/tgt_$fmt"), mode = SyncEngine.Full)
+      assert(injected, s"$fmt sync never listed the source")
+      // the settled plan includes the late append, and the watermark
+      // matches the version whose files were actually listed
+      assert(checksum(readTarget(fmt, s"$dir/tgt_$fmt")) == checksum(src.toDF()),
+        s"$fmt target is missing the mid-planning append")
+      assert(targetFor(fmt, s"$dir/tgt_$fmt").watermarkFor(inner.sourceId)
+        .contains(inner.currentVersion), s"$fmt watermark off the settled version")
+    }
+  }
+
   test("stochastic: 4 threads append+sync one source into shared tri-format targets — convergence, exactly-once files") {
     val dir = tmpDir("cas_threads")
     import spark.implicits._
