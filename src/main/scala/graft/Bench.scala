@@ -87,5 +87,14 @@ object Bench {
     spark.stop()
     println(line)
     System.out.flush()
+    // stdout-last is defeated when the bench runs under sbt (its
+    // `[success] Total time: …` epilogue trails the JSON), so the SAME
+    // line also lands in a fixed file a driver can read directly:
+    // BENCH.json next to the repo root (cwd of every sbt invocation)
+    try {
+      val p = java.nio.file.Paths.get("BENCH.json")
+      java.nio.file.Files.write(p, (line + "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Exception => () } // file drop is best-effort; stdout already has it
   }
 }

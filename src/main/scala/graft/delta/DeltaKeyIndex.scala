@@ -74,6 +74,24 @@ object DeltaKeyIndex {
       yield Config(k, v.toLong, field("keyType"), field("timeZone"))
   }
 
+  /** Legacy-config repair: a config written before the build-format
+    * fence existed carries `keyType=None`, which would otherwise fail
+    * `formatStable` FOREVER — every add-bearing commit skips
+    * maintenance, the fence fails, and routing permanently degrades to
+    * range pruning with no signal. The table's key type (and session
+    * zone) at the first post-upgrade maintenance pass IS the build type
+    * for any index the coverage fence still vouches for (a type change
+    * since the build would have come with commits the fence audits), so
+    * backfill it once and persist. */
+  private[delta] def backfillFormat(
+      conf: Configuration, tablePath: String, cfg: Config,
+      keyType: String, timeZone: String): Config = {
+    if (cfg.keyType.nonEmpty) return cfg
+    val filled = cfg.copy(keyType = Some(keyType), timeZone = Some(timeZone))
+    writeConfig(configPath(tablePath).getFileSystem(conf), tablePath, filled)
+    filled
+  }
+
   private def writeConfig(fs: FileSystem, tablePath: String, cfg: Config): Unit = {
     val out = fs.create(configPath(tablePath), true)
     val extras = cfg.keyType.map(t => s""","keyType":"$t"""").getOrElse("") +

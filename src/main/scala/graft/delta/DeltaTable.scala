@@ -976,9 +976,19 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         * re-add also carries — it moved no keys, so mark, don't scan) */
       actions: Seq[DeltaAction]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    DeltaKeyIndex.readConfig(conf, tablePath).foreach { cfg =>
+    DeltaKeyIndex.readConfig(conf, tablePath).foreach { cfg0 =>
       val adds = actions.collect { case a: AddFile => a }
       val (schema, _) = schemaAt(None)
+      // pre-fence config (keyType=None): backfill the build format from
+      // the CURRENT table state on this first maintenance pass — see
+      // DeltaKeyIndex.backfillFormat's contract — instead of failing
+      // formatStable forever and silently degrading to range pruning
+      val cfg =
+        if (cfg0.keyType.isEmpty && schema.fieldNames.contains(cfg0.keyCol))
+          DeltaKeyIndex.backfillFormat(conf, tablePath, cfg0,
+            schema(cfg0.keyCol).dataType.catalogString,
+            spark.sessionState.conf.sessionLocalTimeZone)
+        else cfg0
       // key column dropped/renamed since the build: stop maintaining;
       // the fence fails on this uncovered version and stays failed.
       // A TYPE change (or, for zone-formatted types, a session-zone
@@ -1025,10 +1035,13 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     // TYPE still matches the build-time type (a metadata-only
     // replaceSchema changes formatting with no AddFile for the fence
     // to catch) and, for zone-formatted types, the session zone does
-    // too — otherwise refuse and fall back to range pruning
-    if (!cfg.keyType.contains(schema(cfg.keyCol).dataType.catalogString)) return None
+    // too — otherwise refuse and fall back to range pruning. A
+    // pre-fence config (keyType=None) is legacy-COMPATIBLE — it routes
+    // until the first maintenance pass backfills the build format —
+    // rather than permanently refusing
+    if (cfg.keyType.exists(_ != schema(cfg.keyCol).dataType.catalogString)) return None
     if (zoneSensitive(schema, cfg.keyCol) &&
-        !cfg.timeZone.contains(spark.sessionState.conf.sessionLocalTimeZone)) return None
+        cfg.timeZone.exists(_ != spark.sessionState.conf.sessionLocalTimeZone)) return None
     // canonicalize through the TABLE column's type first: the stored
     // strings came from table-typed values, and an incoming frame with
     // a different numeric type must not miss on formatting ("1.0" vs

@@ -41,7 +41,11 @@ object HudiLockProvider {
     * until acquired. Always nests inside the in-process monitor: a JVM
     * holds a FileLock per PROCESS, so two threads of one JVM must
     * serialize on the monitor first (an un-nested second `lock()` call
-    * would throw OverlappingFileLockException, not block). */
+    * would throw OverlappingFileLockException, not block). REFUSES
+    * non-local table paths loudly: an OS file lock created under some
+    * unrelated local path would grant no exclusion for the actual
+    * table — silently. Object-store tables need [[Auto]] (in-process
+    * scope) or an external service lock plugged into the trait. */
   object FileLock extends HudiLockProvider {
     def withLock[A](tablePath: String)(body: => A): A =
       HudiTable.syncLock(tablePath).synchronized {
@@ -56,10 +60,27 @@ object HudiLockProvider {
       }
   }
 
-  /** `file:`-scheme-tolerant local path of a table location. */
+  /** Scheme-dispatching default: file lock for local/`file:` table
+    * paths (cross-process safe out of the box), in-process monitor for
+    * everything else — never a junk local lock file for an `s3a://`
+    * table. The conf-aware resolution (forced modes) is [[forTable]]. */
+  object Auto extends HudiLockProvider {
+    def withLock[A](tablePath: String)(body: => A): A = {
+      val scheme = new org.apache.hadoop.fs.Path(tablePath).toUri.getScheme
+      val p = if (scheme == null || scheme == "file") FileLock else InProcess
+      p.withLock(tablePath)(body)
+    }
+  }
+
+  /** Local filesystem path of a table location; refuses remote schemes
+    * (a relative `Paths.get("s3a://…")` would silently lock a bogus
+    * CWD-relative file). */
   private def localPathOf(tablePath: String): String = {
     val uri = new org.apache.hadoop.fs.Path(tablePath).toUri
-    if (uri.getScheme == null || uri.getScheme == "file") uri.getPath else tablePath
+    require(uri.getScheme == null || uri.getScheme == "file",
+      s"HudiLockProvider.FileLock only locks local/file-scheme table paths; " +
+        s"$tablePath needs an external service lock provider (or Auto's in-process scope)")
+    uri.getPath
   }
 
   /** Resolve the provider for a sync target. `spark.graft.hudi.syncLockProvider`:

@@ -1481,10 +1481,13 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         * under one mutual-exclusion scope, exactly real Hudi's
         * hoodie.write.lock.provider posture. */
       cas: Option[graft.model.SyncCas] = None,
-      /** Lock scope for validate→publish; the default file lock closes
-        * the window across processes on a shared POSIX filesystem (see
+      /** Lock scope for validate→publish→maintenance; the default
+        * resolves BY SCHEME — file lock when the table lives on a local
+        * POSIX filesystem (cross-process safe out of the box),
+        * in-process monitor otherwise, so a remote-scheme direct caller
+        * never gets a junk CWD-relative lock file silently (see
         * [[HudiLockProvider]]). */
-      lock: HudiLockProvider = HudiLockProvider.FileLock): String = {
+      lock: HudiLockProvider = HudiLockProvider.Auto): String = {
     val instant = timeline.nextInstantTime()
     // partition specs may carry time transforms (`month(c)`); Hudi has
     // no transform concept, so the materialized field names become plain
@@ -1576,10 +1579,13 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         ("schema" -> AvroSchemaConverters.toAvro(schemaWithPartFields).toString),
       operationType = if (replaceIds.nonEmpty) "INSERT_OVERWRITE" else "INSERT")
     val action = if (replaceIds.nonEmpty) "replacecommit" else "commit"
-    // validate+publish under the configured lock provider: a competitor
-    // cannot slip a commit into the gap (cross-process too, when the
-    // provider spans processes — the default file lock does on a shared
-    // POSIX filesystem)
+    // validate→publish→maintenance is ONE exclusion region under the
+    // configured lock provider: a competitor cannot slip a commit into
+    // the validate→publish gap (cross-process too, when the provider
+    // spans processes — the default file lock does on a shared POSIX
+    // filesystem), and the post-publish CLEAN instant lands before the
+    // lock releases so a removal-bearing sync never aborts AFTER its
+    // data commit already published
     lock.withLock(tablePath) {
       cas.foreach(_.validate(latestCommitExtraMetadata, s"hudi target $tablePath"))
       if (!timeline.commit(HudiInstant(instant, action), meta))
@@ -1589,37 +1595,52 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         throw new graft.model.ConcurrentSyncException(
           s"concurrent sync detected on hudi target $tablePath: instant $instant " +
             "lost its timeline slot — re-plan and retry")
-    }
-    // post-commit maintenance, mirroring the reference target loop (ref
-    // `HudiTargetClient.java:414-545`): a synthetic CLEAN instant
-    // records the files this sync removed so native Hudi readers learn
-    // of removals from the timeline, then the active timeline is
-    // archived down to its cap
-    if (removePaths.nonEmpty && replaceIds.nonEmpty) {
-      val cleanTime = timeline.nextInstantTime()
-      val removedByPartition = removePaths
-        .map(p => new Path(p).toUri.toString)
-        .groupBy { p =>
-          // recover the partition path from the removed file's dir
-          // relative to the data root when possible, else flat
-          val parent = new Path(p).getParent.toUri.getPath
-          val root = new Path(sourceDataRoot).toUri.getPath.stripSuffix("/") + "/"
-          if (parent.startsWith(root)) parent.stripPrefix(root).stripSuffix("/")
-          else ""
-        }
-        .map { case (pp, ps) => pp -> ps.toSeq.sorted }
+      // post-commit maintenance, mirroring the reference target loop (ref
+      // `HudiTargetClient.java:414-545`): a synthetic CLEAN instant
+      // records the files this sync removed so native Hudi readers learn
+      // of removals from the timeline
+      if (removePaths.nonEmpty && replaceIds.nonEmpty) {
+        val removedByPartition = removePaths
+          .map(p => new Path(p).toUri.toString)
+          .groupBy { p =>
+            // recover the partition path from the removed file's dir
+            // relative to the data root when possible, else flat
+            val parent = new Path(p).getParent.toUri.getPath
+            val root = new Path(sourceDataRoot).toUri.getPath.stripSuffix("/") + "/"
+            if (parent.startsWith(root)) parent.stripPrefix(root).stripSuffix("/")
+            else ""
+          }
+          .map { case (pp, ps) => pp -> ps.toSeq.sorted }
       // the fence must reflect what is still REPLAYABLE, and this clean
       // deletes no data files (the removed paths belong to the source's
       // history, which COW retains) — so every instant stays intact and
       // the fence sits at the oldest one. Advancing it to the current
       // instant would silently force every downstream incremental sync
       // to a full re-sync after each removal-bearing upstream sync.
-      require(timeline.commitJson(HudiInstant(cleanTime, "clean"),
-        HudiMaintenanceCodec.cleanToJson(cleanTime,
-          HudiCleanMetadata(
-            earliestCommitToRetain = instants.headOption.getOrElse(instant),
-            partitionToDeleteFiles = removedByPartition))),
-        s"concurrent hudi commit at $cleanTime of $tablePath")
+        // the DATA commit is already published: a lost clean-instant slot
+        // (a competitor under a narrower lock scope, or an unlocked
+        // native writer taking the timestamp) must NOT abort the sync —
+        // re-allocate the instant and retry locally until it lands
+        var attempts = 0
+        var landed = false
+        while (!landed) {
+          attempts += 1
+          val cleanTime = timeline.nextInstantTime()
+          landed = timeline.commitJson(HudiInstant(cleanTime, "clean"),
+            HudiMaintenanceCodec.cleanToJson(cleanTime,
+              HudiCleanMetadata(
+                earliestCommitToRetain = instants.headOption.getOrElse(instant),
+                partitionToDeleteFiles = removedByPartition)))
+          if (!landed && attempts >= 16)
+            // data is published and consistent; only the removal NOTICE
+            // for native readers is missing — typed, so a retrying
+            // caller re-plans instead of crashing
+            throw new graft.model.ConcurrentSyncException(
+              s"concurrent hudi commits on $tablePath: the post-publish clean " +
+                s"instant lost its slot $attempts times (data instant $instant " +
+                "IS published)")
+        }
+      }
     }
     archiveTimeline()
     instant

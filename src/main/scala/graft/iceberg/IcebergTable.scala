@@ -80,10 +80,13 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     meta.refs.get(name).foreach(existing => require(
       existing.refType == "branch" && refType == "branch",
       s"ref $name already exists on $tablePath as a ${existing.refType}; drop it first"))
-    require(log.commit(v + 1, meta.copy(
+    // a lost version slot IS a concurrent commit — typed, so retry
+    // loops (publishBranch) classify it structurally, never by text
+    if (!log.commit(v + 1, meta.copy(
       refs = meta.refs + (name -> IcebergRef(id, refType)),
-      lastUpdatedMs = System.currentTimeMillis())),
-      s"concurrent iceberg commit on $tablePath")
+      lastUpdatedMs = System.currentTimeMillis())))
+      throw new graft.model.ConcurrentSyncException(
+        s"concurrent iceberg commit on $tablePath: ref $name lost its version slot")
   }
 
   /**
@@ -594,6 +597,20 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   def fastForward(branch: String): Unit = {
     val (v, meta) = log.readLatest().getOrElse(
       throw new IllegalStateException(s"not an iceberg table: $tablePath"))
+    if (!fastForwardCommit(v, meta, branch))
+      // for a DIRECT caller a lost slot is a concurrent commit — typed,
+      // never classified by message text (graft-wide race posture)
+      throw new graft.model.ConcurrentSyncException(
+        s"concurrent iceberg commit on $tablePath: fastForward($branch) lost its version slot")
+  }
+
+  /** Validate-and-commit step of [[fastForward]] against an ALREADY-read
+    * `(version, metadata)` pair: returns false on a lost version slot (a
+    * concurrent commit — the caller re-reads and re-analyzes), throws on
+    * a genuinely non-fast-forwardable branch. publishBranch calls this
+    * with its analysis snapshot so a raced main is a structural `false`,
+    * not an exception classified by message text. */
+  private def fastForwardCommit(v: Long, meta: IcebergTableMetadata, branch: String): Boolean = {
     val head = meta.refs.getOrElse(branch,
       throw new IllegalArgumentException(s"no ref $branch on $tablePath"))
     require(head.refType == "branch", s"$branch is a ${head.refType}; only branches publish")
@@ -614,11 +631,10 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // snapshot log, so time travel walks the published history
     val newLineage = chain
       .takeWhile(id => !meta.currentSnapshotId.contains(id)).reverse
-    require(log.commit(v + 1, meta.copy(
+    log.commit(v + 1, meta.copy(
       currentSnapshotId = Some(head.snapshotId),
       snapshotLog = meta.snapshotLog ++ newLineage.map((now, _)),
-      lastUpdatedMs = now)),
-      s"concurrent iceberg commit on $tablePath")
+      lastUpdatedMs = now))
   }
 
   /**
@@ -646,7 +662,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       attempts += 1
       require(attempts <= 16,
         s"publishBranch($branch) on $tablePath lost the commit race $attempts times")
-      val meta = currentMetadata
+      val (v0, meta) = log.readLatest().getOrElse(
+        throw new IllegalStateException(s"not an iceberg table: $tablePath"))
       val head = meta.refs.getOrElse(branch,
         throw new IllegalArgumentException(s"no ref $branch on $tablePath"))
       require(head.refType == "branch", s"$branch is a ${head.refType}; only branches publish")
@@ -655,24 +672,28 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         Iterator.iterate(Option(id))(_.flatMap(byId.get).flatMap(_.parentId))
           .takeWhile(_.isDefined).map(_.get).toSeq
       val chain = chainFrom(head.snapshotId)
-      // syncCommit CAS-loss → IllegalStateException("concurrent commit…");
-      // fastForward/createBranch CAS-loss → require's
-      // IllegalArgumentException("concurrent iceberg commit…")
+      // every CAS loss below is TYPED (graft.model.ConcurrentSyncException
+      // from syncCommit/createBranch, a structural `false` from
+      // fastForwardCommit) — the classifier is the type, never message
+      // text, so a reworded error can't silently break the retry loop
       val concurrentCommit: PartialFunction[Throwable, Unit] = {
-        case e @ (_: IllegalStateException | _: IllegalArgumentException)
-          if Option(e.getMessage).exists(_.contains("concurrent")) => ()
+        case _: graft.model.ConcurrentSyncException => ()
       }
       if (meta.currentSnapshotId.forall(chain.contains)) {
-        // fast-forwardable against THIS metadata; fastForward re-reads
-        // and CAS-fails if main moved meanwhile — that's a lost race,
-        // not an error: re-analyze (the branch may no longer descend)
-        try { fastForward(branch); return }
-        catch {
-          case e: Throwable if concurrentCommit.isDefinedAt(e) ||
-            Option(e.getMessage).exists(_.contains("not a fast-forward")) => ()
-        }
+        // fast-forwardable against THIS metadata; commit against the
+        // SAME analyzed (version, meta) — a competitor landing after the
+        // read loses us the slot, which returns false: a lost race, not
+        // an error — re-analyze (the branch may no longer descend)
+        if (fastForwardCommit(v0, meta, branch)) return
       } else {
-        val mainAncestry = meta.currentSnapshotId.map(chainFrom(_).toSet).getOrElse(Set.empty)
+        // main history = the parent-chain walk UNION the snapshot log:
+        // expiry may retire mid-chain main snapshots (breaking the walk
+        // at the current head's first expired parent) while the branch's
+        // fork-point snapshot stays pinned and LIVE — the log still
+        // records it as published main history, so it must never become
+        // a cherry-pick candidate
+        val mainAncestry = meta.currentSnapshotId.map(chainFrom(_).toSet).getOrElse(Set.empty) ++
+          meta.snapshotLog.map(_._2)
         val candidates = chain.takeWhile(!mainAncestry(_)).reverse // oldest first
         // validate the WHOLE lineage before committing any of it
         candidates.foreach { id =>
@@ -684,9 +705,14 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
               "replaying a rewrite could drop or resurrect rows; rebase the branch instead")
         }
         // positively-tracked publications survive any later main rewrite
+        // AND snapshot expiry: summary markers live on main snapshots
+        // (which expireSnapshots may retire), so the same ids also
+        // accumulate in an expiry-proof TABLE property — the union is
+        // the published set
         val published: Set[Long] = meta.snapshots
           .flatMap(_.summary.get(IcebergTable.CherryPickedFromKey))
-          .flatMap(x => scala.util.Try(x.toLong).toOption).toSet
+          .flatMap(x => scala.util.Try(x.toLong).toOption).toSet ++
+          IcebergTable.cherryPickedIds(meta)
         val mainLive: Set[String] =
           liveEntries(None).map(e => new Path(e.filePath).toUri.toString).toSet
         val pending = candidates.filterNot(published)
@@ -702,8 +728,15 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         }
         val defs = IcebergTable.defsOf(meta).map(_.spec)
         try {
+          // each pick's commit ATOMICALLY extends the expiry-proof id
+          // property with everything published so far + itself, so a
+          // crash or race between picks never loses provenance
+          var publishedIds = published
           pending.foreach { case (id, (adds, _)) =>
-            syncCommit(sparkSchema, defs, dataRoot, adds, Seq.empty, Map.empty,
+            publishedIds += id
+            syncCommit(sparkSchema, defs, dataRoot, adds, Seq.empty,
+              Map(IcebergTable.CherryPickedIdsProp ->
+                publishedIds.toSeq.sorted.mkString(",")),
               extraSummary = Map(IcebergTable.CherryPickedFromKey -> id.toString))
           }
           createBranch(branch) // re-point the published branch at the new head
@@ -1685,6 +1718,18 @@ object IcebergTable {
   /** Snapshot-summary key recording which branch snapshot a cherry-pick
     * replays — publishBranch's positive progress marker. */
   val CherryPickedFromKey = "graft.cherry-picked-from"
+
+  /** Table property mirroring every cherry-picked source snapshot id
+    * (comma-joined) — expiry-proof twin of [[CherryPickedFromKey]]:
+    * summary markers expire WITH their main snapshots, and a retained
+    * branch re-published after expiry + compaction would otherwise fall
+    * back to file liveness and re-commit (duplicating rows). Growth is
+    * bounded by the number of snapshots ever cherry-picked. */
+  val CherryPickedIdsProp = "graft.cherry-picked-ids"
+
+  private[iceberg] def cherryPickedIds(meta: IcebergTableMetadata): Set[Long] =
+    meta.properties.get(CherryPickedIdsProp).toSeq
+      .flatMap(_.split(",")).flatMap(x => scala.util.Try(x.trim.toLong).toOption).toSet
 
   def forPath(spark: SparkSession, tablePath: String): IcebergTable =
     new IcebergTable(spark, new IcebergMetadataLog(tablePath, spark.sparkContext))

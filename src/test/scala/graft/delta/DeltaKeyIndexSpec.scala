@@ -360,6 +360,43 @@ class DeltaKeyIndexSpec extends SparkTestBase {
       "every keyed row must be gone")
   }
 
+  test("legacy config (no keyType): routing stays usable; first maintenance backfills") {
+    // configs written before the build-format fence carry no
+    // keyType/timeZone. They must be legacy-COMPATIBLE — route now,
+    // backfill the build format on the first maintenance pass — not
+    // silently degrade to range pruning forever (the old formatStable
+    // check failed on None and every add-bearing commit skipped its
+    // batch, permanently failing the fence)
+    val dir = tmpDir("ki_legacy")
+    val t = DeltaTable.create(spark, s"$dir/t", interleaved)
+    t.buildKeyIndex("o_orderkey")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val built = DeltaKeyIndex.readConfig(conf, s"$dir/t").get
+    assert(built.keyType.nonEmpty)
+    // rewrite the config in the pre-fence shape
+    val cfgPath = new Path(s"$dir/t/_graft/index/config.json")
+    val out = fs.create(cfgPath, true)
+    out.write(s"""{"keyCol":"o_orderkey","buildVersion":${built.buildVersion}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    assert(DeltaKeyIndex.readConfig(conf, s"$dir/t").get.keyType.isEmpty)
+    val probe = Seq(1L, 2L, 3L).toDF("o_orderkey")
+    assert(t.keyIndexRouteFiles(Seq("o_orderkey"), probe).isDefined,
+      "a legacy config must route, not refuse")
+    // an add-bearing commit: maintenance must index it AND backfill
+    val extra = orders.limit(3)
+      .withColumn("o_orderkey", col("o_orderkey") + 7000000L).localCheckpoint()
+    t.append(extra, Seq.empty)
+    val healed = DeltaKeyIndex.readConfig(conf, s"$dir/t").get
+    assert(healed.keyType.contains("bigint"), s"backfill must persist the key type: $healed")
+    assert(healed.timeZone.nonEmpty)
+    assert(DeltaKeyIndex.usable(t.log, conf, s"$dir/t", t.latestVersion),
+      "the post-upgrade commit must carry its batch — fence covered")
+    // exactness is intact: the new keys route to their file
+    val hits = t.keyIndexRouteFiles(Seq("o_orderkey"), extra.select("o_orderkey"))
+    assert(hits.isDefined && hits.get.nonEmpty)
+  }
+
   test("fence memo: one evaluation per version, shared across handles") {
     val dir = tmpDir("ki_memo")
     val t = DeltaTable.create(spark, s"$dir/t", interleaved)

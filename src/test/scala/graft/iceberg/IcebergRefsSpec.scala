@@ -144,6 +144,38 @@ class IcebergRefsSpec extends SparkTestBase {
     assert(t.refs("wap").snapshotId == t.currentMetadata.currentSnapshotId.get)
   }
 
+  test("cherry-pick provenance survives snapshot EXPIRY: property outlives the summary markers") {
+    // the summary markers live on main snapshots, which expireSnapshots
+    // legitimately retires; after expiry + a compaction the file-liveness
+    // fallback also lies. The graft.cherry-picked-ids TABLE property is
+    // the expiry-proof record — a branch re-publish after both must
+    // still recognize the picks as published.
+    val dir = tmpDir("refs_prov_expiry")
+    val t = IcebergTable.create(spark, s"$dir/t",
+      orders.filter(col("o_orderkey") % 3 === 0))
+    t.appendToBranch(orders.filter(col("o_orderkey") % 3 === 1).limit(60), "wap")
+    t.appendToBranch(orders.filter(col("o_orderkey") % 3 === 2).limit(40), "wap")
+    val branchHead = t.refs("wap").snapshotId
+    t.append(orders.limit(10).withColumn("o_orderkey", col("o_orderkey") + 30000000L))
+    t.publishBranch("wap") // diverged → cherry-picks both branch snapshots
+    val nPublished = t.toDF().count()
+    // compaction rewrites every published file, then expiry retires all
+    // non-pinned main snapshots — including the marker-bearing picks
+    assert(t.compact(smallFileBytes = 1L << 30).isDefined)
+    // re-point the branch FIRST so its lineage stays pinned through expiry
+    t.createBranch("wap", Some(branchHead))
+    val expired = t.expireSnapshots(System.currentTimeMillis() + 60000)
+    assert(expired > 0, "expiry must retire the marker-bearing main snapshots")
+    val meta = t.currentMetadata
+    assert(!meta.snapshots.exists(_.summary.contains(IcebergTable.CherryPickedFromKey)),
+      "fixture must lose every summary marker to prove the property carries alone")
+    assert(meta.properties.get(IcebergTable.CherryPickedIdsProp).exists(_.nonEmpty))
+    t.publishBranch("wap")
+    assert(t.toDF().count() == nPublished,
+      "post-expiry re-analysis re-committed already-published snapshots — duplicated rows")
+    assert(t.refs("wap").snapshotId == t.currentMetadata.currentSnapshotId.get)
+  }
+
   test("publishBranch against a concurrently-advancing main: no lost or duplicated rows") {
     // two writers on the same table path (the metadata CAS is a
     // filesystem put-if-absent, so same-JVM threads race for real): one
