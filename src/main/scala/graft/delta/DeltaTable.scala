@@ -470,7 +470,9 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       // failed fence, composite/null keys) falls through to ranges.
       case Some((kc, keys)) =>
         keyIndexRouteFiles(kc, keys) match {
-          case Some(hit) => allMfs.filter(f => hit(f.path))
+          case Some(hit) =>
+            DeltaTable.indexRoutedScans.incrementAndGet()
+            allMfs.filter(f => hit(f.path))
           case None =>
         import org.apache.spark.sql.functions.{broadcast, from_json}
         def pName(c: String): String = physShape match {
@@ -1763,6 +1765,11 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
 }
 
 object DeltaTable {
+
+  /** Count of key-pruned scans answered by the EXACT index (vs range
+    * fallback) — observable so a spec can pin that a composed pipeline's
+    * MERGE/delete really routed through the index, not around it. */
+  private[graft] val indexRoutedScans = new java.util.concurrent.atomic.AtomicLong(0)
 
   def forPath(spark: SparkSession, tablePath: String): DeltaTable =
     new DeltaTable(spark, DeltaLog.forTable(spark, tablePath))

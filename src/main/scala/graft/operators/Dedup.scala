@@ -560,6 +560,86 @@ object Dedup {
       .orderBy(col("doc_id"), col("dup_of"))
   }
 
+  /** Monotonic run id so each t14 invocation mutates a FRESH table
+    * (bench runs every query twice; the pipeline must be idempotent
+    * across calls without the mutated table leaking between them). */
+  private val pipelineRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /**
+   * t14 — the composed ingest pipeline a standing corpus actually runs,
+   * wired END-TO-END through the format plane: ingest batch → dedup
+   * against the persisted store (d09) → canonical pick (d10's ranking,
+   * applied per batch doc) → MERGE the kept docs into a doc_id-keyed
+   * Delta table ROUTED BY THE KEY INDEX (f23's machinery) and
+   * deleteMatching the displaced corpus docs. Returns the final table.
+   *
+   * Retention policy (deterministic, DuckDB-replayable): for each batch
+   * doc b, rank {b} ∪ {its store matches} by (word count desc, doc_id
+   * asc). If b wins it is MERGEd in and every corpus doc it matched is
+   * deleted; otherwise b is dropped. Every deleted corpus doc lost to a
+   * batch doc that IS inserted (winning means beating ALL matches), so
+   * each duplicate cluster always retains its best paired member.
+   *
+   * 100 TB shape: the standing table and its key index already exist
+   * (built once, here per-run only so repeated calls stay idempotent);
+   * ingest cost is d09's candidate-proportional verify + a group-sized
+   * integer ranking + a MERGE/DELETE pair that each open only the files
+   * the key index routes to — never a table scan (PlanGuard pins the
+   * routed-scan counter, and the spec proves it constructively with
+   * victim files).
+   */
+  def dedupMergePipeline(spark: SparkSession, dir: String,
+      tableRoot: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      size(split(col("text"), " ")).cast("bigint").as("n_words"))
+    // standing keyed table = the corpus (the d09 store's complement),
+    // interleaved by pmod so every file's doc_id range spans the whole
+    // domain: range pruning provably keeps ALL files, only the exact
+    // key index routes — the composition exercises f23 for real
+    val root = tableRoot.getOrElse {
+      val name = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_t14", name,
+        s"run_${pipelineRuns.incrementAndGet()}").toString
+    }
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val t = graft.delta.DeltaTable.create(spark, root,
+      docs.filter(!isBatch).repartition(8, pmod(col("doc_id"), lit(8))))
+    t.buildKeyIndex("doc_id")
+    // d09: (batch doc, corpus doc) duplicate pairs against the store
+    val pairs = incrementalIngestDedup(spark, dir)
+      .select(col("doc_id"), col("dup_of")).localCheckpoint()
+    // d10's canonical ranking per batch doc over {self} ∪ matches —
+    // group-sized integer work (exact ties by id)
+    val members = pairs.select(col("doc_id"), col("dup_of").as("member"))
+      .union(pairs.select(col("doc_id"), col("doc_id").as("member")).distinct())
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_words").desc, col("member"))
+    val winners = members
+      .join(docs.select(col("doc_id").as("member"), col("n_words")), Seq("member"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("member").as("winner"))
+    val losers = winners.filter(col("winner") =!= col("doc_id")).select("doc_id")
+    val kept = docs.filter(isBatch).join(losers, Seq("doc_id"), "left_anti")
+    val rejects = pairs
+      .join(winners.filter(col("winner") === col("doc_id")).select("doc_id"), Seq("doc_id"))
+      .select(col("dup_of").as("doc_id")).distinct()
+    // format plane: key-routed MERGE of the kept docs, key-routed
+    // delete of the displaced corpus docs — index maintenance runs
+    // after each commit, so the second mutation routes through an
+    // index that covers the first
+    t.upsert(kept, Seq("doc_id"))
+    t.deleteMatching(rejects, Seq("doc_id"))
+    t.toDF()
+      .select(col("doc_id"), col("lang"), col("source"), col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "d01_exact_dedup",
@@ -758,6 +838,47 @@ object Dedup {
         |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_shared_windows,
         |  ROUND(CAST(COALESCE(n_dup, 0) AS DOUBLE) / len(grams), 4) AS shared_frac,
         |  COALESCE(n_dup, 0) > 0 AS is_span_dup
-        |FROM g LEFT JOIN cnt ON g.doc_id = cnt.doc_id ORDER BY g.doc_id""".stripMargin)
+        |FROM g LEFT JOIN cnt ON g.doc_id = cnt.doc_id ORDER BY g.doc_id""".stripMargin),
+    // The oracle replays the WHOLE pipeline relationally: d09's exact
+    // all-pairs duplicate discovery (same recall rationale as d09),
+    // d10's integer ranking, then the set algebra the MERGE/DELETE pair
+    // materializes — so a routing bug that loses or duplicates rows in
+    // the Delta table hash-fails here.
+    QueryDef.sql(
+      "t14_dedup_merge_pipeline",
+      (spark, dir) => dedupMergePipeline(spark, dir),
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, len(string_split(lower(text),' '))-2),
+        |    i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' '))) AS shingles
+        |  FROM documents WHERE len(string_split(lower(text),' ')) >= 3),
+        |pairs AS (
+        |  SELECT b.doc_id AS doc_id, c.doc_id AS dup_of
+        |  FROM sh b, sh c
+        |  WHERE b.doc_id % 4 = 1 AND c.doc_id % 4 <> 1
+        |    AND CAST(len(list_intersect(b.shingles, c.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(b.shingles, c.shingles))) >= 0.5),
+        |nw AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words
+        |       FROM documents),
+        |members AS (
+        |  SELECT doc_id, dup_of AS member FROM pairs
+        |  UNION
+        |  SELECT DISTINCT doc_id, doc_id AS member FROM pairs),
+        |winners AS (
+        |  SELECT doc_id, member AS winner FROM (
+        |    SELECT m.doc_id, m.member,
+        |      ROW_NUMBER() OVER (PARTITION BY m.doc_id
+        |        ORDER BY w.n_words DESC, m.member) AS rn
+        |    FROM members m JOIN nw w ON m.member = w.doc_id)
+        |  WHERE rn = 1),
+        |losers AS (SELECT doc_id FROM winners WHERE winner <> doc_id),
+        |rejects AS (
+        |  SELECT DISTINCT p.dup_of AS doc_id
+        |  FROM pairs p JOIN winners w ON p.doc_id = w.doc_id AND w.winner = w.doc_id)
+        |SELECT d.doc_id, d.lang, d.source,
+        |  CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_words
+        |FROM documents d
+        |WHERE (d.doc_id % 4 <> 1 AND d.doc_id NOT IN (SELECT doc_id FROM rejects))
+        |   OR (d.doc_id % 4 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM losers))
+        |ORDER BY d.doc_id""".stripMargin)
   )
 }

@@ -177,6 +177,21 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("t14 pipeline: MERGE and DELETE both route through the key index, never a table scan") {
+    // the composed ingest pipeline (d09 dedup → d10 pick → keyed MERGE +
+    // deleteMatching) must exercise f23's EXACT routing on both
+    // mutations: the standing table's files interleave doc_id ranges by
+    // construction, so the range fallback would keep every file — only
+    // the index-routed path skips non-hit files (proven constructively
+    // in DeltaKeyIndexSpec; pinned here via the routed-scan counter)
+    val before = graft.delta.DeltaTable.indexRoutedScans.get()
+    val out = graft.operators.Dedup.dedupMergePipeline(spark, sf0001)
+    assert(out.count() > 0)
+    val routed = graft.delta.DeltaTable.indexRoutedScans.get() - before
+    assert(routed >= 2,
+      s"expected the MERGE and the DELETE to be index-routed; routed scans = $routed")
+  }
+
   test("d01 exact dedup shuffles digests, not document text") {
     val plan = executed(SparkEntryLookup("d01_exact_dedup")(spark, sf0001))
     val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
