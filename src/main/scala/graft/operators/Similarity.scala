@@ -506,6 +506,110 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Fixed-point (1e-6 floor) integer embeddings — the exact arithmetic
+    * every store-resident ANN stage shares with its DuckDB replay. */
+  private def fpEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
+        .as("fp"))
+
+  /** Membership predicate of the incoming query batch (s08's split);
+    * the persisted cell store covers the complement (standing corpus). */
+  private val isQueryBatch = col("vec_id") % 7 === 3
+
+  /** Integer L2 between two fixed-point columns (codegen'd HOF). */
+  private def l2Expr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> (x-y)*(x-y)),
+       |  cast(0 AS bigint), (acc, v) -> acc + v)""".stripMargin
+
+  /** Persisted IVF cell store per (JVM, sfDir) — the ANN twin of the
+    * d09 shingle store: the standing corpus' cell assignment computed
+    * ONCE at build time and persisted as a Delta table through the
+    * native writer, PARTITIONED BY cell so a probe's `cell IN (…)`
+    * prunes to the probed partitions at the file level. Cells are the
+    * 16 lowest-id corpus vectors; the cell key is that centroid's
+    * vec_id (stable across rebuilds, replayable in SQL). */
+  private object CellStore {
+    private val built =
+      scala.collection.mutable.Map[String, (String, Seq[Long], Seq[Seq[Long]])]()
+    def ensure(spark: SparkSession, dir: String): (String, Seq[Long], Seq[Seq[Long]]) =
+      synchronized {
+        built.getOrElseUpdate(dir, {
+          val name = dir.replaceAll("[^A-Za-z0-9.]", "_")
+          val root = java.nio.file.Paths.get(
+            sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_ann_index", name).toString
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+          val corpus = fpEmbeddings(spark, dir).filter(!isQueryBatch)
+          val cellRows = corpus.orderBy(col("vec_id")).limit(16).collect()
+          val ids: Seq[Long] = cellRows.map(_.getLong(0)).toIndexedSeq
+          val fps: Seq[Seq[Long]] =
+            cellRows.map(r => r.getSeq[Long](1).toIndexedSeq: Seq[Long]).toIndexedSeq
+          val assigned = corpus
+            .withColumn("cells", typedLit(fps))
+            .withColumn("cc", expr(s"${cellOrdinalsOf("fp", 1, fps.size)}[0]"))
+            .withColumn("cell", element_at(typedLit(ids), col("cc") + 1))
+            .select(col("cell"), col("vec_id").as("neighbor_id"), col("fp").as("c_fp"))
+          graft.delta.DeltaTable.create(spark, s"$root/cells", assigned, Seq("cell"))
+          (s"$root/cells", ids, fps)
+        })
+      }
+  }
+
+  /** The `n` nearest cell ORDINALS of a fixed-point vector against the
+    * broadcast `cells` literal (ties by ordinal — ids are ascending, so
+    * ordinal order IS id order, matching the SQL replay). */
+  private def cellOrdinalsOf(vec: String, n: Int, nCells: Int): String =
+    s"""transform(slice(array_sort(transform(sequence(0, ${nCells - 1}), cc -> named_struct(
+       |  'd', ${l2Expr(vec, "cells[cc]")}, 'cc', cc))), 1, $n), x -> x.cc)""".stripMargin
+
+  /** Pre-build the s09 cell store (bench/Verify fixture phase). */
+  def primeCellStore(spark: SparkSession, dir: String): Unit = {
+    CellStore.ensure(spark, dir); ()
+  }
+
+  /**
+   * s09 — incremental ANN against a STANDING corpus, the d09 pattern
+   * applied to the similarity plane: the corpus' IVF cell table is
+   * persisted once (build time) as a cell-partitioned Delta table, and
+   * each incoming query batch probes it — batch vectors cell-assign
+   * against the broadcast 16-centroid literal (model-sized), the
+   * probed cell set (≤ nCells values, collected driver-side like every
+   * IVF centroid table) prunes the store scan to its partitions, and
+   * the exact integer-L2 rerank runs only over candidate rows. NO
+   * corpus re-assignment job runs at ingest: the corpus' embeddings are
+   * read from the persisted store alone (PlanGuard pins it), so ingest
+   * cost is batch- and candidate-proportional — the shape that holds
+   * when the corpus is 100 TB and a batch is a few million queries.
+   */
+  def incrementalAnn(
+      spark: SparkSession, dir: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val (storePath, ids, fps) = CellStore.ensure(spark, dir)
+    val queries = fpEmbeddings(spark, dir).filter(isQueryBatch)
+      .select(col("vec_id").as("query_id"), col("fp").as("q_fp"))
+      .withColumn("cells", typedLit(fps))
+      .withColumn("cc", explode(expr(cellOrdinalsOf("q_fp", nprobe, fps.size))))
+      .withColumn("cell", element_at(typedLit(ids), col("cc") + 1))
+      .drop("cells", "cc")
+    // the probed cell set is model-scale (≤ nCells distinct values);
+    // materializing it as literals turns the store read into static
+    // partition pruning — only the probed partitions' files open
+    val probed = queries.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val store = graft.delta.DeltaTable.forPath(spark, storePath).toDF()
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
+    queries.join(store, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", expr(l2Expr("q_fp", "c_fp")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("d"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "s01_ann_brute_force_topk",
@@ -732,6 +836,39 @@ object Similarity {
         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
         |        list_sum(list_transform(range(1, 65), i -> (e.fp[i] - c.fp[i]) * (e.fp[i] - c.fp[i]))), c.cc) AS rn
         |    FROM e, cells c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, q_fp, cc AS cell FROM (
+        |    SELECT q.vec_id AS query_id, q.fp AS q_fp, c.cc,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> (q.fp[i] - c.fp[i]) * (q.fp[i] - c.fp[i]))), c.cc) AS rn
+        |    FROM e q, cells c WHERE q.vec_id % 7 = 3) WHERE rn <= 2)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, CAST(d AS BIGINT) AS d FROM (
+        |  SELECT p.query_id, cc2.neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> (p.q_fp[i] - cc2.c_fp[i]) * (p.q_fp[i] - cc2.c_fp[i]))) AS d,
+        |    ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i -> (p.q_fp[i] - cc2.c_fp[i]) * (p.q_fp[i] - cc2.c_fp[i]))), cc2.neighbor_id) AS rank
+        |  FROM probes p JOIN corpcell cc2 ON cc2.cell = p.cell
+        |  WHERE cc2.neighbor_id <> p.query_id) WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin),
+    // Store-resident incremental ANN: exact-integer end to end (cells =
+    // the 16 lowest-id CORPUS vectors keyed by their vec_id, fixed-point
+    // L2, ties by id at every stage), so the oracle replays the build's
+    // assignment AND the ingest's probe/rerank identically — a stale or
+    // incomplete persisted cell table hash-fails.
+    QueryDef.sql(
+      "s09_incremental_ann",
+      (spark, dir) => incrementalAnn(spark, dir),
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fp
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id AS cc, fp FROM e WHERE vec_id % 7 <> 3 ORDER BY vec_id LIMIT 16),
+        |corpcell AS (
+        |  SELECT vec_id AS neighbor_id, fp AS c_fp, cc AS cell FROM (
+        |    SELECT e.vec_id, e.fp, c.cc,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> (e.fp[i] - c.fp[i]) * (e.fp[i] - c.fp[i]))), c.cc) AS rn
+        |    FROM e, cells c WHERE e.vec_id % 7 <> 3) WHERE rn = 1),
         |probes AS (
         |  SELECT query_id, q_fp, cc AS cell FROM (
         |    SELECT q.vec_id AS query_id, q.fp AS q_fp, c.cc,

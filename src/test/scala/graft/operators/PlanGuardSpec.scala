@@ -177,6 +177,38 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("s09 incremental ANN: ingest reads the persisted cell store; no corpus re-assignment") {
+    val plan = executed(SparkEntryLookup("s09_incremental_ann")(spark, sf0001))
+    assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty,
+      s"s09 plans a CartesianProduct:\n$plan")
+    val scans = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val scanPaths = scans.map(_.relation.location.rootPaths.mkString(","))
+    // the corpus side is the persisted cell-partitioned Delta store
+    assert(scanPaths.exists(_.contains("graft_ann_index")),
+      s"s09 reads no persisted cell store; scans:\n${scanPaths.mkString("\n")}")
+    // every scan of the raw embeddings serves the BATCH only — the
+    // corpus is never re-assigned at ingest (that job ran once, at
+    // store build, outside this plan)
+    val embScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("embeddings.parquet")))
+    assert(embScans.nonEmpty)
+    embScans.foreach { f =>
+      val filters = f.dataFilters.map(_.sql).mkString(" AND ")
+      assert(filters.contains("% 7") || filters.contains("%7"),
+        s"s09 scans the embeddings table WITHOUT the batch predicate — corpus " +
+          s"re-assignment at ingest: $filters")
+    }
+    // the probed-cell literals prune the store read to probed partitions
+    val storeScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("graft_ann_index")))
+    storeScans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"s09's store scan carries no partition filter — probes read every cell:\n$f")
+    }
+  }
+
   test("t14 pipeline: MERGE and DELETE both route through the key index, never a table scan") {
     // the composed ingest pipeline (d09 dedup → d10 pick → keyed MERGE +
     // deleteMatching) must exercise f23's EXACT routing on both
