@@ -389,7 +389,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     for (i <- 1 to nOps) {
       val op = {
         val restorable = history.size >= 2
-        val c = (src.caps ++ Set("nullrow", "emptybatch", "resync") ++
+        val c = (src.caps ++ Set("nullrow", "emptybatch", "resync", "racesync") ++
           (if (restorable) Set("restore") else Set.empty)).toSeq.sorted
         c(rng.nextInt(c.size))
       }
@@ -433,6 +433,82 @@ class CrossFormatFuzzSpec extends SparkTestBase {
           val after = tgts.map { case (f, p) => versionOf(f, p) }
           assert(before == after,
             s"no-op resync advanced a target: $before -> $after\n$trace")
+        case "racesync" =>
+          // mid-sequence MULTI-WRITER: an append lands, then a competing
+          // scheduler syncs the SAME source into the SAME target while
+          // this sequence's own sync runs — arbitration is entirely
+          // on-disk (version slots; the Hudi file lock), retries are
+          // typed-only, and the raced target must converge exactly-once.
+          // Occasionally the competitor is a forked OS PROCESS, so the
+          // cross-process validate→publish window runs against random
+          // mid-sequence table states, not just the choreographies of
+          // the dedicated race specs.
+          src.append(slice(rng))
+          val (tFmt, tPath) = if (topo == "bi") (biTgt, pathA) else (fmtA, pathA)
+          val shared = src.source // one instance: MOR pre-compaction must not race itself
+          def syncRetry(f: => Unit): Unit = {
+            var n = 0
+            var done = false
+            while (!done) {
+              try { f; done = true } catch {
+                case _: graft.model.ConcurrentSyncException if n < 30 =>
+                  n += 1; Thread.sleep(25L * n)
+              }
+            }
+          }
+          val forked = srcFmt != "hudi-mor" && rng.nextInt(6) == 0
+          if (forked) {
+            trace.append("(fork)")
+            val javaBin = s"${System.getProperty("java.home")}/bin/java"
+            val cp = System.getProperty("java.class.path")
+            val addOpens = Seq(
+              "java.base/java.lang", "java.base/java.lang.invoke",
+              "java.base/java.lang.reflect", "java.base/java.io",
+              "java.base/java.net", "java.base/java.nio",
+              "java.base/java.util", "java.base/java.util.concurrent",
+              "java.base/java.util.concurrent.atomic",
+              "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+              "java.base/sun.security.action", "java.base/sun.util.calendar"
+            ).flatMap(x => Seq("--add-opens", s"$x=ALL-UNNAMED"))
+            val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+              "-Xmx2g", "-Dspark.ui.enabled=false",
+              "-Dspark.sql.session.timeZone=UTC",
+              "-cp", cp, "graft.sync.SyncRaceMain",
+              srcFmt, s"$dir/src", tFmt, tPath)
+            import scala.jdk.CollectionConverters._
+            val p = new ProcessBuilder(cmd.asJava)
+              .redirectErrorStream(true)
+              .redirectOutput(ProcessBuilder.Redirect.to(
+                new java.io.File(s"$dir/racesync-$i.log")))
+              .start()
+            syncRetry(SyncEngine.sync(shared, SyncEngine.targetFor(spark, tFmt, tPath)))
+            assert(p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES),
+              s"racesync fork did not finish\n$trace")
+            val log = scala.io.Source.fromFile(s"$dir/racesync-$i.log").mkString
+            assert(p.exitValue == 0 && log.contains("RACE-DONE"),
+              s"racesync fork failed\n$trace\n${log.takeRight(3000)}")
+          } else {
+            val racerErr =
+              new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+            val racer = new Thread(() =>
+              try syncRetry(
+                SyncEngine.sync(shared, SyncEngine.targetFor(spark, tFmt, tPath)))
+              catch { case e: Throwable => racerErr.set(e) })
+            racer.start()
+            syncRetry(SyncEngine.sync(shared, SyncEngine.targetFor(spark, tFmt, tPath)))
+            racer.join()
+            if (racerErr.get != null)
+              fail(s"racesync competitor blew up\n$trace", racerErr.get)
+          }
+          // exactly-once files: a stale plan that slipped the CAS would
+          // register a source file twice and double-count its rows
+          val paths = tFmt match {
+            case "delta" => DeltaTable.forPath(spark, tPath).snapshotDataFiles().map(_.physicalPath)
+            case "iceberg" => IcebergTable.forPath(spark, tPath).snapshotDataFiles().map(_.physicalPath)
+            case "hudi" => HudiTable.forPath(spark, tPath).snapshotDataFiles().map(_.physicalPath)
+          }
+          assert(paths.distinct.size == paths.size,
+            s"duplicate live files on raced $tFmt target\n$trace\n${paths.sorted.mkString("\n")}")
         case "upsert" => src.upsert(slice(rng).withColumn("price", col("price") + 1000.0))
         case "delete" =>
           // never empty the table: delete a sparse key set
