@@ -1190,7 +1190,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // a manifest holds either data files or delete files, never both
     // (spec: manifest-list `content`); a mixed commit (upsert = equality
     // deletes + new data in ONE snapshot) writes one manifest per kind
-    val addManifests: Seq[ManifestFileInfo] = {
+    val addManifests: Seq[ManifestFileInfo] = IcebergTable.timePhase("manifest-write") {
       val groups =
         if (stamped.isEmpty) Seq(0 -> Seq.empty[ManifestEntry]) // removes-only commit
         else stamped.groupBy(e => if (e.content > 0) 1 else 0).toSeq.sortBy(_._1)
@@ -1219,7 +1219,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // delete manifest: the removed files stamped deleted at this commit's
     // sequence number — liveEntries' latest-sequence-wins replay resolves
     // them dead even when their add manifests are still carried
-    val deleteManifests: Seq[ManifestFileInfo] = {
+    val deleteManifests: Seq[ManifestFileInfo] = IcebergTable.timePhase("manifest-write") {
       val dead = removes.map(_.copy(
         status = ManifestEntry.StatusDeleted, snapshotId = snapshotId, sequenceNumber = seq))
       // tombstoned data files and tombstoned delete files go into
@@ -1252,15 +1252,19 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       toBranch.flatMap(b => m.refs.get(b).map(_.snapshotId))
         .orElse(m.currentSnapshotId)
     }
-    val carried: Seq[ManifestFileInfo] = prev match {
-      case Some((_, m)) if carryPrevious && parentSnapshotId.nonEmpty =>
-        IcebergManifests.readManifestList(
-          hconf, new Path(m.snapshot(parentSnapshotId.get).manifestList))
-      case _ => Seq.empty
+    val carried: Seq[ManifestFileInfo] = IcebergTable.timePhase("manifest-list-carry") {
+      prev match {
+        case Some((_, m)) if carryPrevious && parentSnapshotId.nonEmpty =>
+          IcebergManifests.readManifestList(
+            hconf, new Path(m.snapshot(parentSnapshotId.get).manifestList))
+        case _ => Seq.empty
+      }
     }
 
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
-    IcebergManifests.writeManifestList(hconf, listPath, (addManifests ++ deleteManifests) ++ carried)
+    IcebergTable.timePhase("manifest-list-write") {
+      IcebergManifests.writeManifestList(hconf, listPath, (addManifests ++ deleteManifests) ++ carried)
+    }
 
     val snap = IcebergSnapshot(
       snapshotId = snapshotId,
@@ -1322,7 +1326,9 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         case None => base.refs
       })
     val v = prev.map(_._1 + 1).getOrElse(1L)
-    if (log.commit(v, next)) Some(snapshotId) else None
+    IcebergTable.timePhase("metadata-cas") {
+      if (log.commit(v, next)) Some(snapshotId) else None
+    }
   }
 
   /**
@@ -1644,7 +1650,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       cas: Option[graft.model.SyncCas] = None,
       /** extra snapshot-summary entries (cherry-pick provenance). */
       extraSummary: Map[String, String] = Map.empty): Long = {
-    val prev = log.readLatest()
+    val prev = IcebergTable.timePhase("plan-read")(log.readLatest())
     cas.foreach(_.validate(
       prev.map(_._2.properties).getOrElse(Map.empty), s"iceberg target $tablePath"))
     val defs = graft.model.PartitionTransform.parseAll(partitionColumns)
@@ -1654,7 +1660,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       case Some((_, m)) => IcebergSchemas.evolveSchema(m.schema, schema, m.lastColumnId)
       case None => IcebergSchemas.assignFieldIds(schema)
     }
-    val entries = adds.map { f =>
+    val entries = IcebergTable.timePhase("entry-build") { adds.map { f =>
       val byName = f.columnStats.map(c => c.column -> c).toMap
       val fields = idSchema.fields.filterNot(x => identityCols.contains(x.name))
       var valueCounts = Map.empty[Int, Long]
@@ -1695,7 +1701,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         nullCounts = nullCounts,
         lowerBounds = lower,
         upperBounds = upper)
-    }
+    } }
     val removeSet = removePaths.map(p => new Path(p).toUri.toString).toSet
     val removes =
       if (removeSet.isEmpty || prev.forall(_._2.currentSnapshotId.isEmpty)) Seq.empty
@@ -1714,6 +1720,25 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
 }
 
 object IcebergTable {
+
+  /** Per-phase wall-clock accumulators for the commit path (manifest
+    * write, manifest-list carry/write, metadata CAS) — nanoTime pairs,
+    * always on (a few ns per commit), so a load harness can attribute a
+    * regression to the phase that moved instead of re-measuring blind
+    * (SyncLoadSpec prints the breakdown). */
+  private[graft] val commitPhaseNanos =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private[graft] def timePhase[A](phase: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    try f finally commitPhaseNanos
+      .computeIfAbsent(phase, _ => new java.util.concurrent.atomic.AtomicLong())
+      .addAndGet(System.nanoTime() - t0)
+  }
+  private[graft] def resetCommitPhases(): Unit = commitPhaseNanos.clear()
+  private[graft] def commitPhaseMillis: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    commitPhaseNanos.asScala.map { case (k, v) => k -> v.get / 1000000 }.toMap
+  }
 
   /** Snapshot-summary key recording which branch snapshot a cherry-pick
     * replays — publishBranch's positive progress marker. */

@@ -101,10 +101,17 @@ class SyncLoadSpec extends SparkTestBase {
       SyncEngine.sync(SyncEngine.hudiSource(src),
         SyncEngine.deltaTarget(spark, s"$dir/delta"))
     }
+    graft.iceberg.IcebergTable.resetCommitPhases()
     val r2 = timed("incremental sync -> iceberg (100 commits, 100k adds)") {
       SyncEngine.sync(SyncEngine.hudiSource(src),
         SyncEngine.icebergTarget(spark, s"$dir/iceberg"))
     }
+    // per-phase attribution of the iceberg commit path (100 commits):
+    // a future regression names the phase that moved instead of
+    // re-measuring blind
+    val phases = graft.iceberg.IcebergTable.commitPhaseMillis
+    info(phases.toSeq.sortBy(-_._2)
+      .map { case (k, ms) => s"$k=${ms}ms" }.mkString("iceberg phases: ", " ", ""))
     assert(r1.mode == "incremental" && r2.mode == "incremental")
     assert(r1.versionsSynced.size == 100 && r2.versionsSynced.size == 100)
     assert(r1.filesAdded == 100000 && r2.filesAdded == 100000)
