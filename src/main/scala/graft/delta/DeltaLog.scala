@@ -417,6 +417,23 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
   }
 
   /** Latest metadata + protocol at or before `asOf`. */
+  /** First action matching `pf` in commit `v`, decoding ONLY lines that
+    * carry the top-level `marker` key (substring pre-filter): a sync
+    * commit holds one metaData line among thousands of addFile lines,
+    * and replaying the whole file through Jackson per metadata lookup
+    * made the 100-commit LoadTest shape quadratic in adds. A stats
+    * string that happens to contain the marker decodes to its REAL
+    * action and the partial function skips it — semantics unchanged. */
+  private def readFirstAction[A](v: Long, marker: String)(
+      pf: PartialFunction[DeltaAction, A]): Option[A] = {
+    val in = fs.open(commitFile(v))
+    val content = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+    content.split("\n").iterator.filter(_.contains(marker))
+      .flatMap(DeltaActionCodec.fromJsonLine).collectFirst(pf)
+  }
+
   def metadataAt(asOf: Option[Long]): (DeltaMetadata, Long) = {
     val versions = listVersions()
     val ck = resolveCheckpoint(asOf)
@@ -430,7 +447,7 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
     // checkpoint's metaData row (pre-checkpoint JSON may be cleaned up)
     val tail = upTo.filter(v => cp.forall(v > _))
     val fromJson = tail.reverse.iterator
-      .map(v => readActions(v).collectFirst { case m: DeltaMetadata => m })
+      .map(v => readFirstAction(v, "\"metaData\"") { case m: DeltaMetadata => m })
       .collectFirst { case Some(m) => m }
     val meta = fromJson.orElse(ck.flatMap(c => checkpointHeader(c)._1))
     (meta.getOrElse(throw new IllegalStateException(s"no metaData action in $tablePath")),
@@ -452,7 +469,7 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
     val upTo = asOf.map(a => versions.filter(_ <= a)).getOrElse(versions)
     val tail = upTo.filter(v => cp.forall(v > _))
     val fromJson = tail.reverse.iterator
-      .map(v => readActions(v).collectFirst { case p: Protocol => p })
+      .map(v => readFirstAction(v, "\"protocol\"") { case p: Protocol => p })
       .collectFirst { case Some(p) => p }
     fromJson.orElse(ck.flatMap(c => checkpointHeader(c)._2)).getOrElse(Protocol())
   }

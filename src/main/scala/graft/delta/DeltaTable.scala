@@ -1721,7 +1721,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
           graft.model.PartitionTransform.deltaGenerationExpr(t)).build())))
     val fieldNames = defs.map(_.fieldName)
     val dataSchema = StructType(cleanSchema.filterNot(f => fieldNames.contains(f.name)))
-    val addActions = adds.map { f =>
+    val addActions = DeltaTable.timePhase("stats-json") { adds.map { f =>
       val footerish = graft.stats.FileFooterStats(
         path = f.physicalPath, fileSizeBytes = f.fileSizeBytes,
         recordCount = f.recordCount, modificationTime = f.lastModified,
@@ -1733,18 +1733,23 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         modificationTime = if (f.lastModified > 0) f.lastModified else now,
         dataChange = true,
         stats = if (f.recordCount >= 0) Some(DeltaStats.toJson(footerish, dataSchema)) else None)
-    }
+    } }
     val removeActions = removePaths.map(p =>
       RemoveFile(new Path(p).toUri.toString, now, dataChange = true))
-    val v = log.latestVersion().map(_ + 1).getOrElse(0L)
-    val baseConfig = if (v == 0L) Map.empty[String, String]
-                     else log.metadataAt(None)._1.configuration
+    val v = DeltaTable.timePhase("version-list")(log.latestVersion()).map(_ + 1).getOrElse(0L)
+    // ONE metadata replay serves both the CAS read and the table id —
+    // each replay walks the log tail, so doubling it doubled the
+    // per-commit cost of a 100-commit incremental batch
+    val baseMeta =
+      if (v == 0L) None
+      else Some(DeltaTable.timePhase("metadata-replay")(log.metadataAt(None))._1)
+    val baseConfig = baseMeta.map(_.configuration).getOrElse(Map.empty[String, String])
     // the config read above is at-or-after version v-1; a commit landing
     // after it takes slot v, so our log.commit(v, …) below fails the
     // put-if-absent rather than stacking a stale diff
     cas.foreach(_.validate(baseConfig, s"delta target $tablePath"))
     val meta = DeltaMetadata(
-      id = if (v == 0L) UUID.randomUUID().toString else log.metadataAt(None)._1.id,
+      id = baseMeta.map(_.id).getOrElse(UUID.randomUUID().toString),
       schemaString = schemaForMeta.json,
       partitionColumns = fieldNames,
       configuration = baseConfig ++ syncProps + ("graft.converted.from" -> sourceDataRoot),
@@ -1752,7 +1757,8 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val metaActions: Seq[DeltaAction] =
       if (v == 0L) Seq(Protocol(), meta) else Seq(meta)
     val info = CommitInfo(now, "SYNC", Map("mode" -> "Sync"))
-    if (!log.commit(v, metaActions ++ removeActions ++ addActions :+ info))
+    if (!DeltaTable.timePhase("log-commit")(
+        log.commit(v, metaActions ++ removeActions ++ addActions :+ info)))
       // a lost version-slot race IS a concurrent sync — typed so the
       // engine's re-plan loop classifies it structurally
       throw new graft.model.ConcurrentSyncException(
@@ -1770,6 +1776,23 @@ object DeltaTable {
     * fallback) — observable so a spec can pin that a composed pipeline's
     * MERGE/delete really routed through the index, not around it. */
   private[graft] val indexRoutedScans = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Per-phase wall-clock accumulators for the sync-commit path — the
+    * Delta twin of IcebergTable's commit-phase timers, printed by
+    * SyncLoadSpec so a load regression names the phase that moved. */
+  private[graft] val commitPhaseNanos =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private[graft] def timePhase[A](phase: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    try f finally commitPhaseNanos
+      .computeIfAbsent(phase, _ => new java.util.concurrent.atomic.AtomicLong())
+      .addAndGet(System.nanoTime() - t0)
+  }
+  private[graft] def resetCommitPhases(): Unit = commitPhaseNanos.clear()
+  private[graft] def commitPhaseMillis: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    commitPhaseNanos.asScala.map { case (k, v) => k -> v.get / 1000000 }.toMap
+  }
 
   def forPath(spark: SparkSession, tablePath: String): DeltaTable =
     new DeltaTable(spark, DeltaLog.forTable(spark, tablePath))

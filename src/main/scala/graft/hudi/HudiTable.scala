@@ -111,15 +111,13 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
   /** Table schema at an instant: Avro schema from the latest commit's
     * extraMetadata (Hudi's schema-evolution channel). */
   def schemaAt(asOf: Option[String] = None): StructType = {
-    val upTo = asOf.map(a => instants.filter(_ <= a)).getOrElse(instants)
+    val completed = timeline.completedInstants()
+    val upTo = asOf.map(a => completed.filter(_.time <= a)).getOrElse(completed)
     require(upTo.nonEmpty, s"no commit at or before ${asOf.getOrElse("?")} in $tablePath")
-    val completed = timeline.completedInstants().filter(i => upTo.contains(i.time))
     // newest-to-oldest until a commit carries a schema
-    completed.reverse.iterator
+    upTo.reverse.iterator
       .map(i => timeline.readCommitMetadata(i).extraMetadata.get("schema"))
-      .collectFirst { case Some(avroJson) =>
-        AvroSchemaConverters.fromAvro(new org.apache.avro.Schema.Parser().parse(avroJson))
-      }
+      .collectFirst { case Some(avroJson) => HudiTable.sparkSchemaOf(avroJson) }
       .getOrElse(throw new IllegalStateException(s"no schema in timeline of $tablePath"))
   }
 
@@ -1663,6 +1661,18 @@ object HudiTable {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[hudi] def syncLock(tablePath: String): Object =
     syncLocks.computeIfAbsent(tablePath, _ => new Object)
+
+  /** avro-JSON → Spark schema memo: the conversion is a pure function
+    * of the string, and an incremental replay resolves the SAME schema
+    * string once per replayed commit — parse it once per JVM instead.
+    * Bounded; cleared wholesale when full. */
+  private val schemaParseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private[hudi] def sparkSchemaOf(avroJson: String): StructType = {
+    if (schemaParseCache.size > 128) schemaParseCache.clear()
+    schemaParseCache.computeIfAbsent(avroJson, j =>
+      AvroSchemaConverters.fromAvro(new org.apache.avro.Schema.Parser().parse(j)))
+  }
 
   /** recordIndexUsable memo — see the method's contract note. */
   private[hudi] val fenceCache =

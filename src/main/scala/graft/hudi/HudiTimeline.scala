@@ -157,8 +157,27 @@ final class HudiTimeline(val tablePath: String, conf: Configuration) {
     finally in.close()
   }
 
-  def readCommitMetadata(i: HudiInstant): HudiCommitMetadata =
-    HudiCommitCodec.fromJson(readInstantJson(i))
+  /** Parsed-commit memo: completed instant files publish put-if-absent
+    * and are never rewritten, so one parse serves every reader — the
+    * incremental sync loop otherwise parses each commit's (potentially
+    * thousands-of-stats) JSON twice per replayed instant (changes +
+    * schema-at-version). Keyed by (name, length, mtime) from ONE
+    * getFileStatus, so even the pathological rollback-then-reallocate
+    * case (same instant name, different content) can't serve stale
+    * metadata. Bounded; cleared wholesale when full. */
+  private val commitMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, HudiCommitMetadata]()
+
+  def readCommitMetadata(i: HudiInstant): HudiCommitMetadata = {
+    val st = try fs.getFileStatus(existingInstantFile(i)) catch {
+      case _: java.io.FileNotFoundException =>
+        return HudiCommitCodec.fromJson(readInstantJson(i)) // raced archival: direct read resolves
+    }
+    if (commitMetaCache.size > 256) commitMetaCache.clear()
+    commitMetaCache.computeIfAbsent(
+      s"${i.fileName}:${st.getLen}:${st.getModificationTime}",
+      _ => HudiCommitCodec.fromJson(readInstantJson(i)))
+  }
 
   /**
    * Commit protocol: requested and inflight marker files first (timeline

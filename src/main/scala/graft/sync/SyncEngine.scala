@@ -38,6 +38,23 @@ object SyncEngine {
 
   private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Per-phase wall-clock accumulators for the incremental replay loop
+    * (source change read, schema-at-version, target commit) — the
+    * engine-side third of the SyncLoadSpec attribution triplet. */
+  private[graft] val phaseNanos =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private[graft] def timePhase[A](phase: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    try f finally phaseNanos
+      .computeIfAbsent(phase, _ => new java.util.concurrent.atomic.AtomicLong())
+      .addAndGet(System.nanoTime() - t0)
+  }
+  private[graft] def resetPhases(): Unit = phaseNanos.clear()
+  private[graft] def phaseMillis: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    phaseNanos.asScala.map { case (k, v) => k -> v.get / 1000000 }.toMap
+  }
+
   /** Watermark property keys persisted in target metadata (canonical
     * definitions live with the CAS that validates them). */
   val SourceIdProp = graft.model.SyncCas.SourceIdProp
@@ -139,18 +156,20 @@ object SyncEngine {
       var expectedWm = wm
       target.beginBatch()
       try pending.foreach { v =>
-        val (adds, removes) = source.changes(v)
+        val (adds, removes) = timePhase("source-changes")(source.changes(v))
         // a late replay never regresses the watermark
         highWater = source.laterOf(highWater, v)
+        val schemaV = timePhase("source-schema-at")(source.schemaAtVersion(v))
         // the schema AT v, not the current one: drops replay before
         // re-adds, so retired field ids stay retired on the target
-        target.commit(source.schemaAtVersion(v), source.partitionColumns, source.dataRoot,
+        timePhase("target-commit")(
+        target.commit(schemaV, source.partitionColumns, source.dataRoot,
           adds, removes,
           keyProps ++ Map(SourceIdProp -> source.sourceId, VersionProp -> highWater,
             InflightProp -> stillInflight.mkString(",")),
           source.physicalNames,
           Some(graft.model.SyncCas(source.sourceId,
-            expectedWm.map(source.sourceId -> _))))
+            expectedWm.map(source.sourceId -> _)))))
         expectedWm = Some(highWater)
         added += adds.size; removed += removes.size
       } finally target.endBatch()

@@ -473,7 +473,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
             val cmd = Seq(javaBin) ++ addOpens ++ Seq(
               "-Xmx2g", "-Dspark.ui.enabled=false",
               "-Dspark.sql.session.timeZone=UTC",
-              "-cp", cp, "graft.sync.SyncRaceMain",
+              "-cp", cp, "graft.sync.FuzzRaceSyncMain",
               srcFmt, s"$dir/src", tFmt, tPath)
             import scala.jdk.CollectionConverters._
             val p = new ProcessBuilder(cmd.asJava)

@@ -97,10 +97,17 @@ class SyncLoadSpec extends SparkTestBase {
       (0 until 100).foreach(i => commitFiles(t, 0 until 1000, 1, s"i$i"))
     }
     val src = HudiTable.forPath(spark, tp)
+    graft.delta.DeltaTable.resetCommitPhases()
+    SyncEngine.resetPhases()
     val r1 = timed("incremental sync -> delta (100 commits, 100k adds)") {
       SyncEngine.sync(SyncEngine.hudiSource(src),
         SyncEngine.deltaTarget(spark, s"$dir/delta"))
     }
+    val dPhases = graft.delta.DeltaTable.commitPhaseMillis ++
+      SyncEngine.phaseMillis.map { case (k, v) => s"engine:$k" -> v }
+    info(dPhases.toSeq.sortBy(-_._2)
+      .map { case (k, ms) => s"$k=${ms}ms" }.mkString("delta phases: ", " ", ""))
+    SyncEngine.resetPhases()
     graft.iceberg.IcebergTable.resetCommitPhases()
     val r2 = timed("incremental sync -> iceberg (100 commits, 100k adds)") {
       SyncEngine.sync(SyncEngine.hudiSource(src),
