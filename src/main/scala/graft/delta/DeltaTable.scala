@@ -846,7 +846,19 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         stats = Option(r.getString(4)),
         deletionVector = DeltaTable.dvAt(r, 5))
     }
-    if (removes.isEmpty && adds.isEmpty) return latest
+    // metadata rollback is part of RESTORE even when NO file moved: a
+    // RENAME COLUMN / type change / config change is metadata-only, and
+    // the file-set-only early return used to keep the newer schema
+    // silently (found by fuzz seed 127: rename → restore-across-it →
+    // upsert refuses because table and writer disagree on column names)
+    val metaNow = log.metadataAt(None)._1
+    val metaThen = log.metadataAt(Some(version))._1
+    val metaOpt: Seq[DeltaAction] =
+      if (metaNow.schemaString != metaThen.schemaString ||
+          metaNow.partitionColumns != metaThen.partitionColumns ||
+          metaNow.configuration != metaThen.configuration) Seq(metaThen)
+      else Seq.empty
+    if (removes.isEmpty && adds.isEmpty && metaOpt.isEmpty) return latest
     // vacuum safety: every re-added file must still exist
     val addPaths = adds.collect { case a: AddFile => DeltaTable.metadataFilePath(tablePath, a.path) }
     if (addPaths.nonEmpty) {
@@ -863,13 +875,6 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         s"cannot restore $tablePath to version $version: data file ${missing.head} " +
           "no longer exists (vacuumed); restore past the vacuum horizon is impossible")
     }
-    val metaNow = log.metadataAt(None)._1
-    val metaThen = log.metadataAt(Some(version))._1
-    val metaOpt: Seq[DeltaAction] =
-      if (metaNow.schemaString != metaThen.schemaString ||
-          metaNow.partitionColumns != metaThen.partitionColumns ||
-          metaNow.configuration != metaThen.configuration) Seq(metaThen)
-      else Seq.empty
     val v = latest + 1
     require(log.commit(v, metaOpt ++ removes ++ adds :+
       CommitInfo(now, "RESTORE", Map("version" -> version.toString))),

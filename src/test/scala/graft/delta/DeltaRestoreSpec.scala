@@ -63,6 +63,29 @@ class DeltaRestoreSpec extends SparkTestBase {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("restore across a metadata-ONLY change (rename) rolls the schema back") {
+    // fuzz seed 127: RENAME COLUMN moves no files, so the old file-set
+    // early return skipped the restore entirely — the adapter thought
+    // the rename was unwound while the table kept the new name, and the
+    // next keyed write refused ("frame must carry every table column")
+    val dir = tmpDir("restore_rename")
+    val t = DeltaTable.create(spark, s"$dir/t", orders.limit(100))
+    t.enableColumnMapping()
+    val vPreRename = t.latestVersion
+    t.renameColumn("o_totalprice", "price2")
+    assert(t.toDF().columns.contains("price2"))
+    val vRestore = t.restoreTo(vPreRename)
+    assert(vRestore > vPreRename, "metadata-only restore must COMMIT, not no-op")
+    assert(t.toDF().columns.toSeq.contains("o_totalprice"),
+      s"restore must roll the rename back; columns = ${t.toDF().columns.mkString(",")}")
+    assert(t.toDF().count() == 100)
+    // writes under the restored names work again
+    t.append(orders.limit(5).withColumn("o_orderkey", col("o_orderkey") + 20000000L), Seq.empty)
+    assert(t.toDF().count() == 105)
+    // and the renamed state stays time-travelable
+    assert(t.toDF(versionAsOf = Some(vPreRename + 1)).columns.contains("price2"))
+  }
+
   test("restore to the current version or an identical state is a no-op") {
     val dir = tmpDir("restore_noop")
     val t = DeltaTable.create(spark, s"$dir/t", orders.limit(100))

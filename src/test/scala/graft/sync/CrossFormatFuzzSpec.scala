@@ -560,8 +560,13 @@ class CrossFormatFuzzSpec extends SparkTestBase {
   }
 
   private val fuzzN = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(8)
+  /** Seed-range offset: `GRAFT_FUZZ_OFFSET=100 GRAFT_FUZZ_N=100` runs
+    * seeds 101-200 — a second gate batch explores genuinely NEW
+    * sequences instead of re-proving the standard 1-100 range
+    * (SplitMix64 scrambling keeps any range well-distributed). */
+  private val fuzzOffset = sys.env.get("GRAFT_FUZZ_OFFSET").map(_.toInt).getOrElse(0)
 
-  (1 to fuzzN).foreach { seed =>
+  (fuzzOffset + 1 to fuzzOffset + fuzzN).foreach { seed =>
     test(s"fuzz sequence seed=$seed") { runSequence(seed.toLong) }
   }
 
