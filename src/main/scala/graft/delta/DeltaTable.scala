@@ -1198,6 +1198,72 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     v
   }
 
+  /**
+   * Metadata-only type widening (Delta's `typeWidening` table feature):
+   * the column's declared type grows along the cross-format promotion
+   * order (`SchemaMerge.widens` — byte→short→int→long, float→double,
+   * decimal precision at the same scale); existing data files keep
+   * their narrower physical type and the parquet reader widens values
+   * at scan time (Spark 4 vectorized widening conversions), so no data
+   * moves. The change history is stamped into the field's
+   * `delta.typeChanges` metadata the way the real feature records it,
+   * and the protocol gains the `typeWidening` reader+writer features —
+   * readers that don't know how to widen must refuse the table.
+   *
+   * Refused for: partition columns (uniform cross-format posture so a
+   * widen at any sync source is applicable at every target — Iceberg
+   * partition values are TYPED in old manifests), generated-column
+   * inputs (the expression's type would silently change), and the key
+   * index's key column (the index build-config fence pins the build
+   * type; rebuild the index after widening).
+   */
+  def widenColumn(name: String, to: DataType): Long = {
+    requireWritable(mutation = false)
+    val (meta, _) = log.metadataAt(None)
+    val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name), s"no column $name in $tablePath")
+    val field = schema(name)
+    require(graft.model.SchemaMerge.widens(field.dataType, to),
+      s"cannot widen $name of $tablePath: ${field.dataType.simpleString} -> " +
+        s"${to.simpleString} is not a supported type promotion")
+    require(!meta.partitionColumns.contains(name),
+      s"cannot widen partition column $name of $tablePath")
+    requireNotGenerated(schema, name, "widen")
+    DeltaKeyIndex.readConfig(spark.sparkContext.hadoopConfiguration, tablePath)
+      .filter(_.keyCol == name).foreach { _ =>
+        throw new IllegalArgumentException(
+          s"cannot widen key-indexed column $name of $tablePath: the key index " +
+            "build-config fence pins the build type — drop/rebuild the index " +
+            "(buildKeyIndex) after the widen")
+      }
+    val v = latestVersion + 1
+    val widened = StructType(schema.fields.map { f =>
+      if (f.name != name) f
+      else {
+        // append to the field's delta.typeChanges history (real Delta's
+        // record shape: fromType/toType/tableVersion)
+        val entry = s"""{"fromType":"${f.dataType.typeName}"""" +
+          s""","toType":"${to.typeName}","tableVersion":$v}"""
+        val history =
+          if (!f.metadata.contains("delta.typeChanges")) s"[$entry]"
+          else f.metadata.getString("delta.typeChanges").stripSuffix("]") + s",$entry]"
+        f.copy(dataType = to, metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString("delta.typeChanges", history).build())
+      }
+    })
+    val p = log.protocolAt(None)
+    val upgrade: Seq[DeltaAction] =
+      if (p.readerFeatures.exists(_.contains("typeWidening"))) Seq.empty
+      else Seq(DeltaTable.upgradeWithFeature(p, "typeWidening"))
+    require(log.commit(v, upgrade ++ Seq(
+      meta.copy(schemaString = widened.json),
+      CommitInfo(System.currentTimeMillis(), "CHANGE COLUMN",
+        Map("column" -> name, "from" -> field.dataType.simpleString, "to" -> to.simpleString)))),
+      s"concurrent commit detected at version $v of $tablePath; re-run the operation")
+    log.maybeCheckpoint(v)
+    v
+  }
+
   /** REORG-style purge: physically rewrite every file that carries a
     * deletion vector (deletes applied), in one commit — after which the
     * snapshot is DV-free and metadata-only sync is possible again. */
@@ -1560,9 +1626,22 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
                   .putLong("delta.identity.highWaterMark", w).build())
               }.getOrElse(f)
             })
-          if (full.json != merged.json || confChange.nonEmpty)
-            Seq(metaNow.copy(
-              schemaString = merged.json,
+          // an incoming batch wider than the declared schema widens it
+          // implicitly (SchemaMerge.promote) — the commit must carry the
+          // same bookkeeping as the explicit widenColumn: typeChanges
+          // history on the field and the typeWidening protocol feature,
+          // so readers that can't widen refuse instead of misreading
+          val (stamped, widenedNow) = DeltaTable.stampTypeChanges(full, merged, v)
+          val upgrade: Seq[DeltaAction] =
+            if (!widenedNow) Seq.empty
+            else {
+              val p = log.protocolAt(None)
+              if (p.readerFeatures.exists(_.contains("typeWidening"))) Seq.empty
+              else Seq(DeltaTable.upgradeWithFeature(p, "typeWidening"))
+            }
+          if (full.json != stamped.json || confChange.nonEmpty)
+            upgrade ++ Seq(metaNow.copy(
+              schemaString = stamped.json,
               configuration = confChange.getOrElse(metaNow.configuration)))
           else Seq.empty
         }
@@ -1753,14 +1832,31 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     // after it takes slot v, so our log.commit(v, …) below fails the
     // put-if-absent rather than stacking a stale diff
     cas.foreach(_.validate(baseConfig, s"delta target $tablePath"))
+    // a widened source schema widens the mirrored target schema — stamp
+    // the typeChanges history (cleanSchema stripped any carried one) and
+    // upgrade the protocol, exactly like the explicit widenColumn, so
+    // non-widening readers of the TARGET refuse instead of misreading
+    // the narrower pre-widen files the sync shares with the source
+    val (schemaStamped, widenedNow) = baseMeta match {
+      case Some(m) => DeltaTable.stampTypeChanges(
+        DataType.fromJson(m.schemaString).asInstanceOf[StructType], schemaForMeta, v)
+      case None => (schemaForMeta, false)
+    }
     val meta = DeltaMetadata(
       id = baseMeta.map(_.id).getOrElse(UUID.randomUUID().toString),
-      schemaString = schemaForMeta.json,
+      schemaString = schemaStamped.json,
       partitionColumns = fieldNames,
       configuration = baseConfig ++ syncProps + ("graft.converted.from" -> sourceDataRoot),
       createdTime = now)
+    val upgrade: Seq[DeltaAction] =
+      if (!widenedNow) Seq.empty
+      else {
+        val p = log.protocolAt(None)
+        if (p.readerFeatures.exists(_.contains("typeWidening"))) Seq.empty
+        else Seq(DeltaTable.upgradeWithFeature(p, "typeWidening"))
+      }
     val metaActions: Seq[DeltaAction] =
-      if (v == 0L) Seq(Protocol(), meta) else Seq(meta)
+      if (v == 0L) Seq(Protocol(), meta) else upgrade ++ Seq(meta)
     val info = CommitInfo(now, "SYNC", Map("mode" -> "Sync"))
     if (!DeltaTable.timePhase("log-commit")(
         log.commit(v, metaActions ++ removeActions ++ addActions :+ info)))
@@ -1809,7 +1905,7 @@ object DeltaTable {
     * its sidecars (DeltaLog.resolveCheckpoint). */
   val SupportedReaderFeatures: Set[String] =
     Set("columnMapping", "deletionVectors", "timestampNtz", "vacuumProtocolCheck",
-      "v2Checkpoint")
+      "v2Checkpoint", "typeWidening")
 
   /** Writer features this engine can write alongside. Metadata-activated
     * features (appendOnly, changeDataFeed, invariants, checkConstraints,
@@ -1818,7 +1914,7 @@ object DeltaTable {
   val SupportedWriterFeatures: Set[String] = Set(
     "columnMapping", "deletionVectors", "timestampNtz", "vacuumProtocolCheck",
     "generatedColumns", "appendOnly", "invariants", "checkConstraints",
-    "changeDataFeed", "identityColumns", "v2Checkpoint")
+    "changeDataFeed", "identityColumns", "v2Checkpoint", "typeWidening")
 
   /** Writer features a legacy minWriterVersion implies (PROTOCOL.md
     * feature-version mapping). */
@@ -1842,6 +1938,70 @@ object DeltaTable {
    * e.g. generatedColumns off a (1,4) table the moment it takes its
    * first deletion vector.
    */
+  /**
+   * Stamp `delta.typeChanges` history for every field whose declared
+   * type widened between `before` and `after` at table version `v` —
+   * the bookkeeping the typeWidening feature requires (real Delta's
+   * record shape: fromType/toType/tableVersion, with a `fieldPath` for
+   * changes inside array/map types; nested struct fields stamp on
+   * themselves). Fields in `after` whose metadata lost a carried
+   * history (the sync path strips source metadata) get it back from
+   * `before`. Returns the stamped schema and whether anything widened.
+   */
+  private[graft] def stampTypeChanges(
+      before: StructType, after: StructType, v: Long): (StructType, Boolean) = {
+    var any = false
+    def entryJson(from: DataType, to: DataType, path: String): String = {
+      val fp = if (path.isEmpty) "" else s""","fieldPath":"$path""""
+      s"""{"fromType":"${from.typeName}","toType":"${to.typeName}","tableVersion":$v$fp}"""
+    }
+    // primitive-level widens under ONE struct field (path segments
+    // relative to the field: element / value); nested STRUCT fields
+    // carry their own metadata so they stamp on themselves instead
+    def primChanges(b: DataType, a: DataType, path: String): Seq[String] = (b, a) match {
+      case (_: StructType, _: StructType) => Seq.empty
+      case (ba: ArrayType, aa: ArrayType) =>
+        primChanges(ba.elementType, aa.elementType,
+          if (path.isEmpty) "element" else s"$path.element")
+      case (bm: MapType, am: MapType) =>
+        primChanges(bm.valueType, am.valueType,
+          if (path.isEmpty) "value" else s"$path.value")
+      case (bp, ap) if bp != ap && graft.model.SchemaMerge.widens(bp, ap) =>
+        Seq(entryJson(bp, ap, path))
+      case _ => Seq.empty
+    }
+    def walkFields(bs: StructType, as: StructType): StructType =
+      StructType(as.fields.map { af =>
+        bs.fields.find(_.name == af.name) match {
+          case None => af
+          case Some(bf) =>
+            val nested = (bf.dataType, af.dataType) match {
+              case (bn: StructType, an: StructType) => af.copy(dataType = walkFields(bn, an))
+              case _ => af
+            }
+            val carried =
+              if (nested.metadata.contains("delta.typeChanges") ||
+                  !bf.metadata.contains("delta.typeChanges")) nested
+              else nested.copy(metadata = new MetadataBuilder().withMetadata(nested.metadata)
+                .putString("delta.typeChanges",
+                  bf.metadata.getString("delta.typeChanges")).build())
+            val changes = primChanges(bf.dataType, carried.dataType, "")
+            if (changes.isEmpty) carried
+            else {
+              any = true
+              val hist =
+                if (!carried.metadata.contains("delta.typeChanges"))
+                  s"[${changes.mkString(",")}]"
+                else carried.metadata.getString("delta.typeChanges")
+                  .stripSuffix("]") + s",${changes.mkString(",")}]"
+              carried.copy(metadata = new MetadataBuilder().withMetadata(carried.metadata)
+                .putString("delta.typeChanges", hist).build())
+            }
+        }
+      })
+    (walkFields(before, after), any)
+  }
+
   private[delta] def upgradeWithFeature(p: Protocol, feature: String): Protocol = {
     val readers = p.readerFeatures.getOrElse(legacyReaderFeatures(p.minReaderVersion))
     val writers = p.writerFeatures.getOrElse(legacyWriterFeatures(p.minWriterVersion))

@@ -198,6 +198,59 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
   def recordKeyField: Option[String] =
     properties.get("hoodie.table.recordkey.fields").filter(_.nonEmpty)
 
+  /**
+   * Metadata-only type widening, Hudi's schema-evolution channel: the
+   * widened schema rides a zero-write `commit` instant's extraMetadata
+   * (Avro resolution makes int→long / float→double legal promotions for
+   * every reader of the old files; decimal grows precision at the same
+   * scale). Existing data files keep their narrower physical type — the
+   * scan widens values at read time. Later appends may carry either
+   * width (SchemaMerge keeps the declared wide type).
+   *
+   * Refused for the record-key field (keygen + both record-level
+   * indexes pin the key's serialized form) and partition columns (the
+   * uniform cross-format posture — see DeltaTable.widenColumn).
+   */
+  def widenColumn(name: String, to: DataType): String = {
+    val schema = schemaAt(None)
+    require(schema.fieldNames.contains(name), s"no column $name in $tablePath")
+    val field = schema(name)
+    require(graft.model.SchemaMerge.widens(field.dataType, to),
+      s"cannot widen $name of $tablePath: ${field.dataType.simpleString} -> " +
+        s"${to.simpleString} is not a supported type promotion")
+    require(!recordKeyField.contains(name),
+      s"cannot widen record key field $name of $tablePath: the key's " +
+        "serialized form is pinned by keygen and the record-level index")
+    require(!partitionColumns.contains(name),
+      s"cannot widen partition column $name of $tablePath")
+    val widened = StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    val meta = HudiCommitMetadata(
+      partitionToWriteStats = Map.empty,
+      partitionToReplaceFileIds = Map.empty,
+      extraMetadata = Map("schema" -> AvroSchemaConverters.toAvro(widened).toString),
+      operationType = "ALTER_SCHEMA")
+    var attempt = 0
+    var committed: Option[String] = None
+    while (committed.isEmpty) {
+      attempt += 1
+      val instant = timeline.nextInstantTime()
+      val won =
+        try timeline.commit(HudiInstant(instant, "commit"), meta)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      if (won) committed = Some(instant)
+      else {
+        require(attempt < 10,
+          s"concurrent commit contention at $tablePath: 10 attempts lost the race")
+        Thread.sleep(scala.util.Random.nextInt(20 * attempt) + 1L)
+      }
+    }
+    committed.get
+  }
+
   /** DESCRIBE DETAIL: one row of table-level facts from the timeline +
     * latest file slices — no raw filesystem listing. */
   def detail(): DataFrame = {

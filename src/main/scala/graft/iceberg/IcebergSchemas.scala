@@ -140,9 +140,25 @@ object IcebergSchemas {
       historicalLastId: Int = 0): StructType = {
     var next = math.max(lastAssignedId(existing), historicalLastId)
     def nextId(): Int = { next += 1; next }
+    // type-change compatibility (spec "Schema Evolution"): equal types,
+    // the widening promotions (either direction — a narrower write
+    // keeps the declared wide type), and same-shape containers whose
+    // interiors are compatible. Anything else under the SAME name is a
+    // DROP + ADD (deletes-first): the old id retires and the column
+    // gets a fresh id, so old manifests' bounds are never decoded
+    // under an unrelated new type.
+    def compatible(ex: DataType, in: DataType): Boolean = (ex, in) match {
+      case (_: StructType, _: StructType) => true
+      case (a: ArrayType, b: ArrayType) => compatible(a.elementType, b.elementType)
+      case (a: MapType, b: MapType) =>
+        a.keyType == b.keyType && compatible(a.valueType, b.valueType)
+      case (a, b) => a == b ||
+        graft.model.SchemaMerge.widens(a, b) || graft.model.SchemaMerge.widens(b, a)
+    }
     def walkStruct(ex: Option[StructType], in: StructType): StructType =
       StructType(in.fields.map { f =>
         val prior = ex.flatMap(_.fields.find(_.name == f.name))
+          .filter(p => compatible(p.dataType, f.dataType))
         val id = prior.flatMap(fieldId).getOrElse(nextId())
         // carry the prior field's metadata so its collection ids stay
         // stable; ensureCollectionIds below reallocates only when the
@@ -161,7 +177,19 @@ object IcebergSchemas {
       case (Some(pm: MapType), m: MapType) =>
         m.copy(valueType = walkType(Some(pm.valueType), m.valueType))
       case (_, m: MapType) => m.copy(valueType = walkType(None, m.valueType))
-      case (_, other) => other
+      case (Some(prior), other) =>
+        // primitive change legality: walkStruct already re-idd any
+        // incompatible change as a drop+add, so a surviving prior is
+        // equal or a promotion. A NARROWER incoming type keeps the
+        // stored wider type (never narrow a declared schema — the
+        // reader widens the physical values); a wider one evolves it.
+        if (prior == other) other
+        else if (graft.model.SchemaMerge.widens(other, prior)) prior
+        else if (graft.model.SchemaMerge.widens(prior, other)) other
+        else throw new IllegalStateException(
+          s"unreachable: incompatible ${prior.simpleString} -> ${other.simpleString} " +
+            "must have been re-idd by walkStruct")
+      case (None, other) => other
     }
     // floor at the table's historical max id so reallocation (new
     // fields, shape changes) can never resurrect a retired id
@@ -454,15 +482,27 @@ object IcebergSchemas {
     case _ => throw new IllegalArgumentException(s"no bound encoding for $dt")
   }
 
-  /** Decode back to the engine's canonical stat-string form. */
+  /** Decode back to the engine's canonical stat-string form. Bounds
+    * written BEFORE a type widen keep their narrower physical width
+    * (manifests are immutable — a carried manifest's 4-byte int bounds
+    * survive an int→long widen), so integer/float decode is
+    * length-aware: a 4-byte buffer under a long/double field is the
+    * pre-widen encoding and its value is exact under the promotion. */
   def decodeBound(dt: DataType, bytes: Array[Byte]): String = dt match {
     case BooleanType => (bytes(0) != 0).toString
     case ByteType | ShortType | IntegerType | DateType =>
       ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt.toString
     case LongType | TimestampType | TimestampNTZType =>
-      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong.toString
+      if (bytes.length == 4)
+        ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong.toString
+      else ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong.toString
     case FloatType => ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat.toString
-    case DoubleType => ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getDouble.toString
+    case DoubleType =>
+      // a float's shortest-decimal string round-trips the float exactly;
+      // going through toDouble would surface the binary residue instead
+      if (bytes.length == 4)
+        ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat.toString
+      else ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getDouble.toString
     case StringType => new String(bytes, StandardCharsets.UTF_8)
     case d: DecimalType =>
       new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale).toPlainString

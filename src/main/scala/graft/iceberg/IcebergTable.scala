@@ -154,6 +154,43 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       s"concurrent iceberg commit on $tablePath")
   }
 
+  /**
+   * Metadata-only type widening (Iceberg spec "Schema Evolution" valid
+   * promotions: int→long, float→double, decimal precision growth at the
+   * same scale). The field keeps its id; the table registers a NEW
+   * schema-id so snapshots committed before the widen still time-travel
+   * under their narrower schema. Existing data files and manifests are
+   * untouched — the scan widens physical values at read time and the
+   * bound codec decodes pre-widen 4-byte bounds length-aware.
+   *
+   * Refused for fields any known partition spec references (their
+   * TYPED partition values live in immutable old manifests — the
+   * uniform cross-format posture, matching the Delta/Hudi refusals so
+   * a widen at any sync source is applicable at every target).
+   */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Unit = {
+    val (v, meta) = log.readLatest().getOrElse(
+      throw new IllegalStateException(s"not an iceberg table: $tablePath"))
+    require(meta.schema.fieldNames.contains(name), s"no column $name in $tablePath")
+    val field = meta.schema(name)
+    require(graft.model.SchemaMerge.widens(field.dataType, to),
+      s"cannot widen $name of $tablePath: ${field.dataType.simpleString} -> " +
+        s"${to.simpleString} is not a valid iceberg type promotion")
+    val fid = IcebergSchemas.fieldId(field).getOrElse(
+      throw new IllegalStateException(s"field $name of $tablePath missing iceberg id"))
+    require(!meta.allSpecs.exists(_._2.exists(_.sourceId == fid)),
+      s"cannot widen $name of $tablePath: referenced by a partition spec " +
+        "(typed partition values live in immutable manifests)")
+    val widened = org.apache.spark.sql.types.StructType(meta.schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    require(log.commit(v + 1, meta.copy(
+      schema = widened,
+      currentSchemaId = meta.currentSchemaId + 1,
+      olderSchemas = meta.allSchemas,
+      lastUpdatedMs = System.currentTimeMillis())),
+      s"concurrent iceberg commit on $tablePath")
+  }
+
   /** Resolve a ref name to its snapshot id (`main` → current). */
   def refSnapshot(name: String): Long =
     if (name == "main")

@@ -211,6 +211,18 @@ object FormatQueries {
         try t16.upsert(incoming16, Seq("o_orderkey"))
         finally aside16.foreach { case (a, p) => require(fs16.rename(a, p)) }
 
+        // 17. z-order clustering: lineitem fragmented into 16 scattered
+        //     files, then zorder-compacted on (l_partkey, l_suppkey) —
+        //     the multi-dimension layout whose per-file min/max stats
+        //     prune 2-d boxes where a lexicographic sort only prunes its
+        //     leading column (Delta OPTIMIZE ZORDER BY shape; pruning
+        //     fractions pinned by CompactionSpec)
+        val zt = DeltaTable.create(spark, s"$root/lineitem_zorder",
+          Tables.lineitem(spark, sfDir).repartition(16))
+        require(zt.compact(targetFileBytes = 1L << 19, smallFileBytes = 1L << 30,
+          zorderBy = Seq("l_partkey", "l_suppkey")).nonEmpty,
+          "f24 fixture: zorder compact was a no-op")
+
         root
       })
     }
@@ -304,6 +316,29 @@ object FormatQueries {
       },
       """SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Multi-dimensional stats skipping over the z-ordered layout: BOTH
+    // range bounds prune files (a single-dim sort could only prune the
+    // leading column), then the row filter applies on survivors.
+    QueryDef.sql(
+      "f24_zorder_clustering",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "lineitem_zorder")
+        t.scan
+          .range("l_partkey", Some(100L), Some(400L))
+          .range("l_suppkey", Some(10L), Some(40L)).toDF()
+          .filter(col("l_partkey").between(100, 400) && col("l_suppkey").between(10, 40))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // Time-transform partitioning: a range predicate on the SOURCE

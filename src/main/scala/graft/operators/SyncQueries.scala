@@ -192,6 +192,31 @@ object SyncQueries {
           SyncEngine.deltaTarget(spark, s"$root/mor_tgt_d"))
         require(r12d.mode == "incremental", s"expected incremental mor replay, got ${r12d.mode}")
 
+        // 13. cross-format type widening: the Delta source widens
+        //     l_linenumber int→long (metadata-only typeWidening commit,
+        //     no data rewritten), then appends rows whose values exceed
+        //     int range; the widen and the wide rows replay
+        //     INCREMENTALLY into an Iceberg target (new schema-id, same
+        //     field id), and the widened Iceberg table chains onward
+        //     into a Hudi target — pre-widen narrow files, the widened
+        //     schema, and the wide values all survive double translation
+        val li13 = Tables.lineitem(spark, sfDir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+        val wSrc = DeltaTable.create(spark, s"$root/widen_src",
+          li13.filter(col("l_orderkey") % 2 === 0))
+        SyncEngine.sync(
+          SyncEngine.deltaSource(wSrc), SyncEngine.icebergTarget(spark, s"$root/widen_tgt"))
+        wSrc.widenColumn("l_linenumber", LongType)
+        wSrc.append(li13.filter(col("l_orderkey") % 2 === 1)
+          .withColumn("l_linenumber", col("l_linenumber").cast(LongType) * 1000000000L),
+          Seq.empty)
+        val r13 = SyncEngine.sync(
+          SyncEngine.deltaSource(wSrc), SyncEngine.icebergTarget(spark, s"$root/widen_tgt"))
+        require(r13.mode == "incremental", s"expected incremental widen replay, got ${r13.mode}")
+        SyncEngine.sync(
+          SyncEngine.icebergSource(IcebergTable.forPath(spark, s"$root/widen_tgt")),
+          SyncEngine.hudiTarget(spark, s"$root/widen_chain"))
+
         root
       })
     }
@@ -452,6 +477,30 @@ object SyncQueries {
         |  'iceberg'
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY target, o_orderstatus""".stripMargin),
+
+    // Cross-format type widening, double-translated: a metadata-only
+    // int→long widen on the Delta source rides the incremental feed to
+    // an Iceberg target and chains onward into Hudi; the narrow
+    // pre-widen files and the beyond-int-range post-widen values must
+    // read exactly under the widened schema at the END of the chain.
+    QueryDef.sql(
+      "x13_type_widen_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        HudiTable.forPath(spark, s"$root/widen_chain").toDF()
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_linenumber")).as("sum_ln"),
+            max(col("l_linenumber")).as("max_ln"))
+          .orderBy(col("l_returnflag"))
+      },
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN CAST(l_linenumber AS BIGINT)
+        |                ELSE CAST(l_linenumber AS BIGINT) * 1000000000 END) AS BIGINT) AS sum_ln,
+        |  CAST(MAX(CASE WHEN l_orderkey % 2 = 0 THEN CAST(l_linenumber AS BIGINT)
+        |                ELSE CAST(l_linenumber AS BIGINT) * 1000000000 END) AS BIGINT) AS max_ln
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // The streaming change feed, end to end: drain a two-commit table
     // through spark.readStream.format("graft") (snapshot batch + one

@@ -385,6 +385,81 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * URL canonicalization — the crawl-side normalizer every corpus
+   * pipeline runs before content dedup: drop the `#fragment`, strip
+   * `utm_*` tracking parameters (and any dangling `?`/`&`), lowercase
+   * the scheme and host (paths stay case-sensitive), trim a trailing
+   * slash. A pure codegen'd regexp chain, shuffle-free per row.
+   */
+  def canonicalUrl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val noUtm = regexp_replace(regexp_replace(noFrag, "utm_[^&#]*&?", ""), "[?&]$", "")
+    val lowered = concat(
+      lower(regexp_extract(noUtm, "^([^/]*//[^/]+)", 1)),
+      regexp_extract(noUtm, "^[^/]*//[^/]+(.*)$", 1))
+    regexp_replace(lowered, "/$", "")
+  }
+
+  /**
+   * URL-level dedup over [[canonicalUrl]]: group by the canonical form,
+   * keep the smallest doc_id, count the collapsed surface variants. The
+   * ONLY shuffle is the canonical-key group-by (url + two small ints) —
+   * at corpus scale that is the whole cost of crawl dedup. The corpus
+   * has no URL column, so five deterministic doc_id-derived surface
+   * forms of the same target are planted first (mixed case, trailing
+   * slash, utm params, fragment); the canonicalizer is corpus-agnostic.
+   */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = concat(lit("www.example.com/docs/"), col("doc_id") % 100)
+    val dirty = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(lit("https://"), base))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("HTTPS://WWW.EXAMPLE.COM/docs/"), col("doc_id") % 100))
+        .when(col("doc_id") % 5 === 2, concat(lit("https://"), base, lit("/")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://"), base, lit("?utm_source=feed&utm_campaign=sync")))
+        .otherwise(concat(lit("https://"), base, lit("#section-2"))).as("url"))
+    dirty
+      .select(col("doc_id"), canonicalUrl(col("url")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_doc"))
+      .orderBy(col("canonical_url"))
+  }
+
+  /**
+   * Exact frequent n-grams via a digest sketch + string verify pass —
+   * the heavy-hitter primitive behind boilerplate detection. Pass 1
+   * shuffles ONLY 8-byte xxhash64 digests (never gram text) to find
+   * candidate-hot digests; pass 2 recounts the candidates BY STRING
+   * behind a broadcast semi-join, so a digest collision can only
+   * enlarge the candidate set, never the answer — the result is exact.
+   * At 100 TB the full-corpus shuffle is 12 bytes per gram instead of
+   * the gram text; the threshold is relative (total/1000) so the same
+   * query is meaningful at every scale. Three corpus scans (size
+   * count, digest pass, verify pass) buy the narrow shuffle — the
+   * right trade whenever gram text ≫ 12 bytes.
+   */
+  def frequentNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val spreadN = spark.sparkContext.defaultParallelism * 2
+    def grams(d: DataFrame): DataFrame = d
+      .withColumn("words", split(lower(col("text")), " "))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(words)-2), i -> concat_ws(' ', slice(words, i+1, 2)))"))
+        .as("gram"))
+    val g = grams(Tables.documents(spark, dir).repartition(spreadN, col("doc_id")))
+    // corpus-sized scalar (a count, no shuffle) — sets the support bar
+    val threshold = math.max(2L, g.count() / 1000L)
+    val hot = g.groupBy(xxhash64(col("gram")).as("d")).agg(count(lit(1)).as("dn"))
+      .filter(col("dn") >= threshold).select("d")
+    g.join(broadcast(hot), xxhash64(col("gram")) === col("d"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy(col("n").desc, col("gram"))
+  }
+
   /** MD5 fingerprint of punctuation/case-normalized text (the
     * engine-portable digest; xxhash64 variants live in Dedup). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
@@ -631,6 +706,47 @@ object TextOps {
          |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rank
          |  FROM gate)
          |SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank, wc AS n_words
-         |FROM ranked WHERE rank <= 25 ORDER BY doc_id""".stripMargin)
+         |FROM ranked WHERE rank <= 25 ORDER BY doc_id""".stripMargin),
+    QueryDef.sql(
+      "t15_url_dedup",
+      urlDedup,
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN 'https://www.example.com/docs/' || (doc_id % 100)
+        |      WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM/docs/' || (doc_id % 100)
+        |      WHEN 2 THEN 'https://www.example.com/docs/' || (doc_id % 100) || '/'
+        |      WHEN 3 THEN 'https://www.example.com/docs/' || (doc_id % 100)
+        |        || '?utm_source=feed&utm_campaign=sync'
+        |      ELSE 'https://www.example.com/docs/' || (doc_id % 100) || '#section-2'
+        |    END AS url
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(url, '#.*$', ''), 'utm_[^&#]*&?', '', 'g'), '[?&]$', '') AS u2
+        |  FROM dirty),
+        |canon AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      lower(regexp_extract(u2, '^([^/]*//[^/]+)', 1))
+        |        || regexp_extract(u2, '^[^/]*//[^/]+(.*)$', 1),
+        |      '/$', '') AS canonical_url
+        |  FROM stripped)
+        |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin),
+    QueryDef.sql(
+      "t16_frequent_ngrams",
+      frequentNgrams,
+      """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS words FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(words) >= 2
+        |    THEN list_transform(range(0, len(words)-1),
+        |      i -> array_to_string(words[i+1:i+2], ' '))
+        |    ELSE [] END) AS gram FROM w),
+        |t AS (SELECT GREATEST(2, COUNT(*) // 1000) AS th FROM g)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM g, t GROUP BY gram, t.th HAVING COUNT(*) >= t.th
+        |ORDER BY n DESC, gram""".stripMargin)
   )
 }

@@ -33,10 +33,10 @@ class DeltaProtocolSpec extends SparkTestBase {
     val dir = tmpDir("proto_reader")
     val t = DeltaTable.create(spark, s"$dir/t", orders.limit(100))
     upgrade(t, Protocol(3, 7,
-      Some(Seq("deletionVectors", "typeWidening")),
-      Some(Seq("deletionVectors", "typeWidening"))))
+      Some(Seq("deletionVectors", "variantType")),
+      Some(Seq("deletionVectors", "variantType"))))
     val e = intercept[IllegalArgumentException](t.toDF().collect())
-    assert(e.getMessage.contains("typeWidening"))
+    assert(e.getMessage.contains("variantType"))
     assert(e.getMessage.contains("unsupported Delta reader feature"))
     intercept[IllegalArgumentException](t.append(orders.limit(1), Seq.empty))
     intercept[IllegalArgumentException](t.changeFeed(0L, t.latestVersion))

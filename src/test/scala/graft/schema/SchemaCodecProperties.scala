@@ -157,10 +157,18 @@ object SchemaCodecProperties extends Properties("SchemaCodecs") {
         st.fields.map(f => f.name -> f.metadata.getLong(IcebergSchemas.FieldIdKey).toInt).toMap
       val baseIds = idByName(base)
       val evolvedIds = idByName(evolved)
-      val stable = baseIds.keySet.intersect(evolvedIds.keySet)
-        .forall(n => baseIds(n) == evolvedIds(n))
+      val inTypes = b.fields.map(f => f.name -> f.dataType).toMap
+      val baseTypes = base.fields.map(f => f.name -> f.dataType).toMap
+      val last = IcebergSchemas.lastAssignedId(base)
+      // same-type fields MUST keep their id; a changed type either kept
+      // it (a widening promotion) or was re-idd as a drop+add with a
+      // FRESH id above every previously assigned one — never a reuse
+      val stable = baseIds.keySet.intersect(evolvedIds.keySet).forall { n =>
+        if (baseTypes(n) == inTypes(n)) baseIds(n) == evolvedIds(n)
+        else baseIds(n) == evolvedIds(n) || evolvedIds(n) > last
+      }
       val fresh = (evolvedIds.keySet -- baseIds.keySet)
-        .forall(n => evolvedIds(n) > IcebergSchemas.lastAssignedId(base))
+        .forall(n => evolvedIds(n) > last)
       stable && fresh
     }
 

@@ -16,10 +16,11 @@ import graft.iceberg.IcebergTable
  * matrix (ref `core/src/test/java/io/onetable/ITOneTableClient.java:
  * 177-262`) generalized into seeded random op sequences: a random source
  * format takes 8-12 random operations (append / upsert / delete /
- * overwrite / compact / add-column / rename-column / partition-spec
- * evolution / branch write-audit-publish, with hostile partition values
- * mixed in), syncing through a random topology (fan-out or chain) after
- * EVERY op and asserting the three formats answer identically each time.
+ * overwrite / compact / add-column / rename-column / type-widen /
+ * partition-spec evolution / branch write-audit-publish, with hostile
+ * partition values mixed in), syncing through a random topology (fan-out
+ * or chain) after EVERY op and asserting the three formats answer
+ * identically each time.
  *
  * The default run covers `GRAFT_FUZZ_N` (default 8) seeded sequences;
  * CI-tagged full runs set GRAFT_FUZZ_N=100+. Failures print the seed and
@@ -39,6 +40,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
       col("o_orderkey").as("k"),
       col("o_totalprice").as("price"),
       col("o_orderstatus").as("status"),
+      (col("o_orderkey") % 97).cast("int").as("qty"),
       element_at(
         map(
           lit("1-URGENT"), lit("urgent"),
@@ -63,7 +65,9 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     * for that source). */
   private abstract class Src(val fmt: String, val path: String,
       val partCols: Seq[String]) {
-    var cols: Seq[String] = Seq("k", "price", "status", "part")
+    var cols: Seq[String] = Seq("k", "price", "status", "qty", "part")
+    /** qty has been widened int→long (metadata-only type widening) */
+    var qtyWide: Boolean = false
     /** Shape a pool batch to the CURRENT table schema: materialize the
       * evolved `extra` column and follow renames before selecting. */
     def align(df: DataFrame): DataFrame = {
@@ -75,6 +79,8 @@ class CrossFormatFuzzSpec extends SparkTestBase {
       b.select(cols.map(c => col(s"`$c`")): _*)
     }
     def append(df: DataFrame): Unit
+    /** metadata-only int→long widen of the qty column */
+    def widen(): Unit
     def upsert(df: DataFrame): Unit
     def delete(keys: DataFrame): Unit
     def overwrite(df: DataFrame): Unit
@@ -101,8 +107,11 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     /** adapter-side schema state snapshotted per marker so a restore op
       * can roll the ADAPTER back alongside the table (lets restore fuzz
       * across addcol/rename instead of only pre-evolution states) */
-    def schemaState: AnyRef = cols
-    def restoreSchemaState(s: AnyRef): Unit = { cols = s.asInstanceOf[Seq[String]] }
+    def schemaState: AnyRef = (cols, qtyWide)
+    def restoreSchemaState(s: AnyRef): Unit = {
+      val (c, w) = s.asInstanceOf[(Seq[String], Boolean)]
+      cols = c; qtyWide = w
+    }
     /** recorded markers still time-travelable after retire() */
     def surviving(ms: Seq[String]): Seq[String] = ms
     def caps: Set[String]
@@ -115,6 +124,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     val t = DeltaTable.create(spark, path, init, partCols)
     private var liveParts = partCols
     def append(df: DataFrame): Unit = t.append(align(df), liveParts)
+    def widen(): Unit = t.widenColumn("qty", LongType)
     // deletion-vector-carrying commits refuse metadata sync by design
     // (DeltaTable.scala "carries a deletion vector"), so mutation ops
     // purge to rewritten files before the next sync point
@@ -147,10 +157,10 @@ class CrossFormatFuzzSpec extends SparkTestBase {
       "addcol", "retire", "index") ++ (if (renameOk) Set("rename") else Set.empty)
     // restore reverts Delta metadata too (schema, column-mapping mode),
     // so liveParts and the mapped flag roll back with the marker
-    override def schemaState: AnyRef = (cols, liveParts, mapped)
+    override def schemaState: AnyRef = (cols, qtyWide, liveParts, mapped)
     override def restoreSchemaState(s: AnyRef): Unit = {
-      val (c, lp, m) = s.asInstanceOf[(Seq[String], Seq[String], Boolean)]
-      cols = c; liveParts = lp; mapped = m
+      val (c, w, lp, m) = s.asInstanceOf[(Seq[String], Boolean, Seq[String], Boolean)]
+      cols = c; qtyWide = w; liveParts = lp; mapped = m
     }
     def version: String = t.latestVersion.toString
     def dfAsOf(v: String): DataFrame = t.toDF(versionAsOf = Some(v.toLong))
@@ -167,6 +177,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
       partCols: Seq[String]) extends Src("iceberg", path, partCols) {
     val t = IcebergTable.create(spark, path, init, partCols)
     def append(df: DataFrame): Unit = t.append(align(df))
+    def widen(): Unit = t.widenColumn("qty", LongType)
     // v2 delete files cannot be expressed in other formats; the sync
     // refuses them by design, so mutation ops purge before a sync point
     def upsert(df: DataFrame): Unit = { t.upsert(align(df), Seq("k")); t.purgeDeletes() }
@@ -211,6 +222,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     // the COW op set the sync engine actually supports
     val t = HudiTable.create(spark, path, init, partCols)
     def append(df: DataFrame): Unit = t.append(align(df), partCols)
+    def widen(): Unit = t.widenColumn("qty", LongType)
     def upsert(df: DataFrame): Unit = sys.error("hudi COW: no upsert")
     def delete(keys: DataFrame): Unit = sys.error("hudi COW: no delete")
     def overwrite(df: DataFrame): Unit = t.overwrite(align(df), partCols)
@@ -238,6 +250,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
       partCols: Seq[String]) extends Src("hudi-mor", path, partCols) {
     val t = HudiTable.createMor(spark, path, init, "k", partCols)
     def append(df: DataFrame): Unit = t.append(align(df), partCols)
+    def widen(): Unit = t.widenColumn("qty", LongType)
     def upsert(df: DataFrame): Unit = t.upsert(align(df))
     def delete(keys: DataFrame): Unit = t.deleteKeys(keys)
     def overwrite(df: DataFrame): Unit = t.overwrite(align(df), partCols)
@@ -274,7 +287,23 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     case "hudi" => HudiTable.forPath(spark, path).latestInstant
   }
 
-  private def snap(df: DataFrame): (Long, Long, Seq[String]) = {
+  /** Width-canonical projection: integer widths → long, float → double.
+    * A restore ACROSS a type widen legitimately leaves an Iceberg target
+    * WIDER than its re-narrowed source — the spec has no narrowing
+    * promotion, and the mirrored files (all narrow again) still read
+    * exactly — so value equality, not declared width, is the
+    * cross-format invariant the hash compares. */
+  private def wide(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      (f.dataType match {
+        case ByteType | ShortType | IntegerType => col(s"`${f.name}`").cast("long")
+        case FloatType => col(s"`${f.name}`").cast("double")
+        case _ => col(s"`${f.name}`")
+      }).as(f.name)
+    }.toIndexedSeq: _*)
+
+  private def snap(df0: DataFrame): (Long, Long, Seq[String]) = {
+    val df = wide(df0)
     val cs = df.columns.sorted.toSeq
     val n = df.count()
     val h = if (n == 0) 0L
@@ -346,11 +375,12 @@ class CrossFormatFuzzSpec extends SparkTestBase {
       val sA = snap(readAs(if (topo == "bi") biTgt else fmtA, pathA))
       val sB = if (topo == "bi") sA else snap(readAs(fmtB, pathB))
       if (s0 != sA || s0 != sB) {
-        val bad = if (s0 != sA) readAs(if (topo == "bi") biTgt else fmtA, pathA)
-          else readAs(fmtB, pathB)
-        val cs = src.df.columns.sorted.toSeq.map(c => col(s"`$c`"))
-        val missing = src.df.select(cs: _*).exceptAll(bad.select(cs: _*)).limit(5).collect()
-        val extra = bad.select(cs: _*).exceptAll(src.df.select(cs: _*)).limit(5).collect()
+        val bad = wide(if (s0 != sA) readAs(if (topo == "bi") biTgt else fmtA, pathA)
+          else readAs(fmtB, pathB))
+        val good = wide(src.df)
+        val cs = good.columns.sorted.toSeq.map(c => col(s"`$c`"))
+        val missing = good.select(cs: _*).exceptAll(bad.select(cs: _*)).limit(5).collect()
+        val extra = bad.select(cs: _*).exceptAll(good.select(cs: _*)).limit(5).collect()
         fail(s"cross-format divergence after [$step]\n$trace\n  src=$s0\n  a=$sA\n  b=$sB\n" +
           s"  src-only rows: ${missing.mkString(" | ")}\n  tgt-only rows: ${extra.mkString(" | ")}")
       }
@@ -389,7 +419,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     for (i <- 1 to nOps) {
       val op = {
         val restorable = history.size >= 2
-        val c = (src.caps ++ Set("nullrow", "emptybatch", "resync", "racesync") ++
+        val c = (src.caps ++ Set("nullrow", "emptybatch", "resync", "racesync", "widen") ++
           (if (restorable) Set("restore") else Set.empty)).toSeq.sorted
         c(rng.nextInt(c.size))
       }
@@ -407,6 +437,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
             lit(injectKey).as("k"),
             lit(null).cast("double").as("price"),
             lit(null).cast("string").as("status"),
+            lit(null).cast("int").as("qty"),
             lit(null).cast("string").as("part"))
           injectKey -= 1
           src.append(row)
@@ -509,6 +540,25 @@ class CrossFormatFuzzSpec extends SparkTestBase {
           }
           assert(paths.distinct.size == paths.size,
             s"duplicate live files on raced $tFmt target\n$trace\n${paths.sorted.mkString("\n")}")
+        case "widen" =>
+          // metadata-only int→long widen of the qty column, riding the
+          // canonical schema through every sync topology; once wide it
+          // degrades to a plain append so the op stays total. The
+          // follow-up row carries a value beyond int range, proving the
+          // widened width reaches every target losslessly.
+          if (src.qtyWide || !src.cols.contains("qty")) src.append(slice(rng))
+          else {
+            src.widen()
+            src.qtyWide = true
+            val row = pool.limit(1).select(
+              lit(injectKey).as("k"),
+              lit(null).cast("double").as("price"),
+              lit("wide").as("status"),
+              lit(4000000000L).as("qty"),
+              lit("urgent").as("part"))
+            injectKey -= 1
+            src.append(row)
+          }
         case "upsert" => src.upsert(slice(rng).withColumn("price", col("price") + 1000.0))
         case "delete" =>
           // never empty the table: delete a sparse key set
@@ -580,7 +630,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     val base = pool.filter(col("k") % 3 === 0)
     val t = HudiTable.createMor(spark, s"$dir/src", base, "k")
     val poisoned = base.limit(3).select(
-      lit(null).cast("long").as("k"), col("price"), col("status"), col("part"))
+      lit(null).cast("long").as("k"), col("price"), col("status"), col("qty"), col("part"))
     val e = intercept[Throwable](t.upsert(base.limit(2).unionByName(poisoned)))
     val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
       .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
