@@ -360,11 +360,27 @@ final class GraftChangeSource(
     })
     // a stream's schema is fixed at start; evolved batches project back:
     // columns ADDED upstream are dropped, columns DROPPED upstream read
-    // as null — batches stay schema-stable for the sink's whole life
+    // as null, and a NARROWER batch type (a stream started after a type
+    // widen replaying pre-widen commits) up-casts losslessly. The one
+    // impossible direction — the table widened PAST the pinned schema —
+    // fails loudly: silently narrowing long rows under an int pin would
+    // corrupt the sink (internalCreateDataFrame trusts the declared
+    // schema, it does not re-check row widths).
     val batchCols = batch.columns.toSet
     val aligned = batch.select(schema.fields.toSeq.map { f =>
-      if (batchCols.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      if (!batchCols.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
+      else {
+        val bt = batch.schema(f.name).dataType
+        if (bt.sameType(f.dataType)) col(f.name)
+        else if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(bt, f.dataType))
+          col(f.name).cast(f.dataType).as(f.name)
+        else throw new IllegalStateException(
+          s"GraftChangeSource[$fmt] $path: column ${f.name} evolved to " +
+            s"${bt.simpleString}, which cannot be presented under the stream's " +
+            s"pinned ${f.dataType.simpleString} schema without narrowing — " +
+            "restart from a fresh checkpoint (or pass the widened schema via " +
+            ".schema(...)) to adopt the new type.")
+      }
     }: _*)
     // V1 contract: the returned frame must be a streaming Dataset
     spark.asInstanceOf[ClassicSession]

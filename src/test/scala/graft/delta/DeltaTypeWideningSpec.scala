@@ -131,6 +131,57 @@ class DeltaTypeWideningSpec extends SparkTestBase {
     t2.widenColumn("l_linenumber", LongType)
   }
 
+  test("change feed spans the widen: mixed-width commits read under the wide schema") {
+    val dir = tmpDir("widen_cdf")
+    val t = DeltaTable.create(spark, s"$dir/t", items.limit(10))
+    t.widenColumn("l_linenumber", LongType)
+    t.append(items.limit(3)
+      .withColumn("l_orderkey", col("l_orderkey") + 2000000L)
+      .withColumn("l_linenumber", lit(4000000000L)), Seq.empty)
+    // range spans narrow v0 files AND wide v2 files: one frame, the
+    // range-end (wide) schema, every value exact
+    val feed = t.changeFeed(-1L, t.latestVersion)
+    assert(feed.schema("l_linenumber").dataType == LongType)
+    val vals = feed.select("l_linenumber").collect().map(_.getLong(0))
+    assert(vals.length == 13 && vals.count(_ == 4000000000L) == 3)
+  }
+
+  test("streaming across the widen: wide pin up-casts old files; narrow pin refuses loudly") {
+    val dir = tmpDir("widen_stream")
+    val t = DeltaTable.create(spark, s"$dir/t", items.limit(10))
+    t.widenColumn("l_linenumber", LongType)
+    t.append(items.limit(3)
+      .withColumn("l_orderkey", col("l_orderkey") + 2000000L)
+      .withColumn("l_linenumber", lit(4000000000L)), Seq.empty)
+    // a stream started AFTER the widen pins the wide schema; the
+    // initial snapshot replays pre-widen narrow files — they up-cast
+    val sink = s"widen_stream_${System.nanoTime()}"
+    val q = spark.readStream.format("graft").load(s"$dir/t")
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$dir/ckpt1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    val got = spark.table(sink)
+    assert(got.schema("l_linenumber").dataType == LongType)
+    assert(got.count() == 13)
+    assert(got.select("l_linenumber").collect().map(_.getLong(0)).count(_ == 4000000000L) == 3)
+    // a stream PINNED NARROW (pre-widen schema passed explicitly, as a
+    // restarted old checkpoint would) must refuse the widened batches
+    // loudly instead of silently narrowing 4e9 into an int
+    val narrowPin = StructType(t.schemaAt(Some(0L))._1.fields)
+    val sink2 = s"widen_stream2_${System.nanoTime()}"
+    val q2 = spark.readStream.format("graft").schema(narrowPin).load(s"$dir/t")
+      .writeStream.format("memory").queryName(sink2)
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(300000)
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("without narrowing"), msgs)
+  }
+
   test("stats survive the widen: old int-written stats parse under the long schema") {
     val dir = tmpDir("widen_stats")
     val t = DeltaTable.create(spark, s"$dir/t", items.repartition(4))
