@@ -87,6 +87,59 @@ object Similarity {
   }
 
   /**
+   * s10 — FILTERED ANN, the production vector-search shape ("nearest
+   * neighbors among label = L"). Strategy is single-stage PRE-filtering:
+   * the metadata predicate applies to the corpus BEFORE cell assignment,
+   * so every candidate a query ranks is already valid and top-k keeps
+   * its full k (a post-filter over an unfiltered top-k silently returns
+   * fewer than k whenever the predicate is selective). Scale shape: the
+   * predicate's selectivity multiplies the WHOLE pipeline — it reaches
+   * the parquet scan as a pushed filter, and nothing label-foreign ever
+   * assigns to a cell or ranks. Probing stays label-agnostic (cells are
+   * geometry, not metadata), so one trained quantizer serves every
+   * predicate.
+   */
+  def filteredIvfTopK(
+      spark: SparkSession, dir: String, label: Int = 3,
+      nQueries: Int = 10, k: Int = 5, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val centroids = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+
+    // pre-filter: only label-matching vectors assign to cells at all
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("centroid_id"))
+    val bucketed = e.filter(col("label") === label)
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos_c", cosineExpr("embedding", "cent_emb"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("centroid_id").as("bucket"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"))
+
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("centroid_id"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos_c", cosineExpr("q_emb", "cent_emb"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id").as("bucket"))
+
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(bucketed, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineExpr("q_emb", "c_emb"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
    * Lloyd's k-means over the embedding corpus — the training step that
    * produces IVF centroids (s02 probes buckets; this is where real
    * buckets come from) and the standard corpus-clustering primitive for
@@ -639,6 +692,40 @@ object Similarity {
         |        ORDER BY LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), c.cent_emb) DESC,
         |          c.centroid_id) AS rn
         |    FROM embeddings e, cents c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, q_emb, bucket FROM (
+        |    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS q_emb,
+        |      c.centroid_id AS bucket,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), c.cent_emb) DESC,
+        |          c.centroid_id) AS rn
+        |    FROM embeddings q, cents c WHERE q.vec_id < 10) WHERE rn <= 4)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ROUND(cosine, 4) AS cosine
+        |FROM (
+        |  SELECT p.query_id, b.neighbor_id,
+        |    LIST_COSINE_SIMILARITY(p.q_emb, b.c_emb) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+        |      ORDER BY LIST_COSINE_SIMILARITY(p.q_emb, b.c_emb) DESC, b.neighbor_id) AS rank
+        |  FROM probes p JOIN bucketed b ON p.bucket = b.bucket
+        |  WHERE p.query_id <> b.neighbor_id) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
+    // Filtered ANN: the same deterministic IVF plan with the label
+    // predicate PRE-filtering the corpus side (pushed into the scan),
+    // queries and probing unfiltered — the oracle replays assignment
+    // over the filtered corpus and must agree exactly.
+    QueryDef.sql(
+      "s10_ann_filtered",
+      (spark, dir) => filteredIvfTopK(spark, dir),
+      """WITH cents AS (
+        |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cent_emb
+        |  FROM embeddings WHERE vec_id < 16),
+        |bucketed AS (
+        |  SELECT centroid_id AS bucket, vec_id AS neighbor_id, c_emb FROM (
+        |    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS c_emb, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), c.cent_emb) DESC,
+        |          c.centroid_id) AS rn
+        |    FROM embeddings e, cents c WHERE e.label = 3) WHERE rn = 1),
         |probes AS (
         |  SELECT query_id, q_emb, bucket FROM (
         |    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS q_emb,

@@ -209,6 +209,24 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("s10 filtered ANN: the label predicate pre-filters the corpus scan itself") {
+    // single-stage pre-filtering: selectivity must multiply the WHOLE
+    // pipeline, so the label predicate has to reach the corpus-side
+    // parquet scan as a data filter — a post-filter above the ranking
+    // would pass every oracle and still rank label-foreign vectors at
+    // 100 TB (and silently return < k under selective predicates)
+    val plan = executed(SparkEntryLookup("s10_ann_filtered")(spark, sf0001))
+    assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty,
+      s"s10 plans a CartesianProduct:\n$plan")
+    val scans = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val labelScans = scans.filter(_.dataFilters.map(_.sql).mkString(" ").contains("label"))
+    assert(labelScans.nonEmpty,
+      s"s10's label predicate reached no scan — it is being applied " +
+        s"post-ranking. scans:\n${scans.map(_.dataFilters.map(_.sql).mkString(",")).mkString("\n")}")
+  }
+
   test("t14 pipeline: MERGE and DELETE both route through the key index, never a table scan") {
     // the composed ingest pipeline (d09 dedup → d10 pick → keyed MERGE +
     // deleteMatching) must exercise f23's EXACT routing on both
