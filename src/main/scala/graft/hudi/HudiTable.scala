@@ -583,8 +583,28 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     require(isMor, s"upsert needs a MERGE_ON_READ table: $tablePath is $tableType")
     val key = recordKeyField.getOrElse(throw new IllegalStateException(
       s"MOR table $tablePath has no hoodie.table.recordkey.fields"))
-    val df = requireNonNullKeys(dfIn)
+    val df0 = requireNonNullKeys(dfIn)
     val schema = schemaAt(None)
+    // log blocks encode with the TABLE's Avro schema, so batch values
+    // must carry the DECLARED widths: a narrow post-widen writer's
+    // values up-cast losslessly here (a parquet base file may keep its
+    // writer's narrower physical type — an Avro log block cannot), and
+    // a batch WIDER than the declared column refuses, directing an
+    // explicit widenColumn first
+    val df = df0.select(df0.columns.map { c =>
+      schema.fields.find(_.name == c) match {
+        case Some(f)
+            if df0.schema(c).dataType.catalogString != f.dataType.catalogString =>
+          val bt = df0.schema(c).dataType
+          if (graft.model.SchemaMerge.widens(bt, f.dataType))
+            col(s"`$c`").cast(f.dataType).as(c)
+          else throw new IllegalArgumentException(
+            s"upsert batch column $c is ${bt.simpleString} but $tablePath " +
+              s"declares ${f.dataType.simpleString}; widen the table first " +
+              "(widenColumn) or align the batch")
+        case _ => col(s"`$c`")
+      }
+    }.toIndexedSeq: _*)
     val hasTomb = df.schema.fieldNames.contains("_hoodie_is_deleted")
     val dataCols = schema.fieldNames.toSeq
     require(dataCols.forall(df.schema.fieldNames.contains),

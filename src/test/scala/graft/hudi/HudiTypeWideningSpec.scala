@@ -52,6 +52,36 @@ class HudiTypeWideningSpec extends SparkTestBase {
     assert(t.schemaAt(None)("l_linenumber").dataType == LongType)
   }
 
+  test("MOR: narrow log blocks merge under the widened schema; compaction carries it") {
+    val dir = tmpDir("hwiden_mor")
+    // keyed MOR: base files written narrow (int), then the widen, then
+    // an upsert whose LOG BLOCKS carry wide values and another whose
+    // blocks are still narrow — the merged snapshot read presents all
+    // three generations under the wide schema, exactly
+    val t = HudiTable.createMor(spark, s"$dir/t", items.limit(10), "l_orderkey")
+    t.widenColumn("l_linenumber", LongType)
+    val keys = items.limit(10).select("l_orderkey").collect().map(_.getLong(0)).sorted
+    // wide update of 3 existing keys (beyond int range)
+    t.upsert(items.limit(10).filter(col("l_orderkey").isin(keys.take(3): _*))
+      .withColumn("l_linenumber", lit(4000000000L)))
+    // narrow late writer updates 2 other keys
+    t.upsert(items.limit(10).filter(col("l_orderkey").isin(keys.slice(3, 5): _*))
+      .withColumn("l_linenumber", lit(7)))
+    val merged = t.toDF()
+    assert(merged.schema("l_linenumber").dataType == LongType)
+    assert(merged.count() == 10)
+    val byKey = merged.select("l_orderkey", "l_linenumber").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keys.take(3).foreach(k => assert(byKey(k) == 4000000000L, s"key $k"))
+    keys.slice(3, 5).foreach(k => assert(byKey(k) == 7L, s"key $k"))
+    // compaction folds the mixed-width log blocks into wide base files
+    t.compactMor()
+    val compacted = t.toDF()
+    assert(compacted.schema("l_linenumber").dataType == LongType)
+    assert(compacted.select("l_orderkey", "l_linenumber").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == byKey)
+  }
+
   test("refusal matrix: record key, partition column, non-promotions") {
     val dir = tmpDir("hwiden_refuse")
     val t = HudiTable.create(spark, s"$dir/t",
