@@ -911,6 +911,30 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
    * data files with a strictly older sequence number. Null key values
    * match null columns, per spec.
    */
+  /** Align a batch's column widths to the DECLARED schema: narrower
+    * values up-cast losslessly — delete/key files must carry the
+    * declared widths, because the reader's delete-file schema and the
+    * manifest bound encoding both follow the table schema — and a
+    * batch WIDER than a declared column refuses, directing an explicit
+    * widenColumn first (the mirror of HudiTable.upsert's alignment). */
+  private def alignToDeclared(
+      df: DataFrame, declared: StructType, context: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(df.columns.map { c =>
+      declared.fields.find(_.name == c) match {
+        case Some(f) if df.schema(c).dataType.catalogString != f.dataType.catalogString =>
+          val bt = df.schema(c).dataType
+          if (graft.model.SchemaMerge.widens(bt, f.dataType))
+            col(s"`$c`").cast(f.dataType).as(c)
+          else throw new IllegalArgumentException(
+            s"$context batch column $c is ${bt.simpleString} but $tablePath " +
+              s"declares ${f.dataType.simpleString}; widen the table first " +
+              "(widenColumn) or align the batch")
+        case _ => col(s"`$c`")
+      }
+    }.toIndexedSeq: _*)
+  }
+
   def deleteByEquality(keys: DataFrame): Long = {
     // pinned like deleteWhere: equality deletes are value-based and
     // would survive a racing rewrite, but committing against the read
@@ -927,7 +951,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       IcebergSchemas.fieldId(f).get
     }
     val defs = IcebergTable.defsOf(meta)
-    val newFiles = StagedWrites.writeAndPlace(keys.distinct(), tablePath, Seq.empty)
+    val newFiles = StagedWrites.writeAndPlace(
+      alignToDeclared(keys, meta.schema, "deleteByEquality").distinct(), tablePath, Seq.empty)
     val stats = ParquetFooterStats.collect(spark, newFiles)
     if (stats.map(_.recordCount).sum == 0L) {
       val fsys = new Path(tablePath).getFileSystem(hconf)
@@ -964,7 +989,9 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     }
     val defs = IcebergTable.defsOf(meta)
     val keyFiles = StagedWrites.writeAndPlace(
-      df.select(keyCols.map(c => org.apache.spark.sql.functions.col(s"`$c`")): _*).distinct(),
+      alignToDeclared(
+        df.select(keyCols.map(c => org.apache.spark.sql.functions.col(s"`$c`")): _*),
+        meta.schema, "upsert").distinct(),
       tablePath, Seq.empty)
     val keyStats = ParquetFooterStats.collect(spark, keyFiles)
     val delEntries = keyStats.filter(_.recordCount > 0).map(st =>

@@ -78,6 +78,36 @@ class IcebergTypeWideningSpec extends SparkTestBase {
     assert(t.toDF().count() == 15)
   }
 
+  test("v2 deletes across the widen: narrow key batches align to the declared width") {
+    val dir = tmpDir("iwiden_del")
+    // narrow files first, then the widen, then an equality delete whose
+    // key batch is STILL int-typed (a late narrow writer): the delete
+    // file must carry the declared long width — the reader's delete
+    // schema and the manifest bound codec both follow the table schema
+    val t = IcebergTable.create(spark, s"$dir/t", items.limit(10))
+    val keys = items.limit(10).select("l_orderkey").collect().map(_.getLong(0)).sorted
+    t.widenColumn("l_linenumber", LongType)
+    import spark.implicits._
+    // delete two rows by an int-typed l_linenumber predicate column pair
+    val victim = items.limit(10).filter(col("l_orderkey") === keys.head)
+      .select(col("l_orderkey"), col("l_linenumber")).collect().head
+    t.deleteByEquality(Seq((victim.getLong(0), victim.getInt(1)))
+      .toDF("l_orderkey", "l_linenumber")) // l_linenumber is INT here
+    assert(t.toDF().count() == 9)
+    assert(!t.toDF().select("l_orderkey").collect().map(_.getLong(0)).contains(victim.getLong(0)))
+    // upsert post-widen with a narrow batch: keys align, rows replace
+    val up = items.limit(10).filter(col("l_orderkey") === keys.last)
+      .withColumn("l_returnflag", lit("Z"))
+    t.upsert(up, Seq("l_orderkey"))
+    val flags = t.toDF().filter(col("l_orderkey") === keys.last)
+      .select("l_returnflag").collect().map(_.getString(0))
+    assert(flags.nonEmpty && flags.forall(_ == "Z"))
+    // a batch WIDER than a declared column refuses, naming widenColumn
+    val e = intercept[IllegalArgumentException](t.deleteByEquality(
+      Seq((1L, BigDecimal(2))).toDF("l_orderkey", "l_linenumber")))
+    assert(e.getMessage.contains("widen the table first"))
+  }
+
   test("refusal matrix: partition-spec sources and non-promotions") {
     val dir = tmpDir("iwiden_refuse")
     val t = IcebergTable.create(spark, s"$dir/t", items.limit(20), Seq("l_linenumber"))
