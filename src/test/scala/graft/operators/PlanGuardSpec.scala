@@ -242,6 +242,23 @@ class PlanGuardSpec extends SparkTestBase {
       s"expected the MERGE and the DELETE to be index-routed; routed scans = $routed")
   }
 
+  test("t16 frequent n-grams: gram text only shuffles AFTER the hot-digest broadcast") {
+    // pass 1's corpus-wide shuffle must carry the 8-byte digest, never
+    // the gram strings; any shuffle that does carry gram text is the
+    // candidate-sized verify pass and must sit above the broadcast
+    // semi-join that shrank it
+    val plan = executed(SparkEntryLookup("t16_frequent_ngrams")(spark, sf0001))
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    assert(shuffles.exists(!_.output.map(_.name).contains("gram")),
+      "no digest-only shuffle found — pass 1 is shuffling gram text")
+    shuffles.filter(_.output.map(_.name).contains("gram")).foreach { s =>
+      assert(collectAll(s) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"a gram-text shuffle without the hot-digest broadcast below it — " +
+          s"the full corpus text is shuffling: ${s.output.map(_.name).mkString(",")}")
+    }
+  }
+
   test("d01 exact dedup shuffles digests, not document text") {
     val plan = executed(SparkEntryLookup("d01_exact_dedup")(spark, sf0001))
     val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
