@@ -66,8 +66,14 @@ class CrossFormatFuzzSpec extends SparkTestBase {
   private abstract class Src(val fmt: String, val path: String,
       val partCols: Seq[String]) {
     var cols: Seq[String] = Seq("k", "price", "status", "qty", "part")
-    /** qty has been widened int→long (metadata-only type widening) */
-    var qtyWide: Boolean = false
+    /** Whether qty is CURRENTLY declared long — probed from the table,
+      * never tracked adapter-side: a restore across the widen narrows
+      * Delta (metadata rolls back) and Hudi (the ALTER_SCHEMA instant
+      * is revoked) but NOT Iceberg (the spec has no narrowing
+      * promotion; schema evolution survives rollback), so only the
+      * table itself knows (100-seed gate, seed 74). */
+    def qtyWide: Boolean =
+      df.schema.fields.find(_.name == "qty").exists(_.dataType == LongType)
     /** Shape a pool batch to the CURRENT table schema: materialize the
       * evolved `extra` column and follow renames before selecting. */
     def align(df: DataFrame): DataFrame = {
@@ -107,11 +113,8 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     /** adapter-side schema state snapshotted per marker so a restore op
       * can roll the ADAPTER back alongside the table (lets restore fuzz
       * across addcol/rename instead of only pre-evolution states) */
-    def schemaState: AnyRef = (cols, qtyWide)
-    def restoreSchemaState(s: AnyRef): Unit = {
-      val (c, w) = s.asInstanceOf[(Seq[String], Boolean)]
-      cols = c; qtyWide = w
-    }
+    def schemaState: AnyRef = cols
+    def restoreSchemaState(s: AnyRef): Unit = { cols = s.asInstanceOf[Seq[String]] }
     /** recorded markers still time-travelable after retire() */
     def surviving(ms: Seq[String]): Seq[String] = ms
     def caps: Set[String]
@@ -157,10 +160,10 @@ class CrossFormatFuzzSpec extends SparkTestBase {
       "addcol", "retire", "index") ++ (if (renameOk) Set("rename") else Set.empty)
     // restore reverts Delta metadata too (schema, column-mapping mode),
     // so liveParts and the mapped flag roll back with the marker
-    override def schemaState: AnyRef = (cols, qtyWide, liveParts, mapped)
+    override def schemaState: AnyRef = (cols, liveParts, mapped)
     override def restoreSchemaState(s: AnyRef): Unit = {
-      val (c, w, lp, m) = s.asInstanceOf[(Seq[String], Boolean, Seq[String], Boolean)]
-      cols = c; qtyWide = w; liveParts = lp; mapped = m
+      val (c, lp, m) = s.asInstanceOf[(Seq[String], Seq[String], Boolean)]
+      cols = c; liveParts = lp; mapped = m
     }
     def version: String = t.latestVersion.toString
     def dfAsOf(v: String): DataFrame = t.toDF(versionAsOf = Some(v.toLong))
@@ -549,7 +552,6 @@ class CrossFormatFuzzSpec extends SparkTestBase {
           if (src.qtyWide || !src.cols.contains("qty")) src.append(slice(rng))
           else {
             src.widen()
-            src.qtyWide = true
             val row = pool.limit(1).select(
               lit(injectKey).as("k"),
               lit(null).cast("double").as("price"),
