@@ -1003,7 +1003,9 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
           else Map(HudiTable.PartitionSpecsProp -> defs.map(_.spec).mkString(";"))))
       // additive schema evolution, same contract as the Delta path: a
       // narrower append never drops existing columns, type changes are
-      // rejected, new columns join at the end
+      // legal only along the widening order (SchemaMerge.widens — the
+      // merged wide schema persists in this commit's extraMetadata),
+      // new columns join at the end
       val storedSchema =
         if (instants.isEmpty) dfWithGen.schema
         else HudiTable.mergeSchemas(schemaAt(None), dfWithGen.schema, tablePath)
