@@ -653,7 +653,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       if (perFile.isEmpty || hasDvFeature) Seq.empty
       else Seq(DeltaTable.upgradeWithFeature(currentProtocol, "deletionVectors"))
     val v = latest + 1
-    require(log.commit(v, protocolUpgrade ++ removes ++ adds ++ cdcActions ++ extraActions :+ info),
+    graft.model.ConcurrentSyncException.check(log.commit(v, protocolUpgrade ++ removes ++ adds ++ cdcActions ++ extraActions :+ info),
       s"concurrent commit detected at version $v of $tablePath; re-run the operation")
     log.maybeCheckpoint(v)
     maintainKeyIndex(v, extraActions) // MERGE's new files; DVs move no keys
@@ -770,7 +770,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     meta.partitionColumns.foreach(c => require(newSchema.fieldNames.contains(c),
       s"cannot drop partition column $c of $tablePath"))
     val v = latestVersion + 1
-    require(log.commit(v, Seq(
+    graft.model.ConcurrentSyncException.check(log.commit(v, Seq(
       meta.copy(schemaString = newSchema.json),
       CommitInfo(System.currentTimeMillis(), "REPLACE COLUMNS",
         Map("columns" -> newSchema.fieldNames.mkString(","))))),
@@ -800,7 +800,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         Seq(p.copy(writerFeatures = Some((p.writerFeatures.get :+ "changeDataFeed").distinct)))
       else Seq(Protocol(p.minReaderVersion, 4)) // legacy v4 implies changeDataFeed
     val v = latestVersion + 1
-    require(log.commit(v, upgrade ++ Seq(
+    graft.model.ConcurrentSyncException.check(log.commit(v, upgrade ++ Seq(
       meta.copy(configuration = meta.configuration ++ props),
       CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES", props))),
       s"concurrent commit detected at version $v of $tablePath; re-run the operation")
@@ -876,7 +876,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
           "no longer exists (vacuumed); restore past the vacuum horizon is impossible")
     }
     val v = latest + 1
-    require(log.commit(v, metaOpt ++ removes ++ adds :+
+    graft.model.ConcurrentSyncException.check(log.commit(v, metaOpt ++ removes ++ adds :+
       CommitInfo(now, "RESTORE", Map("version" -> version.toString))),
       s"concurrent commit detected at version $v of $tablePath; re-run the operation")
     log.maybeCheckpoint(v)
@@ -1103,7 +1103,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       else if (p.minReaderVersion >= 2 && p.minWriterVersion >= 5) Seq.empty
       else Seq(Protocol(math.max(2, p.minReaderVersion), math.max(5, p.minWriterVersion)))
     val v = latestVersion + 1
-    require(log.commit(v, upgrade ++ Seq(
+    graft.model.ConcurrentSyncException.check(log.commit(v, upgrade ++ Seq(
       meta.copy(
         schemaString = mapped.json,
         configuration = meta.configuration ++ Map(
@@ -1132,7 +1132,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val renamed = StructType(
       schema.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
     val v = latestVersion + 1
-    require(log.commit(v, Seq(
+    graft.model.ConcurrentSyncException.check(log.commit(v, Seq(
       meta.copy(
         schemaString = renamed.json,
         partitionColumns = meta.partitionColumns.map(c => if (c == oldName) newName else c)),
@@ -1161,7 +1161,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val remaining = StructType(schema.fields.filterNot(_.name == name))
     require(remaining.nonEmpty, s"cannot drop the last column of $tablePath")
     val v = latestVersion + 1
-    require(log.commit(v, Seq(
+    graft.model.ConcurrentSyncException.check(log.commit(v, Seq(
       meta.copy(schemaString = remaining.json),
       CommitInfo(System.currentTimeMillis(), "DROP COLUMNS", Map("column" -> name)))),
       s"concurrent commit detected at version $v of $tablePath; re-run the operation")
@@ -1190,7 +1190,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
           meta.configuration + ("delta.columnMapping.maxColumnId" -> maxId.toString))
       }
     val v = latestVersion + 1
-    require(log.commit(v, Seq(
+    graft.model.ConcurrentSyncException.check(log.commit(v, Seq(
       meta.copy(schemaString = newSchema.json, configuration = newConf),
       CommitInfo(System.currentTimeMillis(), "ADD COLUMNS", Map("column" -> field.name)))),
       s"concurrent commit detected at version $v of $tablePath; re-run the operation")
@@ -1221,14 +1221,10 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     requireWritable(mutation = false)
     val (meta, _) = log.metadataAt(None)
     val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
-    require(schema.fieldNames.contains(name), s"no column $name in $tablePath")
-    val field = schema(name)
-    require(graft.model.SchemaMerge.widens(field.dataType, to),
-      s"cannot widen $name of $tablePath: ${field.dataType.simpleString} -> " +
-        s"${to.simpleString} is not a supported type promotion")
+    val root = name.takeWhile(_ != '.')
     require(!meta.partitionColumns.contains(name),
       s"cannot widen partition column $name of $tablePath")
-    requireNotGenerated(schema, name, "widen")
+    requireNotGenerated(schema, root, "widen")
     DeltaKeyIndex.readConfig(spark.sparkContext.hadoopConfiguration, tablePath)
       .filter(_.keyCol == name).foreach { _ =>
         throw new IllegalArgumentException(
@@ -1237,29 +1233,27 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
             "(buildKeyIndex) after the widen")
       }
     val v = latestVersion + 1
-    val widened = StructType(schema.fields.map { f =>
-      if (f.name != name) f
-      else {
-        // append to the field's delta.typeChanges history (real Delta's
-        // record shape: fromType/toType/tableVersion)
-        val entry = s"""{"fromType":"${f.dataType.typeName}"""" +
-          s""","toType":"${to.typeName}","tableVersion":$v}"""
-        val history =
-          if (!f.metadata.contains("delta.typeChanges")) s"[$entry]"
-          else f.metadata.getString("delta.typeChanges").stripSuffix("]") + s",$entry]"
-        f.copy(dataType = to, metadata = new MetadataBuilder().withMetadata(f.metadata)
-          .putString("delta.typeChanges", history).build())
-      }
-    })
+    var fromSimple = ""
+    // dot-path walk: nested struct fields / array elements / map values
+    // widen too; the typeChanges entry hangs on the DEEPEST struct-field
+    // ancestor with any container tail recorded as fieldPath — the real
+    // feature's placement rule
+    val widened = graft.model.SchemaMerge.widenAt(schema, name, to, tablePath) {
+      (f, from, fieldPath) =>
+        fromSimple = from.simpleString
+        f.copy(metadata = DeltaTable.appendTypeChanges(
+          f.metadata, Seq(DeltaTable.typeChangeEntry(from, to, fieldPath))))
+    }
     val p = log.protocolAt(None)
     val upgrade: Seq[DeltaAction] =
       if (p.readerFeatures.exists(_.contains("typeWidening"))) Seq.empty
       else Seq(DeltaTable.upgradeWithFeature(p, "typeWidening"))
-    require(log.commit(v, upgrade ++ Seq(
-      meta.copy(schemaString = widened.json),
-      CommitInfo(System.currentTimeMillis(), "CHANGE COLUMN",
-        Map("column" -> name, "from" -> field.dataType.simpleString, "to" -> to.simpleString)))),
-      s"concurrent commit detected at version $v of $tablePath; re-run the operation")
+    if (!log.commit(v, upgrade ++ Seq(
+        meta.copy(schemaString = widened.json),
+        CommitInfo(System.currentTimeMillis(), "CHANGE COLUMN",
+          Map("column" -> name, "from" -> fromSimple, "to" -> to.simpleString)))))
+      throw new graft.model.ConcurrentSyncException(
+        s"concurrent commit detected at version $v of $tablePath; re-run the operation")
     log.maybeCheckpoint(v)
     v
   }
@@ -1365,7 +1359,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val p = log.protocolAt(None)
     if (!p.readerFeatures.exists(_.contains("v2Checkpoint"))) {
       val v = latestVersion + 1
-      require(log.commit(v, Seq(
+      graft.model.ConcurrentSyncException.check(log.commit(v, Seq(
         DeltaTable.upgradeWithFeature(p, "v2Checkpoint"),
         CommitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL",
           Map("feature" -> "v2Checkpoint")))),
@@ -1631,7 +1625,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
           // same bookkeeping as the explicit widenColumn: typeChanges
           // history on the field and the typeWidening protocol feature,
           // so readers that can't widen refuse instead of misreading
-          val (stamped, widenedNow) = DeltaTable.stampTypeChanges(full, merged, v)
+          val (stamped, widenedNow) = DeltaTable.stampTypeChanges(full, merged)
           val upgrade: Seq[DeltaAction] =
             if (!widenedNow) Seq.empty
             else {
@@ -1654,7 +1648,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         maintainKeyIndex(v, adds)
         committed = v
       } else {
-        require(attempt < 10,
+        graft.model.ConcurrentSyncException.check(attempt < 10,
           s"concurrent commit contention at $tablePath: 10 attempts lost the race")
         // jittered backoff de-synchronizes lockstep racers
         Thread.sleep(scala.util.Random.nextInt(20 * attempt) + 1L)
@@ -1839,7 +1833,7 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     // the narrower pre-widen files the sync shares with the source
     val (schemaStamped, widenedNow) = baseMeta match {
       case Some(m) => DeltaTable.stampTypeChanges(
-        DataType.fromJson(m.schemaString).asInstanceOf[StructType], schemaForMeta, v)
+        DataType.fromJson(m.schemaString).asInstanceOf[StructType], schemaForMeta)
       case None => (schemaForMeta, false)
     }
     val meta = DeltaMetadata(
@@ -1949,16 +1943,13 @@ object DeltaTable {
    * `before`. Returns the stamped schema and whether anything widened.
    */
   private[graft] def stampTypeChanges(
-      before: StructType, after: StructType, v: Long): (StructType, Boolean) = {
+      before: StructType, after: StructType): (StructType, Boolean) = {
     var any = false
-    def entryJson(from: DataType, to: DataType, path: String): String = {
-      val fp = if (path.isEmpty) "" else s""","fieldPath":"$path""""
-      s"""{"fromType":"${from.typeName}","toType":"${to.typeName}","tableVersion":$v$fp}"""
-    }
     // primitive-level widens under ONE struct field (path segments
-    // relative to the field: element / value); nested STRUCT fields
-    // carry their own metadata so they stamp on themselves instead
-    def primChanges(b: DataType, a: DataType, path: String): Seq[String] = (b, a) match {
+    // relative to the field: element / value chains); nested STRUCT
+    // fields — at any container depth — carry their own metadata and
+    // stamp on themselves (walkType recurses to them)
+    def primChanges(b: DataType, a: DataType, path: String): Seq[Metadata] = (b, a) match {
       case (_: StructType, _: StructType) => Seq.empty
       case (ba: ArrayType, aa: ArrayType) =>
         primChanges(ba.elementType, aa.elementType,
@@ -1967,39 +1958,112 @@ object DeltaTable {
         primChanges(bm.valueType, am.valueType,
           if (path.isEmpty) "value" else s"$path.value")
       case (bp, ap) if bp != ap && graft.model.SchemaMerge.widens(bp, ap) =>
-        Seq(entryJson(bp, ap, path))
+        Seq(typeChangeEntry(bp, ap, path))
       case _ => Seq.empty
+    }
+    // recurse to structs at ANY container depth (array<struct<…>>,
+    // map<_,struct<…>>) — the real feature's "nearest struct field
+    // ancestor" rule: the nested field itself carries the history
+    def walkType(b: DataType, a: DataType): DataType = (b, a) match {
+      case (bn: StructType, an: StructType) => walkFields(bn, an)
+      case (bn: ArrayType, an: ArrayType) =>
+        an.copy(elementType = walkType(bn.elementType, an.elementType))
+      case (bn: MapType, an: MapType) =>
+        an.copy(valueType = walkType(bn.valueType, an.valueType))
+      case _ => a
     }
     def walkFields(bs: StructType, as: StructType): StructType =
       StructType(as.fields.map { af =>
         bs.fields.find(_.name == af.name) match {
           case None => af
           case Some(bf) =>
-            val nested = (bf.dataType, af.dataType) match {
-              case (bn: StructType, an: StructType) => af.copy(dataType = walkFields(bn, an))
-              case _ => af
-            }
+            val nested = af.copy(dataType = walkType(bf.dataType, af.dataType))
+            // carry a history the sync path stripped — PRUNED of entries
+            // made stale by a narrowing restore (a restored source can
+            // roll the declared type back; metadata claiming toType=long
+            // on an int column would mislead typeWidening-aware readers)
             val carried =
               if (nested.metadata.contains("delta.typeChanges") ||
                   !bf.metadata.contains("delta.typeChanges")) nested
-              else nested.copy(metadata = new MetadataBuilder().withMetadata(nested.metadata)
-                .putString("delta.typeChanges",
-                  bf.metadata.getString("delta.typeChanges")).build())
+              else {
+                val kept = pruneTypeChanges(
+                  bf.metadata.getMetadataArray("delta.typeChanges"), nested.dataType)
+                if (kept.isEmpty) nested
+                else nested.copy(metadata = new MetadataBuilder()
+                  .withMetadata(nested.metadata)
+                  .putMetadataArray("delta.typeChanges", kept).build())
+              }
             val changes = primChanges(bf.dataType, carried.dataType, "")
             if (changes.isEmpty) carried
             else {
               any = true
-              val hist =
-                if (!carried.metadata.contains("delta.typeChanges"))
-                  s"[${changes.mkString(",")}]"
-                else carried.metadata.getString("delta.typeChanges")
-                  .stripSuffix("]") + s",${changes.mkString(",")}]"
-              carried.copy(metadata = new MetadataBuilder().withMetadata(carried.metadata)
-                .putString("delta.typeChanges", hist).build())
+              carried.copy(metadata = appendTypeChanges(carried.metadata, changes))
             }
         }
       })
     (walkFields(before, after), any)
+  }
+
+  /** One `delta.typeChanges` history entry in the STABLE typeWidening
+    * shape (Delta PROTOCOL.md): `{fromType, toType[, fieldPath]}` as a
+    * metadata OBJECT — the history is a metadata ARRAY, not a
+    * JSON-encoded string, so external typeWidening-aware readers parse
+    * it. (The preview-era `tableVersion` key is gone from the stable
+    * shape.) */
+  private[graft] def typeChangeEntry(
+      from: DataType, to: DataType, fieldPath: String): Metadata = {
+    val b = new MetadataBuilder()
+      .putString("fromType", from.typeName)
+      .putString("toType", to.typeName)
+    if (fieldPath.nonEmpty) b.putString("fieldPath", fieldPath)
+    b.build()
+  }
+
+  /** Append entries to a field's `delta.typeChanges` metadata array. */
+  private[graft] def appendTypeChanges(md: Metadata, entries: Seq[Metadata]): Metadata = {
+    val existing =
+      if (md.contains("delta.typeChanges")) md.getMetadataArray("delta.typeChanges")
+      else Array.empty[Metadata]
+    new MetadataBuilder().withMetadata(md)
+      .putMetadataArray("delta.typeChanges", existing ++ entries).build()
+  }
+
+  /** Keep only history entries still CONSISTENT with the declared type:
+    * the entry's toType must equal — or still widen into — the type at
+    * its fieldPath. A restore that narrowed the schema back drops the
+    * now-false claims. */
+  private[graft] def pruneTypeChanges(
+      entries: Array[Metadata], declared: DataType): Array[Metadata] =
+    entries.filter { e =>
+      val at = if (e.contains("fieldPath"))
+        resolveFieldPath(declared, e.getString("fieldPath")) else Some(declared)
+      at.exists { dt =>
+        parseTypeName(e.getString("toType")).exists(to =>
+          to == dt || graft.model.SchemaMerge.widens(to, dt))
+      }
+    }
+
+  private def resolveFieldPath(dt: DataType, path: String): Option[DataType] =
+    path.split('.').foldLeft(Option(dt)) {
+      case (Some(ArrayType(et, _)), "element") => Some(et)
+      case (Some(MapType(_, vt, _)), "value") => Some(vt)
+      case (Some(MapType(kt, _, _)), "key") => Some(kt)
+      case _ => None
+    }
+
+  /** Parse the typeName strings [[typeChangeEntry]] emits (the
+    * promotion order's primitives + decimal). */
+  private def parseTypeName(s: String): Option[DataType] = s match {
+    case "byte" => Some(ByteType)
+    case "short" => Some(ShortType)
+    case "integer" => Some(IntegerType)
+    case "long" => Some(LongType)
+    case "float" => Some(FloatType)
+    case "double" => Some(DoubleType)
+    case "date" => Some(DateType)
+    case d if d.startsWith("decimal") =>
+      scala.util.Try(DataType.fromDDL(d)).toOption
+    case _ => None
   }
 
   private[delta] def upgradeWithFeature(p: Protocol, feature: String): Protocol = {

@@ -213,18 +213,15 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
    */
   def widenColumn(name: String, to: DataType): String = {
     val schema = schemaAt(None)
-    require(schema.fieldNames.contains(name), s"no column $name in $tablePath")
-    val field = schema(name)
-    require(graft.model.SchemaMerge.widens(field.dataType, to),
-      s"cannot widen $name of $tablePath: ${field.dataType.simpleString} -> " +
-        s"${to.simpleString} is not a supported type promotion")
     require(!recordKeyField.contains(name),
       s"cannot widen record key field $name of $tablePath: the key's " +
         "serialized form is pinned by keygen and the record-level index")
     require(!partitionColumns.contains(name),
       s"cannot widen partition column $name of $tablePath")
-    val widened = StructType(schema.fields.map(f =>
-      if (f.name == name) f.copy(dataType = to) else f))
+    // dot-path walk — nested struct fields / array elements / map values
+    // widen too (Avro resolution is recursive, so readers of old files
+    // resolve the nested promotion the same as a top-level one)
+    val widened = graft.model.SchemaMerge.widenAt(schema, name, to, tablePath)()
     val meta = HudiCommitMetadata(
       partitionToWriteStats = Map.empty,
       partitionToReplaceFileIds = Map.empty,
@@ -243,7 +240,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         }
       if (won) committed = Some(instant)
       else {
-        require(attempt < 10,
+        graft.model.ConcurrentSyncException.check(attempt < 10,
           s"concurrent commit contention at $tablePath: 10 attempts lost the race")
         Thread.sleep(scala.util.Random.nextInt(20 * attempt) + 1L)
       }
@@ -691,7 +688,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         HudiTable.mergeSchemas(schema, StructType(dataCols.map(schema(_))), tablePath)).toString)
         ++ commitProps,
       operationType = "UPSERT")
-    require(timeline.commit(HudiInstant(instant, "deltacommit"), meta),
+    graft.model.ConcurrentSyncException.check(timeline.commit(HudiInstant(instant, "deltacommit"), meta),
       s"concurrent hudi commit at $instant of $tablePath")
     HudiColStats.write(spark, tablePath, instant, placedColStats)
     recordInMetadataTable(instant, logWriteStats ++ placedStats)
@@ -1042,7 +1039,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         recordInMetadataTable(instant, writeStats, replacedFiles, colStats)
         committed = true
       } else {
-        require(attempt < 10,
+        graft.model.ConcurrentSyncException.check(attempt < 10,
           s"concurrent commit contention at $tablePath: 10 attempts lost the race")
         // jittered backoff de-synchronizes lockstep racers
         Thread.sleep(scala.util.Random.nextInt(20 * attempt) + 1L)
@@ -1258,7 +1255,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         "delete the savepoint first")
     val rollbackTime = timeline.nextInstantTime()
     val meta = rollbackOne(target)
-    require(timeline.commitJson(HudiInstant(rollbackTime, "rollback"),
+    graft.model.ConcurrentSyncException.check(timeline.commitJson(HudiInstant(rollbackTime, "rollback"),
       HudiMaintenanceCodec.rollbackToJson(rollbackTime, meta)),
       s"concurrent hudi commit at $rollbackTime of $tablePath")
     recordInMetadataTable(rollbackTime, Seq.empty,
@@ -1283,7 +1280,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       .flatMap(s => (s.basePath +: s.logs.map(_.path)).map(p => s.partitionPath -> absoluteOf(p)))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     val spTime = timeline.nextInstantTime()
-    require(timeline.commitJson(HudiInstant(spTime, "savepoint"),
+    graft.model.ConcurrentSyncException.check(timeline.commitJson(HudiInstant(spTime, "savepoint"),
       HudiMaintenanceCodec.savepointToJson(HudiSavepointMetadata(at, byPartition))),
       s"concurrent hudi commit at $spTime of $tablePath")
     spTime
@@ -1328,7 +1325,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         "are savepointed; delete the savepoint(s) first")
     val restoreTime = timeline.nextInstantTime()
     val rollbacks = doomed.map(rollbackOne)
-    require(timeline.commitJson(HudiInstant(restoreTime, "restore"),
+    graft.model.ConcurrentSyncException.check(timeline.commitJson(HudiInstant(restoreTime, "restore"),
       HudiMaintenanceCodec.restoreToJson(restoreTime,
         HudiRestoreMetadata(toInstant, doomed.map(_.time), rollbacks))),
       s"concurrent hudi commit at $restoreTime of $tablePath")

@@ -498,10 +498,13 @@ object IcebergSchemas {
       else ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong.toString
     case FloatType => ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat.toString
     case DoubleType =>
-      // a float's shortest-decimal string round-trips the float exactly;
-      // going through toDouble would surface the binary residue instead
+      // a pre-widen 4-byte bound must decode to the float's EXACT double
+      // value: consumers compare via toDouble (EntryPredicate.cmp), and a
+      // float's shortest-decimal string parsed as a double can differ from
+      // the float by ~half a float-ulp — enough to wrongly prune a file
+      // whose rows fall in that gap
       if (bytes.length == 4)
-        ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat.toString
+        ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat.toDouble.toString
       else ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getDouble.toString
     case StringType => new String(bytes, StandardCharsets.UTF_8)
     case d: DecimalType =>

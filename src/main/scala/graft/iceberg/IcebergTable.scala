@@ -63,7 +63,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val (v, meta) = log.readLatest().getOrElse(
       throw new IllegalStateException(s"not an iceberg table: $tablePath"))
     require(meta.refs.contains(name), s"no ref $name on $tablePath")
-    require(log.commit(v + 1, meta.copy(
+    graft.model.ConcurrentSyncException.check(log.commit(v + 1, meta.copy(
       refs = meta.refs - name, lastUpdatedMs = System.currentTimeMillis())),
       s"concurrent iceberg commit on $tablePath")
   }
@@ -106,7 +106,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     require(i >= 0,
       s"snapshot $snapshotId is not an ancestor in the snapshot log of $tablePath")
     if (meta.currentSnapshotId.contains(snapshotId)) return
-    require(log.commit(v + 1, meta.copy(
+    graft.model.ConcurrentSyncException.check(log.commit(v + 1, meta.copy(
       currentSnapshotId = Some(snapshotId),
       snapshotLog = meta.snapshotLog.take(i + 1),
       lastUpdatedMs = System.currentTimeMillis())),
@@ -146,7 +146,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
             }
           })
       }
-    require(log.commit(v + 1, meta.copy(
+    graft.model.ConcurrentSyncException.check(log.commit(v + 1, meta.copy(
       partitionSpec = specFields,
       defaultSpecId = specId,
       olderSpecs = meta.allSpecs.filterNot(_._1 == specId),
@@ -171,19 +171,24 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Unit = {
     val (v, meta) = log.readLatest().getOrElse(
       throw new IllegalStateException(s"not an iceberg table: $tablePath"))
-    require(meta.schema.fieldNames.contains(name), s"no column $name in $tablePath")
-    val field = meta.schema(name)
-    require(graft.model.SchemaMerge.widens(field.dataType, to),
-      s"cannot widen $name of $tablePath: ${field.dataType.simpleString} -> " +
-        s"${to.simpleString} is not a valid iceberg type promotion")
-    val fid = IcebergSchemas.fieldId(field).getOrElse(
-      throw new IllegalStateException(s"field $name of $tablePath missing iceberg id"))
-    require(!meta.allSpecs.exists(_._2.exists(_.sourceId == fid)),
-      s"cannot widen $name of $tablePath: referenced by a partition spec " +
-        "(typed partition values live in immutable manifests)")
-    val widened = org.apache.spark.sql.types.StructType(meta.schema.fields.map(f =>
-      if (f.name == name) f.copy(dataType = to) else f))
-    require(log.commit(v + 1, meta.copy(
+    // dot-path walk (nested struct fields / array elements / map values);
+    // every field along the path keeps its metadata, so the widened
+    // field KEEPS ITS ID — the spec's promotion contract
+    var anchorId: Option[Int] = None
+    val widened = graft.model.SchemaMerge.widenAt(meta.schema, name, to, tablePath) {
+      (f, _, fieldPath) =>
+        // a partition spec can only source a struct-field primitive
+        // (fieldPath == "" ⇒ the leaf IS the struct field); container
+        // elements/values are never spec sources
+        if (fieldPath.isEmpty) anchorId = IcebergSchemas.fieldId(f)
+        f
+    }
+    anchorId.foreach { fid =>
+      require(!meta.allSpecs.exists(_._2.exists(_.sourceId == fid)),
+        s"cannot widen $name of $tablePath: referenced by a partition spec " +
+          "(typed partition values live in immutable manifests)")
+    }
+    graft.model.ConcurrentSyncException.check(log.commit(v + 1, meta.copy(
       schema = widened,
       currentSchemaId = meta.currentSchemaId + 1,
       olderSchemas = meta.allSchemas,
@@ -900,7 +905,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     commitSnapshot(prevState, meta.schema, defs, entries, Seq.empty,
       carryPrevious = true, operation = "delete",
       extraProps = Map.empty)
-      .getOrElse(throw new IllegalStateException(
+      .getOrElse(throw new graft.model.ConcurrentSyncException(
         s"concurrent commit detected on $tablePath; re-run deleteWhere"))
   }
 
@@ -964,7 +969,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         .copy(content = ManifestEntry.ContentEqualityDeletes, equalityIds = ids))
     commitSnapshot(prevState, meta.schema, defs, entries, Seq.empty,
       carryPrevious = true, operation = "delete", extraProps = Map.empty)
-      .getOrElse(throw new IllegalStateException(
+      .getOrElse(throw new graft.model.ConcurrentSyncException(
         s"concurrent commit detected on $tablePath; re-run deleteByEquality"))
   }
 
@@ -1144,7 +1149,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         commitProps, toBranch = toBranch) match {
         case Some(snapshotId) => result = snapshotId
         case None =>
-          require(attempt < 10,
+          graft.model.ConcurrentSyncException.check(attempt < 10,
             s"concurrent commit contention at $tablePath: 10 attempts lost the race")
           // jittered backoff de-synchronizes lockstep racers
           Thread.sleep(scala.util.Random.nextInt(20 * attempt) + 1L)
@@ -1494,7 +1499,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       summary = Map(
         "manifests-replaced" -> manifests.size.toString,
         "manifests-created" -> rewritten.size.toString))
-    require(log.commit(v + 1, meta.copy(
+    graft.model.ConcurrentSyncException.check(log.commit(v + 1, meta.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
       currentSnapshotId = Some(snapshotId),
@@ -1541,7 +1546,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       snapshots = live,
       snapshotLog = meta.snapshotLog.filter { case (_, id) => live.exists(_.snapshotId == id) },
       lastUpdatedMs = System.currentTimeMillis())
-    require(log.commit(v + 1, next), s"concurrent iceberg commit on $tablePath")
+    graft.model.ConcurrentSyncException.check(log.commit(v + 1, next), s"concurrent iceberg commit on $tablePath")
     // manifest lists of expired snapshots are unreachable now; manifests
     // themselves may be shared with live snapshots, so only lists go
     val fsys = new Path(tablePath).getFileSystem(hconf)
@@ -1618,7 +1623,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
           // watermark reset → the retention fence forces a full sync
           properties = meta.properties.filterNot(_._1.startsWith("graft.sync.")),
           lastUpdatedMs = System.currentTimeMillis())
-        require(log.commit(v + 1, next), s"concurrent iceberg commit on $tablePath")
+        graft.model.ConcurrentSyncException.check(log.commit(v + 1, next), s"concurrent iceberg commit on $tablePath")
         true
       case _ => false
     }

@@ -182,6 +182,16 @@ final class UnsyncableChangeException(msg: String)
 final class ConcurrentSyncException(msg: String)
   extends IllegalStateException(msg)
 
+object ConcurrentSyncException {
+  /** CAS guard for put-if-absent commits: a lost version/instant slot
+    * throws TYPED — every entry point (sync plane AND single-shot
+    * DDL/mutation) signals a commit race the same way, so a caller's
+    * retry loop matches one structural type instead of broad
+    * IllegalArgument/IllegalState patterns. */
+  def check(won: Boolean, msg: => String): Unit =
+    if (!won) throw new ConcurrentSyncException(msg)
+}
+
 /**
  * Compare-and-set guard carried by a sync commit: the watermark the
  * planner observed on the target for `sourceId` (`None` = no watermark

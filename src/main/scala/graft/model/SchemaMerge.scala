@@ -57,6 +57,78 @@ object SchemaMerge {
     case _ => false
   }
 
+  /**
+   * Widen the primitive at a dot-path anywhere in the schema along the
+   * promotion order — the shared walker behind every format's nested
+   * `widenColumn` (ref `IcebergSchemaSync.java:46-217` is fully
+   * recursive through struct/list/map; a real table widens
+   * `order.total` as often as `total`). Path grammar: struct fields by
+   * name, array elements as `element`, map values as `value` (map KEYS
+   * never widen — key identity is equality/partitioning-sensitive).
+   *
+   * `stamp` is invoked on the deepest StructField ancestor of the
+   * widened primitive — AFTER its subtree was widened — with the
+   * original narrow type and the container-tail fieldPath below that
+   * field ("" when the field itself widened, "element"/"value" chains
+   * otherwise). Delta hangs its `delta.typeChanges` history there (the
+   * real feature's "nearest struct field" rule); Iceberg/Hudi pass the
+   * default identity stamp. Field metadata (ids, histories) is
+   * preserved on every field along the path.
+   */
+  def widenAt(schema: StructType, dotPath: String, to: DataType, context: String)(
+      stamp: (StructField, DataType, String) => StructField = (f, _, _) => f): StructType = {
+    val segs = dotPath.split('.').toSeq
+    require(segs.nonEmpty && segs.forall(_.nonEmpty),
+      s"bad column path '$dotPath' on $context")
+    def requireWidens(from: DataType, at: String): Unit =
+      require(widens(from, to),
+        s"cannot widen $at of $context: ${from.simpleString} -> " +
+          s"${to.simpleString} is not a supported type promotion")
+    // descend a container chain; Some((from, fieldPath)) when the target
+    // primitive was reached through containers only — the CALLING struct
+    // field is then the stamp anchor; None when a deeper struct took it
+    def descend(dt: DataType, rest: Seq[String], tail: Vector[String],
+        at: String): (DataType, Option[(DataType, String)]) = (dt, rest) match {
+      case (s: StructType, _) => (inStruct(s, rest, at), None)
+      case (a: ArrayType, "element" +: more) =>
+        if (more.isEmpty) {
+          requireWidens(a.elementType, s"$at.element")
+          (a.copy(elementType = to), Some((a.elementType, (tail :+ "element").mkString("."))))
+        } else {
+          val (nt, info) = descend(a.elementType, more, tail :+ "element", s"$at.element")
+          (a.copy(elementType = nt), info)
+        }
+      case (m: MapType, "value" +: more) =>
+        if (more.isEmpty) {
+          requireWidens(m.valueType, s"$at.value")
+          (m.copy(valueType = to), Some((m.valueType, (tail :+ "value").mkString("."))))
+        } else {
+          val (nt, info) = descend(m.valueType, more, tail :+ "value", s"$at.value")
+          (m.copy(valueType = nt), info)
+        }
+      case _ => throw new IllegalArgumentException(
+        s"bad column path '$dotPath' on $context: cannot descend '${rest.head}' " +
+          s"into ${dt.simpleString} at $at")
+    }
+    def inStruct(st: StructType, segs: Seq[String], at: String): StructType = {
+      val name = segs.head
+      val here = if (at.isEmpty) name else s"$at.$name"
+      val idx = st.fieldNames.indexOf(name)
+      require(idx >= 0, s"no column $here in $context")
+      val f = st.fields(idx)
+      val nf =
+        if (segs.tail.isEmpty) {
+          requireWidens(f.dataType, here)
+          stamp(f.copy(dataType = to), f.dataType, "")
+        } else descend(f.dataType, segs.tail, Vector.empty, here) match {
+          case (nt, Some((from, fp))) => stamp(f.copy(dataType = nt), from, fp)
+          case (nt, None) => f.copy(dataType = nt)
+        }
+      StructType(st.fields.updated(idx, nf))
+    }
+    inStruct(schema, segs, "")
+  }
+
   /** Recursive type merge along the widening order: equal → existing;
     * incoming wider → incoming; incoming narrower → existing (never
     * narrow a declared schema); unrelated → reject. Structs merge

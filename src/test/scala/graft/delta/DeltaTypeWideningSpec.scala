@@ -28,10 +28,13 @@ class DeltaTypeWideningSpec extends SparkTestBase {
     assert(filesAfter.sameElements(filesBefore))
     val (schema, _) = t.schemaAt(None)
     assert(schema("l_linenumber").dataType == LongType)
-    // typeChanges history stamped the way the real feature records it
-    val tc = schema("l_linenumber").metadata.getString("delta.typeChanges")
-    assert(tc.contains("\"fromType\":\"integer\"") && tc.contains("\"toType\":\"long\"")
-      && tc.contains("\"tableVersion\":1"))
+    // typeChanges history stamped the way the STABLE feature records it:
+    // a metadata ARRAY of {fromType,toType} entries (no preview-era
+    // tableVersion key) — parseable by external typeWidening readers
+    val tc = schema("l_linenumber").metadata.getMetadataArray("delta.typeChanges")
+    assert(tc.length == 1)
+    assert(tc(0).getString("fromType") == "integer" && tc(0).getString("toType") == "long")
+    assert(!tc(0).contains("tableVersion") && !tc(0).contains("fieldPath"))
     // protocol carries the reader+writer feature
     val p = t.log.protocolAt(None)
     assert(p.readerFeatures.exists(_.contains("typeWidening")))
@@ -68,9 +71,9 @@ class DeltaTypeWideningSpec extends SparkTestBase {
       .withColumn("l_linenumber", lit(4000000000L)), Seq.empty)
     val (schema, _) = t.schemaAt(None)
     assert(schema("l_linenumber").dataType == LongType)
-    val tc = schema("l_linenumber").metadata.getString("delta.typeChanges")
-    assert(tc.contains("\"fromType\":\"integer\"") && tc.contains("\"toType\":\"long\"")
-      && tc.contains("\"tableVersion\":1"))
+    val tc = schema("l_linenumber").metadata.getMetadataArray("delta.typeChanges")
+    assert(tc.length == 1)
+    assert(tc(0).getString("fromType") == "integer" && tc(0).getString("toType") == "long")
     val p = t.log.protocolAt(None)
     assert(p.readerFeatures.exists(_.contains("typeWidening")))
     assert(p.writerFeatures.exists(_.contains("typeWidening")))
@@ -80,8 +83,8 @@ class DeltaTypeWideningSpec extends SparkTestBase {
     t.append(items.limit(2)
       .withColumn("l_orderkey", col("l_orderkey") + 3000000L)
       .withColumn("l_linenumber", lit(5L)), Seq.empty)
-    val tc2 = t.schemaAt(None)._1("l_linenumber").metadata.getString("delta.typeChanges")
-    assert(tc2 == tc, s"history re-stamped: $tc2")
+    val tc2 = t.schemaAt(None)._1("l_linenumber").metadata.getMetadataArray("delta.typeChanges")
+    assert(tc2.toSeq == tc.toSeq, s"history re-stamped: ${tc2.mkString(",")}")
   }
 
   test("widen history: time travel reads the pre-widen schema, RESTORE rolls it back") {

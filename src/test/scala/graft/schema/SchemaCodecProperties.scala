@@ -160,12 +160,28 @@ object SchemaCodecProperties extends Properties("SchemaCodecs") {
       val inTypes = b.fields.map(f => f.name -> f.dataType).toMap
       val baseTypes = base.fields.map(f => f.name -> f.dataType).toMap
       val last = IcebergSchemas.lastAssignedId(base)
-      // same-type fields MUST keep their id; a changed type either kept
-      // it (a widening promotion) or was re-idd as a drop+add with a
-      // FRESH id above every previously assigned one — never a reuse
+      // same-type fields MUST keep their id; a type change along the
+      // promotion order (either direction — a wider incoming widens,
+      // a narrower incoming keeps the declared wide type) MUST keep the
+      // id; an incompatible change MUST be re-idd as a drop+add with a
+      // FRESH id above every previously assigned one — never a reuse.
+      // (The r12 relaxed either-or form could catch neither a promotion
+      // that wrongly re-ids nor an incompatible change that reuses.)
+      import graft.model.SchemaMerge
+      // the spec's compatibility relation: promotions keep the id in
+      // EITHER direction; a struct keeps its OUTER id whatever happened
+      // inside (inner incompatibilities re-id the inner field);
+      // containers follow their interiors
+      def keepsId(a: DataType, b: DataType): Boolean = (a, b) match {
+        case (_: StructType, _: StructType) => true
+        case (x: ArrayType, y: ArrayType) => keepsId(x.elementType, y.elementType)
+        case (x: MapType, y: MapType) =>
+          x.keyType == y.keyType && keepsId(x.valueType, y.valueType)
+        case (x, y) => x == y || SchemaMerge.widens(x, y) || SchemaMerge.widens(y, x)
+      }
       val stable = baseIds.keySet.intersect(evolvedIds.keySet).forall { n =>
-        if (baseTypes(n) == inTypes(n)) baseIds(n) == evolvedIds(n)
-        else baseIds(n) == evolvedIds(n) || evolvedIds(n) > last
+        if (keepsId(baseTypes(n), inTypes(n))) baseIds(n) == evolvedIds(n)
+        else evolvedIds(n) > last
       }
       val fresh = (evolvedIds.keySet -- baseIds.keySet)
         .forall(n => evolvedIds(n) > last)

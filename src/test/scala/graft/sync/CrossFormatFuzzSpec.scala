@@ -422,7 +422,8 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     for (i <- 1 to nOps) {
       val op = {
         val restorable = history.size >= 2
-        val c = (src.caps ++ Set("nullrow", "emptybatch", "resync", "racesync", "widen") ++
+        val c = (src.caps ++ Set("nullrow", "emptybatch", "resync", "racesync", "racemut",
+          "widen") ++
           (if (restorable) Set("restore") else Set.empty)).toSeq.sorted
         c(rng.nextInt(c.size))
       }
@@ -543,6 +544,56 @@ class CrossFormatFuzzSpec extends SparkTestBase {
           }
           assert(paths.distinct.size == paths.size,
             s"duplicate live files on raced $tFmt target\n$trace\n${paths.sorted.mkString("\n")}")
+        case "racemut" =>
+          // DIRECT-mutation race: two writers hit the SOURCE table at
+          // once — this thread appends while a racer runs a single-shot
+          // mutation (upsert / delete / widen, whatever the format
+          // has). Both retry loops catch ONLY ConcurrentSyncException:
+          // the round-13 contract is that EVERY commit CAS loss —
+          // single-shot DDL/mutation entry points included, not just
+          // the sync plane — signals with the one structural type, so
+          // an untyped IllegalArgument/IllegalState from a lost race
+          // fails the seed here.
+          def mutRetry(f: => Unit): Unit = {
+            var n = 0
+            var done = false
+            while (!done) {
+              try { f; done = true } catch {
+                case _: graft.model.ConcurrentSyncException if n < 30 =>
+                  n += 1; Thread.sleep(25L * n)
+              }
+            }
+          }
+          val choices = Seq("upsert", "delete", "widen").filter {
+            case "widen" => src.cols.contains("qty") && !src.qtyWide
+            case m => src.caps(m)
+          }
+          val mut = if (choices.isEmpty) "append"
+            else choices(rng.nextInt(choices.size))
+          trace.append(s"($mut)")
+          val mutDf = mut match {
+            case "upsert" => slice(rng).withColumn("price", col("price") + 500.0)
+              .localCheckpoint() // plan built on THIS thread; racer only executes
+            case "delete" =>
+              val m = 19 + rng.nextInt(5)
+              pool.filter(col("k") % m === rng.nextInt(m)).select("k").localCheckpoint()
+            case _ => slice(rng).localCheckpoint()
+          }
+          val mutErr = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+          val mutator = new Thread(() =>
+            try mutRetry(mut match {
+              case "upsert" => src.upsert(mutDf)
+              case "delete" => src.delete(mutDf)
+              case "widen" => src.widen()
+              case _ => src.append(mutDf)
+            })
+            catch { case e: Throwable => mutErr.set(e) })
+          mutator.start()
+          mutRetry(src.append(slice(rng)))
+          mutator.join()
+          if (mutErr.get != null)
+            fail(s"racemut $mut aborted untyped (CAS losses must throw " +
+              s"ConcurrentSyncException)\n$trace", mutErr.get)
         case "widen" =>
           // metadata-only int→long widen of the qty column, riding the
           // canonical schema through every sync topology; once wide it

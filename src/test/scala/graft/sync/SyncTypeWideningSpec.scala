@@ -82,8 +82,8 @@ class SyncTypeWideningSpec extends SparkTestBase {
     // typeChanges history + the typeWidening protocol feature, so a
     // non-widening Delta reader refuses the table instead of misreading
     // the narrower pre-widen files the target shares with the source
-    val tc = d.schemaAt(None)._1("l_linenumber").metadata.getString("delta.typeChanges")
-    assert(tc.contains("\"fromType\":\"integer\"") && tc.contains("\"toType\":\"long\""))
+    val tc = d.schemaAt(None)._1("l_linenumber").metadata.getMetadataArray("delta.typeChanges")
+    assert(tc.exists(e => e.getString("fromType") == "integer" && e.getString("toType") == "long"))
     val p = d.log.protocolAt(None)
     assert(p.readerFeatures.exists(_.contains("typeWidening")))
     assert(p.writerFeatures.exists(_.contains("typeWidening")))
