@@ -15,6 +15,10 @@ run / fork := true
 // banner on each line) so the Bench JSON line parses as-is from the
 // captured output instead of needing a regex strip.
 run / outputStrategy := Some(StdoutOutput)
+// No "[success] Total time: …" epilogue after a run: the Bench JSON
+// line must be the LAST stdout line of the whole sbt invocation so a
+// tail-parsing driver finds it (exit codes still signal failure).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

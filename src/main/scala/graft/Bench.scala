@@ -12,6 +12,17 @@ object Bench {
     // One warm-up action so JVM/codegen startup isn't billed to the
     // first query.
     spark.range(1000).count()
+    // Calibration probe: a FIXED pure-Spark workload — zero graft code,
+    // zero I/O — so round-over-round comparisons can separate host
+    // speed from plan creep (idle-bench drift was attributed to a busy
+    // box two rounds running with no way to prove it; per-query trends
+    // normalize by this). Best-of-2 like the queries.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(500000000L).selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibrationSec = math.min(calibrate(), calibrate())
     // Build each suite's fixture tables OUTSIDE the timed sections:
     // fixture construction is one-time setup (table writes/conversions/
     // syncs), not the operator under measurement — previously it was
@@ -81,7 +92,7 @@ object Bench {
     // one pass slow ⇒ transient contention the min already absorbed
     val p1Total = named.map(n => pass1(n._1)).sum
     val p2Total = named.map(n => pass2(n._1)).sum
-    val line = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir","fixture_build_sec":${num(fixtureSec, 3)},"index_build_sec":${num(indexBuildSec, 3)},"pass1_total":${num(p1Total, 3)},"pass2_total":${num(p2Total, 3)},"spread_outliers":$spreads,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir","calibration_sec":${num(calibrationSec, 3)},"fixture_build_sec":${num(fixtureSec, 3)},"index_build_sec":${num(indexBuildSec, 3)},"pass1_total":${num(p1Total, 3)},"pass2_total":${num(p2Total, 3)},"spread_outliers":$spreads,"queries":$qs}"""
     // the JSON is this process's FINAL stdout line: spark.stop() first,
     // so no shutdown logging can trail it and a line-oriented parser
     // (not just a regex scrape) finds it
