@@ -33,6 +33,21 @@ final case class IcebergRef(snapshotId: Long, refType: String) {
   require(refType == "tag" || refType == "branch", s"bad ref type $refType")
 }
 
+/** One sort-order field (spec: `sort-orders[].fields[]`). */
+final case class IcebergSortField(
+    sourceId: Int,
+    transform: String = "identity",
+    direction: String = "asc", // asc | desc
+    nullOrder: String = "nulls-first") // nulls-first | nulls-last
+
+/** One sort order (spec: `sort-orders[]`). Order 0 is the implicit
+  * unsorted order. The spec's transforms cannot express Morton
+  * interleaving, so a Z-ORDER rewrite records its clustering columns as
+  * the order's fields and marks the interleave in the
+  * `graft.sort-order.<id>.kind=zorder` table property — readers that
+  * only know lexicographic orders see an honest field list either way. */
+final case class IcebergSortOrder(orderId: Int, fields: Seq[IcebergSortField])
+
 /**
  * Iceberg table metadata (format v2) — the `metadata/vN.metadata.json`
  * document. The reference manipulates this through the Iceberg library
@@ -65,7 +80,11 @@ final case class IcebergTableMetadata(
     /** schema evolution history: every RETIRED schema by id (spec
       * `schemas` keeps all of them; snapshots address theirs by
       * `schema-id`, and time travel presents the snapshot's schema). */
-    olderSchemas: Seq[(Int, StructType)] = Seq.empty) {
+    olderSchemas: Seq[(Int, StructType)] = Seq.empty,
+    /** declared sort orders (spec `sort-orders`); order 0 (unsorted) is
+      * always present. New writes advertise `defaultSortOrderId`. */
+    sortOrders: Seq[IcebergSortOrder] = Seq(IcebergSortOrder(0, Seq.empty)),
+    defaultSortOrderId: Int = 0) {
 
   /** Every known spec by id (older + default). */
   def allSpecs: Seq[(Int, Seq[IcebergPartitionFieldSpec])] =
@@ -158,11 +177,25 @@ object IcebergMetadataCodec {
     }
     root.put("last-partition-id",
       (999 +: m.allSpecs.flatMap(_._2.map(_.fieldId))).max)
-    root.put("default-sort-order-id", 0)
+    root.put("default-sort-order-id", m.defaultSortOrderId)
     val orders = root.putArray("sort-orders")
-    val order = orders.addObject()
-    order.put("order-id", 0)
-    order.putArray("fields")
+    // order 0 (unsorted) always serializes so v2 readers that require
+    // the default order's presence never trip on an order-less table
+    val allOrders =
+      if (m.sortOrders.exists(_.orderId == 0)) m.sortOrders
+      else IcebergSortOrder(0, Seq.empty) +: m.sortOrders
+    allOrders.sortBy(_.orderId).foreach { o =>
+      val order = orders.addObject()
+      order.put("order-id", o.orderId)
+      val ofs = order.putArray("fields")
+      o.fields.foreach { f =>
+        val n = ofs.addObject()
+        n.put("transform", f.transform)
+        n.put("source-id", f.sourceId)
+        n.put("direction", f.direction)
+        n.put("null-order", f.nullOrder)
+      }
+    }
     val props = root.putObject("properties")
     m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
     m.currentSnapshotId.foreach(root.put("current-snapshot-id", _))
@@ -281,7 +314,20 @@ object IcebergMetadataCodec {
         .map(e => e.getKey -> IcebergRef(
           e.getValue.get("snapshot-id").asLong(),
           Option(e.getValue.get("type")).map(_.asText()).getOrElse("tag")))
-        .toMap).getOrElse(Map.empty))
+        .toMap).getOrElse(Map.empty),
+      sortOrders = Option(root.get("sort-orders")).map(_.elements().asScala.map { o =>
+        IcebergSortOrder(
+          o.get("order-id").asInt(),
+          Option(o.get("fields")).toSeq.flatMap(_.elements().asScala).map { f =>
+            IcebergSortField(
+              sourceId = f.get("source-id").asInt(),
+              transform = Option(f.get("transform")).map(_.asText()).getOrElse("identity"),
+              direction = Option(f.get("direction")).map(_.asText()).getOrElse("asc"),
+              nullOrder = Option(f.get("null-order")).map(_.asText()).getOrElse("nulls-first"))
+          }.toSeq)
+      }.toSeq).getOrElse(Seq(IcebergSortOrder(0, Seq.empty))),
+      defaultSortOrderId =
+        Option(root.get("default-sort-order-id")).map(_.asInt()).getOrElse(0))
   }
 }
 

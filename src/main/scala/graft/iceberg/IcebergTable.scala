@@ -196,6 +196,59 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       s"concurrent iceberg commit on $tablePath")
   }
 
+  /**
+   * ALTER TABLE … WRITE ORDERED BY (spec `sort-orders` /
+   * `default-sort-order-id`): register a sort order over identity
+   * transforms of the named columns and make it the table's default
+   * write order. Re-declaring an already-registered field list reuses
+   * its order id (idempotent). With `zorder = true` the order carries
+   * `graft.sort-order.<id>.kind = zorder` in the table properties: the
+   * spec's transforms cannot express Morton interleaving, so the field
+   * list names the clustering columns honestly and the property records
+   * the interleave for engines that understand it. Returns the order id.
+   */
+  def replaceSortOrder(cols: Seq[String], zorder: Boolean = false): Int = {
+    require(cols.nonEmpty, s"sort order on $tablePath needs at least one column")
+    val (v, meta) = log.readLatest().getOrElse(
+      throw new IllegalStateException(s"not an iceberg table: $tablePath"))
+    val fields = cols.map { c =>
+      val f = meta.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column $c in $tablePath"))
+      IcebergSortField(IcebergSchemas.fieldId(f).getOrElse(
+        throw new IllegalStateException(s"field $c of $tablePath missing iceberg id")))
+    }
+    val existing = meta.sortOrders.find(_.fields == fields)
+    val id = existing.map(_.orderId)
+      .getOrElse((0 +: meta.sortOrders.map(_.orderId)).max + 1)
+    val kindKey = s"graft.sort-order.$id.kind"
+    val props =
+      if (zorder) meta.properties + (kindKey -> "zorder")
+      else meta.properties - kindKey
+    if (existing.nonEmpty && meta.defaultSortOrderId == id && meta.properties == props)
+      return id // already the declared default — no empty commit
+    graft.model.ConcurrentSyncException.check(log.commit(v + 1, meta.copy(
+      sortOrders =
+        if (existing.nonEmpty) meta.sortOrders
+        else meta.sortOrders :+ IcebergSortOrder(id, fields),
+      defaultSortOrderId = id,
+      properties = props,
+      lastUpdatedMs = System.currentTimeMillis())),
+      s"concurrent iceberg commit on $tablePath")
+    id
+  }
+
+  /** The default sort order's column names (empty = unsorted), plus
+    * whether it is a z-order clustering. */
+  def defaultSortOrder(): (Seq[String], Boolean) = {
+    val meta = currentMetadata
+    val o = meta.sortOrders.find(_.orderId == meta.defaultSortOrderId)
+      .getOrElse(IcebergSortOrder(0, Seq.empty))
+    val byId = meta.schema.fields
+      .flatMap(f => IcebergSchemas.fieldId(f).map(_ -> f.name)).toMap
+    (o.fields.flatMap(f => byId.get(f.sourceId)),
+      meta.properties.get(s"graft.sort-order.${o.orderId}.kind").contains("zorder"))
+  }
+
   /** Resolve a ref name to its snapshot id (`main` → current). */
   def refSnapshot(name: String): Long =
     if (name == "main")
@@ -827,6 +880,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val n = math.max(1, math.ceil(smalls.map(_.fileSizeBytes).sum.toDouble / targetFileBytes).toInt)
     val partCols = log.readLatest().toSeq
       .flatMap(p => IcebergTable.defsOf(p._2)).filter(_.isIdentity).map(_.fieldName)
+    // a sorted/z-ordered rewrite DECLARES its layout in the table
+    // metadata (spec sort-orders + default-sort-order-id) before the
+    // rewrite commits, so downstream writers and engines see the order
+    if (zorderBy.nonEmpty) replaceSortOrder(zorderBy, zorder = true)
+    else if (sortBy.nonEmpty) replaceSortOrder(sortBy)
     val arranged =
       if (zorderBy.nonEmpty) graft.util.ZOrder.arrange(df, zorderBy, n)
       else if (sortBy.nonEmpty)

@@ -199,6 +199,23 @@ object IcebergQueries {
         require(t17.toDF().count() == o.count(),
           "i19 fixture: cherry-picked publish must surface all three slices")
 
+        // i20: z-order rewrite through the native writer — lineitem
+        // fragmented into 16 scattered files, then zorder-compacted on
+        // (l_partkey, l_suppkey); the rewrite DECLARES the order in the
+        // table metadata (spec sort-orders + default-sort-order-id +
+        // the zorder-kind property), and the metadata must survive the
+        // follow-up append's metadata rewrite (parse→emit round-trip)
+        val t18 = IcebergTable.create(spark, s"$root/lineitem_zorder",
+          Tables.lineitem(spark, sfDir).repartition(16))
+        require(t18.compact(targetFileBytes = 1L << 19, smallFileBytes = 1L << 30,
+          zorderBy = Seq("l_partkey", "l_suppkey")).nonEmpty,
+          "i20 fixture: zorder compact was a no-op")
+        t18.append(Tables.lineitem(spark, sfDir).limit(0)) // metadata round-trip
+        val (orderCols, isZ) = IcebergTable.forPath(spark, s"$root/lineitem_zorder")
+          .defaultSortOrder()
+        require(orderCols == Seq("l_partkey", "l_suppkey") && isZ,
+          s"i20 fixture: sort order did not round-trip ($orderCols, zorder=$isZ)")
+
         root
       })
     }
@@ -606,6 +623,31 @@ object IcebergQueries {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Z-order rewrite through the NATIVE iceberg writer: a 2-d box
+    // predicate prunes on the rewritten manifests' per-file bounds
+    // (EntryPredicate over lower/upper bounds — the pruning fractions
+    // are pinned by CompactionSpec's iceberg mirror); the declared
+    // sort order rides metadata.json (sort-orders / default-sort-order-id).
+    QueryDef.sql(
+      "i20_zorder_rewrite",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "lineitem_zorder")
+        t.scan
+          .range("l_partkey", Some(100L), Some(400L))
+          .range("l_suppkey", Some(10L), Some(40L)).toDF()
+          .filter(col("l_partkey").between(100, 400) && col("l_suppkey").between(10, 40))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     QueryDef.sql(
       "x01_cross_format_equality",

@@ -594,8 +594,16 @@ object Similarity {
           val p = new org.apache.hadoop.fs.Path(root)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(p)) fs.delete(p, true)
-          val corpus = fpEmbeddings(spark, dir).filter(!isQueryBatch)
-          val cellRows = corpus.orderBy(col("vec_id")).limit(16).collect()
+          // the store carries the corpus' LABEL alongside the vector so
+          // a filtered probe (s11) pushes its predicate into the store
+          // scan itself — one standing store serves every predicate
+          val corpus = Tables.embeddings(spark, dir)
+            .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
+                .as("fp"),
+              col("label"))
+            .filter(!isQueryBatch)
+          val cellRows = corpus.select("vec_id", "fp").orderBy(col("vec_id")).limit(16).collect()
           val ids: Seq[Long] = cellRows.map(_.getLong(0)).toIndexedSeq
           val fps: Seq[Seq[Long]] =
             cellRows.map(r => r.getSeq[Long](1).toIndexedSeq: Seq[Long]).toIndexedSeq
@@ -603,7 +611,8 @@ object Similarity {
             .withColumn("cells", typedLit(fps))
             .withColumn("cc", expr(s"${cellOrdinalsOf("fp", 1, fps.size)}[0]"))
             .withColumn("cell", element_at(typedLit(ids), col("cc") + 1))
-            .select(col("cell"), col("vec_id").as("neighbor_id"), col("fp").as("c_fp"))
+            .select(col("cell"), col("vec_id").as("neighbor_id"), col("fp").as("c_fp"),
+              col("label"))
           graft.delta.DeltaTable.create(spark, s"$root/cells", assigned, Seq("cell"))
           (s"$root/cells", ids, fps)
         })
@@ -652,6 +661,47 @@ object Similarity {
       .collect().map(_.getLong(0)).sorted
     val store = graft.delta.DeltaTable.forPath(spark, storePath).toDF()
       .filter(col("cell").isin(probed.toIndexedSeq: _*))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
+    queries.join(store, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", expr(l2Expr("q_fp", "c_fp")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("d"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
+   * s11 — filtered ANN against the PERSISTED cell store: s10's
+   * pre-filtering composed with s09's standing corpus. The production
+   * shape at 100 TB: the corpus' cell table was built once; a filtered
+   * query probes it with its label predicate pushed INTO the
+   * cell-partitioned store scan — so the scan opens only the probed
+   * cells' partitions (static prune on the partition column) AND skips
+   * label-foreign row groups inside them (pushed data filter) — and
+   * top-k still keeps its full k because every ranked candidate already
+   * matches. Probing stays label-agnostic: cells are geometry, so ONE
+   * store serves every predicate without per-label re-assignment jobs.
+   */
+  def filteredIncrementalAnn(
+      spark: SparkSession, dir: String, label: Int = 3,
+      k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val (storePath, ids, fps) = CellStore.ensure(spark, dir)
+    val queries = fpEmbeddings(spark, dir).filter(isQueryBatch)
+      .select(col("vec_id").as("query_id"), col("fp").as("q_fp"))
+      .withColumn("cells", typedLit(fps))
+      .withColumn("cc", explode(expr(cellOrdinalsOf("q_fp", nprobe, fps.size))))
+      .withColumn("cell", element_at(typedLit(ids), col("cc") + 1))
+      .drop("cells", "cc")
+    val probed = queries.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // partition prune (cell IN probed) + pushed data filter (label = L)
+    // land on the SAME store scan — selectivity multiplies
+    val store = graft.delta.DeltaTable.forPath(spark, storePath).toDF()
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .filter(col("label") === label)
+      .select("cell", "neighbor_id", "c_fp")
     val w = Window.partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
     queries.join(store, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -969,6 +1019,38 @@ object Similarity {
         |      list_sum(list_transform(range(1, 65), i -> (p.q_fp[i] - cc2.c_fp[i]) * (p.q_fp[i] - cc2.c_fp[i]))), cc2.neighbor_id) AS rank
         |  FROM probes p JOIN corpcell cc2 ON cc2.cell = p.cell
         |  WHERE cc2.neighbor_id <> p.query_id) WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin),
+    // Filtered ANN against the persisted store: the s09 replay with the
+    // label predicate applied to the STORE side (assignment ran over
+    // the full corpus at build time; the filter prunes the probe's
+    // candidates, exactly like the pushed scan filter does in Spark).
+    QueryDef.sql(
+      "s11_ann_filtered_store",
+      (spark, dir) => filteredIncrementalAnn(spark, dir),
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fp
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id AS cc, fp FROM e WHERE vec_id % 7 <> 3 ORDER BY vec_id LIMIT 16),
+        |corpcell AS (
+        |  SELECT vec_id AS neighbor_id, fp AS c_fp, label, cc AS cell FROM (
+        |    SELECT e.vec_id, e.fp, e.label, c.cc,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> (e.fp[i] - c.fp[i]) * (e.fp[i] - c.fp[i]))), c.cc) AS rn
+        |    FROM e, cells c WHERE e.vec_id % 7 <> 3) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, q_fp, cc AS cell FROM (
+        |    SELECT q.vec_id AS query_id, q.fp AS q_fp, c.cc,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> (q.fp[i] - c.fp[i]) * (q.fp[i] - c.fp[i]))), c.cc) AS rn
+        |    FROM e q, cells c WHERE q.vec_id % 7 = 3) WHERE rn <= 2)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, CAST(d AS BIGINT) AS d FROM (
+        |  SELECT p.query_id, cc2.neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> (p.q_fp[i] - cc2.c_fp[i]) * (p.q_fp[i] - cc2.c_fp[i]))) AS d,
+        |    ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i -> (p.q_fp[i] - cc2.c_fp[i]) * (p.q_fp[i] - cc2.c_fp[i]))), cc2.neighbor_id) AS rank
+        |  FROM probes p JOIN corpcell cc2 ON cc2.cell = p.cell
+        |  WHERE cc2.neighbor_id <> p.query_id AND cc2.label = 3) WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin)
   )
 }

@@ -111,4 +111,48 @@ class CompactionSpec extends SparkTestBase {
       .filter(col("x") <= 1023 && col("y") <= 1023).count()
     assert(got == src.filter(col("x") <= 1023 && col("y") <= 1023).count())
   }
+
+  test("iceberg z-order rewrite: 2-d box prunes manifests; sort order rides metadata.json") {
+    val dir = tmpDir("compact_zorder_ice")
+    val src = spark.range(0, 4096).select(
+      (col("id") * 2654435761L % 4096L).as("x"),
+      (col("id") * 40503L % 4096L).as("y"))
+    val t = graft.iceberg.IcebergTable.create(spark, s"$dir/t", src.repartition(16))
+    val before = checksum(t.toDF())
+    assert(t.compact(targetFileBytes = 8L << 10, smallFileBytes = 1L << 30,
+      zorderBy = Seq("x", "y")).nonEmpty)
+    assert(checksum(t.toDF()) == before)
+    // the rewrite declared its layout: sort-orders carries the order,
+    // default-sort-order-id points at it, the zorder kind is marked
+    val (orderCols, isZ) = t.defaultSortOrder()
+    assert(orderCols == Seq("x", "y") && isZ, s"($orderCols, $isZ)")
+    val meta = t.currentMetadata
+    assert(meta.defaultSortOrderId > 0)
+    assert(meta.sortOrders.exists(_.orderId == 0), "unsorted order 0 must stay present")
+    // ... and SURVIVES later metadata rewrites (parse→emit round-trip)
+    t.append(src.limit(0))
+    val t2 = graft.iceberg.IcebergTable.forPath(spark, s"$dir/t")
+    assert(t2.defaultSortOrder() == ((Seq("x", "y"), true)))
+    assert(t2.currentMetadata.defaultSortOrderId == meta.defaultSortOrderId)
+    // bounds-based 2-d pruning on the rewritten manifests (the
+    // EntryPredicate path over per-file lower/upper bounds)
+    val total = t2.scan.files().size
+    assert(total >= 4, s"need several output files to prove pruning, got $total")
+    val boxX = t2.scan.range("x", Some(0L), Some(1023L)).files().size
+    val boxXY = t2.scan
+      .range("x", Some(0L), Some(1023L))
+      .range("y", Some(0L), Some(1023L)).files().size
+    assert(boxXY < total, s"2-d box did not prune: $boxXY/$total")
+    assert(boxXY <= boxX, s"adding the y bound must not widen the scan")
+    val got = t2.scan
+      .range("x", Some(0L), Some(1023L))
+      .range("y", Some(0L), Some(1023L)).toDF()
+      .filter(col("x") <= 1023 && col("y") <= 1023).count()
+    assert(got == src.filter(col("x") <= 1023 && col("y") <= 1023).count())
+    // a PLAIN sorted rewrite records a lexicographic (non-zorder) order
+    val t3 = graft.iceberg.IcebergTable.create(spark, s"$dir/t3", src.repartition(4))
+    assert(t3.compact(targetFileBytes = 8L << 10, smallFileBytes = 1L << 30,
+      sortBy = Seq("x")).nonEmpty)
+    assert(t3.defaultSortOrder() == ((Seq("x"), false)))
+  }
 }

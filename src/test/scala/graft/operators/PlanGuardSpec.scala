@@ -227,6 +227,39 @@ class PlanGuardSpec extends SparkTestBase {
         s"post-ranking. scans:\n${scans.map(_.dataFilters.map(_.sql).mkString(",")).mkString("\n")}")
   }
 
+  test("s11 filtered store ANN: pushed label filter AND partition prune land on ONE store scan") {
+    // the production filtered-vector-search shape: the standing cell
+    // store is read with the probed-cell partition prune (s09's
+    // contract) AND the label predicate as a pushed data filter on the
+    // SAME scan (s10's contract) — selectivity multiplies; no corpus
+    // re-assignment, nothing label-foreign ranks
+    val plan = executed(SparkEntryLookup("s11_ann_filtered_store")(spark, sf0001))
+    assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty,
+      s"s11 plans a CartesianProduct:\n$plan")
+    val scans = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val storeScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("graft_ann_index")))
+    assert(storeScans.nonEmpty,
+      s"s11 reads no persisted cell store; scans:\n${scans.mkString("\n")}")
+    storeScans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"s11's store scan carries no partition filter — probes read every cell:\n$f")
+      assert(f.dataFilters.map(_.sql).mkString(" ").contains("label"),
+        s"s11's label predicate did not reach the store scan — it is applied " +
+          s"post-ranking. dataFilters: ${f.dataFilters.map(_.sql).mkString(",")}\n$plan")
+    }
+    // raw embeddings scans serve the query batch only
+    val embScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("embeddings.parquet")))
+    embScans.foreach { f =>
+      val filters = f.dataFilters.map(_.sql).mkString(" AND ")
+      assert(filters.contains("% 7") || filters.contains("%7"),
+        s"s11 scans the embeddings table WITHOUT the batch predicate: $filters")
+    }
+  }
+
   test("t14 pipeline: MERGE and DELETE both route through the key index, never a table scan") {
     // the composed ingest pipeline (d09 dedup → d10 pick → keyed MERGE +
     // deleteMatching) must exercise f23's EXACT routing on both
