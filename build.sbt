@@ -19,6 +19,7 @@ run / outputStrategy := Some(StdoutOutput)
 // line must be the LAST stdout line of the whole sbt invocation so a
 // tail-parsing driver finds it (exit codes still signal failure).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the sbt command layer, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1162,9 +1162,15 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // re-derives snapshot-dependent state (parent, sequence number,
     // removes) against the racer's metadata and retries. The staged
     // parquet carries field ids from THIS writer's schema resolution —
-    // a racer that concurrently evolved the schema would invalidate
-    // those footers, so that (rare) case aborts instead of rebasing;
-    // same-schema append races (the common case) always rebase.
+    // a racer that concurrently evolved the schema INCOMPATIBLY would
+    // invalidate those footers, so that (rare) case aborts TYPED
+    // (re-running the append restages under the new schema); a racer
+    // that merely WIDENED columns did not invalidate anything — the
+    // staged files keep their ids and their narrower physical type is
+    // exactly the legal pre-widen-file state — so the rebase adopts
+    // the racer's wide schema. Same-schema races (the common case)
+    // always rebase.
+    var commitSchema = idSchema
     var attempt = 0
     var prevState = prev
     var result = -1L
@@ -1200,7 +1206,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
               "this rewrite consumed; re-run the compaction")
           liveReplaced
         } else Seq.empty
-      commitSnapshot(prevState, idSchema, defs, entries ++ extraAdds, removes,
+      commitSnapshot(prevState, commitSchema, defs, entries ++ extraAdds, removes,
         carryPrevious = !overwrite,
         operationOverride.getOrElse(
           if (overwrite) "overwrite" else if (replacing.nonEmpty) "replace" else "append"),
@@ -1216,12 +1222,17 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
             case Some((_, m)) => IcebergSchemas.evolveSchema(m.schema, df.schema, m.lastColumnId)
             case None => IcebergSchemas.assignFieldIds(df.schema)
           }
-          require(fresh.json == idSchema.json,
-            s"concurrent schema evolution at $tablePath: staged parquet field " +
-              "ids no longer match the table schema; retry the write")
-          require(IcebergTable.defsOf(prevState.get._2)
-              .map(d => (d.fieldName, d.transform)) == defs.map(d => (d.fieldName, d.transform)),
-            s"partition spec changed concurrently at $tablePath")
+          if (fresh.json != commitSchema.json) {
+            if (IcebergTable.widensOnly(commitSchema, fresh))
+              commitSchema = fresh // racer widened; staged files stay legal
+            else throw new graft.model.ConcurrentSyncException(
+              s"concurrent schema evolution at $tablePath: staged parquet field " +
+                "ids no longer match the table schema; retry the write")
+          }
+          if (IcebergTable.defsOf(prevState.get._2)
+              .map(d => (d.fieldName, d.transform)) != defs.map(d => (d.fieldName, d.transform)))
+            throw new graft.model.ConcurrentSyncException(
+              s"partition spec changed concurrently at $tablePath")
       }
     }
     result
@@ -1847,6 +1858,30 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
 }
 
 object IcebergTable {
+
+  /** `fresh` differs from `staged` ONLY by widening promotions: same
+    * field names and ids at every nesting level, every leaf type equal
+    * or widened along the promotion order. An append that staged files
+    * under `staged` can then commit under `fresh` — the files' narrower
+    * physical types are exactly the legal pre-widen-file state. */
+  private[iceberg] def widensOnly(staged: org.apache.spark.sql.types.StructType,
+      fresh: org.apache.spark.sql.types.StructType): Boolean = {
+    import org.apache.spark.sql.types._
+    def tpe(a: DataType, b: DataType): Boolean = (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.fields.length == y.fields.length &&
+          x.fields.zip(y.fields).forall { case (f, g) =>
+            f.name == g.name &&
+              IcebergSchemas.fieldId(f) == IcebergSchemas.fieldId(g) &&
+              tpe(f.dataType, g.dataType)
+          }
+      case (x: ArrayType, y: ArrayType) => tpe(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        x.keyType == y.keyType && tpe(x.valueType, y.valueType)
+      case (x, y) => x == y || graft.model.SchemaMerge.widens(x, y)
+    }
+    tpe(staged, fresh)
+  }
 
   /** Per-phase wall-clock accumulators for the commit path (manifest
     * write, manifest-list carry/write, metadata CAS) — nanoTime pairs,

@@ -217,6 +217,39 @@ object SyncQueries {
           SyncEngine.icebergSource(IcebergTable.forPath(spark, s"$root/widen_tgt")),
           SyncEngine.hudiTarget(spark, s"$root/widen_chain"))
 
+        // 14. NESTED type widening through the chain: lineitem scalars
+        //     packed into containers (struct s{x,y}, array-of-struct
+        //     aos[{q,r}]); s.x and aos.element.q widen int→long via
+        //     dot-path DDL (Iceberg keeps the nested field ids, Delta
+        //     stamps typeChanges on the nested fields), wide rows land,
+        //     and the nested widen + mixed-width files replay
+        //     incrementally delta→iceberg→hudi
+        def nested14(rows: org.apache.spark.sql.DataFrame, wide: Boolean) = {
+          val x = if (wide) col("l_linenumber").cast(LongType) * 1000000000L
+                  else col("l_linenumber").cast("int")
+          val q = if (wide) col("l_partkey").cast(LongType) * 1000000000L
+                  else col("l_partkey").cast("int")
+          rows.select(
+            col("l_orderkey"),
+            struct(x.as("x"), col("l_returnflag").as("y")).as("s"),
+            array(struct(q.as("q"), col("l_linestatus").as("r"))).as("aos"))
+        }
+        val li14 = Tables.lineitem(spark, sfDir)
+        val nSrc = DeltaTable.create(spark, s"$root/nwiden_src",
+          nested14(li14.filter(col("l_orderkey") % 2 === 0), wide = false))
+        SyncEngine.sync(
+          SyncEngine.deltaSource(nSrc), SyncEngine.icebergTarget(spark, s"$root/nwiden_tgt"))
+        nSrc.widenColumn("s.x", LongType)
+        nSrc.widenColumn("aos.element.q", LongType)
+        nSrc.append(nested14(li14.filter(col("l_orderkey") % 2 === 1), wide = true), Seq.empty)
+        val r14 = SyncEngine.sync(
+          SyncEngine.deltaSource(nSrc), SyncEngine.icebergTarget(spark, s"$root/nwiden_tgt"))
+        require(r14.mode == "incremental",
+          s"expected incremental nested-widen replay, got ${r14.mode}")
+        SyncEngine.sync(
+          SyncEngine.icebergSource(IcebergTable.forPath(spark, s"$root/nwiden_tgt")),
+          SyncEngine.hudiTarget(spark, s"$root/nwiden_chain"))
+
         root
       })
     }
@@ -500,6 +533,37 @@ object SyncQueries {
         |                ELSE CAST(l_linenumber AS BIGINT) * 1000000000 END) AS BIGINT) AS sum_ln,
         |  CAST(MAX(CASE WHEN l_orderkey % 2 = 0 THEN CAST(l_linenumber AS BIGINT)
         |                ELSE CAST(l_linenumber AS BIGINT) * 1000000000 END) AS BIGINT) AS max_ln
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Nested widening through the chain: the Hudi end of a
+    // delta→iceberg→hudi sync reads container-nested columns whose
+    // struct-field and array-element-struct-field types widened
+    // mid-history — the flattened aggregate must agree with a plain
+    // relational replay of the packed scalars.
+    QueryDef.sql(
+      "x14_nested_widen_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        HudiTable.forPath(spark, s"$root/nwiden_chain").toDF()
+          .select(
+            col("s.y").as("sy"),
+            col("s.x").as("sx"),
+            element_at(col("aos"), 1).getField("q").as("q"))
+          .groupBy(col("sy"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("sx")).as("sum_x"),
+            max(col("sx")).as("max_x"),
+            sum(col("q")).as("sum_q"))
+          .orderBy(col("sy"))
+      },
+      """SELECT l_returnflag AS sy, COUNT(*) AS cnt,
+        |  CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN CAST(l_linenumber AS BIGINT)
+        |                ELSE CAST(l_linenumber AS BIGINT) * 1000000000 END) AS BIGINT) AS sum_x,
+        |  CAST(MAX(CASE WHEN l_orderkey % 2 = 0 THEN CAST(l_linenumber AS BIGINT)
+        |                ELSE CAST(l_linenumber AS BIGINT) * 1000000000 END) AS BIGINT) AS max_x,
+        |  CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN CAST(l_partkey AS BIGINT)
+        |                ELSE CAST(l_partkey AS BIGINT) * 1000000000 END) AS BIGINT) AS sum_q
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // The streaming change feed, end to end: drain a two-commit table
