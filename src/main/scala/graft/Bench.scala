@@ -42,6 +42,7 @@ object Bench {
     graft.operators.Dedup.primeBucketIndex(spark, sfDir)
     graft.operators.Similarity.primeKmeans(spark, sfDir)
     graft.operators.Similarity.primeCellStore(spark, sfDir)
+    graft.operators.Similarity.primeMaintStore(spark, sfDir)
     val indexBuildSec = (System.nanoTime() - tIdx0) / 1e9
     // best-of-2, DECORRELATED: attempt 1 runs for every query, then
     // attempt 2 for every query. Back-to-back attempts land in the same

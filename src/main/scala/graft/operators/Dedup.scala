@@ -420,6 +420,54 @@ object Dedup {
   }
 
   /**
+   * d11 — line-level exact dedup (the CCNet / RefinedWeb repeated-line
+   * pass): every distinct line keeps only its FIRST occurrence
+   * corpus-wide (ordered by doc_id, then line ordinal), and each
+   * document re-emits with its surviving lines in original order.
+   * "Lines" here are fixed `wordsPerLine`-word windows — the fixture
+   * corpus carries no newlines — but the liner is one per-row codegen
+   * expression; a real corpus swaps in `split(text, '\n')` with zero
+   * change to the rest of the pipeline.
+   *
+   * 100 TB shape: per-LINE text never shuffles. Lines recompute
+   * row-locally inside codegen (split + slice + array_join); the
+   * first-occurrence election groups on the line's md5 digest carrying
+   * (digest, doc_id, lid) — ~40 bytes a line; the kept ordinals
+   * aggregate per doc as integers; and documents themselves move at
+   * most twice, both times keyed by doc_id (the linear spread and the
+   * kept-set join) — the linear baseline any rewrite pays. The output
+   * is a per-doc summary (line counts + md5 of the deduped text), so
+   * nothing document-sized leaves the executors at all.
+   */
+  def lineDedup(spark: SparkSession, dir: String, wordsPerLine: Int = 10): DataFrame = {
+    val docs = spread(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("lines", expr(
+        s"transform(sequence(0, cast(ceil(size(words) / $wordsPerLine.0) AS int) - 1), " +
+          s"i -> array_join(slice(words, i * $wordsPerLine + 1, $wordsPerLine), ' '))"))
+    // digest-only winner election: the shuffle rows are (md5, doc, lid)
+    val occ = docs.select(col("doc_id"),
+      posexplode(expr("transform(lines, l -> md5(l))")).as(Seq("lid", "dig")))
+    val kept = occ.groupBy(col("dig"))
+      .agg(min(struct(col("doc_id"), col("lid"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.lid").as("lid"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("lid"))).as("keep_lids"))
+    docs.join(kept, Seq("doc_id"), "left")
+      .withColumn("kept_text", expr(
+        """array_join(filter(
+          |  transform(lines, (l, i) ->
+          |    IF(array_contains(coalesce(keep_lids, array()), i), l, NULL)),
+          |  x -> x IS NOT NULL), ' ')""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        coalesce(size(col("keep_lids")), lit(0)).cast("long").as("n_kept"),
+        md5(col("kept_text")).as("dedup_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Substring-span dedup (the Lee et al. "Deduplicating Training Data
    * Makes Language Models Better" shape, re-expressed relationally):
    * a document is span-contaminated when any 8-token window of it also
@@ -653,6 +701,30 @@ object Dedup {
           .orderBy(col("keep_doc_id")),
       """SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY MD5(text) ORDER BY keep_doc_id""".stripMargin),
+    // Oracle replays the same 10-word-window liner and first-occurrence
+    // rule over line TEXT (no digests), so a digest collision, a lost
+    // line, or an order slip in the reassembly all hash-fail; the
+    // deduped text compares as md5 to keep the frame doc-sized.
+    QueryDef.sql(
+      "d11_line_dedup",
+      (spark, dir) => lineDedup(spark, dir),
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |         generate_subscripts(string_split(text,' '), 1) AS ord
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, CAST(floor((ord-1)/10) AS BIGINT) AS lid,
+        |         string_agg(w, ' ' ORDER BY ord) AS line
+        |  FROM words GROUP BY doc_id, CAST(floor((ord-1)/10) AS BIGINT)),
+        |firsts AS (
+        |  SELECT doc_id, lid, line,
+        |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, lid) AS rn
+        |  FROM lines)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |  COUNT(*) FILTER (WHERE rn=1) AS n_kept,
+        |  MD5(COALESCE(string_agg(line, ' ' ORDER BY lid) FILTER (WHERE rn=1), ''))
+        |    AS dedup_md5
+        |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // Oracle = exact all-pairs Jaccard >= 0.5 over the same shingle
     // definition: verifies the LSH pipeline finds exactly the true
     // near-dup pairs (banding recall is certain for the near-identical

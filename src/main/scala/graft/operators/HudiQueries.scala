@@ -170,6 +170,21 @@ object HudiQueries {
           catch { case e: IllegalArgumentException => e.getMessage.contains("savepointed") }
         require(blocked, "h13 fixture: rollback of a savepointed instant must fail")
 
+        // 10. z-order clustering (h16): lineitem fragmented into 16
+        //     scattered files, then zorder-compacted on
+        //     (l_partkey, l_suppkey) — Hudi's clustering shape, a
+        //     CLUSTER replacecommit whose rewritten base files carry
+        //     Morton-interleaved layout, so the col_stats index prunes
+        //     2-d boxes where a lexicographic sort only prunes its
+        //     leading column. Completes the cross-format layout trio
+        //     (f24 Delta, i20 Iceberg); pruning fractions pinned by
+        //     CompactionSpec's hudi mirror.
+        val t10 = HudiTable.create(spark, s"$root/lineitem_zorder",
+          Tables.lineitem(spark, sfDir).repartition(16))
+        require(t10.compact(targetFileBytes = 1L << 19, smallFileBytes = 1L << 30,
+          zorderBy = Seq("l_partkey", "l_suppkey")).nonEmpty,
+          "h16 fixture: zorder compact was a no-op")
+
         root
       })
     }
@@ -497,6 +512,32 @@ object HudiQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 9 <> 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Z-order clustering through the NATIVE hudi writer: the CLUSTER
+    // replacecommit replaced the 16 scattered files with Morton-ordered
+    // ones, and a 2-d box predicate prunes on the col_stats index's
+    // per-file min/max (scan.range twice — the pruning fractions are
+    // pinned by CompactionSpec's hudi mirror); the residual row filter
+    // keeps the answer exact.
+    QueryDef.sql(
+      "h16_hudi_zorder_clustering",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "lineitem_zorder")
+        t.scan
+          .range("l_partkey", Some(100L), Some(400L))
+          .range("l_suppkey", Some(10L), Some(40L)).toDF()
+          .filter(col("l_partkey").between(100, 400) && col("l_suppkey").between(10, 40))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     QueryDef.sql(
       "x04_tri_format_equality",

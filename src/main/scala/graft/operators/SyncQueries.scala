@@ -250,6 +250,34 @@ object SyncQueries {
           SyncEngine.icebergSource(IcebergTable.forPath(spark, s"$root/nwiden_tgt")),
           SyncEngine.hudiTarget(spark, s"$root/nwiden_chain"))
 
+        // 15. clustered-layout sync (x15): a z-order CLUSTER rewrite on
+        //     an Iceberg source flows through the sync plane as a
+        //     REPLACE (adds + removes, replayed INCREMENTALLY) into
+        //     Delta and Hudi targets — the targets end up mirroring the
+        //     Morton-ordered files, inheriting the clustered layout's
+        //     stats-skipping for free, and the source's declared sort
+        //     order (metadata.json sort-orders) survives the sync reads
+        val zSrc = IcebergTable.create(spark, s"$root/zorder_src",
+          Tables.lineitem(spark, sfDir).repartition(16))
+        SyncEngine.sync(
+          SyncEngine.icebergSource(zSrc), SyncEngine.deltaTarget(spark, s"$root/zorder_tgt_d"))
+        SyncEngine.sync(
+          SyncEngine.icebergSource(zSrc), SyncEngine.hudiTarget(spark, s"$root/zorder_tgt_h"))
+        require(zSrc.compact(targetFileBytes = 1L << 19, smallFileBytes = 1L << 30,
+          zorderBy = Seq("l_partkey", "l_suppkey")).nonEmpty,
+          "x15 fixture: zorder compact was a no-op")
+        val rzd = SyncEngine.sync(
+          SyncEngine.icebergSource(zSrc), SyncEngine.deltaTarget(spark, s"$root/zorder_tgt_d"))
+        val rzh = SyncEngine.sync(
+          SyncEngine.icebergSource(zSrc), SyncEngine.hudiTarget(spark, s"$root/zorder_tgt_h"))
+        require(rzd.mode == "incremental" && rzh.mode == "incremental",
+          s"x15 fixture: replace must replay incrementally, got ${rzd.mode}/${rzh.mode}")
+        require(rzd.filesRemoved > 0 && rzh.filesRemoved > 0,
+          "x15 fixture: the CLUSTER rewrite must flow as removals")
+        require(IcebergTable.forPath(spark, s"$root/zorder_src").defaultSortOrder() ==
+          ((Seq("l_partkey", "l_suppkey"), true)),
+          "x15 fixture: sort order must survive the sync reads")
+
         root
       })
     }
@@ -565,6 +593,43 @@ object SyncQueries {
         |  CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN CAST(l_partkey AS BIGINT)
         |                ELSE CAST(l_partkey AS BIGINT) * 1000000000 END) AS BIGINT) AS sum_q
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Clustered-layout sync: the z-order CLUSTER rewrite on the Iceberg
+    // source flowed into both targets as an incremental REPLACE
+    // (adds + removes), so each target mirrors the Morton-ordered
+    // files — a 2-d box read over the TARGETS must equal DuckDB on the
+    // raw lineitem, proving the replace lost and duplicated nothing
+    // while handing the targets the clustered layout's stats-skipping.
+    QueryDef.sql(
+      "x15_clustered_layout_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        def box(df: org.apache.spark.sql.DataFrame, tag: String) = df
+          .filter(col("l_partkey").between(100, 400) && col("l_suppkey").between(10, 40))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+          .withColumn("target", lit(tag))
+        box(DeltaTable.forPath(spark, s"$root/zorder_tgt_d")
+            .scan.range("l_partkey", Some(100L), Some(400L))
+            .range("l_suppkey", Some(10L), Some(40L)).toDF(), "delta")
+          .unionByName(box(HudiTable.forPath(spark, s"$root/zorder_tgt_h")
+            .scan.range("l_partkey", Some(100L), Some(400L))
+            .range("l_suppkey", Some(10L), Some(40L)).toDF(), "hudi"))
+          .orderBy(col("target"), col("l_returnflag"))
+      },
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  'delta' AS target
+        |FROM lineitem WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
+        |GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 'hudi'
+        |FROM lineitem WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
+        |GROUP BY l_returnflag
+        |ORDER BY target, l_returnflag""".stripMargin),
 
     // The streaming change feed, end to end: drain a two-commit table
     // through spark.readStream.format("graft") (snapshot batch + one

@@ -112,6 +112,37 @@ class CompactionSpec extends SparkTestBase {
     assert(got == src.filter(col("x") <= 1023 && col("y") <= 1023).count())
   }
 
+  test("hudi z-order clustering: CLUSTER replacecommit, 2-d box prunes via col_stats") {
+    val dir = tmpDir("compact_zorder_hudi")
+    val src = spark.range(0, 4096).select(
+      (col("id") * 2654435761L % 4096L).as("x"),
+      (col("id") * 40503L % 4096L).as("y"))
+    val t = HudiTable.create(spark, s"$dir/t", src.repartition(16))
+    val before = checksum(t.toDF())
+    assert(t.compact(targetFileBytes = 8L << 10, smallFileBytes = 1L << 30,
+      zorderBy = Seq("x", "y")).nonEmpty)
+    assert(checksum(t.toDF()) == before)
+    // the rewrite is a replacecommit (Hudi's clustering shape) and the
+    // pre-clustering instant still reads everything (COW time travel)
+    assert(t.instants.size == 2)
+    val total = t.scan.files().count()
+    assert(total >= 4, s"need several output files to prove pruning, got $total")
+    // a box covering ~1/16 of each dimension: the col_stats index's
+    // per-file min/max prunes it to a small fraction; a single-dim
+    // sort could not prune on y
+    val boxX = t.scan.range("x", Some(0L), Some(1023L)).files().count()
+    val boxXY = t.scan
+      .range("x", Some(0L), Some(1023L))
+      .range("y", Some(0L), Some(1023L)).files().count()
+    assert(boxXY < total, s"2-d box did not prune: $boxXY/$total")
+    assert(boxXY <= boxX, s"adding the y bound must not widen the scan")
+    val got = t.scan
+      .range("x", Some(0L), Some(1023L))
+      .range("y", Some(0L), Some(1023L)).toDF()
+      .filter(col("x") <= 1023 && col("y") <= 1023).count()
+    assert(got == src.filter(col("x") <= 1023 && col("y") <= 1023).count())
+  }
+
   test("iceberg z-order rewrite: 2-d box prunes manifests; sort order rides metadata.json") {
     val dir = tmpDir("compact_zorder_ice")
     val src = spark.range(0, 4096).select(

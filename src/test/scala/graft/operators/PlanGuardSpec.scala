@@ -292,6 +292,54 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("d11 line dedup: the winner election shuffles digests; text only moves doc-keyed") {
+    val plan = executed(SparkEntryLookup("d11_line_dedup")(spark, sf0001))
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      val cols = s.output.map(_.name)
+      // the per-line election rows are (dig, doc_id, lid) — a `text`,
+      // `words` or `lines` column there would mean per-line text is
+      // riding the corpus-wide shuffle
+      if (cols.contains("dig"))
+        assert(!cols.exists(Set("text", "words", "lines")),
+          s"d11's election shuffles line text: ${cols.mkString(",")}")
+      // document-sized rows move only keyed by doc_id (spread + join)
+      if (cols.exists(Set("text", "words", "lines"))) {
+        val part = s.outputPartitioning.toString
+        assert(part.contains("doc_id"),
+          s"d11 moves document text on a non-doc_id shuffle: $part / ${cols.mkString(",")}")
+      }
+    }
+  }
+
+  test("s12 store maintenance: the probe reads the MAINTAINED store pruned; no corpus job") {
+    val plan = executed(SparkEntryLookup("s12_ann_store_maintenance")(spark, sf0001))
+    assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty,
+      s"s12 plans a CartesianProduct:\n$plan")
+    val scans = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val storeScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("graft_ann_maint")))
+    assert(storeScans.nonEmpty,
+      s"s12 reads no maintained cell store; scans:\n${scans.mkString("\n")}")
+    storeScans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"s12's store scan carries no partition filter — probes read every cell:\n$f")
+    }
+    // raw embeddings scans serve the query batch only — the retire +
+    // refresh passes ran once at maintenance time, outside this plan
+    val embScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("embeddings.parquet")))
+    assert(embScans.nonEmpty)
+    embScans.foreach { f =>
+      val filters = f.dataFilters.map(_.sql).mkString(" AND ")
+      assert(filters.contains("% 7") || filters.contains("%7"),
+        s"s12 scans the embeddings table WITHOUT the batch predicate: $filters")
+    }
+  }
+
   test("d01 exact dedup shuffles digests, not document text") {
     val plan = executed(SparkEntryLookup("d01_exact_dedup")(spark, sf0001))
     val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
