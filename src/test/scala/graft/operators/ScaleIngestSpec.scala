@@ -191,4 +191,42 @@ class ScaleIngestSpec extends SparkTestBase {
     assert(s11Rows <= storeRows,
       s"filtered store read ($s11Rows) exceeds unfiltered ($storeRows)")
   }
+
+  test("s12 at scale: maintenance never retrains; the post-maintenance probe stays pruned") {
+    gated()
+    val root = tmpDir("scale_s12")
+    val corpus = 400000L
+    val batch = 32L
+    writeVecs(root, corpus, batch)
+    val (_, buildSec) = timed(Similarity.primeCellStore(spark, root))
+    // maintenance = retire DELETE + refresh UPSERT against FROZEN
+    // centroids; its cost is bounded by the store files the scattered
+    // retire ids hit (a rewrite), NEVER by a re-clustering job — the
+    // wall-clock bound below fails if a quantizer retrain or a corpus
+    // re-assignment sneaks into the pass
+    val (_, maintSec) = timed(Similarity.primeMaintStore(spark, root))
+    val (out, probeSec) = timed {
+      val df = Similarity.maintainedAnn(spark, root)
+      (df, df.collect().length.toLong)
+    }
+    val (df, found) = out
+    info(f"s12 scale: corpus=$corpus batch=$batch store build ${buildSec}%.1f s, " +
+      f"maintenance ${maintSec}%.1f s, probe ${probeSec}%.1f s, $found neighbor rows")
+    assert(found >= batch, s"expected >= $batch neighbor rows, got $found")
+    // the probe's batch-membership contract is unchanged by maintenance
+    val embRows = filteredRows(df, "embeddings.parquet", "% 7")
+    assert(embRows > 0 && embRows <= 8 * batch,
+      s"$embRows embeddings rows fed cell assignment for a $batch-query batch — " +
+        s"the ${corpus}-vector corpus is being re-assigned after maintenance")
+    // the MAINTAINED store read is still partition-pruned to probed cells
+    val storeRows = scanRows(df, "graft_ann_maint")
+    assert(storeRows > 0 && storeRows <= corpus / 2,
+      s"maintained store scan read $storeRows of ~$corpus rows — cell " +
+        "partitions are not pruned after the retire/refresh rewrite")
+    // maintenance itself must stay well under a rebuild: the build pays
+    // corpus x 16 cell assignments; the refresh assigns only its batch
+    // (~corpus/9 rows here) and the delete is a file rewrite
+    assert(maintSec < 2 * buildSec,
+      f"maintenance (${maintSec}%.1f s) rivals a full rebuild (${buildSec}%.1f s)")
+  }
 }
