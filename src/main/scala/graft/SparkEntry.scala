@@ -12,7 +12,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ FormatQueries.defs ++ IcebergQueries.defs ++ HudiQueries.defs ++
       SyncQueries.defs ++ Dedup.defs ++ Similarity.defs ++ TextOps.defs ++ Multimodal.defs ++
-      Sketches.defs
+      Sketches.defs ++ StreamQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * The repo's engine-portable HyperLogLog (m = 256, md5-based): register
+ * construction and estimation as SQL expression strings shared VERBATIM
+ * between the q35 sketch query, its DuckDB oracle, and the Iceberg
+ * Puffin statistics writer — one arithmetic, three consumers, so a
+ * register set persisted in a statistics file replays bit-identically
+ * from raw data. Buckets come from the first two md5 nibbles; rho is
+ * the leading-zero count of the 14-nibble tail + 1 (max 57); the
+ * estimator is standard HLL with alpha-256, registers fixed-point at
+ * 2^60.
+ */
+object PortableHll {
+
+  val M = 256
+  /** 2^60, the fixed-point scale of the register terms. */
+  val Scale = "1.152921504606846976e18"
+
+  /** bucket of the md5 hex column `h` (first two nibbles). */
+  val bucketSql: String =
+    "(instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+      "instr('0123456789abcdef', substr(h, 2, 1)) - 1"
+
+  /** rho = leading-zero bits of the 14-hex-char tail (`rest`) + 1, via
+    * nibble arithmetic shared verbatim with the oracle. */
+  val rhoSql: String =
+    """CASE WHEN length(regexp_extract(rest, '^0*', 0)) = 14 THEN 57
+      |ELSE 4 * length(regexp_extract(rest, '^0*', 0))
+      |  + (CASE
+      |       WHEN instr('0123456789abcdef', substr(rest, length(regexp_extract(rest, '^0*', 0)) + 1, 1)) - 1 >= 8 THEN 0
+      |       WHEN instr('0123456789abcdef', substr(rest, length(regexp_extract(rest, '^0*', 0)) + 1, 1)) - 1 >= 4 THEN 1
+      |       WHEN instr('0123456789abcdef', substr(rest, length(regexp_extract(rest, '^0*', 0)) + 1, 1)) - 1 >= 2 THEN 2
+      |       ELSE 3 END) + 1 END""".stripMargin
+
+  /** Estimate from an `sp` (fixed-point register sum over present
+    * buckets) and `nb` (present-bucket count) pair, rounded to 2 dp. */
+  val estimateSql: String =
+    s"""round(0.7213e0 / (1.0e0 + 1.079e0 / 2.56e2) * 6.5536e4 * $Scale /
+       |  cast(sp + cast($M - nb as decimal(38,0)) * 1152921504606846976 as double), 2)"""
+      .stripMargin
+
+  /** (bucket, mr) register rows of one column (nulls excluded — ndv is
+    * the non-null distinct count, the cross-engine convention). */
+  def registers(df: DataFrame, c: Column): DataFrame =
+    df.select(md5(c.cast("string")).as("h"))
+      .where(c.isNotNull)
+      .withColumn("bucket", expr(bucketSql))
+      .withColumn("rest", expr("substr(h, 3, 14)"))
+      .withColumn("rho", expr(rhoSql))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("mr"))
+
+  /** One-row estimate frame (column `est`) from a register frame. */
+  def estimate(regs: DataFrame): DataFrame =
+    regs.agg(count(lit(1)).as("nb"),
+        sum(expr("cast(shiftleft(cast(1 as bigint), 60 - mr) as decimal(38,0))")).as("sp"))
+      .select(expr(estimateSql).as("est"))
+}

@@ -84,7 +84,11 @@ final case class IcebergTableMetadata(
     /** declared sort orders (spec `sort-orders`); order 0 (unsorted) is
       * always present. New writes advertise `defaultSortOrderId`. */
     sortOrders: Seq[IcebergSortOrder] = Seq(IcebergSortOrder(0, Seq.empty)),
-    defaultSortOrderId: Int = 0) {
+    defaultSortOrderId: Int = 0,
+    /** registered Puffin statistics files (spec `statistics`), one
+      * entry per analyzed snapshot; expiry drops entries whose
+      * snapshot left the table. */
+    statistics: Seq[IcebergStatisticsFile] = Seq.empty) {
 
   /** Every known spec by id (older + default). */
   def allSpecs: Seq[(Int, Seq[IcebergPartitionFieldSpec])] =
@@ -194,6 +198,31 @@ object IcebergMetadataCodec {
         n.put("source-id", f.sourceId)
         n.put("direction", f.direction)
         n.put("null-order", f.nullOrder)
+      }
+    }
+    if (m.statistics.nonEmpty) {
+      val stats = root.putArray("statistics")
+      m.statistics.sortBy(_.snapshotId).foreach { s =>
+        val n = stats.addObject()
+        n.put("snapshot-id", s.snapshotId)
+        n.put("statistics-path", s.path)
+        n.put("file-size-in-bytes", s.fileSizeBytes)
+        n.put("file-footer-size-in-bytes", s.footerSizeBytes)
+        val bm = n.putArray("blob-metadata")
+        s.blobs.foreach { b =>
+          val bn = bm.addObject()
+          bn.put("type", b.blobType)
+          val f = bn.putArray("fields")
+          b.fields.foreach(f.add)
+          bn.put("snapshot-id", b.snapshotId)
+          bn.put("sequence-number", b.sequenceNumber)
+          bn.put("offset", b.offset)
+          bn.put("length", b.length)
+          if (b.properties.nonEmpty) {
+            val p = bn.putObject("properties")
+            b.properties.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+          }
+        }
       }
     }
     val props = root.putObject("properties")
@@ -315,6 +344,25 @@ object IcebergMetadataCodec {
           e.getValue.get("snapshot-id").asLong(),
           Option(e.getValue.get("type")).map(_.asText()).getOrElse("tag")))
         .toMap).getOrElse(Map.empty),
+      statistics = Option(root.get("statistics")).map(_.elements().asScala.map { s =>
+        IcebergStatisticsFile(
+          snapshotId = s.get("snapshot-id").asLong(),
+          path = s.get("statistics-path").asText(),
+          fileSizeBytes = s.get("file-size-in-bytes").asLong(),
+          footerSizeBytes = s.get("file-footer-size-in-bytes").asLong(),
+          blobs = Option(s.get("blob-metadata")).map(_.elements().asScala.map { b =>
+            IcebergBlobMetadata(
+              b.get("type").asText(),
+              Option(b.get("fields")).map(_.elements().asScala.map(_.asInt()).toSeq)
+                .getOrElse(Seq.empty),
+              b.get("snapshot-id").asLong(),
+              b.get("sequence-number").asLong(),
+              Option(b.get("offset")).map(_.asLong()).getOrElse(0L),
+              Option(b.get("length")).map(_.asLong()).getOrElse(0L),
+              Option(b.get("properties")).map(p => p.properties().asScala
+                .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
+          }.toSeq).getOrElse(Seq.empty))
+      }.toSeq).getOrElse(Seq.empty),
       sortOrders = Option(root.get("sort-orders")).map(_.elements().asScala.map { o =>
         IcebergSortOrder(
           o.get("order-id").asInt(),

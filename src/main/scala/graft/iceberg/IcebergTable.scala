@@ -249,6 +249,90 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       meta.properties.get(s"graft.sort-order.${o.orderId}.kind").contains("zorder"))
   }
 
+  /**
+   * ANALYZE: compute and register Puffin statistics for `cols` at the
+   * CURRENT snapshot. One pass builds the portable 256-bucket HLL
+   * registers per column (graft.functions.PortableHll — the q35
+   * mergeable sketch, so registers roll up across partitions and
+   * snapshots without re-reading rows), all sketches land in ONE
+   * Puffin file under `metadata/`, and metadata.json's `statistics`
+   * list points at it (table-spec `statistics` + the public Puffin
+   * container). Each blob's `ndv` property carries the HLL estimate —
+   * the cross-engine convention planners read without opening the
+   * sketch bytes. The registration commit is metadata-only with a
+   * typed CAS; re-analyzing the same snapshot replaces its entry.
+   */
+  def writeStatistics(cols: Seq[String]): IcebergStatisticsFile = {
+    require(cols.nonEmpty, s"writeStatistics on $tablePath needs at least one column")
+    val (_, meta0) = log.readLatest().getOrElse(
+      throw new IllegalStateException(s"not an iceberg table: $tablePath"))
+    val snap = meta0.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no current snapshot on $tablePath"))
+    val df = toDF()
+    val blobs = cols.map { c =>
+      val f = meta0.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column $c in $tablePath"))
+      val fid = IcebergSchemas.fieldId(f).getOrElse(
+        throw new IllegalStateException(s"field $c of $tablePath missing iceberg id"))
+      // register set is model-sized (≤ 256 rows) — driver collect is
+      // the same posture as every centroid/codebook literal
+      val regs = graft.functions.PortableHll
+        .registers(df, org.apache.spark.sql.functions.col(c))
+      val bytes = new Array[Byte](graft.functions.PortableHll.M)
+      regs.collect().foreach(r => bytes(r.getInt(0)) = r.getInt(1).toByte)
+      val ndv = graft.functions.PortableHll.estimate(regs).collect()(0).getDouble(0)
+      (Puffin.HllBlobType, Seq(fid),
+        Map("ndv" -> String.format(java.util.Locale.ROOT, "%.2f", Double.box(ndv))),
+        bytes)
+    }
+    val statsPath = new Path(tablePath, s"metadata/${UUID.randomUUID()}.stats")
+    val entry = Puffin.write(statsPath.getFileSystem(hconf), statsPath,
+      snap.snapshotId, snap.sequenceNumber, blobs)
+    // CAS loop: the stats file is immutable once written, so a lost
+    // race just re-reads the metadata and re-registers the same entry
+    var registered = false
+    while (!registered) {
+      val (v, meta) = log.readLatest().get
+      registered = log.commit(v + 1, meta.copy(
+        statistics =
+          meta.statistics.filterNot(_.snapshotId == snap.snapshotId) :+ entry,
+        lastUpdatedMs = System.currentTimeMillis()))
+    }
+    entry
+  }
+
+  /** The statistics entry of the CLOSEST ANALYZED ANCESTOR of a
+    * snapshot (current when omitted) — the planner convention: stats
+    * registered before later appends stay usable until re-analyzed. */
+  def statisticsFor(snapshotId: Option[Long] = None): Option[IcebergStatisticsFile] = {
+    val meta = currentMetadata
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    Iterator.iterate(snapshotId.orElse(meta.currentSnapshotId))(
+        _.flatMap(byId.get).flatMap(_.parentId))
+      .takeWhile(_.isDefined).map(_.get)
+      .flatMap(id => meta.statistics.find(_.snapshotId == id).iterator)
+      .nextOption()
+  }
+
+  /** The persisted HLL register set of `column` at the current
+    * snapshot's statistics file: Seq of (bucket, rho) for present
+    * buckets, plus the blob's `ndv` property. */
+  def statisticsRegisters(column: String): (Seq[(Int, Int)], Double) = {
+    val meta = currentMetadata
+    val fid = meta.schema.fields.find(_.name == column)
+      .flatMap(IcebergSchemas.fieldId).getOrElse(
+        throw new IllegalArgumentException(s"no column $column in $tablePath"))
+    val entry = statisticsFor().getOrElse(
+      throw new IllegalStateException(s"no statistics for the current snapshot of $tablePath"))
+    val blob = entry.blobs.find(b =>
+      b.blobType == Puffin.HllBlobType && b.fields == Seq(fid)).getOrElse(
+      throw new IllegalStateException(s"no ${Puffin.HllBlobType} blob for $column"))
+    val p = new Path(entry.path)
+    val bytes = Puffin.blobPayload(p.getFileSystem(hconf), p, blob)
+    val regs = bytes.zipWithIndex.collect { case (b, i) if b != 0 => (i, b.toInt) }.toSeq
+    (regs, blob.properties("ndv").toDouble)
+  }
+
   /** Resolve a ref name to its snapshot id (`main` → current). */
   def refSnapshot(name: String): Long =
     if (name == "main")
@@ -1611,15 +1695,22 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val (dead, live) = meta.snapshots.partition(s =>
       !pinned.contains(s.snapshotId) && s.timestampMs < olderThanMs)
     if (dead.isEmpty) return 0
+    // statistics of an expired snapshot expire with it (spec: writers
+    // remove `statistics` entries of removed snapshots)
+    val deadIds = dead.map(_.snapshotId).toSet
+    val (deadStats, liveStats) = meta.statistics.partition(s => deadIds(s.snapshotId))
     val next = meta.copy(
       snapshots = live,
       snapshotLog = meta.snapshotLog.filter { case (_, id) => live.exists(_.snapshotId == id) },
+      statistics = liveStats,
       lastUpdatedMs = System.currentTimeMillis())
     graft.model.ConcurrentSyncException.check(log.commit(v + 1, next), s"concurrent iceberg commit on $tablePath")
     // manifest lists of expired snapshots are unreachable now; manifests
-    // themselves may be shared with live snapshots, so only lists go
+    // themselves may be shared with live snapshots, so only lists go —
+    // and orphaned Puffin statistics files go with their snapshots
     val fsys = new Path(tablePath).getFileSystem(hconf)
     dead.foreach(s => fsys.delete(new Path(s.manifestList), false))
+    deadStats.foreach(s => fsys.delete(new Path(s.path), false))
     dead.size
   }
 

@@ -216,6 +216,27 @@ object IcebergQueries {
         require(orderCols == Seq("l_partkey", "l_suppkey") && isZ,
           s"i20 fixture: sort order did not round-trip ($orderCols, zorder=$isZ)")
 
+        // i21: ANALYZE through the Puffin container — per-column HLL
+        // sketches in one statistics file, registered at the current
+        // snapshot; the entry must survive a follow-up append's
+        // metadata rewrite (closest-analyzed-ancestor lookup), and the
+        // blob's ndv property must equal the register replay
+        val t19 = IcebergTable.create(spark, s"$root/orders_stats", o)
+        val statsEntry = t19.writeStatistics(Seq("o_custkey", "o_orderpriority"))
+        require(statsEntry.blobs.size == 2,
+          s"i21 fixture: expected 2 sketch blobs, got ${statsEntry.blobs.size}")
+        t19.append(o.limit(0)) // metadata round-trip past the analyzed snapshot
+        val t19b = IcebergTable.forPath(spark, s"$root/orders_stats")
+        require(t19b.statisticsFor().nonEmpty,
+          "i21 fixture: statistics entry lost in the metadata rewrite")
+        Seq("o_custkey", "o_orderpriority").foreach { c =>
+          val (regs, ndv) = t19b.statisticsRegisters(c)
+          val replay = graft.functions.PortableHll.estimate(
+            spark.createDataFrame(regs).toDF("bucket", "mr")).collect()(0).getDouble(0)
+          require(ndv == replay,
+            s"i21 fixture: ndv property $ndv != register replay $replay for $c")
+        }
+
         root
       })
     }
@@ -648,6 +669,62 @@ object IcebergQueries {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Puffin statistics read back: the per-column ndv estimates come
+    // from the PERSISTED register bytes (the sketch survived the file,
+    // the footer, the metadata registration and a later append), and
+    // the oracle rebuilds the identical registers from raw data — a
+    // flipped byte, a lost bucket, or estimator drift all hash-fail.
+    // exact_distinct sits beside the estimate as the accuracy witness.
+    QueryDef.sql(
+      "i21_puffin_statistics",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "orders_stats")
+        def level(c: String) = {
+          val (regs, _) = t.statisticsRegisters(c)
+          graft.functions.PortableHll.estimate(
+              spark.createDataFrame(regs).toDF("bucket", "mr"))
+            .select(lit(c).as("column_name"), col("est").as("est_distinct"))
+        }
+        val exact = t.toDF().agg(
+            countDistinct(col("o_custkey")).as("o_custkey"),
+            countDistinct(col("o_orderpriority")).as("o_orderpriority"))
+          .selectExpr("stack(2, 'o_custkey', o_custkey, " +
+            "'o_orderpriority', o_orderpriority) AS (column_name, exact_distinct)")
+        level("o_custkey").unionByName(level("o_orderpriority"))
+          .join(exact, Seq("column_name"))
+          .orderBy(col("column_name"))
+      },
+      s"""WITH reg AS (
+         |  SELECT column_name, bucket, MAX(rho) AS mr FROM (
+         |    SELECT column_name,
+         |      (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket,
+         |      ${graft.functions.PortableHll.rhoSql.replace("regexp_extract(rest, '^0*', 0)", "regexp_extract(rest, '^0*')")} AS rho
+         |    FROM (
+         |      SELECT 'o_custkey' AS column_name, md5(CAST(o_custkey AS VARCHAR)) AS h,
+         |        substr(md5(CAST(o_custkey AS VARCHAR)), 3, 14) AS rest
+         |      FROM orders WHERE o_custkey IS NOT NULL
+         |      UNION ALL
+         |      SELECT 'o_orderpriority', md5(CAST(o_orderpriority AS VARCHAR)),
+         |        substr(md5(CAST(o_orderpriority AS VARCHAR)), 3, 14)
+         |      FROM orders WHERE o_orderpriority IS NOT NULL))
+         |  GROUP BY column_name, bucket),
+         |est AS (
+         |  SELECT column_name, COUNT(*) AS nb,
+         |    SUM(CAST((1::BIGINT << (60 - mr)) AS DECIMAL(38,0))) AS sp
+         |  FROM reg GROUP BY column_name),
+         |e2 AS (
+         |  SELECT column_name,
+         |    ROUND(0.7213e0 / (1.0e0 + 1.079e0 / 2.56e2) * 6.5536e4 * ${graft.functions.PortableHll.Scale} /
+         |      CAST(sp + CAST(${graft.functions.PortableHll.M} - nb AS DECIMAL(38,0)) * 1152921504606846976 AS DOUBLE), 2) AS est_distinct
+         |  FROM est),
+         |x AS (
+         |  SELECT 'o_custkey' AS column_name, COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders
+         |  UNION ALL
+         |  SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority) FROM orders)
+         |SELECT e2.column_name, est_distinct, CAST(exact_distinct AS BIGINT) AS exact_distinct
+         |FROM e2 JOIN x ON x.column_name = e2.column_name
+         |ORDER BY e2.column_name""".stripMargin),
 
     QueryDef.sql(
       "x01_cross_format_equality",

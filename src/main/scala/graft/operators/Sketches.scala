@@ -32,20 +32,12 @@ import graft.sources.Tables
  */
 object Sketches {
 
-  private val M = 256
-  /** 2^60, the fixed-point scale of the register terms. */
-  private val Scale = "1.152921504606846976e18"
-
-  /** rho = leading-zero bits of the 14-hex-char tail + 1, via nibble
-    * arithmetic shared verbatim with the oracle. */
-  private val rhoSql =
-    """CASE WHEN length(regexp_extract(rest, '^0*', 0)) = 14 THEN 57
-      |ELSE 4 * length(regexp_extract(rest, '^0*', 0))
-      |  + (CASE
-      |       WHEN instr('0123456789abcdef', substr(rest, length(regexp_extract(rest, '^0*', 0)) + 1, 1)) - 1 >= 8 THEN 0
-      |       WHEN instr('0123456789abcdef', substr(rest, length(regexp_extract(rest, '^0*', 0)) + 1, 1)) - 1 >= 4 THEN 1
-      |       WHEN instr('0123456789abcdef', substr(rest, length(regexp_extract(rest, '^0*', 0)) + 1, 1)) - 1 >= 2 THEN 2
-      |       ELSE 3 END) + 1 END""".stripMargin
+  // register/estimator arithmetic lives in graft.functions.PortableHll,
+  // shared verbatim with the Iceberg Puffin statistics writer (i21) so
+  // a persisted sketch replays bit-identically from raw data
+  private val M = graft.functions.PortableHll.M
+  private val Scale = graft.functions.PortableHll.Scale
+  private val rhoSql = graft.functions.PortableHll.rhoSql
 
   /**
    * Distinct customers per order priority AND overall, each estimated
