@@ -93,20 +93,26 @@ object Bench {
     // one pass slow ⇒ transient contention the min already absorbed
     val p1Total = named.map(n => pass1(n._1)).sum
     val p2Total = named.map(n => pass2(n._1)).sum
-    val line = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir","calibration_sec":${num(calibrationSec, 3)},"fixture_build_sec":${num(fixtureSec, 3)},"index_build_sec":${num(indexBuildSec, 3)},"pass1_total":${num(p1Total, 3)},"pass2_total":${num(p2Total, 3)},"spread_outliers":$spreads,"queries":$qs}"""
+    val head = s""""metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir","calibration_sec":${num(calibrationSec, 3)},"fixture_build_sec":${num(fixtureSec, 3)},"index_build_sec":${num(indexBuildSec, 3)},"pass1_total":${num(p1Total, 3)},"pass2_total":${num(p2Total, 3)}"""
+    // TWO renditions of the same run: the FULL line (per-query map +
+    // contended-outlier spreads) goes to BENCH.json, which parses
+    // whole; stdout gets a COMPACT line WITHOUT the per-query map —
+    // at 160+ queries the full line outgrew the driver's tail-capture
+    // window (~2000 chars), so the captured stdout began mid-JSON and
+    // `parsed` came back null six rounds running. The compact line is
+    // ~300 bytes and survives any tail window; per-query detail lives
+    // in the file.
+    val fullLine = s"""{$head,"spread_outliers":$spreads,"queries":$qs}"""
+    val compactLine = s"""{$head,"queries_file":"BENCH.json","query_count":${results.size}}"""
     // the JSON is this process's FINAL stdout line: spark.stop() first,
     // so no shutdown logging can trail it and a line-oriented parser
     // (not just a regex scrape) finds it
     spark.stop()
-    println(line)
+    println(compactLine)
     System.out.flush()
-    // stdout-last is defeated when the bench runs under sbt (its
-    // `[success] Total time: …` epilogue trails the JSON), so the SAME
-    // line also lands in a fixed file a driver can read directly:
-    // BENCH.json next to the repo root (cwd of every sbt invocation)
     try {
       val p = java.nio.file.Paths.get("BENCH.json")
-      java.nio.file.Files.write(p, (line + "\n").getBytes(
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Exception => () } // file drop is best-effort; stdout already has it
   }

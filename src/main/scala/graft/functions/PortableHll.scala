@@ -36,12 +36,28 @@ object PortableHll {
       |       WHEN instr('0123456789abcdef', substr(rest, length(regexp_extract(rest, '^0*', 0)) + 1, 1)) - 1 >= 2 THEN 2
       |       ELSE 3 END) + 1 END""".stripMargin
 
-  /** Estimate from an `sp` (fixed-point register sum over present
-    * buckets) and `nb` (present-bucket count) pair, rounded to 2 dp. */
-  val estimateSql: String =
-    s"""round(0.7213e0 / (1.0e0 + 1.079e0 / 2.56e2) * 6.5536e4 * $Scale /
-       |  cast(sp + cast($M - nb as decimal(38,0)) * 1152921504606846976 as double), 2)"""
+  /** The raw alpha-m estimator over an `sp` (fixed-point register sum
+    * of present buckets) / `nb` (present-bucket count) pair. */
+  val rawEstimateSql: String =
+    s"""0.7213e0 / (1.0e0 + 1.079e0 / 2.56e2) * 6.5536e4 * $Scale /
+       |  cast(sp + cast($M - nb as decimal(38,0)) * 1152921504606846976 as double)"""
       .stripMargin
+
+  /** Estimate from an `sp`/`nb` pair, rounded to 2 dp — standard HLL
+    * with the LINEAR-COUNTING small-range branch (Flajolet et al. 2007
+    * §4: when zero registers exist and the raw estimate ≤ 2.5·m, use
+    * m·ln(m/V), V = zero-register count). The branch IS cross-engine
+    * portable despite ln(): V is an integer in [1, 256], so the
+    * correction has only 255 possible values, and the nearest any of
+    * them comes to a 2-dp rounding boundary is 1.7e-6 — nine orders of
+    * magnitude above a 1-ulp libm disagreement (verified exhaustively
+    * against DuckDB's ln). An nb = 0 register set (all-NULL column)
+    * estimates 0. */
+  val estimateSql: String =
+    s"""CASE WHEN nb = 0 THEN 0.0e0
+       |WHEN nb < $M AND $rawEstimateSql <= 640.0e0
+       |THEN round(2.56e2 * ln(2.56e2 / cast($M - nb as double)), 2)
+       |ELSE round($rawEstimateSql, 2) END""".stripMargin
 
   /** (bucket, mr) register rows of one column (nulls excluded — ndv is
     * the non-null distinct count, the cross-engine convention). */
@@ -59,4 +75,23 @@ object PortableHll {
     regs.agg(count(lit(1)).as("nb"),
         sum(expr("cast(shiftleft(cast(1 as bigint), 60 - mr) as decimal(38,0))")).as("sp"))
       .select(expr(estimateSql).as("est"))
+
+  /** DRIVER-SIDE estimate from collected (bucket, mr) registers —
+    * bit-identical to [[estimateSql]] (the decimal register sum, the
+    * left-to-right double arithmetic, Spark's BigDecimal HALF_UP
+    * round), so an ANALYZE that already holds the ≤256 collected
+    * registers never pays a second distributed job for trivial
+    * arithmetic. */
+  def estimateLocal(regs: Seq[(Int, Int)]): Double = {
+    val nb = regs.size
+    if (nb == 0) return 0.0
+    // round exactly as Spark's Round does for DoubleType
+    def r2(x: Double): Double =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sp = regs.map { case (_, mr) => BigInt(1) << (60 - mr) }.sum
+    val z = (BigDecimal(sp) + BigDecimal(M - nb) * BigDecimal(BigInt(1) << 60)).toDouble
+    val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 1.152921504606846976e18 / z
+    if (nb < M && raw <= 640.0) r2(256.0 * math.log(256.0 / (M - nb)))
+    else r2(raw)
+  }
 }

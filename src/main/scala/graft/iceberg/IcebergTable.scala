@@ -263,41 +263,86 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
    * typed CAS; re-analyzing the same snapshot replaces its entry.
    */
   def writeStatistics(cols: Seq[String]): IcebergStatisticsFile = {
+    import org.apache.spark.sql.functions.{array, col, explode, expr, lit, max, md5, struct}
     require(cols.nonEmpty, s"writeStatistics on $tablePath needs at least one column")
     val (_, meta0) = log.readLatest().getOrElse(
       throw new IllegalStateException(s"not an iceberg table: $tablePath"))
     val snap = meta0.currentSnapshot.getOrElse(
       throw new IllegalStateException(s"no current snapshot on $tablePath"))
-    val df = toDF()
-    val blobs = cols.map { c =>
+    val fids = cols.map { c =>
       val f = meta0.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"no column $c in $tablePath"))
-      val fid = IcebergSchemas.fieldId(f).getOrElse(
+      IcebergSchemas.fieldId(f).getOrElse(
         throw new IllegalStateException(s"field $c of $tablePath missing iceberg id"))
-      // register set is model-sized (≤ 256 rows) — driver collect is
-      // the same posture as every centroid/codebook literal
-      val regs = graft.functions.PortableHll
-        .registers(df, org.apache.spark.sql.functions.col(c))
+    }
+    // ONE aggregation job over ONE table scan for ALL columns: every
+    // column's hash stacks into (ci, h) rows row-side, registers shrink
+    // to ≤ cols×256 rows in the map-side combine, and the estimate is
+    // driver arithmetic over the collected registers — ANALYZE of a
+    // 100-TB table costs one scan regardless of column count, not two
+    // jobs per column
+    val stacked = toDF()
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("ci"), md5(col(c).cast("string")).as("h"))
+      }: _*)).as("s"))
+      .select(col("s.ci").as("ci"), col("s.h").as("h"))
+      .where(col("h").isNotNull) // md5(NULL) is NULL: ndv counts non-nulls
+      .withColumn("bucket", expr(graft.functions.PortableHll.bucketSql))
+      .withColumn("rest", expr("substr(h, 3, 14)"))
+      .withColumn("rho", expr(graft.functions.PortableHll.rhoSql))
+      .groupBy(col("ci"), col("bucket"))
+      .agg(max(col("rho")).as("mr"))
+      .collect()
+    val regsByCol = stacked.groupBy(_.getInt(0))
+    val blobs = cols.indices.map { i =>
+      val regs = regsByCol.getOrElse(i, Array.empty[org.apache.spark.sql.Row])
+        .map(r => (r.getInt(1), r.getInt(2))).toSeq
       val bytes = new Array[Byte](graft.functions.PortableHll.M)
-      regs.collect().foreach(r => bytes(r.getInt(0)) = r.getInt(1).toByte)
-      val ndv = graft.functions.PortableHll.estimate(regs).collect()(0).getDouble(0)
-      (Puffin.HllBlobType, Seq(fid),
+      regs.foreach { case (b, mr) => bytes(b) = mr.toByte }
+      // an all-NULL column has zero registers and estimates ndv 0.00
+      val ndv = graft.functions.PortableHll.estimateLocal(regs)
+      (Puffin.HllBlobType, Seq(fids(i)),
         Map("ndv" -> String.format(java.util.Locale.ROOT, "%.2f", Double.box(ndv))),
         bytes)
     }
     val statsPath = new Path(tablePath, s"metadata/${UUID.randomUUID()}.stats")
     val entry = Puffin.write(statsPath.getFileSystem(hconf), statsPath,
       snap.snapshotId, snap.sequenceNumber, blobs)
+    registerStatistics(snap.snapshotId, entry)
+  }
+
+  /** Register a written statistics file under its snapshot (the CAS
+    * half of [[writeStatistics]], separated so races are testable). */
+  private[iceberg] def registerStatistics(
+      snapshotId: Long, entry: IcebergStatisticsFile): IcebergStatisticsFile = {
+    val fsys = new Path(entry.path).getFileSystem(hconf)
     // CAS loop: the stats file is immutable once written, so a lost
     // race just re-reads the metadata and re-registers the same entry
+    var replaced: Option[String] = None
     var registered = false
     while (!registered) {
       val (v, meta) = log.readLatest().get
+      // a concurrent expireSnapshots may have killed the analyzed
+      // snapshot between the scan and this commit — registering stats
+      // for a dead snapshot would orphan the file forever (expiry only
+      // cleans entries of snapshots it removes), so clean up and raise
+      // the typed race signal: re-running ANALYZE targets the new head
+      if (!meta.snapshots.exists(_.snapshotId == snapshotId)) {
+        fsys.delete(new Path(entry.path), false)
+        throw new graft.model.ConcurrentSyncException(
+          s"snapshot $snapshotId of $tablePath expired while ANALYZE was running")
+      }
+      replaced = meta.statistics.find(_.snapshotId == snapshotId).map(_.path)
       registered = log.commit(v + 1, meta.copy(
         statistics =
-          meta.statistics.filterNot(_.snapshotId == snap.snapshotId) :+ entry,
+          meta.statistics.filterNot(_.snapshotId == snapshotId) :+ entry,
         lastUpdatedMs = System.currentTimeMillis()))
     }
+    // a re-analyze REPLACED the snapshot's previous entry: its file is
+    // unreachable from any metadata now — delete it, or it is orphaned
+    // permanently (expiry only deletes files of entries still registered)
+    replaced.filterNot(_ == entry.path)
+      .foreach(p => fsys.delete(new Path(p), false))
     entry
   }
 

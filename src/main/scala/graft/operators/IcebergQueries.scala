@@ -715,8 +715,7 @@ object IcebergQueries {
          |  FROM reg GROUP BY column_name),
          |e2 AS (
          |  SELECT column_name,
-         |    ROUND(0.7213e0 / (1.0e0 + 1.079e0 / 2.56e2) * 6.5536e4 * ${graft.functions.PortableHll.Scale} /
-         |      CAST(sp + CAST(${graft.functions.PortableHll.M} - nb AS DECIMAL(38,0)) * 1152921504606846976 AS DOUBLE), 2) AS est_distinct
+         |    ${graft.functions.PortableHll.estimateSql} AS est_distinct
          |  FROM est),
          |x AS (
          |  SELECT 'o_custkey' AS column_name, COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders

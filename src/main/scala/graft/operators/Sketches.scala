@@ -25,18 +25,18 @@ import graft.sources.Tables
  * rho = leading-zero count of the next 56 bits + 1 (so rho ∈ [1, 57]);
  * the per-bucket term 2^-rho is tracked as the exact integer
  * 2^(60-rho), empty buckets contribute 2^60, and the final estimate is
- * alpha_256 * m^2 / Z in one double division. Raw estimator only — the
- * small-range linear-counting correction needs ln(), which is not
- * bit-portable across engines; group cardinalities here sit in the raw
- * regime.
+ * alpha_256 * m^2 / Z in one double division — plus the standard
+ * small-range linear-counting branch (m·ln(m/V) when zero registers
+ * exist and the raw estimate ≤ 2.5·m). ln() IS portable here: the
+ * branch has only 255 possible inputs and none lands within 1e-6 of a
+ * 2-dp rounding boundary (PortableHll.estimateSql documents the
+ * exhaustive check), so both engines round identically.
  */
 object Sketches {
 
   // register/estimator arithmetic lives in graft.functions.PortableHll,
   // shared verbatim with the Iceberg Puffin statistics writer (i21) so
   // a persisted sketch replays bit-identically from raw data
-  private val M = graft.functions.PortableHll.M
-  private val Scale = graft.functions.PortableHll.Scale
   private val rhoSql = graft.functions.PortableHll.rhoSql
 
   /**
@@ -62,10 +62,8 @@ object Sketches {
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("nb"),
         sum(expr("cast(shiftleft(cast(1 as bigint), 60 - mr) as decimal(38,0))")).as("sp"))
-      .select(col("grp"), expr(
-        s"""round(0.7213e0 / (1.0e0 + 1.079e0 / 2.56e2) * 6.5536e4 * $Scale /
-           |  cast(sp + cast($M - nb as decimal(38,0)) * 1152921504606846976 as double), 2)"""
-          .stripMargin).as("est_distinct"))
+      .select(col("grp"),
+        expr(graft.functions.PortableHll.estimateSql).as("est_distinct"))
 
     val perGroup = estimate(registers)
     val merged = estimate(
@@ -107,8 +105,7 @@ object Sketches {
          |  FROM lv GROUP BY grp),
          |e2 AS (
          |  SELECT grp,
-         |    ROUND(0.7213e0 / (1.0e0 + 1.079e0 / 2.56e2) * 6.5536e4 * $Scale /
-         |      CAST(sp + CAST($M - nb AS DECIMAL(38,0)) * 1152921504606846976 AS DOUBLE), 2) AS est_distinct
+         |    ${graft.functions.PortableHll.estimateSql} AS est_distinct
          |  FROM est),
          |x AS (
          |  SELECT o_orderpriority AS grp, COUNT(DISTINCT o_custkey) AS exact_distinct

@@ -54,8 +54,18 @@ object StreamQueries {
     val sink = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = stream.writeStream.format("memory").queryName(sink)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
-    spark.table(sink)
+    // a hung stream must FAIL the query, not silently hand back a
+    // partially-filled sink; stop() in finally so a timed-out or thrown
+    // query never leaks its execution thread
+    try require(q.awaitTermination(300000), s"stream $sink did not drain within 300s")
+    finally q.stop()
+    // spark.table resolves the plan EAGERLY (Dataset.ofRows analyzes at
+    // construction), so the temp view can drop right away — repeated
+    // bench passes otherwise accumulate every drained result set in the
+    // catalog for the life of the session
+    val out = spark.table(sink)
+    spark.catalog.dropTempView(sink)
+    out
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -41,12 +41,14 @@ class PuffinSpec extends SparkTestBase {
     val t = IcebergTable.create(spark, s"$dir/t", src)
     val e1 = t.writeStatistics(Seq("k", "s"))
     assert(e1.blobs.size == 2 && e1.blobs.forall(_.blobType == Puffin.HllBlobType))
-    // a 13-value column fills exactly 13 buckets; its ndv property is
-    // the plain-HLL estimate (no low-range correction — the q35
-    // estimator, which targets the large-ndv planning regime) and must
-    // equal the register replay exactly
+    // a 13-value column fills exactly 13 buckets; the LINEAR-COUNTING
+    // branch (zero registers exist, raw est ≤ 2.5·m) puts the ndv
+    // within ~3% instead of the raw estimator's ~190, and the property
+    // must equal the SQL-path register replay exactly (driver and SQL
+    // estimators share one arithmetic)
     val (regsS, ndvS) = t.statisticsRegisters("s")
     assert(regsS.size == 13, s"${regsS.size}")
+    assert(math.abs(ndvS - 13.0) / 13.0 < 0.05, s"$ndvS")
     val replayS = graft.functions.PortableHll.estimate(
       spark.createDataFrame(regsS).toDF("bucket", "mr")).collect()(0).getDouble(0)
     assert(ndvS == replayS, s"($ndvS, $replayS)")
@@ -55,13 +57,92 @@ class PuffinSpec extends SparkTestBase {
     val (_, ndvK) = t.statisticsRegisters("k")
     assert(math.abs(ndvK - 1000.0) / 1000.0 < 0.15, s"$ndvK")
     // re-analyzing the same snapshot REPLACES its entry (no duplicates)
+    // and deletes the superseded file — nothing references it anymore
     t.writeStatistics(Seq("k"))
     assert(IcebergTable.forPath(spark, s"$dir/t").currentMetadata.statistics.size == 1)
+    assert(!fs(new Path(e1.path)).exists(new Path(e1.path)),
+      "superseded stats file must be deleted on re-analyze")
     // a later append keeps the entry reachable via the ancestor walk
     t.append(src.limit(0))
     val t2 = IcebergTable.forPath(spark, s"$dir/t")
     assert(t2.statisticsFor().nonEmpty)
     assert(t2.statisticsFor().get.snapshotId != t2.currentMetadata.currentSnapshotId.get)
+  }
+
+  test("ANALYZE of many columns runs exactly ONE Spark job (one table scan)") {
+    val dir = tmpDir("puffin_onepass")
+    val src = spark.range(0, 2000).select(
+      col("id").as("a"), (col("id") % 7).as("b"),
+      (col("id") % 13).cast("string").as("c"), (col("id") % 97).as("d"))
+    val t = IcebergTable.create(spark, s"$dir/t", src)
+    val read = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.writeStatistics(Seq("a", "b", "c", "d"))
+      // listener delivery is async: wait until the count stops moving
+      var last = -1L
+      var spins = 0
+      while (read.get() != last && spins < 50) {
+        last = read.get(); Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the stacked register aggregation is the ONLY action that touches
+    // rows: 4 columns, ONE scan of the 2000-row table (the old shape
+    // was 2 jobs PER column = 16000 records), one shuffle of ≤ 4×256
+    // register rows, ndv computed driver-side from the collected
+    // registers. Manifest/metadata reads contribute a handful of
+    // records at most — well under the second-scan threshold.
+    assert(read.get() < 2 * 2000,
+      s"ANALYZE read ${read.get()} records — more than one table scan")
+    assert(read.get() >= 2000, s"ANALYZE read ${read.get()} records — scan not observed")
+    // and the registers must equal the per-column single-pass build
+    Seq("a", "b", "c", "d").foreach { c =>
+      val (regs, ndv) = t.statisticsRegisters(c)
+      val one = graft.functions.PortableHll
+        .registers(t.toDF(), col(c)).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq
+      assert(regs.sortBy(_._1) == one, s"register mismatch for $c")
+      assert(ndv == graft.functions.PortableHll.estimateLocal(one))
+    }
+  }
+
+  test("ANALYZE of an all-NULL column records ndv 0.00 with empty registers") {
+    val dir = tmpDir("puffin_null")
+    val src = spark.range(0, 50).select(
+      col("id").as("k"), lit(null).cast("string").as("s"))
+    val t = IcebergTable.create(spark, s"$dir/t", src)
+    t.writeStatistics(Seq("s", "k"))
+    val (regs, ndv) = t.statisticsRegisters("s")
+    assert(regs.isEmpty && ndv == 0.0, s"($regs, $ndv)")
+    val (_, ndvK) = t.statisticsRegisters("k")
+    assert(ndvK > 0.0)
+  }
+
+  test("registering stats for a snapshot expired mid-ANALYZE raises the typed race and cleans up") {
+    val dir = tmpDir("puffin_race")
+    val src = spark.range(0, 100).select(col("id").as("k"))
+    val t = IcebergTable.create(spark, s"$dir/t", src)
+    val doomed = t.currentMetadata.currentSnapshotId.get
+    // the world moves between ANALYZE's scan and its registration CAS:
+    // an append supersedes the analyzed snapshot and expiry kills it
+    t.append(src)
+    assert(t.expireSnapshots(System.currentTimeMillis() + 1000) == 1)
+    val path = new Path(s"$dir/t/metadata/race.stats")
+    val entry = Puffin.write(fs(path), path, doomed, 1L,
+      Seq((Puffin.HllBlobType, Seq(1), Map("ndv" -> "1.00"),
+        new Array[Byte](graft.functions.PortableHll.M))))
+    val ex = intercept[graft.model.ConcurrentSyncException] {
+      t.registerStatistics(doomed, entry)
+    }
+    assert(ex.getMessage.contains("expired"))
+    // the unregistrable file must not be left orphaned on disk
+    assert(!fs(path).exists(path))
+    assert(IcebergTable.forPath(spark, s"$dir/t").currentMetadata.statistics.isEmpty)
   }
 
   test("expiry drops statistics of expired snapshots and deletes their files") {
