@@ -88,7 +88,12 @@ final case class IcebergTableMetadata(
     /** registered Puffin statistics files (spec `statistics`), one
       * entry per analyzed snapshot; expiry drops entries whose
       * snapshot left the table. */
-    statistics: Seq[IcebergStatisticsFile] = Seq.empty) {
+    statistics: Seq[IcebergStatisticsFile] = Seq.empty,
+    /** registered partition statistics files (spec
+      * `partition-statistics` — the sibling list of `statistics`):
+      * per-partition row/file/byte rollups in a sorted parquet file,
+      * one entry per analyzed snapshot. */
+    partitionStatistics: Seq[IcebergPartitionStatisticsFile] = Seq.empty) {
 
   /** Every known spec by id (older + default). */
   def allSpecs: Seq[(Int, Seq[IcebergPartitionFieldSpec])] =
@@ -223,6 +228,15 @@ object IcebergMetadataCodec {
             b.properties.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
           }
         }
+      }
+    }
+    if (m.partitionStatistics.nonEmpty) {
+      val pstats = root.putArray("partition-statistics")
+      m.partitionStatistics.sortBy(_.snapshotId).foreach { s =>
+        val n = pstats.addObject()
+        n.put("snapshot-id", s.snapshotId)
+        n.put("statistics-path", s.path)
+        n.put("file-size-in-bytes", s.fileSizeBytes)
       }
     }
     val props = root.putObject("properties")
@@ -363,6 +377,13 @@ object IcebergMetadataCodec {
                 .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
           }.toSeq).getOrElse(Seq.empty))
       }.toSeq).getOrElse(Seq.empty),
+      partitionStatistics =
+        Option(root.get("partition-statistics")).map(_.elements().asScala.map { s =>
+          IcebergPartitionStatisticsFile(
+            snapshotId = s.get("snapshot-id").asLong(),
+            path = s.get("statistics-path").asText(),
+            fileSizeBytes = s.get("file-size-in-bytes").asLong())
+        }.toSeq).getOrElse(Seq.empty),
       sortOrders = Option(root.get("sort-orders")).map(_.elements().asScala.map { o =>
         IcebergSortOrder(
           o.get("order-id").asInt(),

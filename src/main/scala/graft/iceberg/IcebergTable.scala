@@ -311,6 +311,18 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     registerStatistics(snap.snapshotId, entry)
   }
 
+  /** Delete a statistics file ONLY when safe: no surviving entry shares
+    * the path (sync-carried entries can anchor ONE file at many
+    * snapshots) and the file lives under THIS table's root (a synced
+    * entry may point at the SOURCE table's file — never ours to
+    * delete; the source's own expiry owns it). */
+  private def deleteStatsFileIfOwned(path: String, survivingPaths: Set[String]): Unit = {
+    val own = new Path(tablePath).toUri.getPath.stripSuffix("/") + "/"
+    val p = new Path(path)
+    if (!survivingPaths.contains(path) && p.toUri.getPath.startsWith(own))
+      p.getFileSystem(hconf).delete(p, false)
+  }
+
   /** Register a written statistics file under its snapshot (the CAS
     * half of [[writeStatistics]], separated so races are testable). */
   private[iceberg] def registerStatistics(
@@ -319,6 +331,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // CAS loop: the stats file is immutable once written, so a lost
     // race just re-reads the metadata and re-registers the same entry
     var replaced: Option[String] = None
+    var surviving: Set[String] = Set.empty
     var registered = false
     while (!registered) {
       val (v, meta) = log.readLatest().get
@@ -332,17 +345,18 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         throw new graft.model.ConcurrentSyncException(
           s"snapshot $snapshotId of $tablePath expired while ANALYZE was running")
       }
+      val others = meta.statistics.filterNot(_.snapshotId == snapshotId)
       replaced = meta.statistics.find(_.snapshotId == snapshotId).map(_.path)
+      surviving = others.map(_.path).toSet + entry.path
       registered = log.commit(v + 1, meta.copy(
-        statistics =
-          meta.statistics.filterNot(_.snapshotId == snapshotId) :+ entry,
+        statistics = others :+ entry,
         lastUpdatedMs = System.currentTimeMillis()))
     }
     // a re-analyze REPLACED the snapshot's previous entry: its file is
-    // unreachable from any metadata now — delete it, or it is orphaned
-    // permanently (expiry only deletes files of entries still registered)
-    replaced.filterNot(_ == entry.path)
-      .foreach(p => fsys.delete(new Path(p), false))
+    // unreachable from any metadata now — delete it (when owned and not
+    // shared), or it is orphaned permanently (expiry only deletes files
+    // of entries still registered)
+    replaced.foreach(deleteStatsFileIfOwned(_, surviving))
     entry
   }
 
@@ -377,6 +391,182 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val regs = bytes.zipWithIndex.collect { case (b, i) if b != 0 => (i, b.toInt) }.toSeq
     (regs, blob.properties("ndv").toDouble)
   }
+
+  /**
+   * ANALYZE's other half — the spec's PARTITION STATISTICS file
+   * (`partition-statistics` in metadata.json, sibling of `statistics`):
+   * per-partition rollups of the CURRENT snapshot's live data files in
+   * ONE sorted parquet file under `metadata/`, row shape per the spec —
+   * `partition` (struct over the unified partition type: every spec's
+   * fields in field-id order, null where a file's spec lacks the
+   * field), `spec_id`, `data_record_count`, `data_file_count`,
+   * `total_data_file_size_in_bytes`, the position/equality delete
+   * counters, and `last_updated_snapshot_id`. Engines read this for
+   * partition-pruning estimates without touching manifests.
+   *
+   * Scale: manifests are read in the SAME distributed job shape as the
+   * scan (newest-entry-per-path election included) and the rollup
+   * reduces per (partition, spec) BEFORE the collect — the driver only
+   * ever holds one row per partition, never the file list.
+   */
+  def writePartitionStatistics(): IcebergPartitionStatisticsFile = {
+    import org.apache.spark.sql.functions.{col, struct}
+    val (_, meta0) = log.readLatest().getOrElse(
+      throw new IllegalStateException(s"not an iceberg table: $tablePath"))
+    val snap = meta0.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no current snapshot on $tablePath"))
+    // unified partition type: every known spec's fields in field-id
+    // order; identity fields take the source column's type, bucket
+    // ordinals are ints, time/truncate fields keep their canonical
+    // (lexicographically ordered) string form
+    val unified: Seq[(String, DataType)] = meta0.allSpecs
+      .flatMap { case (_, fields) => IcebergTable.defsForFields(meta0, fields)
+        .zip(fields.map(_.fieldId)) }
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (_, defs) =>
+        val d = defs.head._1
+        val dt: DataType =
+          if (d.isIdentity)
+            meta0.schema.fields.find(_.name == d.sourceColumn)
+              .map(_.dataType).getOrElse(StringType)
+          else if (d.isBucket) IntegerType
+          else StringType
+        d.fieldName -> dt
+      }
+    require(unified.nonEmpty,
+      s"partition statistics on unpartitioned table $tablePath — nothing to roll up")
+    val manifests =
+      IcebergManifests.readManifestList(hconf, new Path(snap.manifestList))
+    val conf = new SerializableConfiguration(hconf)
+    // ((partition canonical values, spec), 7 counters) — live election
+    // then rollup, all executor-side
+    val rolled: Seq[(Seq[String], Int, Array[Long])] =
+      if (manifests.isEmpty) Seq.empty
+      else {
+        val names = unified.map(_._1)
+        spark.sparkContext
+          .parallelize(
+            manifests.map(m => (m.manifestPath, m.partitionSpecId)),
+            math.min(manifests.size, 64))
+          .flatMap { case (p, sid) =>
+            IcebergManifests.readManifest(conf.value, new Path(p)).map((_, sid)) }
+          .map { case (e, sid) => (e.filePath, (e, sid)) }
+          .reduceByKey { (a, b) =>
+            if (a._1.sequenceNumber != b._1.sequenceNumber) {
+              if (a._1.sequenceNumber > b._1.sequenceNumber) a else b
+            } else if (a._1.status == ManifestEntry.StatusDeleted) a else b
+          }
+          .values
+          .filter { case (e, _) => e.status != ManifestEntry.StatusDeleted }
+          .map { case (e, sid) =>
+            val counts = e.content match {
+              case ManifestEntry.ContentData =>
+                Array(e.recordCount, 1L, e.fileSizeBytes, 0L, 0L, 0L, 0L)
+              case ManifestEntry.ContentPositionDeletes =>
+                Array(0L, 0L, 0L, e.recordCount, 1L, 0L, 0L)
+              case _ =>
+                Array(0L, 0L, 0L, 0L, 0L, e.recordCount, 1L)
+            }
+            ((names.map(n => e.partitionValues.get(n).orNull), sid), counts)
+          }
+          .reduceByKey((a, b) => a.zip(b).map { case (x, y) => x + y })
+          .collect().toSeq
+          .map { case ((vals, sid), c) => (vals, sid, c) }
+      }
+    // spec: the file is SORTED by partition — canonical strings order
+    // lexicographically within a granularity, so the driver-side sort
+    // of the collected (≤ partition-count) rows is the spec order
+    val sorted = rolled.sortBy { case (vals, sid, _) =>
+      (vals.map(v => if (v == null) "" else v).mkString(" "), sid) }
+    val schema = StructType(Seq(
+      StructField("partition", StructType(
+        unified.map { case (n, dt) => StructField(n, dt, nullable = true) }), false),
+      StructField("spec_id", IntegerType, false),
+      StructField("data_record_count", LongType, false),
+      StructField("data_file_count", IntegerType, false),
+      StructField("total_data_file_size_in_bytes", LongType, false),
+      StructField("position_delete_record_count", LongType, false),
+      StructField("position_delete_file_count", IntegerType, false),
+      StructField("equality_delete_record_count", LongType, false),
+      StructField("equality_delete_file_count", IntegerType, false),
+      StructField("last_updated_snapshot_id", LongType, false)))
+    val stringSchema = StructType(schema.fields.map {
+      case StructField("partition", _, _, _) => StructField("partition", StructType(
+        unified.map { case (n, _) => StructField(n, StringType, nullable = true) }), false)
+      case f => f
+    })
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] = sorted.map { case (vals, sid, c) =>
+      org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(vals: _*), sid,
+        c(0), c(1).toInt, c(2), c(3), c(4).toInt, c(5), c(6).toInt, snap.snapshotId)
+    }.asJava
+    val typed = spark.createDataFrame(rows, stringSchema)
+      .select(struct(unified.map { case (n, dt) =>
+        col(s"partition.`$n`").cast(dt).as(n) }: _*).as("partition") +:
+        schema.fieldNames.toSeq.drop(1).map(n => col(n)): _*)
+    // one parquet file at a stable metadata/ path: stage, then rename
+    // the single part file into place
+    val fsys = new Path(tablePath).getFileSystem(hconf)
+    val staging = new Path(tablePath, s".pstats-${UUID.randomUUID()}")
+    typed.coalesce(1).write.parquet(staging.toString)
+    val part = fsys.listStatus(staging)
+      .find(_.getPath.getName.endsWith(".parquet")).getOrElse(
+        throw new IllegalStateException(s"partition-stats stage produced no file: $staging"))
+      .getPath
+    val target = new Path(tablePath,
+      s"metadata/${UUID.randomUUID()}-partition-stats.parquet")
+    require(fsys.rename(part, target), s"failed to place $target")
+    fsys.delete(staging, true)
+    val entry = IcebergPartitionStatisticsFile(
+      snap.snapshotId, target.toString, fsys.getFileStatus(target).getLen)
+    registerPartitionStatistics(snap.snapshotId, entry)
+  }
+
+  /** CAS half of [[writePartitionStatistics]] — same contract as
+    * [[registerStatistics]]: replace-on-reanalyze (superseded file
+    * deleted), typed race if the snapshot expired mid-analyze. */
+  private[iceberg] def registerPartitionStatistics(
+      snapshotId: Long,
+      entry: IcebergPartitionStatisticsFile): IcebergPartitionStatisticsFile = {
+    val fsys = new Path(entry.path).getFileSystem(hconf)
+    var replaced: Option[String] = None
+    var surviving: Set[String] = Set.empty
+    var registered = false
+    while (!registered) {
+      val (v, meta) = log.readLatest().get
+      if (!meta.snapshots.exists(_.snapshotId == snapshotId)) {
+        fsys.delete(new Path(entry.path), false)
+        throw new graft.model.ConcurrentSyncException(
+          s"snapshot $snapshotId of $tablePath expired while partition ANALYZE was running")
+      }
+      val others = meta.partitionStatistics.filterNot(_.snapshotId == snapshotId)
+      replaced = meta.partitionStatistics.find(_.snapshotId == snapshotId).map(_.path)
+      surviving = others.map(_.path).toSet + entry.path
+      registered = log.commit(v + 1, meta.copy(
+        partitionStatistics = others :+ entry,
+        lastUpdatedMs = System.currentTimeMillis()))
+    }
+    replaced.foreach(deleteStatsFileIfOwned(_, surviving))
+    entry
+  }
+
+  /** The partition-statistics entry of the closest analyzed ancestor
+    * (same planner convention as [[statisticsFor]]). */
+  def partitionStatisticsFor(
+      snapshotId: Option[Long] = None): Option[IcebergPartitionStatisticsFile] = {
+    val meta = currentMetadata
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    Iterator.iterate(snapshotId.orElse(meta.currentSnapshotId))(
+        _.flatMap(byId.get).flatMap(_.parentId))
+      .takeWhile(_.isDefined).map(_.get)
+      .flatMap(id => meta.partitionStatistics.find(_.snapshotId == id).iterator)
+      .nextOption()
+  }
+
+  /** Read a partition-statistics file back (the spec row shape). */
+  def readPartitionStatistics(entry: IcebergPartitionStatisticsFile): DataFrame =
+    spark.read.parquet(entry.path)
 
   /** Resolve a ref name to its snapshot id (`main` → current). */
   def refSnapshot(name: String): Long =
@@ -1392,7 +1582,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         * the table see nothing until [[fastForward]] publishes. */
       toBranch: Option[String] = None,
       /** extra snapshot-summary entries (cherry-pick provenance). */
-      extraSummary: Map[String, String] = Map.empty): Option[Long] = {
+      extraSummary: Map[String, String] = Map.empty,
+      /** a Puffin statistics entry to register ANCHORED AT THIS commit
+        * (its snapshotId field is re-stamped) — the sync plane's stats
+        * carry-through; the file itself may be source-owned/shared. */
+      registerStats: Option[IcebergStatisticsFile] = None): Option[Long] = {
     toBranch.foreach { b =>
       require(b != "main", "`main` is the table itself; append directly")
       prev.foreach { case (_, m) => m.refs.get(b).foreach(r => require(
@@ -1591,6 +1785,15 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       refs = toBranch match {
         case Some(b) => base.refs + (b -> IcebergRef(snapshotId, "branch"))
         case None => base.refs
+      },
+      statistics = registerStats match {
+        // the carried entry re-anchors at THIS snapshot: the planner's
+        // ancestor walk on the target then resolves the same sketch the
+        // source's walk would, until the target is re-analyzed
+        case Some(st) if toBranch.isEmpty =>
+          base.statistics.filterNot(_.snapshotId == snapshotId) :+
+            st.copy(snapshotId = snapshotId)
+        case _ => base.statistics
       })
     val v = prev.map(_._1 + 1).getOrElse(1L)
     IcebergTable.timePhase("metadata-cas") {
@@ -1744,18 +1947,26 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // remove `statistics` entries of removed snapshots)
     val deadIds = dead.map(_.snapshotId).toSet
     val (deadStats, liveStats) = meta.statistics.partition(s => deadIds(s.snapshotId))
+    val (deadPStats, livePStats) =
+      meta.partitionStatistics.partition(s => deadIds(s.snapshotId))
     val next = meta.copy(
       snapshots = live,
       snapshotLog = meta.snapshotLog.filter { case (_, id) => live.exists(_.snapshotId == id) },
       statistics = liveStats,
+      partitionStatistics = livePStats,
       lastUpdatedMs = System.currentTimeMillis())
     graft.model.ConcurrentSyncException.check(log.commit(v + 1, next), s"concurrent iceberg commit on $tablePath")
     // manifest lists of expired snapshots are unreachable now; manifests
     // themselves may be shared with live snapshots, so only lists go —
-    // and orphaned Puffin statistics files go with their snapshots
+    // and orphaned Puffin/partition statistics files go with their
+    // snapshots (when owned by this table and not shared by a live
+    // entry — sync-carried entries anchor one file at many snapshots)
     val fsys = new Path(tablePath).getFileSystem(hconf)
     dead.foreach(s => fsys.delete(new Path(s.manifestList), false))
-    deadStats.foreach(s => fsys.delete(new Path(s.path), false))
+    val survivingStatPaths =
+      liveStats.map(_.path).toSet ++ livePStats.map(_.path)
+    deadStats.foreach(s => deleteStatsFileIfOwned(s.path, survivingStatPaths))
+    deadPStats.foreach(s => deleteStatsFileIfOwned(s.path, survivingStatPaths))
     dead.size
   }
 
@@ -1821,14 +2032,28 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val fsys = new Path(tablePath).getFileSystem(hconf)
     meta.currentSnapshot match {
       case Some(snap) if !fsys.exists(new Path(snap.manifestList)) =>
+        // statistics registered against the dropped snapshot go with it
+        // (an entry whose snapshot is in no `snapshots` list is
+        // unreachable by the ancestor walk AND invisible to expiry —
+        // an immortal orphan unless cleaned here)
+        val (deadStats, liveStats) =
+          meta.statistics.partition(_.snapshotId == snap.snapshotId)
+        val (deadPStats, livePStats) =
+          meta.partitionStatistics.partition(_.snapshotId == snap.snapshotId)
         val next = meta.copy(
           currentSnapshotId = snap.parentId,
           snapshots = meta.snapshots.filterNot(_.snapshotId == snap.snapshotId),
           snapshotLog = meta.snapshotLog.filterNot(_._2 == snap.snapshotId),
+          statistics = liveStats,
+          partitionStatistics = livePStats,
           // watermark reset → the retention fence forces a full sync
           properties = meta.properties.filterNot(_._1.startsWith("graft.sync.")),
           lastUpdatedMs = System.currentTimeMillis())
         graft.model.ConcurrentSyncException.check(log.commit(v + 1, next), s"concurrent iceberg commit on $tablePath")
+        val survivingStatPaths =
+          liveStats.map(_.path).toSet ++ livePStats.map(_.path)
+        deadStats.foreach(s => deleteStatsFileIfOwned(s.path, survivingStatPaths))
+        deadPStats.foreach(s => deleteStatsFileIfOwned(s.path, survivingStatPaths))
         true
       case _ => false
     }
@@ -1981,12 +2206,30 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       if (removeSet.isEmpty || prev.forall(_._2.currentSnapshotId.isEmpty)) Seq.empty
       else liveEntries(None).filter(e =>
         removeSet.contains(new Path(e.filePath).toUri.toString))
+    // a Puffin pointer riding the property channel (the source's
+    // closest-analyzed-ancestor sketch, valid for exactly the row set
+    // this commit replays) is PROMOTED to a real `statistics` entry
+    // anchored at this commit. The file stays source-owned and shared
+    // like the data files; one footer read recovers its blob metadata.
+    val carriedStats: Option[IcebergStatisticsFile] =
+      syncProps.get(graft.model.SyncCas.StatsPathProp).flatMap { p =>
+        val sp = new Path(p)
+        val fsys = sp.getFileSystem(hconf)
+        if (!fsys.exists(sp)) None
+        else {
+          val blobs = Puffin.readFooter(fsys, sp)
+          val len = fsys.getFileStatus(sp).getLen
+          val footerSize = len - Puffin.Magic.length - blobs.map(_.length).sum
+          Some(IcebergStatisticsFile(0L, sp.toString, len, footerSize, blobs))
+        }
+      }
     commitSnapshot(prev, idSchema, defs, entries, removes,
       carryPrevious = true,
       operation = if (removes.nonEmpty) "overwrite" else "append",
       extraProps = syncProps + ("graft.converted.from" -> sourceDataRoot),
       physicalNames = physicalNames,
-      extraSummary = extraSummary)
+      extraSummary = extraSummary,
+      registerStats = carriedStats)
       .getOrElse(throw new graft.model.ConcurrentSyncException(
         s"concurrent sync detected on iceberg target $tablePath: the version " +
           "slot was taken — re-plan and retry"))

@@ -27,6 +27,14 @@ final case class IcebergStatisticsFile(
     footerSizeBytes: Long,
     blobs: Seq[IcebergBlobMetadata])
 
+/** One `partition-statistics` entry of metadata.json (table spec —
+  * the sibling list of `statistics`): a sorted parquet file of
+  * per-partition row/file/byte rollups for one snapshot. */
+final case class IcebergPartitionStatisticsFile(
+    snapshotId: Long,
+    path: String,
+    fileSizeBytes: Long)
+
 /**
  * Puffin statistics-file container (the PUBLIC Puffin spec,
  * iceberg.apache.org/puffin-spec): `Magic Blob₁…Blobₙ Footer` where

@@ -231,4 +231,8 @@ object SyncCas {
   /** Canonical watermark property keys (aliased by SyncEngine). */
   val SourceIdProp = "graft.sync.source.id"
   val VersionProp = "graft.sync.last.synced.version"
+  /** Puffin statistics pointer riding the sync property channel
+    * (aliased by SyncEngine.StatsPathProp; promoted by the Iceberg
+    * target to a metadata.json `statistics` entry). */
+  val StatsPathProp = "graft.sync.stats.path"
 }

@@ -237,6 +237,17 @@ object IcebergQueries {
             s"i21 fixture: ndv property $ndv != register replay $replay for $c")
         }
 
+        // i22: the spec's PARTITION statistics file (sibling list of
+        // i21's `statistics`) — per-partition rollups of lineitem_part,
+        // registered at the current snapshot and reachable through the
+        // closest-analyzed-ancestor walk after a follow-up append
+        IcebergTable.forPath(spark, s"$root/lineitem_part").writePartitionStatistics()
+        val t20 = IcebergTable.forPath(spark, s"$root/lineitem_part")
+        t20.append(Tables.lineitem(spark, sfDir).limit(0))
+        require(IcebergTable.forPath(spark, s"$root/lineitem_part")
+          .partitionStatisticsFor().nonEmpty,
+          "i22 fixture: partition-statistics entry lost in the metadata rewrite")
+
         root
       })
     }
@@ -724,6 +735,26 @@ object IcebergQueries {
          |SELECT e2.column_name, est_distinct, CAST(exact_distinct AS BIGINT) AS exact_distinct
          |FROM e2 JOIN x ON x.column_name = e2.column_name
          |ORDER BY e2.column_name""".stripMargin),
+
+    // Partition statistics read back: per-partition record counts come
+    // from the REGISTERED rollup file (closest-analyzed-ancestor walk —
+    // the fixture appended past the analyzed snapshot), never from
+    // rescanning data; the oracle rebuilds them from the raw table.
+    QueryDef.sql(
+      "i22_partition_statistics",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "lineitem_part")
+        val e = t.partitionStatisticsFor().getOrElse(
+          throw new IllegalStateException("lineitem_part has no partition statistics"))
+        t.readPartitionStatistics(e)
+          .select(
+            col("partition.l_returnflag").as("l_returnflag"),
+            col("data_record_count"),
+            (col("data_file_count") >= 1).as("has_files"))
+          .orderBy(col("l_returnflag"))
+      },
+      """SELECT l_returnflag, COUNT(*) AS data_record_count, TRUE AS has_files
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     QueryDef.sql(
       "x01_cross_format_equality",

@@ -278,6 +278,35 @@ object SyncQueries {
           ((Seq("l_partkey", "l_suppkey"), true)),
           "x15 fixture: sort order must survive the sync reads")
 
+        // 16. statistics through the sync plane (x16): ANALYZE an
+        //     Iceberg source, sync → the Iceberg target PROMOTES the
+        //     Puffin pointer riding the property channel to a real
+        //     `statistics` entry anchored at the target commit (the
+        //     FILE stays source-owned and shared, like the data files);
+        //     a later sync past the analyzed snapshot still resolves
+        //     through the target's own closest-analyzed-ancestor walk
+        val sSrc = IcebergTable.create(spark, s"$root/stats_src",
+          Tables.orders(spark, sfDir))
+        sSrc.writeStatistics(Seq("o_custkey"))
+        SyncEngine.sync(SyncEngine.icebergSource(sSrc),
+          SyncEngine.icebergTarget(spark, s"$root/stats_tgt"))
+        val sTgt0 = IcebergTable.forPath(spark, s"$root/stats_tgt")
+        require(sTgt0.statisticsFor().nonEmpty,
+          "x16 fixture: Puffin pointer not promoted on the target")
+        require(sTgt0.statisticsFor().get.snapshotId ==
+          sTgt0.currentMetadata.currentSnapshotId.get,
+          "x16 fixture: carried entry must anchor at the target commit")
+        // source advances WITHOUT re-analyzing; the incremental sync
+        // carries the same still-closest sketch to the new target head
+        sSrc.append(Tables.orders(spark, sfDir).limit(0))
+        val r16 = SyncEngine.sync(SyncEngine.icebergSource(sSrc),
+          SyncEngine.icebergTarget(spark, s"$root/stats_tgt"))
+        require(r16.mode == "incremental",
+          s"x16 fixture: expected incremental stats carry, got ${r16.mode}")
+        require(IcebergTable.forPath(spark, s"$root/stats_tgt")
+          .statisticsFor().nonEmpty,
+          "x16 fixture: stats lookup lost after the incremental sync")
+
         root
       })
     }
@@ -630,6 +659,49 @@ object SyncQueries {
         |FROM lineitem WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
         |GROUP BY l_returnflag
         |ORDER BY target, l_returnflag""".stripMargin),
+
+    // Statistics through the sync plane: the TARGET's own
+    // closest-analyzed-ancestor lookup (two sync commits past the
+    // analyzed source snapshot) resolves the carried Puffin sketch,
+    // whose register replay must match DuckDB's from-raw-data HLL —
+    // proving the promoted entry points at the right file and the
+    // target chain anchors it correctly.
+    QueryDef.sql(
+      "x16_stats_sync",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        val t = IcebergTable.forPath(spark, s"$root/stats_tgt")
+        val (regs, ndv) = t.statisticsRegisters("o_custkey")
+        graft.functions.PortableHll.estimate(
+            spark.createDataFrame(regs).toDF("bucket", "mr"))
+          .select(lit("o_custkey").as("column_name"),
+            col("est").as("est_distinct"), lit(ndv).as("ndv_property"))
+          .join(t.toDF().agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+            .withColumn("column_name", lit("o_custkey")), Seq("column_name"))
+          .select(col("column_name"), col("est_distinct"),
+            col("ndv_property"), col("exact_distinct"))
+      },
+      s"""WITH reg AS (
+         |  SELECT bucket, MAX(rho) AS mr FROM (
+         |    SELECT
+         |      (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket,
+         |      ${graft.functions.PortableHll.rhoSql.replace("regexp_extract(rest, '^0*', 0)", "regexp_extract(rest, '^0*')")} AS rho
+         |    FROM (
+         |      SELECT md5(CAST(o_custkey AS VARCHAR)) AS h,
+         |        substr(md5(CAST(o_custkey AS VARCHAR)), 3, 14) AS rest
+         |      FROM orders WHERE o_custkey IS NOT NULL))
+         |  GROUP BY bucket),
+         |est AS (
+         |  SELECT COUNT(*) AS nb,
+         |    SUM(CAST((1::BIGINT << (60 - mr)) AS DECIMAL(38,0))) AS sp
+         |  FROM reg),
+         |e2 AS (
+         |  SELECT ${graft.functions.PortableHll.estimateSql} AS est_distinct
+         |  FROM est)
+         |SELECT 'o_custkey' AS column_name, est_distinct,
+         |  est_distinct AS ndv_property,
+         |  CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT) AS exact_distinct
+         |FROM e2""".stripMargin),
 
     // The streaming change feed, end to end: drain a two-commit table
     // through spark.readStream.format("graft") (snapshot batch + one

@@ -63,6 +63,14 @@ object SyncEngine {
     * carried so a commit that completes LATE, below the watermark, is
     * still replayed next sync (ref `CommitsBacklog.java:28-86`). */
   val InflightProp = "graft.sync.inflight.versions"
+  /** Puffin statistics file of the synced snapshot's closest analyzed
+    * ancestor (Iceberg sources). Rides the normal property channel:
+    * Delta/Hudi targets persist it as sync-state provenance (the
+    * "sketch as a table property" mirror), the Iceberg target PROMOTES
+    * it to a real metadata.json `statistics` entry anchored at the
+    * commit it lands with — the sketch stays valid because the sync
+    * replays exactly the analyzed row set's files. */
+  val StatsPathProp = graft.model.SyncCas.StatsPathProp
   /** Record-key (primary-key) fields translated across formats (ref
     * `OneTable.java:38-53` recordKeyFields; Hudi's
     * `hoodie.table.recordkey.fields`). */
@@ -165,7 +173,8 @@ object SyncEngine {
         timePhase("target-commit")(
         target.commit(schemaV, source.partitionColumns, source.dataRoot,
           adds, removes,
-          keyProps ++ Map(SourceIdProp -> source.sourceId, VersionProp -> highWater,
+          keyProps ++ source.statisticsProps(v) ++
+            Map(SourceIdProp -> source.sourceId, VersionProp -> highWater,
             InflightProp -> stillInflight.mkString(",")),
           source.physicalNames,
           Some(graft.model.SyncCas(source.sourceId,
@@ -203,7 +212,8 @@ object SyncEngine {
       val removes = live.filterNot(p => byPath.contains(norm(p))).toSeq.sorted
       target.commit(source.schema, source.partitionColumns, source.dataRoot,
         adds, removes,
-        keyProps ++ Map(SourceIdProp -> source.sourceId, VersionProp -> version,
+        keyProps ++ source.statisticsProps(version) ++
+          Map(SourceIdProp -> source.sourceId, VersionProp -> version,
           InflightProp -> stillInflight.mkString(",")),
         source.physicalNames,
         // the full plan diffed against livePaths() read under THIS
@@ -273,6 +283,7 @@ object SyncEngine {
           override def inflightVersions = base.inflightVersions
           override def recordKeyFields = base.recordKeyFields
           override def laterOf(a: String, b: String) = base.laterOf(a, b)
+          override def statisticsProps(v: String) = base.statisticsProps(v)
         }
     }
   }
@@ -329,6 +340,10 @@ trait SyncSource {
   def physicalNames: Map[String, String] = Map.empty
   /** The later of two version tokens in this source's commit order. */
   def laterOf(a: String, b: String): String = if (a >= b) a else b
+  /** Statistics provenance props for a commit at `version` — the Puffin
+    * pointer of the version's closest analyzed ancestor (Iceberg
+    * sources; empty elsewhere). See [[SyncEngine.StatsPathProp]]. */
+  def statisticsProps(version: String): Map[String, String] = Map.empty
 }
 
 /** A table format viewed as a sync target: watermark lookup + metadata
@@ -509,6 +524,14 @@ private final class IcebergSource(t: IcebergTable) extends SyncSource {
   override def recordKeyFields: Seq[String] =
     t.currentMetadata.properties.get(SyncEngine.RecordKeyProp)
       .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+  /** The synced version's closest analyzed ancestor — its sketch is
+    * computed over exactly the row set the sync replays, so it stays
+    * valid on every target. */
+  override def statisticsProps(version: String): Map[String, String] =
+    version.toLongOption
+      .flatMap(id => t.statisticsFor(Some(id)))
+      .map(e => Map(SyncEngine.StatsPathProp -> e.path))
+      .getOrElse(Map.empty)
 }
 
 private final class IcebergTarget(spark: SparkSession, val targetPath: String) extends SyncTarget {

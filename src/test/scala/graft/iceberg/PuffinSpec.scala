@@ -145,6 +145,102 @@ class PuffinSpec extends SparkTestBase {
     assert(IcebergTable.forPath(spark, s"$dir/t").currentMetadata.statistics.isEmpty)
   }
 
+  test("partition statistics: spec-shaped rollup file, replace-on-reanalyze, expiry cleanup") {
+    val dir = tmpDir("pstats")
+    val src = spark.range(0, 300).select(
+      col("id").as("k"),
+      (col("id") % 3).cast("string").as("p"),
+      (col("id") * 2).as("v"))
+    val t = IcebergTable.create(spark, s"$dir/t", src, Seq("p"))
+    val e1 = t.writePartitionStatistics()
+    val df1 = t.readPartitionStatistics(e1)
+    // spec row shape: typed unified partition struct + the counters
+    assert(df1.schema.fieldNames.toSeq == Seq("partition", "spec_id",
+      "data_record_count", "data_file_count", "total_data_file_size_in_bytes",
+      "position_delete_record_count", "position_delete_file_count",
+      "equality_delete_record_count", "equality_delete_file_count",
+      "last_updated_snapshot_id"))
+    val rows = df1.selectExpr("partition.p", "data_record_count", "data_file_count")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("0", "1", "2"))
+    assert(rows.map(_._2).sum == 300 && rows.forall(_._2 == 100))
+    assert(rows.forall(_._3 >= 1))
+    // sorted by partition (spec requirement)
+    val order = df1.select(col("partition.p")).collect().map(_.getString(0)).toSeq
+    assert(order == order.sorted, s"file not sorted: $order")
+    // re-analyze at the same snapshot replaces the entry + deletes the
+    // superseded file; a later append keeps it via the ancestor walk
+    val e2 = t.writePartitionStatistics()
+    assert(!fs(new Path(e1.path)).exists(new Path(e1.path)))
+    assert(IcebergTable.forPath(spark, s"$dir/t")
+      .currentMetadata.partitionStatistics.size == 1)
+    t.append(src.limit(0))
+    val t2 = IcebergTable.forPath(spark, s"$dir/t")
+    assert(t2.partitionStatisticsFor().map(_.path).contains(e2.path))
+    // the entry survives the metadata.json emit/parse round trip
+    assert(t2.currentMetadata.partitionStatistics ==
+      Seq(IcebergPartitionStatisticsFile(e2.snapshotId, e2.path, e2.fileSizeBytes)))
+    // expiry of the analyzed snapshot drops the entry and its file
+    t2.writePartitionStatistics() // head analyzed too, so lookup survives
+    assert(t2.expireSnapshots(System.currentTimeMillis() + 1000) == 1)
+    val t3 = IcebergTable.forPath(spark, s"$dir/t")
+    assert(t3.currentMetadata.partitionStatistics.size == 1)
+    assert(!fs(new Path(e2.path)).exists(new Path(e2.path)))
+    assert(fs(new Path(t3.partitionStatisticsFor().get.path))
+      .exists(new Path(t3.partitionStatisticsFor().get.path)))
+  }
+
+  test("partition statistics refuse an unpartitioned table") {
+    val dir = tmpDir("pstats_unpart")
+    val t = IcebergTable.create(spark, s"$dir/t",
+      spark.range(0, 10).select(col("id").as("k")))
+    val ex = intercept[IllegalArgumentException](t.writePartitionStatistics())
+    assert(ex.getMessage.contains("unpartitioned"))
+  }
+
+  test("sync-carried statistics: source-owned shared file survives target expiry and re-analyze") {
+    import graft.sync.SyncEngine
+    val dir = tmpDir("pstats_sync")
+    val srcData = spark.range(0, 500).select(
+      col("id").as("k"), (col("id") % 10).cast("string").as("s"))
+    val src = IcebergTable.create(spark, s"$dir/src", srcData)
+    val e = src.writeStatistics(Seq("k"))
+    SyncEngine.sync(SyncEngine.icebergSource(src),
+      SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
+    // promoted entry anchors at the target commit and points at the
+    // SOURCE's Puffin file (shared, like the data files)
+    val carried = tgt.statisticsFor().get
+    assert(carried.path == e.path)
+    assert(carried.snapshotId == tgt.currentMetadata.currentSnapshotId.get)
+    assert(carried.blobs.map(_.blobType) == Seq(Puffin.HllBlobType))
+    // the target's register replay equals the source's
+    assert(tgt.statisticsRegisters("k") == src.statisticsRegisters("k"))
+    // two more syncs anchor the SAME file at newer target snapshots
+    src.append(srcData.limit(0))
+    SyncEngine.sync(SyncEngine.icebergSource(src),
+      SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    val tgt2 = IcebergTable.forPath(spark, s"$dir/tgt")
+    assert(tgt2.currentMetadata.statistics.size == 2)
+    assert(tgt2.currentMetadata.statistics.map(_.path).distinct == Seq(e.path))
+    // expiring the OLD target snapshot drops its entry but must NOT
+    // delete the shared file: a live entry still references it, and it
+    // is source-owned either way
+    assert(tgt2.expireSnapshots(System.currentTimeMillis() + 1000) == 1)
+    val tgt3 = IcebergTable.forPath(spark, s"$dir/tgt")
+    assert(tgt3.currentMetadata.statistics.size == 1)
+    assert(fs(new Path(e.path)).exists(new Path(e.path)),
+      "target expiry deleted the source-owned Puffin file")
+    // re-analyzing the TARGET replaces the carried entry with its own
+    // (target-owned) file — and again leaves the source's file alone
+    val own = tgt3.writeStatistics(Seq("k"))
+    assert(own.path != e.path && own.path.contains("/tgt/"))
+    assert(fs(new Path(e.path)).exists(new Path(e.path)),
+      "target re-analyze deleted the source-owned Puffin file")
+    // ... and the source still reads its statistics untouched
+    assert(src.statisticsFor().map(_.path).contains(e.path))
+  }
+
   test("expiry drops statistics of expired snapshots and deletes their files") {
     val dir = tmpDir("puffin_exp")
     val src = spark.range(0, 100).select(col("id").as("k"))
