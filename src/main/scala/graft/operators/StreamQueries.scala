@@ -42,6 +42,38 @@ object StreamQueries {
         // events table materializes once for the join's two stream reads
         ev.write.parquet(s"$root/events_dir")
 
+        // st03: the exactly-once SINK under a crash-replay. Events
+        // stream through the graft Delta sink in 4 micro-batches
+        // (maxFilesPerTrigger=1 over 4 files); then the NEWEST
+        // checkpoint commit marker is deleted — the classic crash
+        // window (sink committed, checkpoint never advanced) — and the
+        // stream restarts from the doctored checkpoint. The runtime
+        // re-delivers the final batch THROUGH the real micro-batch
+        // execution; the sink's atomically-committed batch-id fence
+        // must skip it, or the st03 aggregate double-counts.
+        val evCols = ev.select(
+          col("event_id"), col("event_type"), col("user_id"), col("value"))
+        evCols.repartition(4).write.parquet(s"$root/st03_events")
+        def runSink(): Unit = {
+          val q = spark.readStream.schema(evCols.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$root/st03_events")
+            .writeStream.format("graft")
+            .option("format", "delta")
+            .option("checkpointLocation", s"$root/st03_ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start(s"$root/st03_delta")
+          try require(q.awaitTermination(300000), "st03 sink run did not drain")
+          finally q.stop()
+        }
+        runSink()
+        val commits = new org.apache.hadoop.fs.Path(s"$root/st03_ckpt/commits")
+        val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val latest = cfs.listStatus(commits).map(_.getPath)
+          .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+        require(cfs.delete(latest, false), s"st03: could not crash-inject $latest")
+        runSink() // replays the final batch — the fence must no-op it
+
         root
       })
     }
@@ -120,6 +152,30 @@ object StreamQueries {
         |FROM c JOIN p ON p.user_id = c.user_id
         |  AND p.purchase_ts >= c.click_ts
         |  AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
-        |GROUP BY 1 ORDER BY click_hour""".stripMargin)
+        |GROUP BY 1 ORDER BY click_hour""".stripMargin),
+
+    // Exactly-once sink, END TO END: the fixture streamed events into a
+    // graft Delta table in 4 micro-batches, crash-injected the window
+    // between sink commit and checkpoint advance (newest commit marker
+    // deleted), and restarted — the runtime re-delivered the final
+    // batch and the sink's batch-id fence skipped it. The table must
+    // equal DuckDB's batch view of events EXACTLY: a fence failure
+    // doubles the final batch, a lost batch deflates it.
+    QueryDef.sql(
+      "st03_stream_exactly_once_sink",
+      (spark, dir) => {
+        val root = Fixtures.dir(spark, dir)
+        graft.delta.DeltaTable.forPath(spark, s"$root/st03_delta").toDF()
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("event_id")).as("id_sum"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }

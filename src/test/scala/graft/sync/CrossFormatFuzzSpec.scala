@@ -404,6 +404,30 @@ class CrossFormatFuzzSpec extends SparkTestBase {
       case e: Throwable =>
         fail(s"sequence blew up: $trace\n  ${e.getClass.getSimpleName}: ${e.getMessage}", e)
     }
+    // Puffin-statistics invariants, checked after EVERY op on an
+    // Iceberg source (metadata-only, cheap): no entry may dangle on a
+    // snapshot that left the table (expiry/restore/recovery must clean
+    // up), every registered file must exist on disk, and the resolvable
+    // sketch must replay — its ndv property equal to the shared
+    // estimator over its own registers.
+    def statsInvariant(tag: String): Unit = if (srcFmt == "iceberg") {
+      val t = IcebergTable.forPath(spark, s"$dir/src")
+      val meta = t.currentMetadata
+      val ids = meta.snapshots.map(_.snapshotId).toSet
+      meta.statistics.foreach { e =>
+        assert(ids(e.snapshotId),
+          s"statistics entry dangles on expired snapshot ${e.snapshotId} after [$tag]\n$trace")
+        val p = new org.apache.hadoop.fs.Path(e.path)
+        assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+          s"registered statistics file ${e.path} missing after [$tag]\n$trace")
+      }
+      if (t.statisticsFor().nonEmpty) {
+        val (regs, ndv) = t.statisticsRegisters("k")
+        assert(ndv == graft.functions.PortableHll.estimateLocal(regs),
+          s"statistics ndv does not replay from registers after [$tag]\n$trace")
+      }
+    }
+
     def runOps(): Unit = {
     // (marker, expected snapshot, adapter schema state) per committed
     // state — the time-travel audit at the end replays every surviving
@@ -423,7 +447,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
       val op = {
         val restorable = history.size >= 2
         val c = (src.caps ++ Set("nullrow", "emptybatch", "resync", "racesync", "racemut",
-          "widen") ++
+          "widen", "analyze") ++
           (if (restorable) Set("restore") else Set.empty)).toSeq.sorted
         c(rng.nextInt(c.size))
       }
@@ -612,6 +636,15 @@ class CrossFormatFuzzSpec extends SparkTestBase {
             injectKey -= 1
             src.append(row)
           }
+        case "analyze" =>
+          // Iceberg-only ANALYZE riding the mix: Puffin statistics land
+          // at a random point of the sequence and the per-op invariant
+          // below must hold through every later restore / rollback /
+          // expiry / sync. Other formats degrade to a plain append so
+          // the op stays total.
+          if (srcFmt == "iceberg")
+            IcebergTable.forPath(spark, s"$dir/src").writeStatistics(Seq("k"))
+          else src.append(slice(rng))
         case "upsert" => src.upsert(slice(rng).withColumn("price", col("price") + 1000.0))
         case "delete" =>
           // never empty the table: delete a sparse key set
@@ -651,6 +684,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
       }
       syncAll()
       compare(s"$i:$op")
+      statsInvariant(s"$i:$op")
       record()
     }
     // time-travel audit: every surviving marker still answers exactly
