@@ -1586,7 +1586,9 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       /** a Puffin statistics entry to register ANCHORED AT THIS commit
         * (its snapshotId field is re-stamped) — the sync plane's stats
         * carry-through; the file itself may be source-owned/shared. */
-      registerStats: Option[IcebergStatisticsFile] = None): Option[Long] = {
+      registerStats: Option[IcebergStatisticsFile] = None,
+      /** the partition-statistics sibling, same re-anchoring contract. */
+      registerPStats: Option[IcebergPartitionStatisticsFile] = None): Option[Long] = {
     toBranch.foreach { b =>
       require(b != "main", "`main` is the table itself; append directly")
       prev.foreach { case (_, m) => m.refs.get(b).foreach(r => require(
@@ -1794,6 +1796,12 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
           base.statistics.filterNot(_.snapshotId == snapshotId) :+
             st.copy(snapshotId = snapshotId)
         case _ => base.statistics
+      },
+      partitionStatistics = registerPStats match {
+        case Some(st) if toBranch.isEmpty =>
+          base.partitionStatistics.filterNot(_.snapshotId == snapshotId) :+
+            st.copy(snapshotId = snapshotId)
+        case _ => base.partitionStatistics
       })
     val v = prev.map(_._1 + 1).getOrElse(1L)
     IcebergTable.timePhase("metadata-cas") {
@@ -2223,13 +2231,22 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
           Some(IcebergStatisticsFile(0L, sp.toString, len, footerSize, blobs))
         }
       }
+    val carriedPStats: Option[IcebergPartitionStatisticsFile] =
+      syncProps.get(graft.model.SyncCas.PartitionStatsPathProp).flatMap { p =>
+        val sp = new Path(p)
+        val fsys = sp.getFileSystem(hconf)
+        if (!fsys.exists(sp)) None
+        else Some(IcebergPartitionStatisticsFile(
+          0L, sp.toString, fsys.getFileStatus(sp).getLen))
+      }
     commitSnapshot(prev, idSchema, defs, entries, removes,
       carryPrevious = true,
       operation = if (removes.nonEmpty) "overwrite" else "append",
       extraProps = syncProps + ("graft.converted.from" -> sourceDataRoot),
       physicalNames = physicalNames,
       extraSummary = extraSummary,
-      registerStats = carriedStats)
+      registerStats = carriedStats,
+      registerPStats = carriedPStats)
       .getOrElse(throw new graft.model.ConcurrentSyncException(
         s"concurrent sync detected on iceberg target $tablePath: the version " +
           "slot was taken — re-plan and retry"))

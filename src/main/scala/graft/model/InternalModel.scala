@@ -235,4 +235,7 @@ object SyncCas {
     * (aliased by SyncEngine.StatsPathProp; promoted by the Iceberg
     * target to a metadata.json `statistics` entry). */
   val StatsPathProp = "graft.sync.stats.path"
+  /** Partition-statistics pointer, same contract: promoted by the
+    * Iceberg target to a `partition-statistics` entry. */
+  val PartitionStatsPathProp = "graft.sync.partition-stats.path"
 }

@@ -71,6 +71,9 @@ object SyncEngine {
     * commit it lands with — the sketch stays valid because the sync
     * replays exactly the analyzed row set's files. */
   val StatsPathProp = graft.model.SyncCas.StatsPathProp
+  /** The partition-statistics sibling of [[StatsPathProp]], same
+    * promote-on-Iceberg / provenance-elsewhere contract. */
+  val PartitionStatsPathProp = graft.model.SyncCas.PartitionStatsPathProp
   /** Record-key (primary-key) fields translated across formats (ref
     * `OneTable.java:38-53` recordKeyFields; Hudi's
     * `hoodie.table.recordkey.fields`). */
@@ -524,14 +527,17 @@ private final class IcebergSource(t: IcebergTable) extends SyncSource {
   override def recordKeyFields: Seq[String] =
     t.currentMetadata.properties.get(SyncEngine.RecordKeyProp)
       .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
-  /** The synced version's closest analyzed ancestor — its sketch is
-    * computed over exactly the row set the sync replays, so it stays
-    * valid on every target. */
-  override def statisticsProps(version: String): Map[String, String] =
-    version.toLongOption
-      .flatMap(id => t.statisticsFor(Some(id)))
-      .map(e => Map(SyncEngine.StatsPathProp -> e.path))
-      .getOrElse(Map.empty)
+  /** The synced version's closest analyzed ancestor — its sketches are
+    * computed over exactly the row set the sync replays, so they stay
+    * valid on every target. Column (Puffin) and partition statistics
+    * ride as separate keys; either may be absent. */
+  override def statisticsProps(version: String): Map[String, String] = {
+    val id = version.toLongOption
+    id.flatMap(i => t.statisticsFor(Some(i)))
+      .map(e => Map(SyncEngine.StatsPathProp -> e.path)).getOrElse(Map.empty) ++
+      id.flatMap(i => t.partitionStatisticsFor(Some(i)))
+        .map(e => Map(SyncEngine.PartitionStatsPathProp -> e.path)).getOrElse(Map.empty)
+  }
 }
 
 private final class IcebergTarget(spark: SparkSession, val targetPath: String) extends SyncTarget {

@@ -241,6 +241,31 @@ class PuffinSpec extends SparkTestBase {
     assert(src.statisticsFor().map(_.path).contains(e.path))
   }
 
+  test("sync carries partition statistics to an Iceberg target as a shared entry") {
+    import graft.sync.SyncEngine
+    val dir = tmpDir("pstats_sync2")
+    val srcData = spark.range(0, 300).select(
+      col("id").as("k"), (col("id") % 4).cast("string").as("p"))
+    val src = IcebergTable.create(spark, s"$dir/src", srcData, Seq("p"))
+    val pe = src.writePartitionStatistics()
+    SyncEngine.sync(SyncEngine.icebergSource(src),
+      SyncEngine.icebergTarget(spark, s"$dir/tgt"))
+    val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
+    val carried = tgt.partitionStatisticsFor().get
+    assert(carried.path == pe.path,
+      "target must share the source-owned partition-stats file")
+    assert(carried.snapshotId == tgt.currentMetadata.currentSnapshotId.get)
+    // the rollup reads back identically on the target
+    val back = tgt.readPartitionStatistics(carried)
+      .selectExpr("partition.p", "data_record_count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(back.map(_._1).toSeq == Seq("0", "1", "2", "3") && back.forall(_._2 == 75))
+    // target expiry / re-analyze never deletes the source-owned file
+    tgt.writePartitionStatistics()
+    assert(fs(new Path(pe.path)).exists(new Path(pe.path)))
+    assert(src.partitionStatisticsFor().map(_.path).contains(pe.path))
+  }
+
   test("expiry drops statistics of expired snapshots and deletes their files") {
     val dir = tmpDir("puffin_exp")
     val src = spark.range(0, 100).select(col("id").as("k"))
