@@ -222,9 +222,11 @@ object IcebergQueries {
         // metadata rewrite (closest-analyzed-ancestor lookup), and the
         // blob's ndv property must equal the register replay
         val t19 = IcebergTable.create(spark, s"$root/orders_stats", o)
-        val statsEntry = t19.writeStatistics(Seq("o_custkey", "o_orderpriority"))
-        require(statsEntry.blobs.size == 2,
-          s"i21 fixture: expected 2 sketch blobs, got ${statsEntry.blobs.size}")
+        // o_orderkey rides along for i23's stats-driven join planning
+        val statsEntry = t19.writeStatistics(
+          Seq("o_custkey", "o_orderpriority", "o_orderkey"))
+        require(statsEntry.blobs.size == 3,
+          s"i21 fixture: expected 3 sketch blobs, got ${statsEntry.blobs.size}")
         t19.append(o.limit(0)) // metadata round-trip past the analyzed snapshot
         val t19b = IcebergTable.forPath(spark, s"$root/orders_stats")
         require(t19b.statisticsFor().nonEmpty,
@@ -755,6 +757,32 @@ object IcebergQueries {
       },
       """SELECT l_returnflag, COUNT(*) AS data_record_count, TRUE AS has_files
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Statistics CONSUMED by the planner: the join strategy against the
+    // analyzed orders table comes from its REGISTERED Puffin ndv (a
+    // metadata + footer read, zero data scanned) — the dimension
+    // estimate sits under the threshold, so the plan broadcasts it
+    // (StatsJoinSpec pins BroadcastHashJoin vs SortMergeJoin on both
+    // sides of the threshold). Results must equal a plain SQL join.
+    QueryDef.sql(
+      "i23_stats_planned_join",
+      (spark, dir) => {
+        val fact = Fixtures.table(spark, dir, "converted_lineitem").toDF()
+        val dim = Fixtures.table(spark, dir, "orders_stats")
+        graft.plans.StatsJoin.joinPlanned(
+            fact, dim, "o_orderkey",
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType)
+              .as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     QueryDef.sql(
       "x01_cross_format_equality",

@@ -421,6 +421,13 @@ class CrossFormatFuzzSpec extends SparkTestBase {
         assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
           s"registered statistics file ${e.path} missing after [$tag]\n$trace")
       }
+      meta.partitionStatistics.foreach { e =>
+        assert(ids(e.snapshotId),
+          s"partition-stats entry dangles on expired snapshot ${e.snapshotId} after [$tag]\n$trace")
+        val p = new org.apache.hadoop.fs.Path(e.path)
+        assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+          s"registered partition-stats file ${e.path} missing after [$tag]\n$trace")
+      }
       if (t.statisticsFor().nonEmpty) {
         val (regs, ndv) = t.statisticsRegisters("k")
         assert(ndv == graft.functions.PortableHll.estimateLocal(regs),
@@ -642,9 +649,13 @@ class CrossFormatFuzzSpec extends SparkTestBase {
           // below must hold through every later restore / rollback /
           // expiry / sync. Other formats degrade to a plain append so
           // the op stays total.
-          if (srcFmt == "iceberg")
-            IcebergTable.forPath(spark, s"$dir/src").writeStatistics(Seq("k"))
-          else src.append(slice(rng))
+          if (srcFmt == "iceberg") {
+            val t = IcebergTable.forPath(spark, s"$dir/src")
+            t.writeStatistics(Seq("k"))
+            // partitioned tables also get the partition-stats sibling
+            if (t.currentMetadata.partitionSpec.nonEmpty)
+              t.writePartitionStatistics()
+          } else src.append(slice(rng))
         case "upsert" => src.upsert(slice(rng).withColumn("price", col("price") + 1000.0))
         case "delete" =>
           // never empty the table: delete a sparse key set
