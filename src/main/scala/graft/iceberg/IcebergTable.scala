@@ -477,7 +477,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // lexicographically within a granularity, so the driver-side sort
     // of the collected (≤ partition-count) rows is the spec order
     val sorted = rolled.sortBy { case (vals, sid, _) =>
-      (vals.map(v => if (v == null) "" else v).mkString(" "), sid) }
+      (vals.map(v => if (v == null) "" else v).mkString("\u0000"), sid) }
     val schema = StructType(Seq(
       StructField("partition", StructType(
         unified.map { case (n, dt) => StructField(n, dt, nullable = true) }), false),
