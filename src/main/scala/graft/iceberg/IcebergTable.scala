@@ -551,6 +551,20 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     entry
   }
 
+  /** Upper bound on the CURRENT snapshot's live data rows from the
+    * manifest LIST alone (one small avro read — no manifest opens, no
+    * data rows): the sum of added+existing row counts over data
+    * manifests. A file deleted by a newer manifest can still be counted
+    * under the manifest that added it, so this over-estimates — the safe
+    * direction for a broadcast fence (a stale ANALYZE under-estimates;
+    * this bound catches the growth). None on an empty table. */
+  def currentRowCountUpperBound(): Option[Long] =
+    currentMetadata.currentSnapshot.map { snap =>
+      IcebergManifests.readManifestList(hconf, new Path(snap.manifestList))
+        .filter(_.content == 0)
+        .map(m => m.addedRowsCount + m.existingRowsCount).sum
+    }
+
   /** The partition-statistics entry of the closest analyzed ancestor
     * (same planner convention as [[statisticsFor]]). */
   def partitionStatisticsFor(

@@ -1,7 +1,9 @@
 package graft.plans
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{broadcast, sum}
 
 import graft.iceberg.IcebergTable
 
@@ -23,40 +25,118 @@ import graft.iceberg.IcebergTable
  * engines. A wrong choice here is the difference between an O(rows)
  * broadcast of a 100-GB "dimension" melting the driver and a needless
  * full shuffle of a 100-TB fact against a 10-MB dimension.
+ *
+ * Two fences keep a registered estimate from melting the driver:
+ *
+ *  - FRESHNESS: an ANALYZE is a point-in-time fact. When the current
+ *    snapshot is not the analyzed one, the current manifest-list's
+ *    exact row counts (one avro read, still zero data rows) floor the
+ *    estimate — a dimension that grew 1000× since its ANALYZE is
+ *    judged by what it is NOW, not what it was.
+ *  - BYTES: broadcast cost is bytes, not rows (1e7 one-KB rows is a
+ *    10-GB broadcast). Rows convert to bytes through the rollup's own
+ *    measured `total_data_file_size_in_bytes / data_record_count`,
+ *    falling back to a conservative fixed width, and the decision
+ *    compares against a byte budget with
+ *    `spark.sql.autoBroadcastJoinThreshold` semantics (10 MB default).
+ *
+ * Any failure to READ statistics (a carried file deleted by its owner,
+ * a corrupt footer, an empty rollup) degrades to "no stats" — the
+ * planner hint must never fail the query, and no-stats means no
+ * broadcast, never a guess.
  */
 object StatsJoin {
 
-  /** Planning facts for `table`, from registered statistics only (no
-    * data scan): the key column's HLL ndv (closest analyzed ancestor's
-    * Puffin blob property) and, when partition statistics exist, the
-    * exact registered row count. */
-  def plannedRows(table: IcebergTable, keyColumn: String): Option[Double] = {
-    val ndv: Option[Double] =
-      try {
-        val (_, n) = table.statisticsRegisters(keyColumn)
-        Some(n)
-      } catch { case _: IllegalStateException | _: IllegalArgumentException => None }
-    val pRows: Option[Double] = table.partitionStatisticsFor().map { e =>
-      table.readPartitionStatistics(e)
-        .groupBy().sum("data_record_count").collect()(0).getLong(0).toDouble
-    }
-    // partition stats carry EXACT row counts — prefer them; the key
-    // ndv is the fallback (for a key column ndv ≈ rows), and the MAX of
-    // the two is the safe cardinality estimate for a broadcast decision
-    (pRows, ndv) match {
-      case (Some(a), Some(b)) => Some(math.max(a, b))
-      case (a, b) => a.orElse(b)
+  /** Conservative assumed row width when no partition-statistics rollup
+    * provides a measured bytes/row — erring wide, so an un-rolled-up
+    * dimension has to be clearly small before it broadcasts. */
+  val DefaultRowWidthBytes: Double = 256.0
+
+  /** Default broadcast byte budget — `spark.sql.autoBroadcastJoinThreshold`
+    * semantics (Spark's own default, 10 MB of on-disk relation size). */
+  val DefaultBroadcastBytes: Long = 10L * 1024 * 1024
+
+  /** Planning-time size facts for a dimension, derived from registered
+    * statistics + the current manifest list only (zero data rows).
+    * `bytes` is `rows` × the measured (or conservative default) row
+    * width; `fresh` says every consulted estimate anchors at the
+    * CURRENT snapshot (when false, `rows` is already floored by the
+    * manifest-list's current counts). */
+  final case class PlannedSize(rows: Double, bytes: Double, fresh: Boolean)
+
+  /** The raw planning facts a format adapter supplies; the sizing
+    * arithmetic in [[sizeOf]] is shared across formats. */
+  private[plans] final case class Facts(
+      /** key-column ndv and whether it anchors at the current version */
+      ndv: Option[(Double, Boolean)],
+      /** partition-rollup (rows, bytes) and current-version anchoring */
+      partitionRollup: Option[(Double, Double, Boolean)],
+      /** exact-ish CURRENT row count from table metadata (manifest
+        * list / log replay) — consulted only when an estimate is stale */
+      currentRowsUpperBound: () => Option[Double])
+
+  private def safe[A](f: => A): Option[A] =
+    try Option(f) catch { case NonFatal(_) => None }
+
+  private[plans] def sizeOf(facts: Facts): Option[PlannedSize] = {
+    // partition stats carry EXACT row counts — prefer them; the key ndv
+    // is the fallback (for a key column ndv ≈ rows), and the MAX of the
+    // two is the safe cardinality estimate for a broadcast decision
+    val stale: Option[(Double, Boolean)] =
+      (facts.ndv, facts.partitionRollup.map(p => (p._1, p._3))) match {
+        case (Some((a, af)), Some((b, bf))) => Some((math.max(a, b), af && bf))
+        case (a, b) => a.orElse(b)
+      }
+    stale.map { case (rows0, fresh) =>
+      val rows =
+        if (fresh) rows0
+        else math.max(rows0, facts.currentRowsUpperBound().getOrElse(rows0))
+      val width = facts.partitionRollup
+        .collect { case (r, b, _) if r > 0 => b / r }
+        .getOrElse(DefaultRowWidthBytes)
+      PlannedSize(rows, rows * width, fresh)
     }
   }
 
+  /** Size facts for an Iceberg `table`, from registered statistics only
+    * (no data scan): the key column's HLL ndv (closest analyzed
+    * ancestor's Puffin blob property), the partition-statistics rollup
+    * when registered, and — when either is stale — the current
+    * manifest-list row counts as a floor. */
+  def plannedSize(table: IcebergTable, keyColumn: String): Option[PlannedSize] = {
+    val current = safe(table.currentMetadata.currentSnapshotId).flatten
+    def atCurrent(snapshotId: Long) = current.contains(snapshotId)
+    val ndv: Option[(Double, Boolean)] = for {
+      entry <- safe(table.statisticsFor()).flatten
+      n <- safe(table.statisticsRegisters(keyColumn)._2)
+    } yield (n, atCurrent(entry.snapshotId))
+    val rollup: Option[(Double, Double, Boolean)] = for {
+      entry <- safe(table.partitionStatisticsFor()).flatten
+      r <- safe {
+        val row = table.readPartitionStatistics(entry).agg(
+          sum("data_record_count"), sum("total_data_file_size_in_bytes")).collect()(0)
+        // an empty rollup (no live files) aggregates to NULL — no fact
+        if (row.isNullAt(0)) None
+        else Some((row.getLong(0).toDouble, row.getLong(1).toDouble))
+      }.flatten
+    } yield (r._1, r._2, atCurrent(entry.snapshotId))
+    sizeOf(Facts(ndv, rollup,
+      () => safe(table.currentRowCountUpperBound()).flatten.map(_.toDouble)))
+  }
+
+  /** Planned row estimate alone (freshness-fenced). */
+  def plannedRows(table: IcebergTable, keyColumn: String): Option[Double] =
+    plannedSize(table, keyColumn).map(_.rows)
+
   /**
    * Join `fact` to the `dim` table on `condition`, choosing the
-   * physical strategy from dim's REGISTERED statistics: estimated
-   * cardinality at or below `broadcastRowThreshold` ⇒ explicit
-   * `broadcast()` hint (Catalyst plans a BroadcastHashJoin regardless
-   * of autoBroadcastJoinThreshold), above ⇒ plain join (shuffle). A dim
-   * with NO registered statistics falls back to the plain join —
-   * never broadcast on a guess.
+   * physical strategy from dim's REGISTERED statistics: estimated size
+   * at or below BOTH thresholds ⇒ explicit `broadcast()` hint (Catalyst
+   * plans a BroadcastHashJoin regardless of
+   * autoBroadcastJoinThreshold), above either ⇒ plain join (shuffle).
+   * The row threshold bounds the driver's hash-table entry count, the
+   * byte threshold its memory; a dim with NO readable statistics falls
+   * back to the plain join — never broadcast on a guess.
    */
   def joinPlanned(
       fact: DataFrame,
@@ -64,13 +144,22 @@ object StatsJoin {
       dimKeyColumn: String,
       condition: Column,
       joinType: String = "inner",
-      broadcastRowThreshold: Double = 1e7): DataFrame = {
-    val dimDF = dim.toDF()
-    plannedRows(dim, dimKeyColumn) match {
-      case Some(rows) if rows <= broadcastRowThreshold =>
-        fact.join(broadcast(dimDF), condition, joinType)
-      case _ =>
-        fact.join(dimDF, condition, joinType)
-    }
+      broadcastRowThreshold: Double = 1e7,
+      broadcastByteThreshold: Long = DefaultBroadcastBytes): DataFrame =
+    planJoin(fact, dim.toDF(), plannedSize(dim, dimKeyColumn), condition,
+      joinType, broadcastRowThreshold, broadcastByteThreshold)
+
+  private[plans] def planJoin(
+      fact: DataFrame,
+      dimDF: DataFrame,
+      size: Option[PlannedSize],
+      condition: Column,
+      joinType: String,
+      broadcastRowThreshold: Double,
+      broadcastByteThreshold: Long): DataFrame = size match {
+    case Some(s) if s.rows <= broadcastRowThreshold && s.bytes <= broadcastByteThreshold =>
+      fact.join(broadcast(dimDF), condition, joinType)
+    case _ =>
+      fact.join(dimDF, condition, joinType)
   }
 }

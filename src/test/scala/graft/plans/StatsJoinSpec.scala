@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -10,7 +11,8 @@ import graft.iceberg.IcebergTable
 
 /** Statistics-driven join planning: the broadcast decision comes from
   * the REGISTERED Puffin/partition statistics, not from a data scan,
-  * and flips exactly at the threshold. */
+  * flips exactly at the thresholds, and is fenced against stale
+  * estimates (freshness) and wide rows (byte budget). */
 class StatsJoinSpec extends SparkTestBase {
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
@@ -29,7 +31,15 @@ class StatsJoinSpec extends SparkTestBase {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
   }
 
-  test("planned join broadcasts iff the registered stats sit under the threshold") {
+  /** Run `f` with Spark's own size-based broadcast disabled: the choice
+    * under test is the STATS-driven hint, nothing else. */
+  private def withoutAutoBroadcast[A](f: => A): A = {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("planned join broadcasts iff the registered stats sit under the thresholds") {
     val dir = tmpDir("stats_join")
     val dimData = spark.range(0, 2000).select(
       col("id").as("k"), (col("id") % 5).cast("string").as("grp"))
@@ -39,16 +49,13 @@ class StatsJoinSpec extends SparkTestBase {
     dim.writeStatistics(Seq("k"))
     val fact = factData
 
-    // hold Spark's own size-based broadcast out of the picture: the
-    // choice under test is the STATS-driven hint, nothing else
-    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      // ndv(k) ≈ 2000 — under a 1e7 threshold the planner must broadcast
+    withoutAutoBroadcast {
+      // ndv(k) ≈ 2000, ~0.5 MB at the conservative width — under both
+      // default thresholds the planner must broadcast
       val planned = StatsJoin.joinPlanned(
         fact, dim, "k", col("fk") === col("k"))
       assert(hasBroadcastJoin(planned), "stats under threshold must broadcast")
-      // same stats, threshold BELOW the estimate: no broadcast hint
+      // same stats, row threshold BELOW the estimate: no broadcast hint
       val shuffled = StatsJoin.joinPlanned(
         fact, dim, "k", col("fk") === col("k"), broadcastRowThreshold = 100)
       assert(!hasBroadcastJoin(shuffled), "stats over threshold must not broadcast")
@@ -59,7 +66,7 @@ class StatsJoinSpec extends SparkTestBase {
       val noStats = StatsJoin.joinPlanned(
         fact, bare, "k", col("fk") === col("k"))
       assert(!hasBroadcastJoin(noStats), "no stats must mean no broadcast hint")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
   }
 
   test("plannedRows prefers exact partition-stats counts over the key ndv") {
@@ -76,5 +83,82 @@ class StatsJoinSpec extends SparkTestBase {
     // (max of the two facts — the safe broadcast posture)
     val both = StatsJoin.plannedRows(t, "k").get
     assert(both >= 1000.0 && both <= math.max(1000.0, ndvOnly), s"$both")
+  }
+
+  test("a dim grown far past its ANALYZE must not broadcast on the stale estimate") {
+    val dir = tmpDir("stats_stale")
+    val mk = (n: Long) => spark.range(0, n).select(
+      col("id").as("k"), (col("id") % 5).cast("string").as("grp"))
+    val dim = IcebergTable.create(spark, s"$dir/dim", mk(100))
+    dim.writeStatistics(Seq("k")) // analyzed at 100 rows
+    // the world moves: the dimension grows 200× past the ANALYZE
+    dim.append(spark.range(100, 20100).select(
+      col("id").as("k"), (col("id") % 5).cast("string").as("grp")))
+    // the freshness fence floors the estimate with the CURRENT
+    // manifest-list row counts — the stale ndv (~100) must not win
+    val size = StatsJoin.plannedSize(dim, "k").get
+    assert(!size.fresh, "estimate anchored at an ancestor must be marked stale")
+    assert(size.rows >= 20000.0, s"fence missed the growth: ${size.rows}")
+    val fact = spark.range(0, 20000).select((col("id") % 2000).as("fk"))
+    withoutAutoBroadcast {
+      val j = StatsJoin.joinPlanned(
+        fact, dim, "k", col("fk") === col("k"), broadcastRowThreshold = 5000)
+      assert(!hasBroadcastJoin(j),
+        "grown dim must not broadcast on its stale under-threshold ndv")
+    }
+  }
+
+  test("a wide-row dim under the row count but over the byte budget must not broadcast") {
+    val dir = tmpDir("stats_wide")
+    // 500 rows but each ~3 KB of low-compressibility payload: the row
+    // count sits comfortably under the row threshold while the rollup's
+    // measured bytes blow a small byte budget
+    val data = spark.range(0, 500).select(
+      col("id").as("k"),
+      (col("id") % 4).cast("string").as("p"),
+      expr("concat_ws('', transform(sequence(1, 100), " +
+        "i -> substr(md5(concat(cast(id as string), '-', i)), 1, 30)))").as("payload"))
+    val dim = IcebergTable.create(spark, s"$dir/dim", data, Seq("p"))
+    dim.writeStatistics(Seq("k"))
+    dim.writePartitionStatistics()
+    val size = StatsJoin.plannedSize(dim, "k").get
+    assert(size.fresh, "analyzed-at-current stats must read as fresh")
+    // the byte estimate comes from the rollup's measured width, not the
+    // conservative default (500 × 256 B would be ~0.13 MB; the payload
+    // makes the real file far larger)
+    assert(size.bytes > 500 * StatsJoin.DefaultRowWidthBytes * 2, s"${size.bytes}")
+    val fact = spark.range(0, 5000).select((col("id") % 500).as("fk"))
+    withoutAutoBroadcast {
+      val over = StatsJoin.joinPlanned(
+        fact, dim, "k", col("fk") === col("k"),
+        broadcastByteThreshold = (size.bytes / 2).toLong)
+      assert(!hasBroadcastJoin(over),
+        "rows under the count threshold but bytes over budget must not broadcast")
+      val under = StatsJoin.joinPlanned(
+        fact, dim, "k", col("fk") === col("k"),
+        broadcastByteThreshold = (size.bytes * 2).toLong)
+      assert(hasBroadcastJoin(under), "bytes under budget must broadcast")
+    }
+  }
+
+  test("unreadable statistics degrade to the no-broadcast plain join, never an error") {
+    val dir = tmpDir("stats_gone")
+    val data = spark.range(0, 200).select(
+      col("id").as("k"), (col("id") % 4).cast("string").as("p"))
+    val dim = IcebergTable.create(spark, s"$dir/dim", data, Seq("p"))
+    val e = dim.writeStatistics(Seq("k"))
+    val pe = dim.writePartitionStatistics()
+    // simulate the dangling-carried-pointer failure mode: the files
+    // vanish out from under the registered entries
+    val fs = new Path(e.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(e.path), false) && fs.delete(new Path(pe.path), false))
+    assert(StatsJoin.plannedSize(dim, "k").isEmpty,
+      "missing stats files must read as no-stats, not throw")
+    val fact = spark.range(0, 1000).select((col("id") % 200).as("fk"))
+    withoutAutoBroadcast {
+      val j = StatsJoin.joinPlanned(fact, dim, "k", col("fk") === col("k"))
+      assert(!hasBroadcastJoin(j), "unreadable stats must mean no broadcast")
+      assert(j.count() == 1000)
+    }
   }
 }
