@@ -311,16 +311,55 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     registerStatistics(snap.snapshotId, entry)
   }
 
+  /** The fully-qualified URI string of `p` (scheme + authority filled in
+    * by its filesystem) — path-only comparison would let a same-prefix
+    * path on a DIFFERENT filesystem pass an ownership check. */
+  private def qualifiedUri(p: Path): String =
+    p.getFileSystem(hconf).makeQualified(p).toUri.toString
+
   /** Delete a statistics file ONLY when safe: no surviving entry shares
-    * the path (sync-carried entries can anchor ONE file at many
-    * snapshots) and the file lives under THIS table's root (a synced
-    * entry may point at the SOURCE table's file — never ours to
-    * delete; the source's own expiry owns it). */
+    * the path (one file can anchor at many snapshots) and the file
+    * lives under THIS table's root on THIS table's filesystem (compared
+    * fully qualified — scheme and authority included). */
   private def deleteStatsFileIfOwned(path: String, survivingPaths: Set[String]): Unit = {
-    val own = new Path(tablePath).toUri.getPath.stripSuffix("/") + "/"
+    val own = qualifiedUri(new Path(tablePath)).stripSuffix("/") + "/"
     val p = new Path(path)
-    if (!survivingPaths.contains(path) && p.toUri.getPath.startsWith(own))
+    if (!survivingPaths.contains(path) && qualifiedUri(p).startsWith(own))
       p.getFileSystem(hconf).delete(p, false)
+  }
+
+  /** Adopt a sync-carried statistics file by COPYING it under this
+    * table's own `metadata/` dir, so the promoted entry can never
+    * dangle when the SOURCE table re-analyzes or expires the original
+    * out from under it (stats files are KB-sized — unlike data files,
+    * owning a copy is cheaper than cross-table reference tracking).
+    * The copy name is deterministic in the source file's name, so
+    * repeated syncs carrying the same analyzed file re-use one copy,
+    * and chained hops don't stack prefixes. A path already under this
+    * table's root is returned as-is; a missing source file yields None
+    * (the pointer is stale provenance — nothing to promote). */
+  private def adoptCarriedFile(p: Path): Option[Path] = {
+    val srcFs = p.getFileSystem(hconf)
+    if (!srcFs.exists(p)) None
+    else {
+      val own = qualifiedUri(new Path(tablePath)).stripSuffix("/") + "/"
+      if (qualifiedUri(p).startsWith(own)) Some(p)
+      else {
+        val dst = new Path(tablePath,
+          s"metadata/carried-${p.getName.stripPrefix("carried-")}")
+        val dstFs = dst.getFileSystem(hconf)
+        if (!dstFs.exists(dst)) {
+          // stage + rename: a concurrent adopter either wins the rename
+          // or finds the winner's identical copy already in place
+          val tmp = new Path(tablePath, s"metadata/.adopt-${UUID.randomUUID()}")
+          org.apache.hadoop.fs.FileUtil.copy(srcFs, p, dstFs, tmp, false, hconf)
+          if (!dstFs.rename(tmp, dst) && !dstFs.exists(dst))
+            throw new IllegalStateException(s"could not place carried stats copy $dst")
+          if (dstFs.exists(tmp)) dstFs.delete(tmp, false)
+        }
+        Some(dst)
+      }
+    }
   }
 
   /** Register a written statistics file under its snapshot (the CAS
@@ -2231,27 +2270,24 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // a Puffin pointer riding the property channel (the source's
     // closest-analyzed-ancestor sketch, valid for exactly the row set
     // this commit replays) is PROMOTED to a real `statistics` entry
-    // anchored at this commit. The file stays source-owned and shared
-    // like the data files; one footer read recovers its blob metadata.
+    // anchored at this commit. The file is ADOPTED — copied under this
+    // table's own metadata dir — so the source's later re-analyze or
+    // expiry (which deletes ITS file) cannot dangle our entry; one
+    // footer read of the copy recovers its blob metadata.
     val carriedStats: Option[IcebergStatisticsFile] =
       syncProps.get(graft.model.SyncCas.StatsPathProp).flatMap { p =>
-        val sp = new Path(p)
-        val fsys = sp.getFileSystem(hconf)
-        if (!fsys.exists(sp)) None
-        else {
+        adoptCarriedFile(new Path(p)).map { sp =>
+          val fsys = sp.getFileSystem(hconf)
           val blobs = Puffin.readFooter(fsys, sp)
           val len = fsys.getFileStatus(sp).getLen
           val footerSize = len - Puffin.Magic.length - blobs.map(_.length).sum
-          Some(IcebergStatisticsFile(0L, sp.toString, len, footerSize, blobs))
+          IcebergStatisticsFile(0L, sp.toString, len, footerSize, blobs)
         }
       }
     val carriedPStats: Option[IcebergPartitionStatisticsFile] =
       syncProps.get(graft.model.SyncCas.PartitionStatsPathProp).flatMap { p =>
-        val sp = new Path(p)
-        val fsys = sp.getFileSystem(hconf)
-        if (!fsys.exists(sp)) None
-        else Some(IcebergPartitionStatisticsFile(
-          0L, sp.toString, fsys.getFileStatus(sp).getLen))
+        adoptCarriedFile(new Path(p)).map(sp => IcebergPartitionStatisticsFile(
+          0L, sp.toString, sp.getFileSystem(hconf).getFileStatus(sp).getLen))
       }
     commitSnapshot(prev, idSchema, defs, entries, removes,
       carryPrevious = true,

@@ -198,50 +198,61 @@ class PuffinSpec extends SparkTestBase {
     assert(ex.getMessage.contains("unpartitioned"))
   }
 
-  test("sync-carried statistics: source-owned shared file survives target expiry and re-analyze") {
+  test("sync-carried statistics are ADOPTED: the target owns a copy no source op can dangle") {
     import graft.sync.SyncEngine
     val dir = tmpDir("pstats_sync")
     val srcData = spark.range(0, 500).select(
       col("id").as("k"), (col("id") % 10).cast("string").as("s"))
     val src = IcebergTable.create(spark, s"$dir/src", srcData)
     val e = src.writeStatistics(Seq("k"))
+    val srcRegs = src.statisticsRegisters("k")
     SyncEngine.sync(SyncEngine.icebergSource(src),
       SyncEngine.icebergTarget(spark, s"$dir/tgt"))
     val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
     // promoted entry anchors at the target commit and points at the
-    // SOURCE's Puffin file (shared, like the data files)
+    // target's OWN COPY of the source's Puffin file — never at the
+    // source's file, which the source is free to delete at any time
     val carried = tgt.statisticsFor().get
-    assert(carried.path == e.path)
+    assert(carried.path != e.path && carried.path.contains("/tgt/"),
+      s"promoted entry must point under the target root: ${carried.path}")
     assert(carried.snapshotId == tgt.currentMetadata.currentSnapshotId.get)
     assert(carried.blobs.map(_.blobType) == Seq(Puffin.HllBlobType))
     // the target's register replay equals the source's
-    assert(tgt.statisticsRegisters("k") == src.statisticsRegisters("k"))
-    // two more syncs anchor the SAME file at newer target snapshots
+    assert(tgt.statisticsRegisters("k") == srcRegs)
+    // two more syncs of the same analyzed file re-use ONE copy
     src.append(srcData.limit(0))
     SyncEngine.sync(SyncEngine.icebergSource(src),
       SyncEngine.icebergTarget(spark, s"$dir/tgt"))
     val tgt2 = IcebergTable.forPath(spark, s"$dir/tgt")
     assert(tgt2.currentMetadata.statistics.size == 2)
-    assert(tgt2.currentMetadata.statistics.map(_.path).distinct == Seq(e.path))
+    assert(tgt2.currentMetadata.statistics.map(_.path).distinct == Seq(carried.path))
+    // the ADVICE failure mode: the SOURCE re-analyzes at its head and
+    // expires the analyzed ancestor, deleting its own original file —
+    // the target's adopted entry must keep resolving
+    val e2 = src.writeStatistics(Seq("k", "s"))
+    assert(src.expireSnapshots(System.currentTimeMillis() + 1000) == 1)
+    assert(e2.path != e.path && !fs(new Path(e.path)).exists(new Path(e.path)),
+      "source expiry should have deleted its superseded original file")
+    assert(tgt2.statisticsRegisters("k") == srcRegs,
+      "target's adopted stats must survive the source deleting the original")
     // expiring the OLD target snapshot drops its entry but must NOT
-    // delete the shared file: a live entry still references it, and it
-    // is source-owned either way
+    // delete the copy: a live entry still references it
     assert(tgt2.expireSnapshots(System.currentTimeMillis() + 1000) == 1)
     val tgt3 = IcebergTable.forPath(spark, s"$dir/tgt")
     assert(tgt3.currentMetadata.statistics.size == 1)
-    assert(fs(new Path(e.path)).exists(new Path(e.path)),
-      "target expiry deleted the source-owned Puffin file")
-    // re-analyzing the TARGET replaces the carried entry with its own
-    // (target-owned) file — and again leaves the source's file alone
+    assert(fs(new Path(carried.path)).exists(new Path(carried.path)),
+      "target expiry deleted a still-referenced adopted copy")
+    // re-analyzing the TARGET replaces the adopted entry with its own
+    // fresh file and — owning the copy — cleans the now-unreferenced
+    // copy up; the source's statistics are untouched throughout
     val own = tgt3.writeStatistics(Seq("k"))
-    assert(own.path != e.path && own.path.contains("/tgt/"))
-    assert(fs(new Path(e.path)).exists(new Path(e.path)),
-      "target re-analyze deleted the source-owned Puffin file")
-    // ... and the source still reads its statistics untouched
-    assert(src.statisticsFor().map(_.path).contains(e.path))
+    assert(own.path != carried.path && own.path.contains("/tgt/"))
+    assert(!fs(new Path(carried.path)).exists(new Path(carried.path)),
+      "unreferenced adopted copy should be cleaned up on target re-analyze")
+    assert(src.statisticsFor().map(_.path).contains(e2.path))
   }
 
-  test("sync carries partition statistics to an Iceberg target as a shared entry") {
+  test("sync adopts partition statistics on an Iceberg target as its own copy") {
     import graft.sync.SyncEngine
     val dir = tmpDir("pstats_sync2")
     val srcData = spark.range(0, 300).select(
@@ -252,18 +263,30 @@ class PuffinSpec extends SparkTestBase {
       SyncEngine.icebergTarget(spark, s"$dir/tgt"))
     val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
     val carried = tgt.partitionStatisticsFor().get
-    assert(carried.path == pe.path,
-      "target must share the source-owned partition-stats file")
+    assert(carried.path != pe.path && carried.path.contains("/tgt/"),
+      s"promoted entry must point at the target's own copy: ${carried.path}")
     assert(carried.snapshotId == tgt.currentMetadata.currentSnapshotId.get)
     // the rollup reads back identically on the target
     val back = tgt.readPartitionStatistics(carried)
       .selectExpr("partition.p", "data_record_count")
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     assert(back.map(_._1).toSeq == Seq("0", "1", "2", "3") && back.forall(_._2 == 75))
-    // target expiry / re-analyze never deletes the source-owned file
+    // the source expiring ITS analyzed snapshot (deleting its file)
+    // cannot dangle the target's adopted entry
+    src.append(srcData.limit(0))
+    src.writePartitionStatistics() // head analyzed, old entry expirable
+    assert(src.expireSnapshots(System.currentTimeMillis() + 1000) == 1)
+    assert(!fs(new Path(pe.path)).exists(new Path(pe.path)),
+      "source expiry should have deleted its own superseded rollup")
+    val again = IcebergTable.forPath(spark, s"$dir/tgt")
+      .readPartitionStatistics(carried)
+      .selectExpr("partition.p", "data_record_count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(again.toSeq == back.toSeq,
+      "target's adopted rollup must survive source expiry")
+    // target re-analyze swaps in its own rollup; the source stays intact
     tgt.writePartitionStatistics()
-    assert(fs(new Path(pe.path)).exists(new Path(pe.path)))
-    assert(src.partitionStatisticsFor().map(_.path).contains(pe.path))
+    assert(src.partitionStatisticsFor().nonEmpty)
   }
 
   test("expiry drops statistics of expired snapshots and deletes their files") {
