@@ -350,7 +350,12 @@ object IcebergManifests {
   private def longOf(rec: GenericRecord, default: Long, names: String*): Long =
     Option(opt(rec, names: _*)).map(_.asInstanceOf[Number].longValue()).getOrElse(default)
 
-  def readManifest(conf: Configuration, path: Path): Seq[ManifestEntry] =
+  /** Always-on read counter (a few ns): lets specs PIN that a metadata
+    * answer (e.g. a rollup-based row estimate) opened zero manifests. */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong()
+
+  def readManifest(conf: Configuration, path: Path): Seq[ManifestEntry] = {
+    manifestReads.incrementAndGet()
     readAvro(conf, path).map { rec =>
       val df = rec.get("data_file").asInstanceOf[GenericRecord]
       val part = df.get("partition").asInstanceOf[GenericRecord]
@@ -382,6 +387,7 @@ object IcebergManifests {
           case _ => Seq.empty
         })
     }
+  }
 
   def readManifestList(conf: Configuration, path: Path): Seq[ManifestFileInfo] =
     readAvro(conf, path).map { rec =>

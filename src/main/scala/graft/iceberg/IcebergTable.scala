@@ -449,29 +449,31 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
    * ever holds one row per partition, never the file list.
    */
   def writePartitionStatistics(): IcebergPartitionStatisticsFile = {
-    import org.apache.spark.sql.functions.{col, struct}
     val (_, meta0) = log.readLatest().getOrElse(
       throw new IllegalStateException(s"not an iceberg table: $tablePath"))
     val snap = meta0.currentSnapshot.getOrElse(
       throw new IllegalStateException(s"no current snapshot on $tablePath"))
     // unified partition type: every known spec's fields in field-id
-    // order; identity fields take the source column's type, bucket
-    // ordinals are ints, time/truncate fields keep their canonical
-    // (lexicographically ordered) string form
-    val unified: Seq[(String, DataType)] = meta0.allSpecs
-      .flatMap { case (_, fields) => IcebergTable.defsForFields(meta0, fields)
-        .zip(fields.map(_.fieldId)) }
-      .groupBy(_._2).toSeq.sortBy(_._1)
-      .map { case (_, defs) =>
-        val d = defs.head._1
-        val dt: DataType =
-          if (d.isIdentity)
-            meta0.schema.fields.find(_.name == d.sourceColumn)
-              .map(_.dataType).getOrElse(StringType)
-          else if (d.isBucket) IntegerType
-          else StringType
-        d.fieldName -> dt
-      }
+    // order, each typed by its TRANSFORM RESULT per the Iceberg spec —
+    // identity/truncate take the source column's type, bucket and
+    // year/month/hour ordinals are ints, day is a date — so a foreign
+    // reader resolves typed values and the file sort is the TYPED order
+    val unified: Seq[(String, DataType, Int, graft.model.PartitionFieldDef)] =
+      meta0.allSpecs
+        .flatMap { case (_, fields) => IcebergTable.defsForFields(meta0, fields)
+          .zip(fields.map(_.fieldId)) }
+        .groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (fid, ds) =>
+          val d = ds.head._1
+          val dt: DataType =
+            if (d.isIdentity || d.isTruncate)
+              meta0.schema.fields.find(_.name == d.sourceColumn)
+                .map(_.dataType).getOrElse(StringType)
+            else if (d.isBucket) IntegerType
+            else if (d.granularity == graft.model.TimeGranularity.Day) DateType
+            else IntegerType
+          (d.fieldName, dt, fid, d)
+        }
     require(unified.nonEmpty,
       s"partition statistics on unpartitioned table $tablePath — nothing to roll up")
     val manifests =
@@ -512,38 +514,71 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
           .collect().toSeq
           .map { case ((vals, sid), c) => (vals, sid, c) }
       }
-    // spec: the file is SORTED by partition — canonical strings order
-    // lexicographically within a granularity, so the driver-side sort
-    // of the collected (≤ partition-count) rows is the spec order
-    val sorted = rolled.sortBy { case (vals, sid, _) =>
-      (vals.map(v => if (v == null) "" else v).mkString("\u0000"), sid) }
+    // manifest value strings → transform-result JVM values: time fields
+    // arrive as spec ordinals already (day ordinals become dates),
+    // identity values as hive strings of the source type
+    def typedValue(d: graft.model.PartitionFieldDef, dt: DataType, v: String): Any =
+      if (v == null) null
+      else if (d.isTime) {
+        if (dt == DateType) java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.toLong))
+        else v.toInt
+      } else dt match {
+        case IntegerType => v.toInt
+        case LongType => v.toLong
+        case ShortType => v.toShort
+        case ByteType => v.toByte
+        case DoubleType => v.toDouble
+        case FloatType => v.toFloat
+        case BooleanType => v.toBoolean
+        case DateType => java.sql.Date.valueOf(v)
+        case TimestampType => java.sql.Timestamp.valueOf(v)
+        case TimestampNTZType => java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+        case _: DecimalType => new java.math.BigDecimal(v)
+        case _ => v
+      }
+    val typedRolled: Seq[(Seq[Any], Int, Array[Long])] = rolled.map {
+      case (vals, sid, c) =>
+        (vals.zip(unified).map { case (v, (_, dt, _, d)) => typedValue(d, dt, v) }, sid, c)
+    }
+    // spec: the file is SORTED by partition — by the TYPED transform
+    // result values (an identity int partition orders 2 before 10;
+    // nulls first), spec id breaking ties
+    def cmpAny(x: Any, y: Any): Int = (x, y) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+    val sorted = typedRolled.sortWith { case ((a, sa, _), (b, sb, _)) =>
+      a.zip(b).iterator.map { case (x, y) => cmpAny(x, y) }
+        .find(_ != 0).getOrElse(Integer.compare(sa, sb)) < 0
+    }
+    // the spec's parquet field IDs (1-12 on the stats schema, the
+    // partition field's own id inside the struct) ride the schema so
+    // engines that resolve columns BY ID can map the file
+    def withId(f: StructField, id: Int): StructField = f.copy(metadata =
+      new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("parquet.field.id", id).build())
     val schema = StructType(Seq(
-      StructField("partition", StructType(
-        unified.map { case (n, dt) => StructField(n, dt, nullable = true) }), false),
-      StructField("spec_id", IntegerType, false),
-      StructField("data_record_count", LongType, false),
-      StructField("data_file_count", IntegerType, false),
-      StructField("total_data_file_size_in_bytes", LongType, false),
-      StructField("position_delete_record_count", LongType, false),
-      StructField("position_delete_file_count", IntegerType, false),
-      StructField("equality_delete_record_count", LongType, false),
-      StructField("equality_delete_file_count", IntegerType, false),
-      StructField("last_updated_snapshot_id", LongType, false)))
-    val stringSchema = StructType(schema.fields.map {
-      case StructField("partition", _, _, _) => StructField("partition", StructType(
-        unified.map { case (n, _) => StructField(n, StringType, nullable = true) }), false)
-      case f => f
-    })
+      withId(StructField("partition", StructType(
+        unified.map { case (n, dt, fid, _) =>
+          withId(StructField(n, dt, nullable = true), fid) }), false), 1),
+      withId(StructField("spec_id", IntegerType, false), 2),
+      withId(StructField("data_record_count", LongType, false), 3),
+      withId(StructField("data_file_count", IntegerType, false), 4),
+      withId(StructField("total_data_file_size_in_bytes", LongType, false), 5),
+      withId(StructField("position_delete_record_count", LongType, false), 6),
+      withId(StructField("position_delete_file_count", IntegerType, false), 7),
+      withId(StructField("equality_delete_record_count", LongType, false), 8),
+      withId(StructField("equality_delete_file_count", IntegerType, false), 9),
+      withId(StructField("last_updated_snapshot_id", LongType, false), 12)))
     import scala.jdk.CollectionConverters._
     val rows: java.util.List[org.apache.spark.sql.Row] = sorted.map { case (vals, sid, c) =>
       org.apache.spark.sql.Row(
         org.apache.spark.sql.Row(vals: _*), sid,
         c(0), c(1).toInt, c(2), c(3), c(4).toInt, c(5), c(6).toInt, snap.snapshotId)
     }.asJava
-    val typed = spark.createDataFrame(rows, stringSchema)
-      .select(struct(unified.map { case (n, dt) =>
-        col(s"partition.`$n`").cast(dt).as(n) }: _*).as("partition") +:
-        schema.fieldNames.toSeq.drop(1).map(n => col(n)): _*)
+    val typed = spark.createDataFrame(rows, schema)
     // one parquet file at a stable metadata/ path: stage, then rename
     // the single part file into place
     val fsys = new Path(tablePath).getFileSystem(hconf)
@@ -620,6 +655,21 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   /** Read a partition-statistics file back (the spec row shape). */
   def readPartitionStatistics(entry: IcebergPartitionStatisticsFile): DataFrame =
     spark.read.parquet(entry.path)
+
+  /** Estimated live data rows in partitions matching `pred` — a filter
+    * over the rollup's columns (`partition.<field>` values are TYPED
+    * transform results) — answered from the registered partition-
+    * statistics rollup ALONE: one KB-sized parquet read, ZERO manifest
+    * opens (pinned via [[IcebergManifests.manifestReads]]). None when
+    * no rollup is registered — callers fall back to manifest planning.
+    * At 100 TB this is the difference between COSTING a partition
+    * predicate from the rollup and replaying every manifest to count. */
+  def estimatedRowsForPartition(pred: org.apache.spark.sql.Column): Option[Long] =
+    partitionStatisticsFor().map { e =>
+      val r = readPartitionStatistics(e).filter(pred)
+        .agg(org.apache.spark.sql.functions.sum("data_record_count")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
 
   /** Resolve a ref name to its snapshot id (`main` → current). */
   def refSnapshot(name: String): Long =
@@ -2635,6 +2685,34 @@ final class IcebergScanBuilder(
   def range(column: String, lo: Option[Any], hi: Option[Any]): IcebergScanBuilder = {
     rangePredicates +:= ((column, lo.map(_.toString), hi.map(_.toString)))
     this
+  }
+
+  /** Estimated rows this scan's PARTITION-IN predicates keep, costed
+    * from the table's registered partition-statistics rollup alone —
+    * one KB-sized parquet read, zero manifest opens. None when the
+    * table carries no rollup or the scan time-travels (the rollup
+    * describes the analyzed lineage, not an arbitrary snapshot). An
+    * ESTIMATE ceiling: range predicates and bounds-based skipping prune
+    * further at scan time. */
+  def estimatedRows(): Option[Long] = {
+    if (asOfSnapshot.nonEmpty) return None
+    import org.apache.spark.sql.functions.{col, lit}
+    val defByName = IcebergTable.defsOf(table.currentMetadata)
+      .map(d => d.fieldName -> d).toMap
+    val pred = partitionPredicates.foldLeft(lit(true)) { case (acc, (c, vs)) =>
+      // callers speak human strings; the rollup stores typed transform
+      // results — year/month/hour compare as ordinals, day as the
+      // yyyy-MM-dd string a DATE casts to, identity/bucket as-is
+      val wanted: Set[String] = defByName.get(c) match {
+        case Some(d) if d.isTime &&
+            d.granularity != graft.model.TimeGranularity.Day =>
+          vs.map(v =>
+            graft.model.PartitionTransform.toOrdinal(d.granularity, v).toString)
+        case _ => vs
+      }
+      acc && col(s"partition.`$c`").cast("string").isin(wanted.toSeq: _*)
+    }
+    table.estimatedRowsForPartition(pred)
   }
 
   /** Pruned entry list. All predicate data is prepared driver-side

@@ -2,6 +2,7 @@ package graft.iceberg
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.SparkTestBase
 
@@ -188,6 +189,96 @@ class PuffinSpec extends SparkTestBase {
     assert(!fs(new Path(e2.path)).exists(new Path(e2.path)))
     assert(fs(new Path(t3.partitionStatisticsFor().get.path))
       .exists(new Path(t3.partitionStatisticsFor().get.path)))
+  }
+
+  test("partition statistics: typed identity struct, numeric sort, spec parquet field ids") {
+    val dir = tmpDir("pstats_typed")
+    // identity INT partition with two-digit values: a string sort would
+    // put "10" before "2" — the spec order is the TYPED order
+    val src = spark.range(0, 260).select(
+      (col("id") % 13).cast("int").as("p"), col("id").as("k"))
+    val t = IcebergTable.create(spark, s"$dir/t", src, Seq("p"))
+    val e = t.writePartitionStatistics()
+    val df = t.readPartitionStatistics(e)
+    assert(df.schema("partition").dataType.asInstanceOf[StructType]("p").dataType
+      == IntegerType, "identity int partition must read back typed")
+    val order = df.select(col("partition.p")).collect().map(_.getInt(0)).toSeq
+    assert(order == order.sorted, s"file not in numeric order: $order")
+    assert(order.indexOf(2) < order.indexOf(10), s"2 must sort before 10: $order")
+    // the spec's parquet field IDs ride the file so engines resolving
+    // columns BY ID can map it (stats schema ids 1-12; the partition
+    // field's own spec id inside the struct)
+    val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(e.path), spark.sparkContext.hadoopConfiguration))
+    try {
+      val mt = pf.getFooter.getFileMetaData.getSchema
+      def fld(g: org.apache.parquet.schema.GroupType, n: String) =
+        g.getType(g.getFieldIndex(n))
+      assert(fld(mt, "partition").getId.intValue == 1)
+      assert(fld(mt, "spec_id").getId.intValue == 2)
+      assert(fld(mt, "data_record_count").getId.intValue == 3)
+      assert(fld(mt, "total_data_file_size_in_bytes").getId.intValue == 5)
+      assert(fld(mt, "last_updated_snapshot_id").getId.intValue == 12)
+      assert(fld(fld(mt, "partition").asGroupType, "p").getId.intValue == 1000,
+        "partition struct member must carry its spec field id")
+    } finally pf.close()
+  }
+
+  test("partition statistics: time transforms emit spec RESULT types (month int, day date)") {
+    val dir = tmpDir("pstats_time")
+    val src = spark.range(0, 100).select(
+      col("id").as("k"),
+      date_add(lit("2021-11-20").cast("date"), (col("id") % 90).cast("int"))
+        .cast("timestamp").as("ts"))
+    val tm = IcebergTable.create(spark, s"$dir/tm", src, Seq("month(ts)"))
+    val em = tm.writePartitionStatistics()
+    val dfm = tm.readPartitionStatistics(em)
+    assert(dfm.schema("partition").dataType.asInstanceOf[StructType]("ts_month").dataType
+      == IntegerType, "month partition must emit the spec's int ordinal")
+    val months = dfm.select(col("partition.ts_month"), col("data_record_count"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // months since epoch: 2021-11 = 622 … 2022-02 = 625, in typed order
+    assert(months.map(_._1) == Seq(622, 623, 624, 625), s"$months")
+    assert(months.map(_._2) == Seq(21L, 31L, 31L, 17L), s"$months")
+    val td = IcebergTable.create(spark, s"$dir/td", src, Seq("day(ts)"))
+    val ed = td.writePartitionStatistics()
+    val dfd = td.readPartitionStatistics(ed)
+    assert(dfd.schema("partition").dataType.asInstanceOf[StructType]("ts_day").dataType
+      == DateType, "day partition must emit the spec's date type")
+    val days = dfd.select(col("partition.ts_day")).collect().map(_.getDate(0).toString)
+    assert(days.head == "2021-11-20" && days.last == "2022-02-17" &&
+      days.length == 90 && days.toSeq == days.sorted.toSeq, s"${days.take(5).toSeq}…")
+  }
+
+  test("partition-prune row estimates come from the rollup — zero manifest opens") {
+    val dir = tmpDir("pstats_est")
+    val src = spark.range(0, 300).select(
+      col("id").as("k"), (col("id") % 3).cast("string").as("p"))
+    val t = IcebergTable.create(spark, s"$dir/t", src, Seq("p"))
+    assert(t.scan.partitionIn("p", Set("1")).estimatedRows().isEmpty,
+      "no rollup registered -> no estimate")
+    t.writePartitionStatistics()
+    val before = IcebergManifests.manifestReads.get()
+    assert(t.scan.partitionIn("p", Set("1")).estimatedRows().contains(100L))
+    assert(t.scan.partitionIn("p", Set("1", "2")).estimatedRows().contains(200L))
+    assert(t.scan.estimatedRows().contains(300L), "unpredicated scan estimates all rows")
+    // typed predicate over the rollup directly
+    assert(t.estimatedRowsForPartition(col("partition.p") === "0").contains(100L))
+    assert(t.estimatedRowsForPartition(col("partition.p") === "9").contains(0L),
+      "a predicate matching no partition estimates zero, not None")
+    assert(IcebergManifests.manifestReads.get() == before,
+      "rollup-based estimates must not open manifests")
+    // human month strings translate to the rollup's typed ordinals
+    val srcT = spark.range(0, 100).select(
+      col("id").as("k"),
+      date_add(lit("2021-11-20").cast("date"), (col("id") % 90).cast("int"))
+        .cast("timestamp").as("ts"))
+    val tt = IcebergTable.create(spark, s"$dir/tt", srcT, Seq("month(ts)"))
+    tt.writePartitionStatistics()
+    val b2 = IcebergManifests.manifestReads.get()
+    assert(tt.scan.partitionIn("ts_month", Set("2021-12")).estimatedRows().contains(31L))
+    assert(IcebergManifests.manifestReads.get() == b2)
   }
 
   test("partition statistics refuse an unpartitioned table") {
