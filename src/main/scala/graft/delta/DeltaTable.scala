@@ -808,6 +808,96 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     v
   }
 
+  // ------------------------------------------------- statistics (ANALYZE)
+
+  /**
+   * ANALYZE for Delta — the read/write side of the statistics plane on
+   * this format (the Iceberg half is `IcebergTable.writeStatistics`):
+   * the same portable one-pass HLL build (PortableHll.stackedRegisters,
+   * ONE table scan for all columns, ndv driver-side), landed in a
+   * Puffin sidecar under `_graft_stats/` and registered through two
+   * table properties (`graft.stats.path` / `graft.stats.version`) in
+   * one SET TBLPROPERTIES commit. Delta's spec has no statistics list,
+   * so the configuration channel — the same one the sync watermark
+   * rides — is the Delta-native registration idiom. Re-analyze replaces
+   * the pointer and deletes the superseded owned sidecar. Blobs carry
+   * `graft.column`, so consumers resolve sketches by NAME (Delta field
+   * ids are not stable across column-mapping modes); a renamed column
+   * needs a fresh ANALYZE, exactly like a changed row set.
+   */
+  def writeStatistics(cols: Seq[String]): String = {
+    require(cols.nonEmpty, s"writeStatistics on $tablePath needs at least one column")
+    val (schema, _) = schemaAt(None)
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"no column $c in $tablePath"))
+    val analyzedVersion = latestVersion
+    val regsByCol = graft.functions.PortableHll.stackedRegisters(
+      toDF(Some(analyzedVersion)), cols)
+    val blobs = cols.zipWithIndex.map { case (c, i) =>
+      val regs = regsByCol.getOrElse(i, Seq.empty)
+      val bytes = new Array[Byte](graft.functions.PortableHll.M)
+      regs.foreach { case (b, mr) => bytes(b) = mr.toByte }
+      val ndv = graft.functions.PortableHll.estimateLocal(regs)
+      (graft.iceberg.Puffin.HllBlobType,
+        // a stable iceberg-style field id when the schema carries one;
+        // the 1-based ordinal otherwise (resolution is by name anyway)
+        Seq(graft.iceberg.IcebergSchemas.fieldId(schema(c))
+          .getOrElse(schema.fieldIndex(c) + 1)),
+        Map(
+          "ndv" -> String.format(java.util.Locale.ROOT, "%.2f", Double.box(ndv)),
+          "graft.column" -> c),
+        bytes)
+    }
+    val statsPath = new Path(tablePath, s"_graft_stats/${UUID.randomUUID()}.stats")
+    val conf = spark.sparkContext.hadoopConfiguration
+    graft.iceberg.Puffin.write(statsPath.getFileSystem(conf), statsPath,
+      analyzedVersion, analyzedVersion, blobs)
+    val previous = log.metadataAt(None)._1.configuration.get(DeltaTable.StatsPathKey)
+    // the recorded version is the REGISTRATION commit's own (the
+    // pointer is live from there; the props-only commit changes no
+    // rows, so the sketch is exact for it). A commit racing into the
+    // slot either fails the registration's put-if-absent (typed retry)
+    // or makes the recorded version pessimistic — and planners floor
+    // the estimate with the log's exact current counts regardless.
+    setProperties(Map(
+      DeltaTable.StatsPathKey -> statsPath.toString,
+      DeltaTable.StatsVersionKey -> (latestVersion + 1).toString))
+    // replace-on-reanalyze: the superseded owned sidecar is unreachable
+    // from the live configuration now (time travel reads metadata, not
+    // sidecars) — delete it or it is orphaned permanently
+    previous.filter(_ != statsPath.toString).foreach(p =>
+      graft.util.StatsFiles.deleteIfOwned(conf, tablePath, p, Set(statsPath.toString)))
+    statsPath.toString
+  }
+
+  /** The persisted HLL register set of `column` + the blob's ndv,
+    * resolved from the native ANALYZE pointer or — on a sync target —
+    * the carried one (adopted at sync time, so no source operation can
+    * dangle it). Resolution is by the blob's `graft.column` name. */
+  def statisticsRegisters(column: String): (Seq[(Int, Int)], Double) = {
+    val conf = log.metadataAt(None)._1.configuration
+    val path = conf.get(DeltaTable.StatsPathKey)
+      .orElse(conf.get(graft.model.SyncCas.StatsPathProp))
+      .getOrElse(throw new IllegalStateException(
+        s"no statistics registered on $tablePath"))
+    val p = new Path(path)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val blob = graft.iceberg.Puffin.readFooter(fsys, p)
+      .find(b => b.blobType == graft.iceberg.Puffin.HllBlobType &&
+        b.properties.get("graft.column").contains(column))
+      .getOrElse(throw new IllegalStateException(
+        s"no ${graft.iceberg.Puffin.HllBlobType} blob for $column at $path"))
+    val bytes = graft.iceberg.Puffin.blobPayload(fsys, p, blob)
+    val regs = bytes.zipWithIndex.collect { case (b, i) if b != 0 => (i, b.toInt) }.toSeq
+    (regs, blob.properties("ndv").toDouble)
+  }
+
+  /** The table version the native ANALYZE ran at — the freshness fence
+    * for planners (None for sync-carried statistics, which planners
+    * treat as stale and floor with the log's exact current counts). */
+  def statisticsVersion: Option[Long] =
+    log.metadataAt(None)._1.configuration.get(DeltaTable.StatsVersionKey).map(_.toLong)
+
   /**
    * RESTORE TABLE ... TO VERSION AS OF `version`: one commit that flips
    * the live file set (and metadata, if it changed) back to the target
@@ -1395,7 +1485,10 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(dir).toSeq.flatMap { st =>
         val name = st.getPath.getName
-        if (name == "_delta_log" || name.startsWith(".")) Seq.empty
+        // _graft_stats holds ANALYZE sidecars referenced from the table
+        // CONFIGURATION, not the file log — never vacuum candidates
+        if (name == "_delta_log" || name == "_graft_stats" ||
+            name.startsWith(".")) Seq.empty
         else if (st.isDirectory) walk(st.getPath)
         else Seq(st)
       }
@@ -1836,11 +1929,22 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         DataType.fromJson(m.schemaString).asInstanceOf[StructType], schemaForMeta)
       case None => (schemaForMeta, false)
     }
+    // carried statistics pointers are ADOPTED (copied under this
+    // table's _graft_stats dir) before they land in the configuration,
+    // so the source deleting ITS file can never dangle this target's
+    // pointer; a stale pointer at a missing file is dropped
+    val statsKeys = Seq(
+      graft.model.SyncCas.StatsPathProp, graft.model.SyncCas.PartitionStatsPathProp)
+    val adoptedStats = statsKeys.flatMap(k => syncProps.get(k).flatMap(p =>
+      graft.util.StatsFiles.adoptInto(
+        spark.sparkContext.hadoopConfiguration, tablePath, "_graft_stats", new Path(p))
+      .map(k -> _.toString)))
+    val effectiveProps = (syncProps -- statsKeys) ++ adoptedStats
     val meta = DeltaMetadata(
       id = baseMeta.map(_.id).getOrElse(UUID.randomUUID().toString),
       schemaString = schemaStamped.json,
       partitionColumns = fieldNames,
-      configuration = baseConfig ++ syncProps + ("graft.converted.from" -> sourceDataRoot),
+      configuration = baseConfig ++ effectiveProps + ("graft.converted.from" -> sourceDataRoot),
       createdTime = now)
     val upgrade: Seq[DeltaAction] =
       if (!widenedNow) Seq.empty
@@ -1866,6 +1970,11 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
 }
 
 object DeltaTable {
+
+  /** Configuration key of the native ANALYZE's Puffin sidecar path. */
+  val StatsPathKey = "graft.stats.path"
+  /** Configuration key of the table version that ANALYZE ran at. */
+  val StatsVersionKey = "graft.stats.version"
 
   /** Count of key-pruned scans answered by the EXACT index (vs range
     * fallback) — observable so a spec can pin that a composed pipeline's

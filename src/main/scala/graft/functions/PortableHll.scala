@@ -70,6 +70,27 @@ object PortableHll {
       .groupBy(col("bucket"))
       .agg(max(col("rho")).as("mr"))
 
+  /** ONE-pass register build for MANY columns (the ANALYZE shape shared
+    * by the Iceberg and Delta writers): every column's hash stacks into
+    * (ci, h) rows row-side, registers shrink to ≤ cols×256 rows in the
+    * map-side combine, and the driver collects only those — one table
+    * scan regardless of column count. Returns registers by column
+    * index; an absent index is an all-NULL column. */
+  def stackedRegisters(df: DataFrame, cols: Seq[String]): Map[Int, Seq[(Int, Int)]] =
+    df.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("ci"), md5(col(c).cast("string")).as("h"))
+      }: _*)).as("s"))
+      .select(col("s.ci").as("ci"), col("s.h").as("h"))
+      .where(col("h").isNotNull) // md5(NULL) is NULL: ndv counts non-nulls
+      .withColumn("bucket", expr(bucketSql))
+      .withColumn("rest", expr("substr(h, 3, 14)"))
+      .withColumn("rho", expr(rhoSql))
+      .groupBy(col("ci"), col("bucket"))
+      .agg(max(col("rho")).as("mr"))
+      .collect()
+      .groupBy(_.getInt(0)).view.mapValues(
+        _.map(r => (r.getInt(1), r.getInt(2))).toSeq).toMap
+
   /** One-row estimate frame (column `est`) from a register frame. */
   def estimate(regs: DataFrame): DataFrame =
     regs.agg(count(lit(1)).as("nb"),

@@ -834,6 +834,107 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       .flatMap(i => timeline.readCommitMetadata(i).extraMetadata.get(key))
       .nextOption()
 
+  // ------------------------------------------------- statistics (ANALYZE)
+
+  /**
+   * ANALYZE for Hudi — the third format of the statistics plane (see
+   * IcebergTable.writeStatistics / DeltaTable.writeStatistics): the
+   * same portable one-pass HLL build, landed in a Puffin sidecar under
+   * `.hoodie/.graft_stats/` and registered through a zero-write commit
+   * instant's extraMetadata (`graft.stats.path` / `graft.stats.instant`
+   * — the widenColumn channel, which is also where sync watermarks and
+   * streaming batch ids ride). Re-analyze walks to the newest pointer;
+   * the superseded owned sidecar is deleted. Blobs carry `graft.column`
+   * for name-keyed resolution.
+   */
+  def writeStatistics(cols: Seq[String]): String = {
+    require(cols.nonEmpty, s"writeStatistics on $tablePath needs at least one column")
+    val schema = schemaAt(None)
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"no column $c in $tablePath"))
+    val regsByCol = graft.functions.PortableHll.stackedRegisters(toDF(), cols)
+    val blobs = cols.zipWithIndex.map { case (c, i) =>
+      val regs = regsByCol.getOrElse(i, Seq.empty)
+      val bytes = new Array[Byte](graft.functions.PortableHll.M)
+      regs.foreach { case (b, mr) => bytes(b) = mr.toByte }
+      val ndv = graft.functions.PortableHll.estimateLocal(regs)
+      (graft.iceberg.Puffin.HllBlobType, Seq(schema.fieldIndex(c) + 1),
+        Map(
+          "ndv" -> String.format(java.util.Locale.ROOT, "%.2f", Double.box(ndv)),
+          "graft.column" -> c),
+        bytes)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statsPath = new Path(tablePath,
+      s".hoodie/.graft_stats/${java.util.UUID.randomUUID()}.stats")
+    graft.iceberg.Puffin.write(statsPath.getFileSystem(conf), statsPath, 0L, 0L, blobs)
+    val previous = lastCommitProp(HudiTable.StatsPathKey)
+    val meta0 = HudiCommitMetadata(
+      partitionToWriteStats = Map.empty,
+      partitionToReplaceFileIds = Map.empty,
+      extraMetadata = Map(
+        "schema" -> AvroSchemaConverters.toAvro(schema).toString,
+        HudiTable.StatsPathKey -> statsPath.toString),
+      operationType = "ALTER_SCHEMA")
+    var attempt = 0
+    var committed: Option[String] = None
+    while (committed.isEmpty) {
+      attempt += 1
+      val instant = timeline.nextInstantTime()
+      // the registration instant rides its own metadata so freshness is
+      // one walk-back read, not a timeline diff
+      val meta = meta0.copy(extraMetadata =
+        meta0.extraMetadata + (HudiTable.StatsInstantKey -> instant))
+      val won =
+        try timeline.commit(HudiInstant(instant, "commit"), meta)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      if (won) committed = Some(instant)
+      else {
+        graft.model.ConcurrentSyncException.check(attempt < 10,
+          s"concurrent commit contention at $tablePath: 10 attempts lost the race")
+        Thread.sleep(scala.util.Random.nextInt(20 * attempt) + 1L)
+      }
+    }
+    previous.filter(_ != statsPath.toString).foreach(p =>
+      graft.util.StatsFiles.deleteIfOwned(conf, tablePath, p, Set(statsPath.toString)))
+    statsPath.toString
+  }
+
+  /** The persisted HLL register set of `column` + the blob's ndv,
+    * resolved from the newest commit carrying the native ANALYZE
+    * pointer or — on a sync target — the carried one (adopted at sync
+    * time). Resolution is by the blob's `graft.column` name. */
+  def statisticsRegisters(column: String): (Seq[(Int, Int)], Double) = {
+    val path = lastCommitProp(HudiTable.StatsPathKey)
+      .orElse(lastCommitProp(graft.model.SyncCas.StatsPathProp))
+      .getOrElse(throw new IllegalStateException(
+        s"no statistics registered on $tablePath"))
+    val p = new Path(path)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val blob = graft.iceberg.Puffin.readFooter(fsys, p)
+      .find(b => b.blobType == graft.iceberg.Puffin.HllBlobType &&
+        b.properties.get("graft.column").contains(column))
+      .getOrElse(throw new IllegalStateException(
+        s"no ${graft.iceberg.Puffin.HllBlobType} blob for $column at $path"))
+    val bytes = graft.iceberg.Puffin.blobPayload(fsys, p, blob)
+    val regs = bytes.zipWithIndex.collect { case (b, i) if b != 0 => (i, b.toInt) }.toSeq
+    (regs, blob.properties("ndv").toDouble)
+  }
+
+  /** The instant the native ANALYZE registered at — fresh iff it is
+    * still the newest completed commit-ish instant (None for
+    * sync-carried statistics, which planners treat as stale and floor
+    * with the file slices' exact current counts). */
+  def statisticsFresh: Boolean =
+    lastCommitProp(HudiTable.StatsInstantKey).exists { at =>
+      timeline.completedInstants()
+        .filter(i => Set("commit", "replacecommit", "deltacommit").contains(i.action))
+        .lastOption.exists(_.time == at)
+    }
+
   /**
    * Bin-packing small-file compaction — Hudi's clustering shape, a
    * `replacecommit` (operation CLUSTER) replacing the compacted file
@@ -1642,10 +1743,20 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       .filter(_.columnStats.nonEmpty)
       .map(f => (HudiTable.buildPartitionPath(f.partitionValues, fieldNames, hiveStyle),
         new Path(f.physicalPath).getName, f.columnStats)))
+    // carried statistics pointers are ADOPTED under .hoodie/.graft_stats
+    // (the Iceberg/Delta syncCommit twins do the same) so the source
+    // deleting ITS file can never dangle this target's pointer
+    val statsKeys = Seq(
+      graft.model.SyncCas.StatsPathProp, graft.model.SyncCas.PartitionStatsPathProp)
+    val adoptedStats = statsKeys.flatMap(k => syncProps.get(k).flatMap(p =>
+      graft.util.StatsFiles.adoptInto(
+        spark.sparkContext.hadoopConfiguration, tablePath,
+        ".hoodie/.graft_stats", new Path(p)).map(k -> _.toString)))
+    val effectiveSyncProps = (syncProps -- statsKeys) ++ adoptedStats
     val meta = HudiCommitMetadata(
       partitionToWriteStats = writeStats.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
       partitionToReplaceFileIds = replaceIds,
-      extraMetadata = syncProps +
+      extraMetadata = effectiveSyncProps +
         ("schema" -> AvroSchemaConverters.toAvro(schemaWithPartFields).toString),
       operationType = if (replaceIds.nonEmpty) "INSERT_OVERWRITE" else "INSERT")
     val action = if (replaceIds.nonEmpty) "replacecommit" else "commit"
@@ -1853,6 +1964,11 @@ object HudiTable {
   /** Property recording the table's partition SPECS (incl. transforms)
     * so appends inherit them without name heuristics. */
   private[graft] val PartitionSpecsProp = "graft.partition.specs"
+
+  /** extraMetadata key of the native ANALYZE's Puffin sidecar path. */
+  val StatsPathKey = "graft.stats.path"
+  /** extraMetadata key of the instant that ANALYZE registered at. */
+  val StatsInstantKey = "graft.stats.instant"
 
   /** Actions the incremental sync feed replays (clean excluded — ref
     * `HudiDataFileExtractor.java:244-250` treats it as a no-op).

@@ -263,7 +263,6 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
    * typed CAS; re-analyzing the same snapshot replaces its entry.
    */
   def writeStatistics(cols: Seq[String]): IcebergStatisticsFile = {
-    import org.apache.spark.sql.functions.{array, col, explode, expr, lit, max, md5, struct}
     require(cols.nonEmpty, s"writeStatistics on $tablePath needs at least one column")
     val (_, meta0) = log.readLatest().getOrElse(
       throw new IllegalStateException(s"not an iceberg table: $tablePath"))
@@ -275,34 +274,25 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       IcebergSchemas.fieldId(f).getOrElse(
         throw new IllegalStateException(s"field $c of $tablePath missing iceberg id"))
     }
-    // ONE aggregation job over ONE table scan for ALL columns: every
-    // column's hash stacks into (ci, h) rows row-side, registers shrink
-    // to ≤ cols×256 rows in the map-side combine, and the estimate is
-    // driver arithmetic over the collected registers — ANALYZE of a
-    // 100-TB table costs one scan regardless of column count, not two
-    // jobs per column
-    val stacked = toDF()
-      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
-        struct(lit(i).as("ci"), md5(col(c).cast("string")).as("h"))
-      }: _*)).as("s"))
-      .select(col("s.ci").as("ci"), col("s.h").as("h"))
-      .where(col("h").isNotNull) // md5(NULL) is NULL: ndv counts non-nulls
-      .withColumn("bucket", expr(graft.functions.PortableHll.bucketSql))
-      .withColumn("rest", expr("substr(h, 3, 14)"))
-      .withColumn("rho", expr(graft.functions.PortableHll.rhoSql))
-      .groupBy(col("ci"), col("bucket"))
-      .agg(max(col("rho")).as("mr"))
-      .collect()
-    val regsByCol = stacked.groupBy(_.getInt(0))
+    // ONE aggregation job over ONE table scan for ALL columns
+    // (PortableHll.stackedRegisters): registers shrink to ≤ cols×256
+    // rows in the map-side combine, and the estimate is driver
+    // arithmetic over the collected registers — ANALYZE of a 100-TB
+    // table costs one scan regardless of column count, not two jobs
+    // per column
+    val regsByCol = graft.functions.PortableHll.stackedRegisters(toDF(), cols)
     val blobs = cols.indices.map { i =>
-      val regs = regsByCol.getOrElse(i, Array.empty[org.apache.spark.sql.Row])
-        .map(r => (r.getInt(1), r.getInt(2))).toSeq
+      // an all-NULL column has zero registers and estimates ndv 0.00
+      val regs = regsByCol.getOrElse(i, Seq.empty)
       val bytes = new Array[Byte](graft.functions.PortableHll.M)
       regs.foreach { case (b, mr) => bytes(b) = mr.toByte }
-      // an all-NULL column has zero registers and estimates ndv 0.00
       val ndv = graft.functions.PortableHll.estimateLocal(regs)
       (Puffin.HllBlobType, Seq(fids(i)),
-        Map("ndv" -> String.format(java.util.Locale.ROOT, "%.2f", Double.box(ndv))),
+        Map(
+          "ndv" -> String.format(java.util.Locale.ROOT, "%.2f", Double.box(ndv)),
+          // name-keyed resolution for consumers without stable field
+          // ids (the Delta plane resolves carried sketches by name)
+          "graft.column" -> cols(i)),
         bytes)
     }
     val statsPath = new Path(tablePath, s"metadata/${UUID.randomUUID()}.stats")
@@ -311,56 +301,19 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     registerStatistics(snap.snapshotId, entry)
   }
 
-  /** The fully-qualified URI string of `p` (scheme + authority filled in
-    * by its filesystem) — path-only comparison would let a same-prefix
-    * path on a DIFFERENT filesystem pass an ownership check. */
-  private def qualifiedUri(p: Path): String =
-    p.getFileSystem(hconf).makeQualified(p).toUri.toString
-
-  /** Delete a statistics file ONLY when safe: no surviving entry shares
-    * the path (one file can anchor at many snapshots) and the file
-    * lives under THIS table's root on THIS table's filesystem (compared
-    * fully qualified — scheme and authority included). */
-  private def deleteStatsFileIfOwned(path: String, survivingPaths: Set[String]): Unit = {
-    val own = qualifiedUri(new Path(tablePath)).stripSuffix("/") + "/"
-    val p = new Path(path)
-    if (!survivingPaths.contains(path) && qualifiedUri(p).startsWith(own))
-      p.getFileSystem(hconf).delete(p, false)
-  }
+  /** Delete a statistics file ONLY when safe — the shared ownership
+    * rule ([[graft.util.StatsFiles]]): no surviving entry shares the
+    * path, and the file lives under THIS table's root (compared fully
+    * qualified — scheme and authority included). */
+  private def deleteStatsFileIfOwned(path: String, survivingPaths: Set[String]): Unit =
+    graft.util.StatsFiles.deleteIfOwned(hconf, tablePath, path, survivingPaths)
 
   /** Adopt a sync-carried statistics file by COPYING it under this
-    * table's own `metadata/` dir, so the promoted entry can never
-    * dangle when the SOURCE table re-analyzes or expires the original
-    * out from under it (stats files are KB-sized — unlike data files,
-    * owning a copy is cheaper than cross-table reference tracking).
-    * The copy name is deterministic in the source file's name, so
-    * repeated syncs carrying the same analyzed file re-use one copy,
-    * and chained hops don't stack prefixes. A path already under this
-    * table's root is returned as-is; a missing source file yields None
-    * (the pointer is stale provenance — nothing to promote). */
-  private def adoptCarriedFile(p: Path): Option[Path] = {
-    val srcFs = p.getFileSystem(hconf)
-    if (!srcFs.exists(p)) None
-    else {
-      val own = qualifiedUri(new Path(tablePath)).stripSuffix("/") + "/"
-      if (qualifiedUri(p).startsWith(own)) Some(p)
-      else {
-        val dst = new Path(tablePath,
-          s"metadata/carried-${p.getName.stripPrefix("carried-")}")
-        val dstFs = dst.getFileSystem(hconf)
-        if (!dstFs.exists(dst)) {
-          // stage + rename: a concurrent adopter either wins the rename
-          // or finds the winner's identical copy already in place
-          val tmp = new Path(tablePath, s"metadata/.adopt-${UUID.randomUUID()}")
-          org.apache.hadoop.fs.FileUtil.copy(srcFs, p, dstFs, tmp, false, hconf)
-          if (!dstFs.rename(tmp, dst) && !dstFs.exists(dst))
-            throw new IllegalStateException(s"could not place carried stats copy $dst")
-          if (dstFs.exists(tmp)) dstFs.delete(tmp, false)
-        }
-        Some(dst)
-      }
-    }
-  }
+    * table's own `metadata/` dir ([[graft.util.StatsFiles.adoptInto]]),
+    * so the promoted entry can never dangle when the SOURCE table
+    * re-analyzes or expires the original out from under it. */
+  private def adoptCarriedFile(p: Path): Option[Path] =
+    graft.util.StatsFiles.adoptInto(hconf, tablePath, "metadata", p)
 
   /** Register a written statistics file under its snapshot (the CAS
     * half of [[writeStatistics]], separated so races are testable). */

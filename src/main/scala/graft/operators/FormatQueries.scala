@@ -223,6 +223,17 @@ object FormatQueries {
           zorderBy = Seq("l_partkey", "l_suppkey")).nonEmpty,
           "f24 fixture: zorder compact was a no-op")
 
+        // 18. Delta statistics plane (f25): native ANALYZE lands a
+        //     Puffin sidecar under _graft_stats + a property pointer;
+        //     a later append must leave the registration resolvable
+        //     (configuration persists across commits)
+        val t18 = DeltaTable.create(spark, s"$root/orders_stats", o)
+        t18.writeStatistics(Seq("o_custkey", "o_orderkey"))
+        t18.append(o.limit(0), Seq.empty)
+        require(DeltaTable.forPath(spark, s"$root/orders_stats")
+          .statisticsVersion.nonEmpty,
+          "f25 fixture: statistics pointer lost after the follow-up append")
+
         root
       })
     }
@@ -340,6 +351,47 @@ object FormatQueries {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // The statistics plane on DELTA (read side of x16's carry): the
+    // ANALYZE sidecar's register set — resolved through the table
+    // property, one follow-up append later — must replay to DuckDB's
+    // from-raw-data HLL exactly, with the exact distinct count beside
+    // it as the accuracy witness.
+    QueryDef.sql(
+      "f25_delta_statistics",
+      (spark, dir) => {
+        val t = Fixtures.table(spark, dir, "orders_stats")
+        val (regs, ndv) = t.statisticsRegisters("o_custkey")
+        graft.functions.PortableHll.estimate(
+            spark.createDataFrame(regs).toDF("bucket", "mr"))
+          .select(lit("o_custkey").as("column_name"),
+            col("est").as("est_distinct"), lit(ndv).as("ndv_property"))
+          .join(t.toDF().agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+            .withColumn("column_name", lit("o_custkey")), Seq("column_name"))
+          .select(col("column_name"), col("est_distinct"),
+            col("ndv_property"), col("exact_distinct"))
+      },
+      s"""WITH reg AS (
+         |  SELECT bucket, MAX(rho) AS mr FROM (
+         |    SELECT
+         |      (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket,
+         |      ${graft.functions.PortableHll.rhoSql.replace("regexp_extract(rest, '^0*', 0)", "regexp_extract(rest, '^0*')")} AS rho
+         |    FROM (
+         |      SELECT md5(CAST(o_custkey AS VARCHAR)) AS h,
+         |        substr(md5(CAST(o_custkey AS VARCHAR)), 3, 14) AS rest
+         |      FROM orders WHERE o_custkey IS NOT NULL))
+         |  GROUP BY bucket),
+         |est AS (
+         |  SELECT COUNT(*) AS nb,
+         |    SUM(CAST((1::BIGINT << (60 - mr)) AS DECIMAL(38,0))) AS sp
+         |  FROM reg),
+         |e2 AS (
+         |  SELECT ${graft.functions.PortableHll.estimateSql} AS est_distinct
+         |  FROM est)
+         |SELECT 'o_custkey' AS column_name, est_distinct,
+         |  est_distinct AS ndv_property,
+         |  CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT) AS exact_distinct
+         |FROM e2""".stripMargin),
 
     // Time-transform partitioning: a range predicate on the SOURCE
     // timestamp prunes month partitions (generated-column hidden

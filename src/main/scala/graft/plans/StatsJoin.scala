@@ -5,6 +5,8 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{broadcast, sum}
 
+import graft.delta.DeltaTable
+import graft.hudi.HudiTable
 import graft.iceberg.IcebergTable
 
 /**
@@ -124,15 +126,73 @@ object StatsJoin {
       () => safe(table.currentRowCountUpperBound()).flatten.map(_.toDouble)))
   }
 
+  /** Size facts for a Delta `table`: the registered ANALYZE ndv —
+    * native or sync-carried, and REQUIRED (no registered statistics
+    * means no estimate, so the join never broadcasts on a guess) —
+    * fenced by the log's exact live row/byte counts, a driver-side
+    * metadata replay that scans zero data rows. Carried statistics
+    * (statisticsVersion absent) always read as stale, so the exact
+    * current counts floor them. */
+  def plannedSize(table: DeltaTable, keyColumn: String): Option[PlannedSize] = {
+    val ndv: Option[(Double, Boolean)] = safe {
+      val n = table.statisticsRegisters(keyColumn)._2
+      val fresh = table.statisticsVersion.exists(v =>
+        safe(table.latestVersion).contains(v))
+      (n, fresh)
+    }
+    val logFacts: Option[(Double, Double, Boolean)] = safe {
+      val files = table.snapshotDataFiles()
+      if (files.isEmpty || files.exists(_.recordCount < 0)) None
+      else Some((files.map(_.recordCount).sum.toDouble,
+        files.map(_.fileSizeBytes).sum.toDouble, true))
+    }.flatten
+    if (ndv.isEmpty) None
+    else sizeOf(Facts(ndv, logFacts, () => logFacts.map(_._1)))
+  }
+
+  /** Size facts for a Hudi `table`: the registered ANALYZE ndv — native
+    * or sync-carried, and REQUIRED (no-guess posture) — fenced by the
+    * file slices' exact live row/byte counts, a timeline-metadata read
+    * that scans zero data rows. */
+  def plannedSize(table: HudiTable, keyColumn: String): Option[PlannedSize] = {
+    val ndv: Option[(Double, Boolean)] = safe {
+      (table.statisticsRegisters(keyColumn)._2, table.statisticsFresh)
+    }
+    val sliceFacts: Option[(Double, Double, Boolean)] = safe {
+      val files = table.snapshotDataFiles()
+      if (files.isEmpty || files.exists(_.recordCount < 0)) None
+      else Some((files.map(_.recordCount).sum.toDouble,
+        files.map(_.fileSizeBytes).sum.toDouble, true))
+    }.flatten
+    if (ndv.isEmpty) None
+    else sizeOf(Facts(ndv, sliceFacts, () => sliceFacts.map(_._1)))
+  }
+
   /** Planned row estimate alone (freshness-fenced). */
   def plannedRows(table: IcebergTable, keyColumn: String): Option[Double] =
     plannedSize(table, keyColumn).map(_.rows)
 
+  /** A dimension whose planning facts come from registered statistics —
+    * the implicit adapters let [[joinPlanned]] take an Iceberg or Delta
+    * table directly. */
+  final class StatsDim private[StatsJoin] (
+      private[StatsJoin] val df: () => DataFrame,
+      private[StatsJoin] val size: String => Option[PlannedSize])
+  object StatsDim {
+    import scala.language.implicitConversions
+    implicit def ofIceberg(t: IcebergTable): StatsDim =
+      new StatsDim(() => t.toDF(), k => plannedSize(t, k))
+    implicit def ofDelta(t: DeltaTable): StatsDim =
+      new StatsDim(() => t.toDF(), k => plannedSize(t, k))
+    implicit def ofHudi(t: HudiTable): StatsDim =
+      new StatsDim(() => t.toDF(), k => plannedSize(t, k))
+  }
+
   /**
-   * Join `fact` to the `dim` table on `condition`, choosing the
-   * physical strategy from dim's REGISTERED statistics: estimated size
-   * at or below BOTH thresholds ⇒ explicit `broadcast()` hint (Catalyst
-   * plans a BroadcastHashJoin regardless of
+   * Join `fact` to the `dim` table (Iceberg, Delta, or Hudi) on `condition`,
+   * choosing the physical strategy from dim's REGISTERED statistics:
+   * estimated size at or below BOTH thresholds ⇒ explicit `broadcast()`
+   * hint (Catalyst plans a BroadcastHashJoin regardless of
    * autoBroadcastJoinThreshold), above either ⇒ plain join (shuffle).
    * The row threshold bounds the driver's hash-table entry count, the
    * byte threshold its memory; a dim with NO readable statistics falls
@@ -140,26 +200,17 @@ object StatsJoin {
    */
   def joinPlanned(
       fact: DataFrame,
-      dim: IcebergTable,
+      dim: StatsDim,
       dimKeyColumn: String,
       condition: Column,
       joinType: String = "inner",
       broadcastRowThreshold: Double = 1e7,
       broadcastByteThreshold: Long = DefaultBroadcastBytes): DataFrame =
-    planJoin(fact, dim.toDF(), plannedSize(dim, dimKeyColumn), condition,
-      joinType, broadcastRowThreshold, broadcastByteThreshold)
-
-  private[plans] def planJoin(
-      fact: DataFrame,
-      dimDF: DataFrame,
-      size: Option[PlannedSize],
-      condition: Column,
-      joinType: String,
-      broadcastRowThreshold: Double,
-      broadcastByteThreshold: Long): DataFrame = size match {
-    case Some(s) if s.rows <= broadcastRowThreshold && s.bytes <= broadcastByteThreshold =>
-      fact.join(broadcast(dimDF), condition, joinType)
-    case _ =>
-      fact.join(dimDF, condition, joinType)
-  }
+    dim.size(dimKeyColumn) match {
+      case Some(s) if s.rows <= broadcastRowThreshold &&
+          s.bytes <= broadcastByteThreshold =>
+        fact.join(broadcast(dim.df()), condition, joinType)
+      case _ =>
+        fact.join(dim.df(), condition, joinType)
+    }
 }

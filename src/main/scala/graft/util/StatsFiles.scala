@@ -1,0 +1,75 @@
+package graft.util
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileUtil, Path}
+
+/**
+ * Shared ownership/adoption rules for statistics sidecar files (Puffin
+ * sketches, partition-statistics rollups) across the format codecs.
+ *
+ * The ownership model: a table may only ever DELETE a statistics file
+ * under its own root, and a sync target ADOPTS a carried file by
+ * copying it under its own root — so no operation on one table can
+ * dangle another table's registered statistics. Stats files are
+ * KB-sized; owning a copy is cheaper (and safer at 100 TB, where
+ * source and target often live in different buckets with different
+ * lifecycles) than cross-table reference tracking.
+ */
+object StatsFiles {
+
+  /** Fully-qualified URI string of `p` (scheme + authority filled in by
+    * its filesystem) — path-only comparison would let a same-prefix
+    * path on a DIFFERENT filesystem pass an ownership check. */
+  def qualifiedUri(conf: Configuration, p: Path): String =
+    p.getFileSystem(conf).makeQualified(p).toUri.toString
+
+  private def rootPrefix(conf: Configuration, tableRoot: String): String =
+    qualifiedUri(conf, new Path(tableRoot)).stripSuffix("/") + "/"
+
+  /** Delete a statistics file ONLY when safe: no surviving entry shares
+    * the path (one file can anchor at many snapshots/versions) and the
+    * file lives under `tableRoot` on its filesystem. */
+  def deleteIfOwned(
+      conf: Configuration,
+      tableRoot: String,
+      path: String,
+      survivingPaths: Set[String]): Unit = {
+    val p = new Path(path)
+    if (!survivingPaths.contains(path) &&
+        qualifiedUri(conf, p).startsWith(rootPrefix(conf, tableRoot)))
+      p.getFileSystem(conf).delete(p, false)
+  }
+
+  /** Adopt a sync-carried statistics file by COPYING it to
+    * `tableRoot/statsDir/carried-<name>`. The copy name is
+    * deterministic in the source file's name, so repeated syncs
+    * carrying the same analyzed file re-use one copy and chained hops
+    * don't stack prefixes; the stage+rename means a concurrent adopter
+    * either wins the rename or finds the winner's identical copy.
+    * A path already under `tableRoot` is returned as-is; a missing
+    * source file yields None (stale provenance — nothing to promote). */
+  def adoptInto(
+      conf: Configuration,
+      tableRoot: String,
+      statsDir: String,
+      src: Path): Option[Path] = {
+    val srcFs = src.getFileSystem(conf)
+    if (!srcFs.exists(src)) None
+    else if (qualifiedUri(conf, src).startsWith(rootPrefix(conf, tableRoot))) Some(src)
+    else {
+      val dst = new Path(tableRoot,
+        s"$statsDir/carried-${src.getName.stripPrefix("carried-")}")
+      val dstFs = dst.getFileSystem(conf)
+      if (!dstFs.exists(dst)) {
+        val tmp = new Path(tableRoot, s"$statsDir/.adopt-${UUID.randomUUID()}")
+        FileUtil.copy(srcFs, src, dstFs, tmp, false, conf)
+        if (!dstFs.rename(tmp, dst) && !dstFs.exists(dst))
+          throw new IllegalStateException(s"could not place carried stats copy $dst")
+        if (dstFs.exists(tmp)) dstFs.delete(tmp, false)
+      }
+      Some(dst)
+    }
+  }
+}

@@ -141,6 +141,93 @@ class StatsJoinSpec extends SparkTestBase {
     }
   }
 
+  test("a Delta dim plans from its registered ANALYZE, fenced by the log's exact counts") {
+    val dir = tmpDir("stats_delta")
+    import graft.delta.DeltaTable
+    val mk = (a: Long, b: Long) => spark.range(a, b).select(
+      col("id").as("k"), (col("id") % 5).cast("string").as("grp"))
+    val fact = spark.range(0, 15000).select((col("id") % 1500).as("fk"))
+    val dim = DeltaTable.create(spark, s"$dir/dim", mk(0, 1500))
+    withoutAutoBroadcast {
+      // no registered stats: the log's exact counts alone never justify
+      // a broadcast — same no-guess posture as the Iceberg plane
+      assert(StatsJoin.plannedSize(dim, "k").isEmpty)
+      assert(!hasBroadcastJoin(StatsJoin.joinPlanned(
+        fact, dim, "k", col("fk") === col("k"))))
+      dim.writeStatistics(Seq("k"))
+      val s = StatsJoin.plannedSize(dim, "k").get
+      assert(s.fresh, "analyze-at-current must read fresh")
+      assert(math.abs(s.rows - 1500.0) / 1500.0 < 0.15, s"${s.rows}")
+      assert(s.bytes > 0)
+      assert(hasBroadcastJoin(StatsJoin.joinPlanned(
+        fact, dim, "k", col("fk") === col("k"))))
+      // growth past the ANALYZE: the log's exact counts floor the stale
+      // ndv, so the grown dim must not broadcast under a tight threshold
+      dim.append(mk(1500, 21500), Seq.empty)
+      val s2 = StatsJoin.plannedSize(dim, "k").get
+      assert(!s2.fresh && s2.rows >= 21000.0, s"$s2")
+      assert(!hasBroadcastJoin(StatsJoin.joinPlanned(
+        fact, dim, "k", col("fk") === col("k"), broadcastRowThreshold = 5000)))
+    }
+  }
+
+  test("a Hudi dim plans from its registered ANALYZE, fenced by exact slice counts") {
+    val dir = tmpDir("stats_hudi")
+    import graft.hudi.HudiTable
+    val mk = (a: Long, b: Long) => spark.range(a, b).select(
+      col("id").as("k"), (col("id") % 5).cast("string").as("grp"))
+    val fact = spark.range(0, 10000).select((col("id") % 1000).as("fk"))
+    val dim = HudiTable.create(spark, s"$dir/dim", mk(0, 1000))
+    withoutAutoBroadcast {
+      assert(StatsJoin.plannedSize(dim, "k").isEmpty, "no stats -> no estimate")
+      assert(!hasBroadcastJoin(StatsJoin.joinPlanned(
+        fact, dim, "k", col("fk") === col("k"))))
+      dim.writeStatistics(Seq("k"))
+      val s = StatsJoin.plannedSize(dim, "k").get
+      assert(s.fresh && math.abs(s.rows - 1000.0) / 1000.0 < 0.15, s"$s")
+      assert(hasBroadcastJoin(StatsJoin.joinPlanned(
+        fact, dim, "k", col("fk") === col("k"))))
+      dim.append(mk(1000, 21000))
+      val s2 = StatsJoin.plannedSize(dim, "k").get
+      assert(!s2.fresh && s2.rows >= 20000.0, s"$s2")
+      assert(!hasBroadcastJoin(StatsJoin.joinPlanned(
+        fact, dim, "k", col("fk") === col("k"), broadcastRowThreshold = 5000)))
+    }
+  }
+
+  test("sync carries statistics onto a Delta target; the adopted copy feeds the planner") {
+    import graft.sync.SyncEngine
+    val dir = tmpDir("stats_delta_sync")
+    val srcData = spark.range(0, 800).select(
+      col("id").as("k"), (col("id") % 7).cast("string").as("s"))
+    val src = IcebergTable.create(spark, s"$dir/src", srcData)
+    val e = src.writeStatistics(Seq("k"))
+    val srcRegs = src.statisticsRegisters("k")
+    SyncEngine.sync(SyncEngine.icebergSource(src),
+      SyncEngine.targetFor(spark, "delta", s"$dir/tgt"))
+    val tgt = graft.delta.DeltaTable.forPath(spark, s"$dir/tgt")
+    // the carried pointer resolves to the target's ADOPTED copy
+    val carriedPath = tgt.log.metadataAt(None)._1.configuration(
+      graft.model.SyncCas.StatsPathProp)
+    assert(carriedPath != e.path && carriedPath.contains("/tgt/"), carriedPath)
+    assert(tgt.statisticsRegisters("k") == srcRegs)
+    // the source re-analyzing + expiring (deleting ITS file) cannot
+    // dangle the target's statistics
+    src.append(srcData.limit(0))
+    src.writeStatistics(Seq("k"))
+    assert(src.expireSnapshots(System.currentTimeMillis() + 1000) == 1)
+    val fs = new Path(e.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(e.path)), "source expiry should delete its own file")
+    assert(tgt.statisticsRegisters("k") == srcRegs,
+      "adopted Delta-side stats must survive the source deleting the original")
+    // and the planner consumes the carried sketch on the Delta dim
+    withoutAutoBroadcast {
+      val fact = spark.range(0, 8000).select((col("id") % 800).as("fk"))
+      assert(hasBroadcastJoin(StatsJoin.joinPlanned(
+        fact, tgt, "k", col("fk") === col("k"))))
+    }
+  }
+
   test("unreadable statistics degrade to the no-broadcast plain join, never an error") {
     val dir = tmpDir("stats_gone")
     val data = spark.range(0, 200).select(
