@@ -67,12 +67,24 @@ object StreamQueries {
           finally q.stop()
         }
         runSink()
-        val commits = new org.apache.hadoop.fs.Path(s"$root/st03_ckpt/commits")
-        val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val latest = cfs.listStatus(commits).map(_.getPath)
-          .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
-        require(cfs.delete(latest, false), s"st03: could not crash-inject $latest")
+        // crash-inject by deleting the newest `n` checkpoint commit
+        // markers — the sink-committed / checkpoint-stale window
+        def crash(n: Int): Unit = {
+          val commits = new org.apache.hadoop.fs.Path(s"$root/st03_ckpt/commits")
+          val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val markers = cfs.listStatus(commits).map(_.getPath)
+            .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+          markers.takeRight(n).foreach(m =>
+            require(cfs.delete(m, false), s"st03: could not crash-inject $m"))
+        }
+        crash(1)
         runSink() // replays the final batch — the fence must no-op it
+        // batch-id fences historically break on the SECOND replay or on
+        // a crash two batches back: exercise both — delete the newest
+        // TWO markers (one of them for the second time) and restart;
+        // the fence must no-op both replayed batches
+        crash(2)
+        runSink()
 
         root
       })
@@ -157,10 +169,14 @@ object StreamQueries {
     // Exactly-once sink, END TO END: the fixture streamed events into a
     // graft Delta table in 4 micro-batches, crash-injected the window
     // between sink commit and checkpoint advance (newest commit marker
-    // deleted), and restarted — the runtime re-delivered the final
-    // batch and the sink's batch-id fence skipped it. The table must
-    // equal DuckDB's batch view of events EXACTLY: a fence failure
-    // doubles the final batch, a lost batch deflates it.
+    // deleted), restarted, then crashed AGAIN two markers deep and
+    // restarted once more — the runtime re-delivered the final batches
+    // three times total and the sink's batch-id fence skipped every
+    // replay. The table must equal DuckDB's batch view of events
+    // EXACTLY: a fence failure doubles a batch, a lost batch deflates.
+    // The fuzzer's `crashsink` op owns the randomized version of this
+    // window (random format, crash depth, and interleaved foreign
+    // commit).
     QueryDef.sql(
       "st03_stream_exactly_once_sink",
       (spark, dir) => {

@@ -454,7 +454,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
       val op = {
         val restorable = history.size >= 2
         val c = (src.caps ++ Set("nullrow", "emptybatch", "resync", "racesync", "racemut",
-          "widen", "analyze") ++
+          "widen", "analyze", "crashsink") ++
           (if (restorable) Set("restore") else Set.empty)).toSeq.sorted
         c(rng.nextInt(c.size))
       }
@@ -643,6 +643,54 @@ class CrossFormatFuzzSpec extends SparkTestBase {
             injectKey -= 1
             src.append(row)
           }
+        case "crashsink" =>
+          // exactly-once SINK under a RANDOMIZED crash window (st03's
+          // fixture pins the choreographed version): stream a slice
+          // into a throwaway table of a random format in single-file
+          // micro-batches, crash by deleting the newest 1-2 checkpoint
+          // commit markers (the sink-committed / checkpoint-stale
+          // window), sometimes land a DIRECT append in the gap (the
+          // fence must resolve through foreign commits), restart — the
+          // replayed batches must no-op or the count inflates.
+          val sinkFmt = fmts(rng.nextInt(3))
+          val sdir = s"$dir/crashsink-$i"
+          val batch = slice(rng).localCheckpoint()
+          val nb = batch.count()
+          batch.repartition(2 + rng.nextInt(3)).write.parquet(s"$sdir/in")
+          def runSink(): Unit = {
+            val q = spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1").parquet(s"$sdir/in")
+              .writeStream.format("graft").option("format", sinkFmt)
+              .option("checkpointLocation", s"$sdir/ckpt")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start(s"$sdir/t")
+            try require(q.awaitTermination(300000), s"crashsink stream hung\n$trace")
+            finally q.stop()
+          }
+          runSink()
+          val commits = new org.apache.hadoop.fs.Path(s"$sdir/ckpt/commits")
+          val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val markers = cfs.listStatus(commits).map(_.getPath)
+            .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+          val depth = 1 + rng.nextInt(math.min(2, markers.length))
+          markers.takeRight(depth).foreach(m => require(cfs.delete(m, false)))
+          val interleaved = rng.nextBoolean()
+          var extra = 0L
+          if (interleaved) {
+            val add = slice(rng).localCheckpoint()
+            extra = add.count()
+            sinkFmt match {
+              case "delta" => DeltaTable.forPath(spark, s"$sdir/t").append(add, Seq.empty)
+              case "iceberg" => IcebergTable.forPath(spark, s"$sdir/t").append(add)
+              case _ => HudiTable.forPath(spark, s"$sdir/t").append(add)
+            }
+          }
+          runSink()
+          val got = readAs(sinkFmt, s"$sdir/t").count()
+          assert(got == nb + extra,
+            s"crashsink fence failed: expected ${nb + extra} rows, got $got " +
+              s"(fmt=$sinkFmt depth=$depth interleaved=$interleaved)\n$trace")
+          trace.append(s"($sinkFmt,d$depth${if (interleaved) ",ix" else ""})")
         case "analyze" =>
           // Iceberg-only ANALYZE riding the mix: Puffin statistics land
           // at a random point of the sequence and the per-op invariant
