@@ -833,20 +833,13 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val analyzedVersion = latestVersion
     val regsByCol = graft.functions.PortableHll.stackedRegisters(
       toDF(Some(analyzedVersion)), cols)
+    // a stable iceberg-style field id when the schema carries one; the
+    // 1-based ordinal otherwise (resolution is by name anyway)
     val blobs = cols.zipWithIndex.map { case (c, i) =>
-      val regs = regsByCol.getOrElse(i, Seq.empty)
-      val bytes = new Array[Byte](graft.functions.PortableHll.M)
-      regs.foreach { case (b, mr) => bytes(b) = mr.toByte }
-      val ndv = graft.functions.PortableHll.estimateLocal(regs)
-      (graft.iceberg.Puffin.HllBlobType,
-        // a stable iceberg-style field id when the schema carries one;
-        // the 1-based ordinal otherwise (resolution is by name anyway)
-        Seq(graft.iceberg.IcebergSchemas.fieldId(schema(c))
-          .getOrElse(schema.fieldIndex(c) + 1)),
-        Map(
-          "ndv" -> String.format(java.util.Locale.ROOT, "%.2f", Double.box(ndv)),
-          "graft.column" -> c),
-        bytes)
+      graft.util.StatsFiles.hllBlob(c,
+        graft.iceberg.IcebergSchemas.fieldId(schema(c))
+          .getOrElse(schema.fieldIndex(c) + 1),
+        regsByCol.getOrElse(i, Seq.empty))
     }
     val statsPath = new Path(tablePath, s"_graft_stats/${UUID.randomUUID()}.stats")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -880,16 +873,8 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       .orElse(conf.get(graft.model.SyncCas.StatsPathProp))
       .getOrElse(throw new IllegalStateException(
         s"no statistics registered on $tablePath"))
-    val p = new Path(path)
-    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val blob = graft.iceberg.Puffin.readFooter(fsys, p)
-      .find(b => b.blobType == graft.iceberg.Puffin.HllBlobType &&
-        b.properties.get("graft.column").contains(column))
-      .getOrElse(throw new IllegalStateException(
-        s"no ${graft.iceberg.Puffin.HllBlobType} blob for $column at $path"))
-    val bytes = graft.iceberg.Puffin.blobPayload(fsys, p, blob)
-    val regs = bytes.zipWithIndex.collect { case (b, i) if b != 0 => (i, b.toInt) }.toSeq
-    (regs, blob.properties("ndv").toDouble)
+    graft.util.StatsFiles.readRegisters(
+      spark.sparkContext.hadoopConfiguration, path, column)
   }
 
   /** The table version the native ANALYZE ran at — the freshness fence
@@ -1932,7 +1917,11 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     // carried statistics pointers are ADOPTED (copied under this
     // table's _graft_stats dir) before they land in the configuration,
     // so the source deleting ITS file can never dangle this target's
-    // pointer; a stale pointer at a missing file is dropped
+    // pointer; a stale pointer at a missing file is dropped. A RE-sync
+    // after the source re-analyzed repoints the key — the superseded
+    // adopted copy is unreachable then (the configuration is the only
+    // resolution path) and is deleted, or _graft_stats grows one orphan
+    // per analyze+sync cycle (vacuum deliberately never walks it).
     val statsKeys = Seq(
       graft.model.SyncCas.StatsPathProp, graft.model.SyncCas.PartitionStatsPathProp)
     val adoptedStats = statsKeys.flatMap(k => syncProps.get(k).flatMap(p =>
@@ -1940,6 +1929,11 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
         spark.sparkContext.hadoopConfiguration, tablePath, "_graft_stats", new Path(p))
       .map(k -> _.toString)))
     val effectiveProps = (syncProps -- statsKeys) ++ adoptedStats
+    // only keys this sync RE-points count — a key absent from this
+    // sync's props survives in the merged configuration and its copy
+    // stays referenced
+    val supersededStats = statsKeys.flatMap(k => adoptedStats.toMap.get(k)
+      .flatMap(newPath => baseConfig.get(k).filter(_ != newPath)))
     val meta = DeltaMetadata(
       id = baseMeta.map(_.id).getOrElse(UUID.randomUUID().toString),
       schemaString = schemaStamped.json,
@@ -1965,6 +1959,9 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
           "was taken — re-plan and retry")
     if (!deferCheckpoint) log.maybeCheckpoint(v)
     maintainKeyIndex(v, addActions)
+    supersededStats.foreach(p => graft.util.StatsFiles.deleteIfOwned(
+      spark.sparkContext.hadoopConfiguration, tablePath, p,
+      adoptedStats.map(_._2).toSet))
     v
   }
 }

@@ -854,15 +854,8 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       s"no column $c in $tablePath"))
     val regsByCol = graft.functions.PortableHll.stackedRegisters(toDF(), cols)
     val blobs = cols.zipWithIndex.map { case (c, i) =>
-      val regs = regsByCol.getOrElse(i, Seq.empty)
-      val bytes = new Array[Byte](graft.functions.PortableHll.M)
-      regs.foreach { case (b, mr) => bytes(b) = mr.toByte }
-      val ndv = graft.functions.PortableHll.estimateLocal(regs)
-      (graft.iceberg.Puffin.HllBlobType, Seq(schema.fieldIndex(c) + 1),
-        Map(
-          "ndv" -> String.format(java.util.Locale.ROOT, "%.2f", Double.box(ndv)),
-          "graft.column" -> c),
-        bytes)
+      graft.util.StatsFiles.hllBlob(
+        c, schema.fieldIndex(c) + 1, regsByCol.getOrElse(i, Seq.empty))
     }
     val conf = spark.sparkContext.hadoopConfiguration
     val statsPath = new Path(tablePath,
@@ -912,16 +905,8 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       .orElse(lastCommitProp(graft.model.SyncCas.StatsPathProp))
       .getOrElse(throw new IllegalStateException(
         s"no statistics registered on $tablePath"))
-    val p = new Path(path)
-    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val blob = graft.iceberg.Puffin.readFooter(fsys, p)
-      .find(b => b.blobType == graft.iceberg.Puffin.HllBlobType &&
-        b.properties.get("graft.column").contains(column))
-      .getOrElse(throw new IllegalStateException(
-        s"no ${graft.iceberg.Puffin.HllBlobType} blob for $column at $path"))
-    val bytes = graft.iceberg.Puffin.blobPayload(fsys, p, blob)
-    val regs = bytes.zipWithIndex.collect { case (b, i) if b != 0 => (i, b.toInt) }.toSeq
-    (regs, blob.properties("ndv").toDouble)
+    graft.util.StatsFiles.readRegisters(
+      spark.sparkContext.hadoopConfiguration, path, column)
   }
 
   /** The instant the native ANALYZE registered at — fresh iff it is
@@ -1753,6 +1738,13 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         spark.sparkContext.hadoopConfiguration, tablePath,
         ".hoodie/.graft_stats", new Path(p)).map(k -> _.toString)))
     val effectiveSyncProps = (syncProps -- statsKeys) ++ adoptedStats
+    // a re-sync after the source re-analyzed REPOINTS a key: the copy
+    // that key no longer reaches is deleted post-publish, or the stats
+    // dir grows one orphan per analyze+sync cycle. Only keys this sync
+    // re-points count — a key absent from THIS commit still resolves
+    // its old value through the walk-back, so that copy stays.
+    val supersededStats = statsKeys.flatMap(k => adoptedStats.toMap.get(k)
+      .flatMap(newPath => lastCommitProp(k).filter(_ != newPath)))
     val meta = HudiCommitMetadata(
       partitionToWriteStats = writeStats.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
       partitionToReplaceFileIds = replaceIds,
@@ -1823,6 +1815,9 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         }
       }
     }
+    supersededStats.foreach(p => graft.util.StatsFiles.deleteIfOwned(
+      spark.sparkContext.hadoopConfiguration, tablePath, p,
+      adoptedStats.map(_._2).toSet))
     archiveTimeline()
     instant
   }

@@ -281,20 +281,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // table costs one scan regardless of column count, not two jobs
     // per column
     val regsByCol = graft.functions.PortableHll.stackedRegisters(toDF(), cols)
-    val blobs = cols.indices.map { i =>
-      // an all-NULL column has zero registers and estimates ndv 0.00
-      val regs = regsByCol.getOrElse(i, Seq.empty)
-      val bytes = new Array[Byte](graft.functions.PortableHll.M)
-      regs.foreach { case (b, mr) => bytes(b) = mr.toByte }
-      val ndv = graft.functions.PortableHll.estimateLocal(regs)
-      (Puffin.HllBlobType, Seq(fids(i)),
-        Map(
-          "ndv" -> String.format(java.util.Locale.ROOT, "%.2f", Double.box(ndv)),
-          // name-keyed resolution for consumers without stable field
-          // ids (the Delta plane resolves carried sketches by name)
-          "graft.column" -> cols(i)),
-        bytes)
-    }
+    // an all-NULL column has zero registers and estimates ndv 0.00; the
+    // blob also carries `graft.column` so consumers without stable
+    // field ids (the Delta/Hudi planes) resolve carried sketches by name
+    val blobs = cols.indices.map(i =>
+      graft.util.StatsFiles.hllBlob(cols(i), fids(i), regsByCol.getOrElse(i, Seq.empty)))
     val statsPath = new Path(tablePath, s"metadata/${UUID.randomUUID()}.stats")
     val entry = Puffin.write(statsPath.getFileSystem(hconf), statsPath,
       snap.snapshotId, snap.sequenceNumber, blobs)
@@ -468,13 +459,34 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
           .map { case ((vals, sid), c) => (vals, sid, c) }
       }
     // manifest value strings → transform-result JVM values: time fields
-    // arrive as spec ordinals already (day ordinals become dates),
-    // identity values as hive strings of the source type
+    // arrive as spec ordinals from our own writer but as date strings
+    // from foreign manifests that type the day transform `date`;
+    // identity values as hive strings of the source type. The hive
+    // timestamp form omits ":00" seconds and hangs micros off whatever
+    // precision remains (IcebergManifests.partitionValueString), so the
+    // parse tolerates every emitted shape — Timestamp.valueOf alone
+    // rejects "2021-01-01 00:00".
+    def hiveLdt(v: String): java.time.LocalDateTime = {
+      if (v.matches("-?\\d+")) { // canonical epoch-micros also round-trip
+        val micros = v.toLong
+        return java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      }
+      val dot = v.indexOf('.')
+      val (base, fracMicros) =
+        if (dot < 0) (v, 0L)
+        else (v.substring(0, dot), v.substring(dot + 1).padTo(6, '0').take(6).toLong)
+      java.time.LocalDateTime.parse(base.trim.replace(' ', 'T'))
+        .plusNanos(fracMicros * 1000L)
+    }
     def typedValue(d: graft.model.PartitionFieldDef, dt: DataType, v: String): Any =
       if (v == null) null
       else if (d.isTime) {
-        if (dt == DateType) java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.toLong))
-        else v.toInt
+        if (dt == DateType) {
+          if (v.contains("-")) java.sql.Date.valueOf(v)
+          else java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.toLong))
+        } else v.toInt
       } else dt match {
         case IntegerType => v.toInt
         case LongType => v.toLong
@@ -484,8 +496,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         case FloatType => v.toFloat
         case BooleanType => v.toBoolean
         case DateType => java.sql.Date.valueOf(v)
-        case TimestampType => java.sql.Timestamp.valueOf(v)
-        case TimestampNTZType => java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+        case TimestampType => java.sql.Timestamp.valueOf(hiveLdt(v))
+        case TimestampNTZType => hiveLdt(v)
         case _: DecimalType => new java.math.BigDecimal(v)
         case _ => v
       }
@@ -613,16 +625,32 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     * over the rollup's columns (`partition.<field>` values are TYPED
     * transform results) — answered from the registered partition-
     * statistics rollup ALONE: one KB-sized parquet read, ZERO manifest
-    * opens (pinned via [[IcebergManifests.manifestReads]]). None when
-    * no rollup is registered — callers fall back to manifest planning.
-    * At 100 TB this is the difference between COSTING a partition
-    * predicate from the rollup and replaying every manifest to count. */
-  def estimatedRowsForPartition(pred: org.apache.spark.sql.Column): Option[Long] =
+    * opens (pinned via [[IcebergManifests.manifestReads]]). The rollup
+    * describes the closest ANALYZED ancestor; when the current snapshot
+    * moved past it, the estimate scales by the table's growth since
+    * (the manifest-list's exact current counts — still no manifest
+    * opens), so a partition grown 100× past its ANALYZE cannot be
+    * silently under-costed. None when no rollup is registered —
+    * callers fall back to manifest planning. At 100 TB this is the
+    * difference between COSTING a partition predicate from the rollup
+    * and replaying every manifest to count. */
+  def estimatedRowsForPartition(pred: org.apache.spark.sql.Column): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    val meta = currentMetadata
     partitionStatisticsFor().map { e =>
-      val r = readPartitionStatistics(e).filter(pred)
-        .agg(org.apache.spark.sql.functions.sum("data_record_count")).collect()(0)
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+      val r = readPartitionStatistics(e).agg(
+        sum(when(pred, col("data_record_count")).otherwise(lit(0L))),
+        sum(col("data_record_count"))).collect()(0)
+      val matched = if (r.isNullAt(0)) 0L else r.getLong(0)
+      val total = if (r.isNullAt(1)) 0L else r.getLong(1)
+      if (meta.currentSnapshotId.contains(e.snapshotId) || total <= 0L) matched
+      else {
+        val current = currentRowCountUpperBound().getOrElse(total)
+        if (current <= total) matched
+        else math.ceil(matched.toDouble * current / total).toLong
+      }
     }
+  }
 
   /** Resolve a ref name to its snapshot id (`main` → current). */
   def refSnapshot(name: String): Long =

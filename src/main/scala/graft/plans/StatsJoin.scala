@@ -140,14 +140,16 @@ object StatsJoin {
         safe(table.latestVersion).contains(v))
       (n, fresh)
     }
+    // no registered stats ⇒ no estimate — and no point replaying the
+    // log for facts the decision will never consult
+    if (ndv.isEmpty) return None
     val logFacts: Option[(Double, Double, Boolean)] = safe {
       val files = table.snapshotDataFiles()
       if (files.isEmpty || files.exists(_.recordCount < 0)) None
       else Some((files.map(_.recordCount).sum.toDouble,
         files.map(_.fileSizeBytes).sum.toDouble, true))
     }.flatten
-    if (ndv.isEmpty) None
-    else sizeOf(Facts(ndv, logFacts, () => logFacts.map(_._1)))
+    sizeOf(Facts(ndv, logFacts, () => logFacts.map(_._1)))
   }
 
   /** Size facts for a Hudi `table`: the registered ANALYZE ndv — native
@@ -158,14 +160,14 @@ object StatsJoin {
     val ndv: Option[(Double, Boolean)] = safe {
       (table.statisticsRegisters(keyColumn)._2, table.statisticsFresh)
     }
+    if (ndv.isEmpty) return None
     val sliceFacts: Option[(Double, Double, Boolean)] = safe {
       val files = table.snapshotDataFiles()
       if (files.isEmpty || files.exists(_.recordCount < 0)) None
       else Some((files.map(_.recordCount).sum.toDouble,
         files.map(_.fileSizeBytes).sum.toDouble, true))
     }.flatten
-    if (ndv.isEmpty) None
-    else sizeOf(Facts(ndv, sliceFacts, () => sliceFacts.map(_._1)))
+    sizeOf(Facts(ndv, sliceFacts, () => sliceFacts.map(_._1)))
   }
 
   /** Planned row estimate alone (freshness-fenced). */

@@ -42,6 +42,39 @@ object StatsFiles {
       p.getFileSystem(conf).delete(p, false)
   }
 
+  /** One HLL sketch blob tuple for a Puffin write, shared by all three
+    * format writers: the 256-register byte array + the cross-engine
+    * `ndv` property + the `graft.column` name key that consumers
+    * without stable field ids resolve by. */
+  def hllBlob(column: String, fieldId: Int, regs: Seq[(Int, Int)])
+      : (String, Seq[Int], Map[String, String], Array[Byte]) = {
+    val bytes = new Array[Byte](graft.functions.PortableHll.M)
+    regs.foreach { case (b, mr) => bytes(b) = mr.toByte }
+    (graft.iceberg.Puffin.HllBlobType, Seq(fieldId),
+      Map(
+        "ndv" -> String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(graft.functions.PortableHll.estimateLocal(regs))),
+        "graft.column" -> column),
+      bytes)
+  }
+
+  /** Read `column`'s register set + ndv back from a Puffin statistics
+    * file, resolving the blob by its `graft.column` name property (the
+    * Delta/Hudi resolution path; Iceberg resolves by field id). */
+  def readRegisters(conf: Configuration, path: String, column: String)
+      : (Seq[(Int, Int)], Double) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val blob = graft.iceberg.Puffin.readFooter(fs, p)
+      .find(b => b.blobType == graft.iceberg.Puffin.HllBlobType &&
+        b.properties.get("graft.column").contains(column))
+      .getOrElse(throw new IllegalStateException(
+        s"no ${graft.iceberg.Puffin.HllBlobType} blob for $column at $path"))
+    val bytes = graft.iceberg.Puffin.blobPayload(fs, p, blob)
+    (bytes.zipWithIndex.collect { case (b, i) if b != 0 => (i, b.toInt) }.toSeq,
+      blob.properties("ndv").toDouble)
+  }
+
   /** Adopt a sync-carried statistics file by COPYING it to
     * `tableRoot/statsDir/carried-<name>`. The copy name is
     * deterministic in the source file's name, so repeated syncs

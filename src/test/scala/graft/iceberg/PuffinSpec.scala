@@ -279,6 +279,35 @@ class PuffinSpec extends SparkTestBase {
     val b2 = IcebergManifests.manifestReads.get()
     assert(tt.scan.partitionIn("ts_month", Set("2021-12")).estimatedRows().contains(31L))
     assert(IcebergManifests.manifestReads.get() == b2)
+    // STALE rollup: the table doubles past the ANALYZE — the estimate
+    // scales by the manifest-list's exact growth factor (still zero
+    // manifest opens), so a grown partition is never under-costed
+    t.append(src)
+    val b3 = IcebergManifests.manifestReads.get()
+    assert(t.scan.partitionIn("p", Set("1")).estimatedRows().contains(200L))
+    assert(IcebergManifests.manifestReads.get() == b3,
+      "stale-scaled estimate must not open manifests")
+  }
+
+  test("partition statistics: identity-timestamp partitions round-trip the hive value forms") {
+    val dir = tmpDir("pstats_ts")
+    // minute-aligned timestamps: the hive canonical form omits ":00"
+    // seconds ("2021-01-01 00:00"), which a naive Timestamp.valueOf
+    // rejects — the typed rollup must parse every emitted shape
+    val src = spark.range(0, 60).select(
+      col("id").as("k"),
+      expr("timestamp'2021-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, cast(id % 3 as int), 0, 0)").as("ts"))
+    val t = IcebergTable.create(spark, s"$dir/t", src, Seq("ts"))
+    val e = t.writePartitionStatistics()
+    val df = t.readPartitionStatistics(e)
+    assert(df.schema("partition").dataType.asInstanceOf[StructType]("ts").dataType
+      == TimestampType)
+    val rows = df.select(col("partition.ts").cast("string"), col("data_record_count"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.map(_._1) == Seq(
+      "2021-01-01 00:00:00", "2021-01-01 01:00:00", "2021-01-01 02:00:00"), s"$rows")
+    assert(rows.forall(_._2 == 20L), s"$rows")
   }
 
   test("partition statistics refuse an unpartitioned table") {

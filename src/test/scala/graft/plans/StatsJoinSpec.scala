@@ -226,6 +226,46 @@ class StatsJoinSpec extends SparkTestBase {
       assert(hasBroadcastJoin(StatsJoin.joinPlanned(
         fact, tgt, "k", col("fk") === col("k"))))
     }
+    // a RE-sync after the source re-analyzed REPOINTS the key and
+    // deletes the superseded adopted copy — no orphan per analyze cycle
+    SyncEngine.sync(SyncEngine.icebergSource(src),
+      SyncEngine.targetFor(spark, "delta", s"$dir/tgt"))
+    val tgt2 = graft.delta.DeltaTable.forPath(spark, s"$dir/tgt")
+    val carried2 = tgt2.log.metadataAt(None)._1.configuration(
+      graft.model.SyncCas.StatsPathProp)
+    assert(carried2 != carriedPath && carried2.contains("/tgt/"), carried2)
+    assert(!fs.exists(new Path(carriedPath)),
+      "superseded adopted copy must be deleted when the re-sync repoints")
+    assert(tgt2.statisticsRegisters("k")._1.nonEmpty)
+  }
+
+  test("a Hudi sync target adopts carried stats and cleans superseded copies on re-sync") {
+    import graft.sync.SyncEngine
+    import graft.hudi.HudiTable
+    val dir = tmpDir("stats_hudi_sync")
+    val srcData = spark.range(0, 400).select(
+      col("id").as("k"), (col("id") % 6).cast("string").as("s"))
+    val src = IcebergTable.create(spark, s"$dir/src", srcData)
+    src.writeStatistics(Seq("k"))
+    val srcRegs = src.statisticsRegisters("k")
+    SyncEngine.sync(SyncEngine.icebergSource(src),
+      SyncEngine.targetFor(spark, "hudi", s"$dir/tgt"))
+    val tgt = HudiTable.forPath(spark, s"$dir/tgt")
+    val p1 = tgt.lastCommitProp(graft.model.SyncCas.StatsPathProp).get
+    assert(p1.contains("/tgt/"), p1)
+    assert(tgt.statisticsRegisters("k") == srcRegs)
+    // source grows + re-analyzes; the re-sync repoints and cleans up
+    src.append(srcData.limit(1))
+    src.writeStatistics(Seq("k"))
+    SyncEngine.sync(SyncEngine.icebergSource(src),
+      SyncEngine.targetFor(spark, "hudi", s"$dir/tgt"))
+    val fs = new Path(p1).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p2 = HudiTable.forPath(spark, s"$dir/tgt")
+      .lastCommitProp(graft.model.SyncCas.StatsPathProp).get
+    assert(p2 != p1 && p2.contains("/tgt/"), p2)
+    assert(!fs.exists(new Path(p1)),
+      "superseded adopted copy must be deleted when the re-sync repoints")
+    assert(HudiTable.forPath(spark, s"$dir/tgt").statisticsRegisters("k")._1.nonEmpty)
   }
 
   test("unreadable statistics degrade to the no-broadcast plain join, never an error") {
