@@ -848,13 +848,21 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val previous = log.metadataAt(None)._1.configuration.get(DeltaTable.StatsPathKey)
     // the recorded version is the REGISTRATION commit's own (the
     // pointer is live from there; the props-only commit changes no
-    // rows, so the sketch is exact for it). A commit racing into the
-    // slot either fails the registration's put-if-absent (typed retry)
-    // or makes the recorded version pessimistic — and planners floor
-    // the estimate with the log's exact current counts regardless.
+    // rows, so the sketch is exact for it) — but ONLY when no data
+    // commit landed during the (potentially long) HLL scan. The
+    // version is re-read here, AFTER the scan: a commit in the scan
+    // window means the sketch excludes its rows, so the registration
+    // records the ANALYZED version instead — which can never equal the
+    // registration commit's own slot, so `statisticsVersion` reads
+    // stale and planners floor with the log's exact current counts.
+    // A commit racing into the setProperties window itself either
+    // fails the put-if-absent (typed retry) or makes the recorded
+    // version pessimistic — the safe direction.
+    val recordedVersion =
+      if (latestVersion == analyzedVersion) analyzedVersion + 1 else analyzedVersion
     setProperties(Map(
       DeltaTable.StatsPathKey -> statsPath.toString,
-      DeltaTable.StatsVersionKey -> (latestVersion + 1).toString))
+      DeltaTable.StatsVersionKey -> recordedVersion.toString))
     // replace-on-reanalyze: the superseded owned sidecar is unreachable
     // from the live configuration now (time travel reads metadata, not
     // sidecars) — delete it or it is orphaned permanently
@@ -927,7 +935,23 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     // silently (found by fuzz seed 127: rename → restore-across-it →
     // upsert refuses because table and writer disagree on column names)
     val metaNow = log.metadataAt(None)._1
-    val metaThen = log.metadataAt(Some(version))._1
+    val metaThen0 = log.metadataAt(Some(version))._1
+    // restored statistics pointers must RESOLVE: a re-analyze AFTER
+    // `version` deleted the superseded sidecar, so restoring that
+    // config verbatim would point the live table at a missing file.
+    // Such keys are dropped (with the freshness twin) — the restored
+    // table reads as analyzed-never rather than analyzed-dangling.
+    val statsPathKeys = Seq(DeltaTable.StatsPathKey,
+      graft.model.SyncCas.StatsPathProp, graft.model.SyncCas.PartitionStatsPathProp)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val deadStatsKeys = statsPathKeys.filter(k => metaThen0.configuration.get(k).exists { p =>
+      val hp = new Path(p); !hp.getFileSystem(hadoopConf).exists(hp)
+    })
+    val metaThen =
+      if (deadStatsKeys.isEmpty) metaThen0
+      else metaThen0.copy(configuration = metaThen0.configuration -- deadStatsKeys --
+        (if (deadStatsKeys.contains(DeltaTable.StatsPathKey))
+          Seq(DeltaTable.StatsVersionKey) else Seq.empty))
     val metaOpt: Seq[DeltaAction] =
       if (metaNow.schemaString != metaThen.schemaString ||
           metaNow.partitionColumns != metaThen.partitionColumns ||
@@ -954,6 +978,14 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     graft.model.ConcurrentSyncException.check(log.commit(v, metaOpt ++ removes ++ adds :+
       CommitInfo(now, "RESTORE", Map("version" -> version.toString))),
       s"concurrent commit detected at version $v of $tablePath; re-run the operation")
+    // sidecars only the PRE-restore config reached are unreachable from
+    // the live configuration now (same replace-on-reanalyze posture as
+    // writeStatistics) — delete the owned ones or each analyze+restore
+    // cycle orphans one under _graft_stats, which vacuum never walks
+    val restoredStatsPaths = statsPathKeys.flatMap(metaThen.configuration.get).toSet
+    statsPathKeys.flatMap(metaNow.configuration.get).filterNot(restoredStatsPaths)
+      .foreach(p => graft.util.StatsFiles.deleteIfOwned(
+        hadoopConf, tablePath, p, restoredStatsPaths))
     log.maybeCheckpoint(v)
     maintainKeyIndex(v, adds) // re-added files read back like any add
     v
@@ -1783,6 +1815,24 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       pv => pv.map { case (k, v) => m.getOrElse(k, k) -> v }
     }
 
+  /** Planning-time (live rows, live bytes) of the current snapshot as
+    * ONE aggregate over the log replay — the stats-join planning path
+    * (StatsJoin.plannedSize) must stay KB-sized: it never materializes
+    * the file list or parses per-file column stats on the driver, it
+    * collects exactly one row (the `detail()` idiom). Deletion-vector'd
+    * rows are netted out. None when the table is empty or any live file
+    * lacks a `numRecords` stat — unknown rows mean no planning fact. */
+  def planningFacts(): Option[(Double, Double)] = {
+    val r = log.snapshotFilesDF().agg(
+      count(lit(1)),
+      count(get_json_object(col("stats"), "$.numRecords")),
+      sum(get_json_object(col("stats"), "$.numRecords").cast("long") -
+        coalesce(col("deletionVector.cardinality"), lit(0L))),
+      sum(coalesce(col("size"), lit(0L)))).head
+    if (r.getLong(0) == 0L || r.getLong(1) != r.getLong(0)) None
+    else Some((r.getLong(2).toDouble, r.getLong(3).toDouble))
+  }
+
   def snapshotDataFiles(): Seq[graft.model.InternalDataFile] = {
     requireReadable(None)
     val (dataSchema, names) = syncShape(None)
@@ -1924,10 +1974,11 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     // per analyze+sync cycle (vacuum deliberately never walks it).
     val statsKeys = Seq(
       graft.model.SyncCas.StatsPathProp, graft.model.SyncCas.PartitionStatsPathProp)
-    val adoptedStats = statsKeys.flatMap(k => syncProps.get(k).flatMap(p =>
-      graft.util.StatsFiles.adoptInto(
+    val adoptedTracked = statsKeys.flatMap(k => syncProps.get(k).flatMap(p =>
+      graft.util.StatsFiles.adoptIntoTracked(
         spark.sparkContext.hadoopConfiguration, tablePath, "_graft_stats", new Path(p))
-      .map(k -> _.toString)))
+      .map { case (ap, created) => (k, ap.toString, created) }))
+    val adoptedStats = adoptedTracked.map(t => t._1 -> t._2)
     val effectiveProps = (syncProps -- statsKeys) ++ adoptedStats
     // only keys this sync RE-points count — a key absent from this
     // sync's props survives in the merged configuration and its copy
@@ -1951,12 +2002,23 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       if (v == 0L) Seq(Protocol(), meta) else upgrade ++ Seq(meta)
     val info = CommitInfo(now, "SYNC", Map("mode" -> "Sync"))
     if (!DeltaTable.timePhase("log-commit")(
-        log.commit(v, metaActions ++ removeActions ++ addActions :+ info)))
+        log.commit(v, metaActions ++ removeActions ++ addActions :+ info))) {
+      // a lost race must not orphan the copies THIS call placed (a
+      // pre-existing copy may be a live registered file — never touch
+      // those) — UNLESS the race winner registered the same
+      // deterministic copy (a competitor syncing the same source), in
+      // which case the copy is now live and stays
+      val liveNow = statsKeys.flatMap(
+        log.metadataAt(None)._1.configuration.get).toSet
+      adoptedTracked.collect { case (_, p, true) if !liveNow(p) => new Path(p) }
+        .foreach(p =>
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false))
       // a lost version-slot race IS a concurrent sync — typed so the
       // engine's re-plan loop classifies it structurally
       throw new graft.model.ConcurrentSyncException(
         s"concurrent sync detected on delta target $tablePath: version slot $v " +
           "was taken — re-plan and retry")
+    }
     if (!deferCheckpoint) log.maybeCheckpoint(v)
     maintainKeyIndex(v, addActions)
     supersededStats.foreach(p => graft.util.StatsFiles.deleteIfOwned(

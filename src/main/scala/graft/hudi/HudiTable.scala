@@ -852,6 +852,11 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val schema = schemaAt(None)
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"no column $c in $tablePath"))
+    // the sketch describes the table as of the newest completed instant
+    // at scan time — that instant's numeric form is the truthful Puffin
+    // snapshot anchor (the Iceberg writer anchors the analyzed snapshot
+    // the same way; resolution stays by the `graft.column` property)
+    val analyzedInstant = timeline.latestInstant().map(_.time.toLong).getOrElse(0L)
     val regsByCol = graft.functions.PortableHll.stackedRegisters(toDF(), cols)
     val blobs = cols.zipWithIndex.map { case (c, i) =>
       graft.util.StatsFiles.hllBlob(
@@ -860,7 +865,8 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val conf = spark.sparkContext.hadoopConfiguration
     val statsPath = new Path(tablePath,
       s".hoodie/.graft_stats/${java.util.UUID.randomUUID()}.stats")
-    graft.iceberg.Puffin.write(statsPath.getFileSystem(conf), statsPath, 0L, 0L, blobs)
+    graft.iceberg.Puffin.write(statsPath.getFileSystem(conf), statsPath,
+      analyzedInstant, analyzedInstant, blobs)
     val previous = lastCommitProp(HudiTable.StatsPathKey)
     val meta0 = HudiCommitMetadata(
       partitionToWriteStats = Map.empty,
@@ -871,25 +877,36 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       operationType = "ALTER_SCHEMA")
     var attempt = 0
     var committed: Option[String] = None
-    while (committed.isEmpty) {
-      attempt += 1
-      val instant = timeline.nextInstantTime()
-      // the registration instant rides its own metadata so freshness is
-      // one walk-back read, not a timeline diff
-      val meta = meta0.copy(extraMetadata =
-        meta0.extraMetadata + (HudiTable.StatsInstantKey -> instant))
-      val won =
-        try timeline.commit(HudiInstant(instant, "commit"), meta)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.nio.file.FileAlreadyExistsException => false
+    try {
+      while (committed.isEmpty) {
+        attempt += 1
+        val instant = timeline.nextInstantTime()
+        // the registration instant rides its own metadata so freshness is
+        // one walk-back read, not a timeline diff
+        val meta = meta0.copy(extraMetadata =
+          meta0.extraMetadata + (HudiTable.StatsInstantKey -> instant))
+        val won =
+          try timeline.commit(HudiInstant(instant, "commit"), meta)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        if (won) committed = Some(instant)
+        else {
+          graft.model.ConcurrentSyncException.check(attempt < 10,
+            s"concurrent commit contention at $tablePath: 10 attempts lost the race")
+          Thread.sleep(scala.util.Random.nextInt(20 * attempt) + 1L)
         }
-      if (won) committed = Some(instant)
-      else {
-        graft.model.ConcurrentSyncException.check(attempt < 10,
-          s"concurrent commit contention at $tablePath: 10 attempts lost the race")
-        Thread.sleep(scala.util.Random.nextInt(20 * attempt) + 1L)
       }
+    } catch {
+      // registration ultimately failed (contention exhausted, or any
+      // transient commit error): the already-written sidecar has no
+      // pointer and never will — delete it instead of orphaning it
+      // under .hoodie/.graft_stats, then rethrow untouched
+      case e: Throwable =>
+        try statsPath.getFileSystem(conf).delete(statsPath, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
     }
     previous.filter(_ != statsPath.toString).foreach(p =>
       graft.util.StatsFiles.deleteIfOwned(conf, tablePath, p, Set(statsPath.toString)))
@@ -1441,6 +1458,20 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     timeline.deleteInstant(target)
     // the revoked instant's stats must not outlive it
     HudiColStats.delete(spark, tablePath, target.time)
+    // ... including a statistics-sidecar registration it carried: with
+    // the instant revoked the walk-back no longer reaches the pointer,
+    // so the sidecar would orphan under .hoodie/.graft_stats forever.
+    // Only files NO surviving instant resolves are deleted (an older
+    // registration re-surfacing through the walk-back keeps its file),
+    // and only owned ones (the shared ownership rule).
+    val statsKeys = Seq(HudiTable.StatsPathKey,
+      graft.model.SyncCas.StatsPathProp, graft.model.SyncCas.PartitionStatsPathProp)
+    val revokedStats = statsKeys.flatMap(meta.extraMetadata.get)
+    if (revokedStats.nonEmpty) {
+      val surviving = statsKeys.flatMap(lastCommitProp).toSet
+      revokedStats.filterNot(surviving).foreach(p =>
+        graft.util.StatsFiles.deleteIfOwned(hconf, tablePath, p, surviving))
+    }
     HudiRollbackMetadata(Seq(target.time), byPartition,
       Map(target.time -> target.action))
   }
@@ -1489,6 +1520,37 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     * footers otherwise); an index-less table — e.g. written by an engine
     * that didn't maintain stats — yields empty `columnStats`, and the
     * sync layer translates what exists rather than re-reading footers. */
+  /** Planning-time (live rows, live bytes) of the current snapshot —
+    * the stats-join planning path (StatsJoin.plannedSize) stays
+    * metadata-sized: sizes ride the slice frame, record counts come
+    * from the commit metadata's own write stats, and the per-file
+    * column-stats index is never consulted (nor any InternalDataFile
+    * materialized). None when the table is empty, a MOR table carries
+    * un-compacted log mutations (the base-file counts would
+    * under-state the snapshot), or any live file has no recorded
+    * write count — unknown rows mean no planning fact. */
+  def planningFacts(): Option[(Double, Double)] = {
+    if (isMor && hasLogFiles(None)) return None
+    val completedByTime = timeline.completedInstants().map(i => i.time -> i).toMap
+    val counts: Map[String, Long] = instants.flatMap { t =>
+      val m = timeline.readCommitMetadata(completedByTime(t))
+      m.partitionToWriteStats.valuesIterator.flatten.map(ws =>
+        HudiTable.normalize(absoluteOf(ws.path)) -> ws.numWrites)
+    }.toMap
+    val files = fileSlicesDF(None).select("path", "size").collect().toSeq
+    if (files.isEmpty) return None
+    var rows = 0.0
+    var bytes = 0.0
+    files.foreach { r =>
+      counts.get(HudiTable.normalize(absoluteOf(r.getString(0)))) match {
+        case Some(n) if n >= 0 => rows += n.toDouble
+        case _ => return None
+      }
+      bytes += (if (r.isNullAt(1)) 0.0 else r.getLong(1).toDouble)
+    }
+    Some((rows, bytes))
+  }
+
   def snapshotDataFiles(
       /** true → sync the READ-OPTIMIZED view of a MOR table: latest
         * base file per group, log files skipped (ref
@@ -1733,10 +1795,12 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     // deleting ITS file can never dangle this target's pointer
     val statsKeys = Seq(
       graft.model.SyncCas.StatsPathProp, graft.model.SyncCas.PartitionStatsPathProp)
-    val adoptedStats = statsKeys.flatMap(k => syncProps.get(k).flatMap(p =>
-      graft.util.StatsFiles.adoptInto(
+    val adoptedTracked = statsKeys.flatMap(k => syncProps.get(k).flatMap(p =>
+      graft.util.StatsFiles.adoptIntoTracked(
         spark.sparkContext.hadoopConfiguration, tablePath,
-        ".hoodie/.graft_stats", new Path(p)).map(k -> _.toString)))
+        ".hoodie/.graft_stats", new Path(p)).map { case (ap, created) =>
+        (k, ap.toString, created) }))
+    val adoptedStats = adoptedTracked.map(t => t._1 -> t._2)
     val effectiveSyncProps = (syncProps -- statsKeys) ++ adoptedStats
     // a re-sync after the source re-analyzed REPOINTS a key: the copy
     // that key no longer reaches is deleted post-publish, or the stats
@@ -1759,15 +1823,29 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     // filesystem), and the post-publish CLEAN instant lands before the
     // lock releases so a removal-bearing sync never aborts AFTER its
     // data commit already published
+    // a lost race (CAS validate OR instant slot) must not orphan copies
+    // THIS call placed — unless the race winner registered the same
+    // deterministic copy, in which case it is live now and stays
+    // (the Delta twin applies the same rule)
+    def dropCreatedAdoptions(): Unit = {
+      val liveNow = statsKeys.flatMap(lastCommitProp).toSet
+      adoptedTracked.collect { case (_, p, true) if !liveNow(p) => new Path(p) }
+        .foreach(p => p.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).delete(p, false))
+    }
     lock.withLock(tablePath) {
-      cas.foreach(_.validate(latestCommitExtraMetadata, s"hudi target $tablePath"))
-      if (!timeline.commit(HudiInstant(instant, action), meta))
+      try cas.foreach(_.validate(latestCommitExtraMetadata, s"hudi target $tablePath"))
+      catch { case e: graft.model.ConcurrentSyncException =>
+        dropCreatedAdoptions(); throw e }
+      if (!timeline.commit(HudiInstant(instant, action), meta)) {
+        dropCreatedAdoptions()
         // a lost instant-slot race IS a concurrent sync — typed so the
         // engine's re-plan loop classifies it structurally, never by
         // message text
         throw new graft.model.ConcurrentSyncException(
           s"concurrent sync detected on hudi target $tablePath: instant $instant " +
             "lost its timeline slot — re-plan and retry")
+      }
       // post-commit maintenance, mirroring the reference target loop (ref
       // `HudiTargetClient.java:414-545`): a synthetic CLEAN instant
       // records the files this sync removed so native Hudi readers learn

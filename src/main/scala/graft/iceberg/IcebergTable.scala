@@ -302,9 +302,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   /** Adopt a sync-carried statistics file by COPYING it under this
     * table's own `metadata/` dir ([[graft.util.StatsFiles.adoptInto]]),
     * so the promoted entry can never dangle when the SOURCE table
-    * re-analyzes or expires the original out from under it. */
-  private def adoptCarriedFile(p: Path): Option[Path] =
-    graft.util.StatsFiles.adoptInto(hconf, tablePath, "metadata", p)
+    * re-analyzes or expires the original out from under it. The
+    * `created` half of the pair says THIS call placed the copy — a
+    * sync losing its commit CAS deletes exactly those. */
+  private def adoptCarriedFile(p: Path): Option[(Path, Boolean)] =
+    graft.util.StatsFiles.adoptIntoTracked(hconf, tablePath, "metadata", p)
 
   /** Register a written statistics file under its snapshot (the CAS
     * half of [[writeStatistics]], separated so races are testable). */
@@ -484,8 +486,12 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       if (v == null) null
       else if (d.isTime) {
         if (dt == DateType) {
-          if (v.contains("-")) java.sql.Date.valueOf(v)
-          else java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.toLong))
+          // the same numeric test hiveLdt uses: a NEGATIVE epoch-day
+          // ordinal ("-120", a pre-1970 day from a foreign int-typed
+          // day partition) contains '-' but is not a date string
+          if (v.matches("-?\\d+"))
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.toLong))
+          else java.sql.Date.valueOf(v)
         } else v.toInt
       } else dt match {
         case IntegerType => v.toInt
@@ -2305,20 +2311,22 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // table's own metadata dir — so the source's later re-analyze or
     // expiry (which deletes ITS file) cannot dangle our entry; one
     // footer read of the copy recovers its blob metadata.
-    val carriedStats: Option[IcebergStatisticsFile] =
+    val carriedStatsT: Option[(IcebergStatisticsFile, Boolean)] =
       syncProps.get(graft.model.SyncCas.StatsPathProp).flatMap { p =>
-        adoptCarriedFile(new Path(p)).map { sp =>
+        adoptCarriedFile(new Path(p)).map { case (sp, created) =>
           val fsys = sp.getFileSystem(hconf)
           val blobs = Puffin.readFooter(fsys, sp)
           val len = fsys.getFileStatus(sp).getLen
           val footerSize = len - Puffin.Magic.length - blobs.map(_.length).sum
-          IcebergStatisticsFile(0L, sp.toString, len, footerSize, blobs)
+          (IcebergStatisticsFile(0L, sp.toString, len, footerSize, blobs), created)
         }
       }
-    val carriedPStats: Option[IcebergPartitionStatisticsFile] =
+    val carriedPStatsT: Option[(IcebergPartitionStatisticsFile, Boolean)] =
       syncProps.get(graft.model.SyncCas.PartitionStatsPathProp).flatMap { p =>
-        adoptCarriedFile(new Path(p)).map(sp => IcebergPartitionStatisticsFile(
-          0L, sp.toString, sp.getFileSystem(hconf).getFileStatus(sp).getLen))
+        adoptCarriedFile(new Path(p)).map { case (sp, created) =>
+          (IcebergPartitionStatisticsFile(
+            0L, sp.toString, sp.getFileSystem(hconf).getFileStatus(sp).getLen), created)
+        }
       }
     commitSnapshot(prev, idSchema, defs, entries, removes,
       carryPrevious = true,
@@ -2326,11 +2334,26 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       extraProps = syncProps + ("graft.converted.from" -> sourceDataRoot),
       physicalNames = physicalNames,
       extraSummary = extraSummary,
-      registerStats = carriedStats,
-      registerPStats = carriedPStats)
-      .getOrElse(throw new graft.model.ConcurrentSyncException(
-        s"concurrent sync detected on iceberg target $tablePath: the version " +
-          "slot was taken — re-plan and retry"))
+      registerStats = carriedStatsT.map(_._1),
+      registerPStats = carriedPStatsT.map(_._1))
+      .getOrElse {
+        // a lost race must not orphan copies THIS call placed — unless
+        // the race winner registered the same deterministic copy (a
+        // competitor syncing the same analyzed source), which is live
+        // now and stays (the Delta/Hudi twins apply the same rule)
+        val liveNow = log.readLatest().map(_._2)
+          .map(m => (m.statistics.map(_.path) ++ m.partitionStatistics.map(_.path)).toSet)
+          .getOrElse(Set.empty[String])
+        (carriedStatsT.collect { case (e, true) => e.path } ++
+          carriedPStatsT.collect { case (e, true) => e.path })
+          .filterNot(liveNow).foreach { p =>
+            val hp = new Path(p)
+            hp.getFileSystem(hconf).delete(hp, false)
+          }
+        throw new graft.model.ConcurrentSyncException(
+          s"concurrent sync detected on iceberg target $tablePath: the version " +
+            "slot was taken — re-plan and retry")
+      }
   }
 }
 
@@ -2658,6 +2681,11 @@ final class IcebergScanBuilder(
   private var partitionPredicates: Seq[(String, Set[String])] = Seq.empty
   private var rangePredicates: Seq[(String, Option[String], Option[String])] = Seq.empty
 
+  /** The table this scan plans over — StatsJoin's filtered-dimension
+    * costing combines [[estimatedRows]] with the table's whole-dim
+    * planning facts. */
+  private[graft] def plannedTable: IcebergTable = table
+
   def partitionIn(column: String, values: Set[String]): IcebergScanBuilder = {
     partitionPredicates +:= (column -> values)
     this
@@ -2678,20 +2706,56 @@ final class IcebergScanBuilder(
   def estimatedRows(): Option[Long] = {
     if (asOfSnapshot.nonEmpty) return None
     import org.apache.spark.sql.functions.{col, lit}
-    val defByName = IcebergTable.defsOf(table.currentMetadata)
-      .map(d => d.fieldName -> d).toMap
+    val meta = table.currentMetadata
+    val defByName = IcebergTable.defsOf(meta).map(d => d.fieldName -> d).toMap
+    val typeByName = meta.schema.fields.map(f => f.name -> f.dataType).toMap
+    // identity time literals arrive in any human form ("2021-01-01
+    // 00:00", date-only, canonical epoch-micros) but the rollup stores
+    // TYPED values — string-compare against the raw literal would
+    // silently match nothing and estimate 0 rows for a live partition.
+    // The same tolerant parse the rollup writer uses
+    // (writePartitionStatistics.hiveLdt) produces the typed literal,
+    // so the compare is typed on both sides.
+    def ldt(v: String): java.time.LocalDateTime =
+      if (v.matches("-?\\d+")) {
+        val micros = v.toLong
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      } else {
+        val dot = v.indexOf('.')
+        val (base, fracMicros) =
+          if (dot < 0) (v, 0L)
+          else (v.substring(0, dot), v.substring(dot + 1).padTo(6, '0').take(6).toLong)
+        java.time.LocalDateTime.parse(base.trim.replace(' ', 'T'))
+          .plusNanos(fracMicros * 1000L)
+      }
     val pred = partitionPredicates.foldLeft(lit(true)) { case (acc, (c, vs)) =>
       // callers speak human strings; the rollup stores typed transform
       // results — year/month/hour compare as ordinals, day as the
-      // yyyy-MM-dd string a DATE casts to, identity/bucket as-is
-      val wanted: Set[String] = defByName.get(c) match {
+      // yyyy-MM-dd string a DATE casts to, identity time columns as
+      // typed literals, other identity/bucket values as-is
+      defByName.get(c) match {
         case Some(d) if d.isTime &&
             d.granularity != graft.model.TimeGranularity.Day =>
-          vs.map(v =>
+          val wanted = vs.map(v =>
             graft.model.PartitionTransform.toOrdinal(d.granularity, v).toString)
-        case _ => vs
+          acc && col(s"partition.`$c`").cast("string").isin(wanted.toSeq: _*)
+        case Some(d) if d.isIdentity && typeByName.get(c).exists(
+            t => t == TimestampType || t == TimestampNTZType || t == DateType) =>
+          val typed: Seq[Any] = typeByName(c) match {
+            case TimestampType => vs.toSeq.map(v => java.sql.Timestamp.valueOf(ldt(v)))
+            case TimestampNTZType => vs.toSeq.map(ldt)
+            case _ => vs.toSeq.map { v =>
+              if (v.matches("-?\\d+"))
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.toLong))
+              else java.sql.Date.valueOf(v.trim.take(10))
+            }
+          }
+          acc && col(s"partition.`$c`").isin(typed: _*)
+        case _ =>
+          acc && col(s"partition.`$c`").cast("string").isin(vs.toSeq: _*)
       }
-      acc && col(s"partition.`$c`").cast("string").isin(wanted.toSeq: _*)
     }
     table.estimatedRowsForPartition(pred)
   }

@@ -61,10 +61,14 @@ object IcebergQueries {
           .withColumn("o_flag", upper(col("o_orderstatus"))).drop("o_orderstatus"))
 
         // 6. hidden month partitioning on o_orderdate (transform spec;
-        //    the source column stays in the data files)
-        IcebergTable.create(
+        //    the source column stays in the data files). The key ndv +
+        //    month rollup also feed i24's filtered-dimension costing.
+        val t6 = IcebergTable.create(
           spark, s"$root/orders_bymonth",
           Tables.orders(spark, sfDir), Seq("month(o_orderdate)"))
+        t6.writeStatistics(Seq("o_orderkey"))
+        t6.writePartitionStatistics()
+        t6.append(o.limit(0)) // ancestor walk past the analyzed snapshot
 
         // 7. corrupt-snapshot recovery (ref IcebergClient.java:251-286,
         //    IT scenario ITOneTableClient.java:599-632): sync a Delta
@@ -783,6 +787,36 @@ object IcebergQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Statistics costing a FILTERED dimension — the standard
+    // star-schema probe: the whole orders dim can price over the
+    // broadcast budget, but the scan's month predicate shrinks the
+    // COSTED size through the registered partition rollup (post-filter
+    // rows growth-fenced, bytes via the rollup's measured bytes/row) —
+    // still zero data rows read for planning (StatsJoinSpec pins the
+    // over-budget-whole / under-budget-slice broadcast flip). Results
+    // must equal a plain filtered SQL join.
+    QueryDef.sql(
+      "i24_stats_filtered_dim_join",
+      (spark, dir) => {
+        val fact = Fixtures.table(spark, dir, "converted_lineitem").toDF()
+        val dim = Fixtures.table(spark, dir, "orders_bymonth")
+          .scan.partitionIn("o_orderdate_month", Set("1995-03"))
+        graft.plans.StatsJoin.joinPlanned(
+            fact, dim, "o_orderkey",
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType)
+              .as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= '1995-03-01' AND o_orderdate < '1995-04-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
     QueryDef.sql(
       "x01_cross_format_equality",

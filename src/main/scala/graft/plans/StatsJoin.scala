@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.{broadcast, sum}
 
 import graft.delta.DeltaTable
 import graft.hudi.HudiTable
-import graft.iceberg.IcebergTable
+import graft.iceberg.{IcebergScanBuilder, IcebergTable}
 
 /**
  * Statistics-DRIVEN join planning: the consumption half of the i21/i22
@@ -143,12 +143,11 @@ object StatsJoin {
     // no registered stats ⇒ no estimate — and no point replaying the
     // log for facts the decision will never consult
     if (ndv.isEmpty) return None
-    val logFacts: Option[(Double, Double, Boolean)] = safe {
-      val files = table.snapshotDataFiles()
-      if (files.isEmpty || files.exists(_.recordCount < 0)) None
-      else Some((files.map(_.recordCount).sum.toDouble,
-        files.map(_.fileSizeBytes).sum.toDouble, true))
-    }.flatten
+    // planningFacts is ONE aggregate over the log replay (the detail()
+    // idiom): the planning path never materializes the file list — or
+    // parses per-file column stats — on the driver
+    val logFacts: Option[(Double, Double, Boolean)] =
+      safe(table.planningFacts()).flatten.map { case (r, b) => (r, b, true) }
     sizeOf(Facts(ndv, logFacts, () => logFacts.map(_._1)))
   }
 
@@ -161,13 +160,33 @@ object StatsJoin {
       (table.statisticsRegisters(keyColumn)._2, table.statisticsFresh)
     }
     if (ndv.isEmpty) return None
-    val sliceFacts: Option[(Double, Double, Boolean)] = safe {
-      val files = table.snapshotDataFiles()
-      if (files.isEmpty || files.exists(_.recordCount < 0)) None
-      else Some((files.map(_.recordCount).sum.toDouble,
-        files.map(_.fileSizeBytes).sum.toDouble, true))
-    }.flatten
+    // same one-aggregate shape as the Delta path: sizes ride the slice
+    // frame, counts come from commit metadata — never the file list
+    // with its per-file column-stats index
+    val sliceFacts: Option[(Double, Double, Boolean)] =
+      safe(table.planningFacts()).flatten.map { case (r, b) => (r, b, true) }
     sizeOf(Facts(ndv, sliceFacts, () => sliceFacts.map(_._1)))
+  }
+
+  /** Size facts for a FILTERED Iceberg dimension — a scan with
+    * partition predicates, the standard star-schema probe. The
+    * post-filter row estimate comes from the registered rollup
+    * ([[IcebergScanBuilder.estimatedRows]]: one KB parquet read, zero
+    * manifest opens, growth-scaled when stale), bytes from the rollup's
+    * measured bytes/row; the whole-dim facts cap both (the filtered
+    * subset can never exceed the dim). Without a rollup-backed estimate
+    * the whole-dim posture applies — and with no statistics at all the
+    * dim never broadcasts on a guess. */
+  def plannedSize(scan: IcebergScanBuilder, keyColumn: String): Option[PlannedSize] = {
+    val whole = plannedSize(scan.plannedTable, keyColumn)
+    val filtered = safe(scan.estimatedRows()).flatten
+    (whole, filtered) match {
+      case (Some(w), Some(fr)) =>
+        val width = if (w.rows > 0) w.bytes / w.rows else DefaultRowWidthBytes
+        val rows = math.min(w.rows, fr.toDouble)
+        Some(PlannedSize(rows, rows * width, w.fresh))
+      case (w, _) => w
+    }
   }
 
   /** Planned row estimate alone (freshness-fenced). */
@@ -188,6 +207,12 @@ object StatsJoin {
       new StatsDim(() => t.toDF(), k => plannedSize(t, k))
     implicit def ofHudi(t: HudiTable): StatsDim =
       new StatsDim(() => t.toDF(), k => plannedSize(t, k))
+    /** A PREDICATED dim: the scan's partition predicates both shrink
+      * the joined rows AND shrink the costed size (via the registered
+      * rollup), so a dimension that is over-budget whole can still
+      * broadcast its filtered slice. */
+    implicit def ofIcebergScan(s: IcebergScanBuilder): StatsDim =
+      new StatsDim(() => s.toDF(), k => plannedSize(s, k))
   }
 
   /**

@@ -87,22 +87,38 @@ object StatsFiles {
       conf: Configuration,
       tableRoot: String,
       statsDir: String,
-      src: Path): Option[Path] = {
+      src: Path): Option[Path] = adoptIntoTracked(conf, tableRoot, statsDir, src).map(_._1)
+
+  /** [[adoptInto]] plus a `created` flag: true iff THIS call placed the
+    * copy. A sync that adopts and then loses its commit CAS must delete
+    * exactly the copies it created (a pre-existing copy may be the
+    * LIVE registered file of an earlier successful sync) or the stats
+    * dir grows one orphan per lost race. */
+  def adoptIntoTracked(
+      conf: Configuration,
+      tableRoot: String,
+      statsDir: String,
+      src: Path): Option[(Path, Boolean)] = {
     val srcFs = src.getFileSystem(conf)
     if (!srcFs.exists(src)) None
-    else if (qualifiedUri(conf, src).startsWith(rootPrefix(conf, tableRoot))) Some(src)
+    else if (qualifiedUri(conf, src).startsWith(rootPrefix(conf, tableRoot)))
+      Some((src, false))
     else {
       val dst = new Path(tableRoot,
         s"$statsDir/carried-${src.getName.stripPrefix("carried-")}")
       val dstFs = dst.getFileSystem(conf)
-      if (!dstFs.exists(dst)) {
+      if (dstFs.exists(dst)) Some((dst, false))
+      else {
         val tmp = new Path(tableRoot, s"$statsDir/.adopt-${UUID.randomUUID()}")
         FileUtil.copy(srcFs, src, dstFs, tmp, false, conf)
-        if (!dstFs.rename(tmp, dst) && !dstFs.exists(dst))
+        // a concurrent adopter racing to the same deterministic name is
+        // fine either way: the winner's copy is byte-identical
+        val won = dstFs.rename(tmp, dst)
+        if (!won && !dstFs.exists(dst))
           throw new IllegalStateException(s"could not place carried stats copy $dst")
         if (dstFs.exists(tmp)) dstFs.delete(tmp, false)
+        Some((dst, won))
       }
-      Some(dst)
     }
   }
 }

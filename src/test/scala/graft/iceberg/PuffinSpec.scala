@@ -426,4 +426,134 @@ class PuffinSpec extends SparkTestBase {
     assert(fs(new Path(after.statistics.head.path)).exists(
       new Path(after.statistics.head.path)))
   }
+
+  test("partition statistics: pre-1970 day-transform ordinals type as dates") {
+    val dir = tmpDir("pstats_pre1970")
+    // day(ts) ordinals for 1969 dates are NEGATIVE epoch days ("-31"):
+    // the typed-value parse must read them numerically, not as a date
+    // string (the '-' is a sign, not a field separator)
+    val src = spark.range(0, 40).select(
+      col("id").as("k"),
+      expr("timestamp'1969-12-01 00:00:00' + " +
+        "make_interval(0, 0, 0, cast(id % 2 as int) * 45, 0, 0, 0)").as("ts"))
+    val t = IcebergTable.create(spark, s"$dir/t", src, Seq("day(ts)"))
+    val e = t.writePartitionStatistics()
+    val rows = t.readPartitionStatistics(e)
+      .select(col("partition.ts_day").cast("string"), col("data_record_count"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("1969-12-01", 20L), ("1970-01-15", 20L)), s"$rows")
+  }
+
+  test("identity-time literals estimate in ANY human form against the typed rollup") {
+    val dir = tmpDir("pstats_identlit")
+    val src = spark.range(0, 60).select(
+      col("id").as("k"),
+      expr("timestamp'2021-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, cast(id % 3 as int), 0, 0)").as("ts"))
+    val t = IcebergTable.create(spark, s"$dir/t", src, Seq("ts"))
+    t.writePartitionStatistics()
+    // the rollup stores a TYPED timestamp; every literal form the
+    // engine's own codecs emit must canonicalize to it — the
+    // seconds-less hive form, the full cast form, canonical
+    // epoch-micros — instead of silently estimating 0 for a live
+    // partition (ADVICE r15)
+    assert(t.scan.partitionIn("ts", Set("2021-01-01 01:00")).estimatedRows()
+      .contains(20L), "seconds-less hive form")
+    assert(t.scan.partitionIn("ts", Set("2021-01-01 01:00:00")).estimatedRows()
+      .contains(20L), "full form")
+    val micros = java.time.LocalDateTime.of(2021, 1, 1, 2, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    assert(t.scan.partitionIn("ts", Set(micros.toString)).estimatedRows()
+      .contains(20L), "canonical epoch-micros")
+    assert(t.scan.partitionIn("ts", Set("2021-01-01 03:00")).estimatedRows()
+      .contains(0L), "an absent partition estimates zero, not a parse error")
+    // identity DATE partitions take date strings and epoch-day ordinals
+    val srcD = spark.range(0, 40).select(
+      col("id").as("k"),
+      expr("date_add(date'2021-06-01', cast(id % 2 as int))").as("d"))
+    val td = IcebergTable.create(spark, s"$dir/td", srcD, Seq("d"))
+    td.writePartitionStatistics()
+    assert(td.scan.partitionIn("d", Set("2021-06-02")).estimatedRows().contains(20L))
+    val epochDay = java.time.LocalDate.of(2021, 6, 1).toEpochDay
+    assert(td.scan.partitionIn("d", Set(epochDay.toString)).estimatedRows()
+      .contains(20L), "epoch-day ordinal form")
+  }
+
+  test("hudi ANALYZE anchors the analyzed instant in the Puffin header") {
+    val dir = tmpDir("puffin_hudi_anchor")
+    val t = graft.hudi.HudiTable.create(spark, s"$dir/t",
+      spark.range(0, 100).select(col("id").as("k")))
+    val analyzed = t.latestInstant.toLong
+    val p = new Path(t.writeStatistics(Seq("k")))
+    val blobs = Puffin.readFooter(fs(p), p)
+    // a foreign Puffin reader must see a truthful snapshot anchor —
+    // the analyzed instant's numeric form, not 0L — exactly like the
+    // Iceberg writer anchors the analyzed snapshot id
+    assert(blobs.nonEmpty && blobs.forall(b =>
+      b.snapshotId == analyzed && b.sequenceNumber == analyzed),
+      s"${blobs.map(b => (b.snapshotId, b.sequenceNumber))} != $analyzed")
+  }
+
+  test("delta RESTORE across a re-analyze drops the dangling pointer, orphans nothing") {
+    import graft.delta.DeltaTable
+    val dir = tmpDir("delta_restore_stats")
+    val mk = spark.range(0, 300).select(
+      col("id").as("k"), (col("id") % 5).cast("string").as("g"))
+    val t = DeltaTable.create(spark, s"$dir/t", mk)
+    t.writeStatistics(Seq("k"))
+    val vAnalyzed = t.latestVersion // the registration commit
+    def conf() = t.log.metadataAt(None)._1.configuration
+    val p1 = conf()(DeltaTable.StatsPathKey)
+    t.append(mk, Seq.empty)
+    t.writeStatistics(Seq("k")) // replace-on-reanalyze deletes p1
+    val p2 = conf()(DeltaTable.StatsPathKey)
+    assert(p1 != p2 && !fs(new Path(p1)).exists(new Path(p1)))
+    t.restoreTo(vAnalyzed)
+    // the restored config pointed at the DELETED p1 — the pointer (and
+    // its freshness twin) must be dropped, not restored dangling; and
+    // p2, unreachable from the live config now, must not orphan
+    assert(!conf().contains(DeltaTable.StatsPathKey) &&
+      !conf().contains(DeltaTable.StatsVersionKey), s"${conf()}")
+    assert(!fs(new Path(p2)).exists(new Path(p2)),
+      "sidecar unreachable from the restored config must be deleted")
+    val sdir = new Path(s"$dir/t/_graft_stats")
+    assert(!fs(sdir).exists(sdir) || fs(sdir).listStatus(sdir).isEmpty,
+      "_graft_stats must hold no orphans after the restore")
+    intercept[IllegalStateException](t.statisticsRegisters("k"))
+    assert(graft.plans.StatsJoin.plannedSize(t, "k").isEmpty)
+    // a restore that does NOT cross a re-analyze keeps the pointer: the
+    // analyzed sidecar still exists, so the restored config resolves
+    val t2 = DeltaTable.create(spark, s"$dir/t2", mk)
+    t2.writeStatistics(Seq("k"))
+    val v2 = t2.latestVersion
+    t2.append(mk, Seq.empty)
+    t2.restoreTo(v2)
+    assert(t2.statisticsRegisters("k")._1.nonEmpty,
+      "restore within one analyze generation must keep the stats readable")
+  }
+
+  test("hudi rollback revokes the registration and deletes the orphaned sidecar") {
+    import graft.hudi.HudiTable
+    val dir = tmpDir("hudi_rollback_stats")
+    val mk = spark.range(0, 200).select(
+      col("id").as("k"), (col("id") % 4).cast("string").as("g"))
+    val t = HudiTable.create(spark, s"$dir/t", mk)
+    val p = new Path(t.writeStatistics(Seq("k")))
+    t.append(mk, Seq.empty)
+    // rolling back the DATA commit leaves the older registration as the
+    // newest resolvable pointer — the sidecar stays, and the sketch is
+    // fresh again (the table is back to its analyzed row set)
+    t.rollback()
+    assert(t.statisticsRegisters("k")._1.nonEmpty && fs(p).exists(p))
+    assert(t.statisticsFresh, "rollback to the analyzed state reads fresh")
+    // rolling back the REGISTRATION instant itself: the walk-back no
+    // longer reaches the pointer, so the sidecar must go too — clean
+    // degradation to analyzed-never, no orphan under .graft_stats
+    t.rollback()
+    intercept[IllegalStateException](t.statisticsRegisters("k"))
+    assert(!fs(p).exists(p), "revoked registration must delete its sidecar")
+    val sdir = new Path(s"$dir/t/.hoodie/.graft_stats")
+    assert(!fs(sdir).exists(sdir) || fs(sdir).listStatus(sdir).isEmpty)
+    assert(graft.plans.StatsJoin.plannedSize(t, "k").isEmpty)
+  }
 }

@@ -141,6 +141,50 @@ class StatsJoinSpec extends SparkTestBase {
     }
   }
 
+  test("a predicated dim broadcasts its rollup-costed slice when the whole dim is over budget") {
+    val dir = tmpDir("stats_filtered")
+    // 2000 wide rows over 8 partitions: the WHOLE dim prices over a
+    // quarter-size byte budget, but any single partition's slice —
+    // costed from the registered rollup, zero data rows read — sits
+    // well under it
+    val data = spark.range(0, 2000).select(
+      col("id").as("k"),
+      (col("id") % 8).cast("string").as("p"),
+      expr("concat_ws('', transform(sequence(1, 40), " +
+        "i -> substr(md5(concat(cast(id as string), '-', i)), 1, 30)))").as("payload"))
+    val dim = IcebergTable.create(spark, s"$dir/dim", data, Seq("p"))
+    dim.writeStatistics(Seq("k"))
+    dim.writePartitionStatistics()
+    val whole = StatsJoin.plannedSize(dim, "k").get
+    val budget = (whole.bytes / 4).toLong
+    val fact = spark.range(0, 20000).select((col("id") % 2000).as("fk"))
+    withoutAutoBroadcast {
+      assert(!hasBroadcastJoin(StatsJoin.joinPlanned(
+        fact, dim, "k", col("fk") === col("k"), broadcastByteThreshold = budget)),
+        "the whole dim over the byte budget must not broadcast")
+      val scan = dim.scan.partitionIn("p", Set("3"))
+      val filtered = StatsJoin.plannedSize(scan, "k").get
+      assert(filtered.rows == 250.0, s"${filtered.rows}")
+      assert(filtered.bytes < budget && filtered.bytes > 0, s"${filtered.bytes} vs $budget")
+      val j = StatsJoin.joinPlanned(
+        fact, scan, "k", col("fk") === col("k"), broadcastByteThreshold = budget)
+      assert(hasBroadcastJoin(j), "the under-budget SLICE must broadcast")
+      // the predicate shrank the joined rows too, not just the costing
+      assert(j.count() == 2500, s"${j.count()}")
+      // no rollup registered -> no slice estimate -> whole-dim posture
+      // (and with no statistics at all, still never broadcast on a guess)
+      val bare = IcebergTable.create(spark, s"$dir/bare", data, Seq("p"))
+      bare.writeStatistics(Seq("k"))
+      val bs = StatsJoin.plannedSize(bare.scan.partitionIn("p", Set("3")), "k").get
+      assert(bs.rows > 1500.0,
+        s"without a rollup the slice must cost as the whole dim: ${bs.rows}")
+      val none = IcebergTable.create(spark, s"$dir/none", data, Seq("p"))
+      assert(StatsJoin.plannedSize(none.scan.partitionIn("p", Set("3")), "k").isEmpty)
+      assert(!hasBroadcastJoin(StatsJoin.joinPlanned(
+        fact, none.scan.partitionIn("p", Set("3")), "k", col("fk") === col("k"))))
+    }
+  }
+
   test("a Delta dim plans from its registered ANALYZE, fenced by the log's exact counts") {
     val dir = tmpDir("stats_delta")
     import graft.delta.DeltaTable
