@@ -845,7 +845,6 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val conf = spark.sparkContext.hadoopConfiguration
     graft.iceberg.Puffin.write(statsPath.getFileSystem(conf), statsPath,
       analyzedVersion, analyzedVersion, blobs)
-    val previous = log.metadataAt(None)._1.configuration.get(DeltaTable.StatsPathKey)
     // the recorded version is the REGISTRATION commit's own (the
     // pointer is live from there; the props-only commit changes no
     // rows, so the sketch is exact for it) — but ONLY when no data
@@ -860,14 +859,30 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     // version pessimistic — the safe direction.
     val recordedVersion =
       if (latestVersion == analyzedVersion) analyzedVersion + 1 else analyzedVersion
-    setProperties(Map(
-      DeltaTable.StatsPathKey -> statsPath.toString,
-      DeltaTable.StatsVersionKey -> recordedVersion.toString))
-    // replace-on-reanalyze: the superseded owned sidecar is unreachable
-    // from the live configuration now (time travel reads metadata, not
-    // sidecars) — delete it or it is orphaned permanently
-    previous.filter(_ != statsPath.toString).foreach(p =>
-      graft.util.StatsFiles.deleteIfOwned(conf, tablePath, p, Set(statsPath.toString)))
+    val registeredAt =
+      try setProperties(Map(
+        DeltaTable.StatsPathKey -> statsPath.toString,
+        DeltaTable.StatsVersionKey -> recordedVersion.toString))
+      catch {
+        // registration failed (typed CAS loss, or any transient commit
+        // error): the sidecar has no pointer and never will — delete it
+        // instead of orphaning it (a retry re-runs the whole ANALYZE),
+        // then rethrow untouched
+        case e: Throwable =>
+          try statsPath.getFileSystem(conf).delete(statsPath, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      }
+    // replace-on-reanalyze: the pointer our commit REPLACED is exactly
+    // the one at registeredAt-1 (a pre-scan read would be stale under a
+    // racing registration and orphan its sidecar); the superseded owned
+    // sidecar is unreachable from the live configuration now (time
+    // travel reads metadata, not sidecars) — delete it or it is
+    // orphaned permanently
+    log.metadataAt(Some(registeredAt - 1))._1.configuration
+      .get(DeltaTable.StatsPathKey)
+      .filter(_ != statsPath.toString).foreach(p =>
+        graft.util.StatsFiles.deleteIfOwned(conf, tablePath, p, Set(statsPath.toString)))
     statsPath.toString
   }
 

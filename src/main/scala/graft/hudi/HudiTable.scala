@@ -867,7 +867,6 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       s".hoodie/.graft_stats/${java.util.UUID.randomUUID()}.stats")
     graft.iceberg.Puffin.write(statsPath.getFileSystem(conf), statsPath,
       analyzedInstant, analyzedInstant, blobs)
-    val previous = lastCommitProp(HudiTable.StatsPathKey)
     val meta0 = HudiCommitMetadata(
       partitionToWriteStats = Map.empty,
       partitionToReplaceFileIds = Map.empty,
@@ -908,30 +907,68 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
-    previous.filter(_ != statsPath.toString).foreach(p =>
-      graft.util.StatsFiles.deleteIfOwned(conf, tablePath, p, Set(statsPath.toString)))
+    // the pointer THIS registration superseded is re-read AFTER winning
+    // (the newest pointer on instants OLDER than ours): a competitor
+    // registering during our retry window would make a pre-loop read
+    // stale and its sidecar would orphan. And never delete what the
+    // walk-back resolves NOW — a competitor may already have registered
+    // past us, making its (newer) file the live one.
+    val superseded = timeline.completedInstants()
+      .filter(i => Set("commit", "replacecommit", "deltacommit").contains(i.action))
+      .filter(i => committed.exists(i.time < _))
+      .reverseIterator
+      .flatMap(i => timeline.readCommitMetadata(i).extraMetadata.get(HudiTable.StatsPathKey))
+      .nextOption()
+    val liveNow = lastCommitProp(HudiTable.StatsPathKey)
+    superseded.filter(p => p != statsPath.toString && !liveNow.contains(p))
+      .foreach(p => graft.util.StatsFiles.deleteIfOwned(
+        conf, tablePath, p, liveNow.toSet + statsPath.toString))
     statsPath.toString
+  }
+
+  /** The newest statistics registration whose sidecar still EXISTS, as
+    * (pointer path, that commit's extraMetadata). Rollback/restore can
+    * resurface a registration whose file a later re-analyze deleted
+    * (replace-on-reanalyze) — and unlike Delta's restore, which
+    * REWRITES the live configuration and can drop the dangling key,
+    * Hudi history is immutable, so resolution SKIPS dangling pointers
+    * instead: the walk-back continues to an older still-resolvable
+    * registration, or to analyzed-never. */
+  private def resolvedStatsRegistration: Option[(String, Map[String, String])] = {
+    val fsys = new Path(tablePath).getFileSystem(hconf)
+    timeline.completedInstants()
+      .filter(i => Set("commit", "replacecommit", "deltacommit").contains(i.action))
+      .reverseIterator
+      .flatMap { i =>
+        val em = timeline.readCommitMetadata(i).extraMetadata
+        em.get(HudiTable.StatsPathKey)
+          .orElse(em.get(graft.model.SyncCas.StatsPathProp))
+          .map(p => (p, em))
+      }
+      .find { case (p, _) => fsys.exists(new Path(p)) }
   }
 
   /** The persisted HLL register set of `column` + the blob's ndv,
     * resolved from the newest commit carrying the native ANALYZE
     * pointer or — on a sync target — the carried one (adopted at sync
-    * time). Resolution is by the blob's `graft.column` name. */
+    * time), skipping registrations whose sidecar no longer exists.
+    * Resolution is by the blob's `graft.column` name. */
   def statisticsRegisters(column: String): (Seq[(Int, Int)], Double) = {
-    val path = lastCommitProp(HudiTable.StatsPathKey)
-      .orElse(lastCommitProp(graft.model.SyncCas.StatsPathProp))
+    val path = resolvedStatsRegistration.map(_._1)
       .getOrElse(throw new IllegalStateException(
         s"no statistics registered on $tablePath"))
     graft.util.StatsFiles.readRegisters(
       spark.sparkContext.hadoopConfiguration, path, column)
   }
 
-  /** The instant the native ANALYZE registered at — fresh iff it is
-    * still the newest completed commit-ish instant (None for
-    * sync-carried statistics, which planners treat as stale and floor
-    * with the file slices' exact current counts). */
+  /** The instant the native ANALYZE registered at — fresh iff the
+    * RESOLVED registration (dangling pointers skipped, so freshness and
+    * the registers always describe the same sketch) is still the newest
+    * completed commit-ish instant (false for sync-carried statistics,
+    * which planners treat as stale and floor with the file slices'
+    * exact current counts). */
   def statisticsFresh: Boolean =
-    lastCommitProp(HudiTable.StatsInstantKey).exists { at =>
+    resolvedStatsRegistration.flatMap(_._2.get(HudiTable.StatsInstantKey)).exists { at =>
       timeline.completedInstants()
         .filter(i => Set("commit", "replacecommit", "deltacommit").contains(i.action))
         .lastOption.exists(_.time == at)

@@ -426,6 +426,20 @@ private final class DeltaSource(t: DeltaTable) extends SyncSource {
   override def recordKeyFields: Seq[String] =
     t.log.metadataAt(None)._1.configuration.get(SyncEngine.RecordKeyProp)
       .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+  /** The registration visible AT the synced version — its sketch
+    * describes an ancestor of the row set the replay applies (the same
+    * closest-analyzed-ancestor semantics as the Iceberg source);
+    * sync-carried pointers chain through unchanged. The
+    * partition-statistics key rides only as a chained carry (Delta has
+    * no native partition-rollup writer). */
+  override def statisticsProps(version: String): Map[String, String] = {
+    val conf = t.log.metadataAt(version.toLongOption)._1.configuration
+    conf.get(DeltaTable.StatsPathKey).orElse(conf.get(SyncEngine.StatsPathProp))
+      .map(p => Map(SyncEngine.StatsPathProp -> p)).getOrElse(Map.empty) ++
+      conf.get(SyncEngine.PartitionStatsPathProp)
+        .map(p => Map(SyncEngine.PartitionStatsPathProp -> p)).getOrElse(Map.empty)
+  }
+
   /** Column-mapped sources: shared parquet carries col-<uuid> names. */
   override def physicalNames: Map[String, String] = {
     val (schema, _) = t.schemaAt(None)
@@ -610,6 +624,22 @@ private final class HudiSource(t: HudiTable,
     t.properties.get("hoodie.table.recordkey.fields")
       .orElse(t.latestCommitExtraMetadata.get(SyncEngine.RecordKeyProp))
       .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+  /** The registration's extraMetadata walk-back, bounded AT the synced
+    * instant (the Delta source's closest-analyzed-ancestor twin);
+    * sync-carried pointers chain through unchanged. */
+  override def statisticsProps(version: String): Map[String, String] = {
+    def at(key: String): Option[String] =
+      t.timeline.completedInstants()
+        .filter(i => Set("commit", "replacecommit", "deltacommit").contains(i.action))
+        .filter(_.time <= version)
+        .reverseIterator
+        .flatMap(i => t.timeline.readCommitMetadata(i).extraMetadata.get(key))
+        .nextOption()
+    at(HudiTable.StatsPathKey).orElse(at(SyncEngine.StatsPathProp))
+      .map(p => Map(SyncEngine.StatsPathProp -> p)).getOrElse(Map.empty) ++
+      at(SyncEngine.PartitionStatsPathProp)
+        .map(p => Map(SyncEngine.PartitionStatsPathProp -> p)).getOrElse(Map.empty)
+  }
 }
 
 private final class HudiTarget(spark: SparkSession, val targetPath: String) extends SyncTarget {

@@ -404,34 +404,147 @@ class CrossFormatFuzzSpec extends SparkTestBase {
       case e: Throwable =>
         fail(s"sequence blew up: $trace\n  ${e.getClass.getSimpleName}: ${e.getMessage}", e)
     }
-    // Puffin-statistics invariants, checked after EVERY op on an
-    // Iceberg source (metadata-only, cheap): no entry may dangle on a
-    // snapshot that left the table (expiry/restore/recovery must clean
-    // up), every registered file must exist on disk, and the resolvable
-    // sketch must replay — its ndv property equal to the shared
-    // estimator over its own registers.
-    def statsInvariant(tag: String): Unit = if (srcFmt == "iceberg") {
-      val t = IcebergTable.forPath(spark, s"$dir/src")
-      val meta = t.currentMetadata
-      val ids = meta.snapshots.map(_.snapshotId).toSet
-      meta.statistics.foreach { e =>
-        assert(ids(e.snapshotId),
-          s"statistics entry dangles on expired snapshot ${e.snapshotId} after [$tag]\n$trace")
-        val p = new org.apache.hadoop.fs.Path(e.path)
-        assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
-          s"registered statistics file ${e.path} missing after [$tag]\n$trace")
+    // Statistics invariants, checked after EVERY op on ALL THREE format
+    // channels — source AND targets (metadata-only, cheap): no
+    // registered pointer may dangle (expiry / restore / rollback /
+    // re-analyze / lost sync CAS must clean up or degrade to
+    // analyzed-never), the resolvable "k" sketch must replay (its ndv
+    // property equal to the shared estimator over its own registers —
+    // name-keyed, so it reads identically on every format), no
+    // unreferenced file may sit in a stats dir (the orphan-leak shape:
+    // racing registrations, lost adoptions, analyze+restore cycles,
+    // analyze→sync→re-analyze→re-sync loops), and a target's carried
+    // pointer must resolve to its own ADOPTED copy under its own root.
+    def hconf = spark.sparkContext.hadoopConfiguration
+    // null-vs-empty URI authority renders differently ("file:/x" vs
+    // "file:///x") depending on which API qualified the path — compare
+    // with the authority normalized
+    def qual(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val u = hp.getFileSystem(hconf).makeQualified(hp).toUri
+      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    }
+    def statsInvariant(tag: String): Unit = {
+      def exists(p: String): Boolean = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).exists(hp)
       }
-      meta.partitionStatistics.foreach { e =>
-        assert(ids(e.snapshotId),
-          s"partition-stats entry dangles on expired snapshot ${e.snapshotId} after [$tag]\n$trace")
-        val p = new org.apache.hadoop.fs.Path(e.path)
-        assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
-          s"registered partition-stats file ${e.path} missing after [$tag]\n$trace")
-      }
-      if (t.statisticsFor().nonEmpty) {
-        val (regs, ndv) = t.statisticsRegisters("k")
+      def replay(path: String, what: String): Unit = {
+        val (regs, ndv) = graft.util.StatsFiles.readRegisters(hconf, path, "k")
         assert(ndv == graft.functions.PortableHll.estimateLocal(regs),
-          s"statistics ndv does not replay from registers after [$tag]\n$trace")
+          s"$what ndv does not replay from registers after [$tag]\n$trace")
+      }
+      def underRoot(p: String, root: String): Boolean =
+        qual(p).startsWith(qual(root).stripSuffix("/") + "/")
+      // every statistics-shaped file in `dir0` must be referenced —
+      // dotfiles (transient adopt/pstats staging) excluded
+      def noOrphans(dir0: String, referenced: Seq[String], what: String,
+          nameFilter: String => Boolean = _ => true): Unit = {
+        val d = new org.apache.hadoop.fs.Path(dir0)
+        val dfs = d.getFileSystem(hconf)
+        if (dfs.exists(d)) {
+          val refs = referenced.map(qual).toSet
+          val orphans = dfs.listStatus(d).map(_.getPath)
+            .filter(p => !p.getName.startsWith(".") && nameFilter(p.getName))
+            .map(p => qual(p.toString)).filterNot(refs)
+          assert(orphans.isEmpty,
+            s"$what stats dir holds unreferenced files after [$tag]: " +
+              s"${orphans.mkString(", ")} (referenced: ${refs.mkString(", ")})\n$trace")
+        }
+      }
+      val carriedKeys = Seq(
+        graft.model.SyncCas.StatsPathProp, graft.model.SyncCas.PartitionStatsPathProp)
+      def checkIceberg(path: String, isTarget: Boolean): Unit = {
+        val t = IcebergTable.forPath(spark, path)
+        val meta = t.currentMetadata
+        val ids = meta.snapshots.map(_.snapshotId).toSet
+        (meta.statistics.map(e => (e.snapshotId, e.path)) ++
+          meta.partitionStatistics.map(e => (e.snapshotId, e.path))).foreach {
+          case (sid, p) =>
+            assert(ids(sid),
+              s"iceberg stats entry dangles on expired snapshot $sid after [$tag]\n$trace")
+            assert(exists(p),
+              s"registered iceberg stats file $p missing after [$tag]\n$trace")
+            if (isTarget) assert(underRoot(p, path),
+              s"target stats entry $p not ADOPTED under $path after [$tag]\n$trace")
+        }
+        t.statisticsFor().foreach(e => replay(e.path, "iceberg"))
+        noOrphans(s"$path/metadata",
+          (meta.statistics.map(_.path) ++ meta.partitionStatistics.map(_.path)),
+          "iceberg", n => n.endsWith(".stats") || n.endsWith("-partition-stats.parquet") ||
+            n.startsWith("carried-"))
+      }
+      def checkDelta(path: String, isTarget: Boolean): Unit = {
+        val t = DeltaTable.forPath(spark, path)
+        val conf = t.log.metadataAt(None)._1.configuration
+        val ptrs = (DeltaTable.StatsPathKey +: carriedKeys).flatMap(conf.get)
+        ptrs.foreach { p =>
+          assert(exists(p), s"delta stats pointer dangles at $p after [$tag]\n$trace")
+          if (isTarget) assert(underRoot(p, path),
+            s"delta target pointer $p not ADOPTED under $path after [$tag]\n$trace")
+        }
+        conf.get(DeltaTable.StatsPathKey)
+          .orElse(conf.get(graft.model.SyncCas.StatsPathProp))
+          .foreach(p => replay(p, "delta"))
+        noOrphans(s"$path/_graft_stats", ptrs, "delta")
+      }
+      def checkHudi(path: String, isTarget: Boolean): Unit = {
+        val t = HudiTable.forPath(spark, path)
+        // hudi resolution SKIPS dangling pointers (immutable history can
+        // resurface a superseded registration on rollback/restore, and
+        // re-analyze deleted its file) — the invariant is on the
+        // RESOLVED registration per key channel
+        def resolvedPtr(keys: Seq[String]): Option[String] =
+          t.timeline.completedInstants()
+            .filter(i => Set("commit", "replacecommit", "deltacommit").contains(i.action))
+            .reverseIterator
+            .flatMap { i =>
+              val em = t.timeline.readCommitMetadata(i).extraMetadata
+              keys.flatMap(em.get).headOption
+            }
+            .find(exists)
+        val puffin = resolvedPtr(Seq(
+          HudiTable.StatsPathKey, graft.model.SyncCas.StatsPathProp))
+        val pstats = resolvedPtr(Seq(graft.model.SyncCas.PartitionStatsPathProp))
+        val ptrs = puffin.toSeq ++ pstats.toSeq
+        if (isTarget) ptrs.foreach(p => assert(underRoot(p, path),
+          s"hudi target pointer $p not ADOPTED under $path after [$tag]\n$trace"))
+        puffin.foreach(p => replay(p, "hudi"))
+        // statisticsRegisters must agree with the resolution: resolve
+        // exactly when a non-dangling registration exists, or throw the
+        // documented analyzed-never state — never a read error
+        val reads = try { t.statisticsRegisters("k"); true }
+          catch { case _: IllegalStateException => false }
+        assert(reads == puffin.isDefined,
+          s"hudi stats resolution (${puffin.isDefined}) and read ($reads) disagree after [$tag]\n$trace")
+        noOrphans(s"$path/.hoodie/.graft_stats", ptrs, "hudi")
+      }
+      def check(fmt: String, path: String, isTarget: Boolean): Unit = fmt match {
+        case "iceberg" => checkIceberg(path, isTarget)
+        case "delta" => checkDelta(path, isTarget)
+        case _ => checkHudi(path, isTarget) // hudi + hudi-mor
+      }
+      check(srcFmt, s"$dir/src", isTarget = false)
+      (if (topo == "bi") Seq(biTgt -> pathA)
+       else Seq(fmtA -> pathA, fmtB -> pathB))
+        .foreach { case (f, p) => check(f, p, isTarget = true) }
+    }
+
+    // format-routed ANALYZE of the source: always "k" (the invariant's
+    // replay column), plus the current price column when present
+    def analyzeSrc(): Unit = {
+      val cols = Seq("k") ++ src.cols.find(c => c == "price" || c == "price2")
+      srcFmt match {
+        case "iceberg" =>
+          val t = IcebergTable.forPath(spark, s"$dir/src")
+          t.writeStatistics(cols)
+          // partitioned tables also get the partition-stats sibling
+          if (t.currentMetadata.partitionSpec.nonEmpty)
+            t.writePartitionStatistics()
+        case "delta" =>
+          DeltaTable.forPath(spark, s"$dir/src").writeStatistics(cols)
+        case _ => // hudi + hudi-mor share the extraMetadata channel
+          HudiTable.forPath(spark, s"$dir/src").writeStatistics(cols)
       }
     }
 
@@ -595,8 +708,9 @@ class CrossFormatFuzzSpec extends SparkTestBase {
               }
             }
           }
-          val choices = Seq("upsert", "delete", "widen").filter {
+          val choices = Seq("upsert", "delete", "widen", "analyze").filter {
             case "widen" => src.cols.contains("qty") && !src.qtyWide
+            case "analyze" => true // racing REGISTRATIONS vs appends
             case m => src.caps(m)
           }
           val mut = if (choices.isEmpty) "append"
@@ -616,6 +730,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
               case "upsert" => src.upsert(mutDf)
               case "delete" => src.delete(mutDf)
               case "widen" => src.widen()
+              case "analyze" => analyzeSrc()
               case _ => src.append(mutDf)
             })
             catch { case e: Throwable => mutErr.set(e) })
@@ -692,18 +807,15 @@ class CrossFormatFuzzSpec extends SparkTestBase {
               s"(fmt=$sinkFmt depth=$depth interleaved=$interleaved)\n$trace")
           trace.append(s"($sinkFmt,d$depth${if (interleaved) ",ix" else ""})")
         case "analyze" =>
-          // Iceberg-only ANALYZE riding the mix: Puffin statistics land
-          // at a random point of the sequence and the per-op invariant
-          // below must hold through every later restore / rollback /
-          // expiry / sync. Other formats degrade to a plain append so
-          // the op stays total.
-          if (srcFmt == "iceberg") {
-            val t = IcebergTable.forPath(spark, s"$dir/src")
-            t.writeStatistics(Seq("k"))
-            // partitioned tables also get the partition-stats sibling
-            if (t.currentMetadata.partitionSpec.nonEmpty)
-              t.writePartitionStatistics()
-          } else src.append(slice(rng))
+          // ANALYZE riding the mix on EVERY source format: Iceberg
+          // lands Puffin entries in table metadata, Delta registers
+          // through a props commit, Hudi through a zero-write commit's
+          // extraMetadata — all carried to every target by the NEXT
+          // sync (adoption), and the per-op invariant must hold
+          // through every later restore / rollback / expiry / rename /
+          // race / re-sync. Besides "k", the current price column
+          // rides along so renames cross analyzed columns.
+          analyzeSrc()
         case "upsert" => src.upsert(slice(rng).withColumn("price", col("price") + 1000.0))
         case "delete" =>
           // never empty the table: delete a sparse key set
