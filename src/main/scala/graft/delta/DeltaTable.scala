@@ -845,24 +845,19 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val conf = spark.sparkContext.hadoopConfiguration
     graft.iceberg.Puffin.write(statsPath.getFileSystem(conf), statsPath,
       analyzedVersion, analyzedVersion, blobs)
-    // the recorded version is the REGISTRATION commit's own (the
-    // pointer is live from there; the props-only commit changes no
-    // rows, so the sketch is exact for it) — but ONLY when no data
-    // commit landed during the (potentially long) HLL scan. The
-    // version is re-read here, AFTER the scan: a commit in the scan
-    // window means the sketch excludes its rows, so the registration
-    // records the ANALYZED version instead — which can never equal the
-    // registration commit's own slot, so `statisticsVersion` reads
-    // stale and planners floor with the log's exact current counts.
-    // A commit racing into the setProperties window itself either
-    // fails the put-if-absent (typed retry) or makes the recorded
-    // version pessimistic — the safe direction.
-    val recordedVersion =
-      if (latestVersion == analyzedVersion) analyzedVersion + 1 else analyzedVersion
+    // the recorded version is the ANALYZED one — the version the HLL
+    // scan actually read. Freshness is then DERIVED, never claimed:
+    // `statisticsFresh` holds iff latestVersion == analyzed + 1, i.e.
+    // the registration commit itself (which changes no rows) is the
+    // only commit since the scan. A data commit landing anywhere in
+    // the scan or registration window pushes the registration to a
+    // later slot (or lands after it), so latest > analyzed + 1 and the
+    // sketch truthfully reads stale — no racy latestVersion re-read
+    // can mislabel it.
     val registeredAt =
       try setProperties(Map(
         DeltaTable.StatsPathKey -> statsPath.toString,
-        DeltaTable.StatsVersionKey -> recordedVersion.toString))
+        DeltaTable.StatsVersionKey -> analyzedVersion.toString))
       catch {
         // registration failed (typed CAS loss, or any transient commit
         // error): the sidecar has no pointer and never will — delete it
@@ -900,11 +895,19 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
       spark.sparkContext.hadoopConfiguration, path, column)
   }
 
-  /** The table version the native ANALYZE ran at — the freshness fence
-    * for planners (None for sync-carried statistics, which planners
-    * treat as stale and floor with the log's exact current counts). */
+  /** The table version the native ANALYZE ran at (the version its scan
+    * read — None for sync-carried statistics). Planners derive
+    * freshness from it via [[statisticsFresh]] and treat anything else
+    * as stale, floored with the log's exact current counts. */
   def statisticsVersion: Option[Long] =
     log.metadataAt(None)._1.configuration.get(DeltaTable.StatsVersionKey).map(_.toLong)
+
+  /** The native ANALYZE is fresh iff the registration commit (which
+    * changes no rows) is the ONLY commit after the analyzed version —
+    * latest == analyzed + 1. Any commit in the scan/registration window
+    * or after it makes this false. */
+  def statisticsFresh: Boolean =
+    statisticsVersion.exists(v => log.latestVersion().contains(v + 1))
 
   /**
    * RESTORE TABLE ... TO VERSION AS OF `version`: one commit that flips
@@ -2039,6 +2042,17 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     supersededStats.foreach(p => graft.util.StatsFiles.deleteIfOwned(
       spark.sparkContext.hadoopConfiguration, tablePath, p,
       adoptedStats.map(_._2).toSet))
+    // self-heal the check-then-delete window: a racing loser's lost-CAS
+    // cleanup may have deleted an adopted copy before OUR registration
+    // of the same deterministic path became visible to it — re-copy
+    // from the (still-carried) source so the committed pointer resolves
+    adoptedTracked.foreach { case (k, p, _) =>
+      val hp = new Path(p)
+      if (!hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
+        syncProps.get(k).foreach(srcp => graft.util.StatsFiles.adoptIntoTracked(
+          spark.sparkContext.hadoopConfiguration, tablePath, "_graft_stats",
+          new Path(srcp)))
+    }
     v
   }
 }

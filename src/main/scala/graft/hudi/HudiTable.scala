@@ -908,18 +908,24 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         throw e
     }
     // the pointer THIS registration superseded is re-read AFTER winning
-    // (the newest pointer on instants OLDER than ours): a competitor
+    // (the newest pointer on instants OLDER than ours, native OR
+    // sync-carried — a previously-adopted carried copy is equally
+    // unreachable once the native key out-resolves it): a competitor
     // registering during our retry window would make a pre-loop read
     // stale and its sidecar would orphan. And never delete what the
-    // walk-back resolves NOW — a competitor may already have registered
-    // past us, making its (newer) file the live one.
+    // resolution walk reaches NOW — a competitor may already have
+    // registered past us, making its (newer) file the live one.
     val superseded = timeline.completedInstants()
       .filter(i => Set("commit", "replacecommit", "deltacommit").contains(i.action))
       .filter(i => committed.exists(i.time < _))
       .reverseIterator
-      .flatMap(i => timeline.readCommitMetadata(i).extraMetadata.get(HudiTable.StatsPathKey))
+      .flatMap { i =>
+        val em = timeline.readCommitMetadata(i).extraMetadata
+        em.get(HudiTable.StatsPathKey)
+          .orElse(em.get(graft.model.SyncCas.StatsPathProp))
+      }
       .nextOption()
-    val liveNow = lastCommitProp(HudiTable.StatsPathKey)
+    val liveNow = resolvedStatsRegistration.map(_._1)
     superseded.filter(p => p != statsPath.toString && !liveNow.contains(p))
       .foreach(p => graft.util.StatsFiles.deleteIfOwned(
         conf, tablePath, p, liveNow.toSet + statsPath.toString))
@@ -1551,12 +1557,21 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
       .map(i => timeline.readCommitMetadata(i).extraMetadata)
       .getOrElse(Map.empty)
 
-  /** Current snapshot as canonical data-file descriptors. Column bounds
-    * come from the col_stats index when this table carries one (ref
-    * `HudiFileStatsExtractor.java:96-103`: metadata table preferred,
-    * footers otherwise); an index-less table — e.g. written by an engine
-    * that didn't maintain stats — yields empty `columnStats`, and the
-    * sync layer translates what exists rather than re-reading footers. */
+  /** Normalized absolute path → recorded write count, from the commit
+    * metadata's own write stats — one timeline listing for the whole
+    * loop (listing per instant is O(commits²) metadata-store
+    * round-trips). Shared by [[snapshotDataFiles]] (the sync layer) and
+    * [[planningFacts]] (the planner), so the two can never count rows
+    * differently. */
+  private def writeCountsByPath(): Map[String, Long] = {
+    val completedByTime = timeline.completedInstants().map(i => i.time -> i).toMap
+    instants.flatMap { t =>
+      val m = timeline.readCommitMetadata(completedByTime(t))
+      m.partitionToWriteStats.valuesIterator.flatten.map(ws =>
+        HudiTable.normalize(absoluteOf(ws.path)) -> ws.numWrites)
+    }.toMap
+  }
+
   /** Planning-time (live rows, live bytes) of the current snapshot —
     * the stats-join planning path (StatsJoin.plannedSize) stays
     * metadata-sized: sizes ride the slice frame, record counts come
@@ -1568,12 +1583,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     * write count — unknown rows mean no planning fact. */
   def planningFacts(): Option[(Double, Double)] = {
     if (isMor && hasLogFiles(None)) return None
-    val completedByTime = timeline.completedInstants().map(i => i.time -> i).toMap
-    val counts: Map[String, Long] = instants.flatMap { t =>
-      val m = timeline.readCommitMetadata(completedByTime(t))
-      m.partitionToWriteStats.valuesIterator.flatten.map(ws =>
-        HudiTable.normalize(absoluteOf(ws.path)) -> ws.numWrites)
-    }.toMap
+    val counts = writeCountsByPath()
     val files = fileSlicesDF(None).select("path", "size").collect().toSeq
     if (files.isEmpty) return None
     var rows = 0.0
@@ -1588,6 +1598,12 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     Some((rows, bytes))
   }
 
+  /** Current snapshot as canonical data-file descriptors. Column bounds
+    * come from the col_stats index when this table carries one (ref
+    * `HudiFileStatsExtractor.java:96-103`: metadata table preferred,
+    * footers otherwise); an index-less table — e.g. written by an engine
+    * that didn't maintain stats — yields empty `columnStats`, and the
+    * sync layer translates what exists rather than re-reading footers. */
   def snapshotDataFiles(
       /** true → sync the READ-OPTIMIZED view of a MOR table: latest
         * base file per group, log files skipped (ref
@@ -1603,14 +1619,7 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
         "formats cannot express; run compactMor() first, or opt into the " +
         "read-optimized view (hudiSource(t, readOptimized = true)) whose target " +
         "lags the snapshot by the un-compacted log mutations")
-    // one timeline listing for the whole loop (listing per instant is
-    // O(commits²) metadata-store round-trips)
-    val completedByTime = timeline.completedInstants().map(i => i.time -> i).toMap
-    val counts: Map[String, Long] = instants.flatMap { t =>
-      val m = timeline.readCommitMetadata(completedByTime(t))
-      m.partitionToWriteStats.valuesIterator.flatten.map(ws =>
-        HudiTable.normalize(absoluteOf(ws.path)) -> ws.numWrites)
-    }.toMap
+    val counts = writeCountsByPath()
     val statsByFile: Map[(String, String), Seq[graft.model.ColumnStatRow]] =
       HudiColStats.read(spark, tablePath, instants) match {
         case None => Map.empty
@@ -1933,6 +1942,16 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     supersededStats.foreach(p => graft.util.StatsFiles.deleteIfOwned(
       spark.sparkContext.hadoopConfiguration, tablePath, p,
       adoptedStats.map(_._2).toSet))
+    // self-heal the check-then-delete window: a racing loser's lost-CAS
+    // cleanup may have deleted an adopted copy before OUR commit of the
+    // same deterministic path became visible to it (Delta twin's rule)
+    adoptedTracked.foreach { case (k, p, _) =>
+      val hp = new Path(p)
+      if (!hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
+        syncProps.get(k).foreach(srcp => graft.util.StatsFiles.adoptIntoTracked(
+          spark.sparkContext.hadoopConfiguration, tablePath,
+          ".hoodie/.graft_stats", new Path(srcp)))
+    }
     archiveTimeline()
     instant
   }

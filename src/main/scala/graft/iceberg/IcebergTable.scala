@@ -300,7 +300,8 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     graft.util.StatsFiles.deleteIfOwned(hconf, tablePath, path, survivingPaths)
 
   /** Adopt a sync-carried statistics file by COPYING it under this
-    * table's own `metadata/` dir ([[graft.util.StatsFiles.adoptInto]]),
+    * table's own `metadata/` dir
+    * ([[graft.util.StatsFiles.adoptIntoTracked]]),
     * so the promoted entry can never dangle when the SOURCE table
     * re-analyzes or expires the original out from under it. The
     * `created` half of the pair says THIS call placed the copy — a
@@ -463,25 +464,10 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     // manifest value strings → transform-result JVM values: time fields
     // arrive as spec ordinals from our own writer but as date strings
     // from foreign manifests that type the day transform `date`;
-    // identity values as hive strings of the source type. The hive
-    // timestamp form omits ":00" seconds and hangs micros off whatever
-    // precision remains (IcebergManifests.partitionValueString), so the
-    // parse tolerates every emitted shape — Timestamp.valueOf alone
-    // rejects "2021-01-01 00:00".
-    def hiveLdt(v: String): java.time.LocalDateTime = {
-      if (v.matches("-?\\d+")) { // canonical epoch-micros also round-trip
-        val micros = v.toLong
-        return java.time.LocalDateTime.ofEpochSecond(
-          Math.floorDiv(micros, 1000000L),
-          (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
-      }
-      val dot = v.indexOf('.')
-      val (base, fracMicros) =
-        if (dot < 0) (v, 0L)
-        else (v.substring(0, dot), v.substring(dot + 1).padTo(6, '0').take(6).toLong)
-      java.time.LocalDateTime.parse(base.trim.replace(' ', 'T'))
-        .plusNanos(fracMicros * 1000L)
-    }
+    // identity values as hive strings of the source type. The parse
+    // (IcebergTable.hiveLdt, shared with the estimatedRows literal
+    // canonicalization) tolerates every emitted shape.
+    def hiveLdt(v: String): java.time.LocalDateTime = IcebergTable.hiveLdt(v)
     def typedValue(d: graft.model.PartitionFieldDef, dt: DataType, v: String): Any =
       if (v == null) null
       else if (d.isTime) {
@@ -2328,7 +2314,7 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
             0L, sp.toString, sp.getFileSystem(hconf).getFileStatus(sp).getLen), created)
         }
       }
-    commitSnapshot(prev, idSchema, defs, entries, removes,
+    val committed = commitSnapshot(prev, idSchema, defs, entries, removes,
       carryPrevious = true,
       operation = if (removes.nonEmpty) "overwrite" else "append",
       extraProps = syncProps + ("graft.converted.from" -> sourceDataRoot),
@@ -2354,10 +2340,48 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
           s"concurrent sync detected on iceberg target $tablePath: the version " +
             "slot was taken — re-plan and retry")
       }
+    // self-heal the check-then-delete window: a racing loser's lost-CAS
+    // cleanup may have deleted an adopted copy before OUR registration
+    // of the same deterministic path became visible to it — re-copy
+    // from the (still-carried) source so the registered entry resolves
+    Seq(
+      carriedStatsT.map(_._1.path) -> graft.model.SyncCas.StatsPathProp,
+      carriedPStatsT.map(_._1.path) -> graft.model.SyncCas.PartitionStatsPathProp)
+      .foreach { case (adopted, key) =>
+        adopted.foreach { p =>
+          val hp = new Path(p)
+          if (!hp.getFileSystem(hconf).exists(hp))
+            syncProps.get(key).foreach(srcp => adoptCarriedFile(new Path(srcp)))
+        }
+      }
+    committed
   }
 }
 
 object IcebergTable {
+
+  /** Tolerant timestamp-value parse shared by the partition-statistics
+    * WRITER (manifest value strings → typed rollup values) and the
+    * estimatedRows literal canonicalization (caller strings → the same
+    * typed values) — the two sides must stay bit-identical or a live
+    * partition silently estimates 0 rows. Accepts the hive form (which
+    * omits ":00" seconds and hangs micros off whatever precision
+    * remains — Timestamp.valueOf alone rejects "2021-01-01 00:00"),
+    * date-only strings, and canonical epoch-micros. */
+  private[iceberg] def hiveLdt(v: String): java.time.LocalDateTime = {
+    if (v.matches("-?\\d+")) { // canonical epoch-micros also round-trip
+      val micros = v.toLong
+      return java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    }
+    val dot = v.indexOf('.')
+    val (base, fracMicros) =
+      if (dot < 0) (v, 0L)
+      else (v.substring(0, dot), v.substring(dot + 1).padTo(6, '0').take(6).toLong)
+    java.time.LocalDateTime.parse(base.trim.replace(' ', 'T'))
+      .plusNanos(fracMicros * 1000L)
+  }
 
   /** `fresh` differs from `staged` ONLY by widening promotions: same
     * field names and ids at every nesting level, every leaf type equal
@@ -2713,23 +2737,10 @@ final class IcebergScanBuilder(
     // 00:00", date-only, canonical epoch-micros) but the rollup stores
     // TYPED values — string-compare against the raw literal would
     // silently match nothing and estimate 0 rows for a live partition.
-    // The same tolerant parse the rollup writer uses
-    // (writePartitionStatistics.hiveLdt) produces the typed literal,
-    // so the compare is typed on both sides.
-    def ldt(v: String): java.time.LocalDateTime =
-      if (v.matches("-?\\d+")) {
-        val micros = v.toLong
-        java.time.LocalDateTime.ofEpochSecond(
-          Math.floorDiv(micros, 1000000L),
-          (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
-      } else {
-        val dot = v.indexOf('.')
-        val (base, fracMicros) =
-          if (dot < 0) (v, 0L)
-          else (v.substring(0, dot), v.substring(dot + 1).padTo(6, '0').take(6).toLong)
-        java.time.LocalDateTime.parse(base.trim.replace(' ', 'T'))
-          .plusNanos(fracMicros * 1000L)
-      }
+    // The SAME tolerant parse the rollup writer uses
+    // (IcebergTable.hiveLdt) produces the typed literal, so the
+    // compare is typed on both sides.
+    def ldt(v: String): java.time.LocalDateTime = IcebergTable.hiveLdt(v)
     val pred = partitionPredicates.foldLeft(lit(true)) { case (acc, (c, vs)) =>
       // callers speak human strings; the rollup stores typed transform
       // results — year/month/hour compare as ordinals, day as the

@@ -135,10 +135,7 @@ object StatsJoin {
     * current counts floor them. */
   def plannedSize(table: DeltaTable, keyColumn: String): Option[PlannedSize] = {
     val ndv: Option[(Double, Boolean)] = safe {
-      val n = table.statisticsRegisters(keyColumn)._2
-      val fresh = table.statisticsVersion.exists(v =>
-        safe(table.latestVersion).contains(v))
-      (n, fresh)
+      (table.statisticsRegisters(keyColumn)._2, table.statisticsFresh)
     }
     // no registered stats ⇒ no estimate — and no point replaying the
     // log for facts the decision will never consult
@@ -181,7 +178,13 @@ object StatsJoin {
     val whole = plannedSize(scan.plannedTable, keyColumn)
     val filtered = safe(scan.estimatedRows()).flatten
     (whole, filtered) match {
-      case (Some(w), Some(fr)) =>
+      // a STALE rollup estimating 0 matched rows is indistinguishable
+      // from a partition CREATED after the ANALYZE (growth-scaling
+      // multiplies matched, so 0 stays 0) — broadcasting a possibly
+      // huge new partition on that 0 would be exactly the guess this
+      // planner refuses, so only a fresh rollup's 0 (a truly empty
+      // partition) is trusted; otherwise the whole-dim posture applies
+      case (Some(w), Some(fr)) if fr > 0 || w.fresh =>
         val width = if (w.rows > 0) w.bytes / w.rows else DefaultRowWidthBytes
         val rows = math.min(w.rows, fr.toDouble)
         Some(PlannedSize(rows, rows * width, w.fresh))

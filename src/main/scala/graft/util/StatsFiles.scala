@@ -82,18 +82,12 @@ object StatsFiles {
     * don't stack prefixes; the stage+rename means a concurrent adopter
     * either wins the rename or finds the winner's identical copy.
     * A path already under `tableRoot` is returned as-is; a missing
-    * source file yields None (stale provenance — nothing to promote). */
-  def adoptInto(
-      conf: Configuration,
-      tableRoot: String,
-      statsDir: String,
-      src: Path): Option[Path] = adoptIntoTracked(conf, tableRoot, statsDir, src).map(_._1)
-
-  /** [[adoptInto]] plus a `created` flag: true iff THIS call placed the
-    * copy. A sync that adopts and then loses its commit CAS must delete
-    * exactly the copies it created (a pre-existing copy may be the
-    * LIVE registered file of an earlier successful sync) or the stats
-    * dir grows one orphan per lost race. */
+    * source file yields None (stale provenance — nothing to promote).
+    * The `created` flag is true iff THIS call placed the copy: a sync
+    * that adopts and then loses its commit CAS must delete exactly the
+    * copies it created (a pre-existing copy may be the LIVE registered
+    * file of an earlier successful sync) or the stats dir grows one
+    * orphan per lost race. */
   def adoptIntoTracked(
       conf: Configuration,
       tableRoot: String,

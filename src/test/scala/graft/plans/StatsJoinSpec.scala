@@ -182,6 +182,21 @@ class StatsJoinSpec extends SparkTestBase {
       assert(StatsJoin.plannedSize(none.scan.partitionIn("p", Set("3")), "k").isEmpty)
       assert(!hasBroadcastJoin(StatsJoin.joinPlanned(
         fact, none.scan.partitionIn("p", Set("3")), "k", col("fk") === col("k"))))
+      // a partition CREATED AFTER the analyze estimates 0 matched rows
+      // from the stale rollup — that 0 is a guess (growth-scaling
+      // cannot recover it), so the whole-dim posture applies and the
+      // possibly-huge new partition must NOT broadcast
+      dim.append(spark.range(2000, 4000).select(
+        col("id").as("k"), lit("9").as("p"),
+        expr("concat_ws('', transform(sequence(1, 40), " +
+          "i -> substr(md5(concat(cast(id as string), '-', i)), 1, 30)))").as("payload")))
+      val s9 = StatsJoin.plannedSize(dim.scan.partitionIn("p", Set("9")), "k").get
+      assert(s9.rows > 1000.0,
+        s"a post-analyze partition must cost as the whole dim, not 0: ${s9.rows}")
+      assert(!hasBroadcastJoin(StatsJoin.joinPlanned(
+        fact, dim.scan.partitionIn("p", Set("9")), "k", col("fk") === col("k"),
+        broadcastByteThreshold = budget)),
+        "a stale rollup's 0-row estimate must never justify a broadcast")
     }
   }
 
