@@ -635,7 +635,14 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
         sum(col("data_record_count"))).collect()(0)
       val matched = if (r.isNullAt(0)) 0L else r.getLong(0)
       val total = if (r.isNullAt(1)) 0L else r.getLong(1)
-      if (meta.currentSnapshotId.contains(e.snapshotId) || total <= 0L) matched
+      // a sync-carried (adopted) rollup anchors at the adoption commit
+      // but describes the SOURCE's analyzed rows — the `carried-`
+      // marker forces the growth-scaled stale path so it can never
+      // pose as a fresh fact (nor have its 0 trusted by the filtered-
+      // dimension planner)
+      val fresh = meta.currentSnapshotId.contains(e.snapshotId) &&
+        !graft.util.StatsFiles.isCarried(e.path)
+      if (fresh || total <= 0L) matched
       else {
         val current = currentRowCountUpperBound().getOrElse(total)
         if (current <= total) matched
@@ -1867,7 +1874,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       statistics = registerStats match {
         // the carried entry re-anchors at THIS snapshot: the planner's
         // ancestor walk on the target then resolves the same sketch the
-        // source's walk would, until the target is re-analyzed
+        // source's walk would, until the target is re-analyzed. The
+        // re-anchor does NOT launder staleness: the adopted file's
+        // `carried-` name marks it, and every freshness check
+        // (StatsJoin.plannedSize, estimatedRowsForPartition) reads a
+        // carried entry as stale so the exact current counts floor it
         case Some(st) if toBranch.isEmpty =>
           base.statistics.filterNot(_.snapshotId == snapshotId) :+
             st.copy(snapshotId = snapshotId)

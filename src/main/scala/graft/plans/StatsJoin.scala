@@ -107,11 +107,17 @@ object StatsJoin {
     * manifest-list row counts as a floor. */
   def plannedSize(table: IcebergTable, keyColumn: String): Option[PlannedSize] = {
     val current = safe(table.currentMetadata.currentSnapshotId).flatten
-    def atCurrent(snapshotId: Long) = current.contains(snapshotId)
+    // a sync-carried (adopted) entry re-anchors at the adoption commit's
+    // snapshot, so anchoring alone would launder the source's stale
+    // sketch into a fresh fact — the `carried-` adoption marker forces
+    // it stale, and the exact current counts floor it (the fence Delta
+    // and Hudi get from their absent-native-version semantics)
+    def fresh(snapshotId: Long, path: String) =
+      current.contains(snapshotId) && !graft.util.StatsFiles.isCarried(path)
     val ndv: Option[(Double, Boolean)] = for {
       entry <- safe(table.statisticsFor()).flatten
       n <- safe(table.statisticsRegisters(keyColumn)._2)
-    } yield (n, atCurrent(entry.snapshotId))
+    } yield (n, fresh(entry.snapshotId, entry.path))
     val rollup: Option[(Double, Double, Boolean)] = for {
       entry <- safe(table.partitionStatisticsFor()).flatten
       r <- safe {
@@ -121,7 +127,7 @@ object StatsJoin {
         if (row.isNullAt(0)) None
         else Some((row.getLong(0).toDouble, row.getLong(1).toDouble))
       }.flatten
-    } yield (r._1, r._2, atCurrent(entry.snapshotId))
+    } yield (r._1, r._2, fresh(entry.snapshotId, entry.path))
     sizeOf(Facts(ndv, rollup,
       () => safe(table.currentRowCountUpperBound()).flatten.map(_.toDouble)))
   }

@@ -42,6 +42,17 @@ object StatsFiles {
       p.getFileSystem(conf).delete(p, false)
   }
 
+  /** True for an ADOPTED (sync-carried) statistics file — the
+    * deterministic `carried-` adoption prefix is the marker. A carried
+    * sketch describes the SOURCE's analyzed row set, not the snapshot
+    * the adoption commit anchored it at, so planners must read it as
+    * STALE (and floor it with the format's exact current counts) even
+    * when its registration anchors at the current snapshot/instant —
+    * otherwise a sync that carries an old sketch alongside new rows
+    * launders staleness into a fresh-looking under-estimate. */
+  def isCarried(path: String): Boolean =
+    new Path(path).getName.startsWith("carried-")
+
   /** One HLL sketch blob tuple for a Puffin write, shared by all three
     * format writers: the 256-register byte array + the cross-engine
     * `ndv` property + the `graft.column` name key that consumers

@@ -327,6 +327,32 @@ class StatsJoinSpec extends SparkTestBase {
     assert(HudiTable.forPath(spark, s"$dir/tgt").statisticsRegisters("k")._1.nonEmpty)
   }
 
+  test("carried stats adopted at the sync commit must not read FRESH on an Iceberg target") {
+    // pinned from the fuzzer's planner audit (seeds 1/6/7 of the first
+    // audited batch): the adoption commit re-anchors the carried
+    // column-stats AND rollup entries at the target's CURRENT snapshot,
+    // so anchoring alone would launder the source's stale sketch into a
+    // fresh fact and skip the exact-count floor — an analyze-then-grow
+    // source synced once gave the target a fresh-looking estimate of
+    // the OLD row count. The `carried-` adoption marker forces stale.
+    import graft.sync.SyncEngine
+    val dir = tmpDir("stats_carried_fresh")
+    def rows(a: Long, b: Long) = spark.range(a, b).select(
+      col("id").as("k"), (col("id") % 4).cast("string").as("p"))
+    val src = IcebergTable.create(spark, s"$dir/src", rows(0, 400), Seq("p"))
+    src.writeStatistics(Seq("k"))
+    src.writePartitionStatistics()
+    // the sketch describes 400 rows; the source grows 4x past it
+    src.append(rows(400, 1600))
+    SyncEngine.sync(SyncEngine.icebergSource(src),
+      SyncEngine.targetFor(spark, "iceberg", s"$dir/tgt"))
+    val tgt = IcebergTable.forPath(spark, s"$dir/tgt")
+    val s = StatsJoin.plannedSize(tgt, "k").get
+    assert(!s.fresh, s"carried stats must read STALE on the target: $s")
+    assert(s.rows >= 1600,
+      s"stale carried estimate must be floored by the exact current counts: $s")
+  }
+
   test("unreadable statistics degrade to the no-broadcast plain join, never an error") {
     val dir = tmpDir("stats_gone")
     val data = spark.range(0, 200).select(

@@ -530,6 +530,84 @@ class CrossFormatFuzzSpec extends SparkTestBase {
         .foreach { case (f, p) => check(f, p, isTarget = true) }
     }
 
+    // Planner-DECISION audit, once per sequence after the op mix: the
+    // statsInvariant above proves the registered facts are well-formed;
+    // this proves the PLANNER consumes them safely on whatever state the
+    // random sequence produced. On every channel whose statistics
+    // resolve: (a) the estimate must never UNDER-cost the live table —
+    // the melt-the-driver direction. When stale, the freshness fence
+    // floors it with the format's exact physical counts, so the floor is
+    // the full live count; when fresh, the estimate may legitimately be
+    // the key-column ndv (physical duplicates of one key collapse), so
+    // the floor is the live DISTINCT key count — both with slack for the
+    // ~6.5%-error HLL registers. (b) joinPlanned must turn the estimate
+    // into a physical plan that agrees with the row/byte budgets in BOTH
+    // directions, with Spark's own size-based broadcast disabled so the
+    // choice under test is the stats hint and nothing else.
+    def hasBroadcast(df: DataFrame): Boolean = {
+      df.count() // execute so AQE finalizes the physical plan
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            Seq(r.child)
+          case _ => p.children
+        }
+        p +: kids.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    }
+    def plannerAudit(): Unit = {
+      import graft.plans.StatsJoin
+      def auditOne(fmt: String, path: String, live: () => DataFrame): Unit = {
+        val (sizeOpt, dim) = fmt match {
+          case "iceberg" =>
+            val t = IcebergTable.forPath(spark, path)
+            (StatsJoin.plannedSize(t, "k"), StatsJoin.StatsDim.ofIceberg(t))
+          case "delta" =>
+            val t = DeltaTable.forPath(spark, path)
+            (StatsJoin.plannedSize(t, "k"), StatsJoin.StatsDim.ofDelta(t))
+          case _ => // hudi + hudi-mor
+            val t = HudiTable.forPath(spark, path)
+            (StatsJoin.plannedSize(t, "k"), StatsJoin.StatsDim.ofHudi(t))
+        }
+        sizeOpt.foreach { s =>
+          val df = live()
+          val actual = df.count()
+          val floor = if (s.fresh) df.select("k").distinct().count() else actual
+          assert(s.rows >= 0.75 * floor - 2,
+            s"planner UNDER-costs the $fmt dim after the op mix: estimate $s " +
+              s"vs live rows=$actual distinct-k floor=$floor\n$trace")
+          if (actual > 0 && s.rows > 0) {
+            // AQE's empty-relation propagation erases the join on an
+            // empty side, so the plan-shape check needs a live dim
+            val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try {
+              val fact = df.select(col("k").as("fk")).limit(8)
+              def planBroadcasts(rowTh: Double, byteTh: Long): Boolean =
+                hasBroadcast(StatsJoin.joinPlanned(fact, dim, "k",
+                  col("fk") === col("k"), broadcastRowThreshold = rowTh,
+                  broadcastByteThreshold = byteTh))
+              assert(planBroadcasts(s.rows + 1, s.bytes.toLong + 1024),
+                s"$fmt estimate $s under both budgets must broadcast\n$trace")
+              assert(!planBroadcasts(s.rows - 1, Long.MaxValue),
+                s"$fmt row budget under estimate $s must NOT broadcast\n$trace")
+            } finally
+              spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+          }
+        }
+      }
+      auditOne(srcFmt, s"$dir/src", () => src.df)
+      (if (topo == "bi") Seq(biTgt -> pathA)
+       else Seq(fmtA -> pathA, fmtB -> pathB))
+        .foreach { case (f, p) => auditOne(f, p, () => readAs(f, p)) }
+    }
+
     // format-routed ANALYZE of the source: always "k" (the invariant's
     // replay column), plus the current price column when present
     def analyzeSrc(): Unit = {
@@ -864,6 +942,7 @@ class CrossFormatFuzzSpec extends SparkTestBase {
       assert(snap(src.dfAsOf(v)) == expected,
         s"time travel to $v drifted after the op mix\n$trace")
     }
+    plannerAudit()
     }
   }
 
