@@ -89,14 +89,21 @@ object StatsJoin {
         case (Some((a, af)), Some((b, bf))) => Some((math.max(a, b), af && bf))
         case (a, b) => a.orElse(b)
       }
-    stale.map { case (rows0, fresh) =>
-      val rows =
-        if (fresh) rows0
-        else math.max(rows0, facts.currentRowsUpperBound().getOrElse(rows0))
-      val width = facts.partitionRollup
-        .collect { case (r, b, _) if r > 0 => b / r }
-        .getOrElse(DefaultRowWidthBytes)
-      PlannedSize(rows, rows * width, fresh)
+    stale.flatMap { case (rows0, fresh) =>
+      // a STALE estimate is only usable once the exact current counts
+      // floor it; when the format cannot supply that floor (a Hudi MOR
+      // snapshot with un-compacted log mutations, an unreadable
+      // manifest list) the stale number alone would be exactly the
+      // guess this planner refuses — no estimate, no broadcast
+      val floored: Option[Double] =
+        if (fresh) Some(rows0)
+        else facts.currentRowsUpperBound().map(math.max(rows0, _))
+      floored.map { rows =>
+        val width = facts.partitionRollup
+          .collect { case (r, b, _) if r > 0 => b / r }
+          .getOrElse(DefaultRowWidthBytes)
+        PlannedSize(rows, rows * width, fresh)
+      }
     }
   }
 

@@ -106,7 +106,14 @@ object StatsFiles {
       src: Path): Option[(Path, Boolean)] = {
     val srcFs = src.getFileSystem(conf)
     if (!srcFs.exists(src)) None
-    else if (qualifiedUri(conf, src).startsWith(rootPrefix(conf, tableRoot)))
+    // as-is ONLY for a path already inside OUR stats dir (a re-sync
+    // whose prop points at our own previously adopted copy). Merely
+    // being under the table root is not enough: a source table nested
+    // inside the target's root would hand over its native file
+    // verbatim, and the un-prefixed name would dodge the isCarried
+    // staleness fence every planner freshness check relies on.
+    else if (qualifiedUri(conf, src).startsWith(
+        rootPrefix(conf, new Path(tableRoot, statsDir).toString)))
       Some((src, false))
     else {
       val dst = new Path(tableRoot,

@@ -544,16 +544,16 @@ class CrossFormatFuzzSpec extends SparkTestBase {
     // into a physical plan that agrees with the row/byte budgets in BOTH
     // directions, with Spark's own size-based broadcast disabled so the
     // choice under test is the stats hint and nothing else.
+    // plan-shape check WITHOUT executing the join: the stats hint fixes
+    // the initial physical plan (broadcast() ⇒ BroadcastHashJoinExec;
+    // no hint + auto-broadcast disabled ⇒ a shuffle join), so walking
+    // the un-executed AQE plan decides both directions for free
     def hasBroadcast(df: DataFrame): Boolean = {
-      df.count() // execute so AQE finalizes the physical plan
       def walk(p: org.apache.spark.sql.execution.SparkPlan)
           : Seq[org.apache.spark.sql.execution.SparkPlan] = {
         val kids = p match {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
             Seq(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-            Seq(r.child)
           case _ => p.children
         }
         p +: kids.flatMap(walk)
