@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.functions.{VectorKernels => VK}
 
 /**
  * Deduplication operators for training-data pipelines, over the
@@ -31,8 +32,9 @@ object Dedup {
     spread(spark, dir)
       .withColumn("words", split(lower(col("text")), " "))
       .filter(size(col("words")) >= 3)
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(0, size(words)-3), i -> concat_ws(' ', slice(words, i+1, 3))))"))
+      // native WordNgrams kernel: one pass per row (the HOF form
+      // interpreted transform/slice/concat_ws per window)
+      .withColumn("shingles", VK.wordNgrams(col("words"), 3, distinct = true))
 
   /** The 16-band × 4-row LSH banding of a (id, sig) frame: rows of
     * (id, band, bkey), 24 bytes each — the unit both the in-corpus
@@ -309,7 +311,7 @@ object Dedup {
     // pair in the join below (which would be N²/k × 128).
     val assigned = Similarity.kmeansAssignments(spark, dir)
       .select(col("cid"), col("vec_id"), col("fp"))
-      .withColumn("nrm", expr("aggregate(fp, 0L, (acc, x) -> acc + x*x)"))
+      .withColumn("nrm", VK.dotFp(col("fp"), col("fp")))
       .persist()
     // salt the in-cluster all-pairs join: keyed on cid alone its
     // parallelism is bounded by k (8 tasks on a 1000-core cluster);
@@ -325,8 +327,7 @@ object Dedup {
     val resolved = a.join(b, Seq("cid", "salt")).filter(col("vec_a") < col("vec_b"))
       // fp components are ~1e6, so per-term products are ~1e12 and the
       // 64-term sums fit a long with room to spare
-      .withColumn("dot", expr(
-        "aggregate(zip_with(fp_a, fp_b, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", VK.dotFp(col("fp_a"), col("fp_b")))
       .filter(col("dot") > 0 && expr(
         s"""cast(dot AS DECIMAL(38,0)) * cast(dot AS DECIMAL(38,0)) * $tauSqDen >=
            |cast(na AS DECIMAL(38,0)) * cast(nb AS DECIMAL(38,0)) * $tauSqNum""".stripMargin))
@@ -492,9 +493,11 @@ object Dedup {
     val exploded = spread(spark, dir)
       .withColumn("words", split(lower(col("text")), " "))
       .filter(size(col("words")) >= k)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(words)-$k), i -> md5(concat_ws(' ', slice(words, i+1, $k))))")))
-        .as("g"))
+      // native WordNgrams + per-distinct-window md5: identical digest
+      // set/order (md5 over the k-word window text), with the window
+      // construction in one tight pass instead of interpreted HOFs
+      .withColumn("wnd", VK.wordNgrams(col("words"), k, distinct = true))
+      .select(col("doc_id"), explode(expr("transform(wnd, g -> md5(g))")).as("g"))
     exploded
       .withColumn("docs", count(lit(1)).over(Window.partitionBy(col("g"))))
       .groupBy(col("doc_id"))

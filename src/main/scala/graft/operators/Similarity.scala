@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
+import graft.functions.{VectorKernels => VK}
 
 /**
  * Approximate-nearest-neighbor search over the `embeddings` table
@@ -17,12 +18,12 @@ import graft.sources.Tables
  */
 object Similarity {
 
-  /** Codegen'd cosine similarity between two float-array columns. */
-  def cosineExpr(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)),
-       |  cast(0.0 AS DOUBLE), (acc, v) -> acc + v) /
-       |(sqrt(aggregate($a, cast(0.0 AS DOUBLE), (acc, x) -> acc + cast(x AS DOUBLE) * cast(x AS DOUBLE))) *
-       | sqrt(aggregate($b, cast(0.0 AS DOUBLE), (acc, y) -> acc + cast(y AS DOUBLE) * cast(y AS DOUBLE))))""".stripMargin)
+  /** Cosine similarity between two float-array columns — the native
+    * kernel (graft.functions.CosineFd) with the exact IEEE fold order
+    * of the former `aggregate(zip_with(...))` HOF pipeline, which
+    * evaluated its lambdas interpreted per element (r16: ~64 boxed
+    * calls + a zip array per pair → one tight loop per pair). */
+  def cosineExpr(a: String, b: String): Column = VK.cosineFd(col(a), col(b))
 
   /** Exact top-k neighbors for each query vector (vec_id < nQueries). */
   def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -185,20 +186,17 @@ object Similarity {
       spark: SparkSession, dir: String, k: Int = 8, iters: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
-          .as("fp"))
+        VK.fp1e6(col("embedding")).as("fp"))
       .persist()
 
+    // native argmin kernel: one tight loop per row over the k×64
+    // centroid matrix (ties → lowest index = lowest cid, since cents
+    // are sorted by cid — the array_min struct convention)
     def assign(cents: Seq[(Long, Seq[Long])]): DataFrame =
-      e.withColumn("cents", typedLit(cents.map(_._2)))
-        .withColumn("cids", typedLit(cents.map(_._1)))
-        .withColumn("best", expr(
-          """array_min(transform(sequence(0, size(cents)-1), kk -> named_struct(
-            |  'd', aggregate(zip_with(fp, cents[kk], (x, y) -> (x-y)*(x-y)),
-            |         cast(0 AS bigint), (acc, v) -> acc + v),
-            |  'cid', cids[kk])))""".stripMargin))
+      e.withColumn("cids", typedLit(cents.map(_._1)))
+        .withColumn("best", VK.argminCell(col("fp"), cents.map(_._2)))
         .select(col("vec_id"), col("fp"),
-          col("best.cid").as("cid"), col("best.d").as("dist"))
+          expr("cids[best.idx]").as("cid"), col("best.d").as("dist"))
 
     val cents = trainedCentroids.synchronized(trainedCentroids.get((dir, k, iters)))
       .getOrElse {
@@ -274,8 +272,7 @@ object Similarity {
     val subDim = dims / subspaces
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
-          .as("fp"))
+        VK.fp1e6(col("embedding")).as("fp"))
     // codebooks: cb[m][kk][dd] = subvector m of corpus vector kk —
     // subspaces × codewords × subDim longs of broadcast literal state
     val cbRows = e.filter(col("vec_id") < codewords).orderBy(col("vec_id"))
@@ -283,29 +280,21 @@ object Similarity {
     val cbs: Seq[Seq[Seq[Long]]] = (0 until subspaces).map(m =>
       cbRows.toIndexedSeq.map(fp => fp.slice(m * subDim, (m + 1) * subDim): Seq[Long]))
     // encode: per subspace, the id of the nearest codeword (integer L2,
-    // ties by codeword id) — the corpus compresses to `codes`
-    val encoded = e.withColumn("cb", typedLit(cbs))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${subspaces - 1}), m ->
-           |  array_min(transform(sequence(0, ${codewords - 1}), kk -> named_struct(
-           |    'd', aggregate(sequence(0, ${subDim - 1}), cast(0 AS bigint), (acc, dd) ->
-           |           acc + (fp[m*$subDim+dd] - cb[m][kk][dd]) * (fp[m*$subDim+dd] - cb[m][kk][dd])),
-           |    'kk', kk))).kk)""".stripMargin))
+    // ties by codeword id) — the corpus compresses to `codes`; native
+    // kernel (graft.functions.PqEncode): the former nested
+    // transform/array_min HOF allocated 8×16 structs per row
+    val encoded = e
+      .withColumn("codes", VK.pqEncode(col("fp"), cbs))
       .select(col("vec_id").as("neighbor_id"), col("codes"))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("fp").as("q_fp"))
     // ADC: distance of the query subvector to the neighbor's CODEWORD
-    // (not its raw vector) summed over subspaces
+    // (not its raw vector) summed over subspaces — native PqAdc kernel
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
     broadcast(queries).crossJoin(encoded)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cb", typedLit(cbs))
-      .withColumn("adist", expr(
-        s"""aggregate(sequence(0, ${subspaces - 1}), cast(0 AS bigint), (acc, m) ->
-           |  acc + aggregate(sequence(0, ${subDim - 1}), cast(0 AS bigint), (a2, dd) ->
-           |    a2 + (q_fp[m*$subDim+dd] - cb[m][codes[m]][dd]) *
-           |         (q_fp[m*$subDim+dd] - cb[m][codes[m]][dd])))""".stripMargin))
+      .withColumn("adist", VK.pqAdc(col("q_fp"), col("codes"), cbs))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -331,49 +320,30 @@ object Similarity {
     val subDim = dims / subspaces
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
-          .as("fp"))
+        VK.fp1e6(col("embedding")).as("fp"))
     val first = e.filter(col("vec_id") < math.max(nCells, codewords))
       .orderBy(col("vec_id")).collect()
       .map(r => r.getSeq[Long](1).toIndexedSeq)
     val cells: Seq[Seq[Long]] = first.take(nCells).toIndexedSeq
     val cbs: Seq[Seq[Seq[Long]]] = (0 until subspaces).map(m =>
       first.take(codewords).toIndexedSeq.map(fp => fp.slice(m * subDim, (m + 1) * subDim): Seq[Long]))
-    def cellExpr(vec: String) =
-      s"""array_min(transform(sequence(0, ${nCells - 1}), cc -> named_struct(
-         |  'd', aggregate(zip_with($vec, cells[cc], (x, y) -> (x-y)*(x-y)),
-         |         cast(0 AS bigint), (acc, v) -> acc + v),
-         |  'cc', cc))).cc""".stripMargin
     // corpus side: coarse cell + PQ codes — 1 + 8 small ints per vector
-    val encoded = e.withColumn("cells", typedLit(cells)).withColumn("cb", typedLit(cbs))
-      .withColumn("cell", expr(cellExpr("fp")))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${subspaces - 1}), m ->
-           |  array_min(transform(sequence(0, ${codewords - 1}), kk -> named_struct(
-           |    'd', aggregate(sequence(0, ${subDim - 1}), cast(0 AS bigint), (acc, dd) ->
-           |           acc + (fp[m*$subDim+dd] - cb[m][kk][dd]) * (fp[m*$subDim+dd] - cb[m][kk][dd])),
-           |    'kk', kk))).kk)""".stripMargin))
+    // (native ArgminCell / PqEncode kernels; the former HOF forms
+    // allocated 16 + 8×16 structs per row, interpreted)
+    val encoded = e
+      .withColumn("cell", VK.argminCell(col("fp"), cells).getField("idx"))
+      .withColumn("codes", VK.pqEncode(col("fp"), cbs))
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
     // query side: the nprobe nearest cells by the same integer L2
     val probes = e.filter(col("vec_id") < nQueries)
-      .withColumn("cells", typedLit(cells))
-      .withColumn("pcells", expr(
-        s"""transform(slice(array_sort(transform(sequence(0, ${nCells - 1}), cc -> named_struct(
-           |  'd', aggregate(zip_with(fp, cells[cc], (x, y) -> (x-y)*(x-y)),
-           |         cast(0 AS bigint), (acc, v) -> acc + v),
-           |  'cc', cc))), 1, $nprobe), x -> x.cc)""".stripMargin))
+      .withColumn("pcells", VK.probeCells(col("fp"), cells, nprobe))
       .select(col("vec_id").as("query_id"), col("fp").as("q_fp"),
         explode(col("pcells")).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
     broadcast(probes).join(encoded, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cb", typedLit(cbs))
-      .withColumn("adist", expr(
-        s"""aggregate(sequence(0, ${subspaces - 1}), cast(0 AS bigint), (acc, m) ->
-           |  acc + aggregate(sequence(0, ${subDim - 1}), cast(0 AS bigint), (a2, dd) ->
-           |    a2 + (q_fp[m*$subDim+dd] - cb[m][codes[m]][dd]) *
-           |         (q_fp[m*$subDim+dd] - cb[m][codes[m]][dd])))""".stripMargin))
+      .withColumn("adist", VK.pqAdc(col("q_fp"), col("codes"), cbs))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -403,8 +373,7 @@ object Similarity {
       nQueries: Int = 10, k: Int = 5, rerank: Int = 20): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
-          .as("fp"))
+        VK.fp1e6(col("embedding")).as("fp"))
     // "train" = per-dimension corpus (lo, span) — 64 pairs of longs of
     // broadcast index state (the SQ analog of s02's centroid list)
     val rng = e.select(posexplode(col("fp")).as(Seq("pos", "v")))
@@ -413,22 +382,20 @@ object Similarity {
       .orderBy(col("pos")).collect()
     val los: Seq[Long] = rng.map(_.getLong(1)).toIndexedSeq
     val spans: Seq[Long] = rng.map(_.getLong(2)).toIndexedSeq
-    val codeExpr = expr(
-      "transform(sequence(0, 63), i -> ((fp[i] - los[i]) * 255) div spans[i])")
-    val encoded = e.withColumn("los", typedLit(los)).withColumn("spans", typedLit(spans))
-      .withColumn("code", codeExpr)
+    // native Sq8Encode / SqDistFp kernels (same integer math, one tight
+    // loop per row instead of 64 interpreted lambda calls)
+    val encoded = e
+      .withColumn("code", VK.sq8Encode(col("fp"), los, spans))
       .select(col("vec_id").as("neighbor_id"), col("code"))
     val queries = e.filter(col("vec_id") < nQueries)
-      .withColumn("los", typedLit(los)).withColumn("spans", typedLit(spans))
-      .withColumn("q_code", codeExpr)
+      .withColumn("q_code", VK.sq8Encode(col("fp"), los, spans))
       .select(col("vec_id").as("query_id"), col("fp").as("q_fp"), col("q_code"))
     // coarse scan in code space: 1 byte/dim on the corpus side
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist"), col("neighbor_id"))
     val candidates = broadcast(queries).crossJoin(encoded)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cdist", expr(
-        "aggregate(zip_with(q_code, code, (x, y) -> (x-y)*(x-y)), cast(0 AS bigint), (acc, v) -> acc + v)"))
+      .withColumn("cdist", VK.sqdistFp(col("q_code"), col("code")))
       .withColumn("crn", row_number().over(wCoarse))
       .filter(col("crn") <= rerank)
       .select(col("query_id"), col("q_fp"), col("neighbor_id"))
@@ -437,8 +404,7 @@ object Similarity {
       .orderBy(col("d"), col("neighbor_id"))
     candidates
       .join(e.select(col("vec_id").as("neighbor_id"), col("fp").as("c_fp")), Seq("neighbor_id"))
-      .withColumn("d", expr(
-        "aggregate(zip_with(q_fp, c_fp, (x, y) -> (x-y)*(x-y)), cast(0 AS bigint), (acc, v) -> acc + v)"))
+      .withColumn("d", VK.sqdistFp(col("q_fp"), col("c_fp")))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -463,38 +429,28 @@ object Similarity {
       nQueries: Int = 20, k: Int = 10, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
-          .as("fp"))
+        VK.fp1e6(col("embedding")).as("fp"))
     val cells: Seq[Seq[Long]] = e.filter(col("vec_id") < nCells).orderBy(col("vec_id"))
       .collect().map(r => r.getSeq[Long](1).toIndexedSeq: Seq[Long]).toIndexedSeq
-    val l2 = (a: String, b: String) =>
-      s"""aggregate(zip_with($a, $b, (x, y) -> (x-y)*(x-y)),
-         |  cast(0 AS bigint), (acc, v) -> acc + v)""".stripMargin
-    val cellOf = (vec: String) =>
-      s"""array_min(transform(sequence(0, ${nCells - 1}), cc -> named_struct(
-         |  'd', ${l2(vec, "cells[cc]")}, 'cc', cc)))""".stripMargin
+    // native kernels: ArgminCell / ProbeCells / SqDistFp (same integer
+    // math and (d, cc) tie order as the former HOF expressions)
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("fp").as("q_fp"))
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("fp").as("c_fp"))
-      .withColumn("cells", typedLit(cells))
-      .withColumn("cell", expr(s"${cellOf("c_fp")}.cc"))
-      .drop("cells")
+      .withColumn("cell", VK.argminCell(col("c_fp"), cells).getField("idx"))
     val wRank = Window.partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
     val exact = broadcast(queries).crossJoin(corpus.drop("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("d", expr(l2("q_fp", "c_fp")))
+      .withColumn("d", VK.sqdistFp(col("q_fp"), col("c_fp")))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"))
     val probes = queries
-      .withColumn("cells", typedLit(cells))
-      .withColumn("pcells", expr(
-        s"""transform(slice(array_sort(transform(sequence(0, ${nCells - 1}), cc -> named_struct(
-           |  'd', ${l2("q_fp", "cells[cc]")}, 'cc', cc))), 1, $nprobe), x -> x.cc)""".stripMargin))
+      .withColumn("pcells", VK.probeCells(col("q_fp"), cells, nprobe))
       .select(col("query_id"), col("q_fp"), explode(col("pcells")).as("cell"))
     val approx = broadcast(probes).join(corpus, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("d", expr(l2("q_fp", "c_fp")))
+      .withColumn("d", VK.sqdistFp(col("q_fp"), col("c_fp")))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"))
@@ -529,29 +485,20 @@ object Similarity {
       k: Int = 3, nCells: Int = 16, nprobe: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
-          .as("fp"))
+        VK.fp1e6(col("embedding")).as("fp"))
     val cells: Seq[Seq[Long]] = e.filter(col("vec_id") < nCells).orderBy(col("vec_id"))
       .collect().map(r => r.getSeq[Long](1).toIndexedSeq: Seq[Long]).toIndexedSeq
-    val l2 = (a: String, b: String) =>
-      s"""aggregate(zip_with($a, $b, (x, y) -> (x-y)*(x-y)),
-         |  cast(0 AS bigint), (acc, v) -> acc + v)""".stripMargin
-    val cellsOf = (vec: String, n: Int) =>
-      s"""transform(slice(array_sort(transform(sequence(0, ${nCells - 1}), cc -> named_struct(
-         |  'd', ${l2(vec, "cells[cc]")}, 'cc', cc))), 1, $n), x -> x.cc)""".stripMargin
+    // native ArgminCell / ProbeCells / SqDistFp kernels (identical
+    // integer math and tie order to the former HOF expressions)
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("fp").as("c_fp"))
-      .withColumn("cells", typedLit(cells))
-      .withColumn("cell", expr(s"${cellsOf("c_fp", 1)}[0]"))
-      .drop("cells")
+      .withColumn("cell", VK.argminCell(col("c_fp"), cells).getField("idx"))
     val queries = e.filter(col("vec_id") % 7 === 3)
       .select(col("vec_id").as("query_id"), col("fp").as("q_fp"))
-      .withColumn("cells", typedLit(cells))
-      .withColumn("cell", explode(expr(cellsOf("q_fp", nprobe))))
-      .drop("cells")
+      .withColumn("cell", explode(VK.probeCells(col("q_fp"), cells, nprobe)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
     queries.join(corpus, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("d", expr(l2("q_fp", "c_fp")))
+      .withColumn("d", VK.sqdistFp(col("q_fp"), col("c_fp")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -563,17 +510,12 @@ object Similarity {
     * every store-resident ANN stage shares with its DuckDB replay. */
   private def fpEmbeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"),
-      expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
-        .as("fp"))
+      VK.fp1e6(col("embedding")).as("fp"))
 
   /** Membership predicate of the incoming query batch (s08's split);
     * the persisted cell store covers the complement (standing corpus). */
   private val isQueryBatch = col("vec_id") % 7 === 3
 
-  /** Integer L2 between two fixed-point columns (codegen'd HOF). */
-  private def l2Expr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> (x-y)*(x-y)),
-       |  cast(0 AS bigint), (acc, v) -> acc + v)""".stripMargin
 
   /** Persisted IVF cell store per (JVM, sfDir) — the ANN twin of the
     * d09 shingle store: the standing corpus' cell assignment computed
@@ -599,8 +541,7 @@ object Similarity {
           // scan itself — one standing store serves every predicate
           val corpus = Tables.embeddings(spark, dir)
             .select(col("vec_id"),
-              expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
-                .as("fp"),
+              VK.fp1e6(col("embedding")).as("fp"),
               col("label"))
             .filter(!isQueryBatch)
           val cellRows = corpus.select("vec_id", "fp").orderBy(col("vec_id")).limit(16).collect()
@@ -608,8 +549,7 @@ object Similarity {
           val fps: Seq[Seq[Long]] =
             cellRows.map(r => r.getSeq[Long](1).toIndexedSeq: Seq[Long]).toIndexedSeq
           val assigned = corpus
-            .withColumn("cells", typedLit(fps))
-            .withColumn("cc", expr(s"${cellOrdinalsOf("fp", 1, fps.size)}[0]"))
+            .withColumn("cc", VK.argminCell(col("fp"), fps).getField("idx"))
             .withColumn("cell", element_at(typedLit(ids), col("cc") + 1))
             .select(col("cell"), col("vec_id").as("neighbor_id"), col("fp").as("c_fp"),
               col("label"))
@@ -618,13 +558,6 @@ object Similarity {
         })
       }
   }
-
-  /** The `n` nearest cell ORDINALS of a fixed-point vector against the
-    * broadcast `cells` literal (ties by ordinal — ids are ascending, so
-    * ordinal order IS id order, matching the SQL replay). */
-  private def cellOrdinalsOf(vec: String, n: Int, nCells: Int): String =
-    s"""transform(slice(array_sort(transform(sequence(0, ${nCells - 1}), cc -> named_struct(
-       |  'd', ${l2Expr(vec, "cells[cc]")}, 'cc', cc))), 1, $n), x -> x.cc)""".stripMargin
 
   /** Pre-build the s09 cell store (bench/Verify fixture phase). */
   def primeCellStore(spark: SparkSession, dir: String): Unit = {
@@ -667,10 +600,9 @@ object Similarity {
       ids: Seq[Long], fps: Seq[Seq[Long]], k: Int, nprobe: Int): DataFrame = {
     val queries = fpEmbeddings(spark, dir).filter(isQueryBatch)
       .select(col("vec_id").as("query_id"), col("fp").as("q_fp"))
-      .withColumn("cells", typedLit(fps))
-      .withColumn("cc", explode(expr(cellOrdinalsOf("q_fp", nprobe, fps.size))))
+      .withColumn("cc", explode(VK.probeCells(col("q_fp"), fps, nprobe)))
       .withColumn("cell", element_at(typedLit(ids), col("cc") + 1))
-      .drop("cells", "cc")
+      .drop("cc")
     // the probed cell set is model-scale (≤ nCells distinct values);
     // materializing it as literals turns the store read into static
     // partition pruning — only the probed partitions' files open
@@ -681,7 +613,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
     queries.join(store, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("d", expr(l2Expr("q_fp", "c_fp")))
+      .withColumn("d", VK.sqdistFp(col("q_fp"), col("c_fp")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -707,10 +639,9 @@ object Similarity {
     val (storePath, ids, fps) = CellStore.ensure(spark, dir)
     val queries = fpEmbeddings(spark, dir).filter(isQueryBatch)
       .select(col("vec_id").as("query_id"), col("fp").as("q_fp"))
-      .withColumn("cells", typedLit(fps))
-      .withColumn("cc", explode(expr(cellOrdinalsOf("q_fp", nprobe, fps.size))))
+      .withColumn("cc", explode(VK.probeCells(col("q_fp"), fps, nprobe)))
       .withColumn("cell", element_at(typedLit(ids), col("cc") + 1))
-      .drop("cells", "cc")
+      .drop("cc")
     val probed = queries.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     // partition prune (cell IN probed) + pushed data filter (label = L)
@@ -722,7 +653,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
     queries.join(store, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("d", expr(l2Expr("q_fp", "c_fp")))
+      .withColumn("d", VK.sqdistFp(col("q_fp"), col("c_fp")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -767,8 +698,7 @@ object Similarity {
               col("label"))
             .filter(!isQueryBatch)
             .filter(col("vec_id") % 9 === 2)
-            .withColumn("cells", typedLit(fps))
-            .withColumn("cc", expr(s"${cellOrdinalsOf("fp", 1, fps.size)}[0]"))
+            .withColumn("cc", VK.argminCell(col("fp"), fps).getField("idx"))
             .withColumn("cell", element_at(typedLit(ids), col("cc") + 1))
             .select(col("cell"), col("vec_id").as("neighbor_id"), col("fp").as("c_fp"),
               col("label"))

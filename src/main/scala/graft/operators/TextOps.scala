@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.functions.{VectorKernels => VK}
 
 /**
  * Text-analysis operators for training-data pipelines over `documents`:
@@ -82,17 +83,17 @@ object TextOps {
     Tables.documents(spark, dir)
       .withColumn("words", split(lower(col("text")), " "))
       .withColumn("bigrams", when(size(col("words")) >= 2,
-        expr("transform(sequence(0, size(words)-2), i -> concat(words[i], ' ', words[i+1]))"))
+        VK.wordNgrams(col("words"), 2, distinct = false))
         .otherwise(expr("cast(array() AS array<string>)")))
       .select(
         col("doc_id"),
         size(col("words")).cast("bigint").as("n_words"),
-        (expr("array_max(transform(array_distinct(words), d -> size(filter(words, x -> x = d))))")
+        (VK.maxFreq(col("words"))
           .cast("double") / size(col("words"))).as("top_word_frac"),
         ((size(col("words")) - size(array_distinct(col("words")))).cast("double") /
           size(col("words"))).as("dup_word_frac"),
         when(size(col("bigrams")) > 0,
-          expr("array_max(transform(array_distinct(bigrams), d -> size(filter(bigrams, x -> x = d))))")
+          VK.maxFreq(col("bigrams"))
             .cast("double") / size(col("bigrams")))
           .otherwise(lit(0.0)).as("top_bigram_frac"))
       .orderBy(col("doc_id"))
@@ -113,8 +114,8 @@ object TextOps {
     def grams(d: DataFrame): DataFrame = d
       .withColumn("words", split(lower(col("text")), " "))
       .select(col("doc_id"),
-        when(size(col("words")) >= 5, array_distinct(
-          expr("transform(sequence(0, size(words)-5), i -> concat_ws(' ', slice(words, i+1, 5)))")))
+        // native WordNgrams kernel (one pass/row vs interpreted HOFs)
+        when(size(col("words")) >= 5, VK.wordNgrams(col("words"), 5, distinct = true))
           .otherwise(expr("cast(array() AS array<string>)")).as("grams"))
     val docs = Tables.documents(spark, dir)
     val spread = spark.sparkContext.defaultParallelism * 2
@@ -245,8 +246,9 @@ object TextOps {
       .withColumn("chars", (length(col("text")) - (col("wc") - 1)).cast("bigint"))
       .withColumn("n_stop",
         size(expr(s"array_distinct(filter(words, w -> w IN ($sw)))")).cast("bigint"))
-      .withColumn("max_freq", expr(
-        "cast(array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w)))) AS bigint)"))
+      // native MaxFreq kernel: O(words) hash count vs the former
+      // O(distinct × words) interpreted filter-per-distinct-word
+      .withColumn("max_freq", VK.maxFreq(col("words")))
       .select(
         col("doc_id"), col("wc"),
         (col("wc") >= 30 && col("wc") <= 90).as("wc_ok"),
@@ -371,9 +373,7 @@ object TextOps {
       .filter(col("wc") >= 30 && col("wc") <= 90)
       .filter(col("chars") >= col("wc") * 4 && col("chars") <= col("wc") * 5)
       .filter(size(expr(s"array_distinct(filter(words, w -> w IN ($sw)))")) >= 2)
-      .filter(expr(
-        "cast(array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w)))) AS bigint)") * 8
-        <= col("wc"))
+      .filter(VK.maxFreq(col("words")) * 8 <= col("wc"))
     // stage 3 — t07's deterministic per-language sample
     val w3 = Window.partitionBy(col("lang"))
       .orderBy(expr("(doc_id * 2654435761) % 4294967296"), col("doc_id"))
@@ -446,9 +446,7 @@ object TextOps {
     def grams(d: DataFrame): DataFrame = d
       .withColumn("words", split(lower(col("text")), " "))
       .filter(size(col("words")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(words)-2), i -> concat_ws(' ', slice(words, i+1, 2)))"))
-        .as("gram"))
+      .select(explode(VK.wordNgrams(col("words"), 2, distinct = false)).as("gram"))
     val g = grams(Tables.documents(spark, dir).repartition(spreadN, col("doc_id")))
     // corpus-sized scalar (a count, no shuffle) — sets the support bar
     val threshold = math.max(2L, g.count() / 1000L)
