@@ -392,14 +392,29 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
             }
           }
       }
-    val logDF = spark.createDataFrame(rowsRdd, ordSchema)
+    // mutation-sized: one row per log record — materialize once (the
+    // frame feeds both the key set and the merge union)
+    val logDF = spark.createDataFrame(rowsRdd, ordSchema).localCheckpoint()
+    // Route ONLY log-touched keys through the merge window: a key not
+    // in any log block has exactly one live base row (Hudi keys live in
+    // one file group), which the window would keep unchanged — so cold
+    // base rows bypass the shuffle entirely via a broadcast anti-join
+    // on the mutation-sized key set. The former shape shuffled EVERY
+    // base row of a mutated file group; merge cost is now proportional
+    // to the mutations, not to the base files they landed in (guide
+    // §2.3/§2.4 — the 100 TB posture, and the same routing idea as the
+    // key-indexed MERGE).
+    val logKeys = logDF.select(col(key)).distinct()
+    val coldBase = base.join(broadcast(logKeys), Seq(key), "left_anti")
+      .select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+    val hotBase = base.join(broadcast(logKeys), Seq(key), "left_semi")
     val w = Window.partitionBy(col(key))
       .orderBy(col("__inst").desc, col("__ver").desc, col("__idx").desc)
-    val merged = base.unionByName(logDF)
+    val merged = hotBase.unionByName(logDF)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col("__del"))
       .select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
-    plainDF.unionByName(merged)
+    plainDF.unionByName(coldBase).unionByName(merged)
   }
 
   /**

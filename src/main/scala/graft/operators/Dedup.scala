@@ -137,7 +137,13 @@ object Dedup {
    */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val w = MaxBucketWindow
-    val groups = simhashGroups(spark, dir)
+    // the signature-group frame is referenced FOUR times below (intra
+    // pairs, banding, both join sides); left lazy each reference re-ran
+    // the corpus scan + tokenize + simhash. It is distinct-signature-
+    // sized (KB at any corpus: near-dup corpora collapse to far fewer
+    // sigs than docs), so materialize it once — localCheckpoint, not
+    // cache, so the blocks die with the frame (guide §5)
+    val groups = simhashGroups(spark, dir).localCheckpoint()
 
     // hamming-0 pairs: all pairs within one signature group (output-sized)
     val intra = groups.filter(size(col("ids")) > 1)
@@ -148,7 +154,7 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"), lit(0).as("hamming"))
 
     // candidate signature pairs from banded buckets over distinct sigs
-    val sigPairs = simhashBandBuckets(spark, dir)
+    val sigPairs = simhashBandBucketsOf(groups)
       .filter(size(col("sigs")) > 1)
       .select(explode(expr(
         s"""flatten(transform(sequence(1, size(sigs)-1), i ->
@@ -176,7 +182,12 @@ object Dedup {
   /** SimHash band buckets over DISTINCT signatures: (band, bkey) →
     * sorted member signatures. Exposed for occupancy assertions. */
   private[graft] def simhashBandBuckets(spark: SparkSession, dir: String): DataFrame =
-    simhashGroups(spark, dir)
+    simhashBandBucketsOf(simhashGroups(spark, dir))
+
+  /** Banding over an already-built signature-group frame (so callers
+    * holding a materialized `groups` don't recompute the corpus hash). */
+  private def simhashBandBucketsOf(groups: DataFrame): DataFrame =
+    groups
       .select(col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b*16) & 65535 AS bkey))"))
@@ -360,11 +371,17 @@ object Dedup {
     val pairs = minhashPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
       .persist()
+    // pre-partition the edge list by the join key ONCE: each round's
+    // edges⋈labels then needs NO exchange on either side (labels come
+    // back hash-partitioned by node from the previous round's shuffle,
+    // and cached/checkpointed frames preserve their partitioning) —
+    // guide §2.4: establish the partitioning once, reuse it per round
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
       .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
+    var labels = edges.select(col("dst").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
     var converged = false
@@ -374,11 +391,14 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nlbl")).as("nmin"))
         .select(col("src").as("node"), col("nmin"))
+      // LAZY checkpoint + one count(): the convergence check and the
+      // lineage-truncating materialization share ONE job per round (the
+      // eager-checkpoint-then-isEmpty shape paid two)
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
           (col("nmin") < col("lbl")).as("changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("changed")).isEmpty
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("changed")).count() == 0L
       labels = next.drop("changed")
       rounds += 1
     }

@@ -200,8 +200,14 @@ object Multimodal {
     require(bands >= 1 && bands <= 64, s"bands must be in [1,64]: $bands")
     val bandBits = 64 / bands // disjoint; high leftover bits touch no band
     val bandMask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
+    // the signature-group frame is referenced FOUR times below (banding,
+    // both cross-join sides, same-hash pairs); left lazy each reference
+    // re-decoded and re-hashed the whole binary corpus. It is
+    // distinct-signature-sized, so materialize it once (localCheckpoint:
+    // blocks die with the frame — same shape as d03's fix)
     val groups = hashPayloads(spark, corpusWithReencodes(spark, dir))
       .groupBy(col("phash")).agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .localCheckpoint()
     val banded = groups.select(col("phash"), explode(expr(
       s"transform(sequence(0, ${bands - 1}), " +
         s"b -> struct(b AS band, shiftright(phash, b*$bandBits) & $bandMask AS bkey))"))

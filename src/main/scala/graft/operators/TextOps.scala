@@ -448,8 +448,16 @@ object TextOps {
       .filter(size(col("words")) >= 2)
       .select(explode(VK.wordNgrams(col("words"), 2, distinct = false)).as("gram"))
     val g = grams(Tables.documents(spark, dir).repartition(spreadN, col("doc_id")))
-    // corpus-sized scalar (a count, no shuffle) — sets the support bar
-    val threshold = math.max(2L, g.count() / 1000L)
+    // corpus-sized scalar — sets the support bar. The gram COUNT is
+    // Σ max(size(words)-1, 0): computed as a per-row integer aggregate
+    // over ONE scan instead of materializing the whole gram explode
+    // just to count it (guide §1.2: don't compute things you throw away)
+    val total = Tables.documents(spark, dir)
+      .select(split(lower(col("text")), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .agg(coalesce(sum((size(col("words")) - 1).cast("long")), lit(0L)))
+      .first().getLong(0)
+    val threshold = math.max(2L, total / 1000L)
     val hot = g.groupBy(xxhash64(col("gram")).as("d")).agg(count(lit(1)).as("dn"))
       .filter(col("dn") >= threshold).select("d")
     g.join(broadcast(hot), xxhash64(col("gram")) === col("d"))
