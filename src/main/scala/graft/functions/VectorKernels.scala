@@ -21,11 +21,20 @@ import org.apache.spark.sql.types._
  * equality against the original HOF expression on randomized inputs,
  * including the null/length-mismatch edge semantics).
  *
- * Null semantics mirror the HOF originals exactly:
+ * Null semantics mirror the HOF originals:
  * `aggregate(zip_with(a, b, f), 0, +)` yields NULL when the lengths
  * differ (zip_with pads with null and the sum absorbs it) or when any
  * element is null — so do [[SqDistFp]] / [[DotFp]] / [[CosineFd]].
- * `transform` maps null elements to null — so does [[FixedPoint1e6]].
+ * `transform` maps null elements to null — so do [[FixedPoint1e6]] and
+ * [[Sq8Encode]]. Two DELIBERATE divergences, both unreachable from the
+ * operators (embeddings are non-null fixed-width arrays, fixed-pointed
+ * at ~1e6 so every sum fits a long): (a) the argmin family
+ * ([[ArgminCell]]/[[ProbeCells]]/[[PqEncode]]/[[PqAdc]]) returns NULL
+ * for a null element or width mismatch, where the HOF form fell into
+ * null-field struct ordering (array_min over a struct with a null `d`
+ * — an accident, not a contract); (b) arithmetic is unchecked JVM
+ * (wrapping), where ANSI mode threw on overflow — in-range inputs are
+ * bit-identical, out-of-range inputs were never valid.
  * Model-state operands (codebooks, centroids, quantizer ranges) are
  * Scala constructor values, not child expressions: they are broadcast
  * plan literals by construction and decode to flat primitive arrays
@@ -43,27 +52,32 @@ object VectorKernels {
     GraftExpr.column(DotFp(GraftExpr.expression(a), GraftExpr.expression(b)))
   def cosineFd(a: Column, b: Column): Column =
     GraftExpr.column(CosineFd(GraftExpr.expression(a), GraftExpr.expression(b)))
-  def argminCell(fp: Column, cells: Seq[Seq[Long]]): Column =
+  def argminCell(fp: Column, cells: Seq[Seq[Long]]): Column = {
+    require(cells.nonEmpty, "argminCell needs at least one cell")
     GraftExpr.column(ArgminCell(GraftExpr.expression(fp),
       cells.flatten.toArray, cells.head.size))
-  def probeCells(fp: Column, cells: Seq[Seq[Long]], nprobe: Int): Column =
+  }
+  def probeCells(fp: Column, cells: Seq[Seq[Long]], nprobe: Int): Column = {
+    require(cells.nonEmpty, "probeCells needs at least one cell")
     GraftExpr.column(ProbeCells(GraftExpr.expression(fp),
       cells.flatten.toArray, cells.head.size, nprobe))
-  def pqEncode(fp: Column, cb: Seq[Seq[Seq[Long]]]): Column =
+  }
+  def pqEncode(fp: Column, cb: Seq[Seq[Seq[Long]]]): Column = {
+    require(cb.nonEmpty && cb.head.nonEmpty, "pqEncode needs a non-empty codebook")
     GraftExpr.column(PqEncode(GraftExpr.expression(fp),
       cb.flatten.flatten.toArray, cb.size, cb.head.size))
-  def pqAdc(qfp: Column, codes: Column, cb: Seq[Seq[Seq[Long]]]): Column =
+  }
+  def pqAdc(qfp: Column, codes: Column, cb: Seq[Seq[Seq[Long]]]): Column = {
+    require(cb.nonEmpty && cb.head.nonEmpty, "pqAdc needs a non-empty codebook")
     GraftExpr.column(PqAdc(GraftExpr.expression(qfp), GraftExpr.expression(codes),
       cb.flatten.flatten.toArray, cb.size, cb.head.size))
+  }
   def sq8Encode(fp: Column, los: Seq[Long], spans: Seq[Long]): Column =
     GraftExpr.column(Sq8Encode(GraftExpr.expression(fp), los.toArray, spans.toArray))
   def wordNgrams(words: Column, n: Int, distinct: Boolean): Column =
     GraftExpr.column(WordNgrams(GraftExpr.expression(words), n, distinct))
   def maxFreq(arr: Column): Column =
     GraftExpr.column(MaxFreq(GraftExpr.expression(arr)))
-
-  private[functions] def longsOf(arr: ArrayData): Array[Long] =
-    arr.toLongArray()
 
   /** Shared: Σ (a[i]-b[i])² over equal-length non-null long arrays. */
   private[functions] def sqDist(a: ArrayData, b: ArrayData): java.lang.Long = {
@@ -78,6 +92,15 @@ object VectorKernels {
       i += 1
     }
     acc
+  }
+
+  /** True when any element of `arr` is null (the argmin-family kernels
+    * return NULL then — see the header's divergence note). */
+  private[functions] def anyNull(arr: ArrayData): Boolean = {
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) { if (arr.isNullAt(i)) return true; i += 1 }
+    false
   }
 
   private[functions] def sqDistFlat(
@@ -211,26 +234,18 @@ final case class CosineFd(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (y.numElements() != n) return null
+    // one fused pass: each accumulator still folds left-to-right in
+    // element order, so the IEEE results are identical to three passes
     var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (leftDouble) x.getDouble(i) else x.getFloat(i).toDouble
       val yv = if (rightDouble) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xv * yv
-      i += 1
-    }
-    var na = 0.0
-    i = 0
-    while (i < n) {
-      val xv = if (leftDouble) x.getDouble(i) else x.getFloat(i).toDouble
       na += xv * xv
-      i += 1
-    }
-    var nb = 0.0
-    i = 0
-    while (i < n) {
-      val yv = if (rightDouble) y.getDouble(i) else y.getFloat(i).toDouble
       nb += yv * yv
       i += 1
     }
@@ -256,6 +271,8 @@ final case class ArgminCell(child: Expression, cells: Array[Long], dims: Int)
     StructField("d", LongType, nullable = false),
     StructField("idx", IntegerType, nullable = false)))
 
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"argmin_cell expects array<long>, got $other")
@@ -263,7 +280,7 @@ final case class ArgminCell(child: Expression, cells: Array[Long], dims: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val fp = input.asInstanceOf[ArrayData]
-    if (fp.numElements() != dims) return null
+    if (fp.numElements() != dims || VectorKernels.anyNull(fp)) return null
     var best = Long.MaxValue
     var bestIdx = -1
     var cc = 0
@@ -291,6 +308,8 @@ final case class ProbeCells(child: Expression, cells: Array[Long], dims: Int, np
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"probe_cells expects array<long>, got $other")
@@ -298,7 +317,7 @@ final case class ProbeCells(child: Expression, cells: Array[Long], dims: Int, np
 
   override def nullSafeEval(input: Any): Any = {
     val fp = input.asInstanceOf[ArrayData]
-    if (fp.numElements() != dims) return null
+    if (fp.numElements() != dims || VectorKernels.anyNull(fp)) return null
     val ds = new Array[Long](nCells)
     var cc = 0
     while (cc < nCells) {
@@ -326,6 +345,8 @@ final case class PqEncode(child: Expression, cb: Array[Long], subspaces: Int, co
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"pq_encode expects array<long>, got $other")
@@ -333,7 +354,7 @@ final case class PqEncode(child: Expression, cb: Array[Long], subspaces: Int, co
 
   override def nullSafeEval(input: Any): Any = {
     val fp = input.asInstanceOf[ArrayData]
-    if (fp.numElements() != subspaces * subDim) return null
+    if (fp.numElements() != subspaces * subDim || VectorKernels.anyNull(fp)) return null
     val codes = new Array[Any](subspaces)
     var m = 0
     while (m < subspaces) {
@@ -377,7 +398,8 @@ final case class PqAdc(left: Expression, right: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val qfp = a.asInstanceOf[ArrayData]
     val codes = b.asInstanceOf[ArrayData]
-    if (qfp.numElements() != subspaces * subDim || codes.numElements() != subspaces) return null
+    if (qfp.numElements() != subspaces * subDim || codes.numElements() != subspaces ||
+      VectorKernels.anyNull(qfp)) return null
     var acc = 0L
     var m = 0
     while (m < subspaces) {
@@ -403,7 +425,7 @@ final case class Sq8Encode(child: Expression, los: Array[Long], spans: Array[Lon
 
   require(los.length == spans.length, "los/spans length mismatch")
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -413,12 +435,14 @@ final case class Sq8Encode(child: Expression, los: Array[Long], spans: Array[Lon
   override def nullSafeEval(input: Any): Any = {
     val fp = input.asInstanceOf[ArrayData]
     val n = los.length
-    if (fp.numElements() != n) return null
+    val m = fp.numElements()
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      if (fp.isNullAt(i)) return null
-      out(i) = java.lang.Long.valueOf((fp.getLong(i) - los(i)) * 255L / spans(i))
+      // per-element null mirror of transform(sequence(0, n-1), ...):
+      // a null or out-of-range fp[i] yields a null CODE element
+      if (i < m && !fp.isNullAt(i))
+        out(i) = java.lang.Long.valueOf((fp.getLong(i) - los(i)) * 255L / spans(i))
       i += 1
     }
     new GenericArrayData(out)

@@ -397,24 +397,41 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val logDF = spark.createDataFrame(rowsRdd, ordSchema).localCheckpoint()
     // Route ONLY log-touched keys through the merge window: a key not
     // in any log block has exactly one live base row (Hudi keys live in
-    // one file group), which the window would keep unchanged — so cold
-    // base rows bypass the shuffle entirely via a broadcast anti-join
-    // on the mutation-sized key set. The former shape shuffled EVERY
-    // base row of a mutated file group; merge cost is now proportional
-    // to the mutations, not to the base files they landed in (guide
-    // §2.3/§2.4 — the 100 TB posture, and the same routing idea as the
-    // key-indexed MERGE).
-    val logKeys = logDF.select(col(key)).distinct()
-    val coldBase = base.join(broadcast(logKeys), Seq(key), "left_anti")
-      .select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
-    val hotBase = base.join(broadcast(logKeys), Seq(key), "left_semi")
+    // one file group; this engine's writers enforce uniqueness, and a
+    // foreign base file with duplicate keys had no defined merge order
+    // before either — row_number tied), which the window would keep
+    // unchanged — so cold base rows bypass the shuffle entirely via a
+    // broadcast anti-join on the mutation-sized key set. The former
+    // shape shuffled EVERY base row of a mutated file group; merge cost
+    // is now proportional to the mutations, not to the base files they
+    // landed in (guide §2.3/§2.4 — the 100 TB posture, the same routing
+    // idea as the key-indexed MERGE). Construction runs the (mutation-
+    // sized) log-decode job eagerly — the same posture as the ANN store
+    // probes, which collect their probed cell set at plan build.
+    // size guard: the routed shape hard-broadcasts the key set, so it
+    // only applies when the set provably fits (rows × a conservative
+    // 64 B/key within autoBroadcastJoinThreshold semantics). Larger
+    // mutation batches keep the former whole-window shape, which
+    // shuffles but never collects.
+    val broadcastable = {
+      val budget = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        .map(_.toLong).filter(_ > 0).getOrElse(10L * 1024 * 1024)
+      logDF.count() * 64L <= budget
+    }
     val w = Window.partitionBy(col(key))
       .orderBy(col("__inst").desc, col("__ver").desc, col("__idx").desc)
-    val merged = hotBase.unionByName(logDF)
+    def mergeOf(baseRows: DataFrame): DataFrame = baseRows.unionByName(logDF)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col("__del"))
       .select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
-    plainDF.unionByName(coldBase).unionByName(merged)
+    val merged = if (broadcastable) {
+      val logKeys = logDF.select(col(key)).distinct()
+      val coldBase = base.join(broadcast(logKeys), Seq(key), "left_anti")
+        .select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+      val hotBase = base.join(broadcast(logKeys), Seq(key), "left_semi")
+      coldBase.unionByName(mergeOf(hotBase))
+    } else mergeOf(base)
+    plainDF.unionByName(merged)
   }
 
   /**

@@ -8,10 +8,13 @@ import graft.functions.{VectorKernels => VK}
 
 /** The round-16 native kernels must be BIT-IDENTICAL to the HOF
   * expressions they replaced (same integer ops, same IEEE fold order,
-  * same tie-breaking, same null semantics) — asserted here by running
-  * both forms over randomized data, including the edge shapes the
-  * operators themselves never produce (length mismatches, null
-  * elements, empty arrays). */
+  * same tie-breaking) — asserted here by running both forms over
+  * randomized data, including edge shapes the operators themselves
+  * never produce (length mismatches, null elements, empty arrays).
+  * The argmin-family kernels deliberately return NULL on null
+  * elements/width mismatches instead of the HOF form's accidental
+  * null-field struct ordering (see the VectorKernels header); that
+  * contract is pinned separately below. */
 class VectorKernelsSpec extends SparkTestBase {
 
   private val rnd = new scala.util.Random(20260817)
@@ -155,6 +158,31 @@ class VectorKernelsSpec extends SparkTestBase {
     assertSame(docs.select(
       VK.maxFreq(col("words")).as("nat"),
       expr("cast(array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w)))) AS bigint)").as("hof")))
+  }
+
+  test("argmin family: null elements and width mismatches yield NULL, not garbage") {
+    import spark.implicits._
+    val cells: Seq[Seq[Long]] = Seq(Seq(0L, 0L), Seq(5L, 5L))
+    val cbs: Seq[Seq[Seq[Long]]] = Seq(Seq(Seq(0L), Seq(3L)), Seq(Seq(1L), Seq(2L)))
+    val rows = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L)),             // clean
+      (2L, Seq[java.lang.Long](1L, null)),           // null element
+      (3L, Seq[java.lang.Long](1L))                  // width mismatch
+    ).toDF("id", "fp")
+    val out = rows.select(
+      col("id"),
+      VK.argminCell(col("fp"), cells).getField("idx").as("am"),
+      VK.probeCells(col("fp"), cells, 1).as("pc"),
+      VK.pqEncode(col("fp"), cbs).as("pe")).orderBy(col("id")).collect()
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2) && !out(0).isNullAt(3))
+    for (r <- Seq(out(1), out(2)); i <- 1 to 3)
+      assert(r.isNullAt(i), s"row ${r.getLong(0)} field $i must be NULL")
+    // Sq8: per-element null mirror (null/short fp -> null code element)
+    val sq = rows.select(col("id"), VK.sq8Encode(col("fp"), Seq(0L, 0L), Seq(1L, 1L)).as("c"))
+      .orderBy(col("id")).collect()
+    assert(sq(0).getSeq[Any](1) == Seq(255L, 510L))
+    assert(sq(1).getSeq[Any](1) == Seq(255L, null))
+    assert(sq(2).getSeq[Any](1) == Seq(255L, null))
   }
 
   test("operators on the corpus: native pipelines match pre-kernel frozen shapes") {
