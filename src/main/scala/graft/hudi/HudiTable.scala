@@ -392,45 +392,48 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
             }
           }
       }
-    // mutation-sized: one row per log record — materialize once (the
-    // frame feeds both the key set and the merge union)
-    val logDF = spark.createDataFrame(rowsRdd, ordSchema).localCheckpoint()
+    val logDF = spark.createDataFrame(rowsRdd, ordSchema)
     // Route ONLY log-touched keys through the merge window: a key not
     // in any log block has exactly one live base row (Hudi keys live in
     // one file group; this engine's writers enforce uniqueness, and a
     // foreign base file with duplicate keys had no defined merge order
     // before either — row_number tied), which the window would keep
     // unchanged — so cold base rows bypass the shuffle entirely via a
-    // broadcast anti-join on the mutation-sized key set. The former
-    // shape shuffled EVERY base row of a mutated file group; merge cost
-    // is now proportional to the mutations, not to the base files they
+    // broadcast anti-join on the mutation-sized key set, and merge cost
+    // becomes proportional to the mutations, not to the base files they
     // landed in (guide §2.3/§2.4 — the 100 TB posture, the same routing
-    // idea as the key-indexed MERGE). Construction runs the (mutation-
-    // sized) log-decode job eagerly — the same posture as the ANN store
-    // probes, which collect their probed cell set at plan build.
-    // size guard: the routed shape hard-broadcasts the key set, so it
-    // only applies when the set provably fits (rows × a conservative
-    // 64 B/key within autoBroadcastJoinThreshold semantics). Larger
-    // mutation batches keep the former whole-window shape, which
-    // shuffles but never collects.
-    val broadcastable = {
-      val budget = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-        .map(_.toLong).filter(_ > 0).getOrElse(10L * 1024 * 1024)
-      logDF.count() * 64L <= budget
-    }
+    // idea as the key-indexed MERGE). The decision is METADATA-only
+    // (timeline byte counts, zero extra jobs): route when the log bytes
+    // are a clear minority of the mutated groups' base bytes (the shape
+    // where skipping the base shuffle beats scanning base twice) AND
+    // the key set provably fits a broadcast (log bytes bound the
+    // projected key bytes from above, compared against
+    // autoBroadcastJoinThreshold semantics). Mutation-heavy tables —
+    // like the local fixtures, where ~half the keys carry mutations —
+    // keep the former whole-window shape, which shuffles but never
+    // collects.
+    val logBytes = withLogs.iterator.flatMap(_.logs).map(_.size).sum
+    val baseBytes = withLogs.iterator.map(_.baseSize).sum
+    val budget = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      .map(_.toLong).filter(_ > 0).getOrElse(10L * 1024 * 1024)
+    val routed = logBytes * 4 <= baseBytes && logBytes <= budget
     val w = Window.partitionBy(col(key))
       .orderBy(col("__inst").desc, col("__ver").desc, col("__idx").desc)
-    def mergeOf(baseRows: DataFrame): DataFrame = baseRows.unionByName(logDF)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && !col("__del"))
-      .select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
-    val merged = if (broadcastable) {
-      val logKeys = logDF.select(col(key)).distinct()
+    def mergeOf(baseRows: DataFrame, logRows: DataFrame): DataFrame =
+      baseRows.unionByName(logRows)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && !col("__del"))
+        .select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+    val merged = if (routed) {
+      // mutation-sized: one materialization (lazy — first action pays
+      // the decode once) feeds both the key set and the merge union
+      val logCk = logDF.localCheckpoint(eager = false)
+      val logKeys = logCk.select(col(key)).distinct()
       val coldBase = base.join(broadcast(logKeys), Seq(key), "left_anti")
         .select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
       val hotBase = base.join(broadcast(logKeys), Seq(key), "left_semi")
-      coldBase.unionByName(mergeOf(hotBase))
-    } else mergeOf(base)
+      coldBase.unionByName(mergeOf(hotBase, logCk))
+    } else mergeOf(base, logDF)
     plainDF.unionByName(merged)
   }
 

@@ -135,6 +135,58 @@ class HudiMorSpec extends SparkTestBase {
     assert(t.toDF().count() == orders.count() + 3)
   }
 
+  test("small-mutation merge routes cold keys around the window; heavy merge falls back") {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    def hasAntiJoin(df: org.apache.spark.sql.DataFrame): Boolean = {
+      df.count()
+      walk(df.queryExecution.executedPlan).exists {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+        case _ => false
+      }
+    }
+    // ROUTED: a handful of mutated keys against a full base — log bytes
+    // are a clear minority, so cold base rows must bypass the merge
+    // window via the broadcast anti-join, and the result is exact
+    val dir = tmpDir("mor_route")
+    val t = HudiTable.createMor(spark, s"$dir/t", orders.repartition(2), "o_orderkey")
+    val mutated = orders.orderBy(col("o_orderkey")).limit(5)
+      .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+    t.upsert(mutated)
+    val snap = t.toDF()
+    assert(hasAntiJoin(snap), "small-mutation MOR read must take the routed shape")
+    assert(snap.count() == orders.count())
+    val mutKeys = mutated.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val expMut = mutated.agg(sum(col("o_totalprice"))).collect()(0).getDouble(0)
+    val gotMut = snap.filter(col("o_orderkey").isInCollection(mutKeys))
+      .agg(sum(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(math.abs(gotMut - expMut) < 1e-6, "hot keys must carry the log values")
+    val expCold = orders.filter(!col("o_orderkey").isInCollection(mutKeys))
+      .agg(sum(col("o_totalprice"))).collect()(0).getDouble(0)
+    val gotCold = snap.filter(!col("o_orderkey").isInCollection(mutKeys))
+      .agg(sum(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(math.abs(gotCold - expCold) < 1e-6, "cold keys must keep base values")
+    // FALLBACK: mutate every key — log bytes rival base bytes, the
+    // routed shape would scan base twice for nothing, so the read keeps
+    // the whole-window merge (no anti-join) and stays exact
+    val dir2 = tmpDir("mor_heavy")
+    val t2 = HudiTable.createMor(spark, s"$dir2/t", orders.repartition(2), "o_orderkey")
+    t2.upsert(orders.withColumn("o_totalprice", col("o_totalprice") + 100000.0))
+    val snap2 = t2.toDF()
+    assert(!hasAntiJoin(snap2), "mutation-heavy MOR read must keep the window shape")
+    assert(snap2.count() == orders.count())
+    assert(snap2.agg(min(col("o_totalprice"))).collect()(0).getDouble(0) >= 100000.0)
+  }
+
   test("second upsert of the same keys wins (latest instant)") {
     val dir = tmpDir("mor_twice")
     val t = HudiTable.createMor(spark, s"$dir/t", orders, "o_orderkey")
