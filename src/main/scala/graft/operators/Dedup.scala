@@ -381,11 +381,17 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("dst"))
       .persist()
-    var labels = edges.select(col("dst").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // fused round 1: from identity labels, a round's output is exactly
+    // min({v} ∪ N(v)) — computable as ONE groupBy over the cached edges,
+    // replacing the former identity-label build (distinct + checkpoint)
+    // plus a full first join round. The edge list is symmetric, so
+    // grouping by dst sees every node with its full neighborhood as
+    // sources AND reuses the edge cache's dst partitioning (no shuffle).
+    var labels = edges.groupBy(col("dst").as("node"))
+      .agg(least(col("node"), min(col("src"))).as("lbl"))
       .localCheckpoint(true)
     var converged = false
-    var rounds = 0
+    var rounds = 1
     while (!converged && rounds < 20) {
       val neighborMin = edges
         .join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
