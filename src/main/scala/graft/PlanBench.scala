@@ -46,8 +46,15 @@ object PlanBench {
       spark.catalog.clearCache()
       spark.sparkContext.setJobDescription(s"planbench: $name")
       val t0 = System.nanoTime()
-      try all(name)(spark, sfDir).count() catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a crashed query must NOT masquerade as a (fast) valid timing:
+      // record NaN and log; the emitted JSON carries "err" for it
+      val elapsed =
+        try { all(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[planbench] $name FAILED: ${e.getMessage}")
+          Double.NaN
+        }
+      name -> elapsed
     }.toMap
     val ps = (1 to passes).map(_ => onePass())
     // plans AFTER timing so explain's analysis work isn't billed
@@ -65,8 +72,9 @@ object PlanBench {
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val line = names.map { n =>
-      val best = ps.map(_(n)).min
-      s""""$n":${num(best)}"""
+      val vals = ps.map(_(n)).filterNot(_.isNaN)
+      if (vals.isEmpty) s""""$n":"err""""
+      else s""""$n":${num(vals.min)}"""
     }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"planbench":$line,"tag":"$tag"}""")

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -154,9 +154,14 @@ final case class FixedPoint1e6(child: Expression)
     copy(child = newChild)
 }
 
-/** Integer squared L2: `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0L, +)`. */
+/** Integer squared L2: `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0L, +)`.
+  * Implements `doGenCode` (not CodegenFallback): this kernel sits inside
+  * the s01/s08 candidate-join projections, and a fallback expression
+  * splits the whole-stage-codegen span at exactly the hottest operator
+  * (r16 verdict item 6). The generated loop is the same arithmetic in
+  * the same order as [[nullSafeEval]]. */
 final case class SqDistFp(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -169,14 +174,38 @@ final case class SqDistFp(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
   override def prettyName: String = "sqdist_fp"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistFp =
     copy(left = l, right = r)
 }
 
-/** Integer dot product: `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, +)`. */
+/** Integer dot product: `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, +)`.
+  * Generates whole-stage-codegen-friendly code like [[SqDistFp]] — it
+  * sits inside the d07/semantic-dedup pair join's projection. */
 final case class DotFp(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -201,6 +230,26 @@ final case class DotFp(left: Expression, right: Expression)
     java.lang.Long.valueOf(acc)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
   override def prettyName: String = "dot_fp"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFp =
     copy(left = l, right = r)
@@ -211,7 +260,7 @@ final case class DotFp(left: Expression, right: Expression)
   * pipeline: dot, norm-a and norm-b each accumulate left-to-right in
   * element order, so the IEEE result is bit-identical. */
 final case class CosineFd(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -251,6 +300,40 @@ final case class CosineFd(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
+
+  // same fused loop under whole-stage codegen (it rides the d05/d07
+  // candidate-pair projections): element getters are resolved at
+  // codegen time from the static child types, accumulators fold in
+  // element order so the IEEE result matches nullSafeEval bit-for-bit
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      def get(arr: String, idx: String, isDouble: Boolean): String =
+        if (isDouble) s"$arr.getDouble($idx)" else s"(double) $arr.getFloat($idx)"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0d; double $na = 0.0d; double $nb = 0.0d;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $xv = ${get(a, i, leftDouble)};
+         |    final double $yv = ${get(b, i, rightDouble)};
+         |    $dot += $xv * $yv;
+         |    $na += $xv * $xv;
+         |    $nb += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
 
   override def prettyName: String = "cosine_fd"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineFd =
