@@ -567,12 +567,73 @@ final class DeltaLog(val tablePath: String, spark: SparkSession) {
     }
   }
 
+  /** Byte budget for the driver-side replay fast path: a JSON tail under
+    * this is metadata-sized and parses on the driver in single-digit ms,
+    * where the distributed replay pays a full job + shuffle of scheduler
+    * latency. Size-fenced, not mode-fenced: the same cutoff is right on a
+    * real cluster (guide §1.2 — don't schedule cluster work for KB-scale
+    * metadata; §7.3 — metadata-only driver work is expected there). */
+  private val MaxLocalReplayBytes = 4L * 1024 * 1024
+
+  private def snapshotSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("version", LongType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("stats", StringType),
+    StructField("deletionVector", dvSchema)))
+
+  /** Driver-side replay when no checkpoint applies and the JSON tail is
+    * under [[MaxLocalReplayBytes]] — same last-action-per-path rule as
+    * the window in the distributed path (within one version the add
+    * outranks the remove of the same path), rows sorted by path for a
+    * deterministic file order. Returns None (→ distributed replay) for
+    * checkpointed or large logs, so a 100 TB table with millions of add
+    * entries still replays as a job, never a driver loop. */
+  private def localSnapshotRows(asOf: Option[Long]): Option[Seq[org.apache.spark.sql.Row]] = {
+    if (!fs.exists(logPath)) return None
+    if (resolveCheckpoint(asOf).nonEmpty) return None
+    val commits = fs.listStatus(logPath).toSeq
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .map(st => (version(st.getPath.getName), st.getLen))
+      .filter { case (v, _) => asOf.forall(v <= _) }
+      .sortBy(_._1)
+    if (commits.isEmpty || commits.iterator.map(_._2).sum > MaxLocalReplayBytes) return None
+    val state = scala.collection.mutable.HashMap[String, (Long, Boolean, AddFile)]()
+    commits.foreach { case (v, _) =>
+      readActions(v).foreach {
+        case a: AddFile =>
+          val cur = state.get(a.path)
+          if (cur.forall(c => v > c._1 || (v == c._1 && !c._2)))
+            state(a.path) = (v, true, a)
+        case r: RemoveFile =>
+          if (state.get(r.path).forall(_._1 < v)) state(r.path) = (v, false, null)
+        case _ => ()
+      }
+    }
+    Some(state.toSeq.filter(_._2._2).sortBy(_._1).map { case (path, (v, _, a)) =>
+      org.apache.spark.sql.Row(path, v, a.partitionValues, a.size, a.modificationTime,
+        a.stats.orNull,
+        a.deletionVector.map(d => org.apache.spark.sql.Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull)
+    })
+  }
+
   /**
    * Live files at `asOf` (default: latest): per path, the newest action
-   * wins; the file is live iff that action is an add. One shuffle on
-   * path, no driver-side state.
+   * wins; the file is live iff that action is an add. Metadata-small
+   * JSON-only logs replay on the driver (a LocalRelation — `.collect()`
+   * runs no job); checkpointed or large logs replay distributed with
+   * one shuffle on path and no driver-side state.
    */
   def snapshotFilesDF(asOf: Option[Long] = None): DataFrame = {
+    localSnapshotRows(asOf) match {
+      case Some(rows) =>
+        return spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, snapshotSchema)
+      case None => ()
+    }
     import org.apache.spark.sql.expressions.Window
     val acts = actionsDF(asOf)
       .select(

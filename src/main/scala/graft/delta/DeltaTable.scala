@@ -1181,12 +1181,18 @@ final class DeltaTable private (spark: SparkSession, val log: DeltaLog) {
     val kD = keys
       .select(col(s"`${kc.head}`").cast(schema(cfg.keyCol).dataType)
         .cast(StringType).as("__k")).distinct()
-    if (kD.filter(col("__k").isNull).limit(1).count() > 0) return None
     val entries = DeltaKeyIndex.entriesDF(spark, tablePath)
     // distributed equi-join (both sides can be large); only the matched
-    // FILE set — metadata-scale — collects
-    Some(entries.join(kD, entries("key") === col("__k"))
-      .select("file").distinct().collect().map(_.getString(0)).toSet)
+    // FILE set — metadata-scale — collects. ONE job serves both the
+    // null-key bailout and the file set: the left join keeps every
+    // distinct key (nulls match nothing, so they surface as a flagged
+    // row), where the former separate limit(1).count() null probe was a
+    // full extra Spark job on every routed mutation (guide §1.2)
+    val rows = kD.join(entries, col("__k") === entries("key"), "left")
+      .select(col("__k").isNull.as("n"), entries("file").as("f"))
+      .distinct().collect()
+    if (rows.exists(_.getBoolean(0))) return None
+    Some(rows.iterator.filterNot(_.isNullAt(1)).map(_.getString(1)).toSet)
   }
 
   // ------------------------------------------------------ column mapping

@@ -159,6 +159,69 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     adds.unionByName(replaces)
   }
 
+  /** Byte budget for the driver-side timeline replay below — the same
+    * posture as DeltaLog's local snapshot replay: commit metadata under
+    * this parses on the driver (through the memoized
+    * [[HudiTimeline.readCommitMetadata]]) in single-digit ms, where the
+    * distributed replay pays a full Spark job + shuffle of scheduler
+    * latency PER snapshot access. Size-fenced, not mode-fenced: a
+    * timeline whose commit files carry millions of write stats stays on
+    * the distributed path (guide §1.2/§7.3). */
+  private val MaxLocalReplayBytes = 4L * 1024 * 1024
+
+  /** One action tuple of the driver-side replay:
+    * (instant, partitionPath, fileId, path(null for replaces), size, isAdd). */
+  private type LocalAction = (String, String, String, String, Long, Boolean)
+
+  /** Driver-side parse of the given instants' commit metadata — None
+    * when the instant files' cumulative size is over budget (or any
+    * instant is unlisted), which sends the caller to [[actionsDF]]. */
+  private def localActions(instantTimes: Seq[String]): Option[Seq[LocalAction]] = {
+    val byTime = timeline.completedInstants().map(i => i.time -> i).toMap
+    if (instantTimes.exists(t => !byTime.contains(t))) return None
+    val fsys = timeline.hoodieDir.getFileSystem(hconf)
+    def lens(dir: Path): Map[String, Long] =
+      if (!fsys.exists(dir)) Map.empty
+      else fsys.listStatus(dir).iterator.map(s => s.getPath.getName -> s.getLen).toMap
+    val sizes = lens(timeline.hoodieDir) ++ lens(timeline.archivedDir)
+    val fileSizes = instantTimes.map(t => sizes.get(byTime(t).fileName))
+    if (fileSizes.exists(_.isEmpty)) return None
+    if (fileSizes.flatten.sum > MaxLocalReplayBytes) return None
+    Some(instantTimes.sorted.flatMap { t =>
+      val m = timeline.readCommitMetadata(byTime(t))
+      val adds = m.partitionToWriteStats.toSeq.flatMap { case (pp, stats) =>
+        stats.map(st => (t, pp, st.fileId, st.path, st.fileSizeInBytes, true))
+      }
+      val reps = m.partitionToReplaceFileIds.toSeq.flatMap { case (pp, ids) =>
+        ids.map(fid => (t, pp, fid, null: String, 0L, false))
+      }
+      adds ++ reps
+    })
+  }
+
+  private def sliceSchema: StructType = StructType(Seq(
+    StructField("instant", StringType), StructField("partitionPath", StringType),
+    StructField("fileId", StringType), StructField("path", StringType),
+    StructField("size", LongType)))
+
+  /** The [[fileSlicesDF]] fold over driver-side actions: per
+    * (partitionPath, fileId) the newest instant wins, live iff a write
+    * (same rule as the distributed window; log files never compete for
+    * the base slot). Rows sorted by (partitionPath, fileId). */
+  private def localSliceRows(acts: Seq[LocalAction]): Seq[org.apache.spark.sql.Row] = {
+    val state = scala.collection.mutable.HashMap[
+      (String, String), (String, Boolean, String, Long)]()
+    acts.foreach { case (t, pp, fid, path, size, isAdd) =>
+      if (path == null || !path.contains(".log.")) {
+        val k = (pp, fid)
+        if (state.get(k).forall(_._1 <= t)) state(k) = (t, isAdd, path, size)
+      }
+    }
+    state.toSeq.filter(_._2._2).sortBy(_._1).map { case ((pp, fid), (t, _, path, size)) =>
+      org.apache.spark.sql.Row(t, pp, fid, path, size)
+    }
+  }
+
   /**
    * Live base files at `asOf`: per file group the newest action wins;
    * the group is live iff that action is a write (not a replace). One
@@ -178,6 +241,13 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
           StructField("instant", StringType), StructField("partitionPath", StringType),
           StructField("fileId", StringType), StructField("path", StringType),
           StructField("size", LongType))))
+    localActions(upTo) match {
+      case Some(acts) =>
+        return spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(localSliceRows(acts)).asJava,
+          sliceSchema)
+      case None => ()
+    }
     val w = Window.partitionBy(col("partitionPath"), col("fileId"))
       .orderBy(col("instant").desc)
     actionsDF(upTo)
@@ -275,18 +345,30 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     val upTo = asOf.map(a => instants.filter(_ <= a)).getOrElse(instants)
     val logs: Map[(String, String, String), Seq[HudiLogFileRef]] =
       if (!isMor || upTo.isEmpty) Map.empty
-      else actionsDF(upTo)
-        .filter(col("isAdd") && col("path").contains(".log."))
-        .select("instant", "partitionPath", "path", "size").collect().toSeq
-        .flatMap { r =>
-          val name = new Path(r.getString(2)).getName
-          HudiLogFormat.parseLogFileName(name).map { case (fid, baseInstant, ver) =>
-            (r.getString(1), fid, baseInstant) ->
-              HudiLogFileRef(r.getString(2), r.getString(0), ver,
-                if (r.isNullAt(3)) 0L else r.getLong(3))
+      else {
+        // same driver-side fast path as fileSlicesDF: the log adds come
+        // out of the ALREADY-PARSED commit metadata instead of a second
+        // distributed replay job over the same instant files
+        val logAdds: Seq[(String, String, String, Long)] = localActions(upTo) match {
+          case Some(acts) => acts.collect {
+            case (t, pp, _, path, size, true) if path != null && path.contains(".log.") =>
+              (t, pp, path, size)
           }
+          case None => actionsDF(upTo)
+            .filter(col("isAdd") && col("path").contains(".log."))
+            .select("instant", "partitionPath", "path", "size").collect().toSeq
+            .map(r => (r.getString(0), r.getString(1), r.getString(2),
+              if (r.isNullAt(3)) 0L else r.getLong(3)))
         }
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        logAdds
+          .flatMap { case (inst, pp, path, size) =>
+            val name = new Path(path).getName
+            HudiLogFormat.parseLogFileName(name).map { case (fid, baseInstant, ver) =>
+              (pp, fid, baseInstant) -> HudiLogFileRef(path, inst, ver, size)
+            }
+          }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      }
     bases.map { r =>
       val (pp, fid, inst) = (r.getString(0), r.getString(1), r.getString(2))
       HudiFileSlice(pp, fid, inst, r.getString(3),
@@ -332,6 +414,14 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
    * delete convention). Log decode runs on executors, one task per log
    * batch; the only shuffle is the per-key window over the MUTATED file
    * groups — untouched groups take the plain columnar path.
+   *
+   * Duplicate-key contract: record keys are assumed UNIQUE across base
+   * files (what this engine's writers enforce, and Hudi's own global
+   * uniqueness invariant). A foreign table that violates it gets
+   * undefined duplicate resolution — the whole-window shape keeps an
+   * arbitrary one per key (row_number tie), while the routed shape
+   * below keeps every log-untouched duplicate — so snapshot row counts
+   * on such tables can differ between the two shapes.
    */
   private[hudi] def mergedRead(slices: Seq[HudiFileSlice], asOf: Option[String]): DataFrame = {
     val schema = schemaAt(asOf)
@@ -414,16 +504,33 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     // collects.
     val logBytes = withLogs.iterator.flatMap(_.logs).map(_.size).sum
     val baseBytes = withLogs.iterator.map(_.baseSize).sum
-    val budget = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      .map(_.toLong).filter(_ > 0).getOrElse(10L * 1024 * 1024)
-    val routed = logBytes * 4 <= baseBytes && logBytes <= budget
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__inst").desc, col("__ver").desc, col("__idx").desc)
+    // sessionState.conf parses byte-string values ('10MB') that a
+    // vanilla session reports, and returns -1 when the user disabled
+    // auto-broadcast — which must disable the routed path too, not
+    // fall back to a silent 10MB budget
+    val budget = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val routed = logBytes * 4 <= baseBytes && budget > 0 && logBytes <= budget
+    // per-key winner via max_by over the (instant, log version, record
+    // index) ordering struct — a HASH aggregate with map-side partial
+    // merge, replacing the former sort window (same winner: struct
+    // comparison is field-by-field, so max == first row under the
+    // desc/desc/desc sort; instants are fixed-width numeric strings, so
+    // lexicographic == chronological). The window paid a full sort of
+    // every merged row after the shuffle and could not combine
+    // map-side; ties (identical ordering tuple — only duplicate-key
+    // foreign base rows) were arbitrary under row_number and stay
+    // arbitrary under max_by (guide §2.3 aggregate before you shuffle,
+    // §2.4)
     def mergeOf(baseRows: DataFrame, logRows: DataFrame): DataFrame =
       baseRows.unionByName(logRows)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1 && !col("__del"))
-        .select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+        .groupBy(col(s"`$key`"))
+        .agg(max_by(
+          struct((schema.fieldNames.filterNot(_ == key).map(n => col(s"`$n`")) :+
+            col("__del")).toSeq: _*),
+          struct(col("__inst"), col("__ver"), col("__idx"))).as("__w"))
+        .filter(!col("__w.__del"))
+        .select(schema.fieldNames.map(n =>
+          if (n == key) col(s"`$n`") else col(s"__w.`$n`").as(n)).toSeq: _*)
     val merged = if (routed) {
       // mutation-sized: one materialization (lazy — first action pays
       // the decode once) feeds both the key set and the merge union
@@ -452,9 +559,14 @@ final class HudiTable private (spark: SparkSession, val timeline: HudiTimeline) 
     def finish(df: DataFrame, t: org.apache.spark.sql.Column, inst: String): DataFrame =
       df.withColumn("_change_type", t).withColumn("_commit_instant", lit(inst))
     val parts: Seq[DataFrame] = range.flatMap { inst =>
-      val acts = actionsDF(Seq(inst)).filter(col("isAdd"))
-        .select("path", "partitionPath", "size").collect().toSeq
-        .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      // driver-side fast path: the former per-instant distributed
+      // replay cost one Spark job PER commit in the range
+      val acts = localActions(Seq(inst)) match {
+        case Some(la) => la.collect { case (_, pp, _, path, size, true) => (path, pp, size) }
+        case None => actionsDF(Seq(inst)).filter(col("isAdd"))
+          .select("path", "partitionPath", "size").collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      }
       val (logs, bases) = acts.partition(f => HudiLogFormat.isLogPath(f._1))
       val baseDF =
         if (bases.isEmpty) None

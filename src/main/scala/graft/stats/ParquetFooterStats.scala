@@ -37,9 +37,17 @@ object ParquetFooterStats {
 
   def collect(spark: SparkSession, paths: Seq[String]): Seq[FileFooterStats] = {
     if (paths.isEmpty) return Seq.empty
+    // Metadata-small lists read on the driver: a footer read is
+    // single-digit ms, so scheduling a Spark job (fixed ~50-150 ms of
+    // scheduler + collect latency) for a handful of files costs more
+    // than the work itself — and every commit in the format plane pays
+    // this per write (guide §1.2). Big manifests still fan out across
+    // the cluster, where footer reads ARE the bottleneck at 100 TB.
+    if (paths.size <= 16) {
+      val conf0 = spark.sparkContext.hadoopConfiguration
+      return paths.map(p => readFooter(conf0, p))
+    }
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    // Small lists stay on the driver's thread pool via a tiny RDD; big
-    // manifests fan out across the cluster. One partition per ~64 files.
     val parallelism = math.max(1, math.min(paths.size / 4 + 1, 256))
     spark.sparkContext
       .parallelize(paths, parallelism)
