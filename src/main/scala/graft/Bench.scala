@@ -32,6 +32,11 @@ object Bench {
     graft.operators.IcebergQueries.fixtureDir(spark, sfDir)
     graft.operators.HudiQueries.fixtureDir(spark, sfDir)
     graft.operators.SyncQueries.fixtureDir(spark, sfDir)
+    // streaming fixtures primed like every other suite's (they were the
+    // one set still built lazily inside the first timed st01 call, so
+    // pass 1 billed the parquet staging + st03 sink/crash/replay runs
+    // to st01; the cost now lands in fixture_build_sec, reported)
+    graft.operators.StreamQueries.primeFixtures(spark, sfDir)
     val fixtureSec = (System.nanoTime() - tFix0) / 1e9
     // index/model builds (d05 corpus count, s03/d07 Lloyd training) are
     // reported SEPARATELY from fixture I/O: they are work the queries
@@ -70,19 +75,50 @@ object Bench {
       name -> (math.min(a, b), math.max(a, b) / math.max(math.min(a, b), 1e-9))
     }
     // The driver keeps only the LAST 2000 chars of stdout, so the line
-    // is built to survive that window: ROOT-locale fixed decimals (a
-    // comma-decimal JVM locale would emit invalid JSON), short unique
-    // query keys (the id prefix before the first '_'), spread entries
-    // only for contended outliers, and the queries map LAST so a
-    // truncated tail still retains the per-query numbers.
+    // is built to survive that window WITH the per-query map (the r16
+    // compact-line compromise starved the driver's PERF of per-query
+    // data two rounds running — verdict item 1): ROOT-locale fixed
+    // decimals (a comma-decimal JVM locale would emit invalid JSON),
+    // short unique query keys (the id prefix before the first '_';
+    // colliding prefixes disambiguate with the next segment's first
+    // letter), 2dp under 1 s / 1dp above with trailing zeros trimmed,
+    // and stdout-only short names (cal/fix/idx) for the setup-phase
+    // timings. BENCH.json keeps the untrimmed rendition (full key
+    // names, 2dp everywhere, spread outliers, per-pass totals).
     def num(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    def qnum(v: Double): String = {
+      val s = if (v >= 1) num(v, 1) else num(v, 2)
+      if (!s.contains('.')) s
+      else {
+        val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        if (t.isEmpty) "0" else t
+      }
+    }
     val prefixCounts = results.groupBy(_._1.takeWhile(_ != '_')).view.mapValues(_.size)
     def keyOf(k: String): String = {
       val p = k.takeWhile(_ != '_')
-      if (prefixCounts.getOrElse(p, 0) == 1) p else k
+      if (prefixCounts.getOrElse(p, 0) == 1) p
+      else {
+        // e.g. x04_hudi_to_iceberg_sync -> x04_h, x04_tri_... -> x04_t;
+        // if even that collides, the full name is the safe fallback
+        val short = k.split('_').take(2) match {
+          case Array(a, b) if b.nonEmpty => s"${a}_${b.head}"
+          case _ => k
+        }
+        val clash = results.exists { case (other, _) =>
+          other != k && other.takeWhile(_ != '_') == p &&
+            (other.split('_').take(2) match {
+              case Array(a, b) if b.nonEmpty => s"${a}_${b.head}" == short
+              case _ => false
+            })
+        }
+        if (clash) k else short
+      }
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + keyOf(k) + "\":" + num(v, 2) }
+    val qsFile = results.map { case (k, (v, _)) => "\"" + keyOf(k) + "\":" + num(v, 2) }
+      .mkString("{", ",", "}")
+    val qsStdout = results.map { case (k, (v, _)) => "\"" + keyOf(k) + "\":" + qnum(v) }
       .mkString("{", ",", "}")
     val spreads = results.filter(_._2._2 >= 1.5).sortBy(-_._2._2).take(10)
       .map { case (k, (_, s)) => "\"" + keyOf(k) + "\":" + num(s, 2) }
@@ -94,21 +130,24 @@ object Bench {
     val p1Total = named.map(n => pass1(n._1)).sum
     val p2Total = named.map(n => pass2(n._1)).sum
     val head = s""""metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir","calibration_sec":${num(calibrationSec, 3)},"fixture_build_sec":${num(fixtureSec, 3)},"index_build_sec":${num(indexBuildSec, 3)},"pass1_total":${num(p1Total, 3)},"pass2_total":${num(p2Total, 3)}"""
-    // TWO renditions of the same run: the FULL line (per-query map +
-    // contended-outlier spreads) goes to BENCH.json, which parses
-    // whole; stdout gets a COMPACT line WITHOUT the per-query map —
-    // at 160+ queries the full line outgrew the driver's tail-capture
-    // window (~2000 chars), so the captured stdout began mid-JSON and
-    // `parsed` came back null six rounds running. The compact line is
-    // ~300 bytes and survives any tail window; per-query detail lives
-    // in the file.
-    val fullLine = s"""{$head,"spread_outliers":$spreads,"queries":$qs}"""
-    val compactLine = s"""{$head,"queries_file":"BENCH.json","query_count":${results.size}}"""
+    val fullLine = s"""{$head,"spread_outliers":$spreads,"queries":$qsFile}"""
+    // stdout rendition: required contract fields + the setup timings
+    // under short keys + the per-query map. If a future query count
+    // pushes it past the tail window, degrade deterministically (drop
+    // the setup extras first — they stay in BENCH.json — and only then
+    // the per-query map, never the contract fields).
+    val stdoutHead = s""""metric":"total","value":${num(total, 2)},"unit":"sec","sf":"$sfDir""""
+    val extras = s""","cal":${num(calibrationSec, 2)},"fix":${num(fixtureSec, 0)},"idx":${num(indexBuildSec, 1)}"""
+    val candidates = Seq(
+      s"""{$stdoutHead$extras,"queries":$qsStdout}""",
+      s"""{$stdoutHead,"queries":$qsStdout}""",
+      s"""{$stdoutHead$extras,"queries_file":"BENCH.json","query_count":${results.size}}""")
+    val stdoutLine = candidates.find(_.length <= 1990).getOrElse(candidates.last)
     // the JSON is this process's FINAL stdout line: spark.stop() first,
     // so no shutdown logging can trail it and a line-oriented parser
     // (not just a regex scrape) finds it
     spark.stop()
-    println(compactLine)
+    println(stdoutLine)
     System.out.flush()
     try {
       val p = java.nio.file.Paths.get("BENCH.json")

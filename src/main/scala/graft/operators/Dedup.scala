@@ -51,7 +51,15 @@ object Dedup {
    * MinHash (64 perms) + LSH banding (16 bands × 4 rows) candidate pairs,
    * verified with exact shingle-set Jaccard. Threshold 0.5.
    */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsUnordered(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** d02's verified pairs WITHOUT the final total sort — d06/d10 consume
+    * the pairs through an explode + repartition, so the declared d02
+    * output's range exchange + sort was pure wasted work on that path
+    * (guide §2.4: an orderBy used only for output determinism is an
+    * accidental exchange when the consumer reshuffles anyway). */
+  private def minhashPairsUnordered(spark: SparkSession, dir: String): DataFrame = {
     // the exchange after the signature projection is load-bearing: it
     // materializes `sig` so the band explode below references the
     // attribute — without it, projection collapse inlines the whole
@@ -93,7 +101,6 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Per-bucket candidate cap shared by the banded LSH pipelines: a
@@ -142,8 +149,10 @@ object Dedup {
     // the corpus scan + tokenize + simhash. It is distinct-signature-
     // sized (KB at any corpus: near-dup corpora collapse to far fewer
     // sigs than docs), so materialize it once — localCheckpoint, not
-    // cache, so the blocks die with the frame (guide §5)
-    val groups = simhashGroups(spark, dir).localCheckpoint()
+    // cache, so the blocks die with the frame (guide §5); LAZY, so
+    // building or explaining the plan runs no job — the first action
+    // pays the one materialization (ADVICE r16)
+    val groups = simhashGroups(spark, dir).localCheckpoint(eager = false)
 
     // hamming-0 pairs: all pairs within one signature group (output-sized)
     val intra = groups.filter(size(col("ids")) > 1)
@@ -201,26 +210,54 @@ object Dedup {
    * the family, oracle-checked against DuckDB.
    */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = spread(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        expr(
-          "array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")
-          .as("grams"))
-    // candidate generation is keyed on (lang, length-bucket), never lang
+    // DECIDE on metadata, ATTACH the payload once (guide §2.3/§8): the
+    // former shape computed the distinct-trigram array for every doc and
+    // carried it through the bucket explode and the candidate exchange —
+    // 1.2× corpus gram bytes on side a plus 3× on the exploded side b —
+    // when candidate generation only needs (doc_id, lang, n_chars).
+    // Candidate generation is keyed on (lang, length-bucket), never lang
     // alone: |nc_a - nc_b| <= 5 with width-5 buckets means matching
     // pairs are at most one bucket apart, so side b explodes to its
     // bucket ±1 and the equi-join stays linear in documents — the
     // all-pairs-within-a-language shape dies at corpus scale
-    val a = d.filter(col("doc_id") % 5 === 0)
+    val meta = spread(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    val a = meta.filter(col("doc_id") % 5 === 0)
       .select(col("lang"), floor(col("n_chars") / 5).as("bucket"),
-        col("doc_id").as("doc_a"), col("n_chars").as("nc_a"), col("grams").as("g_a"))
-    val bb = d
+        col("doc_id").as("doc_a"), col("n_chars").as("nc_a"))
+    val bb = meta
       .withColumn("bucket", explode(array(
         floor(col("n_chars") / 5) - 1, floor(col("n_chars") / 5), floor(col("n_chars") / 5) + 1)))
       .select(col("lang"), col("bucket"),
-        col("doc_id").as("doc_b"), col("n_chars").as("nc_b"), col("grams").as("g_b"))
-    a.join(bb, Seq("lang", "bucket"))
+        col("doc_id").as("doc_b"), col("n_chars").as("nc_b"))
+    // candidate pairs are duplicate-scale (<< corpus); referenced three
+    // times below (the pair join + both id prunes), so materialize once
+    // — lazy localCheckpoint, same shape as d03's fix
+    val cand = a.join(bb, Seq("lang", "bucket"))
       .filter(col("doc_a") < col("doc_b") && abs(col("nc_a") - col("nc_b")) <= 5)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = false)
+    // exact gram operands attach AFTER the decision: grams are computed
+    // in place on the spread partitioning (linear CPU, same per-row
+    // work as before) and the candidate side — ids only — broadcasts
+    // into both attach joins (AQE, from runtime sizes), so gram arrays
+    // cross NO exchange where the old shape pushed them through the
+    // candidate exchange once on side a and three times via side b's
+    // bucket explode. At candidate counts beyond broadcast the attach
+    // degrades to one linear gram shuffle per side — the baseline any
+    // exact-verify rewrite pays. (A semi-join prune of the gram compute
+    // was tried and rejected: it added two sort-merge semi stages and
+    // an extra exchange of document text, tripling d04's wall clock at
+    // bench scale for a CPU-only saving that the attach joins already
+    // bound.)
+    def gramsOf(idCol: String, alias: String): DataFrame =
+      spread(spark, dir)
+        .select(col("doc_id").as(idCol),
+          expr(
+            "array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")
+            .as(alias))
+    cand
+      .join(gramsOf("doc_a", "g_a"), Seq("doc_a"))
+      .join(gramsOf("doc_b", "g_b"), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b"))))
@@ -367,18 +404,31 @@ object Dedup {
    * doesn't replan rounds 1..N-1. The driver sees only the per-round
    * convergence count, never the data.
    */
-  def duplicateGroups(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
-      .persist()
-    // pre-partition the edge list by the join key ONCE: each round's
+  def duplicateGroups(spark: SparkSession, dir: String): DataFrame =
+    duplicateGroupsUnordered(spark, dir).orderBy(col("doc_id"))
+
+  /** d06's label frame WITHOUT the final total sort: d10 consumes the
+    * groups through a join + window keyed by group_id, so the doc_id
+    * sort (a full range exchange + sort) was pure wasted work on that
+    * path — only the declared d06 output needs it (guide §2.4: an
+    * orderBy used only to make output deterministic is an accidental
+    * exchange when a consumer reshuffles anyway). */
+  private def duplicateGroupsUnordered(spark: SparkSession, dir: String): DataFrame = {
+    // symmetric edges in ONE pass over the pair pipeline (explode of a
+    // 2-struct array) — the former union-of-two-selects evaluated the
+    // whole verified-pair plan twice and needed its own persist to
+    // avoid it; and the UNORDERED pairs, since the declared d02 sort
+    // would be thrown away by the repartition here anyway.
+    // Pre-partition the edge list by the join key ONCE: each round's
     // edges⋈labels then needs NO exchange on either side (labels come
     // back hash-partitioned by node from the previous round's shuffle,
     // and cached/checkpointed frames preserve their partitioning) —
     // guide §2.4: establish the partitioning once, reuse it per round
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = minhashPairsUnordered(spark, dir)
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .persist()
     // fused round 1: from identity labels, a round's output is exactly
@@ -408,12 +458,14 @@ object Dedup {
       labels = next.drop("changed")
       rounds += 1
     }
-    pairs.unpersist(); edges.unpersist()
+    edges.unpersist()
     require(converged, s"label propagation did not converge in $rounds rounds")
+    // rounds-to-converge is the loop's scale metric (each round = one
+    // shuffle + one job); surface it for the bench/probe logs
+    System.err.println(s"[dedup] label propagation converged in $rounds rounds")
     labels
       .select(col("node").as("doc_id"), col("lbl").as("group_id"),
         (col("node") === col("lbl")).as("is_canonical"))
-      .orderBy(col("doc_id"))
   }
 
   /**
@@ -430,7 +482,7 @@ object Dedup {
    */
   def canonicalSelection(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val groups = duplicateGroups(spark, dir).select(col("doc_id"), col("group_id"))
+    val groups = duplicateGroupsUnordered(spark, dir).select(col("doc_id"), col("group_id"))
     val nWords = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("bigint").as("n_words"))
     val w = Window.partitionBy(col("group_id"))
@@ -684,34 +736,56 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+    // phase labels (guide §1.5): the pipeline is a sequence of many
+    // small jobs, unreadable in the UI/probe without attribution
+    def phase(s: String): Unit =
+      spark.sparkContext.setJobDescription(if (s == null) null else s"t14: $s")
+    phase("standing table build")
     val t = graft.delta.DeltaTable.create(spark, root,
       docs.filter(!isBatch).repartition(8, pmod(col("doc_id"), lit(8))))
     t.buildKeyIndex("doc_id")
+    phase("d09 ingest dedup")
     // d09: (batch doc, corpus doc) duplicate pairs against the store
     val pairs = incrementalIngestDedup(spark, dir)
       .select(col("doc_id"), col("dup_of")).localCheckpoint()
     // d10's canonical ranking per batch doc over {self} ∪ matches —
     // group-sized integer work (exact ties by id)
+    phase("canonical ranking")
     val members = pairs.select(col("doc_id"), col("dup_of").as("member"))
       .union(pairs.select(col("doc_id"), col("doc_id").as("member")).distinct())
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("n_words").desc, col("member"))
+    // winners is candidate-pair-sized (tiny) but its plan embeds a
+    // corpus scan + join + window; downstream it feeds the MERGE's
+    // staged write, the route-key distinct, AND the matched semi-join —
+    // each of which re-evaluated the whole subplan (3 corpus scans per
+    // commit). Materialize it once; `kept` likewise (batch-sized — the
+    // ingest batch itself, mutation-scale by definition), so each
+    // commit's key routing and matched scan reuse one evaluation
+    // (guide §1.2: don't recompute what you already have; §5:
+    // localCheckpoint, blocks die with the frame)
     val winners = members
       .join(docs.select(col("doc_id").as("member"), col("n_words")), Seq("member"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("member").as("winner"))
+      .localCheckpoint(eager = false)
     val losers = winners.filter(col("winner") =!= col("doc_id")).select("doc_id")
     val kept = docs.filter(isBatch).join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false)
     val rejects = pairs
       .join(winners.filter(col("winner") === col("doc_id")).select("doc_id"), Seq("doc_id"))
       .select(col("dup_of").as("doc_id")).distinct()
+      .localCheckpoint(eager = false) // consumed by the DELETE's route AND its matched scan
     // format plane: key-routed MERGE of the kept docs, key-routed
     // delete of the displaced corpus docs — index maintenance runs
     // after each commit, so the second mutation routes through an
     // index that covers the first
+    phase("merge commit")
     t.upsert(kept, Seq("doc_id"))
+    phase("delete commit")
     t.deleteMatching(rejects, Seq("doc_id"))
+    phase(null)
     t.toDF()
       .select(col("doc_id"), col("lang"), col("source"), col("n_words"))
       .orderBy(col("doc_id"))
