@@ -29,12 +29,19 @@ object PlanBench {
       if (args.isEmpty || args.sameElements(Array("all"))) all.keys.toSeq.sorted
       else all.keys.toSeq.sorted.filter(n => args.exists(a => n.startsWith(a)))
     require(names.nonEmpty, s"no queries match ${args.mkString(",")}")
+    // PLAN_PRIME=core skips the format-plane fixture builds (for runs
+    // that only measure relational/dedup/similarity/text queries, e.g.
+    // the replicated-SF scaling runs, where rebuilding every format
+    // fixture at 5x size would dwarf the measurement)
+    val primeAll = sys.env.getOrElse("PLAN_PRIME", "all") != "core"
     val spark = GraftSession.local(cpus)
     spark.range(1000).count()
-    graft.operators.FormatQueries.fixtureDir(spark, sfDir)
-    graft.operators.IcebergQueries.fixtureDir(spark, sfDir)
-    graft.operators.HudiQueries.fixtureDir(spark, sfDir)
-    graft.operators.SyncQueries.fixtureDir(spark, sfDir)
+    if (primeAll) {
+      graft.operators.FormatQueries.fixtureDir(spark, sfDir)
+      graft.operators.IcebergQueries.fixtureDir(spark, sfDir)
+      graft.operators.HudiQueries.fixtureDir(spark, sfDir)
+      graft.operators.SyncQueries.fixtureDir(spark, sfDir)
+    }
     graft.operators.Dedup.primeCorpusSize(spark, sfDir)
     graft.operators.Dedup.primeBucketIndex(spark, sfDir)
     graft.operators.Similarity.primeKmeans(spark, sfDir)

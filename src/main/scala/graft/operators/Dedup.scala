@@ -149,10 +149,13 @@ object Dedup {
     // the corpus scan + tokenize + simhash. It is distinct-signature-
     // sized (KB at any corpus: near-dup corpora collapse to far fewer
     // sigs than docs), so materialize it once — localCheckpoint, not
-    // cache, so the blocks die with the frame (guide §5); LAZY, so
-    // building or explaining the plan runs no job — the first action
-    // pays the one materialization (ADVICE r16)
-    val groups = simhashGroups(spark, dir).localCheckpoint(eager = false)
+    // cache, so the blocks die with the frame (guide §5). EAGER on
+    // purpose: the four references sit in ONE action, and a lazily
+    // checkpointed RDD referenced four times inside one job computes up
+    // to four times in parallel before any block lands in the cache
+    // (measured: d03 1.5→2.0 s lazy; the r16-ADVICE lazy form only
+    // helps frames whose consumers are SEPARATE sequential actions)
+    val groups = simhashGroups(spark, dir).localCheckpoint()
 
     // hamming-0 pairs: all pairs within one signature group (output-sized)
     val intra = groups.filter(size(col("ids")) > 1)
@@ -229,13 +232,11 @@ object Dedup {
         floor(col("n_chars") / 5) - 1, floor(col("n_chars") / 5), floor(col("n_chars") / 5) + 1)))
       .select(col("lang"), col("bucket"),
         col("doc_id").as("doc_b"), col("n_chars").as("nc_b"))
-    // candidate pairs are duplicate-scale (<< corpus); referenced three
-    // times below (the pair join + both id prunes), so materialize once
-    // — lazy localCheckpoint, same shape as d03's fix
+    // candidate pairs are duplicate-scale (<< corpus) and consumed
+    // exactly once by the attach joins below — no materialization
     val cand = a.join(bb, Seq("lang", "bucket"))
       .filter(col("doc_a") < col("doc_b") && abs(col("nc_a") - col("nc_b")) <= 5)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(eager = false)
     // exact gram operands attach AFTER the decision: grams are computed
     // in place on the spread partitioning (linear CPU, same per-row
     // work as before) and the candidate side — ids only — broadcasts

@@ -204,11 +204,13 @@ object Multimodal {
     // both cross-join sides, same-hash pairs); left lazy each reference
     // re-decoded and re-hashed the whole binary corpus. It is
     // distinct-signature-sized, so materialize it once (localCheckpoint:
-    // blocks die with the frame — same shape as d03's fix); LAZY, so
-    // building or explaining the plan runs no job (ADVICE r16)
+    // blocks die with the frame — same shape as d03's fix). EAGER on
+    // purpose: the references sit in ONE action, and a lazy checkpoint
+    // referenced multiple times inside one job duplicates the binary
+    // decode before any block caches (measured: m05 0.67→1.0 s lazy)
     val groups = hashPayloads(spark, corpusWithReencodes(spark, dir))
       .groupBy(col("phash")).agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val banded = groups.select(col("phash"), explode(expr(
       s"transform(sequence(0, ${bands - 1}), " +
         s"b -> struct(b AS band, shiftright(phash, b*$bandBits) & $bandMask AS bkey))"))
