@@ -760,6 +760,23 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     * collects only the pruned survivors — never every entry's bounds
     * maps. Reconcile-then-filter order matters: a delete entry must
     * cancel its add even when neither matches the predicate. */
+  /** All entries of the given manifests — driver-side under the same
+    * byte fence as [[liveEntries]] (the manifest list carries lengths),
+    * distributed beyond it. Used by the per-snapshot change paths,
+    * which otherwise paid one Spark job PER replayed snapshot. */
+  private def readEntries(infos: Seq[ManifestFileInfo]): Seq[ManifestEntry] = {
+    val paths = infos.map(_.manifestPath).distinct
+    if (paths.isEmpty) Seq.empty
+    else if (infos.iterator.map(_.manifestLength).sum <= IcebergTable.MaxLocalManifestBytes)
+      paths.flatMap(p => IcebergManifests.readManifest(hconf, new Path(p)))
+    else {
+      val conf = new SerializableConfiguration(hconf)
+      spark.sparkContext.parallelize(paths, math.min(paths.size, 64))
+        .flatMap(p => IcebergManifests.readManifest(conf.value, new Path(p)))
+        .collect().toSeq
+    }
+  }
+
   private[iceberg] def liveEntries(
       snapshotId: Option[Long],
       pred: ManifestEntry => Boolean = _ => true): Seq[ManifestEntry] = {
@@ -774,6 +791,23 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
       if (a.sequenceNumber != b.sequenceNumber) {
         if (a.sequenceNumber > b.sequenceNumber) a else b
       } else if (a.status == ManifestEntry.StatusDeleted) a else b
+    // metadata-small snapshots reconcile on the driver: the manifest
+    // list carries each manifest's byte length, so the fence costs no
+    // extra I/O, and a driver-side fold replaces a Spark job + a
+    // reduceByKey SHUFFLE per snapshot access (guide §1.2/§7.3 — same
+    // posture as the Delta/Hudi log replays). Large snapshots keep the
+    // distributed reconcile that matters at 100 TB manifest counts.
+    if (manifests.iterator.map(_.manifestLength).sum <= IcebergTable.MaxLocalManifestBytes) {
+      val state = scala.collection.mutable.HashMap[String, ManifestEntry]()
+      paths.foreach { p =>
+        IcebergManifests.readManifest(hconf, new Path(p)).foreach { e =>
+          state(e.filePath) = state.get(e.filePath).map(newer(_, e)).getOrElse(e)
+        }
+      }
+      return state.valuesIterator
+        .filter(e => e.status != ManifestEntry.StatusDeleted && pred(e))
+        .toSeq.sortBy(_.filePath)
+    }
     spark.sparkContext
       .parallelize(paths, math.min(paths.size, 64))
       .flatMap(p => IcebergManifests.readManifest(conf.value, new Path(p)))
@@ -797,21 +831,31 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     require(fromIdx >= 0 && toIdx > fromIdx, s"bad snapshot range on $tablePath")
     val conf = new SerializableConfiguration(hconf)
     val targets = ids.slice(fromIdx + 1, toIdx + 1).toSet
-    val manifestPaths = ids.slice(fromIdx + 1, toIdx + 1)
+    val manifestInfos = ids.slice(fromIdx + 1, toIdx + 1)
       .flatMap(id => IcebergManifests.readManifestList(hconf, new Path(meta.snapshot(id).manifestList)))
       .filter(m => targets.contains(m.addedSnapshotId))
-      .map(_.manifestPath).distinct
-    val added = spark.sparkContext
-      .parallelize(manifestPaths, math.max(1, math.min(manifestPaths.size, 64)))
-      .flatMap(p => IcebergManifests.readManifest(conf.value, new Path(p)))
-      .filter(e => e.status == ManifestEntry.StatusAdded && targets.contains(e.snapshotId))
-      // the change feed reports added DATA; delete files added in the
-      // range are row-level tombstones, not new rows
-      .filter(_.content == ManifestEntry.ContentData)
-      .map(e => (e.filePath, e))
-      .reduceByKey((a, _) => a)
-      .values
-      .collect().toSeq
+    val manifestPaths = manifestInfos.map(_.manifestPath).distinct
+    def keep(e: ManifestEntry): Boolean =
+      e.status == ManifestEntry.StatusAdded && targets.contains(e.snapshotId) &&
+        // the change feed reports added DATA; delete files added in the
+        // range are row-level tombstones, not new rows
+        e.content == ManifestEntry.ContentData
+    // driver-side read for metadata-small ranges (same fence/posture as
+    // liveEntries) — the distributed path cost a job per change-feed call
+    val added: Seq[ManifestEntry] =
+      if (manifestInfos.iterator.map(_.manifestLength).sum <= IcebergTable.MaxLocalManifestBytes)
+        manifestPaths
+          .flatMap(p => IcebergManifests.readManifest(hconf, new Path(p)))
+          .filter(keep)
+          .groupBy(_.filePath).map(_._2.head).toSeq.sortBy(_.filePath)
+      else spark.sparkContext
+        .parallelize(manifestPaths, math.max(1, math.min(manifestPaths.size, 64)))
+        .flatMap(p => IcebergManifests.readManifest(conf.value, new Path(p)))
+        .filter(keep)
+        .map(e => (e.filePath, e))
+        .reduceByKey((a, _) => a)
+        .values
+        .collect().toSeq
     readFiles(added)
   }
 
@@ -955,13 +999,10 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
     val conf = new SerializableConfiguration(hconf)
     val parts: Seq[DataFrame] = ids.slice(fromIdx + 1, toIdx + 1).flatMap { sid =>
       val snap = meta.snapshot(sid)
-      val manifestPaths = IcebergManifests.readManifestList(hconf, new Path(snap.manifestList))
-        .filter(_.addedSnapshotId == sid).map(_.manifestPath)
-      val added = spark.sparkContext
-        .parallelize(manifestPaths, math.max(1, math.min(manifestPaths.size, 64)))
-        .flatMap(p => IcebergManifests.readManifest(conf.value, new Path(p)))
+      val added = readEntries(
+          IcebergManifests.readManifestList(hconf, new Path(snap.manifestList))
+            .filter(_.addedSnapshotId == sid))
         .filter(e => e.status == ManifestEntry.StatusAdded && e.snapshotId == sid)
-        .collect().toSeq
       val inserts = added.filter(_.content == ManifestEntry.ContentData)
       val insertDF =
         if (inserts.isEmpty) None else Some(finish(readFiles(inserts), "insert", sid))
@@ -2196,15 +2237,11 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
   def changeSet(snapshotId: Long): (Seq[graft.model.InternalDataFile], Seq[String]) = {
     val meta = currentMetadata
     val snap = meta.snapshot(snapshotId)
-    val conf = new SerializableConfiguration(hconf)
-    val manifestPaths = IcebergManifests.readManifestList(hconf, new Path(snap.manifestList))
-      .filter(_.addedSnapshotId == snapshotId).map(_.manifestPath)
-    if (manifestPaths.isEmpty) return (Seq.empty, Seq.empty)
-    val entries = spark.sparkContext
-      .parallelize(manifestPaths, math.min(manifestPaths.size, 64))
-      .flatMap(p => IcebergManifests.readManifest(conf.value, new Path(p)))
+    val entries = readEntries(
+        IcebergManifests.readManifestList(hconf, new Path(snap.manifestList))
+          .filter(_.addedSnapshotId == snapshotId))
       .filter(_.snapshotId == snapshotId)
-      .collect().toSeq
+    if (entries.isEmpty) return (Seq.empty, Seq.empty)
     val schemaAt = meta // bounds decode against current schema by field id
     val defs = IcebergTable.defsOf(meta)
     if (!entries.forall(e =>
@@ -2370,6 +2407,14 @@ final class IcebergTable private (spark: SparkSession, val log: IcebergMetadataL
 }
 
 object IcebergTable {
+
+  /** Byte budget for driver-side manifest reconciliation in
+    * [[IcebergTable.liveEntries]] — the avro manifests under this parse
+    * on the driver in single-digit ms, where the distributed
+    * reduceByKey pays a job + shuffle of scheduler latency per
+    * snapshot access. Size-fenced from the manifest list's own
+    * `manifest_length` field (no extra I/O). */
+  private[iceberg] val MaxLocalManifestBytes = 4L * 1024 * 1024
 
   /** Tolerant timestamp-value parse shared by the partition-statistics
     * WRITER (manifest value strings → typed rollup values) and the
